@@ -1,0 +1,350 @@
+"""Single-pass HTML parsing and the canonical text-extraction semantics.
+
+The reference extracts per-page text with BeautifulSoup(``html.parser``):
+
+* **jobdetail text** (the byte-identical invariant column, reference
+  ``app/services/job_extraction_service.py:1722-1737``)::
+
+      soup = BeautifulSoup(html, 'html.parser')
+      for el in soup(['script','style','nav','header','footer','aside','noscript']):
+          el.decompose()
+      text = soup.get_text()
+      text = re.sub(r'\\s+', ' ', text).strip()
+      text = text[:5000] if len(text) > 50 else ''
+
+* **crawldata text** (``app/api/routes.py:205``)::
+
+      soup.get_text(separator=' ', strip=True)        # no decompose
+
+``beautifulsoup4`` is not installed in this environment, so this module
+pins those semantics on the stdlib :class:`html.parser.HTMLParser`
+(``convert_charrefs=True``, i.e. entity references are decoded in text,
+matching bs4's html.parser builder).  Pinned spec (documented deviations
+from bs4, none exercised by the synthetic corpus): comments / doctypes /
+processing instructions contribute no text; ``<script>``/``<style>``
+bodies are raw CDATA text nodes; malformed markup follows HTMLParser's
+recovery rather than bs4's.
+
+The independent oracle implementation lives in
+:mod:`crawler_ai_ray.oracle.extract_oracle` (a DOM-tree builder +
+recursive walker — deliberately different code); tests assert byte
+equality between the two over the whole synthetic corpus.
+
+Everything here is pure-Python and stateless; the Ray stage wrapping it
+is ``crawler_ai_ray.stages.extract``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+__all__ = [
+    "PageFacts",
+    "parse_page",
+    "extract_text_jobdetail",
+    "extract_text_crawldata",
+    "finalize_jobdetail_text",
+    "pick_job_title",
+    "extract_out_links",
+    "WS_RE",
+]
+
+# re.sub(r'\s+', ' ', ·) — the exact whitespace collapse used everywhere
+# (Python \s on str is Unicode-aware: matches NBSP, not zero-width space).
+WS_RE = re.compile(r"\s+")
+
+# job_extraction_service.py:1726 — subtrees removed before get_text().
+_DECOMPOSE_TAGS = frozenset(
+    ["script", "style", "nav", "header", "footer", "aside", "noscript"]
+)
+
+# HTML void elements — never have content / close tags.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# crawler.py:394 — schemes skipped during out-link extraction.
+_SKIP_HREF_PREFIXES = ("mailto:", "tel:", "skype:", "javascript:", "data:")
+
+_HEADINGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+_HIDDEN_STYLE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+
+
+class PageFacts:
+    """Everything one parse pass learns about a page."""
+
+    __slots__ = (
+        "text_pieces",      # text nodes outside decomposed subtrees (jobdetail)
+        "all_pieces",       # every text node (crawldata text)
+        "title",            # first <title> text
+        "meta_description", # <meta name="description" content=...>
+        "meta_tags",        # {name/property: content} (M35)
+        "headings",         # {"h1": [...], ..., "h6": [...]} subtree texts
+        "anchors",          # [(href, anchor_text)] in document order
+        "list_items",       # <li> subtree texts (M26)
+        "tables",           # [[row=[cell_text,...], ...], ...] (M24)
+        "n_scripts", "n_styles", "n_images", "n_links",
+        "script_bodies",    # raw <script> contents (M32 JS job data)
+        "hidden_texts",     # texts of display:none/.hidden/aria-hidden (M33)
+        "data_job_attrs",   # values of data-job attributes (M33)
+    )
+
+    def __init__(self) -> None:
+        self.text_pieces: list[str] = []
+        self.all_pieces: list[str] = []
+        self.title: str | None = None
+        self.meta_description: str = ""
+        self.meta_tags: dict[str, str] = {}
+        self.headings: dict[str, list[str]] = {h: [] for h in _HEADINGS}
+        self.anchors: list[tuple[str, str]] = []
+        self.list_items: list[str] = []
+        self.tables: list[list[list[str]]] = []
+        self.n_scripts = 0
+        self.n_styles = 0
+        self.n_images = 0
+        self.n_links = 0
+        self.script_bodies: list[str] = []
+        self.hidden_texts: list[str] = []
+        self.data_job_attrs: list[str] = []
+
+    @property
+    def h1(self) -> list[str]:
+        return self.headings["h1"]
+
+    @property
+    def h2(self) -> list[str]:
+        return self.headings["h2"]
+
+
+class _Cap:
+    """An active subtree-text capture (generic: heading, anchor, li, cell…)."""
+
+    __slots__ = ("kind", "tag", "depth", "buf", "extra")
+
+    def __init__(self, kind: str, tag: str, extra=None) -> None:
+        self.kind = kind
+        self.tag = tag
+        self.depth = 1
+        self.buf: list[str] = []
+        self.extra = extra
+
+
+class _FactParser(HTMLParser):
+    """One streaming pass filling a :class:`PageFacts`."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.facts = PageFacts()
+        self._excl_depth = 0            # inside any decomposed subtree
+        self._excl_stack: list[str] = []
+        self._caps: list[_Cap] = []
+        self._in_script = False
+        self._script_buf: list[str] = []
+        self._table_stack: list[list[list[str]]] = []   # tables of rows
+        self._row_stack: list[list[str]] = []
+
+    # -- start tags ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        f = self.facts
+        if tag in _VOID:
+            if tag == "img":
+                f.n_images += 1
+            elif tag == "meta":
+                ad = dict(attrs)
+                name = ad.get("name") or ad.get("property") or ad.get("http-equiv")
+                content = ad.get("content")
+                if name and content:
+                    f.meta_tags.setdefault(name, content)
+                if (ad.get("name") or "").lower() == "description" and not f.meta_description:
+                    f.meta_description = content or ""
+            return
+
+        # existing captures grow one level deeper
+        for cap in self._caps:
+            cap.depth += 1
+
+        if tag in _DECOMPOSE_TAGS:
+            self._excl_depth += 1
+            self._excl_stack.append(tag)
+            if tag == "script":
+                f.n_scripts += 1
+                self._in_script = True
+                self._script_buf = []
+            elif tag == "style":
+                f.n_styles += 1
+
+        ad = dict(attrs)
+        if tag == "title" and f.title is None:
+            self._caps.append(_Cap("title", tag))
+        elif tag in _HEADINGS:
+            self._caps.append(_Cap("heading", tag))
+        elif tag == "li":
+            self._caps.append(_Cap("li", tag))
+        elif tag in ("td", "th"):
+            self._caps.append(_Cap("cell", tag))
+        elif tag == "table":
+            self._table_stack.append([])
+        elif tag == "tr":
+            self._row_stack.append([])
+        if tag == "a":
+            f.n_links += 1
+            href = ad.get("href")
+            if href is not None:
+                self._caps.append(_Cap("a", tag, extra=href))
+
+        style = ad.get("style") or ""
+        cls = ad.get("class") or ""
+        if (
+            _HIDDEN_STYLE_RE.search(style)
+            or "hidden" in cls.split()
+            or "invisible" in cls.split()
+            or ad.get("aria-hidden") == "true"
+        ):
+            self._caps.append(_Cap("hidden", tag))
+        dj = ad.get("data-job")
+        if dj:
+            f.data_job_attrs.append(dj)
+
+    # -- end tags -----------------------------------------------------
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        f = self.facts
+        if self._excl_stack and tag in _DECOMPOSE_TAGS and self._excl_stack[-1] == tag:
+            self._excl_stack.pop()
+            self._excl_depth -= 1
+            if tag == "script":
+                self._in_script = False
+                f.script_bodies.append("".join(self._script_buf))
+        if tag == "table" and self._table_stack:
+            f.tables.append(self._table_stack.pop())
+        elif tag == "tr" and self._row_stack:
+            row = self._row_stack.pop()
+            if self._table_stack:
+                self._table_stack[-1].append(row)
+
+        done: list[_Cap] = []
+        for cap in self._caps:
+            cap.depth -= 1
+            if cap.depth == 0:
+                done.append(cap)
+        if done:
+            self._caps = [c for c in self._caps if c.depth > 0]
+            for cap in done:
+                self._finish(cap)
+
+    def _finish(self, cap: _Cap) -> None:
+        f = self.facts
+        text = "".join(cap.buf)
+        if cap.kind == "title":
+            if f.title is None:
+                f.title = text
+        elif cap.kind == "heading":
+            f.headings[cap.tag].append(text)
+        elif cap.kind == "a":
+            f.anchors.append((cap.extra, text))
+        elif cap.kind == "li":
+            f.list_items.append(text)
+        elif cap.kind == "cell":
+            if self._row_stack:
+                self._row_stack[-1].append(text)
+        elif cap.kind == "hidden":
+            t = WS_RE.sub(" ", text).strip()
+            if t:
+                f.hidden_texts.append(t)
+
+    # -- text ---------------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        f = self.facts
+        f.all_pieces.append(data)
+        if self._excl_depth == 0:
+            f.text_pieces.append(data)
+        if self._in_script:
+            self._script_buf.append(data)
+        for cap in self._caps:
+            cap.buf.append(data)
+
+
+def parse_page(html: str) -> PageFacts:
+    """Parse ``html`` once and return all extracted facts."""
+    p = _FactParser()
+    p.feed(html)
+    p.close()
+    return p.facts
+
+
+def finalize_jobdetail_text(raw: str) -> str:
+    """Whitespace-collapse + length gate (job_extraction_service.py:1733-1737)."""
+    text = WS_RE.sub(" ", raw).strip()
+    if len(text) > 50:
+        return text[:5000]
+    return ""
+
+
+def facts_jobdetail_text(facts: PageFacts) -> str:
+    return finalize_jobdetail_text("".join(facts.text_pieces))
+
+
+def facts_crawldata_text(facts: PageFacts) -> str:
+    """``get_text(separator=' ', strip=True)``: strip every text node, drop
+    empties, join with single spaces (script/style bodies included)."""
+    pieces = (s.strip() for s in facts.all_pieces)
+    return " ".join(p for p in pieces if p)
+
+
+def extract_text_jobdetail(html: str) -> str:
+    """The byte-identical invariant text (see module docstring)."""
+    return facts_jobdetail_text(parse_page(html))
+
+
+def extract_text_crawldata(html: str) -> str:
+    return facts_crawldata_text(parse_page(html))
+
+
+# ---------------------------------------------------------------------------
+# Title / out-link helpers shared by stages
+# ---------------------------------------------------------------------------
+
+_GENERIC_TITLE_WORDS = (
+    # job_extraction_service.py:1703 — generic h1/h2 titles to skip
+    "home", "about", "contact", "career", "careers", "welcome", "blog", "news",
+)
+
+
+def pick_job_title(facts: PageFacts) -> str:
+    """First non-generic ``<h1>`` (len>3) else ``<h2>`` fallback
+    (job_extraction_service.py:1697-1720).  The reference's h2 loop breaks
+    unconditionally after the first h2; reproduced here."""
+    for t in facts.h1:
+        t = t.strip()
+        if t and len(t) > 3:
+            low = t.lower()
+            if not any(g in low for g in _GENERIC_TITLE_WORDS):
+                return t
+    for t in facts.h2:
+        t = t.strip()
+        if t and len(t) > 3:
+            low = t.lower()
+            if not any(g in low for g in _GENERIC_TITLE_WORDS):
+                return t
+        break  # reference behavior: unconditional break after first h2
+    return ""
+
+
+def extract_out_links(facts: PageFacts, base_url: str, limit: int = 50) -> list[str]:
+    """First-``limit`` anchors, scheme-filtered, urljoined, order-preserving
+    dedup (crawler.py:388-399 takes the first 50 a[href]; its later set()
+    dedup is pinned here as order-preserving first occurrence)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for href, _txt in facts.anchors[:limit]:
+        if not href or href.startswith(_SKIP_HREF_PREFIXES):
+            continue
+        full = urljoin(base_url, href)
+        if full not in seen:
+            seen.add(full)
+            out.append(full)
+    return out

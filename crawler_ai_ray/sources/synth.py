@@ -1,0 +1,573 @@
+"""Deterministic synthetic web corpus (FIXTURES.md F1/F2) — the sandbox
+"network".
+
+Generates the ``pages`` Parquet table exactly per the driver's input_hint
+``(url:string, warc_ts:timestamp[ms], html:binary, text:string,
+lang:string)`` plus golden side-tables used by tests and by the DuckDB
+oracle SQL:
+
+* ``pages.parquet``   — the corpus; ``text`` is the **golden** jobdetail
+  text produced by the *oracle* extractor
+  (:mod:`crawler_ai_ray.oracle.extract_oracle`), i.e. the independent
+  implementation, so engine-vs-golden comparisons are a real check.
+* ``golden.parquet``  — per-url golden extraction facts (crawldata text,
+  title, contacts, links, classification) — FIXTURES.md F3a/F3b.
+* ``jobs_golden.parquet`` — per (source_url, job_index) job records (F3c).
+* ``seeds.parquet``   — seed homepages with ``seed_order`` (F2).
+* ``hostcfg.parquet`` — per-host politeness/robots config (F6).
+
+Everything is seeded (``seed=42`` by default) with per-host derived
+string seeds (`random.Random(str)` uses sha512 seeding — stable across
+processes and platforms, independent of PYTHONHASHSEED).  The corpus for
+a given (tag, n_hosts, CORPUS_VERSION) is therefore byte-stable, so the
+DuckDB oracle and the Ray engine can both regenerate/read it at any time.
+
+Link-graph guarantees (F2): every host has homepage → nav → career page
+→ job pages (depth ≤ 3); cross-host links exist (must be filtered);
+duplicate + ``#fragment`` links exist; one hot host (index 0) has a much
+larger crawl budget and a deep job-board subgraph (skew fixture); trap
+URLs exercise the reject rules (dates, long ids, assets).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import classify, contacts, jobs as jobfns
+from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
+from ..oracle.extract_oracle import oracle_text_jobdetail
+
+# Bump when generation or golden semantics change (stale /tmp caches are
+# keyed by this).
+CORPUS_VERSION = "v7"
+
+DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
+
+# corpus scale per testdata tag
+HOSTS_BY_TAG = {
+    "unit": 8,
+    "sf0.001": 30,
+    "sf0.01": 120,
+    "sf0.1": 1200,
+}
+
+_BASE_TS_MS = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1000)
+
+_TLDS = ["com", "vn", "io", "net"]
+
+_EN_WORDS = (
+    "platform cloud data service team product quality growth innovation partner "
+    "customer solution digital market global system process design build deliver "
+    "secure scale network analytics insight strategy value trust modern agile"
+).split()
+
+_VI_WORDS = (
+    "công ty phát triển phần mềm dịch vụ khách hàng chất lượng đội ngũ sản phẩm "
+    "giải pháp công nghệ thông tin hệ thống quy trình thiết kế xây dựng bảo mật "
+    "mở rộng mạng lưới phân tích chiến lược giá trị tin cậy hiện đại"
+).split()
+
+_JOB_TITLES_EN = [
+    "Senior Java Developer", "Java Developer", "Flutter Developer",
+    "Backend Engineer", "Frontend Developer", "Data Analyst",
+    "DevOps Engineer", "QA Tester", "Product Manager", "Business Analyst Intern",
+    "Technical Solution Manager", "Solution Delivery Engineer",
+    "Mobile Developer", "Cloud Architect", "Marketing Specialist",
+    "Sales Executive", "HR Specialist", "Finance Analyst",
+]
+
+_JOB_TITLES_VI = [
+    "Nhân viên kế toán", "Trợ lý kinh doanh", "Quản lý nhân sự",
+    "Thực tập sinh Business Analyst", "Java Developer (định hướng lead team)",
+    "Chuyên viên tuyển dụng", "Nhân viên kinh doanh", "Trưởng phòng kỹ thuật",
+]
+
+_JOB_TYPES = ["Full-time", "Part-time", "Contract", "Internship", "Remote", "Hybrid"]
+
+_SALARIES = ["$1000-$2000", "15-25 triệu", "Negotiable", "Up to $3000", "Thỏa thuận"]
+
+
+def _slug(s: str) -> str:
+    out = []
+    for ch in s.lower():
+        if ch.isalnum():
+            out.append(ch)
+        elif ch in " -_()":
+            out.append("-")
+    slug = "".join(out)
+    while "--" in slug:
+        slug = slug.replace("--", "-")
+    return slug.strip("-")
+
+
+def _para(rng: random.Random, words: list[str], n: int) -> str:
+    # Commas/periods every few words keep the text realistic and bound the
+    # backtracking of the reference-exact card regexes (M25), whose cost is
+    # quadratic in the length of punctuation-free alphabetic runs.
+    out = []
+    run = 0
+    for _ in range(n):
+        w = rng.choice(words)
+        out.append(w)
+        run += 1
+        if run >= rng.randint(4, 8):
+            out[-1] = w + rng.choice([",", ".", ",", ";"])
+            run = 0
+    return " ".join(out).capitalize() + "."
+
+
+def _padding(rng: random.Random, words: list[str], target_kb: float) -> str:
+    """Filler paragraphs totalling roughly target_kb kilobytes."""
+    paras = []
+    size = 0
+    target = int(target_kb * 1024)
+    while size < target:
+        p = _para(rng, words, rng.randint(30, 80))
+        paras.append(f"<p>{p}</p>")
+        size += len(p) + 7
+    return "\n".join(paras)
+
+
+class _Host:
+    def __init__(self, idx: int, seed: int) -> None:
+        rng = random.Random(f"{seed}:host:{idx}")
+        self.idx = idx
+        self.rng = rng
+        self.lang = "vi" if rng.random() < 0.4 else "en"
+        self.name = f"company{idx}"
+        self.tld = rng.choice(_TLDS)
+        self.domain = f"{self.name}.{self.tld}"
+        self.base = f"https://{self.domain}"
+        self.career_sub = rng.random() < 0.25       # careers.{domain} subdomain
+        self.career_path = (
+            "/tuyen-dung" if self.lang == "vi" else rng.choice(["/careers", "/jobs"])
+        )
+        self.hot = idx == 0                          # skew fixture
+        self.n_jobs = rng.randint(60, 90) if self.hot else rng.randint(4, 12)
+        self.max_pages = 400 if self.hot else 50
+        self.crawl_delay_s = 1.0 if rng.random() < 0.2 else 0.0
+        self.robots_disallow = (
+            ["/products/", "/blog/"] if rng.random() < 0.25 else []
+        )
+        self.email = f"hr@{self.domain}"
+        self.phone = f"09{rng.randint(10000000, 99999999)}"
+        titles = _JOB_TITLES_EN if self.lang == "en" else (_JOB_TITLES_VI + _JOB_TITLES_EN)
+        k = min(self.n_jobs, len(titles))
+        self.job_titles = rng.sample(titles, k)
+        while len(self.job_titles) < self.n_jobs:
+            t = rng.choice(titles)
+            self.job_titles.append(f"{t} {len(self.job_titles)}")
+        self.words = _EN_WORDS if self.lang == "en" else _VI_WORDS
+
+
+def _page_shell(host: _Host, title: str, desc: str, nav_links: list[tuple[str, str]],
+                body: str, footer_extra: str = "") -> str:
+    nav_html = "".join(f'<a href="{h}">{t}</a> ' for h, t in nav_links)
+    return f"""<!DOCTYPE html>
+<html lang="{host.lang}"><head>
+<title>{title}</title>
+<meta name="description" content="{desc}">
+<style>.card{{border:1px solid #ccc}} .hidden{{display:none}}</style>
+</head><body>
+<header><div class="logo">{host.name.title()}</div>
+<nav>{nav_html}</nav></header>
+<main>
+{body}
+</main>
+<footer>
+<p>Contact: <a href="mailto:{host.email}">{host.email}</a> | Hotline: {host.phone[:4]} {host.phone[4:7]} {host.phone[7:]}</p>
+<p><a href="https://facebook.com/{host.name}">Facebook</a>
+<a href="/contact">Contact us</a> <a href="/about">About</a></p>
+<img src="/assets/cropped-favicon-32x32.png" alt="favicon@2x.png">
+{footer_extra}
+</footer>
+</body></html>"""
+
+
+def _gen_host_pages(host: _Host) -> list[dict]:
+    """All pages for one host: list of dicts url/html/lang."""
+    rng = host.rng
+    pages: list[dict] = []
+    career_url = f"{host.base}{host.career_path}"
+    careers_domain = f"https://careers.{host.domain}" if host.career_sub else None
+
+    vi = host.lang == "vi"
+    nav = [
+        ("/about", "Giới thiệu" if vi else "About us"),
+        (host.career_path, "Tuyển dụng" if vi else "Careers"),
+        ("/blog", "Tin tức" if vi else "Blog"),
+        ("/products/1", "Sản phẩm" if vi else "Products"),
+        ("/contact", "Liên hệ" if vi else "Contact"),
+    ]
+
+    n_blog = rng.randint(2, 6)
+    n_products = rng.randint(1, 4)
+    blog_urls = [
+        f"/blog/2024/{rng.randint(1, 12):02d}/post-{i}" for i in range(n_blog)
+    ]
+
+    # --- homepage -----------------------------------------------------
+    cross = f"https://company{(host.idx + 1) % 997}.com/"
+    body = f"""
+<h1>Welcome to {host.name.title()}</h1>
+<h2>{'Chúng tôi xây dựng tương lai' if vi else 'We build the future'}</h2>
+{_padding(rng, host.words, rng.uniform(1, 6))}
+<p><a href="{host.career_path}">{'Cơ hội việc làm' if vi else 'Join our team'}</a>
+<a href="{host.career_path}#positions">{'Vị trí đang tuyển' if vi else 'Open roles'}</a>
+<a href="{cross}">Partner site</a>
+<a href="{blog_urls[0]}">Latest news</a>
+<a href="/assets/brochure.pdf">Brochure</a></p>
+"""
+    if careers_domain:
+        body += f'<p><a href="{careers_domain}/openings">All openings</a></p>'
+    pages.append({
+        "url": f"{host.base}/",
+        "html": _page_shell(host, f"{host.name.title()} - Home",
+                            f"{host.name.title()} official website", nav, body),
+    })
+
+    # --- about / contact ---------------------------------------------
+    pages.append({
+        "url": f"{host.base}/about",
+        "html": _page_shell(host, f"About {host.name.title()}",
+                            "Company profile", nav,
+                            f"<h1>About us</h1>{_padding(rng, host.words, rng.uniform(1, 4))}"),
+    })
+    contact_body = f"""
+<h1>Contact</h1>
+<p>Email: sales@{host.domain} or {host.email}</p>
+<p>{'Điện thoại' if vi else 'Phone'}: +84 {host.phone[1:3]} {host.phone[3:6]} {host.phone[6:]}​</p>
+<p>Office: 123 Main Street</p>
+{_padding(rng, host.words, 1)}
+"""
+    pages.append({
+        "url": f"{host.base}/contact",
+        "html": _page_shell(host, f"Contact {host.name.title()}", "Get in touch",
+                            nav, contact_body),
+    })
+
+    # --- blog + products (noise / robots targets) --------------------
+    for i, bu in enumerate(blog_urls):
+        pages.append({
+            "url": f"{host.base}{bu}",
+            "html": _page_shell(
+                host, f"Blog post {i}", "News article", nav,
+                f"<h1>Story {i}</h1>{_padding(rng, host.words, rng.uniform(2, 12))}"
+                f'<p><a href="{blog_urls[(i + 1) % n_blog]}">Next post</a></p>'),
+        })
+    for i in range(n_products):
+        pages.append({
+            "url": f"{host.base}/products/{i + 1}",
+            "html": _page_shell(
+                host, f"Product {i + 1}", "Product detail", nav,
+                f"<h1>Product {i + 1}</h1>{_padding(rng, host.words, rng.uniform(1, 8))}"),
+        })
+
+    # --- job detail pages --------------------------------------------
+    job_path = "/tuyen-dung" if vi else "/jobs"
+    job_urls = []
+    for j, title in enumerate(host.job_titles):
+        ju = f"{host.base}{job_path}/{_slug(title)}-{j}"
+        job_urls.append((ju, title))
+    for j, (ju, title) in enumerate(job_urls):
+        jt = rng.choice(_JOB_TYPES)
+        salary = rng.choice(_SALARIES)
+        related = job_urls[(j + 1) % len(job_urls)][0]
+        body = f"""
+<h1>{title}</h1>
+<p>{'Hình thức' if vi else 'Job type'}: {jt.lower()} position. Salary: {salary}.</p>
+<p>{'Ngày đăng' if vi else 'Posted'}: {rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024</p>
+<h2>Requirements</h2>
+<ul><li>{rng.randint(1, 5)}+ years experience</li><li>Team player mindset</li></ul>
+{_padding(rng, host.words, rng.uniform(2, 20))}
+<p><a href="{related}">Related position</a> <a href="{host.career_path}">All jobs</a></p>
+<p><a href="/apply/{j}?id={j + 100}">Apply now</a></p>
+"""
+        pages.append({
+            "url": ju,
+            "html": _page_shell(host, f"{title} - {host.name.title()}",
+                                f"Job opening: {title}", nav, body),
+        })
+
+    # --- career listing page(s) --------------------------------------
+    # archetypes rotate so every extraction method (table/card/list/
+    # heading/js/hidden) is exercised somewhere in the corpus
+    archetype = host.idx % 4
+    n_career_pages = max(1, (len(job_urls) + 19) // 20)  # paginate by 20
+    for pg in range(n_career_pages):
+        chunk = job_urls[pg * 20: (pg + 1) * 20]
+        links_html = "".join(
+            f'<div class="job-card"><a href="{u}">{t}</a></div>\n' for u, t in chunk
+        )
+        extra = ""
+        if archetype == 0 and pg == 0:
+            rows = "".join(
+                f"<tr><td>{t}</td><td>{rng.randint(1, 5)} years</td><td>{rng.randint(1, 4)}</td></tr>"
+                for _, t in chunk[:5]
+            )
+            extra += f"<table><tr><th>Position</th><th>Experience</th><th>Slots</th></tr>{rows}</table>"
+        elif archetype == 1 and pg == 0:
+            extra += "<ul>" + "".join(f"<li>{t}</li>" for _, t in chunk[:6]) + "</ul>"
+        elif archetype == 2 and pg == 0:
+            js_jobs = ", ".join(
+                '{"title": "%s", "type": "%s"}' % (t, rng.choice(_JOB_TYPES))
+                for _, t in chunk[:4]
+            )
+            extra += f'<script>var data = {{ jobs: [{js_jobs}] }};</script>'
+            extra += (
+                f'<div class="hidden">{chunk[0][1]} - hidden opening</div>'
+                if chunk else ""
+            )
+        elif archetype == 3 and pg == 0:
+            extra += "".join(f"<h3>{t}</h3><p>Apply today</p>" for _, t in chunk[:5])
+            if chunk:
+                extra += (
+                    '<div data-job=\'{"title": "%s", "location": "Remote"}\'>●</div>'
+                    % chunk[0][1]
+                )
+        pag = ""
+        if n_career_pages > 1:
+            pag = "".join(
+                f'<a href="{host.career_path}?page={p + 1}">Page {p + 1}</a> '
+                for p in range(n_career_pages)
+            )
+        body = f"""
+<h1>{'Tuyển dụng' if vi else 'Careers'}</h1>
+<h2>{'Vị trí đang tuyển' if vi else 'Open positions'}</h2>
+<p>{'Ứng tuyển ngay hôm nay' if vi else 'Apply now and join our team'}.</p>
+{links_html}
+{extra}
+{pag}
+{_padding(rng, host.words, rng.uniform(0.5, 2))}
+<p><a href="{host.career_path}#top">Back to top</a></p>
+"""
+        url = career_url if pg == 0 else f"{career_url}?page={pg + 1}"
+        pages.append({
+            "url": url,
+            "html": _page_shell(host, f"Careers - {host.name.title()}",
+                                "Open positions", nav, body),
+        })
+
+    # --- careers subdomain -------------------------------------------
+    if careers_domain:
+        sub_nav = [("/openings", "Openings"), (f"{host.base}/", "Main site")]
+        links_html = "".join(
+            f'<p><a href="{u}">{t}</a></p>' for u, t in job_urls[:8]
+        )
+        pages.append({
+            "url": f"{careers_domain}/openings",
+            "html": _page_shell(host, f"Openings - {host.name.title()}",
+                                "All open positions", sub_nav,
+                                f"<h1>Current openings</h1>{links_html}"),
+        })
+
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# golden computation
+# ---------------------------------------------------------------------------
+
+def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
+    """Golden extraction facts for one page.
+
+    ``text`` comes from the independent oracle extractor; the remaining
+    fields are produced by the same pure functions the engine stages use
+    (their unit tests pin the semantics; the golden comparison then
+    checks the distributed plumbing end-to-end).
+    """
+    facts = parse_page(html)
+    text = oracle_text_jobdetail(html)
+    page_text = "".join(facts.text_pieces)  # soup.get_text() analogue for M25
+    title = (facts.title or "").strip()
+    all_links = []
+    seen = set()
+    from urllib.parse import urljoin
+    for href, _t in facts.anchors:
+        if not href:
+            continue
+        full = urljoin(url, href)
+        if full not in seen:
+            seen.add(full)
+            all_links.append(full)
+    row = {
+        "url": url,
+        "text": text,
+        "text_crawldata": facts_crawldata_text(facts),
+        "title": title,
+        "meta_description": facts.meta_description,
+        "emails": contacts.extract_emails(html),
+        "phones_loose": contacts.extract_phones_loose(html),
+        "phones_vn": contacts.extract_phones_vn(text),
+        "out_links": extract_out_links(facts, url),
+        "all_links": all_links,
+        "priority": classify.priority_for_link(url),
+        "is_career_listing": classify.is_career_listing_page(url, html),
+        "career_score": classify.career_page_score(url, title, html),
+        "is_job_url": classify.is_job_url(url),
+        "n_tokens": len(text.split()),
+    }
+    job_rows = []
+    # Embedded-job extraction runs only on career listing pages, mirroring
+    # the reference dispatch (job_extraction_service.py:864-930).
+    jobs_found = (
+        jobfns.extract_all_jobs(facts, page_text, url)
+        if row["is_career_listing"]
+        else []
+    )
+    for job in jobs_found:
+        job_rows.append(
+            {
+                "source_url": url,
+                "job_index": job["job_index"],
+                "title": job["title"],
+                "company": job["company"],
+                "location": job["location"],
+                "job_type": job["job_type"],
+                "salary": job["salary"],
+                "description": job["description"],
+                "summary": jobfns.summarize_description(job["description"]),
+                "source": job["source"],
+            }
+        )
+    return row, job_rows
+
+
+# ---------------------------------------------------------------------------
+# table assembly / caching
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _build_host(args: tuple[int, int]) -> tuple:
+    """Worker: all rows for one host (picklable top-level fn).
+
+    Deterministic regardless of which process/order runs it — every host
+    derives its own RNG from (seed, idx)."""
+    idx, seed = args
+    host = _Host(idx, seed)
+    pages = _gen_host_pages(host)
+    seed_row = {"url": f"{host.base}/", "seed_order": idx, "host": host.domain}
+    host_rows = [
+        {
+            "host": host.domain,
+            "crawl_delay_s": host.crawl_delay_s,
+            "robots_disallow": host.robots_disallow,
+            "max_pages": host.max_pages,
+        }
+    ]
+    if host.career_sub:
+        host_rows.append({**host_rows[0], "host": f"careers.{host.domain}"})
+    page_rows, golden_rows, job_rows = [], [], []
+    for p in pages:
+        g, jrows = _golden_for_page(p["url"], p["html"])
+        page_rows.append(
+            {
+                "url": p["url"],
+                "warc_ts": 0,  # assigned globally after collection
+                "html": p["html"].encode("utf-8"),
+                "text": g["text"],
+                "lang": host.lang,
+            }
+        )
+        golden_rows.append(g)
+        job_rows.extend(jrows)
+    return page_rows, golden_rows, job_rows, seed_row, host_rows
+
+
+def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    page_rows: list[dict] = []
+    golden_rows: list[dict] = []
+    job_rows: list[dict] = []
+    seed_rows: list[dict] = []
+    host_rows: list[dict] = []
+
+    results: list[tuple]
+    if n_hosts >= 64:
+        # parallel generation; results collected in host order so the
+        # corpus is byte-stable no matter the worker count
+        import concurrent.futures as cf
+
+        workers = min(16, os.cpu_count() or 4)
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            results = list(
+                ex.map(_build_host, [(i, seed) for i in range(n_hosts)], chunksize=8)
+            )
+    else:
+        results = [_build_host((i, seed)) for i in range(n_hosts)]
+
+    for prows, grows, jrows, srow, hrows in results:
+        for p in prows:
+            p["warc_ts"] = _BASE_TS_MS + len(page_rows) * 1000
+            page_rows.append(p)
+        golden_rows.extend(grows)
+        job_rows.extend(jrows)
+        seed_rows.append(srow)
+        host_rows.extend(hrows)
+
+    pages_tbl = pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA)
+    pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=2000)
+    pq.write_table(pa.Table.from_pylist(golden_rows),
+                   os.path.join(out_dir, "golden.parquet"), row_group_size=2000)
+    if job_rows:
+        pq.write_table(pa.Table.from_pylist(job_rows),
+                       os.path.join(out_dir, "jobs_golden.parquet"))
+    pq.write_table(pa.Table.from_pylist(seed_rows),
+                   os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(pa.Table.from_pylist(host_rows),
+                   os.path.join(out_dir, "hostcfg.parquet"))
+    with open(os.path.join(out_dir, "MANIFEST"), "w") as f:
+        f.write(f"{CORPUS_VERSION} hosts={n_hosts} seed={seed} pages={len(page_rows)}\n")
+
+
+def corpus_tag(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return tag if tag in HOSTS_BY_TAG else "sf0.01"
+
+
+def corpus_dir(tag: str) -> str:
+    return os.path.join(DEFAULT_ROOT, CORPUS_VERSION, tag)
+
+
+def ensure_corpus(sf_dir_or_tag: str, seed: int = 42) -> str:
+    """Idempotently generate (once) and return the corpus directory for a
+    testdata scale tag or sf dir path."""
+    tag = (
+        sf_dir_or_tag
+        if sf_dir_or_tag in HOSTS_BY_TAG
+        else corpus_tag(sf_dir_or_tag)
+    )
+    out = corpus_dir(tag)
+    manifest = os.path.join(out, "MANIFEST")
+    n_hosts = HOSTS_BY_TAG[tag]
+    want = f"{CORPUS_VERSION} hosts={n_hosts} seed={seed}"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if f.read().startswith(want):
+                return out
+    tmp = out + ".tmp"
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    generate_corpus(tmp, n_hosts, seed)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return out
