@@ -1,0 +1,457 @@
+"""The distributed crawl loop — iterative rounds of one linear Ray Data
+pipeline (SURVEY §3.1 restatement):
+
+::
+
+    round r:  read round r-1 checkpoint (queue + host-state rows)
+      → groupby(host) → map_groups(plan_wave)      # ST6/O1 fetch-wave shuffle:
+      #   sort (priority desc, seq asc) within host, take wave budget,
+      #   assign host_seq — politeness budgeting per host (ST2)
+      → map_batches(fetch_and_extract)             # S1: batched page-store actor
+      #   calls (the sandbox network) + one-pass HTML extraction (M18, M1-M10)
+      → groupby(host) → map_groups(expand)         # frontier expansion:
+      #   sequential per-host fold (counters, early-stop, candidate caps),
+      #   URL-seen anti-join via the sharded cuckoo actor pool (ST1/J5)
+      → write_parquet(checkpoint/round=r)          # o/q/s rows + manifest
+
+All rows travel in ONE unified Arrow schema tagged by ``kind`` so each
+round is a single streaming pipeline (no branching, no driver-side
+materialization): ``q`` queue entries, ``s`` host state, ``w`` planned
+wave, ``o`` fetched-page output.  The next round reads only q/s rows
+back (parquet filter pushdown on ``kind``).
+
+Semantics are the pinned wave-crawl spec — see
+``oracle/sim.py`` (the independent sequential implementation tests
+conformance: identical per-host fetch sequences + final URL-seen set).
+
+Scale notes (10^10-frontier framing):
+* both shuffles key on ``host`` — the single partitioning key of the
+  whole engine (seen shards, page store, waves);
+* hot hosts cannot stall a wave: the wave budget bounds per-host work
+  per round regardless of queue depth (skew is bounded by design; a
+  host's backlog just takes more rounds — politeness demands that
+  serialization anyway);
+* the checkpoint is the frontier: object-store pressure per round is
+  one round's wave + the queue, both streamed block-by-block;
+* o-row payload (text/contacts) rides through the expand shuffle at
+  sandbox scale; at 100 TB you would write the extracted table straight
+  out of the fetch stage and send only slim rows onward.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..functions import classify
+from ..functions.frontier_rules import candidate_links
+from ..functions.htmltext import (
+    facts_jobdetail_text,
+    parse_page,
+)
+from ..functions import contacts
+from ..state.politeness import CrawlPolicy, load_host_policies
+from ..state.seen import SeenPool, shard_for_host
+from ..state.pagestore import PageStorePool
+
+__all__ = ["CrawlConfig", "run_crawl", "CRAWL_SCHEMA"]
+
+CRAWL_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),       # q | s | w | o
+        ("host", pa.string()),
+        ("url", pa.string()),
+        ("priority", pa.int32()),
+        ("seq", pa.int64()),
+        ("round", pa.int32()),
+        ("host_seq", pa.int64()),
+        # s-row counters
+        ("crawled", pa.int32()),
+        ("career_found", pa.int32()),
+        ("attempts", pa.int64()),
+        ("next_seq", pa.int64()),
+        # o-row payload
+        ("success", pa.bool_()),
+        ("is_career", pa.bool_()),
+        ("career_score", pa.float64()),
+        ("is_job_url", pa.bool_()),
+        ("all_links", pa.list_(pa.string())),
+        ("job_urls", pa.list_(pa.string())),
+        ("text", pa.string()),
+        ("title", pa.string()),
+        ("emails", pa.list_(pa.string())),
+        ("phones_vn", pa.list_(pa.string())),
+        ("html_bytes", pa.int64()),
+    ]
+)
+
+_NULLS = {name: None for name in CRAWL_SCHEMA.names}
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(
+        [{**_NULLS, **r} for r in rows], schema=CRAWL_SCHEMA
+    )
+
+
+class CrawlConfig:
+    def __init__(
+        self,
+        corpus: str,
+        out_dir: str,
+        policy: CrawlPolicy | None = None,
+        seen_shards: int = 8,
+        store_shards: int = 8,
+        exact_seen: bool = True,
+        max_rounds: int = 200,
+    ) -> None:
+        self.corpus = corpus
+        self.out_dir = out_dir
+        self.policy = policy or CrawlPolicy()
+        if not self.policy.hosts:
+            self.policy.hosts = load_host_policies(
+                os.path.join(corpus, "hostcfg.parquet")
+            )
+        self.seen_shards = seen_shards
+        self.store_shards = store_shards
+        self.exact_seen = exact_seen
+        self.max_rounds = max_rounds
+
+
+# ---------------------------------------------------------------------------
+# stage 1: wave planning (groupby host)
+# ---------------------------------------------------------------------------
+
+def _make_plan_wave(policy: CrawlPolicy, rnd: int):
+    def plan_wave(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        s = next((r for r in rows if r["kind"] == "s"), None)
+        if s is None:  # host with no state row (shouldn't happen) — drop
+            return _rows_to_table([])
+        q = [r for r in rows if r["kind"] == "q"]
+        host = s["host"]
+        if not q:
+            return _rows_to_table([s])
+        q.sort(key=lambda r: (-r["priority"], r["seq"]))
+        budget = policy.wave_budget(host)
+        wave, rest = q[:budget], q[budget:]
+        out = []
+        attempts = s["attempts"]
+        for i, r in enumerate(wave):
+            out.append(
+                {
+                    "kind": "w",
+                    "host": host,
+                    "url": r["url"],
+                    "priority": r["priority"],
+                    "seq": r["seq"],
+                    "round": rnd,
+                    "host_seq": attempts + i,
+                }
+            )
+        s = dict(s)
+        s["attempts"] = attempts + len(wave)
+        out.append(s)
+        out.extend(rest)
+        return _rows_to_table(out)
+
+    return plan_wave
+
+
+# ---------------------------------------------------------------------------
+# stage 2: fetch + extract (stateless tasks + page-store actor calls)
+# ---------------------------------------------------------------------------
+
+def _make_fetch_extract(store_handles: list, num_store_shards: int):
+    import ray
+
+    def fetch_extract(batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        if "w" not in kinds:
+            return batch
+        rows = batch.to_pylist()
+        wave_idx = [i for i, k in enumerate(kinds) if k == "w"]
+        # one batched store call per shard
+        by_shard: dict[int, list[int]] = {}
+        for i in wave_idx:
+            sh = shard_for_host(rows[i]["host"], num_store_shards)
+            by_shard.setdefault(sh, []).append(i)
+        refs = {
+            sh: store_handles[sh].fetch.remote([rows[i]["url"] for i in idxs])
+            for sh, idxs in by_shard.items()
+        }
+        fetched = {sh: ray.get(ref) for sh, ref in refs.items()}
+        for sh, idxs in by_shard.items():
+            for j, i in enumerate(idxs):
+                html_b = fetched[sh][j]
+                r = rows[i]
+                r["kind"] = "e"
+                if html_b is None:
+                    r["success"] = False
+                    continue
+                html = html_b.decode("utf-8", errors="ignore")
+                facts = parse_page(html)
+                url = r["url"]
+                title = (facts.title or "").strip()
+                text = facts_jobdetail_text(facts)
+                all_links = []
+                seen_l = set()
+                from urllib.parse import urljoin
+
+                for href, _t in facts.anchors:
+                    if not href:
+                        continue
+                    full = urljoin(url, href)
+                    if full not in seen_l:
+                        seen_l.add(full)
+                        all_links.append(full)
+                r.update(
+                    success=True,
+                    is_career=classify.is_career_listing_page(url, html),
+                    career_score=classify.career_page_score(url, title, html),
+                    is_job_url=classify.is_job_url(url),
+                    all_links=all_links,
+                    job_urls=[u for u in all_links if classify.is_job_url(u)],
+                    text=text,
+                    title=title,
+                    emails=contacts.extract_emails(html),
+                    phones_vn=contacts.extract_phones_vn(text),
+                    html_bytes=len(html_b),
+                )
+        return _rows_to_table(rows)
+
+    return fetch_extract
+
+
+# ---------------------------------------------------------------------------
+# stage 3: expansion (groupby host, sequential per-host fold + seen actors)
+# ---------------------------------------------------------------------------
+
+def _make_expand(policy: CrawlPolicy, seen_handles: list, num_seen_shards: int):
+    import ray
+
+    def expand(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        s = next((r for r in rows if r["kind"] == "s"), None)
+        if s is None:
+            return _rows_to_table([])
+        host = s["host"]
+        wave = sorted(
+            (r for r in rows if r["kind"] == "e"), key=lambda r: r["host_seq"]
+        )
+        rest_q = [r for r in rows if r["kind"] == "q"]
+        out: list[dict] = []
+        crawled = s["crawled"]
+        career_found = s["career_found"]
+        next_seq = s["next_seq"]
+        max_pages = policy.max_pages(host)
+        robots = (
+            (lambda u: policy.robots_allowed(host, u))
+            if policy.obey_robots
+            else None
+        )
+        candidates: list[tuple[str, int]] = []
+        for r in wave:
+            o = dict(r)
+            o["kind"] = "o"
+            out.append(o)
+            if not r["success"]:
+                continue
+            if (
+                r["is_career"]
+                and r["career_score"] >= policy.career_score_min
+            ):
+                career_found += 1
+            crawled += 1
+            if crawled >= max_pages or career_found >= policy.career_stop:
+                continue  # expansion gated (fetching of queued URLs continues)
+            for cand, cprio in candidate_links(r["all_links"] or [], host, robots):
+                candidates.append((cand, cprio))
+        if candidates:
+            urls = [c[0] for c in candidates]
+            fresh = ray.get(
+                seen_handles[shard_for_host(host, num_seen_shards)]
+                .check_and_add.remote(urls)
+            )
+            for (cand, cprio), is_new in zip(candidates, fresh):
+                if is_new:
+                    out.append(
+                        {
+                            "kind": "q",
+                            "host": host,
+                            "url": cand,
+                            "priority": cprio,
+                            "seq": next_seq,
+                        }
+                    )
+                    next_seq += 1
+        out.extend(rest_q)
+        s = dict(s)
+        s.update(crawled=crawled, career_found=career_found, next_seq=next_seq)
+        out.append(s)
+        return _rows_to_table(out)
+
+    return expand
+
+
+# ---------------------------------------------------------------------------
+# driver loop
+# ---------------------------------------------------------------------------
+
+def _initial_state(cfg: CrawlConfig, seen: SeenPool) -> pa.Table:
+    seeds = pq.read_table(os.path.join(cfg.corpus, "seeds.parquet")).to_pylist()
+    seeds.sort(key=lambda r: r["seed_order"])
+    rows = []
+    by_shard: dict[int, list[str]] = {}
+    for r in seeds:
+        host = r["host"]
+        rows.append(
+            {"kind": "q", "host": host, "url": r["url"], "priority": 100, "seq": 0}
+        )
+        rows.append(
+            {
+                "kind": "s",
+                "host": host,
+                "crawled": 0,
+                "career_found": 0,
+                "attempts": 0,
+                "next_seq": 1,
+            }
+        )
+        by_shard.setdefault(shard_for_host(host, seen.num_shards), []).append(r["url"])
+    import ray
+
+    ray.get(
+        [seen.shards[sh].check_and_add.remote(urls) for sh, urls in by_shard.items()]
+    )
+    return _rows_to_table(rows)
+
+
+def _round_dir(out_dir: str, rnd: int) -> str:
+    return os.path.join(out_dir, f"round={rnd:04d}")
+
+
+def crawl_output_files(out_dir: str, include_init: bool = False) -> list[str]:
+    """All checkpoint parquet part files, in round order."""
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round="):
+            continue
+        if not include_init and "-" in d:
+            continue
+        full = os.path.join(out_dir, d)
+        files.extend(
+            os.path.join(full, f)
+            for f in sorted(os.listdir(full))
+            if f.endswith(".parquet")
+        )
+    return files
+
+
+def read_crawl_output(out_dir: str, columns=None, filter=None) -> pa.Table:
+    """o/q/s rows across every round checkpoint as one Arrow table."""
+    ds = pads.dataset(crawl_output_files(out_dir), format="parquet")
+    return ds.to_table(columns=columns, filter=filter)
+
+
+def _count_kinds(round_dir: str) -> dict[str, int]:
+    ds = pads.dataset(round_dir, format="parquet")
+    return {
+        k: ds.count_rows(filter=pc.field("kind") == k) for k in ("q", "s", "o")
+    }
+
+
+def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
+    """Run the crawl; returns summary stats.  Writes per-round Parquet
+    checkpoints + manifests under ``cfg.out_dir`` (per-partition lineage:
+    every manifest records the input round, row counts and wall time)."""
+    import ray.data as rd
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    seen = SeenPool(cfg.seen_shards, exact=cfg.exact_seen)
+    store = PageStorePool(
+        os.path.join(cfg.corpus, "pages.parquet"), cfg.store_shards
+    )
+    start_round = 0
+    try:
+        if resume:
+            done = sorted(
+                d for d in os.listdir(cfg.out_dir)
+                if d.startswith("round=")
+                and os.path.exists(os.path.join(cfg.out_dir, d, "_MANIFEST.json"))
+            )
+            if done:
+                last = done[-1]
+                start_round = int(last.split("=")[1]) + 1
+                seen.restore(os.path.join(cfg.out_dir, "seen", last))
+        if start_round == 0:
+            init = _initial_state(cfg, seen)
+            d = _round_dir(cfg.out_dir, -1)
+            # clear any stale state from a previous run
+            import shutil
+
+            for sub in os.listdir(cfg.out_dir):
+                if sub.startswith("round="):
+                    shutil.rmtree(os.path.join(cfg.out_dir, sub))
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(init, os.path.join(d, "part-0.parquet"))
+            with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+                json.dump({"round": -1, "rows": init.num_rows}, f)
+            start_round = 0
+
+        totals = {"fetched": 0, "errors": 0, "rounds": 0}
+        for rnd in range(start_round, cfg.max_rounds):
+            t0 = time.time()
+            prev = _round_dir(cfg.out_dir, rnd - 1)
+            ds = rd.read_parquet(
+                prev, filter=pc.field("kind").isin(["q", "s"])
+            )
+            ds = ds.groupby("host").map_groups(
+                _make_plan_wave(cfg.policy, rnd), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(
+                _make_fetch_extract(store.shards, store.num_shards),
+                batch_format="pyarrow",
+                batch_size=256,
+            )
+            ds = ds.groupby("host").map_groups(
+                _make_expand(cfg.policy, seen.shards, seen.num_shards),
+                batch_format="pyarrow",
+            )
+            out = _round_dir(cfg.out_dir, rnd)
+            ds.write_parquet(out)
+            seen.dump(os.path.join(cfg.out_dir, "seen", f"round={rnd:04d}"))
+            counts = _count_kinds(out)
+            wall_ms = (time.time() - t0) * 1000
+            manifest = {
+                "round": rnd,
+                "input": prev,
+                "wall_ms": round(wall_ms, 1),
+                **counts,
+                "seen_total": seen.total_seen(),
+            }
+            with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+            totals["rounds"] = rnd + 1
+            if counts["q"] == 0:
+                break
+
+        # final tallies over all o-rows
+        all_o = pads.dataset(crawl_output_files(cfg.out_dir), format="parquet")
+        totals["fetched"] = all_o.count_rows(
+            filter=(pc.field("kind") == "o") & pc.field("success")
+        )
+        totals["errors"] = all_o.count_rows(
+            filter=(pc.field("kind") == "o") & ~pc.field("success")
+        )
+        totals["seen_total"] = seen.total_seen()
+        return totals
+    finally:
+        seen.shutdown()
+        store.shutdown()

@@ -1,0 +1,176 @@
+"""Extraction stages: pages → extracted facts / job records.
+
+The reference runs BeautifulSoup + regexes per URL inside one asyncio
+process (``crawler.py``, ``job_extraction_service.py``); here the same
+per-page semantics run as ``map_batches`` over zero-copy Arrow batches:
+
+* one HTML parse per page (the engine's single-pass parser) produces
+  every downstream column at once — text (byte-identical invariant),
+  crawldata text, title, contacts, links, classification;
+* batches stay ``pyarrow`` end-to-end (list columns for
+  emails/phones/links — kept out of pandas, which would object-box them);
+* the regexes/keyword tables are compiled once per *process* at module
+  import, so plain stateless tasks already amortize setup — no actor
+  pool needed for this stage;
+* ``html`` is dropped from the output (``select_columns`` semantics):
+  at 100 TB the binary column must not survive past extraction.
+
+Batch-size guidance: html rows here average ~10 KB (cap 1 MB per the
+reference, scrapy_career_spider.py:105), so 128–512 rows/batch keeps
+batches in the single-digit-MB range.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions import classify, contacts
+from ..functions import jobs as jobfns
+from ..functions.htmltext import (
+    extract_out_links,
+    facts_crawldata_text,
+    facts_jobdetail_text,
+    parse_page,
+)
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("lang", pa.string()),
+        ("text", pa.string()),             # byte-identical invariant column
+        ("text_crawldata", pa.string()),
+        ("title", pa.string()),
+        ("meta_description", pa.string()),
+        ("emails", pa.list_(pa.string())),
+        ("phones_loose", pa.list_(pa.string())),
+        ("phones_vn", pa.list_(pa.string())),
+        ("out_links", pa.list_(pa.string())),
+        ("all_links", pa.list_(pa.string())),
+        ("priority", pa.int32()),
+        ("is_career_listing", pa.bool_()),
+        ("career_score", pa.float64()),
+        ("is_job_url", pa.bool_()),
+        ("n_tokens", pa.int64()),
+        ("html_bytes", pa.int64()),
+    ]
+)
+
+JOBS_SCHEMA = pa.schema(
+    [
+        ("source_url", pa.string()),
+        ("host", pa.string()),
+        ("job_index", pa.int32()),
+        ("title", pa.string()),
+        ("company", pa.string()),
+        ("location", pa.string()),
+        ("job_type", pa.string()),
+        ("salary", pa.string()),
+        ("description", pa.string()),
+        ("summary", pa.string()),
+        ("source", pa.string()),
+    ]
+)
+
+
+def _decode(v) -> str:
+    return v.decode("utf-8", errors="ignore") if isinstance(v, (bytes, bytearray)) else v
+
+
+def _all_links(facts, url: str) -> list[str]:
+    from urllib.parse import urljoin
+
+    out, seen = [], set()
+    for href, _t in facts.anchors:
+        if not href:
+            continue
+        full = urljoin(url, href)
+        if full not in seen:
+            seen.add(full)
+            out.append(full)
+    return out
+
+
+def extract_pages_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html, lang?) → EXTRACTED_SCHEMA rows, one per page."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    langs = (
+        batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+    )
+    cols: dict[str, list] = {name: [] for name in EXTRACTED_SCHEMA.names}
+    for url, html_b, lang in zip(urls, htmls, langs):
+        html = _decode(html_b)
+        facts = parse_page(html)
+        text = facts_jobdetail_text(facts)
+        title = (facts.title or "").strip()
+        cols["url"].append(url)
+        cols["host"].append(classify.host_of(url))
+        cols["lang"].append(lang or "")
+        cols["text"].append(text)
+        cols["text_crawldata"].append(facts_crawldata_text(facts))
+        cols["title"].append(title)
+        cols["meta_description"].append(facts.meta_description)
+        cols["emails"].append(contacts.extract_emails(html))
+        cols["phones_loose"].append(contacts.extract_phones_loose(html))
+        cols["phones_vn"].append(contacts.extract_phones_vn(text))
+        cols["out_links"].append(extract_out_links(facts, url))
+        cols["all_links"].append(_all_links(facts, url))
+        cols["priority"].append(classify.priority_for_link(url))
+        cols["is_career_listing"].append(classify.is_career_listing_page(url, html))
+        cols["career_score"].append(classify.career_page_score(url, title, html))
+        cols["is_job_url"].append(classify.is_job_url(url))
+        cols["n_tokens"].append(len(text.split()))
+        cols["html_bytes"].append(len(html_b) if html_b else 0)
+    return pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)
+
+
+def extract_jobs_batch(batch: pa.Table) -> pa.Table:
+    """pages → embedded job records (career listing pages only, mirroring
+    the reference dispatch job_extraction_service.py:864-930).  Variable
+    output length — this is a flat_map expressed as map_batches."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {name: [] for name in JOBS_SCHEMA.names}
+    for url, html_b in zip(urls, htmls):
+        html = _decode(html_b)
+        if not classify.is_career_listing_page(url, html):
+            continue
+        facts = parse_page(html)
+        page_text = "".join(facts.text_pieces)
+        host = classify.host_of(url)
+        for job in jobfns.extract_all_jobs(facts, page_text, url):
+            cols["source_url"].append(url)
+            cols["host"].append(host)
+            cols["job_index"].append(job["job_index"])
+            cols["title"].append(job["title"])
+            cols["company"].append(job["company"])
+            cols["location"].append(job["location"])
+            cols["job_type"].append(job["job_type"])
+            cols["salary"].append(job["salary"])
+            cols["description"].append(job["description"])
+            cols["summary"].append(jobfns.summarize_description(job["description"]))
+            cols["source"].append(job["source"])
+    return pa.Table.from_pydict(cols, schema=JOBS_SCHEMA)
+
+
+def extract_pages(ds, batch_size: int = 256, **opts):
+    """Dataset of pages → Dataset of extracted facts (streaming)."""
+    return ds.map_batches(
+        extract_pages_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **opts,
+    )
+
+
+def extract_jobs(ds, batch_size: int = 256, **opts):
+    """Dataset of pages → Dataset of embedded job records (streaming)."""
+    return ds.map_batches(
+        extract_jobs_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **opts,
+    )

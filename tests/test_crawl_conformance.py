@@ -1,0 +1,127 @@
+"""Crawl-order + URL-seen conformance (SURVEY §5.2 item 2, FIXTURES F4/F5):
+the distributed engine must reproduce the single-process oracle
+simulator's per-host fetch sequences and final URL-seen set under the
+same seed list and politeness budget; plus resume-from-checkpoint
+byte-equality (F5)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from crawler_ai_ray.oracle.sim import simulate_crawl
+from crawler_ai_ray.state.politeness import CrawlPolicy
+
+
+def _engine_log(out_dir: str):
+    """Collect o-rows from every round checkpoint."""
+    from crawler_ai_ray.pipelines.crawl import read_crawl_output
+
+    tbl = read_crawl_output(
+        out_dir,
+        columns=["kind", "host", "url", "round", "host_seq", "priority", "success"],
+        filter=pc.field("kind") == "o",
+    )
+    return tbl.to_pylist()
+
+
+def _by_host(log):
+    out: dict[str, list] = {}
+    for r in sorted(log, key=lambda r: (r["host"], r["host_seq"])):
+        out.setdefault(r["host"], []).append(
+            (r["host_seq"], r["url"], r["priority"], bool(r["success"]))
+        )
+    return out
+
+
+def _run_engine(corpus, out_dir, policy, resume=False):
+    from crawler_ai_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(corpus, out_dir, policy=policy, seen_shards=4, store_shards=2)
+    return run_crawl(cfg, resume=resume)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_simulator(unit_corpus, tmp_path):
+    policy = CrawlPolicy()
+    sim = simulate_crawl(unit_corpus, CrawlPolicy())
+    out_dir = str(tmp_path / "crawl")
+    totals = _run_engine(unit_corpus, out_dir, policy)
+
+    # same number of fetch attempts and successes
+    assert totals["fetched"] == sum(1 for r in sim.fetch_log if r["success"])
+    assert totals["errors"] == sum(1 for r in sim.fetch_log if not r["success"])
+
+    eng = _by_host(_engine_log(out_dir))
+    oracle = _by_host(sim.fetch_log)
+    assert set(eng) == set(oracle)
+    for host in oracle:
+        assert eng[host] == oracle[host], f"fetch sequence differs for {host}"
+
+    # final URL-seen set equality (north_rule gate)
+    import pyarrow.parquet as pq
+
+    seen_dirs = sorted(os.listdir(os.path.join(out_dir, "seen")))
+    last = os.path.join(out_dir, "seen", seen_dirs[-1])
+    engine_seen = set()
+    for f in os.listdir(last):
+        engine_seen.update(
+            pq.read_table(os.path.join(last, f))["url"].to_pylist()
+        )
+    assert engine_seen == sim.seen
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wave1_budget_and_robots(unit_corpus, tmp_path):
+    """budget=1 collapses waves to a continuous per-host crawl; robots=on
+    must keep disallowed prefixes out of the fetch log AND the seen set."""
+    policy = CrawlPolicy(default_wave=1, round_window_s=1.0, obey_robots=True)
+    sim = simulate_crawl(unit_corpus, CrawlPolicy(default_wave=1, round_window_s=1.0, obey_robots=True))
+    out_dir = str(tmp_path / "crawl_w1")
+    _run_engine(unit_corpus, out_dir, policy)
+    eng = _by_host(_engine_log(out_dir))
+    oracle = _by_host(sim.fetch_log)
+    assert eng == oracle
+
+    # robots actually gated something: hosts with disallow rules exist in
+    # the unit corpus, and none of their disallowed URLs were fetched
+    from crawler_ai_ray.state.politeness import load_host_policies
+
+    pols = load_host_policies(os.path.join(unit_corpus, "hostcfg.parquet"))
+    gated_hosts = [h for h, p in pols.items() if p.robots_disallow]
+    assert gated_hosts
+    fetched_urls = {u for seqs in eng.values() for (_s, u, _p, _ok) in seqs}
+    blocked = [
+        u
+        for u in fetched_urls
+        for h in gated_hosts
+        if u.startswith(f"https://{h}/")
+        and any(
+            u.removeprefix(f"https://{h}").startswith(pref)
+            for pref in pols[h].robots_disallow
+        )
+    ]
+    assert blocked == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_matches_uninterrupted(unit_corpus, tmp_path):
+    """F5: stop after round r, resume, final log equals an uninterrupted run."""
+    policy = CrawlPolicy()
+    full_dir = str(tmp_path / "full")
+    _run_engine(unit_corpus, full_dir, policy)
+    full = _by_host(_engine_log(full_dir))
+
+    from crawler_ai_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    part_dir = str(tmp_path / "part")
+    cfg = CrawlConfig(unit_corpus, part_dir, policy=CrawlPolicy(),
+                      seen_shards=4, store_shards=2, max_rounds=3)
+    run_crawl(cfg)  # stops after 3 rounds
+    cfg2 = CrawlConfig(unit_corpus, part_dir, policy=CrawlPolicy(),
+                       seen_shards=4, store_shards=2)
+    run_crawl(cfg2, resume=True)
+    resumed = _by_host(_engine_log(part_dir))
+    assert resumed == full

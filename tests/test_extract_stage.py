@@ -1,0 +1,61 @@
+"""Golden end-to-end test for the distributed extraction stage: the Ray
+``map_batches`` output must match the corpus golden tables byte-for-byte
+(SURVEY.md §5.2 item 1; the `text` column is the north-rule invariant)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_matches_golden(unit_corpus):
+    import ray.data as rd
+
+    from crawler_ai_ray.stages.extract import extract_pages
+
+    ds = rd.read_parquet(os.path.join(unit_corpus, "pages.parquet"))
+    out = extract_pages(ds).to_pandas().set_index("url").sort_index()
+    golden = (
+        pq.read_table(os.path.join(unit_corpus, "golden.parquet"))
+        .to_pandas()
+        .set_index("url")
+        .sort_index()
+    )
+    assert len(out) == len(golden)
+    # byte-identical invariant column
+    assert (out["text"] == golden["text"]).all()
+    assert (out["text_crawldata"] == golden["text_crawldata"]).all()
+    assert (out["title"] == golden["title"]).all()
+    for col in ("emails", "phones_loose", "phones_vn", "out_links", "all_links"):
+        assert [list(x) for x in out[col]] == [list(x) for x in golden[col]], col
+    for col in ("priority", "is_career_listing", "is_job_url", "n_tokens"):
+        assert (out[col] == golden[col]).all(), col
+    assert (out["career_score"] - golden["career_score"]).abs().max() < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_jobs_matches_golden(unit_corpus):
+    import ray.data as rd
+
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    ds = rd.read_parquet(os.path.join(unit_corpus, "pages.parquet"))
+    out = (
+        extract_jobs(ds)
+        .to_pandas()
+        .sort_values(["source_url", "job_index"])
+        .reset_index(drop=True)
+    )
+    golden = (
+        pq.read_table(os.path.join(unit_corpus, "jobs_golden.parquet"))
+        .to_pandas()
+        .sort_values(["source_url", "job_index"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(golden)
+    for col in ("title", "company", "location", "job_type", "salary",
+                "description", "summary", "source"):
+        assert (out[col] == golden[col]).all(), col
