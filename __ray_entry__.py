@@ -1,44 +1,721 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on the sf0.001-scale
+synthetic web corpus (generated deterministically per the driver's
+input_hint — the sandbox has no network, so the pages table IS the
+network).  ``queries()`` exposes one callable per implemented operator
+family from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup / similarity search / text analysis / multimodal);
+``oracle_sql()`` gives the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float discipline (so the driver's value-hash comparison is exact): SQL-
+checked queries return only integers, strings, timestamps, or floats
+produced by a single deterministic expression evaluated identically on
+both sides (element-wise IEEE ops; never order-dependent float sums —
+money sums travel as integer cents).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE: dict[str, str] = {}
+
+
+def _corpus(sf_dir: str) -> str:
+    """Idempotently materialize the synthetic web corpus for a scale."""
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    key = sf_dir
+    if key not in _CORPUS_CACHE:
+        _CORPUS_CACHE[key] = ensure_corpus(sf_dir)
+    return _CORPUS_CACHE[key]
+
+
+def _pages(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(_corpus(sf_dir), "pages.parquet"), columns=columns
+    )
+
+
+def _table(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl loop (frontier → waves → fetch → extract →
+    checkpoint) on the sf0.001 corpus; returns the fetched-page rows."""
+    import ray.data
+    from crawler_ai_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_files,
+        run_crawl,
+    )
+
+    corpus = _corpus("/root/testdata/sf0.001")
+    out_dir = "/tmp/crawler_ai_ray_entry/crawl"
+    cfg = CrawlConfig(corpus, out_dir, seen_shards=4, store_shards=4)
+    run_crawl(cfg)
+    ds = ray.data.read_parquet(crawl_output_files(out_dir))
+    import pyarrow.compute as pc  # noqa: F401
+
+    return ds.filter(expr="kind == 'o'").select_columns(
+        ["url", "host", "round", "host_seq", "success", "is_career", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _extracted(sf_dir: str):
+    from crawler_ai_ray.stages.extract import extract_pages
+
+    return extract_pages(_pages(sf_dir, columns=["url", "html", "lang"]))
+
+
+def _q_crawl_text(sf_dir: str):
+    return _extracted(sf_dir).select_columns(["url", "text"])
+
+
+def _q_crawl_text_crawldata(sf_dir: str):
+    return _extracted(sf_dir).select_columns(["url", "text_crawldata"])
+
+
+def _q_crawl_classify(sf_dir: str):
+    return _extracted(sf_dir).select_columns(
+        ["url", "priority", "is_career_listing", "career_score", "is_job_url"]
+    )
+
+
+def _unnest(col: str, out: str):
+    import pyarrow as pa
+
+    def fn(batch):
+        urls, vals = [], []
+        for u, lst in zip(batch["url"].to_pylist(), batch[col].to_pylist()):
+            for v in lst or []:
+                urls.append(u)
+                vals.append(v)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), out: pa.array(vals, pa.string())}
+        )
+
+    return fn
+
+
+def _q_crawl_emails(sf_dir: str):
+    return _extracted(sf_dir).map_batches(
+        _unnest("emails", "email"), batch_format="pyarrow"
+    )
+
+
+def _q_crawl_phones(sf_dir: str):
+    return _extracted(sf_dir).map_batches(
+        _unnest("phones_vn", "phone"), batch_format="pyarrow"
+    )
+
+
+def _q_crawl_links(sf_dir: str):
+    return _extracted(sf_dir).map_batches(
+        _unnest("out_links", "link"), batch_format="pyarrow"
+    )
+
+
+def _q_crawl_jobs(sf_dir: str):
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    return extract_jobs(_pages(sf_dir, columns=["url", "html"])).select_columns(
+        [
+            "source_url",
+            "job_index",
+            "title",
+            "company",
+            "location",
+            "job_type",
+            "salary",
+            "summary",
+            "source",
+        ]
+    )
+
+
+def _q_crawl_job_type_counts(sf_dir: str):
+    import ray.data
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    jobs = extract_jobs(_pages(sf_dir, columns=["url", "html"]))
+    return (
+        jobs.groupby("job_type")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_jobs"))
+    )
+
+
+def _q_crawl_career_top3_per_host(sf_dir: str):
+    """O1/O2 semantics at corpus scale: per-host top-3 career pages by
+    (career_score desc, url asc) — groupby(host).map_groups top-k."""
+    import numpy as np
+    import pyarrow as pa
+
+    ex = _extracted(sf_dir).select_columns(
+        ["url", "host", "career_score", "is_career_listing"]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.filter(pc.equal(group["is_career_listing"], True))
+        if group.num_rows == 0:
+            return group.select(["host", "url", "career_score"])
+        scores = group["career_score"].to_numpy(zero_copy_only=False)
+        urls = group["url"].to_pylist()
+        order = sorted(range(len(urls)), key=lambda i: (-scores[i], urls[i]))[:3]
+        return group.select(["host", "url", "career_score"]).take(
+            np.array(order)
+        )
+
+    return ex.groupby("host").map_groups(topk, batch_format="pyarrow")
+
+
+def _q_crawl_contacts_by_host(sf_dir: str):
+    """A1: distinct (host, email) pairs — the global contact set union."""
+    import pyarrow as pa
+    import ray.data
+
+    ex = _extracted(sf_dir).select_columns(["host", "emails"])
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        hs, es = [], []
+        for h, lst in zip(batch["host"].to_pylist(), batch["emails"].to_pylist()):
+            for e in lst or []:
+                hs.append(h)
+                es.append(e)
+        return pa.table(
+            {"host": pa.array(hs, pa.string()), "email": pa.array(es, pa.string())}
+        )
+
+    rows = ex.map_batches(unnest, batch_format="pyarrow")
+    return rows.groupby(["host", "email"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_pages")
+    )
+
+
+def _q_crawl_loop(sf_dir: str):
+    """The iterative frontier loop itself (rows-only check: ordering is
+    pinned by tests against the sequential oracle simulator)."""
+    import ray.data
+    from crawler_ai_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_files,
+        run_crawl,
+    )
+
+    corpus = _corpus(sf_dir)
+    tag = os.path.basename(corpus)
+    out_dir = f"/tmp/crawler_ai_ray_q/crawl-{tag}"
+    cfg = CrawlConfig(corpus, out_dir, seen_shards=4, store_shards=4)
+    run_crawl(cfg)
+    ds = ray.data.read_parquet(crawl_output_files(out_dir))
+    return ds.filter(expr="kind == 'o'").select_columns(
+        ["url", "host", "round", "host_seq", "success"]
+    )
+
+
+# --- documents ------------------------------------------------------------
+
+def _q_doc_token_stats(sf_dir: str):
+    from crawler_ai_ray.stages.textstats import token_stats_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_quality(sf_dir: str):
+    from crawler_ai_ray.stages.textstats import quality_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_langid(sf_dir: str):
+    from crawler_ai_ray.stages.textstats import langid_batch
+
+    return _table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang"]
+    ).map_batches(langid_batch, batch_format="pyarrow")
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from crawler_ai_ray.stages.textstats import fingerprint_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fp_md5"])
+
+
+def _q_doc_fingerprint_rolling(sf_dir: str):
+    from crawler_ai_ray.stages.textstats import fingerprint_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _table(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+    )
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from crawler_ai_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_doc_neardup_ngram(sf_dir: str):
+    from crawler_ai_ray.stages.dedup import ngram_pairs_jaccard
+
+    return ngram_pairs_jaccard(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3,
+        threshold=0.8,
+        max_df=50,
+    )
+
+
+def _q_doc_neardup_minhash(sf_dir: str):
+    from crawler_ai_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3,
+        threshold=0.8,
+    )
+
+
+def _q_doc_neardup_simhash(sf_dir: str):
+    from crawler_ai_ray.stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
+# --- embeddings -----------------------------------------------------------
+
+def _anchor_matrix(sf_dir: str, mod: int = 97):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import numpy as np
+    from crawler_ai_ray.stages.dedup import list_col_to_matrix
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = t.filter(pa.array(ids % mod == 0)).sort_by("vec_id")
+    return (
+        list_col_to_matrix(t["embedding"]),
+        t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+def _q_emb_knn(sf_dir: str):
+    from crawler_ai_ray.stages.simsearch import knn_bruteforce
+
+    q, qids = _anchor_matrix(sf_dir)
+    out = knn_bruteforce(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q,
+        qids,
+        k=10,
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _q_emb_knn_ivf(sf_dir: str):
+    from crawler_ai_ray.stages.simsearch import ivf_assign, kmeans_train, knn_ivf
+
+    ds = _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_train(ds, nlist=8, iters=3)
+    assigned = ivf_assign(ds, centroids)
+    q, qids = _anchor_matrix(sf_dir)
+    out = knn_ivf(assigned, centroids, q, qids, k=10, nprobe=3)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _q_emb_neardup(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    from crawler_ai_ray.stages.dedup import embedding_neardup_pairs, list_col_to_matrix
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    anchors = list_col_to_matrix(t["embedding"])
+    anchor_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return embedding_neardup_pairs(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        anchors,
+        anchor_ids,
+        threshold=0.45,
+    )
+
+
+# --- events / relational --------------------------------------------------
+
+def _rel(name):
+    def make(fn_name):
+        def q(sf_dir: str):
+            from crawler_ai_ray.pipelines import relational
+
+            return getattr(relational, fn_name)(sf_dir)
+
+        return q
+
+    return make(name)
+
+
+# --- multimodal (stubbed decode, real plumbing; rows-only checks) ---------
+
+def _media_ds(sf_dir: str, kind: str):
+    import ray.data
+    from crawler_ai_ray.stages.multimodal import synth_media_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 256
+    )
+    return ray.data.from_arrow(synth_media_table(n, kind=kind))
+
+
+def _q_mm_image(sf_dir: str):
+    from crawler_ai_ray.stages.multimodal import ImageDecodeResize
+
+    return _media_ds(sf_dir, "image").map_batches(
+        ImageDecodeResize,
+        fn_constructor_kwargs={"out_w": 32, "out_h": 32},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).select_columns(["media_id", "width", "height", "mean_luma"])
+
+
+def _q_mm_audio(sf_dir: str):
+    from crawler_ai_ray.stages.multimodal import AudioFeatures
+
+    return _media_ds(sf_dir, "audio").map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+def _q_mm_video_frames(sf_dir: str):
+    from crawler_ai_ray.stages.multimodal import VideoFrameSample
+
+    return _media_ds(sf_dir, "video").map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n": 10},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # crawl / extraction (SURVEY §2.2-2.3, §3)
+        "crawl_text_jobdetail": _q_crawl_text,
+        "crawl_text_crawldata": _q_crawl_text_crawldata,
+        "crawl_classify": _q_crawl_classify,
+        "crawl_emails": _q_crawl_emails,
+        "crawl_phones_vn": _q_crawl_phones,
+        "crawl_out_links": _q_crawl_links,
+        "crawl_jobs": _q_crawl_jobs,
+        "crawl_job_type_counts": _q_crawl_job_type_counts,
+        "crawl_career_top3_per_host": _q_crawl_career_top3_per_host,
+        "crawl_contacts_by_host": _q_crawl_contacts_by_host,
+        "crawl_loop": _q_crawl_loop,
+        # documents: text analysis + dedup
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint_md5": _q_doc_fingerprint,
+        "doc_fingerprint_rolling": _q_doc_fingerprint_rolling,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_neardup_ngram": _q_doc_neardup_ngram,
+        "doc_neardup_minhash": _q_doc_neardup_minhash,
+        "doc_neardup_simhash": _q_doc_neardup_simhash,
+        # embeddings: similarity search + near-dup
+        "emb_knn_bruteforce": _q_emb_knn,
+        "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_neardup_cosine": _q_emb_neardup,
+        # events: windowed / sessionized aggregates
+        "events_hourly": _rel("events_hourly"),
+        "events_sessionize": _rel("events_sessionize"),
+        # relational kernels (groupby/join/sort/topk)
+        "tpch_q1_pricing": _rel("q1_pricing_summary"),
+        "top_customers": _rel("top_customers"),
+        "supplier_by_region": _rel("supplier_by_region"),
+        "lineitem_part_revenue": _rel("lineitem_part_revenue"),
+        # multimodal plumbing (stub decode; rows-only)
+        "mm_image_features": _q_mm_image,
+        "mm_audio_features": _q_mm_audio,
+        "mm_video_frames": _q_mm_video_frames,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_HOST_RX = "^[a-z]+://([^/]+)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ai_ray.stages.textstats import (
+        BPE_TOKEN_RE,
+        LANG_STOPWORDS,
+        PUNCT_RE,
+        QUALITY_STOPWORD_RE,
+    )
+
+    # the driver compares at sf0.01 — the corpus path is deterministic
+    corpus = _corpus("/root/testdata/sf0.01")
+    golden = os.path.join(corpus, "golden.parquet")
+    jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
+
+    def esc(pat: str) -> str:
+        """Escape a regex for use inside a single-quoted SQL literal."""
+        return pat.replace("'", "''")
+
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{esc(pat)}')) AS c_{lang}"
+        for lang, pat in LANG_STOPWORDS
+    )
+    langid = f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[一-鿿]')) AS c_zh,
+             {lang_counts}
+      FROM documents)
+    SELECT doc_id, lang,
+      CASE WHEN c_zh > 0 THEN 'zh'
+           WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+           WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+           WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+           WHEN c_fr >= c_es THEN 'fr'
+           ELSE 'es' END AS pred_lang
+    FROM c"""
+
+    quality = f"""
+    WITH c AS (
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars_text,
+        len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+        len(regexp_extract_all(text, '{esc(PUNCT_RE)}'))::BIGINT AS n_punct,
+        len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_alpha,
+        len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+        len(regexp_extract_all(text, '{QUALITY_STOPWORD_RE}'))::BIGINT AS n_stopwords
+      FROM documents)
+    SELECT *,
+      n_punct / GREATEST(n_chars_text,1)::DOUBLE AS punct_ratio,
+      n_alpha / GREATEST(n_chars_text,1)::DOUBLE AS alpha_ratio,
+      n_digit / GREATEST(n_chars_text,1)::DOUBLE AS digit_ratio,
+      n_stopwords / GREATEST(n_tokens_ws,1)::DOUBLE AS stopword_ratio,
+      n_chars_text / GREATEST(n_tokens_ws,1)::DOUBLE AS mean_word_len
+    FROM c"""
+
+    neardup_ngram = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      FROM toks, unnest(generate_series(1, len(t)-2)) AS s(i)
+      WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) sz FROM ng GROUP BY 1),
+    df AS (SELECT ngram, count(*) c FROM ng GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+      FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      JOIN df ON df.ngram = a.ngram AND df.c <= 50
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared,
+           shared / (sa.sz + sb.sz - shared)::DOUBLE AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared / (sa.sz + sb.sz - shared)::DOUBLE >= 0.8"""
+
+    knn = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e),
+    r AS (
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
+               AS rank
+      FROM s)
+    SELECT query_id, vec_id, rank FROM r WHERE rank <= 10"""
+
+    sessionize = """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o)
+    SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY 1, 2"""
+
+    q1 = """
+    SELECT l_returnflag, l_linestatus,
+      sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+      sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+        AS sum_disc_cents,
+      sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5)
+               AS BIGINT)) AS sum_charge_cents,
+      count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY 1, 2"""
+
+    top_customers = """
+    WITH rev AS (
+      SELECT o_custkey,
+             count(*)::BIGINT AS n_orders,
+             sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+      FROM orders GROUP BY 1)
+    SELECT c_custkey, c_name, c_mktsegment, n_orders, revenue_cents
+    FROM rev JOIN customer ON c_custkey = o_custkey
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 10"""
+
+    return {
+        "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
+        "crawl_text_crawldata": (
+            f"SELECT url, text_crawldata FROM read_parquet('{golden}')"
+        ),
+        "crawl_classify": (
+            "SELECT url, priority, is_career_listing, career_score, is_job_url "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_emails": (
+            f"SELECT url, unnest(emails) AS email FROM read_parquet('{golden}')"
+        ),
+        "crawl_phones_vn": (
+            f"SELECT url, unnest(phones_vn) AS phone FROM read_parquet('{golden}')"
+        ),
+        "crawl_out_links": (
+            f"SELECT url, unnest(out_links) AS link FROM read_parquet('{golden}')"
+        ),
+        "crawl_jobs": (
+            "SELECT source_url, job_index, title, company, location, job_type, "
+            f"salary, summary, source FROM read_parquet('{jobs_golden}')"
+        ),
+        "crawl_job_type_counts": (
+            "SELECT job_type, count(*)::BIGINT AS n_jobs "
+            f"FROM read_parquet('{jobs_golden}') GROUP BY 1"
+        ),
+        "crawl_career_top3_per_host": f"""
+            WITH g AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     url, career_score,
+                     row_number() OVER (
+                       PARTITION BY lower(regexp_extract(url, '{_HOST_RX}', 1))
+                       ORDER BY career_score DESC, url ASC) AS rn
+              FROM read_parquet('{golden}') WHERE is_career_listing)
+            SELECT host, url, career_score FROM g WHERE rn <= 3""",
+        "crawl_contacts_by_host": f"""
+            WITH e AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     unnest(emails) AS email
+              FROM read_parquet('{golden}'))
+            SELECT host, email, count(*)::BIGINT AS n_pages
+            FROM e GROUP BY 1, 2""",
+        "doc_token_stats": f"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+              len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT
+                AS n_tokens_bpe,
+              length(text)::BIGINT AS n_chars_text
+            FROM documents""",
+        "doc_quality": quality,
+        "doc_langid": langid,
+        "doc_fingerprint_md5": """
+            SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                AS fp_md5
+            FROM documents""",
+        "doc_stats_by_lang": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY 1""",
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1""",
+        "doc_neardup_ngram": neardup_ngram,
+        "emb_knn_bruteforce": knn,
+        "emb_neardup_cosine": """
+            SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+              count(*)::BIGINT AS n_events,
+              sum(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+                AS sum_value_micros
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": sessionize,
+        "tpch_q1_pricing": q1,
+        "top_customers": top_customers,
+        "supplier_by_region": """
+            SELECT r_name, count(*)::BIGINT AS n_suppliers,
+              sum(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT))
+                AS sum_acctbal_cents
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY 1""",
+        "lineitem_part_revenue": """
+            SELECT p_brand, count(*)::BIGINT AS n_items,
+              sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT)) AS revenue_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1""",
+    }

@@ -1,0 +1,380 @@
+"""Relational / analytical pipelines over the driver's TPC-H-style
+tables — the generic query capabilities (groupby-aggregate, hash join,
+broadcast join, sort/top-k, windowed + sessionized aggregates) the
+crawl engine's report stages are built from (SURVEY §2.6-2.8: A1-A7,
+O1-O5 generalized).
+
+Money/float discipline: every SUM over a double column is computed in
+**integer cents/micros** (per-element ``floor(x*100 + 0.5)`` then int64
+sum).  Element-wise IEEE ops are bit-deterministic; only float
+*summation order* is not — integer sums make every aggregate here
+bitwise-reproducible by the DuckDB oracle regardless of partitioning.
+
+Scale notes:
+* tiny-cardinality groupbys (Q1's 6 groups) pre-aggregate inside
+  ``map_batches`` (combiner) so the shuffle moves O(groups) rows per
+  block, not O(rows);
+* small dimension tables (nation/region/customer) broadcast via
+  ``ray.put`` — read once per task, never re-shipped per batch, no
+  shuffle;
+* big⋈big joins use ``Dataset.join`` (hash-partitioned);
+* reads prune columns at the source (``read_parquet(columns=...)``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "q1_pricing_summary",
+    "top_customers",
+    "supplier_by_region",
+    "lineitem_part_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "cents",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def cents(arr: pa.ChunkedArray | pa.Array, scale: float = 100.0) -> pa.Array:
+    """double → int64 fixed-point, per element: floor(x*scale + 0.5).
+    Bit-identical to DuckDB ``CAST(FLOOR(x*scale + 0.5) AS BIGINT)``."""
+    x = pc.add(pc.multiply(pc.cast(arr, pa.float64()), scale), 0.5)
+    return pc.cast(pc.floor(x), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → combiner → tiny groupby
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str, cutoff: str = "2001-09-01"):
+    """lineitem pricing summary by (returnflag, linestatus).
+
+    Combiner pattern: each Arrow batch collapses to ≤6 partial rows
+    before the global groupby — the shuffle is O(blocks × groups)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cutoff_ts = np.datetime64(cutoff, "us")
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff_ts))
+        )
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_cents": pa.array([], pa.int64()),
+                    "sum_charge_cents": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        ep = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        tax = pc.cast(batch["l_tax"], pa.float64())
+        disc_price = pc.multiply(ep, pc.subtract(1.0, disc))
+        charge = pc.multiply(disc_price, pc.add(1.0, tax))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "base_cents": cents(ep),
+                "disc_cents": cents(disc_price),
+                "charge_cents": cents(charge),
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty", "sum"),
+                ("base_cents", "sum"),
+                ("disc_cents", "sum"),
+                ("charge_cents", "sum"),
+                ("qty", "count"),
+            ]
+        )
+        return agg.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_disc_cents",
+                "sum_charge_cents",
+                "count_order",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("sum_charge_cents", alias_name="sum_charge_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+# ---------------------------------------------------------------------------
+# top-k customers by revenue: pre-aggregate → broadcast join → sort/limit
+# ---------------------------------------------------------------------------
+
+def top_customers(sf_dir: str, k: int = 10):
+    """→ (c_custkey, c_name, c_mktsegment, n_orders, revenue_cents),
+    top-k by revenue.  orders pre-aggregates to one row per customer
+    BEFORE the customer lookup; customer broadcasts via ``ray.put``."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "price_cents": cents(batch["o_totalprice"]),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="revenue_cents"),
+        )
+    )
+
+    cust_tbl = pa.concat_tables(
+        ray.get(
+            _read(
+                sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+            ).to_arrow_refs()
+        )
+    )
+    lookup_ref = ray.put(
+        {
+            ck: (nm, seg)
+            for ck, nm, seg in zip(
+                cust_tbl["c_custkey"].to_pylist(),
+                cust_tbl["c_name"].to_pylist(),
+                cust_tbl["c_mktsegment"].to_pylist(),
+            )
+        }
+    )
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_pylist()
+        names, segs = [], []
+        for ck in keys:
+            nm, seg = lookup.get(ck, (None, None))
+            names.append(nm)
+            segs.append(seg)
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": pa.array(names, pa.string()),
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "n_orders": batch["n_orders"],
+                "revenue_cents": batch["revenue_cents"],
+            }
+        )
+
+    enriched = per_cust.map_batches(enrich, batch_format="pyarrow")
+    return enriched.sort(
+        ["revenue_cents", "c_custkey"], descending=[True, False]
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# broadcast dimension join: supplier → nation → region rollup
+# ---------------------------------------------------------------------------
+
+def supplier_by_region(sf_dir: str):
+    """→ (r_name, n_suppliers, sum_acctbal_cents) — two broadcast
+    dimension lookups folded into one map_batches, then a tiny groupby."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    dim_ref = ray.put({nk: r2name.get(rk) for nk, rk in n2r.items()})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [dim.get(nk) for nk in batch["s_nationkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "acctbal_cents": cents(batch["s_acctbal"]),
+            }
+        )
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    return (
+        sup.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
+        )
+        .sort("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# big ⋈ big hash join: lineitem ⋈ part
+# ---------------------------------------------------------------------------
+
+def lineitem_part_revenue(sf_dir: str, num_partitions: int = 16):
+    """Revenue by p_brand: hash-partitioned ``Dataset.join`` on partkey
+    (both sides large at scale), then the tiny brand rollup."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ep = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "disc_cents": cents(pc.multiply(ep, pc.subtract(1.0, disc))),
+            }
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        part,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    return (
+        joined.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("disc_cents", alias_name="revenue_cents"),
+        )
+        .sort("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed + sessionized event aggregates
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value) in
+    micros.  Window assignment is a per-row truncation (stateless map);
+    the groupby is the only shuffle."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+                "value_micros": cents(batch["value"], scale=1_000_000.0),
+            }
+        )
+
+    return (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_micros", alias_name="sum_value_micros"),
+        )
+        .sort(["window_start", "event_type"])
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user sessionization (gap > 30 min starts a new session) —
+    the canonical stateful streaming window as a hash-partitioned
+    ``groupby(user).map_groups`` (state never leaves the group)."""
+    import ray.data
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False)).astype(
+            "datetime64[us]"
+        )
+        tsi = ts.astype(np.int64)
+        new_sess = np.ones(len(tsi), dtype=bool)
+        new_sess[1:] = (tsi[1:] - tsi[:-1]) > gap_us
+        sess_idx = np.cumsum(new_sess) - 1
+        n_sessions = sess_idx[-1] + 1 if len(sess_idx) else 0
+        starts, ends, counts = [], [], []
+        for s in range(n_sessions):
+            mask = sess_idx == s
+            starts.append(ts[mask][0])
+            ends.append(ts[mask][-1])
+            counts.append(int(mask.sum()))
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * n_sessions, pa.int64()),
+                "session_idx": pa.array(range(n_sessions), pa.int64()),
+                "start_ts": pa.array(starts, pa.timestamp("us")),
+                "end_ts": pa.array(ends, pa.timestamp("us")),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")

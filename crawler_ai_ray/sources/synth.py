@@ -44,7 +44,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v7"
+CORPUS_VERSION = "v8"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -139,7 +139,10 @@ class _Host:
         self.idx = idx
         self.rng = rng
         self.lang = "vi" if rng.random() < 0.4 else "en"
-        self.name = f"company{idx}"
+        # NB: host names must not collide with the M7 exclusion substrings
+        # (e.g. "company" — '/company' matches the host part of the URL in
+        # the reference's full-URL check, scrapy_career_spider.py:297-311)
+        self.name = f"firm{idx}"
         self.tld = rng.choice(_TLDS)
         self.domain = f"{self.name}.{self.tld}"
         self.base = f"https://{self.domain}"
@@ -212,7 +215,7 @@ def _gen_host_pages(host: _Host) -> list[dict]:
     ]
 
     # --- homepage -----------------------------------------------------
-    cross = f"https://company{(host.idx + 1) % 997}.com/"
+    cross = f"https://firm{(host.idx + 1) % 997}.com/"
     body = f"""
 <h1>Welcome to {host.name.title()}</h1>
 <h2>{'Chúng tôi xây dựng tương lai' if vi else 'We build the future'}</h2>

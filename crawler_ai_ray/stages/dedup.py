@@ -1,0 +1,476 @@
+"""Corpus-scale deduplication stages over a ``documents``-style table.
+
+Five dedup families, each expressed Ray-Data-first:
+
+* **exact** — md5(text) hash → ``groupby(hash)`` keep min doc_id.  The
+  reference's exact job dedup (job_extraction_service.py:658-673: key =
+  lower(title)|lower(company), keep first) generalized to content hash.
+* **n-gram Jaccard** — inverted-index join: doc → distinct word-3-grams
+  → ``groupby(ngram)`` → co-occurring pairs → shared-count →
+  ``jaccard = shared/(|A|+|B|-shared)`` ≥ τ.  Recall-complete (any pair
+  sharing ≥1 surviving n-gram is considered), DuckDB-oracle-checkable.
+  High-DF n-grams are dropped (df > max_df) — the standard scale guard
+  against quadratic pair blowup on boilerplate.
+* **MinHash + LSH** — shingle → 128-perm minhash signature → band
+  buckets → candidate pairs → estimated Jaccard (matching sig fraction)
+  ≥ τ.  The scale path: cost linear in docs + bucket collisions.
+* **SimHash** — 64-bit simhash of token hashes; near-dup = Hamming ≤ k
+  found via 4×16-bit band blocking.
+* **embedding cosine** — near-dup pairs by cosine over an embedding
+  column; anchors broadcast via ``ray.put``, batch matmul streaming.
+
+Shuffle keys: content-hash / ngram-hash / band-hash — uniformly
+distributed by construction, so these groupbys don't skew.  Pair
+emission inside ``map_groups`` is bounded by max_df / bucket size.
+
+All numeric verification uses integer counts and single divisions —
+deterministic across the Ray engine and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "md5_batch",
+    "exact_dedup",
+    "ngram_rows_batch",
+    "ngram_pairs_jaccard",
+    "minhash_sig_batch",
+    "minhash_lsh_pairs",
+    "simhash_batch",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_md5": pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
+def exact_dedup(ds):
+    """documents → one row per distinct text: (text_md5, keep_doc_id,
+    n_dups).  Hash-partitioned groupby; keep = min(doc_id) (the
+    reference's keep-first rule with a deterministic total order)."""
+    import ray.data
+
+    hashed = ds.map_batches(md5_batch, batch_format="pyarrow")
+    return hashed.groupby("text_md5").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Count(alias_name="n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams(text: str, n: int) -> set[str]:
+    toks = (text or "").lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_rows_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.Table:
+    """doc → distinct (doc_id, ngram) rows + per-doc set size."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id, out_ng, out_sz = [], [], []
+    for i, t in zip(ids, texts):
+        ngs = _doc_ngrams(t, n)
+        out_id.extend([i] * len(ngs))
+        out_ng.extend(sorted(ngs))  # sorted → deterministic row order
+        out_sz.extend([len(ngs)] * len(ngs))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "ngram": pa.array(out_ng, type=pa.string()),
+            "set_size": pa.array(out_sz, type=pa.int64()),
+        }
+    )
+
+
+def _pairs_from_group(group: pa.Table) -> pa.Table:
+    """One inverted-index posting list → co-occurring doc pairs."""
+    rows = sorted(
+        zip(group["doc_id"].to_pylist(), group["set_size"].to_pylist())
+    )
+    a_ids, b_ids, a_sz, b_sz = [], [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a_ids.append(rows[i][0])
+            b_ids.append(rows[j][0])
+            a_sz.append(rows[i][1])
+            b_sz.append(rows[j][1])
+    return pa.table(
+        {
+            "doc_a": pa.array(a_ids, type=pa.int64()),
+            "doc_b": pa.array(b_ids, type=pa.int64()),
+            "size_a": pa.array(a_sz, type=pa.int64()),
+            "size_b": pa.array(b_sz, type=pa.int64()),
+        }
+    )
+
+
+def ngram_pairs_jaccard(
+    ds,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+    text_col: str = "text",
+):
+    """documents → near-dup pairs (doc_a, doc_b, shared, jaccard ≥ τ).
+
+    Plan: ngram rows → groupby(ngram) postings → df-cap → pair emission
+    → groupby(pair) shared-count → jaccard filter.  Equivalent SQL in
+    ``__ray_entry__.oracle_sql()['doc_neardup_ngram']``."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(
+        lambda b: ngram_rows_batch(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+    def postings_to_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_df:  # df cap: drop boilerplate n-grams
+            return _pairs_from_group(group.slice(0, 0))
+        return _pairs_from_group(group)
+
+    pairs = rows.groupby("ngram").map_groups(
+        postings_to_pairs, batch_format="pyarrow"
+    )
+    shared = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Count(alias_name="shared"),
+        ray.data.aggregate.Min("size_a", alias_name="size_a"),
+        ray.data.aggregate.Min("size_b", alias_name="size_b"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        union = pc.subtract(
+            pc.add(batch["size_a"], batch["size_b"]), batch["shared"]
+        )
+        j = pc.divide(
+            pc.cast(batch["shared"], pa.float64()),
+            pc.cast(union, pa.float64()),
+        )
+        batch = batch.append_column("jaccard", j)
+        return batch.filter(pc.greater_equal(j, threshold)).select(
+            ["doc_a", "doc_b", "shared", "jaccard"]
+        )
+
+    return shared.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_N_PERM = 128
+_N_BANDS = 16          # 16 bands × 8 rows
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+
+
+def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=_N_PERM, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=_N_PERM, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return np.zeros(0, dtype=np.uint64)
+    hs = {
+        int.from_bytes(
+            hashlib.blake2b(
+                " ".join(toks[i : i + n]).encode("utf-8"), digest_size=8
+            ).digest(),
+            "little",
+        )
+        for i in range(len(toks) - n + 1)
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    """128-component minhash signature (uint64)."""
+    base = _shingle_hashes(text, n)
+    if base.size == 0:
+        return np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (perm, shingle): (a*x + b) mod M61 — wraparound mul then mod
+        prod = _PERM_A[:, None] * base[None, :] + _PERM_B[:, None]
+        vals = prod % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    sigs = [minhash_signature(t, n) for t in texts]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sig": pa.array(
+                [s.astype(np.int64).tolist() for s in sigs],
+                type=pa.list_(pa.int64(), _N_PERM),
+            ),
+        }
+    )
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """signature rows → (band, band_hash, doc_id, sig) LSH bucket rows."""
+    ids = batch["doc_id"].to_pylist()
+    sigs = batch["sig"].to_pylist()
+    out_band, out_hash, out_id, out_sig = [], [], [], []
+    for i, sig in zip(ids, sigs):
+        arr = np.asarray(sig, dtype=np.int64)
+        for b in range(_N_BANDS):
+            chunk = arr[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            out_band.append(b)
+            out_hash.append(int.from_bytes(h, "little") >> 1)
+            out_id.append(i)
+            out_sig.append(sig)
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.int64(), _N_PERM)),
+        }
+    )
+
+
+def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "text"):
+    """documents → near-dup pairs (doc_a, doc_b, est_jaccard ≥ τ).
+
+    est_jaccard = fraction of matching signature components — verified
+    inside the bucket group (sigs travel with the bucket rows, so no
+    second pass over text).  Pairs can surface in several bands; the
+    final groupby(pair) dedups them (keep max — all estimates equal)."""
+    import ray.data
+
+    sigs = ds.map_batches(
+        lambda b: minhash_sig_batch(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    buckets = sigs.map_batches(_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        sig_arrs = [np.asarray(s, dtype=np.int64) for s in group["sig"].to_pylist()]
+        order = np.argsort(ids, kind="stable")
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sig_arrs[i] == sig_arrs[j]))
+                if est >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(est)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, type=pa.int64()),
+                "doc_b": pa.array(b_out, type=pa.int64()),
+                "est_jaccard": pa.array(j_out, type=pa.float64()),
+            }
+        )
+
+    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace tokens (blake2b token hashes)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    return int(
+        np.bitwise_or.reduce(
+            (votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(
+                [np.uint64(simhash64(t)).astype(np.int64).item() for t in texts],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
+    """documents → pairs with simhash Hamming distance ≤ k, blocked on
+    4×16-bit bands (any pair within distance 3 shares ≥1 exact band)."""
+    import ray.data
+
+    hashed = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col), batch_format="pyarrow"
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        shs = batch["simhash"].to_pylist()
+        out = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
+        for i, sh in zip(ids, shs):
+            u = np.uint64(sh)
+            for b in range(4):
+                out["band"].append(b)
+                out["band_val"].append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                out["doc_id"].append(i)
+                out["simhash"].append(sh)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], type=pa.int32()),
+                "band_val": pa.array(out["band_val"], type=pa.int32()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "simhash": pa.array(out["simhash"], type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        shs = [np.uint64(s) for s in group["simhash"].to_pylist()]
+        a_out, b_out, d_out = [], [], []
+        order = np.argsort(ids, kind="stable")
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(int(shs[i] ^ shs[j])).count("1")
+                if d <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, type=pa.int64()),
+                "doc_b": pa.array(b_out, type=pa.int64()),
+                "hamming": pa.array(d_out, type=pa.int32()),
+            }
+        )
+
+    pairs = (
+        hashed.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (anchors broadcast, batches streamed)
+# ---------------------------------------------------------------------------
+
+def list_col_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float>[N] (uniform length) → float64 matrix (N, dim), zero-
+    copy flatten through Arrow."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def embedding_neardup_pairs(
+    ds,
+    anchors: np.ndarray,
+    anchor_ids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """pairs (anchor_id, vec_id, cos ≥ τ, anchor_id < vec_id).
+
+    ``anchors`` (A, dim) is the broadcast small side (``ray.put`` once —
+    Ray serializes closure captures through the object store, so every
+    task reads the same copy); the big side streams through
+    ``map_batches`` as zero-copy Arrow, one matmul per batch."""
+    import ray
+
+    norm = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+    anchors_ref = ray.put((norm, anchor_ids.astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_norm, a_ids = ray.get(anchors_ref)
+        mat = list_col_to_matrix(batch[emb_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ a_norm.T          # (N, A)
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = a_ids[ai] < ids[bi]
+        return pa.table(
+            {
+                "anchor_id": pa.array(a_ids[ai][keep], type=pa.int64()),
+                "vec_id": pa.array(ids[bi][keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,196 @@
+"""Text-analysis stages over a ``documents``-style table
+(doc_id, text, lang, source, n_chars) — the operations a large-scale
+training-data pipeline needs on top of the crawl engine:
+
+* token counting (whitespace + BPE-ish regex), quality scoring
+  (length / punctuation / stopword / alpha ratios), language-ID
+  (stopword-count n-gram heuristic), document fingerprinting
+  (64-bit polynomial rolling hash).
+
+Design notes (100 TB framing):
+
+* every kernel is vectorized ``pyarrow.compute`` over zero-copy Arrow
+  batches — ``count_substring_regex`` / ``utf8_length`` run RE2 in C++,
+  no Python-per-row work except the fingerprint (numpy Horner, still
+  C-speed per doc);
+* pyarrow and DuckDB both use RE2, so every count here is *exactly*
+  reproducible by the DuckDB oracle SQL (``__ray_entry__.oracle_sql``)
+  — integer counts and single-division ratios, no float-summation
+  ambiguity;
+* stages are stateless ``map_batches`` tasks (regex compile cost lives
+  in Arrow's kernel cache, not per batch);
+* only the columns a stage needs should be read
+  (``read_parquet(columns=[...])`` upstream) — text analysis never
+  needs the full table width.
+
+Reference parity: the reference counts "words" by ``len(text.split())``
+(e.g. job_extraction_service.py:1102-1118 summarizer limits) and scores
+pages by keyword counts (scrapy_career_spider.py:497-546); these stages
+generalize that to corpus-scale document statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "token_stats_batch",
+    "quality_batch",
+    "langid_batch",
+    "fingerprint_batch",
+    "LANG_STOPWORDS",
+    "BPE_TOKEN_RE",
+    "PUNCT_RE",
+]
+
+# Non-overlapping leftmost matches — identical semantics in pyarrow's RE2
+# and DuckDB's regexp_extract_all (both RE2).
+WS_TOKEN_RE = r"\S+"                       # == len(text.split())
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer
+PUNCT_RE = r"[.,;:!?\"'()\[\]{}<>/@#$%^&*_+=|\\~`-]"
+ALPHA_RE = r"[A-Za-z]"
+DIGIT_RE = r"[0-9]"
+
+# Stopword heuristics for language ID.  Scored in FIXED order; argmax
+# with strict-greater comparison ⇒ deterministic tie-break to the
+# earlier language.  'zh' wins outright when CJK chars are present.
+LANG_STOPWORDS: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|is|of|to|in|that|it|for|was|with|are|this|have)\b"),
+    ("de", r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|im|für)\b"),
+    ("fr", r"\b(le|la|les|et|est|dans|pour|que|une|des|du|il|au|sur)\b"),
+    ("es", r"\b(el|los|las|es|en|por|una|del|con|para|se|su|lo|más)\b"),
+]
+CJK_RE = r"[一-鿿]"
+
+# English stopwords for the quality score's stopword ratio.
+QUALITY_STOPWORD_RE = (
+    r"\b(the|a|an|and|or|but|of|to|in|on|at|for|with|is|are|was|were)\b"
+)
+
+
+def _count(arr: pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(arr, pattern)
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """→ (doc_id, n_tokens_ws, n_tokens_bpe, n_chars_text)."""
+    t = batch[text_col]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens_ws": pc.cast(_count(t, WS_TOKEN_RE), pa.int64()),
+            "n_tokens_bpe": pc.cast(_count(t, BPE_TOKEN_RE), pa.int64()),
+            "n_chars_text": pc.cast(pc.utf8_length(t), pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-signal columns.  Ratios are single divisions of exact
+    integer counts — bitwise-reproducible by the DuckDB oracle."""
+    t = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    n_ws = pc.cast(_count(t, WS_TOKEN_RE), pa.int64())
+    n_punct = pc.cast(_count(t, PUNCT_RE), pa.int64())
+    n_alpha = pc.cast(_count(t, ALPHA_RE), pa.int64())
+    n_digit = pc.cast(_count(t, DIGIT_RE), pa.int64())
+    n_stop = pc.cast(_count(t, QUALITY_STOPWORD_RE), pa.int64())
+    denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    tok_denom = pc.cast(pc.max_element_wise(n_ws, 1), pa.float64())
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), denom)
+    alpha_ratio = pc.divide(pc.cast(n_alpha, pa.float64()), denom)
+    digit_ratio = pc.divide(pc.cast(n_digit, pa.float64()), denom)
+    stopword_ratio = pc.divide(pc.cast(n_stop, pa.float64()), tok_denom)
+    mean_word_len = pc.divide(pc.cast(n_chars, pa.float64()), tok_denom)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_text": n_chars,
+            "n_tokens_ws": n_ws,
+            "n_punct": n_punct,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_stopwords": n_stop,
+            "punct_ratio": punct_ratio,
+            "alpha_ratio": alpha_ratio,
+            "digit_ratio": digit_ratio,
+            "stopword_ratio": stopword_ratio,
+            "mean_word_len": mean_word_len,
+        }
+    )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Predicted language per doc (n-gram/stopword heuristic).
+
+    'zh' if any CJK char; otherwise argmax over per-language stopword
+    counts (fixed order, strict >, default 'und' when all zero)."""
+    t = pc.utf8_lower(batch[text_col])
+    cjk = pc.greater(_count(t, CJK_RE), 0)
+    counts = [
+        _count(t, pat).to_numpy(zero_copy_only=False)
+        for _lang, pat in LANG_STOPWORDS
+    ]
+    mat = np.stack(counts, axis=0)           # (langs, rows)
+    best = np.argmax(mat, axis=0)            # first max wins (fixed order)
+    any_hit = mat.max(axis=0) > 0
+    langs = np.array([lang for lang, _ in LANG_STOPWORDS])
+    pred = np.where(any_hit, langs[best], "und")
+    pred = np.where(cjk.to_numpy(zero_copy_only=False), "zh", pred)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "pred_lang": pa.array(pred.tolist(), type=pa.string()),
+        }
+    )
+
+
+# --- fingerprint: 64-bit polynomial rolling hash (Karp–Rabin) ------------
+
+_FP_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _poly_hash_u64(data: bytes) -> int:
+    """Horner-scheme polynomial hash mod 2^64 over utf-8 bytes, numpy-
+    vectorized (cumulative powers + dot), identical across platforms."""
+    if not data:
+        return 0
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _FP_BASE, dtype=np.uint64), out=pows[1:])
+        # hash = sum b[i] * BASE^(n-1-i)  (mod 2^64, wrap-around mul/add)
+        return int(np.multiply(b, pows[::-1]).sum(dtype=np.uint64))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """→ (doc_id, fingerprint:uint64 as int64-bitcast, fp_md5:string).
+
+    ``fingerprint`` is the rolling-hash (engine-native, fast path);
+    ``fp_md5`` is the portable form the DuckDB oracle can recompute."""
+    import hashlib
+
+    t = batch[text_col]
+    # normalize exactly like the oracle SQL: lower + collapse whitespace
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " ")
+    )
+    texts = norm.to_pylist()
+    fps = [_poly_hash_u64(s.encode("utf-8")) for s in texts]
+    md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [np.uint64(f).astype(np.int64).item() for f in fps],
+                type=pa.int64(),
+            ),
+            "fp_md5": pa.array(md5s, type=pa.string()),
+        }
+    )
