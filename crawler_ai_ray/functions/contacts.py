@@ -50,6 +50,8 @@ _EMAIL_BLOCKLIST = (
 
 def extract_emails(html: str) -> list[str]:
     """M1 semantics; returns sorted unique emails."""
+    if "@" not in html:  # fast path — both patterns require a literal '@'
+        return []
     found: list[str] = []
     for pat in _EMAIL_PATTERNS:
         found.extend(pat.findall(html))

@@ -44,6 +44,7 @@ import json
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -172,11 +173,12 @@ def _make_fetch_extract(store_handles: list, num_store_shards: int):
     import ray
 
     def fetch_extract(batch: pa.Table) -> pa.Table:
-        kinds = batch["kind"].to_pylist()
-        if "w" not in kinds:
+        mask = pc.equal(batch["kind"], "w")
+        if not pc.any(mask).as_py():
             return batch
-        rows = batch.to_pylist()
-        wave_idx = [i for i, k in enumerate(kinds) if k == "w"]
+        rest = batch.filter(pc.invert(mask))
+        rows = batch.filter(mask).to_pylist()
+        wave_idx = range(len(rows))
         # one batched store call per shard
         by_shard: dict[int, list[int]] = {}
         for i in wave_idx:
@@ -200,17 +202,9 @@ def _make_fetch_extract(store_handles: list, num_store_shards: int):
                 url = r["url"]
                 title = (facts.title or "").strip()
                 text = facts_jobdetail_text(facts)
-                all_links = []
-                seen_l = set()
-                from urllib.parse import urljoin
+                from ..stages.extract import _all_links, _join_anchors
 
-                for href, _t in facts.anchors:
-                    if not href:
-                        continue
-                    full = urljoin(url, href)
-                    if full not in seen_l:
-                        seen_l.add(full)
-                        all_links.append(full)
+                all_links = _all_links(_join_anchors(facts, url))
                 r.update(
                     success=True,
                     is_career=classify.is_career_listing_page(url, html),
@@ -224,7 +218,8 @@ def _make_fetch_extract(store_handles: list, num_store_shards: int):
                     phones_vn=contacts.extract_phones_vn(text),
                     html_bytes=len(html_b),
                 )
-        return _rows_to_table(rows)
+        out = _rows_to_table(rows)
+        return pa.concat_tables([rest.cast(CRAWL_SCHEMA), out]) if rest.num_rows else out
 
     return fetch_extract
 
@@ -233,8 +228,14 @@ def _make_fetch_extract(store_handles: list, num_store_shards: int):
 # stage 3: expansion (groupby host, sequential per-host fold + seen actors)
 # ---------------------------------------------------------------------------
 
-def _make_expand(policy: CrawlPolicy, seen_handles: list, num_seen_shards: int):
-    import ray
+def _make_expand(policy: CrawlPolicy):
+    """Stage 3a: per-host sequential fold (counters, early-stop, caps).
+
+    Emits candidate rows (``kind='c'``) with *optimistically* assigned
+    ``seq`` — the seen anti-join happens in the next stage as batched
+    shard calls, so this groupby never blocks on an actor.  Candidates
+    that turn out already-seen leave gaps in ``seq``; only the relative
+    order matters for the wave sort, so ordering conformance holds."""
 
     def expand(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
@@ -256,7 +257,6 @@ def _make_expand(policy: CrawlPolicy, seen_handles: list, num_seen_shards: int):
             if policy.obey_robots
             else None
         )
-        candidates: list[tuple[str, int]] = []
         for r in wave:
             o = dict(r)
             o["kind"] = "o"
@@ -272,25 +272,16 @@ def _make_expand(policy: CrawlPolicy, seen_handles: list, num_seen_shards: int):
             if crawled >= max_pages or career_found >= policy.career_stop:
                 continue  # expansion gated (fetching of queued URLs continues)
             for cand, cprio in candidate_links(r["all_links"] or [], host, robots):
-                candidates.append((cand, cprio))
-        if candidates:
-            urls = [c[0] for c in candidates]
-            fresh = ray.get(
-                seen_handles[shard_for_host(host, num_seen_shards)]
-                .check_and_add.remote(urls)
-            )
-            for (cand, cprio), is_new in zip(candidates, fresh):
-                if is_new:
-                    out.append(
-                        {
-                            "kind": "q",
-                            "host": host,
-                            "url": cand,
-                            "priority": cprio,
-                            "seq": next_seq,
-                        }
-                    )
-                    next_seq += 1
+                out.append(
+                    {
+                        "kind": "c",
+                        "host": host,
+                        "url": cand,
+                        "priority": cprio,
+                        "seq": next_seq,
+                    }
+                )
+                next_seq += 1
         out.extend(rest_q)
         s = dict(s)
         s.update(crawled=crawled, career_found=career_found, next_seq=next_seq)
@@ -298,6 +289,49 @@ def _make_expand(policy: CrawlPolicy, seen_handles: list, num_seen_shards: int):
         return _rows_to_table(out)
 
     return expand
+
+
+def _make_seen_filter(seen_handles: list, num_seen_shards: int):
+    """Stage 3b: candidate rows → queue rows surviving the URL-seen
+    anti-join (J5).  One batched ``check_and_add`` call per shard per
+    batch (all shards queried in parallel) — O(shards) actor calls per
+    block instead of O(hosts) per round.  Row order within the batch is
+    preserved, so per-host candidate order survives."""
+    import ray
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["kind"], "c")
+        if not pc.any(mask).as_py():
+            return batch
+        rest = batch.filter(pc.invert(mask))
+        cand = batch.filter(mask)
+        hosts = cand["host"].to_pylist()
+        urls = cand["url"].to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_shard.setdefault(shard_for_host(h, num_seen_shards), []).append(i)
+        refs = {
+            sh: seen_handles[sh].check_and_add.remote([urls[i] for i in idxs])
+            for sh, idxs in by_shard.items()
+        }
+        fresh = np.zeros(len(urls), dtype=bool)
+        for sh, idxs in by_shard.items():
+            for i, ok in zip(idxs, ray.get(refs[sh])):
+                fresh[i] = ok
+        kept = cand.filter(pa.array(fresh))
+        kept = kept.set_column(
+            kept.schema.get_field_index("kind"),
+            "kind",
+            pa.array(["q"] * kept.num_rows, pa.string()),
+        )
+        parts = [t for t in (rest, kept) if t.num_rows]
+        return (
+            pa.concat_tables([t.cast(CRAWL_SCHEMA) for t in parts])
+            if parts
+            else kept
+        )
+
+    return seen_filter
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +423,17 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             if done:
                 last = done[-1]
                 start_round = int(last.split("=")[1]) + 1
-                seen.restore(os.path.join(cfg.out_dir, "seen", last))
+                # replay per-round delta dumps for every COMPLETE round
+                # (a crashed round may have left a stale delta — skip it,
+                # its urls re-enter when the round re-runs)
+                seen_root = os.path.join(cfg.out_dir, "seen")
+                dirs = [
+                    os.path.join(seen_root, d)
+                    for d in sorted(os.listdir(seen_root))
+                    if d.startswith("round=")
+                    and int(d.split("=")[1]) < start_round
+                ]
+                seen.restore(dirs)
         if start_round == 0:
             init = _initial_state(cfg, seen)
             d = _round_dir(cfg.out_dir, -1)
@@ -421,8 +465,12 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 batch_size=256,
             )
             ds = ds.groupby("host").map_groups(
-                _make_expand(cfg.policy, seen.shards, seen.num_shards),
+                _make_expand(cfg.policy), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(
+                _make_seen_filter(seen.shards, seen.num_shards),
                 batch_format="pyarrow",
+                batch_size=4096,
             )
             out = _round_dir(cfg.out_dir, rnd)
             ds.write_parquet(out)

@@ -44,7 +44,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v8"
+CORPUS_VERSION = "v9"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -524,8 +524,11 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
         host_rows.extend(hrows)
 
     pages_tbl = pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA)
+    # small row groups: Ray Data parallelizes a single-file read at
+    # row-group granularity — 512-row groups let 32+ read tasks split one
+    # file (2000-row groups capped the whole pipeline at ~11 tasks)
     pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"),
-                   row_group_size=2000)
+                   row_group_size=512)
     pq.write_table(pa.Table.from_pylist(golden_rows),
                    os.path.join(out_dir, "golden.parquet"), row_group_size=2000)
     if job_rows:

@@ -77,15 +77,46 @@ def _decode(v) -> str:
     return v.decode("utf-8", errors="ignore") if isinstance(v, (bytes, bytearray)) else v
 
 
-def _all_links(facts, url: str) -> list[str]:
+def _join_anchors(facts, url: str) -> list[str | None]:
+    """urljoin each anchor once (memoized per page — nav hrefs repeat);
+    both the all-links and out-links views derive from this list."""
     from urllib.parse import urljoin
 
-    out, seen = [], set()
+    cache: dict[str, str] = {}
+    out: list[str | None] = []
     for href, _t in facts.anchors:
         if not href:
+            out.append(None)
             continue
-        full = urljoin(url, href)
-        if full not in seen:
+        full = cache.get(href)
+        if full is None:
+            full = urljoin(url, href)
+            cache[href] = full
+        out.append(full)
+    return out
+
+
+def _all_links(joined: list[str | None]) -> list[str]:
+    out, seen = [], set()
+    for full in joined:
+        if full is not None and full not in seen:
+            seen.add(full)
+            out.append(full)
+    return out
+
+
+_SKIP_HREF_PREFIXES = ("mailto:", "tel:", "skype:", "javascript:", "data:")
+
+
+def _out_links(facts, joined: list[str | None], limit: int = 50) -> list[str]:
+    """Same semantics as functions.htmltext.extract_out_links, reusing the
+    memoized urljoins (crawler.py:388-399)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for (href, _txt), full in zip(facts.anchors[:limit], joined):
+        if not href or href.startswith(_SKIP_HREF_PREFIXES):
+            continue
+        if full is not None and full not in seen:
             seen.add(full)
             out.append(full)
     return out
@@ -111,11 +142,12 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
         cols["text_crawldata"].append(facts_crawldata_text(facts))
         cols["title"].append(title)
         cols["meta_description"].append(facts.meta_description)
+        joined = _join_anchors(facts, url)
         cols["emails"].append(contacts.extract_emails(html))
         cols["phones_loose"].append(contacts.extract_phones_loose(html))
         cols["phones_vn"].append(contacts.extract_phones_vn(text))
-        cols["out_links"].append(extract_out_links(facts, url))
-        cols["all_links"].append(_all_links(facts, url))
+        cols["out_links"].append(_out_links(facts, joined))
+        cols["all_links"].append(_all_links(joined))
         cols["priority"].append(classify.priority_for_link(url))
         cols["is_career_listing"].append(classify.is_career_listing_page(url, html))
         cols["career_score"].append(classify.career_page_score(url, title, html))
@@ -152,6 +184,54 @@ def extract_jobs_batch(batch: pa.Table) -> pa.Table:
             cols["summary"].append(jobfns.summarize_description(job["description"]))
             cols["source"].append(job["source"])
     return pa.Table.from_pydict(cols, schema=JOBS_SCHEMA)
+
+
+CRAWL_EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("title", pa.string()),
+        ("text", pa.string()),
+        ("emails", pa.list_(pa.string())),
+        ("phones_vn", pa.list_(pa.string())),
+        ("all_links", pa.list_(pa.string())),
+        ("priority", pa.int32()),
+        ("is_career_listing", pa.bool_()),
+        ("career_score", pa.float64()),
+        ("is_job_url", pa.bool_()),
+        ("html_bytes", pa.int64()),
+    ]
+)
+
+
+def extract_pages_crawl_batch(batch: pa.Table) -> pa.Table:
+    """The crawl loop's per-page extraction (what the fetch stage
+    computes for every fetched URL): golden text + contacts + frontier
+    links + career classification.  Leaner than the full
+    ``extract_pages_batch`` — this is the bench's 'fetch+extract'
+    operator."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {name: [] for name in CRAWL_EXTRACT_SCHEMA.names}
+    for url, html_b in zip(urls, htmls):
+        html = _decode(html_b)
+        facts = parse_page(html)
+        text = facts_jobdetail_text(facts)
+        title = (facts.title or "").strip()
+        joined = _join_anchors(facts, url)
+        cols["url"].append(url)
+        cols["host"].append(classify.host_of(url))
+        cols["title"].append(title)
+        cols["text"].append(text)
+        cols["emails"].append(contacts.extract_emails(html))
+        cols["phones_vn"].append(contacts.extract_phones_vn(text))
+        cols["all_links"].append(_all_links(joined))
+        cols["priority"].append(classify.priority_for_link(url))
+        cols["is_career_listing"].append(classify.is_career_listing_page(url, html))
+        cols["career_score"].append(classify.career_page_score(url, title, html))
+        cols["is_job_url"].append(classify.is_job_url(url))
+        cols["html_bytes"].append(len(html_b) if html_b else 0)
+    return pa.Table.from_pydict(cols, schema=CRAWL_EXTRACT_SCHEMA)
 
 
 def extract_pages(ds, batch_size: int = 256, **opts):

@@ -128,6 +128,9 @@ class UrlSeenShard:
     def __init__(self, capacity: int = 1 << 18, exact: bool = True) -> None:
         self.filter = CuckooFilter(capacity)
         self.exact: set[str] | None = set() if exact else None
+        # urls added since the last delta dump (per-round incremental
+        # checkpoints: O(new) per round instead of O(seen))
+        self._journal: list[str] = []
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
         """For each url: True iff it was NOT seen before (and is now added).
@@ -144,6 +147,7 @@ class UrlSeenShard:
                     h_new.append(u)
             if h_new:
                 self.filter.add_many(_hash_urls(h_new))
+                self._journal.extend(h_new)
             return out
         h = _hash_urls(urls)
         seen = self.filter.contains_many(h)
@@ -157,17 +161,25 @@ class UrlSeenShard:
                 first_idx.setdefault(int(hv), i)
         if fresh.any():
             self.filter.add_many(h[fresh])
+            self._journal.extend(u for u, f in zip(urls, fresh) if f)
         return fresh.tolist()
 
     def n_seen(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
 
     def dump(self) -> pa.Table:
-        """Checkpoint form.  Exact mode dumps urls; filter-only mode dumps
+        """Full checkpoint.  Exact mode dumps urls; filter-only mode dumps
         the raw cuckoo table."""
         if self.exact is not None:
             return pa.table({"url": pa.array(sorted(self.exact), pa.string())})
         return pa.table({"slot": pa.array(self.table_bytes(), pa.uint16())})
+
+    def dump_delta(self) -> pa.Table:
+        """Incremental checkpoint: urls added since the previous delta
+        dump (restore = replay every round's delta in order)."""
+        t = pa.table({"url": pa.array(sorted(self._journal), pa.string())})
+        self._journal = []
+        return t
 
     def table_bytes(self):
         return self.filter.table.reshape(-1)
@@ -213,28 +225,36 @@ class SeenPool:
 
         return sum(ray.get([s.n_seen.remote() for s in self.shards]))
 
-    def dump(self, out_dir: str) -> None:
+    def dump(self, out_dir: str, delta: bool = True) -> None:
+        """Write per-shard parquet; ``delta=True`` writes only urls added
+        since the last dump (O(new) per round — at 10^10-URL scale a full
+        dump per round would be quadratic I/O)."""
         import os
 
         import pyarrow.parquet as pq
         import ray
 
         os.makedirs(out_dir, exist_ok=True)
-        tables = ray.get([s.dump.remote() for s in self.shards])
+        meth = "dump_delta" if delta else "dump"
+        tables = ray.get([getattr(s, meth).remote() for s in self.shards])
         for i, t in enumerate(tables):
             pq.write_table(t, os.path.join(out_dir, f"shard-{i:04d}.parquet"))
 
-    def restore(self, in_dir: str) -> None:
+    def restore(self, in_dirs: str | list[str]) -> None:
+        """Replay one or more dump dirs (deltas in round order)."""
         import os
 
         import pyarrow.parquet as pq
         import ray
 
+        if isinstance(in_dirs, str):
+            in_dirs = [in_dirs]
         refs = []
-        for i, s in enumerate(self.shards):
-            path = os.path.join(in_dir, f"shard-{i:04d}.parquet")
-            if os.path.exists(path):
-                refs.append(s.restore.remote(pq.read_table(path)))
+        for in_dir in in_dirs:
+            for i, s in enumerate(self.shards):
+                path = os.path.join(in_dir, f"shard-{i:04d}.parquet")
+                if os.path.exists(path):
+                    refs.append(s.restore.remote(pq.read_table(path)))
         ray.get(refs)
 
     def shutdown(self) -> None:

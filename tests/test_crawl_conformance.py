@@ -60,16 +60,17 @@ def test_engine_matches_simulator(unit_corpus, tmp_path):
     for host in oracle:
         assert eng[host] == oracle[host], f"fetch sequence differs for {host}"
 
-    # final URL-seen set equality (north_rule gate)
+    # final URL-seen set equality (north_rule gate): the checkpoint is a
+    # per-round DELTA dump — the full set is the union over all rounds
     import pyarrow.parquet as pq
 
-    seen_dirs = sorted(os.listdir(os.path.join(out_dir, "seen")))
-    last = os.path.join(out_dir, "seen", seen_dirs[-1])
+    seen_root = os.path.join(out_dir, "seen")
     engine_seen = set()
-    for f in os.listdir(last):
-        engine_seen.update(
-            pq.read_table(os.path.join(last, f))["url"].to_pylist()
-        )
+    for d in sorted(os.listdir(seen_root)):
+        for f in os.listdir(os.path.join(seen_root, d)):
+            engine_seen.update(
+                pq.read_table(os.path.join(seen_root, d, f))["url"].to_pylist()
+            )
     assert engine_seen == sim.seen
 
 
