@@ -1,0 +1,56 @@
+"""Relational / windowed pipelines vs DuckDB at sf0.001 — integer-cents
+discipline makes every aggregate bitwise-comparable."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_training_ops import SF, assert_frames_equal, duck  # noqa: F401
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q1_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import q1_pricing_summary
+
+    eng = q1_pricing_summary(SF).to_pandas()
+    ora = duck.sql("""
+      SELECT l_returnflag, l_linestatus,
+        sum(CAST(l_quantity AS BIGINT)) sum_qty,
+        sum(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) sum_base_cents,
+        sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) sum_disc_cents,
+        sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100+0.5) AS BIGINT)) sum_charge_cents,
+        count(*)::BIGINT count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY 1,2""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import events_sessionize
+
+    eng = events_sessionize(SF).to_pandas()
+    ora = duck.sql("""
+      WITH o AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+          sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)-1 session_idx
+        FROM o)
+      SELECT user_id, session_idx, min(ts) start_ts, max(ts) end_ts,
+             count(*)::BIGINT n_events
+      FROM s GROUP BY 1,2""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import lineitem_part_revenue
+
+    eng = lineitem_part_revenue(SF, num_partitions=4).to_pandas()
+    ora = duck.sql("""
+      SELECT p_brand, count(*)::BIGINT n_items,
+        sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) revenue_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""").df()
+    assert_frames_equal(eng, ora)

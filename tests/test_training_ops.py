@@ -1,0 +1,343 @@
+"""Training-data-pipeline operators: dedup / similarity search / text
+analysis / multimodal — semantics pinned against DuckDB (same RE2 regex
+engine, same integer/fixed-point arithmetic) and against pure-Python
+reference computations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "supplier", "part", "nation", "region"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def assert_frames_equal(a, b):
+    import pandas as pd
+
+    a, b = _canon(a), _canon(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# --- text analysis --------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_stats_vs_duckdb(docs_ds, duck):
+    from crawler_ai_ray.stages.textstats import token_stats_batch, BPE_TOKEN_RE
+
+    eng = docs_ds.map_batches(token_stats_batch, batch_format="pyarrow").to_pandas()
+    ora = duck.sql(
+        "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT n_tokens_ws,"
+        f" len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT n_tokens_bpe,"
+        " length(text)::BIGINT n_chars_text FROM documents"
+    ).df()
+    assert_frames_equal(eng, ora)
+
+
+def test_langid_known_texts():
+    """Real sentences classify correctly (the driver's documents table
+    carries random text with arbitrary lang labels, so accuracy there is
+    undefined; semantics are pinned on known text + the DuckDB mirror)."""
+    from crawler_ai_ray.stages.textstats import langid_batch
+
+    cases = [
+        ("The quick brown fox is one of the best tests for this.", "en"),
+        ("Der Hund ist nicht mit der Katze zu vergleichen.", "de"),
+        ("Le chat est dans la maison pour une bonne raison.", "fr"),
+        ("El perro es una de las mascotas más populares del mundo.", "es"),
+        ("这是一个中文句子。", "zh"),
+        ("xyzzy plugh 12345", "und"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "text": [c[0] for c in cases],
+            "lang": [c[1] for c in cases],
+        }
+    )
+    df = langid_batch(t).to_pandas()
+    assert list(df["pred_lang"]) == [c[1] for c in cases]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_langid_vs_duckdb(docs_ds, duck):
+    from crawler_ai_ray.stages.textstats import LANG_STOPWORDS, langid_batch
+
+    eng = docs_ds.map_batches(langid_batch, batch_format="pyarrow").to_pandas()
+    counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) c_{lang}"
+        for lang, pat in LANG_STOPWORDS
+    )
+    ora = duck.sql(f"""
+      WITH c AS (SELECT doc_id, lang,
+                        len(regexp_extract_all(text, '[一-鿿]')) c_zh, {counts}
+                 FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN c_zh > 0 THEN 'zh'
+             WHEN c_en=0 AND c_de=0 AND c_fr=0 AND c_es=0 THEN 'und'
+             WHEN c_en>=c_de AND c_en>=c_fr AND c_en>=c_es THEN 'en'
+             WHEN c_de>=c_fr AND c_de>=c_es THEN 'de'
+             WHEN c_fr>=c_es THEN 'fr' ELSE 'es' END pred_lang
+      FROM c""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprint_stability(docs_ds):
+    from crawler_ai_ray.stages.textstats import fingerprint_batch, _poly_hash_u64
+
+    df = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert df["fingerprint"].nunique() == len(df)  # no collisions at this n
+    # stable across calls and equals the direct computation
+    assert _poly_hash_u64(b"abc") == _poly_hash_u64(b"abc")
+    assert _poly_hash_u64(b"abc") != _poly_hash_u64(b"acb")  # order matters
+
+
+# --- dedup ----------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keeps_min_docid(ray_session):
+    import ray.data
+    from crawler_ai_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+            "text": ["a", "b", "a", "a", "b"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    got = {
+        r.n_dups: r.keep_doc_id for r in out.itertuples()
+    }
+    assert got == {3: 1, 2: 3}  # 'a' x3 keeps doc 1, 'b' x2 keeps doc 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_vs_duckdb(docs_ds, duck):
+    from crawler_ai_ray.stages.dedup import ngram_pairs_jaccard
+
+    eng = ngram_pairs_jaccard(docs_ds, n=3, threshold=0.8, max_df=50).to_pandas()
+    ora = duck.sql("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+                    FROM documents),
+      ng AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] ngram
+             FROM toks, unnest(generate_series(1, len(t)-2)) s(i)
+             WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) sz FROM ng GROUP BY 1),
+      df AS (SELECT ngram, count(*) c FROM ng GROUP BY 1),
+      pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+                FROM ng a JOIN ng b ON a.ngram=b.ngram AND a.doc_id<b.doc_id
+                JOIN df ON df.ngram=a.ngram AND df.c<=50 GROUP BY 1,2)
+      SELECT doc_a, doc_b, shared,
+             shared/(sa.sz+sb.sz-shared)::DOUBLE jaccard
+      FROM pairs JOIN sizes sa ON sa.doc_id=doc_a
+                 JOIN sizes sb ON sb.doc_id=doc_b
+      WHERE shared/(sa.sz+sb.sz-shared)::DOUBLE >= 0.8""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_estimates_jaccard(docs_ds):
+    """MinHash-LSH must find the same planted near-dup pairs as the exact
+    n-gram Jaccard join, with estimates close to the true values."""
+    from crawler_ai_ray.stages.dedup import minhash_lsh_pairs, ngram_pairs_jaccard
+
+    exact = ngram_pairs_jaccard(docs_ds, n=3, threshold=0.8, max_df=50).to_pandas()
+    mh = minhash_lsh_pairs(docs_ds, n=3, threshold=0.8).to_pandas()
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    mh_pairs = set(zip(mh.doc_a, mh.doc_b))
+    assert exact_pairs, "corpus should contain planted near-dups"
+    # recall of LSH vs exact at the same threshold
+    assert len(exact_pairs & mh_pairs) / len(exact_pairs) >= 0.9
+    merged = mh.merge(exact, on=["doc_a", "doc_b"])
+    assert (abs(merged.est_jaccard - merged.jaccard) < 0.15).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_neardup_symmetric_and_planted(docs_ds):
+    from crawler_ai_ray.stages.dedup import simhash64, simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(docs_ds, max_hamming=3).to_pandas()
+    assert (pairs.doc_a < pairs.doc_b).all()
+    assert len(pairs) > 0
+    # hamming distance recomputed directly matches
+    import pyarrow.parquet as pq
+
+    texts = dict(
+        zip(
+            pq.read_table(f"{SF}/documents.parquet")["doc_id"].to_pylist(),
+            pq.read_table(f"{SF}/documents.parquet")["text"].to_pylist(),
+        )
+    )
+    for r in pairs.head(5).itertuples():
+        d = bin(
+            (np.uint64(simhash64(texts[r.doc_a])) ^ np.uint64(simhash64(texts[r.doc_b]))).item()
+        ).count("1")
+        assert d == r.hamming <= 3
+
+
+# --- similarity search ----------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_vs_duckdb(ray_session, duck):
+    import ray.data
+    from crawler_ai_ray.stages.dedup import list_col_to_matrix
+    from crawler_ai_ray.stages.simsearch import knn_bruteforce
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    anchors = t.filter(pa.array(ids % 97 == 0)).sort_by("vec_id")
+    q = list_col_to_matrix(anchors["embedding"])
+    qids = anchors["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eng = (
+        knn_bruteforce(ray.data.read_parquet(f"{SF}/embeddings.parquet"), q, qids, k=10)
+        .to_pandas()[["query_id", "vec_id", "rank"]]
+    )
+    ora = duck.sql("""
+      WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id%97=0),
+      s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) sim
+            FROM q CROSS JOIN embeddings e),
+      r AS (SELECT qid query_id, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rank
+            FROM s)
+      SELECT query_id, vec_id, rank FROM r WHERE rank <= 10""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall(ray_session):
+    """ANN with nprobe=3/8 lists must keep high top-10 recall vs exact."""
+    import ray.data
+    from crawler_ai_ray.stages.dedup import list_col_to_matrix
+    from crawler_ai_ray.stages.simsearch import (
+        ivf_assign,
+        kmeans_train,
+        knn_bruteforce,
+        knn_ivf,
+    )
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    anchors = t.filter(pa.array(ids % 97 == 0)).sort_by("vec_id")
+    q = list_col_to_matrix(anchors["embedding"])
+    qids = anchors["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    exact = knn_bruteforce(ds, q, qids, k=10).to_pandas()
+    cents = kmeans_train(ds, nlist=8, iters=3)
+    approx = knn_ivf(ivf_assign(ds, cents), cents, q, qids, k=10, nprobe=3).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, f"IVF recall too low: {recalls}"
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_stages(ray_session):
+    import ray.data
+    from crawler_ai_ray.stages.multimodal import (
+        AudioFeatures,
+        ImageDecodeResize,
+        VideoFrameSample,
+        media_batch_size,
+        synth_media_table,
+    )
+
+    assert media_batch_size(32 << 20) == 4  # floor
+    assert media_batch_size(1) == 1024      # cap
+
+    imgs = ray.data.from_arrow(synth_media_table(24, "image"))
+    feat = imgs.map_batches(
+        ImageDecodeResize,
+        fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(feat) == 24
+    assert (feat.width == 16).all()
+    assert feat.mean_luma.between(0, 255).all()
+    assert all(len(e) == 16 for e in feat.embedding)
+
+    # determinism: same payload -> same features, across two runs
+    feat2 = imgs.map_batches(
+        ImageDecodeResize,
+        fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert (
+        feat.sort_values("media_id").mean_luma.values
+        == feat2.sort_values("media_id").mean_luma.values
+    ).all()
+
+    vids = ray.data.from_arrow(synth_media_table(6, "video"))
+    frames = vids.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n": 10},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert (frames.frame_idx % 10 == 0).all()
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize(decoder="real")
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(decoder="real")
+
+
+# --- embedding near-dup ---------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_vs_duckdb(ray_session, duck):
+    import ray.data
+    import pyarrow.parquet as pq
+    from crawler_ai_ray.stages.dedup import embedding_neardup_pairs, list_col_to_matrix
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    eng = embedding_neardup_pairs(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+        list_col_to_matrix(t["embedding"]),
+        t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        threshold=0.45,
+    ).to_pandas()
+    ora = duck.sql(
+        "SELECT a.vec_id anchor_id, b.vec_id vec_id FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+    ).df()
+    assert_frames_equal(eng, ora)
