@@ -137,6 +137,26 @@ def _q_crawl_links(sf_dir: str):
     )
 
 
+def _q_crawl_career_confidence(sf_dir: str):
+    """M11: URL-only additive career-confidence scoring
+    (career_pages_service.py:328-476) over every page URL."""
+    from crawler_ai_ray.functions.career_urls import career_confidence_batch
+
+    return _pages(sf_dir, columns=["url"]).map_batches(
+        career_confidence_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_career_strict(sf_dir: str):
+    """M12: strict integer-scored career filter
+    (career_detector.py:318-387) over every page URL."""
+    from crawler_ai_ray.functions.career_urls import strict_career_all_batch
+
+    return _pages(sf_dir, columns=["url"]).map_batches(
+        strict_career_all_batch, batch_format="pyarrow"
+    )
+
+
 def _q_crawl_jobs(sf_dir: str):
     from crawler_ai_ray.stages.extract import extract_jobs
 
@@ -453,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_emails": _q_crawl_emails,
         "crawl_phones_vn": _q_crawl_phones,
         "crawl_out_links": _q_crawl_links,
+        "crawl_career_confidence": _q_crawl_career_confidence,
+        "crawl_career_strict": _q_crawl_career_strict,
         "crawl_jobs": _q_crawl_jobs,
         "crawl_job_type_counts": _q_crawl_job_type_counts,
         "crawl_career_top3_per_host": _q_crawl_career_top3_per_host,
@@ -642,6 +664,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_out_links": (
             f"SELECT url, unnest(out_links) AS link FROM read_parquet('{golden}')"
+        ),
+        "crawl_career_confidence": (
+            "SELECT url, m11_confidence AS confidence, "
+            "m11_is_career_page AS is_career_page, "
+            "m11_is_potential AS is_potential, "
+            "m11_rejection_reason AS rejection_reason, "
+            "m11_n_indicators AS n_indicators "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_career_strict": (
+            "SELECT url, m12_accept, m12_score "
+            f"FROM read_parquet('{golden}')"
         ),
         "crawl_jobs": (
             "SELECT source_url, job_index, title, company, location, job_type, "

@@ -38,13 +38,13 @@ from datetime import datetime, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions import classify, contacts, jobs as jobfns
+from ..functions import career_urls, classify, contacts, jobs as jobfns
 from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
 from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v9"
+CORPUS_VERSION = "v10"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -415,6 +415,19 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
         "is_job_url": classify.is_job_url(url),
         "n_tokens": len(text.split()),
     }
+    m11 = career_urls.career_url_confidence(url)
+    m12_ok, m12_score = career_urls.strict_filter_accepts(url)
+    row.update(
+        {
+            "m11_confidence": round(m11["confidence"], 10),
+            "m11_is_career_page": m11["is_career_page"],
+            "m11_is_potential": m11["is_potential"],
+            "m11_rejection_reason": m11["rejection_reason"],
+            "m11_n_indicators": m11["n_indicators"],
+            "m12_accept": m12_ok,
+            "m12_score": m12_score,
+        }
+    )
     job_rows = []
     # Embedded-job extraction runs only on career listing pages, mirroring
     # the reference dispatch (job_extraction_service.py:864-930).
