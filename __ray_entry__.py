@@ -157,6 +157,28 @@ def _q_crawl_career_strict(sf_dir: str):
     )
 
 
+def _q_crawl_job_url_flags(sf_dir: str):
+    """M14/M15/M17/M37-predicate: the job-URL classifier family
+    (job_extraction_service.py:378-449, 1605-1670) over every page URL."""
+    from crawler_ai_ray.functions.job_urls import job_url_flags_batch
+
+    return _pages(sf_dir, columns=["url"]).map_batches(
+        job_url_flags_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_pagination(sf_dir: str):
+    """M37 generator: ?paged=2..10 candidates for every career listing
+    page (job_extraction_service.py:267-321) — a frontier flat_map."""
+    from crawler_ai_ray.functions.job_urls import pagination_candidates_batch
+
+    return (
+        _extracted(sf_dir)
+        .filter(expr="is_career_listing == True")
+        .map_batches(pagination_candidates_batch, batch_format="pyarrow")
+    )
+
+
 def _q_crawl_jobs(sf_dir: str):
     from crawler_ai_ray.stages.extract import extract_jobs
 
@@ -475,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
+        "crawl_job_url_flags": _q_crawl_job_url_flags,
+        "crawl_pagination_candidates": _q_crawl_pagination,
         "crawl_jobs": _q_crawl_jobs,
         "crawl_job_type_counts": _q_crawl_job_type_counts,
         "crawl_career_top3_per_host": _q_crawl_career_top3_per_host,
@@ -677,6 +701,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, m12_accept, m12_score "
             f"FROM read_parquet('{golden}')"
         ),
+        "crawl_job_url_flags": (
+            "SELECT url, is_job_url_service, is_valid_job_pattern, "
+            "is_career_page_url, is_pagination_url "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_pagination_candidates": f"""
+            SELECT url AS source_url, i::INT + 1 AS page_no,
+                   pagination_candidates[i] AS candidate_url
+            FROM read_parquet('{golden}'),
+                 unnest(generate_series(1, len(pagination_candidates)))
+                   AS t(i)
+            WHERE is_career_listing""",
         "crawl_jobs": (
             "SELECT source_url, job_index, title, company, location, job_type, "
             f"salary, summary, source FROM read_parquet('{jobs_golden}')"

@@ -38,13 +38,13 @@ from datetime import datetime, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions import career_urls, classify, contacts, jobs as jobfns
+from ..functions import career_urls, classify, contacts, job_urls, jobs as jobfns
 from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
 from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v10"
+CORPUS_VERSION = "v11"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -415,6 +415,15 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
         "is_job_url": classify.is_job_url(url),
         "n_tokens": len(text.split()),
     }
+    row.update(
+        {
+            "is_job_url_service": job_urls.is_job_url_service(url),
+            "is_valid_job_pattern": job_urls.is_valid_job_url_pattern(url),
+            "is_career_page_url": job_urls.is_career_page_url(url),
+            "is_pagination_url": job_urls.is_pagination_url(url),
+            "pagination_candidates": job_urls.pagination_candidates(url),
+        }
+    )
     m11 = career_urls.career_url_confidence(url)
     m12_ok, m12_score = career_urls.strict_filter_accepts(url)
     row.update(
