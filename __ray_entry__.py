@@ -197,6 +197,125 @@ def _q_crawl_jobs(sf_dir: str):
     )
 
 
+def _enriched_jobs(sf_dir: str):
+    from crawler_ai_ray.functions.job_quality import enrich_jobs_batch
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    return extract_jobs(_pages(sf_dir, columns=["url", "html"])).map_batches(
+        enrich_jobs_batch, batch_format="pyarrow"
+    )
+
+
+def _q_jobs_enriched(sf_dir: str):
+    """Job enhancement (job_extraction_service.py:579-604) + M22/M23 +
+    analyzer level/category/technologies + A6 quality scores.
+    ``technologies`` travels comma-joined (the compare harness can't
+    sort list columns)."""
+    import pyarrow as pa
+
+    def join_tech(batch: pa.Table) -> pa.Table:
+        joined = pa.array(
+            [",".join(v) for v in batch["technologies"].to_pylist()],
+            pa.string(),
+        )
+        return batch.set_column(
+            batch.column_names.index("technologies"), "technologies", joined
+        )
+
+    return _enriched_jobs(sf_dir).map_batches(
+        join_tech, batch_format="pyarrow"
+    )
+
+
+def _q_jobs_quality_hist(sf_dir: str):
+    """A3: quality-score histogram (advanced_job_finder.py:334-355)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        q = batch["q_overall"]
+        bucket = pc.if_else(
+            pc.greater(q, 0.8),
+            pa.scalar("excellent"),
+            pc.if_else(
+                pc.greater(q, 0.6),
+                pa.scalar("good"),
+                pc.if_else(
+                    pc.greater(q, 0.4),
+                    pa.scalar("fair"),
+                    pa.scalar("poor"),
+                ),
+            ),
+        )
+        return pa.table({"bucket": bucket})
+
+    return (
+        _enriched_jobs(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_jobs"))
+    )
+
+
+def _q_jobs_top10_quality(sf_dir: str):
+    """O3: jobs ranked by overall quality desc with a rank column
+    (advanced_job_finder.py:309-316); deterministic tie-break on
+    (source_url, job_index)."""
+    import pyarrow as pa
+
+    top = (
+        _enriched_jobs(sf_dir)
+        .select_columns(["source_url", "job_index", "title", "q_overall"])
+        .sort(
+            ["q_overall", "source_url", "job_index"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+        .repartition(1)
+    )
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(range(1, batch.num_rows + 1), pa.int32())
+        )
+
+    return top.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def _q_jobs_summary_by_company(sf_dir: str):
+    """A7: per-company job count + summed quality (micros, so the sum
+    is an exact integer) — advanced_job_finder.py:408-432."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def micros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "company": batch["company"],
+                "q_micros": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(batch["q_overall"], 1_000_000.0), 0.5
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _enriched_jobs(sf_dir)
+        .map_batches(micros, batch_format="pyarrow")
+        .groupby("company")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_jobs"),
+            ray.data.aggregate.Sum("q_micros", alias_name="sum_q_micros"),
+        )
+    )
+
+
 def _q_crawl_job_type_counts(sf_dir: str):
     import ray.data
     from crawler_ai_ray.stages.extract import extract_jobs
@@ -501,6 +620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagination_candidates": _q_crawl_pagination,
         "crawl_jobs": _q_crawl_jobs,
         "crawl_job_type_counts": _q_crawl_job_type_counts,
+        "jobs_enriched": _q_jobs_enriched,
+        "jobs_quality_hist": _q_jobs_quality_hist,
+        "jobs_top10_quality": _q_jobs_top10_quality,
+        "jobs_summary_by_company": _q_jobs_summary_by_company,
         "crawl_career_top3_per_host": _q_crawl_career_top3_per_host,
         "crawl_contacts_by_host": _q_crawl_contacts_by_host,
         "crawl_loop": _q_crawl_loop,
@@ -721,6 +844,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT job_type, count(*)::BIGINT AS n_jobs "
             f"FROM read_parquet('{jobs_golden}') GROUP BY 1"
         ),
+        "jobs_enriched": (
+            "SELECT source_url, job_index, title, "
+            "enh_company AS company, enh_location AS location, "
+            "enh_job_type AS job_type, enh_salary AS salary, "
+            "posted_date, requirements, benefits, level, category, "
+            "COALESCE(array_to_string(technologies, ','), '') "
+            "AS technologies, "
+            "q_completeness, q_relevance, q_freshness, "
+            f"q_overall FROM read_parquet('{jobs_golden}')"
+        ),
+        "jobs_quality_hist": f"""
+            SELECT CASE WHEN q_overall > 0.8 THEN 'excellent'
+                        WHEN q_overall > 0.6 THEN 'good'
+                        WHEN q_overall > 0.4 THEN 'fair'
+                        ELSE 'poor' END AS bucket,
+                   count(*)::BIGINT AS n_jobs
+            FROM read_parquet('{jobs_golden}') GROUP BY 1""",
+        "jobs_top10_quality": f"""
+            WITH r AS (
+              SELECT source_url, job_index, title, q_overall,
+                     row_number() OVER (
+                       ORDER BY q_overall DESC, source_url ASC,
+                                job_index ASC) AS rank
+              FROM read_parquet('{jobs_golden}'))
+            SELECT source_url, job_index, title, q_overall, rank
+            FROM r WHERE rank <= 10""",
+        "jobs_summary_by_company": f"""
+            SELECT enh_company AS company, count(*)::BIGINT AS n_jobs,
+                   sum(CAST(FLOOR(q_overall*1000000 + 0.5) AS BIGINT))
+                     AS sum_q_micros
+            FROM read_parquet('{jobs_golden}') GROUP BY 1""",
         "crawl_career_top3_per_host": f"""
             WITH g AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

@@ -38,13 +38,20 @@ from datetime import datetime, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions import career_urls, classify, contacts, job_urls, jobs as jobfns
+from ..functions import (
+    career_urls,
+    classify,
+    contacts,
+    job_quality,
+    job_urls,
+    jobs as jobfns,
+)
 from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
 from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v11"
+CORPUS_VERSION = "v12"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -446,20 +453,49 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
         else []
     )
     for job in jobs_found:
-        job_rows.append(
+        jrow = {
+            "source_url": url,
+            "job_index": job["job_index"],
+            "title": job["title"],
+            "company": job["company"],
+            "location": job["location"],
+            "job_type": job["job_type"],
+            "salary": job["salary"],
+            "description": job["description"],
+            "summary": jobfns.summarize_description(job["description"]),
+            "source": job["source"],
+        }
+        # enrichment + analyzer goldens (enh_* = post-enhancement values
+        # so the raw columns above stay comparable for crawl_jobs)
+        enh = job_quality.enhance_job(jrow, url)
+        desc = enh.get("description", "") or ""
+        posted = job_quality.extract_posted_date(desc) or ""
+        req, ben = job_quality.extract_requirements_benefits(desc)
+        enh["posted_date"], enh["requirements"], enh["benefits"] = (
+            posted, req, ben,
+        )
+        q = job_quality.quality_scores(enh)
+        jrow.update(
             {
-                "source_url": url,
-                "job_index": job["job_index"],
-                "title": job["title"],
-                "company": job["company"],
-                "location": job["location"],
-                "job_type": job["job_type"],
-                "salary": job["salary"],
-                "description": job["description"],
-                "summary": jobfns.summarize_description(job["description"]),
-                "source": job["source"],
+                "enh_company": enh["company"],
+                "enh_location": enh["location"],
+                "enh_job_type": enh["job_type"],
+                "enh_salary": enh["salary"],
+                "posted_date": posted,
+                "requirements": req,
+                "benefits": ben,
+                "level": job_quality.extract_job_level(jrow["title"]),
+                "category": job_quality.categorize_job(jrow["title"]),
+                "technologies": job_quality.extract_technologies(
+                    f"{jrow['title']} {desc}"
+                ),
+                "q_completeness": q["completeness"],
+                "q_relevance": q["relevance"],
+                "q_freshness": q["freshness"],
+                "q_overall": q["overall"],
             }
         )
+        job_rows.append(jrow)
     return row, job_rows
 
 
