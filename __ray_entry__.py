@@ -197,6 +197,60 @@ def _q_crawl_jobs(sf_dir: str):
     )
 
 
+def _q_crawl_contact_records(sf_dir: str):
+    """Contact-record stage: social links (contact_extractor_service.py
+    :321-366) + contact-form URLs (:392-409) per page; lists travel
+    '|'-joined for the value-hash compare."""
+    import pyarrow as pa
+    from crawler_ai_ray.functions.contact_record import contact_record_batch
+
+    def join_lists(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "social_links": pa.array(
+                    ["|".join(v) for v in batch["social_links"].to_pylist()]
+                ),
+                "contact_forms": pa.array(
+                    ["|".join(v) for v in batch["contact_forms"].to_pylist()]
+                ),
+            }
+        )
+
+    return (
+        _pages(sf_dir, columns=["url", "html"])
+        .map_batches(contact_record_batch, batch_format="pyarrow")
+        .map_batches(join_lists, batch_format="pyarrow")
+    )
+
+
+def _q_crawl_career_anchors(sf_dir: str):
+    """M38: career links discovered from anchor text
+    (career_pages_service.py:854-913)."""
+    import pyarrow as pa
+    from crawler_ai_ray.functions.contact_record import career_anchor_batch
+
+    def join_lists(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "career_pages": pa.array(
+                    ["|".join(v) for v in batch["career_pages"].to_pylist()]
+                ),
+                "career_texts": pa.array(
+                    ["|".join(v) for v in batch["career_texts"].to_pylist()]
+                ),
+                "m38_confidence": batch["m38_confidence"],
+            }
+        )
+
+    return (
+        _pages(sf_dir, columns=["url", "html"])
+        .map_batches(career_anchor_batch, batch_format="pyarrow")
+        .map_batches(join_lists, batch_format="pyarrow")
+    )
+
+
 def _enriched_jobs(sf_dir: str):
     from crawler_ai_ray.functions.job_quality import enrich_jobs_batch
     from crawler_ai_ray.stages.extract import extract_jobs
@@ -626,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_summary_by_company": _q_jobs_summary_by_company,
         "crawl_career_top3_per_host": _q_crawl_career_top3_per_host,
         "crawl_contacts_by_host": _q_crawl_contacts_by_host,
+        "crawl_contact_records": _q_crawl_contact_records,
+        "crawl_career_anchors": _q_crawl_career_anchors,
         "crawl_loop": _q_crawl_loop,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
@@ -891,6 +947,21 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{golden}'))
             SELECT host, email, count(*)::BIGINT AS n_pages
             FROM e GROUP BY 1, 2""",
+        "crawl_contact_records": (
+            "SELECT url, "
+            "COALESCE(array_to_string(social_links, '|'), '') "
+            "AS social_links, "
+            "COALESCE(array_to_string(contact_forms, '|'), '') "
+            f"AS contact_forms FROM read_parquet('{golden}')"
+        ),
+        "crawl_career_anchors": (
+            "SELECT url, "
+            "COALESCE(array_to_string(m38_career_pages, '|'), '') "
+            "AS career_pages, "
+            "COALESCE(array_to_string(m38_career_texts, '|'), '') "
+            "AS career_texts, m38_confidence "
+            f"FROM read_parquet('{golden}')"
+        ),
         "doc_token_stats": f"""
             SELECT doc_id,
               len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,

@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 from ..functions import (
     career_urls,
     classify,
+    contact_record,
     contacts,
     job_quality,
     job_urls,
@@ -51,7 +52,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v12"
+CORPUS_VERSION = "v13"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -429,6 +430,20 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             "is_career_page_url": job_urls.is_career_page_url(url),
             "is_pagination_url": job_urls.is_pagination_url(url),
             "pagination_candidates": job_urls.pagination_candidates(url),
+        }
+    )
+    social = contact_record.social_media_links(html, row["out_links"])
+    forms = contact_record.detect_contact_forms(row["out_links"])
+    m38_pages, m38_texts, m38_conf = contact_record.career_anchor_links(
+        facts.anchors, url
+    )
+    row.update(
+        {
+            "social_links": social,
+            "contact_forms": forms,
+            "m38_career_pages": m38_pages,
+            "m38_career_texts": m38_texts,
+            "m38_confidence": m38_conf,
         }
     )
     m11 = career_urls.career_url_confidence(url)
