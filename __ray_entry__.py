@@ -197,6 +197,26 @@ def _q_crawl_jobs(sf_dir: str):
     )
 
 
+def _q_crawl_page_meta(sf_dir: str):
+    """M35 page metadata (routes.py:210-257) + M4 title/description
+    cascade (crawler.py:329-384), flattened."""
+    from crawler_ai_ray.functions.page_meta import page_meta_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        page_meta_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_page_structure(sf_dir: str):
+    """M36 career-page structure analysis (job_extraction_service.py
+    :719-808) + page-type detection + listing-redirect chase."""
+    from crawler_ai_ray.functions.page_structure import page_structure_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        page_structure_batch, batch_format="pyarrow"
+    )
+
+
 def _q_crawl_contact_records(sf_dir: str):
     """Contact-record stage: social links (contact_extractor_service.py
     :321-366) + contact-form URLs (:392-409) per page; lists travel
@@ -682,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_contacts_by_host": _q_crawl_contacts_by_host,
         "crawl_contact_records": _q_crawl_contact_records,
         "crawl_career_anchors": _q_crawl_career_anchors,
+        "crawl_page_meta": _q_crawl_page_meta,
+        "crawl_page_structure": _q_crawl_page_structure,
         "crawl_loop": _q_crawl_loop,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
@@ -960,6 +982,25 @@ def oracle_sql() -> dict[str, str]:
             "AS career_pages, "
             "COALESCE(array_to_string(m38_career_texts, '|'), '') "
             "AS career_texts, m38_confidence "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_page_meta": (
+            "SELECT url, n_meta_tags, n_og_tags, n_twitter_tags, "
+            "n_structured_data, title_tag, head_scripts, head_styles, "
+            "images, links, og_title, og_description, twitter_card, "
+            f"m4_title, m4_description FROM read_parquet('{golden}')"
+        ),
+        "crawl_page_structure": (
+            "SELECT url, ps_page_type AS page_type, "
+            "ps_has_individual AS has_individual_urls, "
+            "ps_has_embedded AS has_embedded_jobs, "
+            "ps_job_count AS job_count, "
+            "ps_strategy AS recommended_strategy, "
+            "ps_individual_found AS individual_urls_found, "
+            "ps_embedded_found AS embedded_jobs_found, "
+            "ps_text_length AS page_text_length, "
+            "ps_detected_type AS detected_type, "
+            "ps_listing_redirect AS listing_redirect "
             f"FROM read_parquet('{golden}')"
         ),
         "doc_token_stats": f"""

@@ -88,8 +88,15 @@ class PageFacts:
         "tables",           # [[row=[cell_text,...], ...], ...] (M24)
         "n_scripts", "n_styles", "n_images", "n_links",
         "script_bodies",    # raw <script> contents (M32 JS job data)
+        "script_types",     # type= attr per script (parallel; M35 JSON-LD)
         "hidden_texts",     # texts of display:none/.hidden/aria-hidden (M33)
         "data_job_attrs",   # values of data-job attributes (M33)
+        "meta_all",         # [(name, property, http-equiv, content)] (M35)
+        "paragraphs",       # every <p> subtree text in doc order (M4)
+        "p_classes",        # class attr string per <p> (parallel; M4)
+        "p_anc_classes",    # ancestor class names per <p> (parallel; M4)
+        "div_first",        # first div text per M4 class keyword
+        "clickables",       # [(tag, href|None, text)] for a+button (doc order)
     )
 
     def __init__(self) -> None:
@@ -107,8 +114,15 @@ class PageFacts:
         self.n_images = 0
         self.n_links = 0
         self.script_bodies: list[str] = []
+        self.script_types: list[str] = []
         self.hidden_texts: list[str] = []
         self.data_job_attrs: list[str] = []
+        self.meta_all: list[tuple[str, str, str, str]] = []
+        self.paragraphs: list[str] = []
+        self.p_classes: list[str] = []
+        self.p_anc_classes: list[str] = []
+        self.div_first: dict[str, str] = {}
+        self.clickables: list[tuple[str, str | None, str]] = []
 
     @property
     def h1(self) -> list[str]:
@@ -145,6 +159,8 @@ class _FactParser(HTMLParser):
         self._script_buf: list[str] = []
         self._table_stack: list[list[list[str]]] = []   # tables of rows
         self._row_stack: list[list[str]] = []
+        self._open: list[tuple[str, str]] = []  # (tag, class) of open tags
+        self._div_kw_active: set[str] = set()
 
     # -- start tags ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -160,12 +176,21 @@ class _FactParser(HTMLParser):
                     f.meta_tags.setdefault(name, content)
                 if (ad.get("name") or "").lower() == "description" and not f.meta_description:
                     f.meta_description = content or ""
+                f.meta_all.append(
+                    (
+                        ad.get("name") or "",
+                        ad.get("property") or "",
+                        ad.get("http-equiv") or "",
+                        ad.get("content") or "",
+                    )
+                )
             return
 
         # existing captures grow one level deeper
         for cap in self._caps:
             cap.depth += 1
 
+        ad = dict(attrs)
         if tag in _DECOMPOSE_TAGS:
             self._excl_depth += 1
             self._excl_stack.append(tag)
@@ -173,10 +198,11 @@ class _FactParser(HTMLParser):
                 f.n_scripts += 1
                 self._in_script = True
                 self._script_buf = []
+                f.script_types.append(ad.get("type") or "")
             elif tag == "style":
                 f.n_styles += 1
 
-        ad = dict(attrs)
+        cls_attr = ad.get("class") or ""
         if tag == "title" and f.title is None:
             self._caps.append(_Cap("title", tag))
         elif tag in _HEADINGS:
@@ -185,6 +211,22 @@ class _FactParser(HTMLParser):
             self._caps.append(_Cap("li", tag))
         elif tag in ("td", "th"):
             self._caps.append(_Cap("cell", tag))
+        elif tag == "p":
+            anc_tokens = " ".join(
+                c for _, c in self._open if c
+            )
+            self._caps.append(_Cap("p", tag, extra=(cls_attr, anc_tokens)))
+        elif tag == "div":
+            for kw in ("description", "about", "intro"):
+                if (
+                    kw in cls_attr
+                    and kw not in f.div_first
+                    and kw not in self._div_kw_active
+                ):
+                    self._div_kw_active.add(kw)
+                    self._caps.append(_Cap("div_kw", tag, extra=kw))
+        elif tag == "button":
+            self._caps.append(_Cap("button", tag))
         elif tag == "table":
             self._table_stack.append([])
         elif tag == "tr":
@@ -207,12 +249,17 @@ class _FactParser(HTMLParser):
         dj = ad.get("data-job")
         if dj:
             f.data_job_attrs.append(dj)
+        self._open.append((tag, cls_attr))
 
     # -- end tags -----------------------------------------------------
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID:
             return
         f = self.facts
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                del self._open[i:]
+                break
         if self._excl_stack and tag in _DECOMPOSE_TAGS and self._excl_stack[-1] == tag:
             self._excl_stack.pop()
             self._excl_depth -= 1
@@ -246,6 +293,18 @@ class _FactParser(HTMLParser):
             f.headings[cap.tag].append(text)
         elif cap.kind == "a":
             f.anchors.append((cap.extra, text))
+            f.clickables.append(("a", cap.extra, text))
+        elif cap.kind == "button":
+            f.clickables.append(("button", None, text))
+        elif cap.kind == "p":
+            cls_attr, anc = cap.extra
+            f.paragraphs.append(text)
+            f.p_classes.append(cls_attr)
+            f.p_anc_classes.append(anc)
+        elif cap.kind == "div_kw":
+            self._div_kw_active.discard(cap.extra)
+            if cap.extra not in f.div_first:
+                f.div_first[cap.extra] = text
         elif cap.kind == "li":
             f.list_items.append(text)
         elif cap.kind == "cell":

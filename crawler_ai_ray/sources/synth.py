@@ -44,6 +44,8 @@ from ..functions import (
     contact_record,
     contacts,
     job_quality,
+    page_meta,
+    page_structure,
     job_urls,
     jobs as jobfns,
 )
@@ -52,7 +54,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v13"
+CORPUS_VERSION = "v14"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -430,6 +432,44 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             "is_career_page_url": job_urls.is_career_page_url(url),
             "is_pagination_url": job_urls.is_pagination_url(url),
             "pagination_candidates": job_urls.pagination_candidates(url),
+        }
+    )
+    md = page_meta.page_metadata(facts)
+    m4_title, m4_desc = page_meta.extract_title_description(facts)
+    ps = page_structure.analyze_page_structure(
+        url, [h for h, _ in facts.anchors], "".join(facts.all_pieces)
+    )
+    row.update(
+        {
+            "n_meta_tags": len(md["meta_tags"]),
+            "n_og_tags": len(md["og_tags"]),
+            "n_twitter_tags": len(md["twitter_tags"]),
+            "n_structured_data": md["n_structured_data"],
+            "title_tag": md["title_tag"],
+            "head_scripts": md["head_scripts"],
+            "head_styles": md["head_styles"],
+            "images": md["images"],
+            "links": md["links"],
+            "og_title": md["og_tags"].get("og:title", ""),
+            "og_description": md["og_tags"].get("og:description", ""),
+            "twitter_card": md["twitter_tags"].get("twitter:card", ""),
+            "m4_title": m4_title,
+            "m4_description": m4_desc,
+            "ps_page_type": ps["page_type"],
+            "ps_has_individual": ps["has_individual_urls"],
+            "ps_has_embedded": ps["has_embedded_jobs"],
+            "ps_job_count": ps["job_count"],
+            "ps_strategy": ps["recommended_strategy"],
+            "ps_individual_found": ps["individual_urls_found"],
+            "ps_embedded_found": ps["embedded_jobs_found"],
+            "ps_text_length": ps["page_text_length"],
+            "ps_detected_type": page_structure.detect_page_type(
+                url, [h for h, _ in facts.anchors]
+            ),
+            "ps_listing_redirect": page_structure.find_job_listing_redirect(
+                url, facts.clickables
+            )
+            or "",
         }
     )
     social = contact_record.social_media_links(html, row["out_links"])
