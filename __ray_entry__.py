@@ -271,6 +271,145 @@ def _q_crawl_career_anchors(sf_dir: str):
     )
 
 
+def _q_crawl_sitemap_jobs(sf_dir: str):
+    """S9: sitemap <loc> reader + job-keyword filter
+    (career_pages_service.py:291-317)."""
+    from crawler_ai_ray.functions.sitemap import sitemap_jobs_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        sitemap_jobs_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_api_jobs(sf_dir: str):
+    """M31: API-response job parser over JSON endpoint pages
+    (job_extraction_service.py:3740-3805)."""
+    from crawler_ai_ray.functions.api_jobs import api_jobs_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        api_jobs_batch, batch_format="pyarrow"
+    )
+
+
+def _q_jobs_normalized(sf_dir: str):
+    """D3: per-page job normalization (title cleanup + location
+    inference + cleaned-title dedup, job_extraction_service.py:
+    2285-2320)."""
+    from crawler_ai_ray.stages.extract import extract_jobs_normalized_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        extract_jobs_normalized_batch,
+        batch_format="pyarrow",
+        batch_size=32,
+    ).select_columns(
+        ["source_url", "job_index", "title", "company", "location",
+         "job_type", "salary", "summary", "source"]
+    )
+
+
+def _q_crawl_contacts_enriched(sf_dir: str):
+    """J1: broadcast-small-side enrichment join (routes.py:44-54,
+    284-295) — the per-host company-metadata table rides the object
+    store once (ray.put) and every task reads it; no shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from crawler_ai_ray.functions.merge_ops import apply_enrichment
+
+    apify = pq.read_table(os.path.join(_corpus(sf_dir), "apify.parquet"))
+    lookup = {
+        r["host"]: {"phone": r["phone"], "title": r["title"]}
+        for r in apify.to_pylist()
+    }
+    lookup_ref = ray.put(lookup)
+
+    ex = _extracted(sf_dir).select_columns(["host", "phones_vn"])
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        hs, ps = [], []
+        for h, lst in zip(
+            batch["host"].to_pylist(), batch["phones_vn"].to_pylist()
+        ):
+            for p in lst or []:
+                hs.append(h)
+                ps.append(p)
+        return pa.table(
+            {"host": pa.array(hs, pa.string()),
+             "phone": pa.array(ps, pa.string())}
+        )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)
+        host = group["host"][0].as_py()
+        phones = sorted(set(group["phone"].to_pylist()))
+        phones, title = apply_enrichment(phones, table.get(host))
+        return pa.table(
+            {
+                "host": pa.array([host], pa.string()),
+                "phones": pa.array(["|".join(phones)], pa.string()),
+                "company_title": pa.array([title], pa.string()),
+            }
+        )
+
+    return (
+        ex.map_batches(unnest, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+def _q_crawl_career_merge(sf_dir: str):
+    """J2: prefer-primary-source merge per host (career_pages_service
+    .py:1178-1307): spider-detected career listings win; else M11
+    URL-confidence accepts; dedup, (priority, url) sort, top-3."""
+    import pyarrow as pa
+
+    from crawler_ai_ray.functions.career_urls import career_url_confidence
+    from crawler_ai_ray.functions.merge_ops import (
+        career_page_priority,
+        merge_detection_results,
+    )
+
+    ex = _extracted(sf_dir).select_columns(["url", "host",
+                                            "is_career_listing"])
+
+    def add_m11(batch: pa.Table) -> pa.Table:
+        flags = [
+            career_url_confidence(u)["is_career_page"]
+            for u in batch["url"].to_pylist()
+        ]
+        return batch.append_column("m11_career", pa.array(flags, pa.bool_()))
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        host = group["host"][0].as_py()
+        urls = group["url"].to_pylist()
+        primary = sorted(
+            u
+            for u, f in zip(urls, group["is_career_listing"].to_pylist())
+            if f
+        )
+        fallback = sorted(
+            u for u, f in zip(urls, group["m11_career"].to_pylist()) if f
+        )
+        top = merge_detection_results(primary, fallback)
+        return pa.table(
+            {
+                "host": pa.array([host] * len(top), pa.string()),
+                "url": pa.array(top, pa.string()),
+                "priority": pa.array(
+                    [career_page_priority(u) for u in top], pa.int32()
+                ),
+            }
+        )
+
+    return (
+        ex.map_batches(add_m11, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
 def _enriched_jobs(sf_dir: str):
     from crawler_ai_ray.functions.job_quality import enrich_jobs_batch
     from crawler_ai_ray.stages.extract import extract_jobs
@@ -704,6 +843,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_career_anchors": _q_crawl_career_anchors,
         "crawl_page_meta": _q_crawl_page_meta,
         "crawl_page_structure": _q_crawl_page_structure,
+        "crawl_sitemap_jobs": _q_crawl_sitemap_jobs,
+        "crawl_api_jobs": _q_crawl_api_jobs,
+        "crawl_contacts_enriched": _q_crawl_contacts_enriched,
+        "crawl_career_merge": _q_crawl_career_merge,
+        "jobs_normalized": _q_jobs_normalized,
         "crawl_loop": _q_crawl_loop,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
@@ -754,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
     corpus = _corpus("/root/testdata/sf0.01")
     golden = os.path.join(corpus, "golden.parquet")
     jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
+    jobs_norm_golden = os.path.join(corpus, "jobs_norm_golden.parquet")
+    api_jobs_golden = os.path.join(corpus, "api_jobs_golden.parquet")
+    apify = os.path.join(corpus, "apify.parquet")
 
     def esc(pat: str) -> str:
         """Escape a regex for use inside a single-quoted SQL literal."""
@@ -1002,6 +1149,66 @@ def oracle_sql() -> dict[str, str]:
             "ps_detected_type AS detected_type, "
             "ps_listing_redirect AS listing_redirect "
             f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_sitemap_jobs": (
+            "SELECT url AS sitemap_url, unnest(sitemap_job_locs) AS loc "
+            f"FROM read_parquet('{golden}') "
+            "WHERE url LIKE '%/sitemap.xml'"
+        ),
+        "crawl_api_jobs": (
+            "SELECT source_url, job_index, title, company, location, "
+            "job_type, salary, posted_date, url, description, "
+            "requirements, benefits "
+            f"FROM read_parquet('{api_jobs_golden}')"
+        ),
+        "crawl_contacts_enriched": f"""
+            WITH p AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     unnest(phones_vn) AS phone
+              FROM read_parquet('{golden}')),
+            d AS (
+              SELECT host, list_sort(list(DISTINCT phone)) AS phones
+              FROM p GROUP BY 1)
+            SELECT d.host,
+              array_to_string(d.phones, '|') ||
+                CASE WHEN a.phone IS NOT NULL
+                          AND NOT list_contains(d.phones, a.phone)
+                     THEN '|' || a.phone ELSE '' END AS phones,
+              COALESCE(a.title, '') AS company_title
+            FROM d LEFT JOIN read_parquet('{apify}') a USING (host)""",
+        "crawl_career_merge": f"""
+            WITH g AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     url, is_career_listing, m11_is_career_page
+              FROM read_parquet('{golden}')),
+            counts AS (
+              SELECT host,
+                     sum(CASE WHEN is_career_listing THEN 1 ELSE 0 END)
+                       AS np
+              FROM g GROUP BY 1),
+            cand AS (
+              SELECT g.host, g.url FROM g JOIN counts USING (host)
+              WHERE CASE WHEN np > 0 THEN is_career_listing
+                         ELSE m11_is_career_page END),
+            ranked AS (
+              SELECT host, url,
+                CASE WHEN lower(url) LIKE '%/opening-positions%'
+                       OR lower(url) LIKE '%/jobs/%'
+                       OR lower(url) LIKE '%/job-listings%'
+                       OR lower(url) LIKE '%/vacancies%'
+                       OR lower(url) LIKE '%/positions/%'
+                       OR lower(url) LIKE '%/opportunities/%'
+                       OR lower(url) LIKE '%/tuyen-dung/%'
+                     THEN 1 ELSE 3 END AS priority
+              FROM cand)
+            SELECT host, url, priority FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY priority, url) AS rn
+              FROM ranked) WHERE rn <= 3""",
+        "jobs_normalized": (
+            "SELECT source_url, job_index, title, company, location, "
+            "job_type, salary, summary, source "
+            f"FROM read_parquet('{jobs_norm_golden}')"
         ),
         "doc_token_stats": f"""
             SELECT doc_id,

@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions import (
+    api_jobs,
     career_urls,
     classify,
     contact_record,
@@ -48,13 +49,14 @@ from ..functions import (
     page_structure,
     job_urls,
     jobs as jobfns,
+    sitemap,
 )
 from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
 from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v14"
+CORPUS_VERSION = "v15"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -379,6 +381,50 @@ def _gen_host_pages(host: _Host) -> list[dict]:
                                 f"<h1>Current openings</h1>{links_html}"),
         })
 
+    # --- sitemap.xml (S9 fixture; unlinked → never enters the frontier)
+    locs = "".join(
+        f"  <url><loc>{p['url']}</loc></url>\n" for p in pages
+    )
+    pages.append({
+        "url": f"{host.base}/sitemap.xml",
+        "html": (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f"{locs}"
+            f"  <url><loc>{host.base}/press/release-1</loc></url>\n"
+            "</urlset>"
+        ),
+    })
+
+    # --- JSON API endpoint (M31 fixture; shape rotates by host) ------
+    api_jobs = [
+        {
+            ("title", "name", "position")[i % 3]: t,
+            "type": _JOB_TYPES[i % len(_JOB_TYPES)],
+            "location": ("Hanoi", "Remote", "")[i % 3],
+            ("url", "link", "apply_url")[i % 3]: u,
+            "salary": _SALARIES[i % len(_SALARIES)],
+        }
+        for i, (u, t) in enumerate(job_urls[:6])
+    ]
+    shape = host.idx % 5
+    if shape == 0:
+        payload = {"jobs": api_jobs}
+    elif shape == 1:
+        payload = {"data": {"jobs": api_jobs}}
+    elif shape == 2:
+        payload = {"results": api_jobs}
+    elif shape == 3:
+        payload = {"items": api_jobs}
+    else:
+        payload = api_jobs
+    import json as _json
+
+    pages.append({
+        "url": f"{host.base}/api/jobs",
+        "html": _json.dumps(payload, sort_keys=True),
+    })
+
     return pages
 
 
@@ -551,7 +597,27 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             }
         )
         job_rows.append(jrow)
-    return row, job_rows
+
+    # S9 / M31 goldens
+    row["sitemap_job_locs"] = (
+        sitemap.filter_job_locs(sitemap.parse_sitemap_locs(html))
+        if url.endswith("/sitemap.xml")
+        else []
+    )
+    api_rows: list[dict] = []
+    if "/api/" in url:
+        import json as _json
+
+        try:
+            data = _json.loads(html)
+        except ValueError:
+            data = None
+        if data is not None:
+            for i, job in enumerate(api_jobs.parse_api_job_data(data, url)):
+                api_rows.append(
+                    {"source_url": url, "job_index": i, **job}
+                )
+    return row, job_rows, api_rows
 
 
 # ---------------------------------------------------------------------------
@@ -588,9 +654,18 @@ def _build_host(args: tuple[int, int]) -> tuple:
     ]
     if host.career_sub:
         host_rows.append({**host_rows[0], "host": f"careers.{host.domain}"})
-    page_rows, golden_rows, job_rows = [], [], []
+    page_rows, golden_rows, job_rows, api_rows = [], [], [], []
+    apify_rows = [
+        {
+            "host": host.domain,
+            "domain": host.domain,
+            "title": f"{host.name.title()} Corp",
+            "phone": f"09{host.idx % 100000000:08d}",
+            "website": f"{host.base}/",
+        }
+    ]
     for p in pages:
-        g, jrows = _golden_for_page(p["url"], p["html"])
+        g, jrows, arows = _golden_for_page(p["url"], p["html"])
         page_rows.append(
             {
                 "url": p["url"],
@@ -602,7 +677,11 @@ def _build_host(args: tuple[int, int]) -> tuple:
         )
         golden_rows.append(g)
         job_rows.extend(jrows)
-    return page_rows, golden_rows, job_rows, seed_row, host_rows
+        api_rows.extend(arows)
+    return (
+        page_rows, golden_rows, job_rows, api_rows, apify_rows, seed_row,
+        host_rows,
+    )
 
 
 def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
@@ -627,12 +706,16 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
     else:
         results = [_build_host((i, seed)) for i in range(n_hosts)]
 
-    for prows, grows, jrows, srow, hrows in results:
+    api_rows: list[dict] = []
+    apify_rows: list[dict] = []
+    for prows, grows, jrows, arows, aprows, srow, hrows in results:
         for p in prows:
             p["warc_ts"] = _BASE_TS_MS + len(page_rows) * 1000
             page_rows.append(p)
         golden_rows.extend(grows)
         job_rows.extend(jrows)
+        api_rows.extend(arows)
+        apify_rows.extend(aprows)
         seed_rows.append(srow)
         host_rows.extend(hrows)
 
@@ -647,6 +730,27 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
     if job_rows:
         pq.write_table(pa.Table.from_pylist(job_rows),
                        os.path.join(out_dir, "jobs_golden.parquet"))
+    if api_rows:
+        pq.write_table(pa.Table.from_pylist(api_rows),
+                       os.path.join(out_dir, "api_jobs_golden.parquet"))
+    # D3-normalized jobs golden: per-page normalize_jobs over the same
+    # job rows (job order within a page = extraction order)
+    from ..functions.merge_ops import normalize_jobs
+
+    by_page: dict[str, list[dict]] = {}
+    for j in job_rows:
+        by_page.setdefault(j["source_url"], []).append(j)
+    norm_rows: list[dict] = []
+    keep = ("source_url", "job_index", "title", "company", "location",
+            "job_type", "salary", "description", "summary", "source")
+    for jurl in by_page:
+        for j in normalize_jobs(by_page[jurl]):
+            norm_rows.append({k: j[k] for k in keep})
+    if norm_rows:
+        pq.write_table(pa.Table.from_pylist(norm_rows),
+                       os.path.join(out_dir, "jobs_norm_golden.parquet"))
+    pq.write_table(pa.Table.from_pylist(apify_rows),
+                   os.path.join(out_dir, "apify.parquet"))
     pq.write_table(pa.Table.from_pylist(seed_rows),
                    os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(pa.Table.from_pylist(host_rows),

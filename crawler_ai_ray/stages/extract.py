@@ -186,6 +186,42 @@ def extract_jobs_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=JOBS_SCHEMA)
 
 
+def extract_jobs_normalized_batch(batch: pa.Table) -> pa.Table:
+    """pages → D3-normalized job records: the per-page job list runs
+    through `normalize_jobs` (job_extraction_service.py:2285-2320 —
+    title cleanup, location inference, cleaned-title dedup) before
+    emission.  Page-local, so blocks can split anywhere."""
+    from ..functions.merge_ops import normalize_jobs
+
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {name: [] for name in JOBS_SCHEMA.names}
+    for url, html_b in zip(urls, htmls):
+        html = _decode(html_b)
+        if not classify.is_career_listing_page(url, html):
+            continue
+        facts = parse_page(html)
+        page_text = "".join(facts.text_pieces)
+        host = classify.host_of(url)
+        for job in normalize_jobs(
+            jobfns.extract_all_jobs(facts, page_text, url)
+        ):
+            cols["source_url"].append(url)
+            cols["host"].append(host)
+            cols["job_index"].append(job["job_index"])
+            cols["title"].append(job["title"])
+            cols["company"].append(job["company"])
+            cols["location"].append(job["location"])
+            cols["job_type"].append(job["job_type"])
+            cols["salary"].append(job["salary"])
+            cols["description"].append(job["description"])
+            cols["summary"].append(
+                jobfns.summarize_description(job["description"])
+            )
+            cols["source"].append(job["source"])
+    return pa.Table.from_pydict(cols, schema=JOBS_SCHEMA)
+
+
 CRAWL_EXTRACT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
