@@ -271,6 +271,51 @@ def _q_crawl_career_anchors(sf_dir: str):
     )
 
 
+def _q_crawl_container_jobs(sf_dir: str):
+    """M29: anchor→ancestor container job extraction
+    (container_extractor.py:11-224)."""
+    from crawler_ai_ray.functions.container_jobs import container_jobs_batch
+
+    return (
+        _pages(sf_dir, columns=["url", "html"])
+        .map_batches(container_jobs_batch, batch_format="pyarrow")
+        .select_columns(
+            ["source_url", "job_index", "title", "job_type", "location",
+             "salary", "job_link"]
+        )
+    )
+
+
+def _q_crawl_link_scores(sf_dir: str):
+    """M30: job-card scan + scored link sweep (job_extractor.py:
+    449-751), keep score ≥ 3."""
+    from crawler_ai_ray.functions.link_scoring import job_link_scores_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        job_link_scores_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_element_check(sf_dir: str):
+    """M39: per-element job-likeness verdicts
+    (element_checker.py:20-101) over classed block elements."""
+    from crawler_ai_ray.functions.link_scoring import element_check_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        element_check_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_job_fallback(sf_dir: str):
+    """M19/M20: main-content + alternative fallback job extraction
+    (job_extraction_service.py:1794-1953)."""
+    from crawler_ai_ray.functions.job_fallback import job_fallback_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        job_fallback_batch, batch_format="pyarrow"
+    )
+
+
 def _q_crawl_sitemap_jobs(sf_dir: str):
     """S9: sitemap <loc> reader + job-keyword filter
     (career_pages_service.py:291-317)."""
@@ -843,6 +888,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_career_anchors": _q_crawl_career_anchors,
         "crawl_page_meta": _q_crawl_page_meta,
         "crawl_page_structure": _q_crawl_page_structure,
+        "crawl_container_jobs": _q_crawl_container_jobs,
+        "crawl_link_scores": _q_crawl_link_scores,
+        "crawl_element_check": _q_crawl_element_check,
+        "crawl_job_fallback": _q_crawl_job_fallback,
         "crawl_sitemap_jobs": _q_crawl_sitemap_jobs,
         "crawl_api_jobs": _q_crawl_api_jobs,
         "crawl_contacts_enriched": _q_crawl_contacts_enriched,
@@ -1149,6 +1198,27 @@ def oracle_sql() -> dict[str, str]:
             "ps_detected_type AS detected_type, "
             "ps_listing_redirect AS listing_redirect "
             f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_container_jobs": (
+            "SELECT url AS source_url, unnest(cj_index) AS job_index, "
+            "unnest(cj_title) AS title, unnest(cj_job_type) AS job_type, "
+            "unnest(cj_location) AS location, unnest(cj_salary) AS salary, "
+            f"unnest(cj_link) AS job_link FROM read_parquet('{golden}')"
+        ),
+        "crawl_link_scores": (
+            "SELECT url AS source_url, unnest(ls_url) AS url, "
+            "unnest(ls_text) AS text, unnest(ls_score) AS job_score, "
+            "unnest(ls_card) AS is_direct_card "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_element_check": (
+            "SELECT url, unnest(ec_index) AS element_index, "
+            "unnest(ec_tag) AS tag, unnest(ec_likely) AS is_likely_job, "
+            f"unnest(ec_conf) AS confidence FROM read_parquet('{golden}')"
+        ),
+        "crawl_job_fallback": (
+            "SELECT url, fb_title, fb_description, alt_title, "
+            f"alt_description FROM read_parquet('{golden}')"
         ),
         "crawl_sitemap_jobs": (
             "SELECT url AS sitemap_url, unnest(sitemap_job_locs) AS loc "

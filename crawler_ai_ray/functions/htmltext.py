@@ -97,6 +97,23 @@ class PageFacts:
         "p_anc_classes",    # ancestor class names per <p> (parallel; M4)
         "div_first",        # first div text per M4 class keyword
         "clickables",       # [(tag, href|None, text)] for a+button (doc order)
+        "sel_pieces",       # first-match raw text pieces per selector key
+    )
+
+    #: selector keys captured into ``sel_pieces`` — M19 main-content
+    #: cascade (job_extraction_service.py:1800-1813) + M20 fallbacks.
+    SELECTOR_KEYS = (
+        ("main", "tag", "main"),
+        (".main", "class", "main"),
+        ("#main", "id", "main"),
+        (".content", "class", "content"),
+        ("#content", "id", "content"),
+        (".container", "class", "container"),
+        (".wrapper", "class", "wrapper"),
+        (".page-content", "class", "page-content"),
+        (".post-content", "class", "post-content"),
+        ("article", "tag", "article"),
+        ("body", "tag", "body"),
     )
 
     def __init__(self) -> None:
@@ -123,6 +140,7 @@ class PageFacts:
         self.p_anc_classes: list[str] = []
         self.div_first: dict[str, str] = {}
         self.clickables: list[tuple[str, str | None, str]] = []
+        self.sel_pieces: dict[str, list[str]] = {}
 
     @property
     def h1(self) -> list[str]:
@@ -161,6 +179,7 @@ class _FactParser(HTMLParser):
         self._row_stack: list[list[str]] = []
         self._open: list[tuple[str, str]] = []  # (tag, class) of open tags
         self._div_kw_active: set[str] = set()
+        self._sel_active: set[str] = set()
 
     # -- start tags ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -227,7 +246,20 @@ class _FactParser(HTMLParser):
                     self._caps.append(_Cap("div_kw", tag, extra=kw))
         elif tag == "button":
             self._caps.append(_Cap("button", tag))
-        elif tag == "table":
+        # selector-key first-match captures (any tag)
+        cls_tokens = cls_attr.split()
+        el_id = ad.get("id") or ""
+        for key, kind, val in PageFacts.SELECTOR_KEYS:
+            if key in f.sel_pieces or key in self._sel_active:
+                continue
+            if (
+                (kind == "tag" and tag == val)
+                or (kind == "class" and val in cls_tokens)
+                or (kind == "id" and el_id == val)
+            ):
+                self._sel_active.add(key)
+                self._caps.append(_Cap("sel", tag, extra=key))
+        if tag == "table":
             self._table_stack.append([])
         elif tag == "tr":
             self._row_stack.append([])
@@ -305,6 +337,10 @@ class _FactParser(HTMLParser):
             self._div_kw_active.discard(cap.extra)
             if cap.extra not in f.div_first:
                 f.div_first[cap.extra] = text
+        elif cap.kind == "sel":
+            self._sel_active.discard(cap.extra)
+            if cap.extra not in f.sel_pieces:
+                f.sel_pieces[cap.extra] = list(cap.buf)
         elif cap.kind == "li":
             f.list_items.append(text)
         elif cap.kind == "cell":

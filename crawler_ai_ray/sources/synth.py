@@ -44,6 +44,10 @@ from ..functions import (
     classify,
     contact_record,
     contacts,
+    container_jobs,
+    link_scoring,
+    minidom,
+    job_fallback,
     job_quality,
     page_meta,
     page_structure,
@@ -56,7 +60,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v15"
+CORPUS_VERSION = "v17"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -516,6 +520,47 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
                 url, facts.clickables
             )
             or "",
+        }
+    )
+    m19 = job_fallback.extract_job_from_main_content(facts, url)
+    m20 = job_fallback.extract_job_alternative(facts, url)
+    row.update(
+        {
+            "fb_title": m19.get("job_name", ""),
+            "fb_description": m19.get("job_description", ""),
+            "alt_title": m20.get("job_name", ""),
+            "alt_description": m20.get("job_description", ""),
+        }
+    )
+    cj = container_jobs.container_jobs(html, url)
+    ls = link_scoring.extract_job_links_detailed(html, url)
+    ec_root = minidom.build_tree(html)
+    ec_rows = []
+    ec_idx = 0
+    for el in ec_root.iter_elements():
+        if el.tag in ("div", "section", "article", "li") and el.attrs.get(
+            "class"
+        ) is not None:
+            v = link_scoring.check_element_for_job(el)
+            ec_rows.append((ec_idx, el.tag, v["is_likely_job"],
+                            round(v["confidence"], 10)))
+            ec_idx += 1
+    row.update(
+        {
+            "cj_index": [j["job_index"] for j in cj],
+            "cj_title": [j["title"] for j in cj],
+            "cj_job_type": [j["job_type"] for j in cj],
+            "cj_location": [j["location"] for j in cj],
+            "cj_salary": [j["salary"] for j in cj],
+            "cj_link": [j["job_link"] for j in cj],
+            "ls_url": [r["url"] for r in ls],
+            "ls_text": [r["text"] for r in ls],
+            "ls_score": [r["job_score"] for r in ls],
+            "ls_card": [r["is_direct_card"] for r in ls],
+            "ec_index": [r[0] for r in ec_rows],
+            "ec_tag": [r[1] for r in ec_rows],
+            "ec_likely": [r[2] for r in ec_rows],
+            "ec_conf": [r[3] for r in ec_rows],
         }
     )
     social = contact_record.social_media_links(html, row["out_links"])
