@@ -126,3 +126,34 @@ def test_resume_matches_uninterrupted(unit_corpus, tmp_path):
     run_crawl(cfg2, resume=True)
     resumed = _by_host(_engine_log(part_dir))
     assert resumed == full
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_and_distributed_rounds_identical(unit_corpus, tmp_path):
+    """The scale-adaptive fast path (tiny rounds run driver-local
+    through the same per-bucket code) must be byte-identical to the
+    always-distributed execution."""
+    from crawler_ai_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_files,
+        run_crawl,
+    )
+    import pyarrow.dataset as pads
+
+    outs = {}
+    for name, threshold in (("local", 10**9), ("dist", 0)):
+        out_dir = str(tmp_path / name)
+        cfg = CrawlConfig(
+            unit_corpus, out_dir, seen_shards=4, store_shards=2,
+            local_round_rows=threshold, buckets=8,
+        )
+        run_crawl(cfg)
+        tbl = pads.dataset(
+            crawl_output_files(out_dir), format="parquet"
+        ).to_table()
+        outs[name] = tbl.sort_by(
+            [("kind", "ascending"), ("host", "ascending"),
+             ("url", "ascending"), ("round", "ascending")]
+        )
+    assert outs["local"].equals(outs["dist"])
+    assert outs["local"].num_rows > 0
