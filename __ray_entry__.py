@@ -37,18 +37,29 @@ def _corpus(sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
-def _pages(sf_dir: str, columns=None):
+def _read_parallel(path: str, columns=None):
+    """read_parquet with explicit read-task parallelism.  A single-file
+    read defaults to ONE read task + SplitBlocks, which serializes the
+    producer side and starves downstream map stages (measured 12.8 s →
+    4.1 s on the sf0.1 extraction pipeline)."""
+    import pyarrow.parquet as pq
     import ray.data
 
+    rows = pq.ParquetFile(path).metadata.num_rows
+    blocks = max(8, min(64, rows // 512 or 1))
     return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=blocks
+    )
+
+
+def _pages(sf_dir: str, columns=None):
+    return _read_parallel(
         os.path.join(_corpus(sf_dir), "pages.parquet"), columns=columns
     )
 
 
 def _table(sf_dir: str, name: str, columns=None):
-    import ray.data
-
-    return ray.data.read_parquet(
+    return _read_parallel(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns
     )
 

@@ -41,10 +41,17 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Parallel single-file read: the default one-read-task +
+    SplitBlocks plan serializes the producer and starves downstream
+    stages (see ``__ray_entry__._read_parallel``)."""
+    import pyarrow.parquet as pq
     import ray.data
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    rows = pq.ParquetFile(path).metadata.num_rows
+    blocks = max(8, min(64, rows // 4096 or 1))
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        path, columns=columns, override_num_blocks=blocks
     )
 
 
