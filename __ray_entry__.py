@@ -282,6 +282,67 @@ def _q_crawl_career_anchors(sf_dir: str):
     )
 
 
+def _q_crawl_nav_links(sf_dir: str):
+    """M6: nav-prioritized link sweep + M7 validity filter
+    (scrapy_career_spider.py:211-325)."""
+    from crawler_ai_ray.functions.page_structure import nav_links_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        nav_links_batch, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_detection_confidence(sf_dir: str):
+    """A4: per-host detection confidence from M11 counts
+    (career_pages_service.py:915-930)."""
+    import pyarrow as pa
+    import ray.data
+    from crawler_ai_ray.functions.career_urls import career_url_confidence
+    from crawler_ai_ray.functions.merge_ops import detection_confidence
+    from crawler_ai_ray.functions.classify import host_of
+
+    def flags(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        res = [career_url_confidence(u) for u in urls]
+        return pa.table(
+            {
+                "host": pa.array([host_of(u) for u in urls], pa.string()),
+                "career": pa.array(
+                    [int(r["is_career_page"]) for r in res], pa.int64()
+                ),
+                "potential": pa.array(
+                    [int(r["is_potential"]) for r in res], pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        _pages(sf_dir, columns=["url"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="total_urls"),
+            ray.data.aggregate.Sum("career", alias_name="n_career"),
+            ray.data.aggregate.Sum("potential", alias_name="n_potential"),
+        )
+    )
+
+    def conf(batch: pa.Table) -> pa.Table:
+        vals = [
+            detection_confidence(c, p, t)
+            for c, p, t in zip(
+                batch["n_career"].to_pylist(),
+                batch["n_potential"].to_pylist(),
+                batch["total_urls"].to_pylist(),
+            )
+        ]
+        return batch.append_column(
+            "confidence", pa.array(vals, pa.float64())
+        )
+
+    return counts.map_batches(conf, batch_format="pyarrow")
+
+
 def _q_crawl_container_jobs(sf_dir: str):
     """M29: anchor→ancestor container job extraction
     (container_extractor.py:11-224)."""
@@ -899,6 +960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_career_anchors": _q_crawl_career_anchors,
         "crawl_page_meta": _q_crawl_page_meta,
         "crawl_page_structure": _q_crawl_page_structure,
+        "crawl_nav_links": _q_crawl_nav_links,
+        "crawl_detection_confidence": _q_crawl_detection_confidence,
         "crawl_container_jobs": _q_crawl_container_jobs,
         "crawl_link_scores": _q_crawl_link_scores,
         "crawl_element_check": _q_crawl_element_check,
@@ -1210,6 +1273,24 @@ def oracle_sql() -> dict[str, str]:
             "ps_listing_redirect AS listing_redirect "
             f"FROM read_parquet('{golden}')"
         ),
+        "crawl_nav_links": (
+            f"SELECT url, unnest(nav_links) AS link "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_detection_confidence": f"""
+            WITH c AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     count(*)::BIGINT AS total_urls,
+                     sum(CASE WHEN m11_is_career_page THEN 1 ELSE 0
+                         END)::BIGINT AS n_career,
+                     sum(CASE WHEN m11_is_potential THEN 1 ELSE 0
+                         END)::BIGINT AS n_potential
+              FROM read_parquet('{golden}') GROUP BY 1)
+            SELECT host, total_urls, n_career, n_potential,
+              LEAST(LEAST(n_career * 0.3, 1.0)
+                    + LEAST(n_potential * 0.1, 0.3)
+                    + LEAST(total_urls / 100, 0.2), 1.0) AS confidence
+            FROM c""",
         "crawl_container_jobs": (
             "SELECT url AS source_url, unnest(cj_index) AS job_index, "
             "unnest(cj_title) AS title, unnest(cj_job_type) AS job_type, "

@@ -105,6 +105,19 @@ def career_page_priority(url: str) -> int:
     return 3
 
 
+def detection_confidence(
+    career_pages: int, potential_pages: int, total_urls: int
+) -> float:
+    """A4 (career_pages_service.py:915-930): min(pages·0.3, 1) +
+    min(potential·0.1, 0.3) + min(total/100, 0.2), capped at 1."""
+    if total_urls == 0:
+        return 0.0
+    base = min(career_pages * 0.3, 1.0)
+    bonus = min(potential_pages * 0.1, 0.3)
+    coverage = min(total_urls / 100, 0.2)
+    return min(base + bonus + coverage, 1.0)
+
+
 def _is_homepage(url: str) -> bool:
     p = urlparse(url)
     return p.path.lower() in (

@@ -228,6 +228,82 @@ def find_job_listing_redirect(
     return None
 
 
+# M6 (scrapy_career_spider.py:211-262): nav-prioritized link sweep
+_NAV_CLASS_TOKENS = (
+    "navbar", "menu", "navigation", "main-menu", "top-menu", "header",
+    "nav", "main-nav", "primary-nav", "site-nav", "page-nav",
+    "breadcrumb", "menu-item", "nav-item",
+)
+
+
+def extract_all_links_nav(html: str, domain: str) -> list[str]:
+    """M6: hrefs under nav/header containers first, then footer, then
+    every anchor; dedup; M7 validity filter.  Engine determinism
+    deviation: the reference dedups with ``list(set(...))`` (process-
+    dependent order, scrapy_career_spider.py:252) — the engine keeps
+    first-occurrence order."""
+    from .classify import is_valid_link
+    from .minidom import build_tree
+
+    root = build_tree(html)
+    nav_hrefs: list[str] = []
+    footer_hrefs: list[str] = []
+    all_hrefs: list[str] = []
+
+    def walk(node, in_nav: bool, in_footer: bool) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            tokens = c.class_tokens()
+            c_nav = (
+                in_nav
+                or c.tag in ("nav", "header")
+                or any(t in _NAV_CLASS_TOKENS for t in tokens)
+            )
+            c_footer = in_footer or c.tag == "footer"
+            if c.tag == "a":
+                href = c.attrs.get("href")
+                if href is not None:
+                    if c_nav:
+                        nav_hrefs.append(href)
+                    if c_footer:
+                        footer_hrefs.append(href)
+                    all_hrefs.append(href)
+            walk(c, c_nav, c_footer)
+
+    walk(root, False, False)
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in nav_hrefs + footer_hrefs + all_hrefs:
+        if href not in seen:
+            seen.add(href)
+            if is_valid_link(href, domain):
+                out.append(href)
+    return out
+
+
+def nav_links_batch(batch: pa.Table) -> pa.Table:
+    """pages → (url, link) rows from the M6 sweep.  Input: url, html."""
+    from .classify import host_of
+
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    out_u, out_l = [], []
+    for u, h in zip(urls, htmls):
+        html = h.decode("utf-8", errors="ignore") if isinstance(
+            h, (bytes, bytearray)
+        ) else (h or "")
+        for link in extract_all_links_nav(html, host_of(u)):
+            out_u.append(u)
+            out_l.append(link)
+    return pa.table(
+        {
+            "url": pa.array(out_u, pa.string()),
+            "link": pa.array(out_l, pa.string()),
+        }
+    )
+
+
 def page_structure_batch(batch: pa.Table) -> pa.Table:
     """pages → M36 analysis rows.  Input: url, html."""
     from .htmltext import parse_page

@@ -60,7 +60,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v17"
+CORPUS_VERSION = "v18"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -531,6 +531,9 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             "alt_title": m20.get("job_name", ""),
             "alt_description": m20.get("job_description", ""),
         }
+    )
+    row["nav_links"] = page_structure.extract_all_links_nav(
+        html, classify.host_of(url)
     )
     cj = container_jobs.container_jobs(html, url)
     ls = link_scoring.extract_job_links_detailed(html, url)

@@ -138,3 +138,38 @@ class TestM36:
         # ≥5 job links → already a listing page, no redirect
         many = [("a", f"/careers/job-{i}", f"Job {i}") for i in range(5)]
         assert find_job_listing_redirect("https://a.vn/", many) is None
+
+
+class TestM6NavLinks:
+    def test_nav_priority_and_filter(self):
+        from crawler_ai_ray.functions.page_structure import (
+            extract_all_links_nav,
+        )
+
+        html = """<html><body>
+        <nav><a href="/careers">Careers</a><a href="/about">About</a></nav>
+        <div class="menu"><a href="/tuyen-dung">TD</a></div>
+        <footer><a href="/contact">C</a></footer>
+        <a href="/blog/post">Blog</a>
+        <a href="#frag">x</a>
+        <a href="mailto:a@b.c">m</a>
+        <a href="https://other.com/x">ext</a>
+        <a href="/jobs">Jobs</a></body></html>"""
+        links = extract_all_links_nav(html, "a.vn")
+        # nav links first, then footer, then the rest; invalid dropped
+        assert links[0] == "/careers"
+        assert "/tuyen-dung" in links[:3]
+        assert "#frag" not in links and "mailto:a@b.c" not in links
+        assert "https://other.com/x" not in links
+        assert "/jobs" in links
+
+
+class TestA4Confidence:
+    def test_formula(self):
+        from crawler_ai_ray.functions.merge_ops import detection_confidence
+
+        assert detection_confidence(0, 0, 0) == 0.0
+        assert detection_confidence(1, 1, 10) == pytest.approx(
+            0.3 + 0.1 + 0.1
+        )
+        assert detection_confidence(10, 10, 1000) == 1.0
