@@ -285,30 +285,43 @@ class _FactParser(HTMLParser):
 
     # -- end tags -----------------------------------------------------
     def handle_endtag(self, tag: str) -> None:
+        # Tree-recovery semantics (mirrors the bs4-style oracle builder):
+        # an end tag closes the INNERMOST matching open tag, implicitly
+        # closing everything opened inside it; an end tag with no
+        # matching open tag is ignored entirely.
         if tag in _VOID:
             return
         f = self.facts
+        idx = None
         for i in range(len(self._open) - 1, -1, -1):
             if self._open[i][0] == tag:
-                del self._open[i:]
+                idx = i
                 break
-        if self._excl_stack and tag in _DECOMPOSE_TAGS and self._excl_stack[-1] == tag:
-            self._excl_stack.pop()
-            self._excl_depth -= 1
-            if tag == "script":
-                self._in_script = False
-                f.script_bodies.append("".join(self._script_buf))
-        if tag == "table" and self._table_stack:
-            f.tables.append(self._table_stack.pop())
-        elif tag == "tr" and self._row_stack:
-            row = self._row_stack.pop()
-            if self._table_stack:
-                self._table_stack[-1].append(row)
+        if idx is None:
+            return
+        popped = self._open[idx:]
+        del self._open[idx:]
+        for t, _cls in reversed(popped):
+            if t in _DECOMPOSE_TAGS:
+                for k in range(len(self._excl_stack) - 1, -1, -1):
+                    if self._excl_stack[k] == t:
+                        del self._excl_stack[k]
+                        break
+                self._excl_depth -= 1
+                if t == "script" and self._in_script:
+                    self._in_script = False
+                    f.script_bodies.append("".join(self._script_buf))
+            if t == "table" and self._table_stack:
+                f.tables.append(self._table_stack.pop())
+            elif t == "tr" and self._row_stack:
+                row = self._row_stack.pop()
+                if self._table_stack:
+                    self._table_stack[-1].append(row)
 
         done: list[_Cap] = []
         for cap in self._caps:
-            cap.depth -= 1
-            if cap.depth == 0:
+            cap.depth -= len(popped)
+            if cap.depth <= 0:
                 done.append(cap)
         if done:
             self._caps = [c for c in self._caps if c.depth > 0]
