@@ -408,6 +408,56 @@ def _q_crawl_api_jobs(sf_dir: str):
     )
 
 
+def _q_jobs_dedup_exact(sf_dir: str):
+    """D1: exact job dedup — key (lower title | lower company), keep
+    the first by (source_url, job_index); hash-partitioned groupby +
+    per-group first (job_extraction_service.py:658-673)."""
+    import pyarrow as pa
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    jobs = extract_jobs(_pages(sf_dir, columns=["url", "html"]))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        tn = [
+            (t or "").lower().strip() for t in batch["title"].to_pylist()
+        ]
+        cn = [
+            (c or "").lower().strip() for c in batch["company"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "title_norm": pa.array(tn, pa.string()),
+                "company_norm": pa.array(cn, pa.string()),
+                "source_url": batch["source_url"],
+                "job_index": batch["job_index"],
+                "title": batch["title"],
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(),
+            key=lambda r: (r["source_url"], r["job_index"]),
+        )
+        return pa.Table.from_pylist([rows[0]], schema=group.schema)
+
+    return (
+        jobs.map_batches(add_key, batch_format="pyarrow")
+        .groupby(["title_norm", "company_norm"])
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+def _q_jobs_dedup_fuzzy(sf_dir: str):
+    """D2: per-page fuzzy-title dedup (job_extraction_service.py:
+    2116-2190)."""
+    from crawler_ai_ray.stages.extract import extract_jobs_fuzzy_batch
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        extract_jobs_fuzzy_batch, batch_format="pyarrow", batch_size=32
+    )
+
+
 def _q_jobs_normalized(sf_dir: str):
     """D3: per-page job normalization (title cleanup + location
     inference + cleaned-title dedup, job_extraction_service.py:
@@ -971,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_contacts_enriched": _q_crawl_contacts_enriched,
         "crawl_career_merge": _q_crawl_career_merge,
         "jobs_normalized": _q_jobs_normalized,
+        "jobs_dedup_exact": _q_jobs_dedup_exact,
+        "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
@@ -1022,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
     golden = os.path.join(corpus, "golden.parquet")
     jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
     jobs_norm_golden = os.path.join(corpus, "jobs_norm_golden.parquet")
+    jobs_fuzzy_golden = os.path.join(corpus, "jobs_fuzzy_golden.parquet")
     api_jobs_golden = os.path.join(corpus, "api_jobs_golden.parquet")
     apify = os.path.join(corpus, "apify.parquet")
 
@@ -1371,6 +1424,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_url, job_index, title, company, location, "
             "job_type, salary, summary, source "
             f"FROM read_parquet('{jobs_norm_golden}')"
+        ),
+        "jobs_dedup_exact": f"""
+            WITH k AS (
+              SELECT lower(trim(title)) AS title_norm,
+                     lower(trim(company)) AS company_norm,
+                     source_url, job_index, title,
+                     row_number() OVER (
+                       PARTITION BY lower(trim(title)),
+                                    lower(trim(company))
+                       ORDER BY source_url, job_index) AS rn
+              FROM read_parquet('{jobs_golden}'))
+            SELECT title_norm, company_norm, source_url, job_index, title
+            FROM k WHERE rn = 1""",
+        "jobs_dedup_fuzzy": (
+            "SELECT source_url, job_index, title "
+            f"FROM read_parquet('{jobs_fuzzy_golden}')"
         ),
         "doc_token_stats": f"""
             SELECT doc_id,

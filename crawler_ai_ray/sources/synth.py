@@ -60,7 +60,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v18"
+CORPUS_VERSION = "v19"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -797,6 +797,16 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
     if norm_rows:
         pq.write_table(pa.Table.from_pylist(norm_rows),
                        os.path.join(out_dir, "jobs_norm_golden.parquet"))
+    # D2 fuzzy-dedup golden (page-local, like the reference call site)
+    fuzzy_rows = [
+        {"source_url": j["source_url"], "job_index": j["job_index"],
+         "title": j["title"]}
+        for jurl in by_page
+        for j in jobfns.dedup_by_title_fuzzy(by_page[jurl])
+    ]
+    if fuzzy_rows:
+        pq.write_table(pa.Table.from_pylist(fuzzy_rows),
+                       os.path.join(out_dir, "jobs_fuzzy_golden.parquet"))
     pq.write_table(pa.Table.from_pylist(apify_rows),
                    os.path.join(out_dir, "apify.parquet"))
     pq.write_table(pa.Table.from_pylist(seed_rows),

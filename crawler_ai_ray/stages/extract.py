@@ -222,6 +222,34 @@ def extract_jobs_normalized_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=JOBS_SCHEMA)
 
 
+def extract_jobs_fuzzy_batch(batch: pa.Table) -> pa.Table:
+    """pages → D2-deduped job records: generic/short-title drop + fuzzy
+    first-wins title dedup per page (job_extraction_service.py:
+    2116-2190).  Page-local like the reference call site."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {"source_url": [], "job_index": [], "title": []}
+    for url, html_b in zip(urls, htmls):
+        html = _decode(html_b)
+        if not classify.is_career_listing_page(url, html):
+            continue
+        facts = parse_page(html)
+        page_text = "".join(facts.text_pieces)
+        for job in jobfns.dedup_by_title_fuzzy(
+            jobfns.extract_all_jobs(facts, page_text, url)
+        ):
+            cols["source_url"].append(url)
+            cols["job_index"].append(job["job_index"])
+            cols["title"].append(job["title"])
+    return pa.table(
+        {
+            "source_url": pa.array(cols["source_url"], pa.string()),
+            "job_index": pa.array(cols["job_index"], pa.int32()),
+            "title": pa.array(cols["title"], pa.string()),
+        }
+    )
+
+
 CRAWL_EXTRACT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
