@@ -756,25 +756,47 @@ def _q_crawl_contacts_by_host(sf_dir: str):
     )
 
 
-def _q_crawl_loop(sf_dir: str):
-    """The iterative frontier loop itself (rows-only check: ordering is
-    pinned by tests against the sequential oracle simulator)."""
-    import ray.data
-    from crawler_ai_ray.pipelines.crawl import (
-        CrawlConfig,
-        crawl_output_files,
-        run_crawl,
-    )
+def _ensure_crawl(sf_dir: str) -> str:
+    from crawler_ai_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    import json
 
     corpus = _corpus(sf_dir)
     tag = os.path.basename(corpus)
     out_dir = f"/tmp/crawler_ai_ray_q/crawl-{tag}"
+    # idempotent per process sweep: a finished run ends with a q==0 round
+    if os.path.isdir(out_dir):
+        for d in sorted(os.listdir(out_dir), reverse=True):
+            m = os.path.join(out_dir, d, "_MANIFEST.json")
+            if d.startswith("round=") and os.path.exists(m):
+                with open(m) as f:
+                    if json.load(f).get("q") == 0:
+                        return out_dir
+                break
     cfg = CrawlConfig(corpus, out_dir, seen_shards=4, store_shards=4)
     run_crawl(cfg)
+    return out_dir
+
+
+def _q_crawl_loop(sf_dir: str):
+    """The iterative frontier loop itself (rows-only check: ordering is
+    pinned by tests against the sequential oracle simulator)."""
+    import ray.data
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_crawl(sf_dir)
     ds = ray.data.read_parquet(crawl_output_files(out_dir))
     return ds.filter(expr="kind == 'o'").select_columns(
         ["url", "host", "round", "host_seq", "success"]
     )
+
+
+def _q_crawl_metrics(sf_dir: str):
+    """Per-(round, bucket) lineage/metrics of the crawl run (SURVEY
+    §1.2 metrics table; rows-only — wall_ms is wall-clock)."""
+    from crawler_ai_ray.pipelines.crawl import read_crawl_metrics
+
+    return read_crawl_metrics(_ensure_crawl(sf_dir))
 
 
 # --- documents ------------------------------------------------------------
@@ -1024,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_dedup_exact": _q_jobs_dedup_exact,
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
+        "crawl_metrics": _q_crawl_metrics,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,

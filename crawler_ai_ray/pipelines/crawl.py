@@ -424,6 +424,34 @@ def crawl_output_files(
     return files
 
 
+def read_crawl_metrics(out_dir: str) -> pa.Table:
+    """Per-(round, bucket) lineage/metrics rows from the round
+    manifests — the ``metrics`` table of SURVEY §1.2."""
+    rows: list[dict] = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round=") or "-" in d:
+            continue
+        mpath = os.path.join(out_dir, d, "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        for p in m.get("partitions", []):
+            rows.append(
+                {
+                    "round": m["round"],
+                    "bucket": p["bucket"],
+                    "urls_in": p["urls_in"],
+                    "fetched": p["fetched"],
+                    "errors": p["errors"],
+                    "bytes": p["bytes"],
+                    "wall_ms": p["wall_ms"],
+                    "input_files": p["input_files"],
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
 def read_crawl_output(out_dir: str, columns=None, filter=None) -> pa.Table:
     """o/q/s rows across every round checkpoint as one Arrow table."""
     ds = pads.dataset(crawl_output_files(out_dir), format="parquet")
@@ -461,16 +489,25 @@ def _process_bucket(
     all-to-all exchange: the only cross-bucket traffic is candidates for
     new hosts (e.g. a careers.X subdomain discovered on X), which ride
     the partitioned write."""
+    t0 = time.time()
     bdir = _bucket_dir(prev, bucket)
     if os.path.isdir(bdir):
+        in_files = sorted(
+            f for f in os.listdir(bdir) if f.endswith(".parquet")
+        )
         table = (
             pads.dataset(bdir, format="parquet")
             .to_table(filter=pc.field("kind").isin(["q", "s"]))
             .cast(CRAWL_SCHEMA)
         )
     else:
+        in_files = []
         table = _rows_to_table([])
-    counts = {"bucket": bucket, "q": 0, "s": 0, "o": 0}
+    counts = {
+        "bucket": bucket, "q": 0, "s": 0, "o": 0,
+        "urls_in": int(table.num_rows), "fetched": 0, "errors": 0,
+        "bytes": 0, "wall_ms": 0.0, "input_files": len(in_files),
+    }
     if table.num_rows == 0:
         return counts
     plan = _make_plan_wave(policy, rnd)
@@ -499,6 +536,18 @@ def _process_bucket(
     kinds = result["kind"].to_pylist()
     for k in ("q", "s", "o"):
         counts[k] = kinds.count(k)
+    o_mask = pc.equal(result["kind"], "o")
+    o_rows = result.filter(o_mask)
+    if o_rows.num_rows:
+        succ = pc.sum(
+            pc.cast(pc.fill_null(o_rows["success"], False), pa.int64())
+        ).as_py()
+        counts["fetched"] = int(succ or 0)
+        counts["errors"] = int(o_rows.num_rows - (succ or 0))
+        counts["bytes"] = int(
+            pc.sum(pc.fill_null(o_rows["html_bytes"], 0)).as_py() or 0
+        )
+    counts["wall_ms"] = round((time.time() - t0) * 1000, 1)
     return counts
 
 
@@ -622,6 +671,13 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 **counts,
                 "buckets": n_buckets,
                 "seen_total": seen.total_seen(),
+                # per-partition lineage: one record per bucket task
+                # (urls_in / fetched / errors / bytes / wall_ms /
+                # input_files) — the exact-resume + audit trail
+                "partitions": sorted(
+                    (c for c in bucket_counts if c["urls_in"]),
+                    key=lambda c: c["bucket"],
+                ),
             }
             with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
                 json.dump(manifest, f)
