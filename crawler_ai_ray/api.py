@@ -1,0 +1,178 @@
+"""User-extension surface (SURVEY §2.11): a named **extractor
+registry** (users add UDF batch stages next to the built-ins), a small
+**pipeline builder** over the pages table, and a typed crawl entry
+usable from a CLI / ``ray job submit`` entrypoint (see
+``crawler_ai_ray.cli``).
+
+The reference's extension points were env flags, keyword-constant
+modules and Pydantic request models (routes/schemas); here they become
+explicit: keyword tables live in the operator modules, per-request
+parameters are :class:`~crawler_ai_ray.state.politeness.CrawlPolicy`
+fields, and ad-hoc per-deployment extraction tweaks are registered
+batch functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+
+__all__ = [
+    "EXTRACTORS",
+    "register_extractor",
+    "extractor",
+    "PagesPipeline",
+    "crawl",
+]
+
+# name → Arrow-batch transform (pa.Table -> pa.Table) over pages rows
+EXTRACTORS: dict[str, Callable[[pa.Table], pa.Table]] = {}
+
+
+def register_extractor(
+    name: str, fn: Callable[[pa.Table], pa.Table]
+) -> None:
+    """Register a batch extractor; user UDFs use the same registry as
+    the built-ins."""
+    EXTRACTORS[name] = fn
+
+
+def extractor(name: str):
+    """Decorator form of :func:`register_extractor`."""
+
+    def deco(fn):
+        register_extractor(name, fn)
+        return fn
+
+    return deco
+
+
+def _register_builtins() -> None:
+    from .functions.career_urls import (
+        career_confidence_batch,
+        strict_career_all_batch,
+    )
+    from .functions.contact_record import (
+        career_anchor_batch,
+        contact_record_batch,
+    )
+    from .functions.container_jobs import container_jobs_batch
+    from .functions.job_fallback import job_fallback_batch
+    from .functions.job_urls import (
+        job_url_flags_batch,
+        pagination_candidates_batch,
+    )
+    from .functions.link_scoring import (
+        element_check_batch,
+        job_link_scores_batch,
+    )
+    from .functions.page_meta import page_meta_batch
+    from .functions.page_structure import (
+        nav_links_batch,
+        page_structure_batch,
+    )
+    from .functions.sitemap import sitemap_jobs_batch
+    from .functions.api_jobs import api_jobs_batch
+    from .stages.extract import (
+        extract_jobs_batch,
+        extract_jobs_fuzzy_batch,
+        extract_jobs_normalized_batch,
+        extract_pages_batch,
+    )
+
+    for name, fn in {
+        "pages": extract_pages_batch,
+        "jobs": extract_jobs_batch,
+        "jobs_normalized": extract_jobs_normalized_batch,
+        "jobs_fuzzy": extract_jobs_fuzzy_batch,
+        "career_confidence": career_confidence_batch,
+        "career_strict": strict_career_all_batch,
+        "job_url_flags": job_url_flags_batch,
+        "pagination": pagination_candidates_batch,
+        "contact_records": contact_record_batch,
+        "career_anchors": career_anchor_batch,
+        "page_meta": page_meta_batch,
+        "page_structure": page_structure_batch,
+        "nav_links": nav_links_batch,
+        "sitemap_jobs": sitemap_jobs_batch,
+        "api_jobs": api_jobs_batch,
+        "container_jobs": container_jobs_batch,
+        "link_scores": job_link_scores_batch,
+        "element_check": element_check_batch,
+        "job_fallback": job_fallback_batch,
+    }.items():
+        EXTRACTORS.setdefault(name, fn)
+
+
+_register_builtins()
+
+
+class PagesPipeline:
+    """Fluent builder over a pages Parquet table::
+
+        PagesPipeline("/path/to/pages.parquet").extract("page_meta")
+            .filter("links > 10").write("/tmp/out")
+
+    Each ``extract`` is a registered batch stage; the result stays a
+    lazy ``ray.data.Dataset`` until consumed.
+    """
+
+    def __init__(self, pages_path: str, columns: list[str] | None = None):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        rows = pq.ParquetFile(pages_path).metadata.num_rows
+        blocks = max(8, min(64, rows // 512 or 1))
+        self._ds = ray.data.read_parquet(
+            pages_path,
+            columns=columns or ["url", "html"],
+            override_num_blocks=blocks,
+        )
+
+    def extract(self, name: str, **map_kwargs: Any) -> "PagesPipeline":
+        fn = EXTRACTORS[name]
+        self._ds = self._ds.map_batches(
+            fn, batch_format="pyarrow", **map_kwargs
+        )
+        return self
+
+    def map_batches(self, fn, **kwargs: Any) -> "PagesPipeline":
+        self._ds = self._ds.map_batches(
+            fn, batch_format="pyarrow", **kwargs
+        )
+        return self
+
+    def filter(self, expr: str) -> "PagesPipeline":
+        self._ds = self._ds.filter(expr=expr)
+        return self
+
+    def dataset(self):
+        return self._ds
+
+    def write(self, out_dir: str) -> None:
+        self._ds.write_parquet(out_dir)
+
+
+def crawl(
+    corpus: str,
+    out_dir: str,
+    *,
+    resume: bool = False,
+    **config_kwargs: Any,
+) -> dict:
+    """Typed crawl entry — keyword args map 1:1 to
+    :class:`~crawler_ai_ray.pipelines.crawl.CrawlConfig` /
+    :class:`~crawler_ai_ray.state.politeness.CrawlPolicy` fields."""
+    from .pipelines.crawl import CrawlConfig, run_crawl
+    from .state.politeness import CrawlPolicy
+
+    policy_fields = {
+        k: config_kwargs.pop(k)
+        for k in list(config_kwargs)
+        if hasattr(CrawlPolicy(), k)
+    }
+    policy = CrawlPolicy(**policy_fields) if policy_fields else None
+    cfg = CrawlConfig(corpus, out_dir, policy=policy, **config_kwargs)
+    return run_crawl(cfg, resume=resume)

@@ -1,0 +1,88 @@
+"""CLI entrypoint — the `ray job submit` surface.
+
+::
+
+    python -m crawler_ai_ray.cli crawl  --corpus DIR --out DIR [--resume]
+        [--buckets N] [--seen-shards N] [--store-shards N]
+        [--obey-robots] [--max-rounds N] [--approximate-seen]
+    python -m crawler_ai_ray.cli extract --pages FILE --out DIR
+        [--op pages] [--batch-size N]
+
+Owns its Ray session (guarded init) — library code never calls
+``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crawler_ai_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl loop")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--buckets", type=int, default=32)
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--store-shards", type=int, default=8)
+    c.add_argument("--max-rounds", type=int, default=200)
+    c.add_argument("--obey-robots", action="store_true")
+    c.add_argument(
+        "--approximate-seen", action="store_true",
+        help="cuckoo-filter-only URL-seen (the 10^10-frontier mode)",
+    )
+
+    e = sub.add_parser("extract", help="run a registered extractor")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--op", default="pages")
+    e.add_argument("--batch-size", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _init_ray()
+    try:
+        if args.cmd == "crawl":
+            from .api import crawl
+
+            totals = crawl(
+                args.corpus,
+                args.out,
+                resume=args.resume,
+                buckets=args.buckets,
+                seen_shards=args.seen_shards,
+                store_shards=args.store_shards,
+                max_rounds=args.max_rounds,
+                exact_seen=not args.approximate_seen,
+                obey_robots=args.obey_robots,
+            )
+            print(json.dumps(totals))
+        else:
+            from .api import PagesPipeline
+
+            kwargs = (
+                {"batch_size": args.batch_size} if args.batch_size else {}
+            )
+            PagesPipeline(args.pages).extract(args.op, **kwargs).write(
+                args.out
+            )
+        return 0
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

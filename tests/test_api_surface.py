@@ -1,0 +1,93 @@
+"""User-extension surface (SURVEY §2.11): extractor registry, UDF
+registration, pipeline builder, typed crawl entry, CLI."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from crawler_ai_ray.api import (
+    EXTRACTORS,
+    PagesPipeline,
+    crawl,
+    extractor,
+    register_extractor,
+)
+
+
+def test_builtins_registered():
+    for name in ("pages", "jobs", "page_meta", "nav_links", "sitemap_jobs",
+                 "career_confidence", "link_scores"):
+        assert name in EXTRACTORS
+
+
+def test_udf_registration_and_decorator():
+    register_extractor("upper_urls", lambda b: b)
+    assert EXTRACTORS["upper_urls"]
+
+    @extractor("count_rows")
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    assert EXTRACTORS["count_rows"] is count_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_builder(unit_corpus, tmp_path):
+    out = str(tmp_path / "meta")
+    (
+        PagesPipeline(os.path.join(unit_corpus, "pages.parquet"))
+        .extract("page_meta")
+        .filter("links > 0")
+        .write(out)
+    )
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out, format="parquet").to_table()
+    assert t.num_rows > 0
+    assert "m4_description" in t.column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_builder_udf(unit_corpus):
+    @extractor("n_links_only")
+    def n_links_only(batch: pa.Table) -> pa.Table:
+        from crawler_ai_ray.functions.htmltext import parse_page
+
+        counts = [
+            len(parse_page(h.decode("utf-8", "ignore")).anchors)
+            for h in batch["html"].to_pylist()
+        ]
+        return pa.table(
+            {"url": batch["url"], "n_anchors": pa.array(counts, pa.int64())}
+        )
+
+    df = (
+        PagesPipeline(os.path.join(unit_corpus, "pages.parquet"))
+        .extract("n_links_only")
+        .dataset()
+        .to_pandas()
+    )
+    assert (df["n_anchors"] >= 0).all() and len(df) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_typed_crawl_entry(unit_corpus, tmp_path):
+    totals = crawl(
+        unit_corpus, str(tmp_path / "c"), seen_shards=2, store_shards=2,
+        buckets=4, default_wave=1, max_rounds=2,
+    )
+    assert totals["rounds"] == 2 and totals["fetched"] > 0
+
+
+def test_cli_help_runs():
+    r = subprocess.run(
+        [sys.executable, "-m", "crawler_ai_ray.cli", "--help"],
+        capture_output=True, text=True, timeout=60,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0 and "crawl" in r.stdout
