@@ -373,29 +373,53 @@ def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "t
     )
     buckets = sigs.map_batches(_band_rows, batch_format="pyarrow")
 
+    # group by a 512-way hash bucket of the LSH key, not the key itself:
+    # per-(band,band_hash) map_groups is one Python call per LSH bucket
+    # (O(docs·bands) calls — pathological at scale); per-shuffle-bucket,
+    # each call sweeps its sorted runs locally.
+    n_sbuckets = 512
+
+    def add_sbucket(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "sbucket",
+            pa.array((bh % n_sbuckets).astype(np.int32), pa.int32()),
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
+        rows = sorted(
+            zip(
+                group["band"].to_pylist(),
+                group["band_hash"].to_pylist(),
+                group["doc_id"].to_pylist(),
+                group["sig"].to_pylist(),
             )
-        sig_arrs = [np.asarray(s, dtype=np.int64) for s in group["sig"].to_pylist()]
-        order = np.argsort(ids, kind="stable")
+        )
         a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                est = float(np.mean(sig_arrs[i] == sig_arrs[j]))
-                if est >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(est)
+        i = 0
+        while i < len(rows):
+            j = i
+            while (
+                j < len(rows)
+                and rows[j][0] == rows[i][0]
+                and rows[j][1] == rows[i][1]
+            ):
+                j += 1
+            if j - i >= 2:
+                run = rows[i:j]
+                sig_arrs = [
+                    np.asarray(r[3], dtype=np.int64) for r in run
+                ]
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        if run[x][2] == run[y][2]:
+                            continue
+                        est = float(np.mean(sig_arrs[x] == sig_arrs[y]))
+                        if est >= threshold:
+                            a_out.append(run[x][2])
+                            b_out.append(run[y][2])
+                            j_out.append(est)
+            i = j
         return pa.table(
             {
                 "doc_a": pa.array(a_out, type=pa.int64()),
@@ -404,8 +428,10 @@ def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "t
             }
         )
 
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        buckets.map_batches(add_sbucket, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Max("est_jaccard", alias_name="est_jaccard")
@@ -485,21 +511,53 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
             }
         )
 
+    # same shuffle-bucket trick as minhash_lsh_pairs: one Python group
+    # call per 512-way bucket, runs of equal (band, band_val) swept
+    # locally — not one call per LSH key.
+    n_sbuckets = 512
+
+    def add_sbucket(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "sbucket",
+            pa.array(
+                ((b * 65536 + v) % n_sbuckets).astype(np.int32), pa.int32()
+            ),
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        shs = [np.uint64(s) for s in group["simhash"].to_pylist()]
+        rows = sorted(
+            zip(
+                group["band"].to_pylist(),
+                group["band_val"].to_pylist(),
+                group["doc_id"].to_pylist(),
+                group["simhash"].to_pylist(),
+            )
+        )
         a_out, b_out, d_out = [], [], []
-        order = np.argsort(ids, kind="stable")
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(int(shs[i] ^ shs[j])).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
+        i = 0
+        while i < len(rows):
+            j = i
+            while (
+                j < len(rows)
+                and rows[j][0] == rows[i][0]
+                and rows[j][1] == rows[i][1]
+            ):
+                j += 1
+            run = rows[i:j]
+            for x in range(len(run)):
+                for y in range(x + 1, len(run)):
+                    if run[x][2] == run[y][2]:
+                        continue
+                    d = bin(
+                        int(np.uint64(run[x][3]) ^ np.uint64(run[y][3]))
+                    ).count("1")
+                    if d <= max_hamming:
+                        a_out.append(run[x][2])
+                        b_out.append(run[y][2])
+                        d_out.append(d)
+            i = j
         return pa.table(
             {
                 "doc_a": pa.array(a_out, type=pa.int64()),
@@ -510,7 +568,8 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
 
     pairs = (
         hashed.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .map_batches(add_sbucket, batch_format="pyarrow")
+        .groupby("sbucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
