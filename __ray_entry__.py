@@ -946,6 +946,21 @@ def _q_emb_neardup(sf_dir: str):
     )
 
 
+def _q_emb_neardup_lsh(sf_dir: str):
+    """Random-hyperplane LSH near-dup (the O(N) scale path; recall vs
+    the exact variant is pinned in tests — rows-only check)."""
+    from crawler_ai_ray.stages.dedup import embedding_neardup_lsh
+
+    # band geometry follows the threshold: cos ≥ 0.45 → per-bit collision
+    # p = 1-acos(0.45)/π ≈ 0.65 → 24 bands × 3 bits gives P(miss) ≈ 4e-4
+    return embedding_neardup_lsh(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.45,
+        n_bands=24,
+        bits_per_band=3,
+    ).select_columns(["anchor_id", "vec_id"])
+
+
 # --- events / relational --------------------------------------------------
 
 def _rel(name):
@@ -1062,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_bruteforce": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_neardup_cosine": _q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
         # events: windowed / sessionized aggregates
         "events_hourly": _rel("events_hourly"),
         "events_sessionize": _rel("events_sessionize"),

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_batch",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
 ]
 
 
@@ -627,3 +628,137 @@ def embedding_neardup_pairs(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(
+    ds,
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Scale path for embedding near-dup: random-hyperplane LSH.
+
+    The brute-force variant scores every vector against a broadcast
+    anchor matrix — exact, but the anchor side is O(N) so the work is
+    O(N²·dim).  Here each vector gets ``n_bands`` sign-sketches
+    (``bits_per_band`` hyperplanes each); vectors sharing ANY band
+    sketch land in one bucket and are cosine-verified locally, so the
+    work is O(N·bands + Σ bucket²) and the only exchange is the bucket
+    groupby.  Approximate: a pair is missed iff it collides in NO band —
+    P(miss) = (1-(1-θ/π)^bits)^bands, so pick the band geometry from the
+    threshold (defaults suit cos ≥ 0.95; loose thresholds want
+    more/narrower bands, e.g. 24×3 for cos ≥ 0.45).
+    Same output schema as :func:`embedding_neardup_pairs`; recall is
+    pinned in tests against the exact variant.
+    """
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    planes_holder: dict[int, np.ndarray] = {}
+
+    n_sbuckets = 512
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        mat = list_col_to_matrix(batch[emb_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "sketch": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch[emb_col].type),
+                }
+            )
+        dim = mat.shape[1]
+        if dim not in planes_holder:
+            r = np.random.RandomState(seed)
+            planes_holder[dim] = r.standard_normal(
+                (n_bands * bits_per_band, dim)
+            )
+        planes = planes_holder[dim]
+        signs = (mat @ planes.T) >= 0            # (N, bands*bits)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        out_band, out_sketch, out_id, out_emb = [], [], [], []
+        emb_list = batch[emb_col].to_pylist()
+        for b in range(n_bands):
+            chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+            vals = chunk.astype(np.int64) @ weights
+            out_band.extend([b] * len(ids))
+            out_sketch.extend(vals.tolist())
+            out_id.extend(ids.tolist())
+            out_emb.extend(emb_list)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "sketch": pa.array(out_sketch, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_emb, batch[emb_col].type),
+            }
+        )
+
+    def add_sbucket(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sketch"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "sbucket",
+            pa.array(
+                ((b * 1000003 + s) % n_sbuckets).astype(np.int32),
+                pa.int32(),
+            ),
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                group["vec_id"].to_numpy(zero_copy_only=False),
+                group["sketch"].to_numpy(zero_copy_only=False),
+                group["band"].to_numpy(zero_copy_only=False),
+            )
+        )
+        bands = group["band"].to_numpy(zero_copy_only=False)[order]
+        sketches = group["sketch"].to_numpy(zero_copy_only=False)[order]
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)[order]
+        mat = list_col_to_matrix(group["embedding"])[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        a_out, b_out = [], []
+        i = 0
+        n = len(ids)
+        while i < n:
+            j = i
+            while (
+                j < n and bands[j] == bands[i] and sketches[j] == sketches[i]
+            ):
+                j += 1
+            if j - i >= 2:
+                sub = mat[i:j]
+                sims = sub @ sub.T
+                xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
+                for x, y in zip(xi, yi):
+                    a, c = ids[i + x], ids[i + y]
+                    if a != c:
+                        a_out.append(min(a, c))
+                        b_out.append(max(a, c))
+            i = j
+        return pa.table(
+            {
+                "anchor_id": pa.array(a_out, pa.int64()),
+                "vec_id": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .map_batches(add_sbucket, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # pair may surface in several bands — dedup
+    return pairs.groupby(["anchor_id", "vec_id"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_bands_hit")
+    )

@@ -341,3 +341,47 @@ def test_embedding_neardup_vs_duckdb(ray_session, duck):
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
     ).df()
     assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_matches_exact_neardup():
+    """Random-hyperplane LSH (the O(N) scale path) must recover ≥95 %
+    of the exact cosine near-dup pairs with no false pairs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+        list_col_to_matrix,
+    )
+
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+    anchors = list_col_to_matrix(t["embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    exact = embedding_neardup_pairs(ds, anchors, ids, threshold=0.45)
+    ep = {
+        (r["anchor_id"], r["vec_id"]) for r in exact.to_pandas().to_dict("records")
+    }
+    ds2 = ray.data.read_parquet(
+        os.path.join(sf, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lsh = embedding_neardup_lsh(
+        ds2, threshold=0.45, n_bands=24, bits_per_band=3
+    )
+    lp = {
+        (r["anchor_id"], r["vec_id"]) for r in lsh.to_pandas().to_dict("records")
+    }
+    assert lp <= ep                       # verified cosine → no false pairs
+    if ep:
+        assert len(lp & ep) / len(ep) >= 0.95
