@@ -408,6 +408,17 @@ def _q_crawl_api_jobs(sf_dir: str):
     )
 
 
+def _q_jobs_validated(sf_dir: str):
+    """Rule-based job validation + flat response formatting
+    (job_extraction_service.py:1023-1279) over every extracted job."""
+    from crawler_ai_ray.functions.job_validation import validate_jobs_batch
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    return extract_jobs(_pages(sf_dir, columns=["url", "html"])).map_batches(
+        validate_jobs_batch, batch_format="pyarrow"
+    )
+
+
 def _q_jobs_dedup_exact(sf_dir: str):
     """D1: exact job dedup — key (lower title | lower company), keep
     the first by (source_url, job_index); hash-partitioned groupby +
@@ -1058,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_contacts_enriched": _q_crawl_contacts_enriched,
         "crawl_career_merge": _q_crawl_career_merge,
         "jobs_normalized": _q_jobs_normalized,
+        "jobs_validated": _q_jobs_validated,
         "jobs_dedup_exact": _q_jobs_dedup_exact,
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
@@ -1463,6 +1475,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_url, job_index, title, company, location, "
             "job_type, salary, summary, source "
             f"FROM read_parquet('{jobs_norm_golden}')"
+        ),
+        "jobs_validated": (
+            "SELECT source_url, job_index, is_valid, v_reason AS reason, "
+            "title AS job_name, summary AS job_description, "
+            f"response_success FROM read_parquet('{jobs_golden}')"
         ),
         "jobs_dedup_exact": f"""
             WITH k AS (

@@ -49,6 +49,7 @@ from ..functions import (
     minidom,
     job_fallback,
     job_quality,
+    job_validation,
     page_meta,
     page_structure,
     job_urls,
@@ -60,7 +61,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v19"
+CORPUS_VERSION = "v20"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -614,6 +615,15 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             "summary": jobfns.summarize_description(job["description"]),
             "source": job["source"],
         }
+        v_ok, v_reason = job_validation.validate_job(jrow, url)
+        v_resp = job_validation.format_job_response(dict(jrow), url)
+        jrow.update(
+            {
+                "is_valid": v_ok,
+                "v_reason": v_reason,
+                "response_success": v_resp["success"],
+            }
+        )
         # enrichment + analyzer goldens (enh_* = post-enhancement values
         # so the raw columns above stay comparable for crawl_jobs)
         enh = job_quality.enhance_job(jrow, url)
