@@ -208,6 +208,19 @@ def _q_crawl_jobs(sf_dir: str):
     )
 
 
+def _q_crawl_footer_contacts(sf_dir: str):
+    """Footer-priority contact extraction: tel: anchors + VN-pattern
+    footer-text phones + page emails (contact_extractor_service.py
+    :174-257)."""
+    from crawler_ai_ray.functions.footer_contacts import (
+        footer_contacts_batch,
+    )
+
+    return _pages(sf_dir, columns=["url", "html"]).map_batches(
+        footer_contacts_batch, batch_format="pyarrow"
+    )
+
+
 def _q_crawl_page_meta(sf_dir: str):
     """M35 page metadata (routes.py:210-257) + M4 title/description
     cascade (crawler.py:329-384), flattened."""
@@ -1056,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_contacts_by_host": _q_crawl_contacts_by_host,
         "crawl_contact_records": _q_crawl_contact_records,
         "crawl_career_anchors": _q_crawl_career_anchors,
+        "crawl_footer_contacts": _q_crawl_footer_contacts,
         "crawl_page_meta": _q_crawl_page_meta,
         "crawl_page_structure": _q_crawl_page_structure,
         "crawl_nav_links": _q_crawl_nav_links,
@@ -1357,6 +1371,13 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(array_to_string(m38_career_texts, '|'), '') "
             "AS career_texts, m38_confidence "
             f"FROM read_parquet('{golden}')"
+        ),
+        "crawl_footer_contacts": (
+            "SELECT url, "
+            "COALESCE(array_to_string(footer_phones, '|'), '') "
+            "AS footer_phones, "
+            "COALESCE(array_to_string(footer_emails, '|'), '') "
+            f"AS footer_emails FROM read_parquet('{golden}')"
         ),
         "crawl_page_meta": (
             "SELECT url, n_meta_tags, n_og_tags, n_twitter_tags, "

@@ -45,6 +45,7 @@ from ..functions import (
     contact_record,
     contacts,
     container_jobs,
+    footer_contacts,
     link_scoring,
     minidom,
     job_fallback,
@@ -61,7 +62,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v20"
+CORPUS_VERSION = "v21"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -567,6 +568,9 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
             "ec_conf": [r[3] for r in ec_rows],
         }
     )
+    fc = footer_contacts.footer_contact_info(html)
+    row["footer_phones"] = fc["phones"]
+    row["footer_emails"] = fc["emails"]
     social = contact_record.social_media_links(html, row["out_links"])
     forms = contact_record.detect_contact_forms(row["out_links"])
     m38_pages, m38_texts, m38_conf = contact_record.career_anchor_links(

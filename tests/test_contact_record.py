@@ -203,3 +203,52 @@ class TestDifferentialVsReference:
                 {"html": HTML, "urls": URLS}, "https://acme.vn"
             )
         )
+
+
+class TestFooterContacts:
+    def test_footer_node_selection_and_priority(self):
+        from crawler_ai_ray.functions.footer_contacts import (
+            footer_contact_info,
+            merge_contact_priority,
+            pick_footer_node,
+        )
+        from crawler_ai_ray.functions.minidom import build_tree
+
+        html = """<html><body>
+        <p>Call 0901234567 in the body — not footer.</p>
+        <div class="site-footer">
+          <a href="tel:+84 28 3823 4567">Call us</a>
+          Hotline: 0912 345 678 — email hr@acme.vn
+        </div></body></html>"""
+        node = pick_footer_node(build_tree(html))
+        assert "site-footer" in (node.attrs.get("class") or "")
+        info = footer_contact_info(html)
+        # tel: anchor first (cleaned, +84→0), then footer-text phone
+        assert info["phones"][0] == "02838234567"
+        assert "0912345678" in info["phones"]
+        assert "0901234567" not in info["phones"]  # body, not footer
+        assert info["emails"] == ["hr@acme.vn"]
+
+        merged = merge_contact_priority(
+            {"phones": info["phones"], "emails": [], "social_links": [],
+             "contact_forms": []},
+            {"phones": ["0901234567"], "emails": [], "social_links": [],
+             "contact_forms": []},
+        )
+        # the reference pushes each priority value to the front one at a
+        # time (insert(0, v)), which REVERSES the priority list —
+        # faithful port (contact_extractor_service.py:262-265)
+        assert merged["phones"] == [
+            "0912345678", "02838234567", "0901234567",
+        ]
+
+    def test_footer_fallback_last_block(self):
+        from crawler_ai_ray.functions.footer_contacts import (
+            pick_footer_node,
+        )
+        from crawler_ai_ray.functions.minidom import build_tree
+
+        node = pick_footer_node(
+            build_tree("<div>a</div><section>b</section><div>last</div>")
+        )
+        assert node.get_text() == "last"
