@@ -88,10 +88,12 @@ def bench_fetch_extract(corpus: str) -> dict:
         src = path
     # warmup: spawns/imports worker processes and fills the page cache so
     # the measured pass is the sustained regime
-    warm = ray.data.read_parquet(path, columns=["url", "html", "lang"])
+    from crawler_ai_ray.sources.pqread import read_parquet_rowgroups
+
+    warm = read_parquet_rowgroups(path, columns=["url", "html", "lang"])
     extract_pages(warm, batch_size=128).count()
 
-    ds = ray.data.read_parquet(src, columns=["url", "html", "lang"])
+    ds = read_parquet_rowgroups(src, columns=["url", "html", "lang"])
     t0 = time.time()
     total = extract_pages(ds, batch_size=128).count()
     wall = time.time() - t0
