@@ -1100,9 +1100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_neardup_cosine": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
-        # events: windowed / sessionized aggregates
+        # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_sessionize": _rel("events_sessionize"),
+        "events_asof_join": _rel("events_asof_join"),
+        "events_range_join": _rel("events_range_join"),
         # relational kernels (groupby/join/sort/topk)
         "tpch_q1_pricing": _rel("q1_pricing_summary"),
         "top_customers": _rel("top_customers"),
@@ -1549,6 +1551,21 @@ def oracle_sql() -> dict[str, str]:
                 AS sum_value_micros
             FROM events GROUP BY 1, 2""",
         "events_sessionize": sessionize,
+        "events_asof_join": """
+            SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+              p.event_id AS purchase_id, p.ts AS purchase_ts,
+              CAST(FLOOR(p.value*100 + 0.5) AS BIGINT) AS purchase_cents
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "events_range_join": """
+            SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+              count(c.event_id)::BIGINT AS n_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = s.user_id AND c.ts > s.ts
+                 AND c.ts <= s.ts + INTERVAL 60 MINUTE
+            GROUP BY 1, 2, 3""",
         "tpch_q1_pricing": q1,
         "top_customers": top_customers,
         "supplier_by_region": """

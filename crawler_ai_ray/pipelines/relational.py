@@ -39,6 +39,8 @@ __all__ = [
     "lineitem_part_revenue",
     "events_hourly",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
     "cents",
 ]
 
@@ -509,3 +511,170 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         )
 
     return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# as-of join and range join (custom temporal operators, build-brief list)
+# ---------------------------------------------------------------------------
+
+def _events_sides(sf_dir: str, left_type: str, right_type: str,
+                  num_buckets: int):
+    """events filtered to two event-type streams, tagged with
+    ``bucket = user_id % num_buckets`` and a side flag, unioned.  Both
+    temporal joins below need (user, time)-co-location only — a user
+    lives in exactly one bucket, so the single Ray shuffle has
+    ``num_buckets`` groups and each group resolves its users exactly."""
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch["event_type"], pa.array([left_type, right_type]))
+        )
+        uid = pc.cast(batch["user_id"], pa.uint64())
+        bucket = pc.cast(
+            pc.bit_wise_and(uid, num_buckets - 1)
+            if num_buckets & (num_buckets - 1) == 0
+            else pc.subtract(
+                uid, pc.multiply(pc.divide(uid, num_buckets), num_buckets)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": bucket,
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "value_cents": cents(batch["value"]),
+                "is_left": pc.equal(batch["event_type"], left_type),
+            }
+        )
+
+    return ev.map_batches(tag, batch_format="pyarrow")
+
+
+def events_asof_join(sf_dir: str, left_type: str = "click",
+                     right_type: str = "purchase", num_buckets: int = 64):
+    """AS-OF join: each `left_type` event matched to the same user's
+    most recent `right_type` event at-or-before its timestamp (inner —
+    lefts with no prior right are dropped, matching DuckDB
+    ``ASOF JOIN ... ON l.user = r.user AND l.ts >= r.ts``).
+
+    Composition path (a): bucket by user → per-bucket
+    ``pandas.merge_asof(by=user_id)`` (a vectorized sorted
+    backward-search; (user, ts) pairs are unique in the corpus so the
+    match is deterministic).  → (user_id, click_id, click_ts,
+    purchase_id, purchase_ts, purchase_cents)."""
+    both = _events_sides(sf_dir, left_type, right_type, num_buckets)
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        left = df[df["is_left"]].sort_values("ts", kind="mergesort")
+        right = df[~df["is_left"]].sort_values("ts", kind="mergesort")
+        if left.empty or right.empty:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "click_id": pa.array([], pa.int64()),
+                    "click_ts": pa.array([], pa.timestamp("us")),
+                    "purchase_id": pa.array([], pa.int64()),
+                    "purchase_ts": pa.array([], pa.timestamp("us")),
+                    "purchase_cents": pa.array([], pa.int64()),
+                }
+            )
+        right = right[["user_id", "event_id", "ts", "value_cents"]].copy()
+        right["purchase_ts"] = right["ts"]  # merge_asof drops the right 'on'
+        m = pd.merge_asof(
+            left[["user_id", "event_id", "ts"]],
+            right,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "_r"),
+        )
+        m = m.dropna(subset=["event_id_r"])
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"], pa.int64()),
+                "click_id": pa.array(m["event_id"], pa.int64()),
+                "click_ts": pa.array(m["ts"], pa.timestamp("us")),
+                "purchase_id": pa.array(
+                    m["event_id_r"].astype("int64"), pa.int64()
+                ),
+                "purchase_ts": pa.array(m["purchase_ts"], pa.timestamp("us")),
+                "purchase_cents": pa.array(
+                    m["value_cents"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pyarrow")
+        .sort(["user_id", "click_id"])
+    )
+
+
+def events_range_join(sf_dir: str, window_minutes: int = 60,
+                      left_type: str = "signup", right_type: str = "click",
+                      num_buckets: int = 64):
+    """RANGE join + aggregate: for each `left_type` event, count the
+    same user's `right_type` events with ts in (left.ts, left.ts +
+    window] (left-join semantics: zero-match lefts kept with count 0).
+
+    Composition path (a): bucket by user → per-user vectorized
+    ``np.searchsorted`` of all window bounds into the user's sorted
+    right-side timestamps — O(n log n) per user, no pairwise blowup.
+    → (signup_id, user_id, signup_ts, n_clicks)."""
+    both = _events_sides(sf_dir, left_type, right_type, num_buckets)
+    win_us = window_minutes * 60 * 1_000_000
+
+    def range_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out_ids, out_users, out_ts, out_n = [], [], [], []
+        for uid, grp in df.groupby("user_id", sort=False):
+            lefts = grp[grp["is_left"]]
+            if lefts.empty:
+                continue
+            rts = np.sort(
+                grp.loc[~grp["is_left"], "ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            lts = lefts["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lo = np.searchsorted(rts, lts, side="right")
+            hi = np.searchsorted(rts, lts + win_us, side="right")
+            out_ids.append(lefts["event_id"].to_numpy())
+            out_users.append(np.full(len(lefts), uid, dtype=np.int64))
+            out_ts.append(lefts["ts"].to_numpy().astype("datetime64[us]"))
+            out_n.append(hi - lo)
+        if not out_ids:
+            return pa.table(
+                {
+                    "signup_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "signup_ts": pa.array([], pa.timestamp("us")),
+                    "n_clicks": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "signup_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "user_id": pa.array(np.concatenate(out_users), pa.int64()),
+                "signup_ts": pa.array(
+                    np.concatenate(out_ts), pa.timestamp("us")
+                ),
+                "n_clicks": pa.array(
+                    np.concatenate(out_n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(range_bucket, batch_format="pyarrow")
+        .sort(["user_id", "signup_id"])
+    )

@@ -57,6 +57,38 @@ def test_hash_join_vs_duckdb(duck):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_join_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import events_asof_join
+
+    eng = events_asof_join(SF).to_pandas()
+    ora = duck.sql("""
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        p.event_id AS purchase_id, p.ts AS purchase_ts,
+        CAST(FLOOR(p.value*100 + 0.5) AS BIGINT) AS purchase_cents
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.user_id, click_id""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import events_range_join
+
+    eng = events_range_join(SF).to_pandas()
+    ora = duck.sql("""
+      SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+        count(c.event_id)::BIGINT AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = s.user_id AND c.ts > s.ts
+           AND c.ts <= s.ts + INTERVAL 60 MINUTE
+      GROUP BY 1, 2, 3 ORDER BY s.user_id, signup_id""").df()
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_bucket_join_generic(duck):
     """Generic bucketed join helper, incl. the non-power-of-2 modulo
     path, row-exact vs DuckDB."""
