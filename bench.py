@@ -145,6 +145,8 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_neardup_cosine",
         "events_hourly",
         "events_sessionize",
+        "events_asof_join",
+        "events_range_join",
         "tpch_q1_pricing",
         "top_customers",
         "supplier_by_region",
