@@ -1004,7 +1004,12 @@ def _media_ds(sf_dir: str, kind: str):
     n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
         os.path.basename(os.path.normpath(sf_dir)), 256
     )
-    return ray.data.from_arrow(synth_media_table(n, kind=kind))
+    tbl = synth_media_table(n, kind=kind)
+    # from_arrow(one table) = ONE block, which starves the decode actor
+    # pool — pre-slice so every actor has work from the first batch
+    step = 64
+    slices = [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    return ray.data.from_arrow(slices)
 
 
 def _q_mm_image(sf_dir: str):
