@@ -89,6 +89,30 @@ def test_range_join_vs_duckdb(duck):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bucketed_ops_partition_invariant():
+    """Results of every bucketed operator must be independent of the
+    bucket count (the partitioning is an execution detail, never a
+    semantic one) — pin num_buckets=1 (single group, no co-location
+    assumptions exercised) against a many-bucket run."""
+    from crawler_ai_ray.pipelines.relational import (
+        events_asof_join,
+        events_range_join,
+        lineitem_part_revenue,
+        top_customers,
+    )
+
+    for fn, kwargs in [
+        (top_customers, {"k": 5}),
+        (lineitem_part_revenue, {}),
+        (events_asof_join, {}),
+        (events_range_join, {}),
+    ]:
+        one = fn(SF, num_buckets=1, **kwargs).to_pandas()
+        many = fn(SF, num_buckets=64, **kwargs).to_pandas()
+        assert one.reset_index(drop=True).equals(many.reset_index(drop=True)), fn.__name__
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_bucket_join_generic(duck):
     """Generic bucketed join helper, incl. the non-power-of-2 modulo
     path, row-exact vs DuckDB."""
