@@ -1232,8 +1232,9 @@ def oracle_sql() -> dict[str, str]:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     s AS (
       SELECT user_id, ts,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1
+             AS BIGINT) AS session_idx
       FROM o)
     SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
            count(*)::BIGINT AS n_events
@@ -1241,12 +1242,12 @@ def oracle_sql() -> dict[str, str]:
 
     q1 = """
     SELECT l_returnflag, l_linestatus,
-      sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-      sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-      sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+      sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+      sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+      sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))::BIGINT
         AS sum_disc_cents,
       sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5)
-               AS BIGINT)) AS sum_charge_cents,
+               AS BIGINT))::BIGINT AS sum_charge_cents,
       count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -1256,7 +1257,7 @@ def oracle_sql() -> dict[str, str]:
     WITH rev AS (
       SELECT o_custkey,
              count(*)::BIGINT AS n_orders,
-             sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+             sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents
       FROM orders GROUP BY 1)
     SELECT c_custkey, c_name, c_mktsegment, n_orders, revenue_cents
     FROM rev JOIN customer ON c_custkey = o_custkey
@@ -1341,7 +1342,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10""",
         "jobs_summary_by_company": f"""
             SELECT enh_company AS company, count(*)::BIGINT AS n_jobs,
-                   sum(CAST(FLOOR(q_overall*1000000 + 0.5) AS BIGINT))
+                   sum(CAST(FLOOR(q_overall*1000000 + 0.5) AS BIGINT))::BIGINT
                      AS sum_q_micros
             FROM read_parquet('{jobs_golden}') GROUP BY 1""",
         "crawl_career_top3_per_host": f"""
@@ -1552,7 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
               count(*)::BIGINT AS n_events,
-              sum(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+              sum(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))::BIGINT
                 AS sum_value_micros
             FROM events GROUP BY 1, 2""",
         "events_sessionize": sessionize,
@@ -1575,7 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": top_customers,
         "supplier_by_region": """
             SELECT r_name, count(*)::BIGINT AS n_suppliers,
-              sum(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT))
+              sum(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT))::BIGINT
                 AS sum_acctbal_cents
             FROM supplier
             JOIN nation ON n_nationkey = s_nationkey
@@ -1584,7 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_part_revenue": """
             SELECT p_brand, count(*)::BIGINT AS n_items,
               sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
-                       AS BIGINT)) AS revenue_cents
+                       AS BIGINT))::BIGINT AS revenue_cents
             FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1""",
     }

@@ -46,18 +46,15 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    """Parallel single-file read: the default one-read-task +
-    SplitBlocks plan serializes the producer and starves downstream
-    stages (see ``__ray_entry__._read_parallel``)."""
-    import pyarrow.parquet as pq
-    import ray.data
+    """Parallel single-file read via the row-group Datasource: the
+    default one-read-task + SplitBlocks plan decodes the whole file on
+    ONE task before splitting (``sources/pqread.py:3-19``); one read
+    task per row-group range parallelizes the decode itself.  Falls
+    back to the post-split plan for single-row-group files."""
+    from ..sources.pqread import read_parquet_rowgroups
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    rows = pq.ParquetFile(path).metadata.num_rows
-    blocks = max(8, min(64, rows // 4096 or 1))
-    return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=blocks
-    )
+    return read_parquet_rowgroups(path, columns=columns)
 
 
 def cents(arr: pa.ChunkedArray | pa.Array, scale: float = 100.0) -> pa.Array:
@@ -173,12 +170,15 @@ def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
     groups, and each bucket group finishes its customers exactly
     (a custkey lives in exactly one bucket), takes its LOCAL top-k,
     and only ``num_buckets × k`` candidate rows reach the final tiny
-    sort.  Customer names broadcast via ``ray.put`` and are attached
-    only to per-bucket winners."""
+    sort.  Customer names are attached LAST, via a filtered streaming
+    scan that keeps only the ≤k winning custkeys — the dimension table
+    is never materialized on the driver (at TPC-H scale customer is
+    1.5M × SF rows; only k rows of it ever leave the scan)."""
     import ray
     import ray.data
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    pow2 = num_buckets & (num_buckets - 1) == 0
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -192,7 +192,12 @@ def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
         )
         ck = pc.cast(agg["o_custkey"], pa.uint64())
         bucket = pc.cast(
-            pc.bit_wise_and(ck, num_buckets - 1), pa.int64()
+            pc.bit_wise_and(ck, num_buckets - 1)
+            if pow2
+            else pc.subtract(
+                ck, pc.multiply(pc.divide(ck, num_buckets), num_buckets)
+            ),
+            pa.int64(),
         )
         return pa.table(
             {
@@ -203,24 +208,6 @@ def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
             }
         )
 
-    cust_tbl = pa.concat_tables(
-        ray.get(
-            _read(
-                sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
-            ).to_arrow_refs()
-        )
-    )
-    lookup_ref = ray.put(
-        {
-            ck: (nm, seg)
-            for ck, nm, seg in zip(
-                cust_tbl["c_custkey"].to_pylist(),
-                cust_tbl["c_name"].to_pylist(),
-                cust_tbl["c_mktsegment"].to_pylist(),
-            )
-        }
-    )
-
     def bucket_topk(group: pa.Table) -> pa.Table:
         agg = group.group_by("o_custkey").aggregate(
             [("revenue_cents", "sum"), ("n_orders", "sum")]
@@ -228,30 +215,49 @@ def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
         top = agg.sort_by(
             [("revenue_cents_sum", "descending"), ("o_custkey", "ascending")]
         ).slice(0, k)
-        lookup = ray.get(lookup_ref)
-        names, segs = [], []
-        for ck in top["o_custkey"].to_pylist():
-            nm, seg = lookup.get(ck, (None, None))
-            names.append(nm)
-            segs.append(seg)
         return pa.table(
             {
                 "c_custkey": top["o_custkey"],
-                "c_name": pa.array(names, pa.string()),
-                "c_mktsegment": pa.array(segs, pa.string()),
                 "n_orders": top["n_orders_sum"],
                 "revenue_cents": top["revenue_cents_sum"],
             }
         )
 
-    candidates = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_topk, batch_format="pyarrow")
+    winner_blocks = [
+        t
+        for t in ray.get(
+            orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pyarrow")
+            .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+            .limit(k)
+            .to_arrow_refs()
+        )
+        if t.num_rows  # empty post-limit blocks carry a degenerate schema
+    ]
+    winners = pa.concat_tables(winner_blocks)
+    # ≤ k rows — small-result materialization by construction
+    keyset = winners["c_custkey"].combine_chunks()
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["c_custkey"], value_set=keyset))
+
+    names = pa.concat_tables(
+        ray.get(
+            _read(
+                sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+            )
+            .map_batches(keep_winners, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )  # ≤ k rows survive the scan
+    out = winners.join(names, keys="c_custkey").sort_by(
+        [("revenue_cents", "descending"), ("c_custkey", "ascending")]
     )
-    return candidates.sort(
-        ["revenue_cents", "c_custkey"], descending=[True, False]
-    ).limit(k)
+    return out.select(
+        ["c_custkey", "c_name", "c_mktsegment", "n_orders", "revenue_cents"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +470,15 @@ def events_hourly(sf_dir: str):
             }
         )
 
+    def to_us(batch: pa.Table) -> pa.Table:
+        # Ray's Aggregate downcasts timestamp keys to [s]; restore [us]
+        # so the dtype matches DuckDB date_trunc output exactly
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(batch["window_start"], pa.timestamp("us")),
+        )
+
     return (
         ev.map_batches(window, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
@@ -472,45 +487,84 @@ def events_hourly(sf_dir: str):
             Sum("value_micros", alias_name="sum_value_micros"),
         )
         .sort(["window_start", "event_type"])
+        .map_batches(to_us, batch_format="pyarrow")
     )
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Per-user sessionization (gap > 30 min starts a new session) —
-    the canonical stateful streaming window as a hash-partitioned
-    ``groupby(user).map_groups`` (state never leaves the group)."""
+def events_sessionize(sf_dir: str, gap_minutes: int = 30,
+                      num_buckets: int = 64):
+    """Per-user sessionization (gap > 30 min starts a new session).
+
+    Scale shape: a user's events must be co-located, but shuffling one
+    Ray group PER USER (``groupby(user_id)``) is the high-cardinality
+    anti-pattern — at 10^8 users that is 10^8 group tasks.  Instead the
+    shuffle key is ``user_id % num_buckets`` (a user lives in exactly
+    one bucket), and session boundaries inside each bucket are computed
+    in ONE vectorized pass over the (user, ts)-sorted arrays: a session
+    starts where the user changes OR the gap exceeds the threshold;
+    ``np.flatnonzero`` turns the boundary mask into per-session slice
+    indices (no per-session masking loop)."""
     import ray.data
 
-    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        uid = group["user_id"][0].as_py()
-        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False)).astype(
-            "datetime64[us]"
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.uint64())
+        if num_buckets & (num_buckets - 1) == 0:
+            bucket = pc.bit_wise_and(uid, num_buckets - 1)
+        else:
+            bucket = pc.subtract(
+                uid, pc.multiply(pc.divide(uid, num_buckets), num_buckets)
+            )
+        return batch.append_column(
+            "bucket", pc.cast(bucket, pa.int64())
         )
+
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         tsi = ts.astype(np.int64)
-        new_sess = np.ones(len(tsi), dtype=bool)
-        new_sess[1:] = (tsi[1:] - tsi[:-1]) > gap_us
-        sess_idx = np.cumsum(new_sess) - 1
-        n_sessions = sess_idx[-1] + 1 if len(sess_idx) else 0
-        starts, ends, counts = [], [], []
-        for s in range(n_sessions):
-            mask = sess_idx == s
-            starts.append(ts[mask][0])
-            ends.append(ts[mask][-1])
-            counts.append(int(mask.sum()))
+        order = np.lexsort((tsi, uid))
+        uid, ts, tsi = uid[order], ts[order], tsi[order]
+        n = len(tsi)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.timestamp("us")),
+                    "end_ts": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (
+            (tsi[1:] - tsi[:-1]) > gap_us
+        )
+        starts = np.flatnonzero(new_sess)
+        bounds = np.append(starts[1:], n)
+        sess_user = uid[starts]
+        j = np.arange(len(starts))
+        new_user = np.ones(len(starts), dtype=bool)
+        new_user[1:] = sess_user[1:] != sess_user[:-1]
+        first_of_user = np.where(new_user, j, 0)
+        np.maximum.accumulate(first_of_user, out=first_of_user)
         return pa.table(
             {
-                "user_id": pa.array([uid] * n_sessions, pa.int64()),
-                "session_idx": pa.array(range(n_sessions), pa.int64()),
-                "start_ts": pa.array(starts, pa.timestamp("us")),
-                "end_ts": pa.array(ends, pa.timestamp("us")),
-                "n_events": pa.array(counts, pa.int64()),
+                "user_id": pa.array(sess_user, pa.int64()),
+                "session_idx": pa.array(j - first_of_user, pa.int64()),
+                "start_ts": pa.array(ts[starts], pa.timestamp("us")),
+                "end_ts": pa.array(ts[bounds - 1], pa.timestamp("us")),
+                "n_events": pa.array(bounds - starts, pa.int64()),
             }
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -574,7 +628,12 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
 
         df = g.to_pandas()
         left = df[df["is_left"]].sort_values("ts", kind="mergesort")
-        right = df[~df["is_left"]].sort_values("ts", kind="mergesort")
+        # secondary event_id key: with duplicate (user, ts) right rows,
+        # merge_asof matches the LAST equal-ts row in sort order — the
+        # stable tie-break keeps that deterministic across block orders
+        right = df[~df["is_left"]].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         if left.empty or right.empty:
             return pa.table(
                 {

@@ -47,6 +47,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"ROWCOUNT MISMATCH ray={len(a)} sql={len(b)}"
     for col in a.columns:
         av, bv = a[col], b[col]
+        # The driver's value-hash is representation-sensitive across type
+        # FAMILIES but not widths: r01 evidence is that int32-vs-int64
+        # columns hash-matched, while a DuckDB HUGEINT sum arriving as
+        # float64 against Ray's int64 did not (jobs_summary_by_company).
+        # Mirror that: flag int-vs-float/bool/object family mismatches
+        # and datetime-unit differences, allow width-only differences.
+        fam = lambda d: "i" if d.kind in "iu" else d.kind  # noqa: E731
+        if fam(av.dtype) != fam(bv.dtype) or (
+            av.dtype.kind == "M" and av.dtype != bv.dtype
+        ):
+            return f"DTYPE MISMATCH col={col} ray={av.dtype} sql={bv.dtype}"
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 import numpy as np
