@@ -1047,6 +1047,176 @@ def _q_mm_video_frames(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# fetch outcome taxonomy (S1/S2 — crawler.py:103-134, :156-288, :424-446)
+# ---------------------------------------------------------------------------
+
+def _fetch_population(sf_dir: str):
+    """(pages ∪ fetchcfg) as a Ray Dataset of urls + the cfg broadcast.
+
+    fetchcfg holds only non-default profiles (O(hosts) rows) and is
+    broadcast via ``ray.put``; membership of cfg urls in pages is
+    resolved with a column-pruned predicate-pushdown scan of just those
+    keys — the pages table itself streams, never materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    corpus = _corpus(sf_dir)
+    cfg = pq.read_table(os.path.join(corpus, "fetchcfg.parquet"))
+    keys = cfg["url"].combine_chunks()
+    in_pages = pads.dataset(
+        os.path.join(corpus, "pages.parquet"), format="parquet"
+    ).to_table(columns=["url"], filter=pc.field("url").isin(keys))
+    extras = cfg.filter(
+        pc.invert(pc.is_in(cfg["url"], value_set=in_pages["url"].combine_chunks()))
+    ).select(["url"])
+    ds = _pages(sf_dir, columns=["url"])
+    if extras.num_rows:
+        ds = ds.union(ray.data.from_arrow(extras))
+    cfg_ref = ray.put(
+        {
+            u: (h, list(a))
+            for u, h, a in zip(
+                cfg["url"].to_pylist(),
+                cfg["head_status"].to_pylist(),
+                cfg["attempts"].to_pylist(),
+            )
+        }
+    )
+    return ds, cfg_ref
+
+
+class _FetchSim:
+    """Actor-pool batch fn: cfg dict fetched from the object store once
+    per actor in ``__init__`` (never re-shipped per batch)."""
+
+    def __init__(self, cfg_ref) -> None:
+        import ray
+
+        self.cfg = ray.get(cfg_ref)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        from crawler_ai_ray.functions.fetch_errors import (
+            DEFAULT_ATTEMPTS,
+            DEFAULT_HEAD,
+            simulate_fetch,
+        )
+
+        urls = batch["url"].to_pylist()
+        succ, status, etype, att = [], [], [], []
+        for u in urls:
+            head, outcomes = self.cfg.get(u, (DEFAULT_HEAD, DEFAULT_ATTEMPTS))
+            r = simulate_fetch(u, head, outcomes)
+            succ.append(r["success"])
+            # 0 / '' sentinels instead of NULL so the int32/string dtypes
+            # survive the pandas round-trip on both compare sides
+            status.append(r["status_code"] or 0)
+            etype.append(r["error_type"] or "")
+            att.append(r["attempts_used"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "success": pa.array(succ, pa.bool_()),
+                "status_code": pa.array(status, pa.int32()),
+                "error_type": pa.array(etype, pa.string()),
+                "attempts": pa.array(att, pa.int32()),
+            }
+        )
+
+
+def _q_crawl_fetch_results(sf_dir: str):
+    """S1: per-URL fetch outcome (retry replay + error taxonomy) over
+    the full population."""
+    ds, cfg_ref = _fetch_population(sf_dir)
+    return ds.map_batches(
+        _FetchSim,
+        fn_constructor_args=(cfg_ref,),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
+def _q_crawl_fetch_errors(sf_dir: str):
+    """S1 rollup: failed fetches by error class (combiner pre-agg, then
+    a ≤8-group Ray groupby)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    res = _q_crawl_fetch_results(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        failed = batch.filter(pc.invert(batch["success"]))
+        agg = (
+            failed.select(["error_type"])
+            .append_column("n", pa.array([1] * failed.num_rows, pa.int64()))
+            .group_by("error_type")
+            .aggregate([("n", "sum")])
+        )
+        return agg.rename_columns(["error_type", "n"])
+
+    return (
+        res.map_batches(partial, batch_format="pyarrow")
+        .groupby("error_type")
+        .aggregate(Sum("n", alias_name="n_urls"))
+    )
+
+
+def _q_crawl_head_check(sf_dir: str):
+    """S2: HEAD availability verdict per URL (check_url_availability,
+    crawler.py:103-134).  ``verdict`` is the tri-state as a string
+    (available / unavailable / unknown) so no column is NULL-typed."""
+    import pyarrow as pa
+    import ray
+
+    ds, cfg_ref = _fetch_population(sf_dir)
+
+    class HeadSim:
+        def __init__(self, ref) -> None:
+            self.cfg = ray.get(ref)
+
+        def __call__(self, batch):
+            from crawler_ai_ray.functions.fetch_errors import (
+                DEFAULT_HEAD,
+                head_availability,
+            )
+
+            urls = batch["url"].to_pylist()
+            verdicts, statuses, errors = [], [], []
+            for u in urls:
+                head, _ = self.cfg.get(u, (DEFAULT_HEAD, None))
+                h = head_availability(head)
+                verdicts.append(
+                    "unknown"
+                    if h["available"] is None
+                    else ("available" if h["available"] else "unavailable")
+                )
+                statuses.append(h["status"] or 0)
+                errors.append(h["error"] or "")
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "verdict": pa.array(verdicts, pa.string()),
+                    "head_status": pa.array(statuses, pa.int32()),
+                    "head_error": pa.array(errors, pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        HeadSim,
+        fn_constructor_args=(cfg_ref,),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl / extraction (SURVEY §2.2-2.3, §3)
@@ -1089,6 +1259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
         "crawl_metrics": _q_crawl_metrics,
+        # fetch outcome taxonomy (S1/S2)
+        "crawl_fetch_results": _q_crawl_fetch_results,
+        "crawl_fetch_errors": _q_crawl_fetch_errors,
+        "crawl_head_check": _q_crawl_head_check,
         # documents: text analysis + dedup
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -1149,6 +1323,69 @@ def oracle_sql() -> dict[str, str]:
     def esc(pat: str) -> str:
         """Escape a regex for use inside a single-quoted SQL literal."""
         return pat.replace("'", "''")
+
+    # fetch-outcome oracle: an INDEPENDENT SQL replay of the reference
+    # retry loop (crawler.py:156-288) + error taxonomy (:424-446) over
+    # the raw fetchcfg profiles — not a read-back of fetch_golden, so it
+    # genuinely cross-checks functions/fetch_errors.simulate_fetch.
+    # Terminal attempt: first success (1xx-3xx) or permanent (404/410),
+    # else the 3rd; a failed HEAD pre-check (non-2xx/3xx, non-0) kills
+    # the fetch with zero GET attempts.
+    fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
+    pages_pq = os.path.join(corpus, "pages.parquet")
+    fetch_base = f"""
+    WITH cfg AS (
+      SELECT url, head_status, attempts
+      FROM read_parquet('{fetchcfg}')),
+    pg AS (SELECT url FROM read_parquet('{pages_pq}')),
+    pop AS (
+      SELECT pg.url,
+             coalesce(c.head_status, 200) AS hs,
+             coalesce(c.attempts, [200, 200, 200]) AS att
+      FROM pg LEFT JOIN cfg c USING (url)
+      UNION ALL
+      SELECT c.url, c.head_status, c.attempts
+      FROM cfg c WHERE c.url NOT IN (SELECT url FROM pg)),
+    t AS (
+      SELECT url, hs, att[1] AS a1, att[2] AS a2, att[3] AS a3,
+        CASE
+          WHEN NOT (url LIKE 'http://%' OR url LIKE 'https://%')
+            THEN 'skip'
+          WHEN hs NOT IN (0, 200, 301, 302, 303, 307, 308) THEN 'head'
+          WHEN (a1 BETWEEN 100 AND 399) OR a1 IN (404, 410) THEN 'a1'
+          WHEN (a2 BETWEEN 100 AND 399) OR a2 IN (404, 410) THEN 'a2'
+          ELSE 'a3'
+        END AS term
+      FROM pop),
+    o AS (
+      SELECT url, term,
+        CASE term WHEN 'a1' THEN a1 WHEN 'a2' THEN a2 WHEN 'a3' THEN a3
+                  WHEN 'head' THEN hs ELSE NULL END AS oc,
+        CASE term WHEN 'skip' THEN 0 WHEN 'head' THEN 0
+                  WHEN 'a1' THEN 1 WHEN 'a2' THEN 2 ELSE 3 END AS n_att
+      FROM t),
+    fr AS (
+      SELECT url,
+        (term NOT IN ('skip', 'head') AND oc BETWEEN 100 AND 399)
+          AS success,
+        CAST(CASE WHEN oc >= 100 THEN oc ELSE 0 END AS INTEGER)
+          AS status_code,
+        CASE
+          WHEN term = 'skip' THEN 'non_http'
+          WHEN term NOT IN ('skip', 'head') AND oc BETWEEN 100 AND 399
+            THEN ''
+          WHEN oc = -1 THEN 'timeout'
+          WHEN oc = -2 THEN 'dns'
+          WHEN oc IN (-3, -4) THEN 'connection'
+          WHEN oc = 403 THEN 'blocked'
+          WHEN oc = 429 THEN 'rate_limited'
+          WHEN oc IN (404, 410) THEN 'not_found'
+          WHEN oc IN (408, 504) THEN 'timeout'
+          ELSE 'other'
+        END AS error_type,
+        CAST(n_att AS INTEGER) AS attempts
+      FROM o)
+    """
 
     lang_counts = ", ".join(
         f"len(regexp_extract_all(lower(text), '{esc(pat)}')) AS c_{lang}"
@@ -1376,6 +1613,33 @@ def oracle_sql() -> dict[str, str]:
             "AS career_texts, m38_confidence "
             f"FROM read_parquet('{golden}')"
         ),
+        "crawl_fetch_results": fetch_base + (
+            "SELECT url, success, status_code, error_type, attempts "
+            "FROM fr"
+        ),
+        "crawl_fetch_errors": fetch_base + (
+            "SELECT error_type, count(*)::BIGINT AS n_urls "
+            "FROM fr WHERE NOT success GROUP BY 1"
+        ),
+        "crawl_head_check": fetch_base + """
+            SELECT url,
+              CASE WHEN hs = 0 THEN 'unknown'
+                   WHEN hs IN (200, 301, 302, 303, 307, 308)
+                     THEN 'available'
+                   ELSE 'unavailable' END AS verdict,
+              CAST(hs AS INTEGER) AS head_status,
+              CASE WHEN hs = 0 THEN 'HEAD request failed'
+                   WHEN hs IN (200, 301, 302, 303, 307, 308) THEN ''
+                   WHEN hs IN (404, 410)
+                     THEN 'Permanent error: HTTP ' || hs
+                   ELSE 'HTTP ' || hs || ' - ' ||
+                     CASE hs WHEN 403 THEN 'Forbidden'
+                             WHEN 429 THEN 'Too Many Requests'
+                             WHEN 500 THEN 'Internal Server Error'
+                             WHEN 503 THEN 'Service Unavailable'
+                             ELSE 'Unknown' END
+              END AS head_error
+            FROM pop""",
         "crawl_footer_contacts": (
             "SELECT url, "
             "COALESCE(array_to_string(footer_phones, '|'), '') "

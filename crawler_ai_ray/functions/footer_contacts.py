@@ -89,7 +89,10 @@ def footer_contact_info(html: str) -> dict:
                 n = clean_phone(href[4:])
                 if n and n not in tel_phones:
                     tel_phones.append(n)
-    text_phones = phones_from_text(footer.get_text())
+    # reference reads the footer as get_text(" ", strip=True)
+    # (contact_extractor_service.py:216) — the space separator keeps
+    # digits in adjacent elements from concatenating into false phones
+    text_phones = phones_from_text(footer.get_text(" ", strip=True))
     phones = list(dict.fromkeys(tel_phones + text_phones))
     # NOTE: the reference's `_extract_emails_from_footer` is passed the
     # FULL page html despite its name (:200, :226-235) — reproduced;

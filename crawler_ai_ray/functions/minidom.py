@@ -37,12 +37,18 @@ class Node:
             else:
                 c._collect(out)
 
-    def get_text(self, strip: bool = False) -> str:
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        """bs4 ``get_text(separator, strip)`` semantics: with ``strip``,
+        each text node is stripped and empty pieces dropped BEFORE
+        joining with ``separator`` — digits in adjacent elements must not
+        concatenate when the caller passes ``" "``."""
         out: list[str] = []
         self._collect(out)
         if strip:
-            return "".join(p.strip() for p in out if p.strip())
-        return "".join(out)
+            pieces = [p for p in (s.strip() for s in out) if p]
+        else:
+            pieces = out
+        return separator.join(pieces)
 
     # -- queries (document order) --------------------------------------
     def iter_elements(self):

@@ -91,6 +91,12 @@ CRAWL_SCHEMA = pa.schema(
         ("next_seq", pa.int64()),
         # o-row payload
         ("success", pa.bool_()),
+        # fetch taxonomy (functions/fetch_errors — crawler.py:424-446):
+        # status at the terminating step (null on exception failures),
+        # error class, GET attempts consumed by the retry loop
+        ("status_code", pa.int32()),
+        ("error_type", pa.string()),
+        ("fetch_attempts", pa.int32()),
         ("is_career", pa.bool_()),
         ("career_score", pa.float64()),
         ("is_job_url", pa.bool_()),
@@ -215,15 +221,21 @@ def _make_fetch_extract(store_handles: list, num_store_shards: int):
             sh = shard_for_host(rows[i]["host"], num_store_shards)
             by_shard.setdefault(sh, []).append(i)
         refs = {
-            sh: store_handles[sh].fetch.remote([rows[i]["url"] for i in idxs])
+            sh: store_handles[sh].fetch_detailed.remote(
+                [rows[i]["url"] for i in idxs]
+            )
             for sh, idxs in by_shard.items()
         }
         fetched = {sh: ray.get(ref) for sh, ref in refs.items()}
         for sh, idxs in by_shard.items():
             for j, i in enumerate(idxs):
-                html_b = fetched[sh][j]
+                f = fetched[sh][j]
+                html_b = f["html"]
                 r = rows[i]
                 r["kind"] = "e"
+                r["status_code"] = f["status_code"]
+                r["error_type"] = f["error_type"]
+                r["fetch_attempts"] = f["attempts_used"]
                 if html_b is None:
                     r["success"] = False
                     continue

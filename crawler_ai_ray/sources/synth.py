@@ -62,7 +62,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v21"
+CORPUS_VERSION = "v22"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -697,6 +697,81 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+# fetch-outcome fixtures (S1/S2 error taxonomy — functions/fetch_errors):
+# (path-or-sentinel, head_status, attempt outcomes).  Paths never collide
+# with generated pages and are NOT linked, so crawl ordering/seen-set
+# conformance is untouched; they exist for the fetch_results population.
+_FETCH_ERROR_FIXTURES = [
+    ("/gone-archive", 410, [410, 410, 410]),     # HEAD-kill → not_found
+    ("/old-jobs", 200, [404, 404, 404]),         # GET permanent → not_found
+    ("/admin", 403, [403, 403, 403]),            # HEAD-kill → blocked
+    ("/flaky", 0, [503, 503, 503]),              # retries exhausted → other
+    ("/limited", 200, [429, 429, 429]),          # → rate_limited
+    ("/slow", 0, [-1, -1, -1]),                  # timeouts → timeout
+    ("/refused", 0, [-3, -3, -3]),               # → connection
+    ("/unreachable", 0, [-4, -4, -4]),           # → connection
+    ("/bad-encoding", 0, [-5, -5, -5]),          # → other
+    ("/server-error", 200, [500, 500, 500]),     # → other
+]
+
+# transient profiles applied to REAL pages: final attempt succeeds, so
+# crawl output (success + extracted text) is unchanged — only the fetch
+# metadata (attempts_used, backoff) differs from the clean default
+_FETCH_TRANSIENT_PROFILES = [
+    (0, [503, 200, 200]),
+    (200, [429, 429, 200]),
+    (0, [-1, 200, 200]),
+    (200, [500, 503, 200]),
+]
+
+
+def _fetch_profiles(idx: int, seed: int, domain: str,
+                    page_urls: list[str]) -> list[dict]:
+    """Deterministic per-host fetchcfg rows (own RNG stream so the page
+    generator's streams — and therefore every existing golden — are
+    untouched)."""
+    rng = random.Random(f"{seed}:fetch:{idx}")
+    base = f"https://{domain}"
+    rows: list[dict] = []
+    for path, head, att in _FETCH_ERROR_FIXTURES:
+        if rng.random() < 0.5:
+            rows.append(
+                {
+                    "url": f"{base}{path}",
+                    "host": domain,
+                    "head_status": head,
+                    "attempts": att,
+                }
+            )
+    if rng.random() < 0.4:  # DNS-dead subdomain
+        rows.append(
+            {
+                "url": f"https://invalid.{domain}/",
+                "host": f"invalid.{domain}",
+                "head_status": 0,
+                "attempts": [-2, -2, -2],
+            }
+        )
+    if rng.random() < 0.4:  # non-HTTP scheme (pre-fetch skip)
+        rows.append(
+            {
+                "url": f"mailto:hr@{domain}",
+                "host": domain,
+                "head_status": 0,
+                "attempts": [0, 0, 0],
+            }
+        )
+    # transient-then-success on up to 2 real pages
+    for u in rng.sample(page_urls, min(2, len(page_urls))):
+        if rng.random() < 0.6:
+            head, att = rng.choice(_FETCH_TRANSIENT_PROFILES)
+            rows.append(
+                {"url": u, "host": domain, "head_status": head,
+                 "attempts": att}
+            )
+    return rows
+
+
 def _build_host(args: tuple[int, int]) -> tuple:
     """Worker: all rows for one host (picklable top-level fn).
 
@@ -740,9 +815,12 @@ def _build_host(args: tuple[int, int]) -> tuple:
         golden_rows.append(g)
         job_rows.extend(jrows)
         api_rows.extend(arows)
+    fetch_rows = _fetch_profiles(
+        idx, seed, host.domain, [p["url"] for p in page_rows]
+    )
     return (
         page_rows, golden_rows, job_rows, api_rows, apify_rows, seed_row,
-        host_rows,
+        host_rows, fetch_rows,
     )
 
 
@@ -770,7 +848,8 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
 
     api_rows: list[dict] = []
     apify_rows: list[dict] = []
-    for prows, grows, jrows, arows, aprows, srow, hrows in results:
+    fetch_rows: list[dict] = []
+    for prows, grows, jrows, arows, aprows, srow, hrows, frows in results:
         for p in prows:
             p["warc_ts"] = _BASE_TS_MS + len(page_rows) * 1000
             page_rows.append(p)
@@ -780,6 +859,7 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
         apify_rows.extend(aprows)
         seed_rows.append(srow)
         host_rows.extend(hrows)
+        fetch_rows.extend(frows)
 
     pages_tbl = pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA)
     # small row groups: Ray Data parallelizes a single-file read at
@@ -821,6 +901,52 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
     if fuzzy_rows:
         pq.write_table(pa.Table.from_pylist(fuzzy_rows),
                        os.path.join(out_dir, "jobs_fuzzy_golden.parquet"))
+    # fetch-outcome fixtures + golden (S1/S2 error taxonomy).  fetchcfg
+    # holds only the NON-default profiles; the golden replays the
+    # reference retry loop (functions/fetch_errors.simulate_fetch) over
+    # the whole population — pages not in cfg get the clean default.
+    from ..functions.fetch_errors import (
+        DEFAULT_ATTEMPTS,
+        DEFAULT_HEAD,
+        simulate_fetch,
+    )
+
+    fetchcfg_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("head_status", pa.int32()),
+            ("attempts", pa.list_(pa.int32())),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(fetch_rows, schema=fetchcfg_schema),
+        os.path.join(out_dir, "fetchcfg.parquet"),
+    )
+    cfg_by_url = {r["url"]: r for r in fetch_rows}
+    fg_rows = []
+    for p in page_rows:
+        c = cfg_by_url.get(p["url"])
+        head = c["head_status"] if c else DEFAULT_HEAD
+        att = c["attempts"] if c else list(DEFAULT_ATTEMPTS)
+        fg_rows.append(
+            {"url": p["url"], **simulate_fetch(p["url"], head, att)}
+        )
+    page_urls = {p["url"] for p in page_rows}
+    for r in fetch_rows:
+        if r["url"] not in page_urls:
+            fg_rows.append(
+                {
+                    "url": r["url"],
+                    **simulate_fetch(
+                        r["url"], r["head_status"], r["attempts"]
+                    ),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(fg_rows),
+        os.path.join(out_dir, "fetch_golden.parquet"),
+    )
     pq.write_table(pa.Table.from_pylist(apify_rows),
                    os.path.join(out_dir, "apify.parquet"))
     pq.write_table(pa.Table.from_pylist(seed_rows),

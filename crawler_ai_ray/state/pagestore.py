@@ -19,17 +19,26 @@ on ``url``) exercises the J3 shuffle instead.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .seen import shard_for_host
 from ..functions.classify import host_of
+from ..functions.fetch_errors import (
+    DEFAULT_ATTEMPTS,
+    DEFAULT_HEAD,
+    MISS_ATTEMPTS,
+    simulate_fetch,
+)
 
 __all__ = ["PageStoreShard", "PageStorePool"]
 
 
 class PageStoreShard:
-    """Holds url → html for all hosts mapping to this shard."""
+    """Holds url → html (plus fetch-outcome profiles) for all hosts
+    mapping to this shard."""
 
     def __init__(self, pages_path: str, shard: int, num_shards: int) -> None:
         self.pages: dict[str, bytes] = {}
@@ -43,10 +52,43 @@ class PageStoreShard:
         if keep:
             sub = tbl.take(keep)
             self.pages = dict(zip(sub["url"].to_pylist(), sub["html"].to_pylist()))
+        # non-default fetch profiles (retry/error fixtures) — absent for
+        # corpora predating fetchcfg; everything then gets the defaults
+        self.profiles: dict[str, tuple[int, list[int]]] = {}
+        cfg_path = os.path.join(os.path.dirname(pages_path), "fetchcfg.parquet")
+        if os.path.exists(cfg_path):
+            cfg = pq.read_table(cfg_path)
+            for u, h, hs, att in zip(
+                cfg["url"].to_pylist(),
+                cfg["host"].to_pylist(),
+                cfg["head_status"].to_pylist(),
+                cfg["attempts"].to_pylist(),
+            ):
+                if shard_for_host(h, num_shards) == shard:
+                    self.profiles[u] = (hs, att)
 
     def fetch(self, urls: list[str]) -> list[bytes | None]:
         """None = 404 (URL not in the corpus)."""
         return [self.pages.get(u) for u in urls]
+
+    def fetch_detailed(self, urls: list[str]) -> list[dict]:
+        """Full fetch outcome per URL: the reference retry/backoff/
+        error-taxonomy replay (``functions/fetch_errors``) + html on
+        success.  A URL absent from both corpus and cfg is a straight
+        GET 404 (``not_found``)."""
+        out = []
+        for u in urls:
+            html = self.pages.get(u)
+            if u in self.profiles:
+                head, att = self.profiles[u]
+            elif html is not None:
+                head, att = DEFAULT_HEAD, DEFAULT_ATTEMPTS
+            else:
+                head, att = DEFAULT_HEAD, MISS_ATTEMPTS
+            r = simulate_fetch(u, head, att)
+            r["html"] = html if r["success"] else None
+            out.append(r)
+        return out
 
     def n_pages(self) -> int:
         return len(self.pages)

@@ -252,3 +252,35 @@ class TestFooterContacts:
             build_tree("<div>a</div><section>b</section><div>last</div>")
         )
         assert node.get_text() == "last"
+
+    def test_footer_text_separator_matches_bs4_get_text(self):
+        """The reference reads footer text as get_text(" ", strip=True)
+        (contact_extractor_service.py:216): every text node stripped,
+        empties dropped, joined with ONE space.  Adjacent elements'
+        digit runs must therefore NOT concatenate — a bare join would
+        merge '2024' with the phone and the (?<!\\d) guard in the VN
+        regex would then reject the real number."""
+        from crawler_ai_ray.functions.footer_contacts import (
+            footer_contact_info,
+        )
+        from crawler_ai_ray.functions.minidom import build_tree
+
+        html = """<html><body><footer>
+        <span>2024</span><span>0901234567</span>
+        <p>  hr@x.vn  </p>
+        </footer></body></html>"""
+        # bs4-equivalent text of the footer: "2024 0901234567 hr@x.vn"
+        node = build_tree(html).find("footer")
+        assert node.get_text(" ", strip=True) == "2024 0901234567 hr@x.vn"
+        info = footer_contact_info(html)
+        assert info["phones"] == ["0901234567"]
+
+    def test_get_text_separator_semantics(self):
+        """minidom.get_text mirrors bs4: strip each piece BEFORE the
+        empty-drop and join; no separator keeps the old concatenation."""
+        from crawler_ai_ray.functions.minidom import build_tree
+
+        t = build_tree("<div><b> a </b>\n<i>b</i><u>  </u><s>c</s></div>")
+        assert t.get_text(" ", strip=True) == "a b c"
+        assert t.get_text(strip=True) == "abc"
+        assert t.get_text() == " a \nb  c"
