@@ -1,0 +1,130 @@
+"""Lazily-built oracle golden tables — shrink the driver's ``no_oracle``
+set (VERDICT r01 item 7).
+
+Three goldens per (corpus tag, testdata dir):
+
+* ``sim_crawl.parquet`` — the INDEPENDENT sequential crawl simulator's
+  fetch log (``oracle/sim.py``); makes ``crawl_loop`` DuckDB-checkable
+  (`SELECT ... FROM read_parquet(...)`) instead of rows-only.
+* ``simhash.parquet`` — (doc_id, simhash) via the pure ``simhash64``
+  (pinned by unit tests).  The PAIRING oracle is then brute-force SQL:
+  any pair at Hamming ≤ 3 over 64 bits must share one of the 4 16-bit
+  bands (pigeonhole), so the banded engine pipeline's pair set equals
+  the all-pairs set — the SQL cross join independently verifies the
+  whole distributed path (banding, bucketing, pair dedup).
+* ``minhash.parquet`` — (doc_id, sig[128], bandkeys[16]) via the pure
+  ``minhash_signature`` + band hash (both unit-pinned).  SQL recomputes
+  est_jaccard per candidate pair from the signatures and applies the
+  band-collision predicate with ``list_has_any`` — again independent of
+  the engine's shuffle/bucket orchestration.
+* ``rolling.parquet`` — (doc_id, fingerprint) rolling-hash golden
+  (jobs_golden pattern: same pure fn, plumbing checked end-to-end).
+
+All are deterministic functions of the corpus + the driver's testdata
+tables, built once per corpus version under the corpus directory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["ensure_oracle_goldens"]
+
+
+def _build_sim_crawl(corpus: str, out_path: str) -> None:
+    from .sim import simulate_crawl
+
+    res = simulate_crawl(corpus)
+    pq.write_table(pa.Table.from_pylist(res.fetch_log), out_path)
+
+
+def _build_doc_goldens(sf_dir: str, gdir: str) -> None:
+    from ..stages.dedup import (
+        _N_BANDS,
+        _ROWS_PER_BAND,
+        minhash_signature,
+        simhash64,
+    )
+    from ..stages.textstats import fingerprint_batch
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(
+                    [
+                        np.uint64(simhash64(t)).astype(np.int64).item()
+                        for t in texts
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        os.path.join(gdir, "simhash.parquet"),
+    )
+
+    sigs, bandkeys = [], []
+    for t in texts:
+        sig = minhash_signature(t).astype(np.int64)
+        sigs.append(sig.tolist())
+        keys = []
+        for b in range(_N_BANDS):
+            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            keys.append(f"{b}:{int.from_bytes(h, 'little') >> 1}")
+        bandkeys.append(keys)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+                "bandkeys": pa.array(bandkeys, pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(gdir, "minhash.parquet"),
+    )
+
+    fp = fingerprint_batch(docs)
+    pq.write_table(
+        fp.select(["doc_id", "fingerprint"]),
+        os.path.join(gdir, "rolling.parquet"),
+    )
+
+
+def ensure_oracle_goldens(sf_dir: str) -> str:
+    """Idempotently build the oracle goldens for a testdata dir; returns
+    the golden directory (inside the per-tag corpus dir, so it expires
+    with CORPUS_VERSION)."""
+    from ..sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    gdir = os.path.join(corpus, "oracle_goldens")
+    marker = os.path.join(gdir, "_DONE")
+    if os.path.exists(marker):
+        return gdir
+    tmp = gdir + ".tmp"
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        _build_doc_goldens(sf_dir, tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(sf_dir + "\n")
+    if os.path.exists(gdir):
+        shutil.rmtree(gdir)
+    os.replace(tmp, gdir)
+    return gdir

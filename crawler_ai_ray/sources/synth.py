@@ -53,6 +53,7 @@ from ..functions import (
     job_validation,
     page_meta,
     page_structure,
+    subdomains,
     job_urls,
     jobs as jobfns,
     sitemap,
@@ -62,7 +63,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v22"
+CORPUS_VERSION = "v23"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -571,6 +572,7 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
     fc = footer_contacts.footer_contact_info(html)
     row["footer_phones"] = fc["phones"]
     row["footer_emails"] = fc["emails"]
+    row["subdomain_candidates"] = subdomains.subdomain_candidates(url, html)
     social = contact_record.social_media_links(html, row["out_links"])
     forms = contact_record.detect_contact_forms(row["out_links"])
     m38_pages, m38_texts, m38_conf = contact_record.career_anchor_links(
