@@ -1006,8 +1006,10 @@ def _media_ds(sf_dir: str, kind: str):
     )
     tbl = synth_media_table(n, kind=kind)
     # from_arrow(one table) = ONE block, which starves the decode actor
-    # pool — pre-slice so every actor has work from the first batch
-    step = 64
+    # pool — pre-slice so every actor has work from the first batch.
+    # Step derives from the table so EVERY scale yields ≥8 blocks (a
+    # fixed 64 left sf0.001's 64 rows in one block).
+    step = max(1, tbl.num_rows // 8)
     slices = [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
     return ray.data.from_arrow(slices)
 

@@ -162,134 +162,176 @@ class CrawlConfig:
 
 
 # ---------------------------------------------------------------------------
-# stage 1: wave planning (groupby host)
+# stage 1: wave planning (whole-bucket Arrow pass)
 # ---------------------------------------------------------------------------
 
-def _make_plan_wave(policy: CrawlPolicy, rnd: int):
-    def plan_wave(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        s = next((r for r in rows if r["kind"] == "s"), None)
-        if s is None:  # host with no state row (shouldn't happen) — drop
-            return _rows_to_table([])
-        q = [r for r in rows if r["kind"] == "q"]
-        host = s["host"]
-        if not q:
-            return _rows_to_table([s])
-        q.sort(key=lambda r: (-r["priority"], r["seq"]))
-        budget = policy.wave_budget(host)
-        wave, rest = q[:budget], q[budget:]
-        out = []
-        attempts = s["attempts"]
-        for i, r in enumerate(wave):
-            out.append(
-                {
-                    "kind": "w",
-                    "host": host,
-                    "url": r["url"],
-                    "priority": r["priority"],
-                    "seq": r["seq"],
-                    "round": rnd,
-                    "host_seq": attempts + i,
-                }
-            )
-        s = dict(s)
-        s["attempts"] = attempts + len(wave)
-        out.append(s)
-        out.extend(rest)
-        return _rows_to_table(out)
+def _plan_bucket(
+    table: pa.Table, policy: CrawlPolicy, rnd: int
+) -> tuple[list[dict], pa.Table, dict[str, dict]]:
+    """Select each host's wave from the bucket's queue WITHOUT
+    deserializing the queue: one Arrow sort by (host, -priority, seq),
+    run-boundary indices per host, and a vectorized
+    ``position-in-host < budget`` mask.  Only the ≤budget wave rows
+    become Python dicts; the untouched remainder (``rest``) passes
+    through as the same Arrow table — at a 10^10-URL frontier the rest
+    queue dwarfs every wave, so it must never round-trip through
+    ``to_pylist`` (r01 VERDICT item 5).
 
-    return plan_wave
+    Returns (wave_rows, rest_queue_table, states_by_host); caller owns
+    bumping nothing — ``attempts`` is already advanced here."""
+    q = table.filter(pc.equal(table["kind"], "q"))
+    states = {
+        r["host"]: r
+        for r in table.filter(pc.equal(table["kind"], "s")).to_pylist()
+    }
+    if q.num_rows == 0:
+        return [], q, states
+    order = pc.sort_indices(
+        q.select(["host", "priority", "seq"]),
+        sort_keys=[
+            ("host", "ascending"),
+            ("priority", "descending"),
+            ("seq", "ascending"),
+        ],
+    )
+    qs = q.take(order)
+    hosts = np.asarray(qs["host"].to_pylist(), dtype=object)
+    n = len(hosts)
+    idx = np.arange(n)
+    new_host = np.ones(n, dtype=bool)
+    new_host[1:] = hosts[1:] != hosts[:-1]
+    first = np.where(new_host, idx, 0)
+    np.maximum.accumulate(first, out=first)
+    pos = idx - first
+    starts = np.flatnonzero(new_host)
+    runs = np.append(starts[1:], n) - starts
+    run_hosts = hosts[starts]
+    # stateless hosts get budget 0 (their q rows are dropped — parity
+    # with the per-host formulation, which returned empty for s=None)
+    run_budgets = np.array(
+        [policy.wave_budget(h) if h in states else 0 for h in run_hosts],
+        dtype=np.int64,
+    )
+    budgets = np.repeat(run_budgets, runs)
+    known = np.repeat(
+        np.array([h in states for h in run_hosts], dtype=bool), runs
+    )
+    wave_mask = pos < budgets
+    rest = qs.filter(pa.array(~wave_mask & known))
+    wave_tbl = qs.filter(pa.array(wave_mask))
+    wave_pos = pos[wave_mask]
+    wave: list[dict] = []
+    for h, u, p, seq, wp in zip(
+        wave_tbl["host"].to_pylist(),
+        wave_tbl["url"].to_pylist(),
+        wave_tbl["priority"].to_pylist(),
+        wave_tbl["seq"].to_pylist(),
+        wave_pos,
+    ):
+        wave.append(
+            {
+                "kind": "w",
+                "host": h,
+                "url": u,
+                "priority": p,
+                "seq": seq,
+                "round": rnd,
+                "host_seq": states[h]["attempts"] + int(wp),
+            }
+        )
+    wave_counts = np.add.reduceat(wave_mask, starts) if n else []
+    for h, cnt in zip(run_hosts, wave_counts):
+        if h in states and cnt:
+            states[h] = dict(states[h])
+            states[h]["attempts"] += int(cnt)
+    return wave, rest, states
 
 
 # ---------------------------------------------------------------------------
 # stage 2: fetch + extract (stateless tasks + page-store actor calls)
 # ---------------------------------------------------------------------------
 
-def _make_fetch_extract(store_handles: list, num_store_shards: int):
+def _fetch_extract_rows(
+    rows: list[dict], store_handles: list, num_store_shards: int
+) -> None:
+    """Fetch + extract the wave rows in place (kind w → e): one batched
+    ``fetch_detailed`` call per store shard, then the one-pass HTML
+    extraction per hit."""
     import ray
 
-    def fetch_extract(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch["kind"], "w")
-        if not pc.any(mask).as_py():
-            return batch
-        rest = batch.filter(pc.invert(mask))
-        rows = batch.filter(mask).to_pylist()
-        wave_idx = range(len(rows))
-        # one batched store call per shard
-        by_shard: dict[int, list[int]] = {}
-        for i in wave_idx:
-            sh = shard_for_host(rows[i]["host"], num_store_shards)
-            by_shard.setdefault(sh, []).append(i)
-        refs = {
-            sh: store_handles[sh].fetch_detailed.remote(
-                [rows[i]["url"] for i in idxs]
+    by_shard: dict[int, list[int]] = {}
+    for i, r in enumerate(rows):
+        sh = shard_for_host(r["host"], num_store_shards)
+        by_shard.setdefault(sh, []).append(i)
+    refs = {
+        sh: store_handles[sh].fetch_detailed.remote(
+            [rows[i]["url"] for i in idxs]
+        )
+        for sh, idxs in by_shard.items()
+    }
+    fetched = {sh: ray.get(ref) for sh, ref in refs.items()}
+    for sh, idxs in by_shard.items():
+        for j, i in enumerate(idxs):
+            f = fetched[sh][j]
+            html_b = f["html"]
+            r = rows[i]
+            r["kind"] = "e"
+            r["status_code"] = f["status_code"]
+            r["error_type"] = f["error_type"]
+            r["fetch_attempts"] = f["attempts_used"]
+            if html_b is None:
+                r["success"] = False
+                continue
+            html = html_b.decode("utf-8", errors="ignore")
+            facts = parse_page(html)
+            url = r["url"]
+            title = (facts.title or "").strip()
+            text = facts_jobdetail_text(facts)
+            from ..stages.extract import _all_links, _join_anchors
+
+            all_links = _all_links(_join_anchors(facts, url))
+            r.update(
+                success=True,
+                is_career=classify.is_career_listing_page(url, html),
+                career_score=classify.career_page_score(url, title, html),
+                is_job_url=classify.is_job_url(url),
+                all_links=all_links,
+                job_urls=[u for u in all_links if classify.is_job_url(u)],
+                text=text,
+                title=title,
+                emails=contacts.extract_emails(html),
+                phones_vn=contacts.extract_phones_vn(text),
+                html_bytes=len(html_b),
             )
-            for sh, idxs in by_shard.items()
-        }
-        fetched = {sh: ray.get(ref) for sh, ref in refs.items()}
-        for sh, idxs in by_shard.items():
-            for j, i in enumerate(idxs):
-                f = fetched[sh][j]
-                html_b = f["html"]
-                r = rows[i]
-                r["kind"] = "e"
-                r["status_code"] = f["status_code"]
-                r["error_type"] = f["error_type"]
-                r["fetch_attempts"] = f["attempts_used"]
-                if html_b is None:
-                    r["success"] = False
-                    continue
-                html = html_b.decode("utf-8", errors="ignore")
-                facts = parse_page(html)
-                url = r["url"]
-                title = (facts.title or "").strip()
-                text = facts_jobdetail_text(facts)
-                from ..stages.extract import _all_links, _join_anchors
-
-                all_links = _all_links(_join_anchors(facts, url))
-                r.update(
-                    success=True,
-                    is_career=classify.is_career_listing_page(url, html),
-                    career_score=classify.career_page_score(url, title, html),
-                    is_job_url=classify.is_job_url(url),
-                    all_links=all_links,
-                    job_urls=[u for u in all_links if classify.is_job_url(u)],
-                    text=text,
-                    title=title,
-                    emails=contacts.extract_emails(html),
-                    phones_vn=contacts.extract_phones_vn(text),
-                    html_bytes=len(html_b),
-                )
-        out = _rows_to_table(rows)
-        return pa.concat_tables([rest.cast(CRAWL_SCHEMA), out]) if rest.num_rows else out
-
-    return fetch_extract
 
 
 # ---------------------------------------------------------------------------
 # stage 3: expansion (groupby host, sequential per-host fold + seen actors)
 # ---------------------------------------------------------------------------
 
-def _make_expand(policy: CrawlPolicy):
-    """Stage 3a: per-host sequential fold (counters, early-stop, caps).
+def _expand_rows(
+    wave: list[dict], states: dict[str, dict], policy: CrawlPolicy
+) -> tuple[list[dict], list[dict]]:
+    """Stage 3a: per-host sequential fold (counters, early-stop, caps)
+    over the fetched wave rows — which arrive grouped by host and in
+    ``host_seq`` order from ``_plan_bucket``'s sort.
 
-    Emits candidate rows (``kind='c'``) with *optimistically* assigned
-    ``seq`` — the seen anti-join happens in the next stage as batched
-    shard calls, so this groupby never blocks on an actor.  Candidates
+    Emits candidate rows with *optimistically* assigned ``seq`` — the
+    seen anti-join happens next as batched shard calls.  Candidates
     that turn out already-seen leave gaps in ``seq``; only the relative
-    order matters for the wave sort, so ordering conformance holds."""
-
-    def expand(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        s = next((r for r in rows if r["kind"] == "s"), None)
-        if s is None:
-            return _rows_to_table([])
-        host = s["host"]
-        wave = sorted(
-            (r for r in rows if r["kind"] == "e"), key=lambda r: r["host_seq"]
-        )
-        rest_q = [r for r in rows if r["kind"] == "q"]
-        out: list[dict] = []
+    order matters for the wave sort, so ordering conformance holds.
+    Mutates ``states`` counters in place; returns (o_rows, cand_rows).
+    """
+    o_rows: list[dict] = []
+    cands: list[dict] = []
+    i = 0
+    n = len(wave)
+    while i < n:
+        host = wave[i]["host"]
+        j = i
+        while j < n and wave[j]["host"] == host:
+            j += 1
+        s = dict(states[host])
         crawled = s["crawled"]
         career_found = s["career_found"]
         next_seq = s["next_seq"]
@@ -299,10 +341,10 @@ def _make_expand(policy: CrawlPolicy):
             if policy.obey_robots
             else None
         )
-        for r in wave:
+        for r in wave[i:j]:
             o = dict(r)
             o["kind"] = "o"
-            out.append(o)
+            o_rows.append(o)
             if not r["success"]:
                 continue
             if (
@@ -312,9 +354,11 @@ def _make_expand(policy: CrawlPolicy):
                 career_found += 1
             crawled += 1
             if crawled >= max_pages or career_found >= policy.career_stop:
-                continue  # expansion gated (fetching of queued URLs continues)
-            for cand, cprio in candidate_links(r["all_links"] or [], host, robots):
-                out.append(
+                continue  # expansion gated (queued fetches continue)
+            for cand, cprio in candidate_links(
+                r["all_links"] or [], host, robots
+            ):
+                cands.append(
                     {
                         "kind": "c",
                         "host": host,
@@ -324,56 +368,45 @@ def _make_expand(policy: CrawlPolicy):
                     }
                 )
                 next_seq += 1
-        out.extend(rest_q)
-        s = dict(s)
         s.update(crawled=crawled, career_found=career_found, next_seq=next_seq)
-        out.append(s)
-        return _rows_to_table(out)
+        states[host] = s
+        i = j
+    return o_rows, cands
 
-    return expand
 
-
-def _make_seen_filter(seen_handles: list, num_seen_shards: int):
+def _seen_filter_rows(
+    cands: list[dict], seen_handles: list, num_seen_shards: int
+) -> list[dict]:
     """Stage 3b: candidate rows → queue rows surviving the URL-seen
-    anti-join (J5).  One batched ``check_and_add`` call per shard per
-    batch (all shards queried in parallel) — O(shards) actor calls per
-    block instead of O(hosts) per round.  Row order within the batch is
-    preserved, so per-host candidate order survives."""
+    anti-join (J5).  One batched ``check_and_add`` call per shard (all
+    shards queried in parallel) — O(shards) actor calls per bucket
+    round.  Input order is preserved, so per-host candidate order
+    survives."""
     import ray
 
-    def seen_filter(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch["kind"], "c")
-        if not pc.any(mask).as_py():
-            return batch
-        rest = batch.filter(pc.invert(mask))
-        cand = batch.filter(mask)
-        hosts = cand["host"].to_pylist()
-        urls = cand["url"].to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_shard.setdefault(shard_for_host(h, num_seen_shards), []).append(i)
-        refs = {
-            sh: seen_handles[sh].check_and_add.remote([urls[i] for i in idxs])
-            for sh, idxs in by_shard.items()
-        }
-        fresh = np.zeros(len(urls), dtype=bool)
-        for sh, idxs in by_shard.items():
-            for i, ok in zip(idxs, ray.get(refs[sh])):
-                fresh[i] = ok
-        kept = cand.filter(pa.array(fresh))
-        kept = kept.set_column(
-            kept.schema.get_field_index("kind"),
-            "kind",
-            pa.array(["q"] * kept.num_rows, pa.string()),
+    if not cands:
+        return []
+    by_shard: dict[int, list[int]] = {}
+    for i, r in enumerate(cands):
+        by_shard.setdefault(
+            shard_for_host(r["host"], num_seen_shards), []
+        ).append(i)
+    refs = {
+        sh: seen_handles[sh].check_and_add.remote(
+            [cands[i]["url"] for i in idxs]
         )
-        parts = [t for t in (rest, kept) if t.num_rows]
-        return (
-            pa.concat_tables([t.cast(CRAWL_SCHEMA) for t in parts])
-            if parts
-            else kept
-        )
-
-    return seen_filter
+        for sh, idxs in by_shard.items()
+    }
+    fresh = np.zeros(len(cands), dtype=bool)
+    for sh, idxs in by_shard.items():
+        for i, ok in zip(idxs, ray.get(refs[sh])):
+            fresh[i] = ok
+    out = []
+    for i, r in enumerate(cands):
+        if fresh[i]:
+            r["kind"] = "q"
+            out.append(r)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -474,13 +507,6 @@ def _bucket_dir(round_dir: str, bucket: int) -> str:
     return os.path.join(round_dir, f"bucket={bucket:04d}")
 
 
-def _by_host(tbl: pa.Table) -> list[pa.Table]:
-    groups: dict[str, list[dict]] = {}
-    for row in tbl.to_pylist():
-        groups.setdefault(row["host"], []).append(row)
-    return [_rows_to_table(groups[h]) for h in sorted(groups)]
-
-
 def _process_bucket(
     bucket: int,
     rnd: int,
@@ -522,43 +548,44 @@ def _process_bucket(
     }
     if table.num_rows == 0:
         return counts
-    plan = _make_plan_wave(policy, rnd)
-    fetchx = _make_fetch_extract(store_handles, n_store)
-    expand = _make_expand(policy)
-    seenf = _make_seen_filter(seen_handles, n_seen)
+    # stage chain, queue-as-Arrow: only the ≤budget wave rows + state
+    # rows + fresh candidates are ever Python dicts; the untouched
+    # remainder of the queue (`rest`) passes through as an Arrow table
+    wave, rest, states = _plan_bucket(table, policy, rnd)
+    _fetch_extract_rows(wave, store_handles, n_store)
+    o_rows, cands = _expand_rows(wave, states, policy)
+    new_q = _seen_filter_rows(cands, seen_handles, n_seen)
 
-    planned = [plan(g) for g in _by_host(table)]
-    planned_tbl = pa.concat_tables(planned) if planned else _rows_to_table([])
-    fetched_tbl = fetchx(planned_tbl)
-    expanded = [expand(g) for g in _by_host(fetched_tbl)]
-    expanded_tbl = (
-        pa.concat_tables(expanded) if expanded else _rows_to_table([])
-    )
-    result = seenf(expanded_tbl)
-
+    py_rows = o_rows + new_q + list(states.values())
+    py_tbl = _rows_to_table(py_rows)
+    # destination routing: every rest/state/o row's host lives in THIS
+    # bucket by construction; only fresh candidates could cross (they
+    # currently inherit the discovering host, so this is a no-op guard)
     dest = np.array(
-        [shard_for_host(h, n_buckets) for h in result["host"].to_pylist()],
+        [shard_for_host(h, n_buckets) for h in py_tbl["host"].to_pylist()],
         dtype=np.int64,
     )
-    for j in sorted(set(dest.tolist())):
-        part = result.filter(pa.array(dest == j))
+    for j in sorted(set(dest.tolist()) | {bucket}):
+        parts = []
+        if j == bucket and rest.num_rows:
+            parts.append(rest)
+        local = py_tbl.filter(pa.array(dest == j))
+        if local.num_rows:
+            parts.append(local)
+        if not parts:
+            continue
+        part = pa.concat_tables(parts)
         ddir = _bucket_dir(out, j)
         os.makedirs(ddir, exist_ok=True)
         pq.write_table(part, os.path.join(ddir, f"src={bucket:04d}.parquet"))
-    kinds = result["kind"].to_pylist()
-    for k in ("q", "s", "o"):
-        counts[k] = kinds.count(k)
-    o_mask = pc.equal(result["kind"], "o")
-    o_rows = result.filter(o_mask)
-    if o_rows.num_rows:
-        succ = pc.sum(
-            pc.cast(pc.fill_null(o_rows["success"], False), pa.int64())
-        ).as_py()
-        counts["fetched"] = int(succ or 0)
-        counts["errors"] = int(o_rows.num_rows - (succ or 0))
-        counts["bytes"] = int(
-            pc.sum(pc.fill_null(o_rows["html_bytes"], 0)).as_py() or 0
-        )
+    counts["q"] = int(rest.num_rows) + len(new_q)
+    counts["s"] = len(states)
+    counts["o"] = len(o_rows)
+    if o_rows:
+        succ = sum(1 for r in o_rows if r["success"])
+        counts["fetched"] = succ
+        counts["errors"] = len(o_rows) - succ
+        counts["bytes"] = sum(r.get("html_bytes") or 0 for r in o_rows)
     counts["wall_ms"] = round((time.time() - t0) * 1000, 1)
     return counts
 
