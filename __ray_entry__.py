@@ -111,16 +111,20 @@ def _q_crawl_classify(sf_dir: str):
 
 
 def _unnest(col: str, out: str):
+    """Vectorized list-column explode: Arrow ``list_flatten`` +
+    ``list_parent_indices`` (null lists flatten to nothing)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def fn(batch):
-        urls, vals = [], []
-        for u, lst in zip(batch["url"].to_pylist(), batch[col].to_pylist()):
-            for v in lst or []:
-                urls.append(u)
-                vals.append(v)
+        lst = batch[col].combine_chunks()
         return pa.table(
-            {"url": pa.array(urls, pa.string()), out: pa.array(vals, pa.string())}
+            {
+                "url": batch["url"]
+                .combine_chunks()
+                .take(pc.list_parent_indices(lst)),
+                out: pc.list_flatten(lst),
+            }
         )
 
     return fn
@@ -861,6 +865,38 @@ def _q_doc_fingerprint_rolling(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_doc_top_terms(sf_dir: str):
+    """Exact corpus-wide top-100 terms: per-batch Arrow combiner →
+    term-hash-bucketed shuffle (term lives in one bucket → bucket-local
+    top-k is globally safe) → driver-side rank of ≤buckets×k rows."""
+    from crawler_ai_ray.stages.textstats import top_terms
+
+    return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic ⅛ hash sample (md5(doc_id) hex prefix) — stable
+    across runs/partitions/engines."""
+    from crawler_ai_ray.stages.textstats import sample_batch
+
+    return _table(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(sample_batch, batch_format="pyarrow")
+
+
+def _q_doc_neardup_clusters(sf_dir: str):
+    """MinHash-LSH pair graph → connected components → canonical keep-
+    one labels per document."""
+    from crawler_ai_ray.stages.dedup import minhash_cluster_labels
+
+    return minhash_cluster_labels(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _table(sf_dir, "documents", columns=["doc_id"]),
+        n=3,
+        threshold=0.8,
+    )
+
+
 def _q_doc_stats_by_lang(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1301,6 +1337,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_neardup_ngram": _q_doc_neardup_ngram,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
+        "doc_top_terms": _q_doc_top_terms,
+        "doc_sample": _q_doc_sample,
+        "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_neardup_simhash": _q_doc_neardup_simhash,
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
@@ -1341,6 +1380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_rolling",
         # red in r01 (hash), fixed this round
         "jobs_summary_by_company",
+        # new this round (training-data ops)
+        "doc_top_terms", "doc_sample", "doc_neardup_clusters",
         # absent from the r01 driver subset
         "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
         "events_hourly", "events_sessionize", "events_asof_join",
@@ -1904,6 +1945,39 @@ def oracle_sql() -> dict[str, str]:
                                   i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.8""",
         "doc_fingerprint_rolling": f"""
             SELECT doc_id, fingerprint FROM read_parquet('{rolling_g}')""",
+        "doc_top_terms": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                AS term
+              FROM documents),
+            c AS (SELECT term, count(*)::BIGINT AS n
+                  FROM toks WHERE term <> '' GROUP BY 1)
+            SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 100""",
+        "doc_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1')""",
+        # clusters: transitive closure of the SAME independently-derived
+        # SQL pair set (see doc_neardup_minhash), min-label per component
+        "doc_neardup_clusters": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id, sig, bandkeys
+              FROM read_parquet('{minhash_g}')),
+            pr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE list_has_any(a.bandkeys, b.bandkeys)
+                AND len(list_filter(range(1, 129),
+                                    i -> a.sig[i] = b.sig[i])) / 128.0
+                    >= 0.8),
+            e AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+            reach(doc, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.doc)
+            SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id,
+                   (min(lbl) = doc) AS is_canonical
+            FROM reach GROUP BY doc""",
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",

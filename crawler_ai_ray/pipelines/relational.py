@@ -290,16 +290,18 @@ def supplier_by_region(sf_dir: str):
     r2name = dict(
         zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
     )
-    dim_ref = ray.put({nk: r2name.get(rk) for nk, rk in n2r.items()})
+    # broadcast the dim lookup as parallel Arrow arrays: the per-batch
+    # map is then a vectorized index_in + take, no Python row loop
+    keys = pa.array(list(n2r.keys()), pa.int64())
+    vals = pa.array([r2name.get(rk) for rk in n2r.values()], pa.string())
+    dim_ref = ray.put((keys, vals))
 
     def tag(batch: pa.Table) -> pa.Table:
-        dim = ray.get(dim_ref)
+        keys, vals = ray.get(dim_ref)
+        idx = pc.index_in(batch["s_nationkey"], value_set=keys)
         return pa.table(
             {
-                "r_name": pa.array(
-                    [dim.get(nk) for nk in batch["s_nationkey"].to_pylist()],
-                    pa.string(),
-                ),
+                "r_name": vals.take(idx),
                 "acctbal_cents": cents(batch["s_acctbal"]),
             }
         )

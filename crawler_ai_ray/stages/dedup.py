@@ -762,3 +762,89 @@ def embedding_neardup_lsh(
     return pairs.groupby(["anchor_id", "vec_id"]).aggregate(
         ray.data.aggregate.Count(alias_name="n_bands_hit")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: LSH pairs → connected components → canonical labels
+# ---------------------------------------------------------------------------
+
+def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
+                           text_col: str = "text"):
+    """documents → (doc_id, canonical_id, is_canonical): group near-dups
+    into clusters (connected components of the MinHash-LSH pair graph)
+    and elect the smallest doc_id as each cluster's canonical — the
+    keep-one near-dup DEDUP step a training pipeline runs after pair
+    generation.
+
+    Scale shape: the pair set is the LSH OUTPUT — O(duplicate pairs),
+    orders of magnitude smaller than the corpus — so the union-find runs
+    driver-side over pairs only (the standard post-LSH step; a corpus
+    whose pair graph itself exceeds driver memory needs iterative
+    label-propagation rounds — out of scope, assumption documented).
+    The label map (only docs that appear in ≥1 pair) broadcasts via
+    ``ray.put`` and every document is tagged in one streaming
+    ``map_batches`` pass — unpaired docs are their own canonical."""
+    import ray
+
+    pairs_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                minhash_lsh_pairs(
+                    ds, n=n, threshold=threshold, text_col=text_col
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})]
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_tbl["doc_a"].to_pylist(),
+                    pairs_tbl["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the canonical
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = {x: find(x) for x in parent} | {
+        x: x for x in set(pairs_tbl["doc_a"].to_pylist())
+        | set(pairs_tbl["doc_b"].to_pylist())
+        if x not in parent
+    }
+    labels = {x: find(x) for x in labels}
+    labels_ref = ray.put(labels)
+
+    class Tag:
+        def __init__(self, ref) -> None:
+            self.labels = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            canon = [self.labels.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "canonical_id": pa.array(canon, pa.int64()),
+                    "is_canonical": pa.array(
+                        [c == i for i, c in zip(ids, canon)], pa.bool_()
+                    ),
+                }
+            )
+
+    return docs_ds.map_batches(
+        Tag,
+        fn_constructor_args=(labels_ref,),
+        batch_format="pyarrow",
+        concurrency=4,
+    )

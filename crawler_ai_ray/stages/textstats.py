@@ -194,3 +194,91 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fp_md5": pa.array(md5s, type=pa.string()),
         }
     )
+
+
+# --- corpus vocabulary: exact distributed top-k terms ---------------------
+
+def top_terms(ds, k: int = 100, num_buckets: int = 64,
+              text_col: str = "text"):
+    """documents → the k most frequent ``[a-z]+`` terms, exactly.
+
+    Shape (100 TB framing): per-batch Arrow ``group_by`` combiner first
+    (the shuffle moves O(vocab-per-batch) rows, not O(tokens)); the only
+    Ray shuffle has ``num_buckets`` groups keyed by ``crc32(term) %
+    num_buckets`` — a term lives in exactly one bucket, so per-bucket
+    totals are exact and a bucket's local top-k is globally safe; the
+    final rank is a driver-side Arrow sort over ≤ ``num_buckets × k``
+    candidate rows.  No sketch needed — exactness is what lets the
+    DuckDB oracle verify the whole path.  Tokenization is
+    ``split(lower(text), '[^a-z]+')`` = RE2 ``[a-z]+`` extraction, so
+    the SQL side reproduces it byte-for-byte."""
+    import zlib
+
+    import ray
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        flat = pc.list_flatten(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = (
+            pa.table({"term": flat})
+            .group_by("term")
+            .aggregate([([], "count_all")])
+        )
+        terms = agg["term"].to_pylist()  # post-combine uniques only
+        buckets = pa.array(
+            [zlib.crc32(t.encode()) % num_buckets for t in terms],
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "bucket": buckets,
+                "term": agg["term"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        agg = group.group_by("term").aggregate([("n", "sum")])
+        top = agg.sort_by(
+            [("n_sum", "descending"), ("term", "ascending")]
+        ).slice(0, k)
+        return pa.table({"term": top["term"], "n": top["n_sum"]})
+
+    cand = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return (
+        pa.concat_tables(cand)
+        .sort_by([("n", "descending"), ("term", "ascending")])
+        .slice(0, k)
+    )
+
+
+# --- deterministic hash sampling ------------------------------------------
+
+def sample_batch(batch: pa.Table, hex_prefixes: str = "01") -> pa.Table:
+    """Deterministic ⅛-rate sample: keep docs whose ``md5(str(doc_id))``
+    hex digest starts with one of ``hex_prefixes`` (default '0'/'1' =
+    2/16).  Hash-based so the sample is stable across runs, partitions
+    and engines — DuckDB reproduces it as
+    ``substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')``."""
+    import hashlib
+
+    keep = [
+        hashlib.md5(str(i).encode()).hexdigest()[0] in hex_prefixes
+        for i in batch["doc_id"].to_pylist()
+    ]
+    return batch.filter(pa.array(keep))

@@ -385,3 +385,76 @@ def test_embedding_lsh_matches_exact_neardup():
     assert lp <= ep                       # verified cosine → no false pairs
     if ep:
         assert len(lp & ep) / len(ep) >= 0.95
+
+
+def test_top_terms_exact_vs_duckdb(docs_ds, duck):
+    from crawler_ai_ray.stages.textstats import top_terms
+
+    got = top_terms(docs_ds, k=20, num_buckets=8).to_pandas()
+    want = duck.sql(
+        """
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        c AS (SELECT term, count(*)::BIGINT AS n FROM toks
+              WHERE term <> '' GROUP BY 1)
+        SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 20"""
+    ).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_top_terms_bucket_count_invariant(docs_ds):
+    from crawler_ai_ray.stages.textstats import top_terms
+
+    a = top_terms(docs_ds, k=15, num_buckets=4).to_pandas()
+    b = top_terms(docs_ds, k=15, num_buckets=32).to_pandas()
+    assert a["term"].tolist() == b["term"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()
+
+
+def test_sample_deterministic_and_hashed():
+    import hashlib
+
+    from crawler_ai_ray.stages.textstats import sample_batch
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    s1 = sample_batch(t)
+    s2 = sample_batch(t)
+    assert s1.equals(s2)
+    kept = set(s1["doc_id"].to_pylist())
+    for i in range(1000):
+        expect = hashlib.md5(str(i).encode()).hexdigest()[0] in "01"
+        assert (i in kept) == expect
+    # ~2/16 rate
+    assert 60 < len(kept) < 190
+
+
+def test_neardup_clusters_transitive_min_label(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import minhash_cluster_labels
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on and the crowd sings along loudly " * 4
+    )
+    texts = [base, base + " tail", base + " tail two", "something else "
+             "entirely different words only here " * 6]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        minhash_cluster_labels(ds, ds.select_columns(["doc_id"]),
+                               threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # 10/11/12 form one component labelled by the MIN id; 13 is alone
+    assert out["canonical_id"].tolist()[:3] == [10, 10, 10]
+    assert out["canonical_id"].tolist()[3] == 13
+    assert out["is_canonical"].tolist() == [True, False, False, True]
