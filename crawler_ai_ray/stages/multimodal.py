@@ -1,4 +1,4 @@
-"""Multimodal (image / audio / video) column plumbing.
+"""Multimodal (image / audio / video) column processing.
 
 Media travel as opaque ``binary`` columns + typed metadata structs —
 the same pattern the crawl engine uses for ``html:binary`` — and every
@@ -6,13 +6,20 @@ transform is an **actor-pool** ``map_batches`` stage (codec / model
 setup happens once per actor in ``__init__``, work per batch in
 ``__call__``).
 
-The sandbox image/audio libraries (PIL, ffmpeg, torchaudio…) are NOT
-installed, so the *decode* step is stubbed: ``decoder="fake"`` is a
-deterministic stand-in (bytes → seeded pixel/PCM arrays) and
-``decoder="real"`` raises ``NotImplementedError`` at actor construction
-with the library it would use.  Everything around the decode — schemas,
-batch sizing, actor signature, zero-copy Arrow layout, output tables —
-is real and tested.
+Decode is REAL: the container has no PIL/ffmpeg, but three standard
+UNCOMPRESSED formats decode with numpy + byte parsing alone, so the
+corpus is generated in them and the stages do genuine byte-level
+decoding:
+
+* image — netpbm **P6 PPM** (``P6\\n<w> <h>\\n255\\n`` + raw RGB24);
+* audio — **RIFF/WAVE PCM16** (``fmt `` + ``data`` chunk walk);
+* video — **YUV4MPEG2 (y4m)** ``Cmono`` (``FRAME\\n`` + raw luma
+  planes per frame).
+
+``decoder="fake"`` remains as a digest-seeded stand-in for perf
+experiments; plugging a compressed-codec library in means replacing
+only the ``decode_*`` functions — schemas, batch sizing, actor
+signatures and output layout are codec-agnostic.
 
 Batch-size guidance (the part that matters at 100 TB): media rows are
 orders of magnitude wider than text rows; batches must be sized by
@@ -24,6 +31,7 @@ object store (not Python lists) holds everything in flight.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,6 +40,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
     "media_batch_size",
+    "encode_ppm",
+    "decode_ppm",
+    "encode_wav",
+    "decode_wav",
+    "encode_y4m",
+    "decode_y4m",
     "ImageDecodeResize",
     "AudioFeatures",
     "VideoFrameSample",
@@ -42,7 +56,7 @@ MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("kind", pa.string()),          # image | audio | video
-        ("payload", pa.binary()),       # opaque encoded bytes
+        ("payload", pa.binary()),       # encoded bytes (ppm/wav/y4m)
         ("meta", pa.struct(
             [
                 ("width", pa.int32()),
@@ -73,25 +87,143 @@ def media_batch_size(avg_payload_bytes: int, floor: int = 4, cap: int = 1024) ->
     return max(floor, min(cap, TARGET_BATCH_BYTES // max(1, avg_payload_bytes)))
 
 
+# ---------------------------------------------------------------------------
+# codecs — real standard formats, numpy/bytes only
+# ---------------------------------------------------------------------------
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8.  Handles ``#`` comments and
+    arbitrary whitespace between header tokens, per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    i += 1  # single whitespace byte after maxval
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM → RIFF/WAVE."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, sr, byterate, block align, bits
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (int16 array, sample_rate) via a real
+    chunk walk (tolerates extra chunks like LIST/INFO)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, sr, pcm = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return pcm, sr
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n, h, w) uint8 luma frames → YUV4MPEG2 Cmono stream."""
+    n, h, w = frames.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)
+    return head + b"".join(
+        b"FRAME\n" + frames[i].astype(np.uint8).tobytes() for i in range(n)
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 Cmono → ((n, h, w) uint8, fps)."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C" and tok != b"Cmono":
+            raise ValueError(f"unsupported colorspace {tok!r}")
+    fsize = w * h
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        i += 6
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=fsize, offset=i)
+            .reshape(h, w)
+        )
+        i += fsize
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
-    """Deterministic stand-in decode: seeded by payload digest."""
+    """Digest-seeded stand-in decode (perf-experiment path)."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
     rng = np.random.RandomState(seed % (2**32))
     return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
 class ImageDecodeResize:
-    """Actor-pool stage: payload → decoded pixels → resize → features.
+    """Actor-pool stage: PPM payload → pixels → nearest-neighbor resize
+    → (mean luma, 16-bin histogram embedding).
 
     Use: ``ds.map_batches(ImageDecodeResize, fn_constructor_kwargs=...,
     concurrency=N, batch_size=media_batch_size(avg))``."""
 
-    def __init__(self, out_w: int = 64, out_h: int = 64, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image decode needs PIL/opencv (not in this container); "
-                "plug in here: PIL.Image.open(io.BytesIO(payload))"
-            )
+    def __init__(self, out_w: int = 64, out_h: int = 64, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.out_w, self.out_h = out_w, out_h
 
     def _resize(self, px: np.ndarray) -> np.ndarray:
@@ -107,9 +239,12 @@ class ImageDecodeResize:
         metas = batch["meta"].to_pylist()
         cols = {n: [] for n in IMAGE_FEATURES_SCHEMA.names}
         for mid, payload, meta in zip(ids, payloads, metas):
-            w = meta["width"] or 32
-            h = meta["height"] or 32
-            px = self._resize(_fake_pixels(payload, w, h))
+            if self.decoder == "real":
+                px = decode_ppm(payload)
+            else:
+                px = _fake_pixels(payload, meta["width"] or 32,
+                                  meta["height"] or 32)
+            px = self._resize(px)
             luma = float(
                 (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
             )
@@ -125,13 +260,13 @@ class ImageDecodeResize:
 
 
 class AudioFeatures:
-    """Actor-pool stage: audio payload → (duration, rms, zero-crossings)."""
+    """Actor-pool stage: WAV payload → (duration, rms, zero-crossings)
+    of the REAL decoded PCM."""
 
-    def __init__(self, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real audio decode needs soundfile/ffmpeg (not in container)"
-            )
+    def __init__(self, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -139,15 +274,18 @@ class AudioFeatures:
         metas = batch["meta"].to_pylist()
         out = {"media_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
         for mid, payload, meta in zip(ids, payloads, metas):
-            sr = meta["sample_rate"] or 16000
-            seed = int.from_bytes(
-                hashlib.blake2b(payload, digest_size=8).digest(), "little"
-            )
-            rng = np.random.RandomState(seed % (2**32))
-            pcm = rng.randn(sr)  # 1 s of fake PCM
+            if self.decoder == "real":
+                pcm_i16, sr = decode_wav(payload)
+                pcm = pcm_i16.astype(np.float64) / 32768.0
+            else:
+                sr = meta["sample_rate"] or 16000
+                seed = int.from_bytes(
+                    hashlib.blake2b(payload, digest_size=8).digest(), "little"
+                )
+                pcm = np.random.RandomState(seed % (2**32)).randn(sr)
             out["media_id"].append(mid)
             out["duration_s"].append(len(pcm) / sr)
-            out["rms"].append(float(np.sqrt((pcm**2).mean())))
+            out["rms"].append(float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0)
             out["zero_crossings"].append(int((np.diff(np.sign(pcm)) != 0).sum()))
         return pa.table(
             {
@@ -160,14 +298,13 @@ class AudioFeatures:
 
 
 class VideoFrameSample:
-    """Actor-pool stage: video payload → every-nth-frame feature rows
+    """Actor-pool stage: y4m payload → every-nth-frame feature rows
     (variable fan-out — flat_map shape expressed as map_batches)."""
 
-    def __init__(self, every_n: int = 10, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real video decode needs ffmpeg/pyav (not in container)"
-            )
+    def __init__(self, every_n: int = 10, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -176,12 +313,19 @@ class VideoFrameSample:
         metas = batch["meta"].to_pylist()
         out = {"media_id": [], "frame_idx": [], "mean_luma": []}
         for mid, payload, meta in zip(ids, payloads, metas):
-            n = meta["n_frames"] or 30
-            for f in range(0, n, self.every_n):
-                px = _fake_pixels(payload + f.to_bytes(4, "little"), 16, 16)
-                out["media_id"].append(mid)
-                out["frame_idx"].append(f)
-                out["mean_luma"].append(float(px.mean()))
+            if self.decoder == "real":
+                frames, _fps = decode_y4m(payload)
+                for f in range(0, len(frames), self.every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["mean_luma"].append(float(frames[f].mean()))
+            else:
+                n = meta["n_frames"] or 30
+                for f in range(0, n, self.every_n):
+                    px = _fake_pixels(payload + f.to_bytes(4, "little"), 16, 16)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["mean_luma"].append(float(px.mean()))
         return pa.table(
             {
                 "media_id": pa.array(out["media_id"], type=pa.int64()),
@@ -192,22 +336,47 @@ class VideoFrameSample:
 
 
 def synth_media_table(n: int, kind: str = "image", seed: int = 13) -> pa.Table:
-    """Deterministic fake media corpus for tests/bench."""
+    """Deterministic media corpus in REAL encodings (P6 PPM / WAV PCM16
+    / y4m Cmono) for tests and bench."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        payload = rng.bytes(256)
+        w = int(rng.randint(16, 128))
+        h = int(rng.randint(16, 128))
+        sr = 16000
+        n_frames = int(rng.randint(10, 60))
+        if kind == "image":
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, codec = encode_ppm(px), "ppm"
+        elif kind == "audio":
+            n_samp = int(rng.randint(sr // 2, sr * 2))
+            t = np.arange(n_samp) / sr
+            tone = np.sin(2 * np.pi * float(rng.randint(80, 2000)) * t)
+            pcm = ((tone * 0.5 + rng.randn(n_samp) * 0.1) * 20000).clip(
+                -32768, 32767
+            ).astype(np.int16)
+            payload, codec = encode_wav(pcm, sr), "wav-pcm16"
+            w = h = 0
+        elif kind == "video":
+            fw = fh = 16
+            frames = rng.randint(
+                0, 256, size=(n_frames, fh, fw), dtype=np.uint8
+            )
+            payload, codec = encode_y4m(frames, fps=30), "y4m"
+            w, h = fw, fh
+        else:
+            raise ValueError(f"unknown media kind {kind!r}")
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
                 "payload": payload,
                 "meta": {
-                    "width": int(rng.randint(16, 128)),
-                    "height": int(rng.randint(16, 128)),
-                    "sample_rate": 16000,
-                    "n_frames": int(rng.randint(10, 60)),
-                    "codec": "fake",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": sr,
+                    "n_frames": n_frames,
+                    "codec": codec,
                 },
             }
         )

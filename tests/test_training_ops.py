@@ -314,10 +314,79 @@ def test_multimodal_stages(ray_session):
     ).to_pandas()
     assert (frames.frame_idx % 10 == 0).all()
 
-    with pytest.raises(NotImplementedError):
-        ImageDecodeResize(decoder="real")
-    with pytest.raises(NotImplementedError):
-        AudioFeatures(decoder="real")
+    auds = ray.data.from_arrow(synth_media_table(8, "audio"))
+    af = auds.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert len(af) == 8
+    assert af.duration_s.between(0.4, 2.1).all()
+    assert af.rms.between(0.01, 1.0).all()
+
+    with pytest.raises(ValueError):
+        ImageDecodeResize(decoder="nope")
+
+
+def test_media_codecs_roundtrip():
+    """The decode stages do REAL byte-level decoding: P6 PPM, RIFF/WAVE
+    PCM16 and YUV4MPEG2 streams round-trip exactly, and the PPM parser
+    honors netpbm comments."""
+    import numpy as np
+
+    from crawler_ai_ray.stages.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # netpbm comment + multi-whitespace header
+    hand = b"P6 # c\n# full line comment\n 23\t17 \n255\n" + px.tobytes()
+    assert (decode_ppm(hand) == px).all()
+
+    pcm = (rng.randn(12345) * 8000).astype(np.int16)
+    got, sr = decode_wav(encode_wav(pcm, 22050))
+    assert sr == 22050 and (got == pcm).all()
+
+    frames = rng.randint(0, 256, size=(7, 9, 11), dtype=np.uint8)
+    got_f, fps = decode_y4m(encode_y4m(frames, fps=25))
+    assert fps == 25 and (got_f == frames).all()
+
+
+def test_media_features_match_direct_compute():
+    """Stage outputs equal features computed directly on the decoded
+    arrays (decode is not a stub)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.multimodal import (
+        AudioFeatures,
+        VideoFrameSample,
+        decode_wav,
+        decode_y4m,
+        synth_media_table,
+    )
+
+    aud = synth_media_table(3, "audio")
+    out = AudioFeatures()(aud)
+    for i in range(3):
+        pcm, sr = decode_wav(aud["payload"][i].as_py())
+        x = pcm.astype(np.float64) / 32768.0
+        assert out["duration_s"][i].as_py() == len(x) / sr
+        assert abs(out["rms"][i].as_py() - float(np.sqrt((x**2).mean()))) < 1e-12
+
+    vid = synth_media_table(2, "video")
+    out = VideoFrameSample(every_n=7)(vid)
+    frames0, _ = decode_y4m(vid["payload"][0].as_py())
+    first = out.filter(
+        pa.compute.equal(out["media_id"], 0)
+    )
+    assert first["frame_idx"].to_pylist() == list(range(0, len(frames0), 7))
+    assert first["mean_luma"][0].as_py() == float(frames0[0].mean())
 
 
 # --- embedding near-dup ---------------------------------------------------
