@@ -1349,6 +1349,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_sessionize": _rel("events_sessionize"),
+        "events_hopping": _rel("events_hopping"),
         "events_asof_join": _rel("events_asof_join"),
         "events_range_join": _rel("events_range_join"),
         # relational kernels (groupby/join/sort/topk)
@@ -1382,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_summary_by_company",
         # new this round (training-data ops)
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
+        "events_hopping",
         # absent from the r01 driver subset
         "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
         "events_hourly", "events_sessionize", "events_asof_join",
@@ -1436,6 +1438,10 @@ def oracle_sql() -> dict[str, str]:
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
+
+    mm_image_g = os.path.join(gdir, "mm_image.parquet")
+    mm_audio_g = os.path.join(gdir, "mm_audio.parquet")
+    mm_video_g = os.path.join(gdir, "mm_video.parquet")
 
     fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
@@ -1981,6 +1987,19 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        # mm goldens: same pure stage callables run SEQUENTIALLY on the
+        # driver (decode pinned by codec round-trip tests) — the query
+        # side exercises the Ray actor-pool plumbing over the same
+        # deterministic media corpus
+        "mm_image_features": f"""
+            SELECT media_id, width, height, mean_luma
+            FROM read_parquet('{mm_image_g}')""",
+        "mm_audio_features": f"""
+            SELECT media_id, duration_s, rms, zero_crossings
+            FROM read_parquet('{mm_audio_g}')""",
+        "mm_video_frames": f"""
+            SELECT media_id, frame_idx, mean_luma
+            FROM read_parquet('{mm_video_g}')""",
         "emb_knn_bruteforce": knn,
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
@@ -1993,6 +2012,20 @@ def oracle_sql() -> dict[str, str]:
                 AS sum_value_micros
             FROM events GROUP BY 1, 2""",
         "events_sessionize": sessionize,
+        # hopping 60-min windows every 15 min: k=4 copies per event via
+        # integer epoch-micros arithmetic, identical on both sides
+        "events_hopping": """
+            WITH w AS (
+              SELECT make_timestamp(
+                       ((epoch_us(ts) // 900000000) - i) * 900000000)
+                     AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN range(4) t(i))
+            SELECT window_start, event_type,
+              count(*)::BIGINT AS n_events,
+              sum(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))::BIGINT
+                AS sum_value_micros
+            FROM w GROUP BY 1, 2""",
         "events_asof_join": """
             SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
               p.event_id AS purchase_id, p.ts AS purchase_ts,

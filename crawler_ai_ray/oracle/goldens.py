@@ -35,6 +35,9 @@ import pyarrow.parquet as pq
 
 __all__ = ["ensure_oracle_goldens"]
 
+# bump when golden set/semantics change (stale dirs rebuilt on demand)
+GOLDEN_VERSION = "g2"
+
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
     from .sim import simulate_crawl
@@ -102,6 +105,36 @@ def _build_doc_goldens(sf_dir: str, gdir: str) -> None:
     )
 
 
+def _build_media_goldens(sf_dir: str, gdir: str) -> None:
+    """mm_* goldens: the SAME pure stage callables run sequentially on
+    the driver over the deterministic media corpus — independent of the
+    Ray actor-pool plumbing the queries exercise (decode itself is
+    pinned by codec round-trip unit tests)."""
+    from ..stages.multimodal import (
+        AudioFeatures,
+        ImageDecodeResize,
+        VideoFrameSample,
+        synth_media_table,
+    )
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 256
+    )
+    img = ImageDecodeResize(out_w=32, out_h=32)(synth_media_table(n, "image"))
+    pq.write_table(
+        img.select(["media_id", "width", "height", "mean_luma"]),
+        os.path.join(gdir, "mm_image.parquet"),
+    )
+    pq.write_table(
+        AudioFeatures()(synth_media_table(n, "audio")),
+        os.path.join(gdir, "mm_audio.parquet"),
+    )
+    pq.write_table(
+        VideoFrameSample(every_n=10)(synth_media_table(n, "video")),
+        os.path.join(gdir, "mm_video.parquet"),
+    )
+
+
 def ensure_oracle_goldens(sf_dir: str) -> str:
     """Idempotently build the oracle goldens for a testdata dir; returns
     the golden directory (inside the per-tag corpus dir, so it expires
@@ -111,8 +144,11 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     corpus = ensure_corpus(sf_dir)
     gdir = os.path.join(corpus, "oracle_goldens")
     marker = os.path.join(gdir, "_DONE")
+    stamp = f"{sf_dir} {GOLDEN_VERSION}\n"
     if os.path.exists(marker):
-        return gdir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return gdir
     tmp = gdir + ".tmp"
     import shutil
 
@@ -122,8 +158,9 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
+    _build_media_goldens(sf_dir, tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write(sf_dir + "\n")
+        f.write(stamp)
     if os.path.exists(gdir):
         shutil.rmtree(gdir)
     os.replace(tmp, gdir)

@@ -39,6 +39,7 @@ __all__ = [
     "lineitem_part_revenue",
     "events_hourly",
     "events_sessionize",
+    "events_hopping",
     "events_asof_join",
     "events_range_join",
     "cents",
@@ -498,6 +499,75 @@ def events_hourly(sf_dir: str):
         # no cosmetic global sort: consumers compare order-insensitively
         # and a Ray sort costs a full sample+shuffle pass
         .map_batches(to_us, batch_format="pyarrow")
+    )
+
+
+def events_hopping(sf_dir: str, size_minutes: int = 60,
+                   hop_minutes: int = 15):
+    """Hopping (sliding) window aggregate: count + value sum per
+    (window_start, event_type) for 60-min windows advancing every
+    15 min — each event belongs to ``size/hop`` overlapping windows.
+
+    Shape: window assignment is a stateless per-row fan-out
+    (``k = size/hop`` copies via vectorized int arithmetic on epoch
+    micros — no Python row loop, no state), so the only shuffle is the
+    final groupby; the per-batch Arrow combiner keeps the shuffle at
+    O(windows × types) rows per block, not O(events × k)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        tsi = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        base = tsi // hop_us
+        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        vmic = cents(batch["value"], scale=1_000_000.0).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate([(base - i) * hop_us for i in range(k)])
+        t = pa.table(
+            {
+                "ws_us": pa.array(starts, pa.int64()),
+                "event_type": pa.array(np.tile(etype, k), pa.string()),
+                "value_micros": pa.array(np.tile(vmic, k), pa.int64()),
+                "n": pa.array(np.ones(len(starts), np.int64), pa.int64()),
+            }
+        )
+        # combiner: pre-aggregate inside the batch before the shuffle
+        agg = t.group_by(["ws_us", "event_type"]).aggregate(
+            [("n", "sum"), ("value_micros", "sum")]
+        )
+        return agg.rename_columns(
+            ["ws_us", "event_type", "n", "value_micros"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(
+                    pc.multiply(batch["ws_us"], 1), pa.timestamp("us")
+                ),
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"],
+                "sum_value_micros": batch["sum_value_micros"],
+            }
+        )
+
+    return (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby(["ws_us", "event_type"])
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("value_micros", alias_name="sum_value_micros"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 

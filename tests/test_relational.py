@@ -113,6 +113,45 @@ def test_bucketed_ops_partition_invariant():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sessionize_bucket_count_invariant():
+    from crawler_ai_ray.pipelines.relational import events_sessionize
+
+    def run(n):
+        return (
+            events_sessionize(SF, num_buckets=n)
+            .to_pandas()
+            .sort_values(["user_id", "session_idx"], ignore_index=True)
+        )
+
+    assert run(1).equals(run(64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_degenerates_to_tumbling():
+    """hop == size collapses the hopping window to the tumbling hourly
+    aggregate — the two independent implementations must agree."""
+    from crawler_ai_ray.pipelines.relational import (
+        events_hopping,
+        events_hourly,
+    )
+
+    hop = (
+        events_hopping(SF, size_minutes=60, hop_minutes=60)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    hour = (
+        events_hourly(SF)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    assert hop[["window_start", "event_type", "n_events",
+                "sum_value_micros"]].equals(
+        hour[["window_start", "event_type", "n_events", "sum_value_micros"]]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_bucket_join_generic(duck):
     """Generic bucketed join helper, incl. the non-power-of-2 modulo
     path, row-exact vs DuckDB."""
