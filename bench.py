@@ -153,6 +153,10 @@ def bench_queries(sf_dir: str) -> dict:
         "lineitem_part_revenue",
         "mm_image_features",
         "crawl_text_jobdetail",
+        "doc_top_terms",
+        "doc_neardup_clusters",
+        "events_hopping",
+        "crawl_fetch_results",
     ]
     qs = entrymod.queries()
     out = {}

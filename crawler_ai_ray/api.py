@@ -73,7 +73,9 @@ def _register_builtins() -> None:
         nav_links_batch,
         page_structure_batch,
     )
+    from .functions.footer_contacts import footer_contacts_batch
     from .functions.sitemap import sitemap_jobs_batch
+    from .functions.subdomains import subdomain_candidates_batch
     from .functions.api_jobs import api_jobs_batch
     from .stages.extract import (
         extract_jobs_batch,
@@ -102,6 +104,8 @@ def _register_builtins() -> None:
         "link_scores": job_link_scores_batch,
         "element_check": element_check_batch,
         "job_fallback": job_fallback_batch,
+        "footer_contacts": footer_contacts_batch,
+        "subdomain_candidates": subdomain_candidates_batch,
     }.items():
         EXTRACTORS.setdefault(name, fn)
 
