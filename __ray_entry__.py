@@ -1118,25 +1118,29 @@ def _fetch_population(sf_dir: str):
     """(pages ∪ fetchcfg) as a Ray Dataset of urls + the cfg broadcast.
 
     fetchcfg holds only non-default profiles (O(hosts) rows) and is
-    broadcast via ``ray.put``; membership of cfg urls in pages is
-    resolved with a column-pruned predicate-pushdown scan of just those
-    keys — the pages table itself streams, never materializes."""
+    broadcast via ``ray.put``.  Which cfg urls are ALSO pages is
+    decidable from the profile alone — the generator only assigns
+    ultimately-succeeding (transient) profiles to real pages and
+    permanently-failing profiles to fixture urls — so the union needs
+    no scan of the pages table at all (it streams untouched)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
     import ray.data
+    from crawler_ai_ray.functions.fetch_errors import simulate_fetch
 
     corpus = _corpus(sf_dir)
     cfg = pq.read_table(os.path.join(corpus, "fetchcfg.parquet"))
-    keys = cfg["url"].combine_chunks()
-    in_pages = pads.dataset(
-        os.path.join(corpus, "pages.parquet"), format="parquet"
-    ).to_table(columns=["url"], filter=pc.field("url").isin(keys))
-    extras = cfg.filter(
-        pc.invert(pc.is_in(cfg["url"], value_set=in_pages["url"].combine_chunks()))
-    ).select(["url"])
+    extra_urls = [
+        u
+        for u, hs, att in zip(
+            cfg["url"].to_pylist(),
+            cfg["head_status"].to_pylist(),
+            cfg["attempts"].to_pylist(),
+        )
+        if not simulate_fetch(u, hs, att)["success"]
+    ]
+    extras = pa.table({"url": pa.array(extra_urls, pa.string())})
     ds = _pages(sf_dir, columns=["url"])
     if extras.num_rows:
         ds = ds.union(ray.data.from_arrow(extras))

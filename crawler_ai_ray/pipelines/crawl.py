@@ -195,17 +195,23 @@ def _plan_bucket(
         ],
     )
     qs = q.take(order)
-    hosts = np.asarray(qs["host"].to_pylist(), dtype=object)
-    n = len(hosts)
+    # run boundaries via an Arrow shifted-compare — host STRINGS are
+    # materialized to Python only at the O(hosts) run starts, never for
+    # the whole queue
+    hcol = qs["host"].combine_chunks()
+    n = len(hcol)
     idx = np.arange(n)
     new_host = np.ones(n, dtype=bool)
-    new_host[1:] = hosts[1:] != hosts[:-1]
+    if n > 1:
+        new_host[1:] = pc.not_equal(
+            hcol.slice(1), hcol.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
     first = np.where(new_host, idx, 0)
     np.maximum.accumulate(first, out=first)
     pos = idx - first
     starts = np.flatnonzero(new_host)
     runs = np.append(starts[1:], n) - starts
-    run_hosts = hosts[starts]
+    run_hosts = hcol.take(pa.array(starts, pa.int64())).to_pylist()
     # stateless hosts get budget 0 (their q rows are dropped — parity
     # with the per-host formulation, which returned empty for s=None)
     run_budgets = np.array(

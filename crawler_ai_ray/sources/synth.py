@@ -935,6 +935,14 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
             {"url": p["url"], **simulate_fetch(p["url"], head, att)}
         )
     page_urls = {p["url"] for p in page_rows}
+    # invariant consumers rely on (e.g. __ray_entry__._fetch_population
+    # derives page-membership from the profile, no pages scan): a cfg
+    # profile succeeds ⟺ its url is a real page
+    for r in fetch_rows:
+        ok = simulate_fetch(r["url"], r["head_status"], r["attempts"])[
+            "success"
+        ]
+        assert ok == (r["url"] in page_urls), r["url"]
     for r in fetch_rows:
         if r["url"] not in page_urls:
             fg_rows.append(
