@@ -986,6 +986,21 @@ def _q_emb_knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_knn_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = nlist probes EVERY list — the partition/probe
+    machinery must then reproduce the exact brute-force result, which
+    gives the IVF path a true SQL oracle (the pruned nprobe<nlist
+    variant stays rows-only with recall pinned in tests)."""
+    from crawler_ai_ray.stages.simsearch import ivf_assign, kmeans_train, knn_ivf
+
+    ds = _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_train(ds, nlist=8, iters=3)
+    assigned = ivf_assign(ds, centroids)
+    q, qids = _anchor_matrix(sf_dir)
+    out = knn_ivf(assigned, centroids, q, qids, k=10, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def _q_emb_neardup(sf_dir: str):
     import pyarrow.parquet as pq
     import numpy as np
@@ -1348,6 +1363,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_knn_ivf_exhaustive": _q_emb_knn_ivf_exhaustive,
         "emb_neardup_cosine": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         # events: windowed / sessionized aggregates + temporal joins
@@ -1387,7 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_summary_by_company",
         # new this round (training-data ops)
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
-        "events_hopping",
+        "events_hopping", "emb_knn_ivf_exhaustive",
         # absent from the r01 driver subset
         "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
         "events_hourly", "events_sessionize", "events_asof_join",
@@ -2005,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, frame_idx, mean_luma
             FROM read_parquet('{mm_video_g}')""",
         "emb_knn_bruteforce": knn,
+        "emb_knn_ivf_exhaustive": knn,  # nprobe=nlist ⇒ exact
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
