@@ -113,6 +113,16 @@ def bench_crawl(corpus: str, out_dir: str) -> dict:
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
+    # short warmup run: a freshly-generated corpus (cold page cache +
+    # first actor spin-up) otherwise inflates round latency ~3×
+    warm_dir = out_dir + "-warmup"
+    if os.path.exists(warm_dir):
+        shutil.rmtree(warm_dir)
+    run_crawl(
+        CrawlConfig(
+            corpus, warm_dir, seen_shards=8, store_shards=8, max_rounds=2
+        )
+    )
     cfg = CrawlConfig(corpus, out_dir, seen_shards=8, store_shards=8)
     t0 = time.time()
     totals = run_crawl(cfg)
