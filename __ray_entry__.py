@@ -631,6 +631,65 @@ def _q_jobs_enriched(sf_dir: str):
     )
 
 
+def _q_jobs_user_friendly(sf_dir: str):
+    """user_friendly_formatter.py:16-47 — the per-job display record
+    (tech display names, star quality, match %, recommendation,
+    urgency, benefits).  Like the reference, the formatter runs the
+    analyzer itself over the RAW extracted jobs."""
+    from crawler_ai_ray.functions.user_friendly import user_friendly_batch
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    return extract_jobs(_pages(sf_dir, columns=["url", "html"])).map_batches(
+        user_friendly_batch, batch_format="pyarrow"
+    )
+
+
+def _q_jobs_user_summary(sf_dir: str):
+    """user_friendly_formatter.py:225-262 — jobs-list summary counts;
+    reproduces the reference's substring tests on the emoji fields
+    (so 5-star rows count as high quality via the 4-star substring)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    uf = _q_jobs_user_friendly(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def n(pred) -> int:
+            return pc.sum(pc.cast(pred, pa.int64())).as_py() or 0
+
+        q = batch["quality"]
+        urg = batch["urgency"]
+        return pa.table(
+            {
+                "total_jobs": pa.array([batch.num_rows], pa.int64()),
+                "high_quality": pa.array(
+                    [n(pc.match_substring(q, "⭐⭐⭐⭐"))], pa.int64()
+                ),
+                "remote_opportunities": pa.array(
+                    [n(pc.cast(batch["remote"], pa.bool_()))], pa.int64()
+                ),
+                "very_urgent": pa.array(
+                    [n(pc.match_substring(urg, "🔥 Very Urgent"))], pa.int64()
+                ),
+                "urgent": pa.array(
+                    [n(pc.match_substring(urg, "⚡ Urgent"))], pa.int64()
+                ),
+                "recent": pa.array(
+                    [n(pc.match_substring(urg, "📅 Recent"))], pa.int64()
+                ),
+            }
+        )
+
+    cols = ["total_jobs", "high_quality", "remote_opportunities",
+            "very_urgent", "urgent", "recent"]
+    res = uf.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )  # Dataset.aggregate returns a plain dict row
+    return pa.table({c: pa.array([res[c]], pa.int64()) for c in cols})
+
+
 def _q_jobs_quality_hist(sf_dir: str):
     """A3: quality-score histogram (advanced_job_finder.py:334-355)."""
     import pyarrow as pa
@@ -1315,6 +1374,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_jobs": _q_crawl_jobs,
         "crawl_job_type_counts": _q_crawl_job_type_counts,
         "jobs_enriched": _q_jobs_enriched,
+        "jobs_user_friendly": _q_jobs_user_friendly,
+        "jobs_user_summary": _q_jobs_user_summary,
         "jobs_quality_hist": _q_jobs_quality_hist,
         "jobs_top10_quality": _q_jobs_top10_quality,
         "jobs_summary_by_company": _q_jobs_summary_by_company,
@@ -1404,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (training-data ops)
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
         "events_hopping", "emb_knn_ivf_exhaustive",
+        "jobs_user_friendly", "jobs_user_summary",
         # absent from the r01 driver subset
         "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
         "events_hourly", "events_sessionize", "events_asof_join",
@@ -1458,6 +1520,100 @@ def oracle_sql() -> dict[str, str]:
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
+
+    # --- user-friendly formatter oracle (SQL rebuilt from the shared
+    # constant tables; the scan/sort/cap/CASE logic itself is SQL) -----
+    from crawler_ai_ray.functions.job_quality import TECHNOLOGY_KEYWORDS
+    from crawler_ai_ray.functions.user_friendly import (
+        BENEFIT_KEYWORDS,
+        LEVEL_MAPPING,
+        REMOTE_INDICATORS,
+        TECH_DISPLAY,
+        TECH_EXCLUDED,
+    )
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    tech_cands = sorted(
+        {t for t in TECHNOLOGY_KEYWORDS if len(t) > 2 and t not in TECH_EXCLUDED}
+    )
+    tech_list_sql = "[" + ", ".join(f"'{_sq(t)}'" for t in tech_cands) + "]"
+    tech_case = (
+        "CASE t "
+        + " ".join(
+            f"WHEN '{_sq(t)}' THEN '{_sq(TECH_DISPLAY.get(t, t.title()))}'"
+            for t in tech_cands
+        )
+        + " END"
+    )
+    techs_expr = (
+        f"COALESCE(array_to_string(list_transform(list_filter({tech_list_sql}, "
+        f"t -> contains(lower(COALESCE(description, '')), t)), "
+        f"t -> {tech_case})[1:5], '|'), '')"
+    )
+    remote_expr = "(" + " OR ".join(
+        f"contains(lower(COALESCE(enh_location, '')), '{ind}')"
+        for ind in REMOTE_INDICATORS
+    ) + ")"
+    benefit_list_sql = "[" + ", ".join(f"'{b}'" for b in BENEFIT_KEYWORDS) + "]"
+    benefit_case = (
+        "CASE b "
+        + " ".join(
+            f"WHEN '{b}' THEN '{b.title()}'" for b in BENEFIT_KEYWORDS
+        )
+        + " END"
+    )
+    benefits_expr = (
+        f"COALESCE(array_to_string(list_transform(list_filter({benefit_list_sql}, "
+        f"b -> contains(lower(COALESCE(description, '')), b)), "
+        f"b -> {benefit_case})[1:3], '|'), '')"
+    )
+    level_case = (
+        "CASE level "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in LEVEL_MAPPING.items())
+        + " ELSE 'Not specified' END"
+    )
+    stars_expr = (
+        "CASE WHEN q_overall >= 0.9 THEN '⭐⭐⭐⭐⭐' "
+        "WHEN q_overall >= 0.8 THEN '⭐⭐⭐⭐' "
+        "WHEN q_overall >= 0.7 THEN '⭐⭐⭐' "
+        "WHEN q_overall >= 0.6 THEN '⭐⭐' ELSE '⭐' END"
+    )
+    days_expr = (
+        "regexp_extract(lower(COALESCE(posted_date, '')), "
+        "'(\d+)\s*days?\s*ago', 1)"
+    )
+    urgency_expr = (
+        f"CASE WHEN {days_expr} = '' THEN 'Unknown' "
+        f"WHEN CAST({days_expr} AS INTEGER) <= 1 THEN '🔥 Very Urgent' "
+        f"WHEN CAST({days_expr} AS INTEGER) <= 3 THEN '⚡ Urgent' "
+        f"WHEN CAST({days_expr} AS INTEGER) <= 7 THEN '📅 Recent' "
+        f"WHEN CAST({days_expr} AS INTEGER) <= 14 THEN '📆 Moderate' "
+        "ELSE '⏰ Old' END"
+    )
+    user_friendly_sql = f"""
+        SELECT source_url, job_index, COALESCE(title, '') AS title,
+          COALESCE(enh_company, '') AS company,
+          COALESCE(enh_location, '') AS location,
+          COALESCE(enh_job_type, '') AS "type",
+          COALESCE(enh_salary, '') AS salary,
+          COALESCE(posted_date, '') AS posted,
+          {techs_expr} AS technologies,
+          {level_case} AS level,
+          {remote_expr} AS remote,
+          {stars_expr} AS quality,
+          CAST(trunc(q_overall * 100) AS INTEGER) || '%' AS match_score,
+          CASE WHEN q_overall >= 0.8 AND q_freshness >= 0.8
+                 THEN '🔥 Apply now - Excellent opportunity!'
+               WHEN q_overall >= 0.7 THEN '✅ Good match - Worth applying'
+               WHEN q_overall >= 0.6 THEN '🤔 Consider applying'
+               WHEN q_completeness < 0.5
+                 THEN '⚠️ Limited information - Research more'
+               ELSE '📋 Basic opportunity' END AS recommendation,
+          {urgency_expr} AS urgency,
+          {benefits_expr} AS benefits
+        FROM read_parquet('{jobs_golden}')"""
 
     mm_image_g = os.path.join(gdir, "mm_image.parquet")
     mm_audio_g = os.path.join(gdir, "mm_audio.parquet")
@@ -1693,6 +1849,21 @@ def oracle_sql() -> dict[str, str]:
             "q_completeness, q_relevance, q_freshness, "
             f"q_overall FROM read_parquet('{jobs_golden}')"
         ),
+        "jobs_user_friendly": user_friendly_sql,
+        "jobs_user_summary": f"""
+            WITH uf AS ({user_friendly_sql})
+            SELECT count(*)::BIGINT AS total_jobs,
+              sum(CASE WHEN contains(quality, '⭐⭐⭐⭐') THEN 1 ELSE 0
+                  END)::BIGINT AS high_quality,
+              sum(CASE WHEN remote THEN 1 ELSE 0 END)::BIGINT
+                AS remote_opportunities,
+              sum(CASE WHEN contains(urgency, '🔥 Very Urgent') THEN 1
+                  ELSE 0 END)::BIGINT AS very_urgent,
+              sum(CASE WHEN contains(urgency, '⚡ Urgent') THEN 1 ELSE 0
+                  END)::BIGINT AS urgent,
+              sum(CASE WHEN contains(urgency, '📅 Recent') THEN 1 ELSE 0
+                  END)::BIGINT AS recent
+            FROM uf""",
         "jobs_quality_hist": f"""
             SELECT CASE WHEN q_overall > 0.8 THEN 'excellent'
                         WHEN q_overall > 0.6 THEN 'good'
