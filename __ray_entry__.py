@@ -790,6 +790,19 @@ def _q_crawl_job_type_counts(sf_dir: str):
     )
 
 
+def _q_crawl_job_location_counts(sf_dir: str):
+    """A2's other half (simple_job_formatter.py:54-82
+    ``get_job_summary``): counts by raw location string."""
+    import ray.data
+    from crawler_ai_ray.stages.extract import extract_jobs
+
+    jobs = extract_jobs(_pages(sf_dir, columns=["url", "html"]))
+    return (
+        jobs.groupby("location")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_jobs"))
+    )
+
+
 def _q_crawl_career_top3_per_host(sf_dir: str):
     """O1/O2 semantics at corpus scale: per-host top-3 career pages by
     (career_score desc, url asc) — groupby(host).map_groups top-k."""
@@ -1373,6 +1386,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagination_candidates": _q_crawl_pagination,
         "crawl_jobs": _q_crawl_jobs,
         "crawl_job_type_counts": _q_crawl_job_type_counts,
+        "crawl_job_location_counts": _q_crawl_job_location_counts,
         "jobs_enriched": _q_jobs_enriched,
         "jobs_user_friendly": _q_jobs_user_friendly,
         "jobs_user_summary": _q_jobs_user_summary,
@@ -1466,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
         "events_hopping", "emb_knn_ivf_exhaustive",
         "jobs_user_friendly", "jobs_user_summary",
+        "crawl_job_location_counts",
         # absent from the r01 driver subset
         "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
         "events_hourly", "events_sessionize", "events_asof_join",
@@ -1837,6 +1852,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_job_type_counts": (
             "SELECT job_type, count(*)::BIGINT AS n_jobs "
+            f"FROM read_parquet('{jobs_golden}') GROUP BY 1"
+        ),
+        "crawl_job_location_counts": (
+            "SELECT location, count(*)::BIGINT AS n_jobs "
             f"FROM read_parquet('{jobs_golden}') GROUP BY 1"
         ),
         "jobs_enriched": (
