@@ -956,6 +956,51 @@ def _q_doc_sample(sf_dir: str):
     ).map_batches(sample_batch, batch_format="pyarrow")
 
 
+def _q_crawl_pii_redact(sf_dir: str):
+    """PII scrub over the extracted page text: count + placeholder-
+    redact email/phone spans (pyarrow RE2 ≡ DuckDB RE2, so the oracle's
+    nested regexp_replace reproduces the output byte-identically)."""
+    from crawler_ai_ray.stages.textstats import pii_redact_batch
+
+    return (
+        _extracted(sf_dir)
+        .select_columns(["url", "text"])
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+    )
+
+
+def _q_doc_sample_stratified(sf_dir: str):
+    """Exact per-language quota sample (md5-rank, doc_id tie-break):
+    per-batch top-quota combiner → tiny groupby(lang) re-rank."""
+    from crawler_ai_ray.stages.textstats import stratified_sample
+
+    return stratified_sample(
+        _table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        quota=32,
+    )
+
+
+def _q_doc_dedup_incremental(sf_dir: str):
+    """Incremental-ingest dedup, idempotent-re-crawl shaped: the
+    incoming batch is the FULL document snapshot, the existing corpus
+    is the already-ingested 3/4 (doc_id % 4 != 3) — so most incoming
+    texts are suppressed by the corpus anti-join and only genuinely-new
+    ones survive (bucketed hash anti-join, keep-first within batch)."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.stages.dedup import incremental_dedup
+
+    def existing_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(pc.bit_wise_and(batch["doc_id"], 3), 3)
+        )
+
+    docs = _table(sf_dir, "documents", columns=["doc_id", "text"])
+    return incremental_dedup(
+        docs.map_batches(existing_only, batch_format="pyarrow"), docs
+    )
+
+
 def _q_doc_neardup_clusters(sf_dir: str):
     """MinHash-LSH pair graph → connected components → canonical keep-
     one labels per document."""
@@ -1433,6 +1478,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_sample": _q_doc_sample,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_dedup_incremental": _q_doc_dedup_incremental,
+        "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_neardup_simhash": _q_doc_neardup_simhash,
         # embeddings: similarity search + near-dup
@@ -1477,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # red in r01 (hash), fixed this round
         "jobs_summary_by_company",
         # new this round (training-data ops)
+        "crawl_pii_redact", "doc_sample_stratified", "doc_dedup_incremental",
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
         "events_hopping", "emb_knn_ivf_exhaustive",
         "jobs_user_friendly", "jobs_user_summary",
@@ -1504,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
     from crawler_ai_ray.stages.textstats import (
         BPE_TOKEN_RE,
         LANG_STOPWORDS,
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
         PUNCT_RE,
         QUALITY_STOPWORD_RE,
     )
@@ -2173,6 +2224,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('0', '1')""",
+        "doc_sample_stratified": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS sample_rank
+              FROM documents)
+            SELECT doc_id, lang, n_chars, sample_rank::BIGINT AS sample_rank
+            FROM r WHERE sample_rank <= 32""",
+        "doc_dedup_incremental": """
+            WITH h AS (
+              SELECT doc_id, md5(text) AS text_md5, TRUE AS is_new
+              FROM documents
+              UNION ALL
+              SELECT doc_id, md5(text), FALSE
+              FROM documents WHERE doc_id % 4 != 3)
+            SELECT text_md5,
+                   min(CASE WHEN is_new THEN doc_id END)::BIGINT
+                     AS keep_doc_id,
+                   sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new
+            FROM h GROUP BY 1
+            HAVING sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) = 0
+               AND min(CASE WHEN is_new THEN doc_id END) IS NOT NULL""",
+        "crawl_pii_redact": f"""
+            SELECT url,
+              len(regexp_extract_all(text, '{esc(PII_EMAIL_RE)}'))::BIGINT
+                AS n_emails,
+              len(regexp_extract_all(text, '{esc(PII_PHONE_RE)}'))::BIGINT
+                AS n_phones,
+              regexp_replace(
+                regexp_replace(text, '{esc(PII_EMAIL_RE)}', '<EMAIL>', 'g'),
+                '{esc(PII_PHONE_RE)}', '<PHONE>', 'g') AS text_redacted
+            FROM read_parquet('{golden}')""",
         # clusters: transitive closure of the SAME independently-derived
         # SQL pair set (see doc_neardup_minhash), min-label per component
         "doc_neardup_clusters": f"""

@@ -43,6 +43,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_batch",
     "simhash_neardup_pairs",
+    "incremental_dedup",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
 ]
@@ -76,6 +77,80 @@ def exact_dedup(ds):
         ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
         ray.data.aggregate.Count(alias_name="n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+_INC_SENTINEL = 1 << 62  # > any real doc_id; Min() ignores existing rows
+
+
+def incremental_dedup(ds_existing, ds_incoming):
+    """The incremental-ingest dedup a continuously-crawled training
+    corpus needs: of an INCOMING batch of documents, keep one doc per
+    distinct text (keep-first = min doc_id) and only if that text does
+    NOT already exist in the EXISTING corpus → (text_md5, keep_doc_id,
+    n_new).
+
+    Plan (one shuffle, exact): tag each side, union, md5 the text, and
+    hash-partition ``groupby(text_md5)`` with stock combiner aggregates
+    — ``Sum(is_existing)`` (anti-join predicate) and ``Min(inc_id)``
+    where existing rows carry a sentinel above every real doc_id, so a
+    plain Min is the conditional keep-first.  Only 32-byte hashes +
+    two ints travel through the shuffle, never text, and the md5 key is
+    uniform so the exchange cannot skew.
+
+    100 TB framing: the existing side should be the corpus's persisted
+    hash manifest (doc_id, text_md5 — written by a previous
+    ``exact_dedup`` run), not re-hashed raw text; when that manifest is
+    stored hash-partitioned on ``text_md5`` prefix, the same groupby
+    degenerates into per-partition local anti-joins with no re-shuffle
+    of the existing side.  Generalizes the reference's seen-URL
+    anti-join (SURVEY §2 J5) from URLs to content hashes."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def prep(is_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = md5_batch(batch)
+            ids = h["doc_id"]
+            return pa.table(
+                {
+                    "text_md5": h["text_md5"],
+                    "is_existing": pa.array(
+                        np.full(len(ids), 0 if is_new else 1), type=pa.int64()
+                    ),
+                    "inc_id": ids
+                    if is_new
+                    else pa.array(
+                        np.full(len(ids), _INC_SENTINEL), type=pa.int64()
+                    ),
+                    "is_new": pa.array(
+                        np.full(len(ids), 1 if is_new else 0), type=pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = ds_existing.map_batches(
+        prep(False), batch_format="pyarrow"
+    ).union(ds_incoming.map_batches(prep(True), batch_format="pyarrow"))
+    agg = tagged.groupby("text_md5").aggregate(
+        ray.data.aggregate.Sum("is_existing", alias_name="n_existing"),
+        ray.data.aggregate.Min("inc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Sum("is_new", alias_name="n_new"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["n_existing"], 0),
+            pc.less(batch["keep_doc_id"], _INC_SENTINEL),
+        )
+        return batch.filter(keep).select(["text_md5", "keep_doc_id", "n_new"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

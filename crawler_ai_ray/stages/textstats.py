@@ -40,9 +40,13 @@ __all__ = [
     "quality_batch",
     "langid_batch",
     "fingerprint_batch",
+    "pii_redact_batch",
+    "stratified_sample",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
+    "PII_EMAIL_RE",
+    "PII_PHONE_RE",
 ]
 
 # Non-overlapping leftmost matches — identical semantics in pyarrow's RE2
@@ -264,6 +268,117 @@ def top_terms(ds, k: int = 100, num_buckets: int = 64,
         pa.concat_tables(cand)
         .sort_by([("n", "descending"), ("term", "ascending")])
         .slice(0, k)
+    )
+
+
+# --- PII redaction --------------------------------------------------------
+
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines run
+# RE2 with leftmost-non-overlapping semantics, so counts AND replacement
+# spans are byte-identical).  Emails are redacted BEFORE phones so a
+# digit-bearing local-part can't be half-eaten by the phone pattern —
+# the oracle nests its regexp_replace calls in the same order.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 .()-]{7,14}[0-9]"
+
+
+def pii_redact_batch(
+    batch: pa.Table,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> pa.Table:
+    """→ (key, n_emails, n_phones, text_redacted).
+
+    The scrub a training-data pipeline runs before tokenization: count
+    then replace email/phone spans with placeholder tokens.  Pure
+    ``pyarrow.compute`` RE2 — two ``count_substring_regex`` and two
+    ``replace_substring_regex`` C++ kernel passes per batch, zero
+    Python-per-row work.  Generalizes the reference's contact
+    *extraction* regexes (crawler_ai/utils/contact_extractor.py —
+    emails/phones harvested per page) into the inverse redaction
+    operator over the same text."""
+    t = batch[text_col]
+    n_emails = pc.cast(_count(t, PII_EMAIL_RE), pa.int64())
+    n_phones = pc.cast(_count(t, PII_PHONE_RE), pa.int64())
+    red = pc.replace_substring_regex(
+        pc.replace_substring_regex(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return pa.table(
+        {
+            key_col: batch[key_col],
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "text_redacted": red,
+        }
+    )
+
+
+# --- stratified per-language sampling -------------------------------------
+
+def _hash_rank_key(batch: pa.Table) -> pa.Table:
+    """Append the deterministic sampling sort key ``rank_md5`` =
+    md5(str(doc_id)) — hash-based so the per-stratum order is stable
+    across runs, partition layouts and engines (DuckDB:
+    ``md5(CAST(doc_id AS VARCHAR))``)."""
+    import hashlib
+
+    keys = [
+        hashlib.md5(str(i).encode()).hexdigest()
+        for i in batch["doc_id"].to_pylist()
+    ]
+    return batch.append_column("rank_md5", pa.array(keys, type=pa.string()))
+
+
+def _topk_per_lang(tbl: pa.Table, quota: int) -> pa.Table:
+    """Keep the first ``quota`` rows per ``lang`` by (rank_md5, doc_id)
+    order, assigning ``sample_rank`` 1..quota.  Vectorized: one Arrow
+    sort + a numpy segmented cumcount over the sorted lang codes."""
+    if tbl.num_rows == 0:
+        return tbl.append_column("sample_rank", pa.array([], type=pa.int64()))
+    s = tbl.sort_by(
+        [("lang", "ascending"), ("rank_md5", "ascending"),
+         ("doc_id", "ascending")]
+    )
+    langs = s["lang"].to_numpy(zero_copy_only=False)
+    # rank within each run of equal langs (sorted ⇒ runs are groups)
+    new_run = np.ones(len(langs), dtype=bool)
+    new_run[1:] = langs[1:] != langs[:-1]
+    starts = np.flatnonzero(new_run)
+    idx = np.arange(len(langs), dtype=np.int64)
+    rank = idx - np.repeat(starts, np.diff(np.append(starts, len(langs)))) + 1
+    s = s.append_column("sample_rank", pa.array(rank, type=pa.int64()))
+    return s.filter(pa.array(rank <= quota))
+
+
+def stratified_sample(ds, quota: int = 32):
+    """documents → an exact per-language quota sample:
+    (doc_id, lang, n_chars, sample_rank 1..quota), ranked by
+    md5(doc_id) with doc_id tie-break.
+
+    Shape (100 TB framing): a per-batch combiner keeps ≤ langs×quota
+    candidate rows per block (the hash-rank top-k is decomposable:
+    the global top-quota is a subset of the union of per-block
+    top-quotas), then one tiny ``groupby(lang).map_groups`` re-ranks
+    ≤ blocks×quota rows per language.  ``lang`` is low-cardinality by
+    nature (the CLAUDE.md high-cardinality-groupby rule doesn't bite),
+    and the shuffle moves only candidate rows, never the corpus.  For
+    corpora where blocks×quota itself is large, the same combiner
+    composes into a tree (combine per block → per node → global)."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        return _topk_per_lang(_hash_rank_key(batch), quota).drop_columns(
+            ["sample_rank"]
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _topk_per_lang(group, quota).drop_columns(["rank_md5"])
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 

@@ -527,3 +527,93 @@ def test_neardup_clusters_transitive_min_label(ray_session):
     assert out["canonical_id"].tolist()[:3] == [10, 10, 10]
     assert out["canonical_id"].tolist()[3] == 13
     assert out["is_canonical"].tolist() == [True, False, False, True]
+
+
+# --- PII redaction / stratified sample / incremental dedup ----------------
+
+def test_pii_redact_planted_and_vs_duckdb(duck):
+    from crawler_ai_ray.stages.textstats import pii_redact_batch
+
+    texts = [
+        "contact hr@example.com or +84 94 950 4550 today",
+        "two mails a.b+tag@x.co c_d%e@y-z.org and (08) 1234-5678 done",
+        "no pii here at all",
+        "digits in local 123@nums.net then 0901 234 567",
+        "",
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(texts))]),
+            "text": pa.array(texts),
+        }
+    )
+    out = pii_redact_batch(t)
+    assert out["n_emails"].to_pylist() == [1, 2, 0, 1, 0]
+    assert out["n_phones"].to_pylist() == [1, 1, 0, 1, 0]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "contact <EMAIL> or <PHONE> today"
+    assert "<EMAIL>" in red[3] and "<PHONE>" in red[3]
+    assert red[2] == texts[2] and red[4] == ""
+    # byte-identical vs DuckDB's RE2 on the same rows
+    from crawler_ai_ray.stages.textstats import PII_EMAIL_RE, PII_PHONE_RE
+
+    duck.register("pii_in", t)
+    ora = duck.sql(
+        "SELECT url, regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}', "
+        "'<PHONE>', 'g') AS text_redacted FROM pii_in"
+    ).df()
+    assert ora["text_redacted"].tolist() == red
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_vs_duckdb_and_partition_invariant(docs_ds, duck):
+    from crawler_ai_ray.stages.textstats import stratified_sample
+
+    quota = 7
+    eng = stratified_sample(
+        docs_ds.select_columns(["doc_id", "lang", "n_chars"]), quota=quota
+    ).to_pandas()
+    ora = duck.sql(
+        "WITH r AS (SELECT doc_id, lang, n_chars, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)"
+        " AS sample_rank FROM documents) SELECT * FROM r "
+        f"WHERE sample_rank <= {quota}"
+    ).df()
+    assert_frames_equal(eng, ora)
+    # combiner correctness must not depend on the block layout
+    eng2 = stratified_sample(
+        docs_ds.select_columns(["doc_id", "lang", "n_chars"]).repartition(13),
+        quota=quota,
+    ).to_pandas()
+    assert_frames_equal(eng, eng2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_anti_join_and_keep_first(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import incremental_dedup
+
+    existing = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha", "beta"]),
+        }
+    )
+    incoming = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            # alpha collides with the corpus; gamma duplicated in-batch
+            "text": pa.array(["alpha", "gamma", "gamma", "delta"]),
+        }
+    )
+    out = (
+        incremental_dedup(
+            ray.data.from_arrow(existing), ray.data.from_arrow(incoming)
+        )
+        .to_pandas()
+        .sort_values("keep_doc_id", ignore_index=True)
+    )
+    assert out["keep_doc_id"].tolist() == [11, 13]
+    assert out["n_new"].tolist() == [2, 1]
