@@ -969,6 +969,27 @@ def _q_crawl_pii_redact(sf_dir: str):
     )
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filter signals (top-unigram / duplicate-
+    bigram fractions + integer-only keep rule) — one vectorized numpy
+    composite-key counting pass per batch."""
+    from crawler_ai_ray.stages.textstats import repetition_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_distinctive_terms(sf_dir: str):
+    """Per-doc top-3 distinctive terms by (tf desc, corpus-df asc,
+    term asc): TF rows → term-bucketed DF join → doc-bucketed top-k."""
+    from crawler_ai_ray.stages.textstats import distinctive_terms
+
+    return distinctive_terms(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), k=3
+    )
+
+
 def _q_doc_sample_stratified(sf_dir: str):
     """Exact per-language quota sample (md5-rank, doc_id tie-break):
     per-batch top-quota combiner → tiny groupby(lang) re-rank."""
@@ -1478,6 +1499,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_sample": _q_doc_sample,
+        "doc_repetition": _q_doc_repetition,
+        "doc_distinctive_terms": _q_doc_distinctive_terms,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "crawl_pii_redact": _q_crawl_pii_redact,
@@ -1526,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_summary_by_company",
         # new this round (training-data ops)
         "crawl_pii_redact", "doc_sample_stratified", "doc_dedup_incremental",
+        "doc_repetition", "doc_distinctive_terms",
         "doc_top_terms", "doc_sample", "doc_neardup_clusters",
         "events_hopping", "emb_knn_ivf_exhaustive",
         "jobs_user_friendly", "jobs_user_summary",
@@ -2224,6 +2248,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('0', '1')""",
+        "doc_repetition": """
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(l) AS term FROM d),
+            unic AS (
+              SELECT doc_id, term, count(*)::BIGINT AS c
+              FROM uni GROUP BY 1, 2),
+            top1 AS (
+              SELECT doc_id, max(c)::BIGINT AS top_unigram_occ
+              FROM unic GROUP BY 1),
+            bidx AS (
+              SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM d),
+            bic AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS bg,
+                     count(*)::BIGINT AS c
+              FROM bidx GROUP BY 1, 2),
+            dup AS (
+              SELECT doc_id,
+                     coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT
+                       AS dup_bigram_occ
+              FROM bic GROUP BY 1)
+            SELECT d.doc_id, len(d.l)::BIGINT AS n_tokens,
+              coalesce(t.top_unigram_occ, 0)::BIGINT AS top_unigram_occ,
+              coalesce(p.dup_bigram_occ, 0)::BIGINT AS dup_bigram_occ,
+              greatest(len(d.l) - 1, 0)::BIGINT AS n_bigrams,
+              CAST(coalesce(t.top_unigram_occ, 0) AS DOUBLE)
+                / greatest(len(d.l), 1) AS top_unigram_frac,
+              CAST(coalesce(p.dup_bigram_occ, 0) AS DOUBLE)
+                / greatest(len(d.l) - 1, 1) AS dup_bigram_frac,
+              (coalesce(t.top_unigram_occ, 0) * 5 <= len(d.l)
+               AND coalesce(p.dup_bigram_occ, 0) * 5
+                   <= greatest(len(d.l) - 1, 0) * 2
+               AND len(d.l) >= 10) AS repetition_keep
+            FROM d LEFT JOIN top1 t USING (doc_id)
+                   LEFT JOIN dup p USING (doc_id)""",
+        "doc_distinctive_terms": """
+            WITH rows AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM rows GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM rows GROUP BY 1),
+            r AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                       AS rank
+              FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3""",
         "doc_sample_stratified": """
             WITH r AS (
               SELECT doc_id, lang, n_chars,

@@ -42,6 +42,8 @@ __all__ = [
     "fingerprint_batch",
     "pii_redact_batch",
     "stratified_sample",
+    "repetition_batch",
+    "distinctive_terms",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
@@ -271,6 +273,84 @@ def top_terms(ds, k: int = 100, num_buckets: int = 64,
     )
 
 
+# --- repetition / Gopher-style quality filter -----------------------------
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc repetition signals (the Gopher-rules family — Rae et al.
+    2021 §A1.1 "repetition" filters, as used by C4/Gopher-style corpus
+    cleaning): → (doc_id, n_tokens, top_unigram_occ, dup_bigram_occ,
+    n_bigrams, top_unigram_frac, dup_bigram_frac, repetition_keep).
+
+    * ``top_unigram_occ`` — occurrences of the most frequent token;
+    * ``dup_bigram_occ`` — bigram occurrences whose bigram appears ≥2×
+      in the doc (the "fraction of characters in duplicate n-grams"
+      signal, on token counts so it stays integer-exact);
+    * fractions are single divisions of those exact ints, and the keep
+      rule is integer-only (cross-multiplied), so the DuckDB oracle
+      reproduces every value bit-for-bit.
+
+    Fully vectorized across the batch: one RE2 split, then numpy
+    factorize + composite-key ``np.unique`` counting over (doc, gram)
+    — no Python loop over rows.  Tokenization is ``[a-z]+`` on the
+    lowered text, identical to ``top_terms`` and the SQL side."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parents = parents[keep]
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    n_docs = batch.num_rows
+    n_tok = np.bincount(parents, minlength=n_docs).astype(np.int64)
+
+    top1 = np.zeros(n_docs, dtype=np.int64)
+    dup2 = np.zeros(n_docs, dtype=np.int64)
+    if len(words):
+        _, codes = np.unique(words, return_inverse=True)
+        codes = codes.astype(np.int64)
+        v = np.int64(len(_))
+        # unigram counts per (doc, token)
+        uni_key = parents.astype(np.int64) * v + codes
+        uk, uc = np.unique(uni_key, return_counts=True)
+        np.maximum.at(top1, (uk // v).astype(np.int64), uc.astype(np.int64))
+        # bigrams: consecutive positions within the same doc (parents is
+        # non-decreasing by construction of list_parent_indices)
+        same = parents[1:] == parents[:-1]
+        if same.any():
+            bp = parents[:-1][same].astype(np.int64)
+            ba, bb = codes[:-1][same], codes[1:][same]
+            bg_key = (bp * v + ba) * v + bb
+            bk, bc = np.unique(bg_key, return_counts=True)
+            dup_mask = bc >= 2
+            np.add.at(
+                dup2,
+                (bk[dup_mask] // (v * v)).astype(np.int64),
+                (bc[dup_mask]).astype(np.int64),
+            )
+    n_bi = np.maximum(n_tok - 1, 0)
+    tok_den = np.maximum(n_tok, 1).astype(np.float64)
+    bi_den = np.maximum(n_bi, 1).astype(np.float64)
+    # integer-only keep rule: top1/n ≤ 0.2  ∧  dup2/nbi ≤ 0.4  ∧  n ≥ 10
+    keep_flag = (
+        (top1 * 5 <= n_tok) & (dup2 * 5 <= n_bi * 2) & (n_tok >= 10)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "top_unigram_occ": pa.array(top1, type=pa.int64()),
+            "dup_bigram_occ": pa.array(dup2, type=pa.int64()),
+            "n_bigrams": pa.array(n_bi, type=pa.int64()),
+            "top_unigram_frac": pa.array(top1 / tok_den, type=pa.float64()),
+            "dup_bigram_frac": pa.array(dup2 / bi_den, type=pa.float64()),
+            "repetition_keep": pa.array(keep_flag, type=pa.bool_()),
+        }
+    )
+
+
 # --- PII redaction --------------------------------------------------------
 
 # RE2 patterns shared verbatim with the DuckDB oracle (both engines run
@@ -379,6 +459,124 @@ def stratified_sample(ds, quota: int = 32):
         ds.map_batches(combiner, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# --- distinctive terms: TF ⋈ corpus-DF join + per-doc top-k ---------------
+
+def _tf_rows_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """docs → (doc_id, term, tf, term_bucket) rows.  TF per (doc, term)
+    is complete per batch because a document is one row.  Vectorized:
+    RE2 split + composite-key ``np.unique`` counting (no row loop)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parents = parents[keep]
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(words):
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "term_bucket": pa.array([], pa.int32()),
+            }
+        )
+    vocab, codes = np.unique(words, return_inverse=True)
+    v = np.int64(len(vocab))
+    key = parents.astype(np.int64) * v + codes.astype(np.int64)
+    uk, uc = np.unique(key, return_counts=True)
+    doc_idx = (uk // v).astype(np.int64)
+    term_idx = (uk % v).astype(np.int64)
+    vb = np.array(
+        [zlib.crc32(t.encode()) % num_buckets for t in vocab], dtype=np.int32
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_idx], type=pa.int64()),
+            "term": pa.array(vocab[term_idx], type=pa.string()),
+            "tf": pa.array(uc, type=pa.int64()),
+            "term_bucket": pa.array(vb[term_idx], type=pa.int32()),
+        }
+    )
+
+
+def distinctive_terms(ds, k: int = 3, num_buckets: int = 64):
+    """documents → each doc's k most distinctive terms, exactly:
+    rank by (tf desc, corpus-df asc, term asc) → (doc_id, term, tf,
+    df, rank 1..k).  The integer-exact cousin of TF-IDF (monotone in
+    tf and 1/df), chosen so the DuckDB window-function oracle matches
+    bit-for-bit — no float log scores.
+
+    Shape (100 TB framing): two bounded-group bucketed shuffles of
+    narrow (doc_id, term-hash, int) rows — never text bodies:
+      1. TF rows bucket by ``crc32(term) % B``; a term lives in exactly
+         one bucket, so per-bucket DF (count of distinct docs per term)
+         is exact and the TF⋈DF join is bucket-local Arrow;
+      2. joined rows re-bucket by ``hash(doc_id) % B``; per-doc top-k
+         is a bucket-local sort + segmented rank (no per-doc group
+         calls — the CLAUDE.md high-cardinality-groupby rule).
+    Rows shuffled are O(distinct terms per doc) with 4 narrow columns
+    — the standard TF-IDF exchange cost."""
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        return _tf_rows_batch(batch, num_buckets)
+
+    def df_join(group: pa.Table) -> pa.Table:
+        # DF per term inside the bucket (complete by construction)
+        agg = group.group_by("term").aggregate([("doc_id", "count_distinct")])
+        df = pa.table(
+            {
+                "term": agg["term"],
+                "df": pc.cast(agg["doc_id_count_distinct"], pa.int64()),
+            }
+        )
+        joined = group.select(["doc_id", "term", "tf"]).join(
+            df, keys="term", join_type="inner"
+        )
+        db = pa.array(
+            (joined["doc_id"].to_numpy(zero_copy_only=False) % num_buckets)
+            .astype(np.int32),
+            type=pa.int32(),
+        )
+        return joined.append_column("doc_bucket", db)
+
+    def doc_topk(group: pa.Table) -> pa.Table:
+        s = group.sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("term", "ascending"),
+            ]
+        )
+        docs = s["doc_id"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(docs), dtype=bool)
+        new_run[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new_run)
+        idx = np.arange(len(docs), dtype=np.int64)
+        rank = idx - np.repeat(
+            starts, np.diff(np.append(starts, len(docs)))
+        ) + 1
+        s = s.append_column("rank", pa.array(rank, type=pa.int64()))
+        return s.filter(pa.array(rank <= k)).select(
+            ["doc_id", "term", "tf", "df", "rank"]
+        )
+
+    return (
+        ds.map_batches(tf_stage, batch_format="pyarrow")
+        .groupby("term_bucket")
+        .map_groups(df_join, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(doc_topk, batch_format="pyarrow")
     )
 
 

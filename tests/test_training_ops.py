@@ -617,3 +617,68 @@ def test_incremental_dedup_anti_join_and_keep_first(ray_session):
     )
     assert out["keep_doc_id"].tolist() == [11, 13]
     assert out["n_new"].tolist() == [2, 1]
+
+
+def test_repetition_batch_planted_and_vs_duckdb(duck):
+    from crawler_ai_ray.stages.textstats import repetition_batch
+
+    texts = [
+        "spam spam spam spam spam spam spam spam spam spam",  # degenerate
+        "one two three four five six seven eight nine ten eleven twelve",
+        "ab cd ab cd ab cd xy zz pq rs tu vw",  # heavy dup bigrams
+        "",  # empty
+        "lone",  # single token
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = repetition_batch(t)
+    assert out["n_tokens"].to_pylist() == [10, 12, 12, 0, 1]
+    assert out["top_unigram_occ"].to_pylist() == [10, 1, 3, 0, 1]
+    # doc0: all 9 bigrams are 'spam spam'; doc2: 'ab cd'x3 + 'cd ab'x2
+    assert out["dup_bigram_occ"].to_pylist() == [9, 0, 5, 0, 0]
+    assert out["repetition_keep"].to_pylist() == [
+        False,  # top1 frac 1.0
+        True,
+        False,  # dup bigram frac 5/11 > 0.4
+        False,  # too short
+        False,  # too short
+    ]
+    # exact parity with the oracle SQL shape on real corpus text
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    eng = (
+        repetition_batch(docs).to_pandas().sort_values("doc_id",
+                                                       ignore_index=True)
+    )
+    import __ray_entry__ as m
+
+    ora = (
+        duck.sql(m.oracle_sql()["doc_repetition"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinctive_terms_vs_duckdb_and_partition_invariant(docs_ds, duck):
+    from crawler_ai_ray.stages.textstats import distinctive_terms
+
+    import __ray_entry__ as m
+
+    eng = distinctive_terms(
+        docs_ds.select_columns(["doc_id", "text"]), k=3
+    ).to_pandas()
+    ora = duck.sql(m.oracle_sql()["doc_distinctive_terms"]).df()
+    assert_frames_equal(eng, ora)
+    eng2 = distinctive_terms(
+        docs_ds.select_columns(["doc_id", "text"]).repartition(11),
+        k=3,
+        num_buckets=17,
+    ).to_pandas()
+    assert_frames_equal(eng, eng2)
