@@ -898,28 +898,29 @@ def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
         if x not in parent
     }
     labels = {x: find(x) for x in labels}
-    labels_ref = ray.put(labels)
+    # broadcast as two sorted numpy arrays: plasma stores them zero-copy,
+    # so every task's ray.get is a pointer share, and the per-batch
+    # lookup is one vectorized searchsorted (no actor pool, no Python
+    # dict probe per row)
+    lk = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
+    lv = np.fromiter((labels[k] for k in lk), dtype=np.int64, count=len(lk))
+    labels_ref = ray.put((lk, lv))
 
-    class Tag:
-        def __init__(self, ref) -> None:
-            self.labels = ray.get(ref)
+    def tag(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(labels_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            hit = k[pos] == ids
+            canon = np.where(hit, v[pos], ids)
+        else:
+            canon = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "is_canonical": pa.array(canon == ids, pa.bool_()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_pylist()
-            canon = [self.labels.get(i, i) for i in ids]
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "canonical_id": pa.array(canon, pa.int64()),
-                    "is_canonical": pa.array(
-                        [c == i for i, c in zip(ids, canon)], pa.bool_()
-                    ),
-                }
-            )
-
-    return docs_ds.map_batches(
-        Tag,
-        fn_constructor_args=(labels_ref,),
-        batch_format="pyarrow",
-        concurrency=4,
-    )
+    return docs_ds.map_batches(tag, batch_format="pyarrow")
