@@ -1672,7 +1672,7 @@ def oracle_sql() -> dict[str, str]:
     )
     days_expr = (
         "regexp_extract(lower(COALESCE(posted_date, '')), "
-        "'(\d+)\s*days?\s*ago', 1)"
+        r"'(\d+)\s*days?\s*ago', 1)"
     )
     urgency_expr = (
         f"CASE WHEN {days_expr} = '' THEN 'Unknown' "

@@ -223,6 +223,92 @@ def bench_minhash_control(corpus: str) -> dict:
     }
 
 
+def run_frontier_stress() -> dict:
+    """Round-planning cost vs queue size — direct evidence for the
+    10^10-frontier design claim that a round's Python cost scales with
+    the WAVE (hosts x budget), not the queue.
+
+    Builds synthetic per-bucket queues of 1M/4M/16M q-rows (1000
+    URLs/host, so the wave stays ~hosts x default_wave) in CRAWL_SCHEMA
+    and times ``_plan_bucket`` directly (it is a plain per-bucket task
+    function; no Ray session needed).  A 10^10-URL frontier sharded
+    over ~4096 buckets is ~2.4M rows/bucket — inside the measured
+    range.  Reported: wall seconds per size, queue-rows/sec, wave rows,
+    and the large/small per-row cost ratio (≈1.0 ⇒ the Arrow pass is
+    linear and nothing per-queue-row hits Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ai_ray.pipelines.crawl import CRAWL_SCHEMA, _plan_bucket
+    from crawler_ai_ray.state.politeness import CrawlPolicy
+
+    def make_queue(n_rows: int, urls_per_host: int = 1000) -> pa.Table:
+        hosts_n = max(1, n_rows // urls_per_host)
+        rng = np.random.default_rng(7)
+        host_idx = rng.integers(0, hosts_n, n_rows)
+        hosts = pa.array([f"h{i}.example.com" for i in range(hosts_n)])
+        cols: dict[str, pa.Array] = {}
+        for name in CRAWL_SCHEMA.names:
+            cols[name] = pa.nulls(n_rows, CRAWL_SCHEMA.field(name).type)
+        cols["kind"] = pa.array(np.full(n_rows, "q"), pa.string())
+        cols["host"] = hosts.take(pa.array(host_idx, pa.int64()))
+        cols["url"] = pa.array(
+            [f"u{i}" for i in range(n_rows)], pa.string()
+        )
+        cols["priority"] = pa.array(
+            rng.integers(0, 100, n_rows, dtype=np.int32), pa.int32()
+        )
+        cols["seq"] = pa.array(np.arange(n_rows, dtype=np.int64))
+        q = pa.table(cols, schema=CRAWL_SCHEMA)
+        srows = pa.table(
+            {
+                **{
+                    name: pa.nulls(hosts_n, CRAWL_SCHEMA.field(name).type)
+                    for name in CRAWL_SCHEMA.names
+                },
+                "kind": pa.array(np.full(hosts_n, "s"), pa.string()),
+                "host": hosts,
+                "crawled": pa.array(
+                    np.zeros(hosts_n, dtype=np.int32), pa.int32()
+                ),
+                "career_found": pa.array(
+                    np.zeros(hosts_n, dtype=np.int32), pa.int32()
+                ),
+                "attempts": pa.array(np.zeros(hosts_n, dtype=np.int64)),
+                "next_seq": pa.array(
+                    np.full(hosts_n, n_rows, dtype=np.int64)
+                ),
+            },
+            schema=CRAWL_SCHEMA,
+        )
+        return pa.concat_tables([q, srows])
+
+    policy = CrawlPolicy()
+    sizes = [1_000_000, 4_000_000, 16_000_000]
+    out: dict = {"metric": "plan-round wall sec vs bucket queue rows",
+                 "unit": "sec", "sizes": {}}
+    per_row_ns = {}
+    for n in sizes:
+        tbl = make_queue(n)
+        _plan_bucket(tbl.slice(0, 10_000), policy, 0)  # warm imports/JIT
+        t0 = time.time()
+        wave, rest, states = _plan_bucket(tbl, policy, 0)
+        wall = time.time() - t0
+        per_row_ns[n] = wall / n * 1e9
+        out["sizes"][str(n)] = {
+            "wall_sec": round(wall, 3),
+            "queue_rows_per_sec": round(n / wall, 0),
+            "wave_rows": len(wave),
+            "rest_rows": rest.num_rows,
+            "ns_per_queue_row": round(per_row_ns[n], 1),
+        }
+    out["value"] = out["sizes"][str(sizes[-1])]["wall_sec"]
+    out["per_row_cost_ratio_16M_vs_1M"] = round(
+        per_row_ns[sizes[-1]] / per_row_ns[sizes[0]], 2
+    )
+    return out
+
+
 def run_headline() -> dict:
     _init_ray()
     from crawler_ai_ray.sources.synth import ensure_corpus
@@ -333,6 +419,8 @@ def main() -> None:
         out = run_headline()
     elif "--scaling" in sys.argv:
         out = run_scaling()
+    elif "--frontier-stress" in sys.argv:
+        out = run_frontier_stress()
     else:
         out = run_full()
     print(json.dumps(out))

@@ -186,46 +186,48 @@ def _plan_bucket(
     }
     if q.num_rows == 0:
         return [], q, states
-    order = pc.sort_indices(
-        q.select(["host", "priority", "seq"]),
-        sort_keys=[
-            ("host", "ascending"),
-            ("priority", "descending"),
-            ("seq", "ascending"),
-        ],
-    )
-    qs = q.take(order)
-    # run boundaries via an Arrow shifted-compare — host STRINGS are
-    # materialized to Python only at the O(hosts) run starts, never for
-    # the whole queue
-    hcol = qs["host"].combine_chunks()
-    n = len(hcol)
+    # integer sort keys: dictionary-encode host once (O(n) hash pass),
+    # then a numpy lexsort on (seq, -priority, code) — at 16M rows this
+    # is ~3x cheaper than an Arrow string sort, and host STRINGS are
+    # materialized to Python only for the O(unique-hosts) dictionary
+    henc = pc.dictionary_encode(q["host"].combine_chunks())
+    codes = henc.indices.to_numpy(zero_copy_only=False)
+    host_dict = henc.dictionary.to_pylist()
+    prio = q["priority"].to_numpy(zero_copy_only=False)
+    seq_np = q["seq"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq_np, -prio.astype(np.int64), codes))
+    cs = codes[order]
+    n = len(cs)
     idx = np.arange(n)
     new_host = np.ones(n, dtype=bool)
     if n > 1:
-        new_host[1:] = pc.not_equal(
-            hcol.slice(1), hcol.slice(0, n - 1)
-        ).to_numpy(zero_copy_only=False)
+        new_host[1:] = cs[1:] != cs[:-1]
     first = np.where(new_host, idx, 0)
     np.maximum.accumulate(first, out=first)
     pos = idx - first
     starts = np.flatnonzero(new_host)
     runs = np.append(starts[1:], n) - starts
-    run_hosts = hcol.take(pa.array(starts, pa.int64())).to_pylist()
     # stateless hosts get budget 0 (their q rows are dropped — parity
     # with the per-host formulation, which returned empty for s=None)
-    run_budgets = np.array(
-        [policy.wave_budget(h) if h in states else 0 for h in run_hosts],
+    budget_by_code = np.array(
+        [policy.wave_budget(h) if h in states else 0 for h in host_dict],
         dtype=np.int64,
     )
-    budgets = np.repeat(run_budgets, runs)
-    known = np.repeat(
-        np.array([h in states for h in run_hosts], dtype=bool), runs
+    known_by_code = np.array(
+        [h in states for h in host_dict], dtype=bool
     )
+    budgets = budget_by_code[cs]
     wave_mask = pos < budgets
-    rest = qs.filter(pa.array(~wave_mask & known))
-    wave_tbl = qs.filter(pa.array(wave_mask))
+    # wave rows taken in sorted (host, -priority, seq) order — O(wave);
+    # rest keeps ORIGINAL queue order (one boolean filter, no full-queue
+    # take; next round's lexsort re-derives the order)
+    wave_src_idx = order[wave_mask]
+    keep = known_by_code[codes]
+    keep[wave_src_idx] = False
+    rest = q.filter(pa.array(keep))
+    wave_tbl = q.take(pa.array(wave_src_idx, pa.int64()))
     wave_pos = pos[wave_mask]
+    run_hosts = [host_dict[c] for c in cs[starts]]
     wave: list[dict] = []
     for h, u, p, seq, wp in zip(
         wave_tbl["host"].to_pylist(),
