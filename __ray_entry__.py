@@ -1035,6 +1035,47 @@ def _q_doc_neardup_clusters(sf_dir: str):
     )
 
 
+def _q_doc_curate(sf_dir: str):
+    """End-to-end curation manifest: langid → quality → repetition →
+    exact dedup → MinHash near-dup dedup, one decision row per doc
+    (pipelines/curate.py — the flagship training-data chain)."""
+    from crawler_ai_ray.pipelines.curate import curate_decisions
+
+    return curate_decisions(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
+def _q_doc_curate_output(sf_dir: str):
+    """The curated corpus itself: kept docs only, PII-scrubbed, token-
+    counted (decisions ⋈ documents via bucketed hash join)."""
+    from crawler_ai_ray.pipelines.curate import (
+        curate_decisions,
+        curate_output,
+    )
+
+    decisions = curate_decisions(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+    return curate_output(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), decisions
+    )
+
+
+def _q_doc_curate_funnel(sf_dir: str):
+    """Per-stage survival counts of the curation chain (run report)."""
+    from crawler_ai_ray.pipelines.curate import (
+        curate_decisions,
+        curate_funnel,
+    )
+
+    return curate_funnel(
+        curate_decisions(
+            _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        )
+    )
+
+
 def _q_doc_stats_by_lang(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1505,6 +1546,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        # end-to-end curation chain (flagship training-data pipeline)
+        "doc_curate": _q_doc_curate,
+        "doc_curate_output": _q_doc_curate_output,
+        "doc_curate_funnel": _q_doc_curate_funnel,
         "doc_neardup_simhash": _q_doc_neardup_simhash,
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
@@ -1540,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
         "crawl_subdomain_candidates",
         # got a real oracle this round (were no_oracle in r01)
@@ -1801,6 +1847,89 @@ def oracle_sql() -> dict[str, str]:
       n_stopwords / GREATEST(n_tokens_ws,1)::DOUBLE AS stopword_ratio,
       n_chars_text / GREATEST(n_tokens_ws,1)::DOUBLE AS mean_word_len
     FROM c"""
+
+    # curation chain CTEs (pipelines/curate.py): stage-1 keep rules are
+    # integer-exact; near-dup clustering re-derives the pair graph from
+    # the minhash golden restricted to stage-1 survivors (sf0.01 golden,
+    # like the other minhash oracles), and the recursive reach computes
+    # connected-component canonicals exactly.
+    curate_cte = f"""
+    WITH RECURSIVE
+    cd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+           FROM documents),
+    cunic AS (SELECT doc_id, term, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest(l) AS term FROM cd)
+              GROUP BY 1, 2),
+    ctop1 AS (SELECT doc_id, max(c)::BIGINT AS t FROM cunic GROUP BY 1),
+    cbic AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg,
+                    count(*)::BIGINT AS c
+             FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                   FROM cd)
+             GROUP BY 1, 2),
+    cdup AS (SELECT doc_id,
+                    coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT
+                      AS dv
+             FROM cbic GROUP BY 1),
+    crep AS (SELECT cd.doc_id,
+               (coalesce(t.t, 0) * 5 <= len(cd.l)
+                AND coalesce(p.dv, 0) * 5
+                    <= greatest(len(cd.l) - 1, 0) * 2
+                AND len(cd.l) >= 10) AS repetition_keep
+             FROM cd LEFT JOIN ctop1 t USING (doc_id)
+                     LEFT JOIN cdup p USING (doc_id)),
+    clidc AS (SELECT doc_id,
+                len(regexp_extract_all(text, '[一-鿿]')) AS c_zh,
+                {lang_counts}
+              FROM documents),
+    clid AS (SELECT doc_id,
+               CASE WHEN c_zh > 0 THEN 'zh'
+                    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0
+                      THEN 'und'
+                    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                      THEN 'en'
+                    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                    WHEN c_fr >= c_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+             FROM clidc),
+    cq AS (SELECT doc_id,
+             (length(text) >= 100
+              AND len(regexp_extract_all(text, '[A-Za-z]')) * 2
+                  >= length(text)
+              AND len(regexp_extract_all(text, '\\S+')) >= 10)
+               AS quality_keep
+           FROM documents),
+    cs1 AS (SELECT q.doc_id, q.quality_keep, r.repetition_keep,
+              (q.quality_keep AND r.repetition_keep) AS s1
+            FROM cq q JOIN crep r USING (doc_id)),
+    csig AS (SELECT doc_id, sig, bandkeys
+             FROM read_parquet('{minhash_g}')
+             WHERE doc_id IN (SELECT doc_id FROM cs1 WHERE s1)),
+    cpr AS (SELECT a.doc_id AS a, b.doc_id AS b
+            FROM csig a JOIN csig b ON a.doc_id < b.doc_id
+            WHERE list_has_any(a.bandkeys, b.bandkeys)
+              AND len(list_filter(range(1, 129),
+                                  i -> a.sig[i] = b.sig[i])) / 128.0
+                  >= 0.8),
+    ce AS (SELECT a, b FROM cpr
+           UNION ALL SELECT b AS a, a AS b FROM cpr),
+    creach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM cs1 WHERE s1
+      UNION
+      SELECT ce.a, r.lbl FROM ce JOIN creach r ON ce.b = r.doc),
+    ccanon AS (SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id
+               FROM creach GROUP BY 1),
+    cex AS (SELECT s.doc_id,
+              (s.doc_id = min(s.doc_id)
+                 OVER (PARTITION BY md5(d.text))) AS exact_keep
+            FROM cs1 s JOIN documents d USING (doc_id) WHERE s.s1),
+    cdec AS (SELECT s.doc_id, l.pred_lang, s.quality_keep,
+               s.repetition_keep,
+               coalesce(e.exact_keep, FALSE) AS exact_keep,
+               coalesce(s.doc_id = c.canonical_id, FALSE) AS kept
+             FROM cs1 s JOIN clid l USING (doc_id)
+                  LEFT JOIN cex e USING (doc_id)
+                  LEFT JOIN ccanon c USING (doc_id))
+    """
 
     neardup_ngram = """
     WITH toks AS (
@@ -2358,6 +2487,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id,
                    (min(lbl) = doc) AS is_canonical
             FROM reach GROUP BY doc""",
+        "doc_curate": curate_cte + """
+            SELECT doc_id, pred_lang, quality_keep, repetition_keep,
+                   exact_keep, kept
+            FROM cdec""",
+        "doc_curate_output": curate_cte + f"""
+            SELECT c.doc_id, c.pred_lang,
+              len(regexp_extract_all(d.text, '\\S+'))::BIGINT
+                AS n_tokens_ws,
+              len(regexp_extract_all(d.text, '{esc(PII_EMAIL_RE)}'))::BIGINT
+                AS n_emails,
+              len(regexp_extract_all(d.text, '{esc(PII_PHONE_RE)}'))::BIGINT
+                AS n_phones,
+              regexp_replace(
+                regexp_replace(d.text, '{esc(PII_EMAIL_RE)}',
+                               '<EMAIL>', 'g'),
+                '{esc(PII_PHONE_RE)}', '<PHONE>', 'g') AS text_redacted
+            FROM cdec c JOIN documents d USING (doc_id)
+            WHERE c.kept""",
+        "doc_curate_funnel": curate_cte + """
+            SELECT count(*)::BIGINT AS n_docs,
+              sum(CASE WHEN quality_keep THEN 1 ELSE 0 END)::BIGINT
+                AS n_quality_keep,
+              sum(CASE WHEN quality_keep AND repetition_keep
+                       THEN 1 ELSE 0 END)::BIGINT AS n_stage1_keep,
+              sum(CASE WHEN exact_keep THEN 1 ELSE 0 END)::BIGINT
+                AS n_exact_keep,
+              sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM cdec""",
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",

@@ -41,6 +41,8 @@ __all__ = [
     "ngram_pairs_jaccard",
     "minhash_sig_batch",
     "minhash_lsh_pairs",
+    "minhash_pairs_from_sigs",
+    "pair_labels",
     "simhash_batch",
     "simhash_neardup_pairs",
     "incremental_dedup",
@@ -441,12 +443,20 @@ def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "t
     inside the bucket group (sigs travel with the bucket rows, so no
     second pass over text).  Pairs can surface in several bands; the
     final groupby(pair) dedups them (keep max — all estimates equal)."""
-    import ray.data
-
     sigs = ds.map_batches(
         lambda b: minhash_sig_batch(b, n=n, text_col=text_col),
         batch_format="pyarrow",
     )
+    return minhash_pairs_from_sigs(sigs, threshold=threshold)
+
+
+def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
+    """(doc_id, sig) dataset → near-dup pairs.  Split out of
+    ``minhash_lsh_pairs`` so pipelines that already carry signatures
+    (e.g. the curation chain's stage-1 checkpoint) skip re-shingling
+    the text."""
+    import ray.data
+
     buckets = sigs.map_batches(_band_rows, batch_format="pyarrow")
 
     # group by a 512-way hash bucket of the LSH key, not the key itself:
@@ -843,32 +853,19 @@ def embedding_neardup_lsh(
 # near-dup clustering: LSH pairs → connected components → canonical labels
 # ---------------------------------------------------------------------------
 
-def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
-                           text_col: str = "text"):
-    """documents → (doc_id, canonical_id, is_canonical): group near-dups
-    into clusters (connected components of the MinHash-LSH pair graph)
-    and elect the smallest doc_id as each cluster's canonical — the
-    keep-one near-dup DEDUP step a training pipeline runs after pair
-    generation.
-
-    Scale shape: the pair set is the LSH OUTPUT — O(duplicate pairs),
-    orders of magnitude smaller than the corpus — so the union-find runs
-    driver-side over pairs only (the standard post-LSH step; a corpus
-    whose pair graph itself exceeds driver memory needs iterative
-    label-propagation rounds — out of scope, assumption documented).
-    The label map (only docs that appear in ≥1 pair) broadcasts via
-    ``ray.put`` and every document is tagged in one streaming
-    ``map_batches`` pass — unpaired docs are their own canonical."""
+def pair_labels(pairs_ds) -> tuple[np.ndarray, np.ndarray]:
+    """near-dup pairs dataset → (sorted doc_ids, canonical labels) via
+    driver-side union-find (union by MIN id, so the root IS the
+    canonical).  The pair set is LSH OUTPUT — O(duplicate pairs), far
+    smaller than the corpus — which is why collecting it on the driver
+    is the standard post-LSH step.  Only docs appearing in ≥1 pair get
+    an entry; everything else is its own canonical by default."""
     import ray
 
     pairs_tbl = pa.concat_tables(
         [
             t
-            for t in ray.get(
-                minhash_lsh_pairs(
-                    ds, n=n, threshold=threshold, text_col=text_col
-                ).to_arrow_refs()
-            )
+            for t in ray.get(pairs_ds.to_arrow_refs())
             if t.num_rows
         ]
         or [pa.table({"doc_a": pa.array([], pa.int64()),
@@ -898,12 +895,36 @@ def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
         if x not in parent
     }
     labels = {x: find(x) for x in labels}
+    lk = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
+    lv = np.fromiter((labels[k] for k in lk), dtype=np.int64, count=len(lk))
+    return lk, lv
+
+
+def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
+                           text_col: str = "text"):
+    """documents → (doc_id, canonical_id, is_canonical): group near-dups
+    into clusters (connected components of the MinHash-LSH pair graph)
+    and elect the smallest doc_id as each cluster's canonical — the
+    keep-one near-dup DEDUP step a training pipeline runs after pair
+    generation.
+
+    Scale shape: the pair set is the LSH OUTPUT — O(duplicate pairs),
+    orders of magnitude smaller than the corpus — so the union-find runs
+    driver-side over pairs only (the standard post-LSH step; a corpus
+    whose pair graph itself exceeds driver memory needs iterative
+    label-propagation rounds — out of scope, assumption documented).
+    The label map (only docs that appear in ≥1 pair) broadcasts via
+    ``ray.put`` and every document is tagged in one streaming
+    ``map_batches`` pass — unpaired docs are their own canonical."""
+    import ray
+
+    lk, lv = pair_labels(
+        minhash_lsh_pairs(ds, n=n, threshold=threshold, text_col=text_col)
+    )
     # broadcast as two sorted numpy arrays: plasma stores them zero-copy,
     # so every task's ray.get is a pointer share, and the per-batch
     # lookup is one vectorized searchsorted (no actor pool, no Python
     # dict probe per row)
-    lk = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
-    lv = np.fromiter((labels[k] for k in lk), dtype=np.int64, count=len(lk))
     labels_ref = ray.put((lk, lv))
 
     def tag(batch: pa.Table) -> pa.Table:

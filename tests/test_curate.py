@@ -1,0 +1,151 @@
+"""Curation-chain invariants (pipelines/curate.py).
+
+The value-exact check vs DuckDB runs in tools/check_queries.py
+(doc_curate / doc_curate_output / doc_curate_funnel); these tests pin
+the chain's STRUCTURAL invariants at sf0.001 so a refactor can't
+silently break the keep semantics the oracle only observes in
+aggregate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    if isinstance(ds, pa.Table):
+        return ds
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls)
+
+
+@pytest.fixture(scope="module")
+def decisions(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.pipelines.curate import curate_decisions
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return _collect(curate_decisions(docs))
+
+
+def test_decisions_cover_every_doc(decisions):
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert decisions.num_rows == n_docs
+    assert len(set(decisions["doc_id"].to_pylist())) == n_docs
+
+
+def test_keep_implications(decisions):
+    """kept ⊆ exact_keep ⊆ (quality ∧ repetition) — the funnel only
+    narrows."""
+    q = decisions["quality_keep"].to_pylist()
+    r = decisions["repetition_keep"].to_pylist()
+    e = decisions["exact_keep"].to_pylist()
+    k = decisions["kept"].to_pylist()
+    for qi, ri, ei, ki in zip(q, r, e, k):
+        if ki:
+            assert ei, "kept doc must be its exact-dedup keeper"
+        if ei:
+            assert qi and ri, "exact keeper must be a stage-1 survivor"
+
+
+def test_kept_is_one_per_cluster(decisions, ray_session):
+    """Among stage-1 survivors, the kept set is exactly the canonical
+    (min doc_id) of each MinHash cluster — cross-checked against the
+    standalone cluster-label operator on the survivor subset."""
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import minhash_cluster_labels
+
+    surv_ids = {
+        d
+        for d, q, r in zip(
+            decisions["doc_id"].to_pylist(),
+            decisions["quality_keep"].to_pylist(),
+            decisions["repetition_keep"].to_pylist(),
+        )
+        if q and r
+    }
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(lambda row: row["doc_id"] in surv_ids)
+    labels = _collect(
+        minhash_cluster_labels(docs, docs, n=3, threshold=0.8)
+    )
+    canonical = {
+        d
+        for d, c in zip(
+            labels["doc_id"].to_pylist(),
+            labels["is_canonical"].to_pylist(),
+        )
+        if c
+    }
+    kept = {
+        d
+        for d, k in zip(
+            decisions["doc_id"].to_pylist(),
+            decisions["kept"].to_pylist(),
+        )
+        if k
+    }
+    assert kept == canonical
+
+
+def test_output_matches_kept_and_is_scrubbed(decisions, ray_session):
+    import re
+
+    import ray.data
+
+    from crawler_ai_ray.pipelines.curate import (
+        curate_decisions,
+        curate_output,
+    )
+    from crawler_ai_ray.stages.textstats import PII_EMAIL_RE
+
+    docs_full = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    docs_txt = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = _collect(curate_output(docs_txt, curate_decisions(docs_full)))
+    n_kept = sum(decisions["kept"].to_pylist())
+    assert out.num_rows == n_kept
+    email = re.compile(PII_EMAIL_RE)
+    for t in out["text_redacted"].to_pylist():
+        assert not email.search(t)
+
+
+def test_funnel_consistent_with_decisions(decisions, ray_session):
+    import ray.data
+
+    from crawler_ai_ray.pipelines.curate import (
+        curate_decisions,
+        curate_funnel,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    funnel = curate_funnel(curate_decisions(docs))
+    assert funnel["n_docs"][0].as_py() == decisions.num_rows
+    assert funnel["n_kept"][0].as_py() == sum(
+        decisions["kept"].to_pylist()
+    )
+    assert (
+        funnel["n_docs"][0].as_py()
+        >= funnel["n_quality_keep"][0].as_py()
+        >= funnel["n_stage1_keep"][0].as_py()
+        >= funnel["n_exact_keep"][0].as_py()
+        >= funnel["n_kept"][0].as_py()
+    )
