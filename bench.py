@@ -167,6 +167,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_neardup_clusters",
         "events_hopping",
         "crawl_fetch_results",
+        "doc_curate",
     ]
     qs = entrymod.queries()
     out = {}

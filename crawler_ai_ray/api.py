@@ -25,6 +25,7 @@ __all__ = [
     "extractor",
     "PagesPipeline",
     "crawl",
+    "curate",
 ]
 
 # name → Arrow-batch transform (pa.Table -> pa.Table) over pages rows
@@ -180,3 +181,57 @@ def crawl(
     policy = CrawlPolicy(**policy_fields) if policy_fields else None
     cfg = CrawlConfig(corpus, out_dir, policy=policy, **config_kwargs)
     return run_crawl(cfg, resume=resume)
+
+
+def curate(
+    docs_path: str,
+    out_dir: str,
+    *,
+    num_buckets: int = 64,
+    threshold: float = 0.8,
+) -> dict:
+    """Run the corpus-curation chain (pipelines/curate.py) over a
+    documents Parquet table and write its three artifacts:
+
+    * ``out_dir/decisions/`` — the per-doc curation manifest;
+    * ``out_dir/corpus/`` — the curated, PII-scrubbed corpus,
+      **partitioned by pred_lang** (one directory per language, so a
+      re-run or a downstream per-language consumer addresses
+      partitions independently — the resumable-output layout);
+    * ``out_dir/funnel.json`` — per-stage survival counts.
+
+    Returns the funnel dict."""
+    import json
+    import os
+
+    import ray.data
+
+    from .pipelines.curate import (
+        curate_decisions,
+        curate_funnel,
+        curate_output,
+    )
+    from .sources.pqread import read_parquet_rowgroups
+
+    docs_full = read_parquet_rowgroups(
+        docs_path, columns=["doc_id", "text", "lang"]
+    )
+    decisions = curate_decisions(
+        docs_full, num_buckets=num_buckets, threshold=threshold
+    )
+    decisions = decisions.materialize()  # consumed 3× below, no text
+    decisions.write_parquet(os.path.join(out_dir, "decisions"))
+    docs_txt = read_parquet_rowgroups(
+        docs_path, columns=["doc_id", "text"]
+    )
+    curate_output(docs_txt, decisions).write_parquet(
+        os.path.join(out_dir, "corpus"), partition_cols=["pred_lang"]
+    )
+    funnel_tbl = curate_funnel(decisions)
+    funnel = {
+        name: funnel_tbl[name][0].as_py()
+        for name in funnel_tbl.column_names
+    }
+    with open(os.path.join(out_dir, "funnel.json"), "w") as f:
+        json.dump(funnel, f)
+    return funnel

@@ -7,6 +7,8 @@
         [--obey-robots] [--max-rounds N] [--approximate-seen]
     python -m crawler_ai_ray.cli extract --pages FILE --out DIR
         [--op pages] [--batch-size N]
+    python -m crawler_ai_ray.cli curate  --docs FILE --out DIR
+        [--buckets N] [--threshold T]
 
 Owns its Ray session (guarded init) — library code never calls
 ``ray.init``.
@@ -50,10 +52,28 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--op", default="pages")
     e.add_argument("--batch-size", type=int, default=None)
 
+    cu = sub.add_parser(
+        "curate", help="run the corpus-curation chain over documents"
+    )
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--buckets", type=int, default=64)
+    cu.add_argument("--threshold", type=float, default=0.8)
+
     args = p.parse_args(argv)
     _init_ray()
     try:
-        if args.cmd == "crawl":
+        if args.cmd == "curate":
+            from .api import curate
+
+            funnel = curate(
+                args.docs,
+                args.out,
+                num_buckets=args.buckets,
+                threshold=args.threshold,
+            )
+            print(json.dumps(funnel))
+        elif args.cmd == "crawl":
             from .api import crawl
 
             totals = crawl(

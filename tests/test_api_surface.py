@@ -91,3 +91,22 @@ def test_cli_help_runs():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0 and "crawl" in r.stdout
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_typed_curate_entry(tmp_path):
+    import json
+
+    from crawler_ai_ray.api import curate
+
+    out = str(tmp_path / "cur")
+    funnel = curate(
+        "/root/testdata/sf0.001/documents.parquet", out, num_buckets=8
+    )
+    assert funnel["n_docs"] >= funnel["n_kept"] > 0
+    assert os.path.isdir(os.path.join(out, "decisions"))
+    # curated corpus is hive-partitioned by predicted language
+    parts = os.listdir(os.path.join(out, "corpus"))
+    assert parts and all(p.startswith("pred_lang=") for p in parts)
+    with open(os.path.join(out, "funnel.json")) as f:
+        assert json.load(f) == funnel
