@@ -448,14 +448,22 @@ def lineitem_part_revenue(sf_dir: str, num_buckets: int = 32):
         num_buckets=num_buckets,
         bucket_postprocess=brand_partial,
     )
-    return (
-        partials.groupby("p_brand")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("disc_cents", alias_name="revenue_cents"),
-        )
-        .sort("p_brand")
+    # final rollup: the partials are O(buckets × brands) rows — a Ray
+    # groupby + sort here costs two more ~3.3 s fixed all-to-alls
+    # (sample+shuffle) on a few hundred rows; collect and finish with
+    # Arrow on the driver instead (same pattern as top_customers)
+    import ray
+
+    tiny = pa.concat_tables(
+        [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     )
+    out = (
+        tiny.group_by("p_brand")
+        .aggregate([("n_items", "sum"), ("disc_cents", "sum")])
+        .rename_columns(["p_brand", "n_items", "revenue_cents"])
+        .sort_by("p_brand")
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
