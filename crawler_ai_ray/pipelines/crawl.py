@@ -131,6 +131,8 @@ class CrawlConfig:
         max_rounds: int = 200,
         local_round_rows: int = 64,
         buckets: int = 32,
+        split_queue_rows: int = 1_000_000,
+        max_split: int = 8,
     ) -> None:
         self.corpus = corpus
         self.out_dir = out_dir
@@ -152,6 +154,16 @@ class CrawlConfig:
         # Big rounds — the 10^10-frontier case — always take the
         # distributed pipeline.  0 disables the fast path.
         self.local_round_rows = local_round_rows
+        # explicit hot-bucket repartitioning (north_rule skew clause):
+        # a bucket whose queued rows exceed ``split_queue_rows`` is
+        # processed as ceil(rows/threshold) ≤ ``max_split`` parallel
+        # sub-tasks, hosts split by a SALTED second hash — each host
+        # still lives in exactly one sub-task, so the union of their
+        # outputs is byte-identical to the unsplit task (pinned by
+        # test_split_buckets_identical).  Queue sizes come from parquet
+        # footers only (no decode).  0/None disables splitting.
+        self.split_queue_rows = split_queue_rows
+        self.max_split = max_split
         # persistent host-hash partition count: every round is `buckets`
         # parallel tasks, each processing the hosts whose hash lands in
         # its bucket; a round has NO all-to-all exchange (cross-bucket
@@ -494,6 +506,7 @@ def read_crawl_metrics(out_dir: str) -> pa.Table:
                 {
                     "round": m["round"],
                     "bucket": p["bucket"],
+                    "sub": p.get("sub", 0),
                     "urls_in": p["urls_in"],
                     "fetched": p["fetched"],
                     "errors": p["errors"],
@@ -515,6 +528,19 @@ def _bucket_dir(round_dir: str, bucket: int) -> str:
     return os.path.join(round_dir, f"bucket={bucket:04d}")
 
 
+def _bucket_queue_rows(round_dir: str, bucket: int) -> int:
+    """Row count of a bucket's checkpoint partition from parquet
+    FOOTERS only — the skew detector must not decode the frontier."""
+    bdir = _bucket_dir(round_dir, bucket)
+    if not os.path.isdir(bdir):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+        for f in os.listdir(bdir)
+        if f.endswith(".parquet")
+    )
+
+
 def _process_bucket(
     bucket: int,
     rnd: int,
@@ -526,6 +552,8 @@ def _process_bucket(
     store_handles: list,
     n_store: int,
     n_buckets: int,
+    sub: int = 0,
+    n_sub: int = 1,
 ) -> dict:
     """One bucket's round: read its q/s partition, run the full stage
     chain host-locally (plan_wave → fetch_extract → expand →
@@ -549,8 +577,23 @@ def _process_bucket(
     else:
         in_files = []
         table = _rows_to_table([])
+    if n_sub > 1 and table.num_rows:
+        # hot-bucket split: keep only hosts whose SALTED hash lands in
+        # this sub-task (independent of the primary bucket hash, so the
+        # split is uniform over the bucket's hosts); q and s rows of a
+        # host always travel together
+        henc = pc.dictionary_encode(table["host"].combine_chunks())
+        codes = henc.indices.to_numpy(zero_copy_only=False)
+        host_subs = np.array(
+            [
+                shard_for_host("~" + h, n_sub)
+                for h in henc.dictionary.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        table = table.filter(pa.array(host_subs[codes] == sub))
     counts = {
-        "bucket": bucket, "q": 0, "s": 0, "o": 0,
+        "bucket": bucket, "sub": sub, "q": 0, "s": 0, "o": 0,
         "urls_in": int(table.num_rows), "fetched": 0, "errors": 0,
         "bytes": 0, "wall_ms": 0.0, "input_files": len(in_files),
     }
@@ -585,7 +628,12 @@ def _process_bucket(
         part = pa.concat_tables(parts)
         ddir = _bucket_dir(out, j)
         os.makedirs(ddir, exist_ok=True)
-        pq.write_table(part, os.path.join(ddir, f"src={bucket:04d}.parquet"))
+        fname = (
+            f"src={bucket:04d}.parquet"
+            if n_sub == 1
+            else f"src={bucket:04d}-{sub:02d}.parquet"
+        )
+        pq.write_table(part, os.path.join(ddir, fname))
     counts["q"] = int(rest.num_rows) + len(new_q)
     counts["s"] = len(states)
     counts["o"] = len(o_rows)
@@ -685,22 +733,41 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                     cfg.policy, seen.shards, seen.num_shards, store.shards,
                     store.num_shards,
                 )
+                # explicit skew repartitioning: oversized bucket queues
+                # (parquet-footer row counts, no decode) fan out into
+                # salted-host sub-tasks
+                work: list[dict] = []
+                for b in range(n_buckets):
+                    k = 1
+                    if cfg.split_queue_rows:
+                        rows_b = _bucket_queue_rows(prev, b)
+                        if rows_b > cfg.split_queue_rows:
+                            k = min(
+                                cfg.max_split,
+                                -(-rows_b // cfg.split_queue_rows),
+                            )
+                    work.extend(
+                        {"bucket": b, "sub": s, "n_sub": k}
+                        for s in range(k)
+                    )
 
                 def run_buckets(batch: pa.Table) -> pa.Table:
                     rows = [
                         _process_bucket(
-                            int(k), rnd, prev, out, policy, seen_handles,
+                            int(b), rnd, prev, out, policy, seen_handles,
                             n_seen, store_handles, n_store, n_buckets,
+                            int(s), int(ns),
                         )
-                        for k in batch["item"].to_pylist()
+                        for b, s, ns in zip(
+                            batch["bucket"].to_pylist(),
+                            batch["sub"].to_pylist(),
+                            batch["n_sub"].to_pylist(),
+                        )
                     ]
                     return pa.Table.from_pylist(rows)
 
                 bucket_counts = (
-                    rd.from_items(
-                        list(range(n_buckets)),
-                        override_num_blocks=n_buckets,
-                    )
+                    rd.from_items(work, override_num_blocks=len(work))
                     .map_batches(
                         run_buckets, batch_format="pyarrow", batch_size=1
                     )
@@ -723,7 +790,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 # input_files) — the exact-resume + audit trail
                 "partitions": sorted(
                     (c for c in bucket_counts if c["urls_in"]),
-                    key=lambda c: c["bucket"],
+                    key=lambda c: (c["bucket"], c.get("sub", 0)),
                 ),
             }
             with open(os.path.join(out, "_MANIFEST.json"), "w") as f:

@@ -157,3 +157,42 @@ def test_local_and_distributed_rounds_identical(unit_corpus, tmp_path):
         )
     assert outs["local"].equals(outs["dist"])
     assert outs["local"].num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_buckets_identical(unit_corpus, tmp_path):
+    """Explicit hot-bucket repartitioning (split_queue_rows): forcing
+    every bucket to split into salted-host sub-tasks must produce
+    byte-identical output to the unsplit run — hosts stay disjoint
+    across sub-tasks, so only parallelism changes."""
+    from crawler_ai_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_files,
+        run_crawl,
+    )
+    import pyarrow.dataset as pads
+
+    outs = {}
+    for name, split in (("whole", 0), ("split", 1)):
+        out_dir = str(tmp_path / name)
+        cfg = CrawlConfig(
+            unit_corpus, out_dir, seen_shards=4, store_shards=2,
+            buckets=8, local_round_rows=0,  # force the distributed path
+            split_queue_rows=split, max_split=4,
+        )
+        run_crawl(cfg)
+        tbl = pads.dataset(
+            crawl_output_files(out_dir), format="parquet"
+        ).to_table()
+        outs[name] = tbl.sort_by(
+            [("kind", "ascending"), ("host", "ascending"),
+             ("url", "ascending"), ("round", "ascending")]
+        )
+    assert outs["whole"].equals(outs["split"])
+    assert outs["whole"].num_rows > 0
+
+    # the split run's lineage must show fanned-out sub-tasks
+    from crawler_ai_ray.pipelines.crawl import read_crawl_metrics
+
+    m = read_crawl_metrics(str(tmp_path / "split"))
+    assert max(m["sub"].to_pylist()) > 0
