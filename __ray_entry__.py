@@ -1076,6 +1076,18 @@ def _q_doc_curate_funnel(sf_dir: str):
     )
 
 
+def _q_doc_pack_blocks(sf_dir: str):
+    """Sequence packing via distributed prefix sum: global cumulative
+    token counts in doc_id order → fixed 2048-token training-block
+    ids (shuffle-free two-pass scan on range-partitioned input)."""
+    from crawler_ai_ray.stages.textstats import pack_blocks
+
+    return pack_blocks(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        block_tokens=2048,
+    )
+
+
 def _q_doc_stats_by_lang(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1550,6 +1562,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_curate": _q_doc_curate,
         "doc_curate_output": _q_doc_curate_output,
         "doc_curate_funnel": _q_doc_curate_funnel,
+        "doc_pack_blocks": _q_doc_pack_blocks,
         "doc_neardup_simhash": _q_doc_neardup_simhash,
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
@@ -1586,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [
         # new this round
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
+        "doc_pack_blocks",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
         "crawl_subdomain_candidates",
         # got a real oracle this round (were no_oracle in r01)
@@ -2505,6 +2519,22 @@ def oracle_sql() -> dict[str, str]:
                 '{esc(PII_PHONE_RE)}', '<PHONE>', 'g') AS text_redacted
             FROM cdec c JOIN documents d USING (doc_id)
             WHERE c.kept""",
+        "doc_pack_blocks": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens, cum_before,
+                   (cum_before // 2048)::BIGINT AS block_id
+            FROM c""",
         "doc_curate_funnel": curate_cte + """
             SELECT count(*)::BIGINT AS n_docs,
               sum(CASE WHEN quality_keep THEN 1 ELSE 0 END)::BIGINT

@@ -582,6 +582,109 @@ def distinctive_terms(ds, k: int = 3, num_buckets: int = 64):
 
 # --- deterministic hash sampling ------------------------------------------
 
+def pack_blocks(ds, block_tokens: int = 2048, text_col: str = "text"):
+    """Sequence packing — the step that turns a curated corpus into
+    fixed-size training blocks: docs in ``doc_id`` order are assigned
+    to consecutive ``block_tokens``-sized blocks by their GLOBAL
+    cumulative token count → (doc_id, n_tokens, cum_before, block_id)
+    with ``block_id = cum_before // block_tokens``.
+
+    This is a distributed prefix sum (scan), an execution shape none of
+    the other operators need: pass 1 computes per-block partial sums
+    over a materialized (doc_id, n_tokens) manifest, the driver turns
+    the O(blocks) partials into exclusive offsets, and pass 2 adds
+    ``offset + local exclusive cumsum`` per block.  Correctness needs
+    blocks to be disjoint ``doc_id`` ranges: pass 1 verifies this from
+    the same partials (min/max per block) and falls back to one
+    ``sort(doc_id)`` shuffle only when the input is genuinely unordered
+    — a corpus manifest at scale is already range-partitioned by id, so
+    the scan is shuffle-free on the happy path.  The manifest carries
+    no text (16 B/doc), so materializing it is the cluster-scale
+    checkpoint a packing job would write anyway."""
+    import ray
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(
+                    _count(batch[text_col], WS_TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    counts = ds.map_batches(count, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        return pa.table(
+            {
+                "min_doc": pa.array(
+                    [pc.min(ids).as_py()], pa.int64()
+                ),
+                "max_doc": pa.array(
+                    [pc.max(ids).as_py()], pa.int64()
+                ),
+                "sum_tokens": pa.array(
+                    [pc.sum(batch["n_tokens"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        counts.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("min_doc")
+    )
+    ranges_ok = all(
+        parts["max_doc"].iloc[i] < parts["min_doc"].iloc[i + 1]
+        for i in range(len(parts) - 1)
+    )
+    if not ranges_ok:
+        # unordered input: pay one sort shuffle, then re-derive partials
+        counts = counts.sort("doc_id").materialize()
+        parts = (
+            counts.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            )
+            .to_pandas()
+            .sort_values("min_doc")
+        )
+    starts = parts["min_doc"].to_numpy()
+    offsets = np.concatenate(
+        ([0], np.cumsum(parts["sum_tokens"].to_numpy())[:-1])
+    )
+    off_ref = ray.put((starts, offsets))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "cum_before", pa.array([], pa.int64())
+            ).append_column("block_id", pa.array([], pa.int64()))
+        s, o = ray.get(off_ref)
+        # local doc_id sort: a block is a disjoint range, but intra-
+        # block order is not otherwise guaranteed
+        batch = batch.sort_by("doc_id")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        base = o[np.searchsorted(s, ids[0], side="right") - 1]
+        cum_before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "cum_before": pa.array(cum_before, pa.int64()),
+                "block_id": pa.array(
+                    cum_before // block_tokens, pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
+
+
 def sample_batch(batch: pa.Table, hex_prefixes: str = "01") -> pa.Table:
     """Deterministic ⅛-rate sample: keep docs whose ``md5(str(doc_id))``
     hex digest starts with one of ``hex_prefixes`` (default '0'/'1' =

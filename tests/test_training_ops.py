@@ -682,3 +682,62 @@ def test_distinctive_terms_vs_duckdb_and_partition_invariant(docs_ds, duck):
         num_buckets=17,
     ).to_pandas()
     assert_frames_equal(eng, eng2)
+
+
+def test_pack_blocks_scan_and_unordered_fallback(ray_session):
+    """Distributed prefix-sum packing: (a) global cum_before equals a
+    serial cumsum in doc_id order; (b) feeding the docs as interleaved
+    (overlapping-range) blocks triggers the sort fallback and yields
+    the identical assignment."""
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import pack_blocks
+
+    rng = np.random.default_rng(3)
+    n = 300
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def serial(t):
+        toks = [len(x.split()) for x in t["text"].to_pylist()]
+        cum = 0
+        out = []
+        for d, k in zip(t["doc_id"].to_pylist(), toks):
+            out.append((d, k, cum, cum // 128))
+            cum += k
+        return out
+
+    expected = serial(tbl)
+
+    def run(ds):
+        got = pa.concat_tables(
+            [t for t in ray.get(pack_blocks(
+                ds, block_tokens=128).to_arrow_refs()) if t.num_rows]
+        ).sort_by("doc_id")
+        return list(
+            zip(
+                got["doc_id"].to_pylist(),
+                got["n_tokens"].to_pylist(),
+                got["cum_before"].to_pylist(),
+                got["block_id"].to_pylist(),
+            )
+        )
+
+    # ordered range-partitioned input (fast path, no shuffle)
+    ordered = ray.data.from_arrow(
+        [tbl.slice(i, 50) for i in range(0, n, 50)]
+    )
+    assert run(ordered) == expected
+
+    # interleaved blocks: even/odd doc_ids → overlapping ranges →
+    # fallback sort path
+    even = tbl.filter(pa.array([i % 2 == 0 for i in range(n)]))
+    odd = tbl.filter(pa.array([i % 2 == 1 for i in range(n)]))
+    interleaved = ray.data.from_arrow([even, odd])
+    assert run(interleaved) == expected
