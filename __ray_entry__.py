@@ -1076,6 +1076,46 @@ def _q_doc_curate_funnel(sf_dir: str):
     )
 
 
+def _q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the eval side is the deterministic
+    doc_id % 41 == 0 subset, broadcast as a distinct-n-gram set; every
+    other doc gets an exact shared-3-gram count + majority-overlap
+    contaminated flag (no shuffle — one streaming membership pass)."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.stages.dedup import decontaminate
+
+    docs = _table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(
+                pc.subtract(
+                    batch["doc_id"],
+                    pc.multiply(pc.divide(batch["doc_id"], 41), 41),
+                ),
+                0,
+            )
+        )
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(
+                pc.subtract(
+                    batch["doc_id"],
+                    pc.multiply(pc.divide(batch["doc_id"], 41), 41),
+                ),
+                0,
+            )
+        )
+
+    return decontaminate(
+        docs.map_batches(corpus_only, batch_format="pyarrow"),
+        docs.map_batches(eval_only, batch_format="pyarrow"),
+        n=3,
+    )
+
+
 def _q_doc_pack_blocks(sf_dir: str):
     """Sequence packing via distributed prefix sum: global cumulative
     token counts in doc_id order → fixed 2048-token training-block
@@ -1563,6 +1603,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_curate_output": _q_doc_curate_output,
         "doc_curate_funnel": _q_doc_curate_funnel,
         "doc_pack_blocks": _q_doc_pack_blocks,
+        "doc_decontaminate": _q_doc_decontaminate,
         "doc_neardup_simhash": _q_doc_neardup_simhash,
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
@@ -1599,7 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [
         # new this round
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
-        "doc_pack_blocks",
+        "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
         "crawl_subdomain_candidates",
         # got a real oracle this round (were no_oracle in r01)
@@ -2519,6 +2560,26 @@ def oracle_sql() -> dict[str, str]:
                 '{esc(PII_PHONE_RE)}', '<PHONE>', 'g') AS text_redacted
             FROM cdec c JOIN documents d USING (doc_id)
             WHERE c.kept""",
+        "doc_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+              FROM documents),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS s(i)
+              WHERE len(t) >= 3),
+            ev AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 41 = 0),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams
+                   FROM ng WHERE doc_id % 41 != 0 GROUP BY 1),
+            sh AS (SELECT ng.doc_id, count(*)::BIGINT AS n_shared
+                   FROM ng JOIN ev USING (ngram)
+                   WHERE ng.doc_id % 41 != 0 GROUP BY 1)
+            SELECT s.doc_id, s.n_ngrams,
+                   coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+                   (coalesce(h.n_shared, 0) * 2 > s.n_ngrams)
+                     AS contaminated
+            FROM sz s LEFT JOIN sh h USING (doc_id)""",
         "doc_pack_blocks": """
             WITH t AS (
               SELECT doc_id,

@@ -46,6 +46,7 @@ __all__ = [
     "simhash_batch",
     "simhash_neardup_pairs",
     "incremental_dedup",
+    "decontaminate",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
 ]
@@ -181,6 +182,65 @@ def ngram_rows_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.
             "set_size": pa.array(out_sz, type=pa.int64()),
         }
     )
+
+
+def decontaminate(docs_ds, eval_ds, n: int = 3, text_col: str = "text"):
+    """Benchmark decontamination — the pre-training hygiene pass that
+    flags corpus docs overlapping an evaluation set: → (doc_id,
+    n_ngrams, n_shared, contaminated) for every NON-eval doc with ≥1
+    n-gram, where ``contaminated ⇔ 2·n_shared > n_ngrams`` (integer-
+    exact majority-overlap rule).
+
+    Scale shape: an eval/benchmark set is small BY NATURE (thousands of
+    docs), so its distinct n-gram set is collected once and broadcast
+    via ``ray.put`` (zero-copy plasma share); the corpus side is one
+    streaming ``map_batches`` doing a C-speed set intersection per doc
+    — no shuffle at all.  Strings (not hashes) are compared so the
+    DuckDB oracle's string-equality join reproduces counts exactly.
+    Generalizes the seen-URL anti-join (SURVEY §2 J5) to n-gram
+    evidence against a reference set."""
+    import ray
+
+    def eval_ngrams(batch: pa.Table) -> pa.Table:
+        ngs: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            ngs |= _doc_ngrams(t, n)
+        return pa.table({"ngram": pa.array(sorted(ngs), pa.string())})
+
+    ev_parts = ray.get(
+        eval_ds.map_batches(
+            eval_ngrams, batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    ev_set = frozenset(
+        x for t in ev_parts for x in t["ngram"].to_pylist()
+    )
+    ev_ref = ray.put(ev_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        ids, sizes, shared = [], [], []
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
+        ):
+            ngs = _doc_ngrams(t, n)
+            if not ngs:
+                continue  # no n-grams → outside the comparison domain
+            ids.append(i)
+            sizes.append(len(ngs))
+            shared.append(len(ngs & ev))
+        sz = np.array(sizes, dtype=np.int64)
+        sh = np.array(shared, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_ngrams": pa.array(sz, pa.int64()),
+                "n_shared": pa.array(sh, pa.int64()),
+                "contaminated": pa.array(2 * sh > sz, pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
 
 
 def _pairs_from_group(group: pa.Table) -> pa.Table:

@@ -741,3 +741,57 @@ def test_pack_blocks_scan_and_unordered_fallback(ray_session):
     odd = tbl.filter(pa.array([i % 2 == 1 for i in range(n)]))
     interleaved = ray.data.from_arrow([even, odd])
     assert run(interleaved) == expected
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Planted eval overlap: doc 10 IS an eval doc verbatim (all
+    n-grams shared -> contaminated), doc 11 shares half a sentence
+    (minority overlap -> clean), doc 12 disjoint."""
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import decontaminate
+
+    eval_tbl = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dog"]
+            ),
+        }
+    )
+    corpus_tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown cat naps quietly all afternoon today",
+                    "completely different words in this sentence here",
+                ]
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            t
+            for t in __import__("ray").get(
+                decontaminate(
+                    ray.data.from_arrow(corpus_tbl),
+                    ray.data.from_arrow(eval_tbl),
+                    n=3,
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    ).sort_by("doc_id")
+    rows = {
+        d: (s, c)
+        for d, s, c in zip(
+            out["doc_id"].to_pylist(),
+            out["n_shared"].to_pylist(),
+            out["contaminated"].to_pylist(),
+        )
+    }
+    assert rows[10] == (7, True)      # 9 tokens -> 7 trigrams, all shared
+    assert rows[11] == (1, False)     # only 'the quick brown' -> minority
+    assert rows[12] == (0, False)
