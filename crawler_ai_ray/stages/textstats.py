@@ -616,6 +616,14 @@ def pack_blocks(ds, block_tokens: int = 2048, text_col: str = "text"):
     counts = ds.map_batches(count, batch_format="pyarrow").materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "min_doc": pa.array([], pa.int64()),
+                    "max_doc": pa.array([], pa.int64()),
+                    "sum_tokens": pa.array([], pa.int64()),
+                }
+            )
         ids = batch["doc_id"]
         return pa.table(
             {
