@@ -1035,6 +1035,17 @@ def _q_doc_neardup_clusters(sf_dir: str):
     )
 
 
+def _q_doc_dup_spans(sf_dir: str):
+    """Corpus-wide duplicated-span fraction per doc (Lee et al. 2022
+    exact-substring dedup signal at word-5-gram granularity): fraction
+    of each doc's 5-gram positions whose 5-gram occurs in ≥2 docs."""
+    from crawler_ai_ray.stages.dedup import dup_span_stats
+
+    return dup_span_stats(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -1598,6 +1609,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        "doc_dup_spans": _q_doc_dup_spans,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
         "doc_curate_output": _q_doc_curate_output,
@@ -1639,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "doc_dup_spans",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2394,6 +2407,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
         "doc_neardup_ngram": neardup_ngram,
+        "doc_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+              FROM documents),
+            ng AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4] AS g
+              FROM toks, unnest(generate_series(1, len(t)-4)) AS s(i)
+              WHERE len(t) >= 5),
+            df AS (SELECT g, count(DISTINCT doc_id) d FROM ng GROUP BY 1)
+            SELECT ng.doc_id,
+                   count(*)::BIGINT AS n_positions,
+                   sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_positions,
+                   sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+                     / count(*) AS dup_fraction
+            FROM ng JOIN df ON df.g = ng.g
+            GROUP BY 1""",
         # pair sets re-derived from hash goldens: the SQL side brute-
         # forces ALL pairs from (unit-pinned) per-doc hashes, so the
         # engine's banding/bucketing/shuffle orchestration is verified

@@ -19,6 +19,11 @@ Five dedup families, each expressed Ray-Data-first:
 * **embedding cosine** — near-dup pairs by cosine over an embedding
   column; anchors broadcast via ``ray.put``, batch matmul streaming.
 
+Plus the document-level **duplicated-span fraction** (``dup_span_stats``):
+per-doc share of n-gram positions whose n-gram occurs in ≥2 documents
+corpus-wide — the exact-substring duplication signal of Lee et al. 2022
+(arXiv:2107.06499) at n-gram granularity.
+
 Shuffle keys: content-hash / ngram-hash / band-hash — uniformly
 distributed by construction, so these groupbys don't skew.  Pair
 emission inside ``map_groups`` is bounded by max_df / bucket size.
@@ -47,6 +52,8 @@ __all__ = [
     "simhash_neardup_pairs",
     "incremental_dedup",
     "decontaminate",
+    "dup_ngram_rows_batch",
+    "dup_span_stats",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
 ]
@@ -1005,3 +1012,159 @@ def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
         )
 
     return docs_ds.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span fraction (corpus-wide substring duplication signal)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_rows_batch(
+    batch: pa.Table, n: int = 5, text_col: str = "text"
+) -> pa.Table:
+    """doc → distinct (doc_id, ngram_h, cnt) rows, where cnt is how many
+    of the doc's n-gram POSITIONS carry this n-gram.  Positions — not
+    the distinct set — are what span-level duplication measures: a doc
+    that repeats a corpus-shared 5-gram ten times is 10 positions deep
+    in duplicated text, not 1.  Only the 64-bit blake2b hash of the
+    n-gram leaves the task (same collision argument as
+    ``ngram_pairs_jaccard``: ~1e-7 at 10^6 distinct n-grams, and a
+    collision only perturbs one doc-frequency count)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id: list[int] = []
+    out_h: list[int] = []
+    out_c: list[int] = []
+    for i, t in zip(ids, texts):
+        toks = (t or "").lower().split()
+        counts: dict[int, int] = {}
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p : p + n])
+            h = int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            counts[h] = counts.get(h, 0) + 1
+        for h in sorted(counts):
+            out_id.append(i)
+            out_h.append(h)
+            out_c.append(counts[h])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "ngram_h": pa.array(
+                np.array(out_h, dtype=np.uint64), pa.uint64()
+            ),
+            "cnt": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+def dup_span_stats(
+    ds,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    num_buckets: int = 512,
+    doc_buckets: int = 64,
+):
+    """documents → (doc_id, n_positions, n_dup_positions, dup_fraction):
+    the fraction of each document's word n-gram positions whose n-gram
+    occurs in ≥ ``min_df`` distinct documents corpus-wide — the
+    document-level signal of exact-substring train-set duplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499, at n-gram granularity).  Distinct
+    from ``textstats.repetition_batch`` (WITHIN-doc Gopher repetition)
+    and from ``ngram_pairs_jaccard`` (pairwise whole-doc similarity):
+    this measures how much of a doc is text the corpus already has.
+
+    Scale shape: three stages, no strings in any shuffle.
+    1. ``map_batches`` doc → (ngram_h u64, per-doc position count).
+    2. doc-frequency inside ``hash(ngram) % num_buckets`` groups — each
+       n-gram's rows land wholly in one bucket, so DF is exact; the
+       sweep is one numpy sort + run-length count, and it emits ≤1
+       partial row per (doc, bucket): (doc_id, dup_positions,
+       total_positions).
+    3. per-doc rollup inside ``doc_id % doc_buckets`` groups (Arrow C++
+       hash-agg, never a high-cardinality Ray groupby), fraction as one
+       float64 division — bitwise-equal to the DuckDB oracle's
+       ``BIGINT::DOUBLE / count(*)``.
+    Docs shorter than n tokens have no positions and are outside the
+    output domain (mirrored by the oracle's ``len(t) >= n`` guard)."""
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(
+        lambda b: dup_ngram_rows_batch(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["ngram_h"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        h = group["ngram_h"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        new = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            new[0] = True
+            np.not_equal(hs[1:], hs[:-1], out=new[1:])
+        gid = np.cumsum(new) - 1
+        # rows are distinct per (doc, ngram) → run length == doc frequency
+        df = np.bincount(gid) if len(gid) else np.zeros(0, dtype=np.int64)
+        dup = df[gid] >= min_df
+        c_ord = cnt[order].astype(np.int64)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(doc[order], pa.int64()),
+                "dup_part": pa.array(
+                    np.where(dup, c_ord, 0).astype(np.int64), pa.int64()
+                ),
+                "tot_part": pa.array(c_ord, pa.int64()),
+            }
+        )
+        agg = tbl.group_by("doc_id").aggregate(
+            [("dup_part", "sum"), ("tot_part", "sum")]
+        )
+        dids = agg["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "dup_part": agg["dup_part_sum"],
+                "tot_part": agg["tot_part_sum"],
+                "dbucket": pa.array(
+                    (dids % doc_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        agg = group.group_by("doc_id").aggregate(
+            [("dup_part", "sum"), ("tot_part", "sum")]
+        )
+        dupn = pc.cast(agg["dup_part_sum"], pa.int64())
+        totn = pc.cast(agg["tot_part_sum"], pa.int64())
+        frac = pc.divide(
+            pc.cast(dupn, pa.float64()), pc.cast(totn, pa.float64())
+        )
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_positions": totn,
+                "n_dup_positions": dupn,
+                "dup_fraction": frac,
+            }
+        )
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -795,3 +795,92 @@ def test_decontaminate_planted_overlap(ray_session):
     assert rows[10] == (7, True)      # 9 tokens -> 7 trigrams, all shared
     assert rows[11] == (1, False)     # only 'the quick brown' -> minority
     assert rows[12] == (0, False)
+
+
+def test_dup_span_stats_planted_and_vs_duckdb(ray_session, duck):
+    """Planted tiny corpus with known duplicated spans, then the sf
+    corpus against the same DuckDB SQL the oracle uses."""
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import dup_span_stats
+
+    # doc 0 and 1 share the span "a b c d e f" (two 5-gram positions
+    # each); doc 2 is unique; doc 3 repeats a corpus-shared 5-gram so
+    # BOTH positions count (position semantics, not set semantics).
+    tiny = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f x y z w",          # pos 1-2 dup (shared w/ 1)
+                    "q a b c d e f r s t",          # pos 2-3 dup
+                    "u v w x y z p q r s",          # all unique
+                    "a b c d e a b c d e",          # "a b c d e" twice → 2 dup
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dup_span_stats(ray.data.from_arrow(tiny), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_positions"] == 6
+    assert out.loc[0, "n_dup_positions"] == 2
+    assert out.loc[1, "n_dup_positions"] == 2
+    assert out.loc[2, "n_dup_positions"] == 0
+    assert out.loc[3, "n_positions"] == 6
+    assert out.loc[3, "n_dup_positions"] == 2  # both positions of the repeat
+    assert out.loc[0, "dup_fraction"] == pytest.approx(2 / 6)
+
+    # sf corpus vs DuckDB (identical SQL to oracle_sql()["doc_dup_spans"])
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = dup_span_stats(docs, n=5).to_pandas()
+    want = duck.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+          FROM documents),
+        ng AS (
+          SELECT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4] AS g
+          FROM toks, unnest(generate_series(1, len(t)-4)) AS s(i)
+          WHERE len(t) >= 5),
+        df AS (SELECT g, count(DISTINCT doc_id) d FROM ng GROUP BY 1)
+        SELECT ng.doc_id,
+               count(*)::BIGINT AS n_positions,
+               sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_positions,
+               sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+                 / count(*) AS dup_fraction
+        FROM ng JOIN df ON df.g = ng.g
+        GROUP BY 1"""
+    ).df()
+    assert_frames_equal(got, want)
+
+
+def test_dup_span_stats_partition_invariant(ray_session):
+    """Bucket counts and input block counts must not change the result
+    (the DF count is exact within each ngram-hash bucket by construction)."""
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        dup_span_stats(docs, n=5, num_buckets=512, doc_buckets=64)
+        .to_pandas()
+    )
+    b = (
+        dup_span_stats(
+            docs.repartition(7), n=5, num_buckets=32, doc_buckets=8
+        ).to_pandas()
+    )
+    assert_frames_equal(a, b)
