@@ -1035,6 +1035,19 @@ def _q_doc_neardup_clusters(sf_dir: str):
     )
 
 
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact per-language length percentiles (percentile_disc rank
+    formula) via bounded-cardinality histogram combiners — never a
+    global sort."""
+    from crawler_ai_ray.stages.textstats import grouped_quantiles
+
+    return grouped_quantiles(
+        _table(sf_dir, "documents", columns=["lang", "n_chars"]),
+        value_col="n_chars",
+        key_col="lang",
+    )
+
+
 def _q_doc_dup_spans(sf_dir: str):
     """Corpus-wide duplicated-span fraction per doc (Lee et al. 2022
     exact-substring dedup signal at word-5-gram granularity): fraction
@@ -1610,6 +1623,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_dup_spans": _q_doc_dup_spans,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
         "doc_curate_output": _q_doc_curate_output,
@@ -1651,7 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
-        "doc_dup_spans",
+        "doc_dup_spans", "doc_length_quantiles",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2407,6 +2421,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
         "doc_neardup_ngram": neardup_ngram,
+        "doc_length_quantiles": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) rn,
+                     count(*) OVER (PARTITION BY lang) n
+              FROM documents),
+            ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+            SELECT lang, p, min(n_chars)::BIGINT AS q_value
+            FROM ranked, ps
+            WHERE rn >= greatest(1.0, ceil(p * n))
+            GROUP BY 1, 2""",
         "doc_dup_spans": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t

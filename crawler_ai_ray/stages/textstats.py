@@ -31,6 +31,8 @@ generalize that to corpus-scale document statistics.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -44,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "repetition_batch",
     "distinctive_terms",
+    "grouped_quantiles",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
@@ -706,3 +709,81 @@ def sample_batch(batch: pa.Table, hex_prefixes: str = "01") -> pa.Table:
         for i in batch["doc_id"].to_pylist()
     ]
     return batch.filter(pa.array(keep))
+
+
+# --- exact grouped quantiles (bounded-cardinality histogram merge) ---------
+
+def grouped_quantiles(
+    ds,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    value_col: str = "n_chars",
+    key_col: str = "lang",
+) -> pa.Table:
+    """→ (key, p, q_value): EXACT discrete quantiles of an integer
+    column per group, the corpus-profiling aggregate every curation run
+    starts with (length / score percentiles per language).  Convention
+    = SQL ``percentile_disc`` (DuckDB ``quantile_disc``): the value at
+    rank ``ceil(p·n)`` of the sorted group, i.e. the smallest value
+    whose cumulative count reaches ``p·n`` — the oracle spells the same
+    formula out with window functions so no engine-vs-SQL convention
+    drift is possible (``ceil`` evaluated in float64 on both sides).
+
+    Scale shape: quantiles need global order, but an INTEGER profile
+    column has bounded distinct cardinality (lengths, scores, counts —
+    ~10^4-10^6 values no matter how many rows), so instead of a
+    ``Dataset.sort`` over 100 TB the operator computes a per-batch
+    (key, value)→count histogram with Arrow's C++ hash-agg — a
+    combiner that shrinks each batch to its distinct values — and
+    merges the tiny partials driver-side (same bounded-output rule as
+    the k-means partials: O(distinct values), never O(rows)).  The
+    cumsum walk over each group's sorted histogram yields all exact
+    quantiles at once.  An unbounded/continuous column needs a sketch
+    (t-digest / KLL) instead — out of scope, assumption documented."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch[key_col], "v": batch[value_col]})
+        agg = t.group_by(["k", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "k": agg["k"],
+                "v": pc.cast(agg["v"], pa.int64()),
+                "cnt": pc.cast(agg["v_count"], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    hist = pa.concat_tables([p for p in parts if p.num_rows])
+    hist = hist.group_by(["k", "v"]).aggregate([("cnt", "sum")])
+    hist = hist.sort_by([("k", "ascending"), ("v", "ascending")])
+
+    keys = hist["k"].to_pylist()
+    vals = hist["v"].to_numpy(zero_copy_only=False)
+    cnts = hist["cnt_sum"].to_numpy(zero_copy_only=False)
+
+    out_k: list = []
+    out_p: list[float] = []
+    out_q: list[int] = []
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        cum = np.cumsum(cnts[i:j])
+        n = int(cum[-1])
+        for p in ps:
+            rank = max(1.0, math.ceil(p * float(n)))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_k.append(keys[i])
+            out_p.append(float(p))
+            out_q.append(int(vals[i + idx]))
+        i = j
+    return pa.table(
+        {
+            key_col: pa.array(out_k, hist["k"].type),
+            "p": pa.array(out_p, pa.float64()),
+            "q_value": pa.array(out_q, pa.int64()),
+        }
+    )

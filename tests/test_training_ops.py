@@ -884,3 +884,56 @@ def test_dup_span_stats_partition_invariant(ray_session):
         ).to_pandas()
     )
     assert_frames_equal(a, b)
+
+
+def test_grouped_quantiles_planted_and_vs_duckdb(ray_session, duck):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import grouped_quantiles
+
+    # planted: group 'a' = [10,20,30,40] → percentile_disc ranks
+    tiny = pa.table(
+        {
+            "lang": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "n_chars": pa.array([40, 10, 30, 20, 7], pa.int64()),
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_arrow(tiny), ps=(0.25, 0.5, 0.51, 0.75, 0.99)
+    ).to_pandas()
+    a = out[out.lang == "a"].set_index("p")["q_value"]
+    assert a[0.25] == 10 and a[0.5] == 20 and a[0.51] == 30
+    assert a[0.75] == 30 and a[0.99] == 40
+    b = out[out.lang == "b"].set_index("p")["q_value"]
+    assert (b == 7).all()  # single-element group: every quantile is it
+
+    # sf corpus: engine vs BOTH the window-function oracle formula and
+    # DuckDB's native quantile_disc (convention agreement check)
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    got = grouped_quantiles(docs).to_pandas()
+    want = duck.sql(
+        """
+        WITH q AS (
+          SELECT lang,
+                 quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) ql
+          FROM documents GROUP BY 1)
+        SELECT lang, [0.25, 0.5, 0.75, 0.9, 0.99][i] AS p,
+               ql[i]::BIGINT AS q_value
+        FROM q, unnest(generate_series(1, 5)) s(i)"""
+    ).df()
+    assert_frames_equal(got, want)
+
+
+def test_grouped_quantiles_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    a = grouped_quantiles(docs).to_pandas()
+    b = grouped_quantiles(docs.repartition(11)).to_pandas()
+    assert_frames_equal(a, b)
