@@ -168,6 +168,8 @@ def bench_queries(sf_dir: str) -> dict:
         "events_hopping",
         "crawl_fetch_results",
         "doc_curate",
+        "doc_dup_spans",
+        "doc_length_quantiles",
     ]
     qs = entrymod.queries()
     out = {}
