@@ -1256,6 +1256,34 @@ def _q_emb_knn_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means (8 clusters) then within-cluster cosine
+    union-find, keep-min-id canonical per duplicate group.  Rows-only:
+    labels depend on the learned clustering; the machinery is pinned by
+    the nlist=1 global variant's recursive-CTE oracle + refinement
+    tests."""
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    return semantic_dedup(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        nlist=8,
+        threshold=0.45,
+    )
+
+
+def _q_emb_semantic_dedup_global(sf_dir: str):
+    """nlist=1 degenerate SemDeDup = exact global cosine dedup — same
+    union-find/grouping code path, DuckDB-checkable via all-pairs
+    cosine + recursive-CTE connected components."""
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    return semantic_dedup(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        nlist=1,
+        threshold=0.45,
+    )
+
+
 def _q_emb_neardup(sf_dir: str):
     import pyarrow.parquet as pq
     import numpy as np
@@ -1637,6 +1665,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf_exhaustive": _q_emb_knn_ivf_exhaustive,
         "emb_neardup_cosine": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "emb_semantic_dedup_global": _q_emb_semantic_dedup_global,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_sessionize": _rel("events_sessionize"),
@@ -1666,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [
         # new this round
         "doc_dup_spans", "doc_length_quantiles",
+        "emb_semantic_dedup", "emb_semantic_dedup_global",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2686,6 +2717,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "emb_semantic_dedup_global": """
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.45),
+            e AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+            reach(v, lbl) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.v)
+            SELECT v AS vec_id, 0::INTEGER AS cluster,
+                   min(lbl)::BIGINT AS canonical_id,
+                   (min(lbl) = v) AS is_canonical
+            FROM reach GROUP BY v""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
               count(*)::BIGINT AS n_events,

@@ -29,7 +29,13 @@ import pyarrow as pa
 
 from .dedup import list_col_to_matrix
 
-__all__ = ["knn_bruteforce", "kmeans_train", "ivf_assign", "knn_ivf"]
+__all__ = [
+    "knn_bruteforce",
+    "kmeans_train",
+    "ivf_assign",
+    "knn_ivf",
+    "semantic_dedup",
+]
 
 
 def _topk_table(
@@ -262,4 +268,79 @@ def knn_ivf(
     local = assigned_ds.map_batches(score, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow"
+    )
+
+
+def semantic_dedup(
+    ds,
+    nlist: int = 8,
+    threshold: float = 0.45,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then find
+    duplicate groups by pairwise cosine ONLY within each cluster →
+    (vec_id, cluster, canonical_id, is_canonical), canonical = the
+    group's min id (the house keep-first rule; the paper keeps the
+    point farthest from the centroid — a one-line swap, but min-id is
+    deterministic and oracle-checkable).
+
+    Scale shape: the whole point of clustering first is that pairwise
+    cost drops from O(N²) to O(Σ mᵢ²) with mᵢ = cluster sizes, and the
+    per-cluster sweep is an independent task — ``nlist`` must grow with
+    the corpus so mᵢ stays ~10⁴-10⁵ (mᵢ² float64 sims per task; the
+    paper runs 50k clusters over 1.2 B images).  Reuses the IVF
+    machinery: distributed combiner k-means (`kmeans_train`) + one
+    assignment pass (`ivf_assign`), then ``groupby(cluster)`` moves
+    each vector exactly once.  ``nlist=1`` degenerates to the EXACT
+    global dedup — that variant carries the recursive-CTE DuckDB
+    oracle, pinning the union-find/grouping machinery that the
+    clustered path shares."""
+    centroids = kmeans_train(
+        ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
+    )
+    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(list_col_to_matrix(group[emb_col]))[order]
+        cluster = np.int32(group["cluster"][0].as_py())
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root: component root = min index,
+                # and ids are sorted, so ids[root] = the group min id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        canon = ids[np.array([find(i) for i in range(n)], dtype=np.int64)]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(n, cluster), pa.int32()),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "is_canonical": pa.array(canon == ids, pa.bool_()),
+            }
+        )
+
+    return (
+        assigned.select_columns([id_col, emb_col, "cluster"])
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
     )

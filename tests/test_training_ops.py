@@ -937,3 +937,98 @@ def test_grouped_quantiles_partition_invariant(ray_session):
     a = grouped_quantiles(docs).to_pandas()
     b = grouped_quantiles(docs.repartition(11)).to_pandas()
     assert_frames_equal(a, b)
+
+
+def test_semantic_dedup_global_vs_duckdb(ray_session, duck):
+    """nlist=1 (one cluster = exact global dedup) against the same
+    recursive-CTE connected-components SQL the oracle uses."""
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = semantic_dedup(emb, nlist=1, threshold=0.45).to_pandas()
+    want = duck.sql(
+        """
+        WITH RECURSIVE pr AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        e AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+        reach(v, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.v)
+        SELECT v AS vec_id, 0::INTEGER AS cluster,
+               min(lbl)::BIGINT AS canonical_id,
+               (min(lbl) = v) AS is_canonical
+        FROM reach GROUP BY v"""
+    ).df()
+    assert_frames_equal(got, want)
+
+
+def test_semantic_dedup_refines_global_and_dedups_exact_copies(ray_session):
+    """Clustered SemDeDup may split a global duplicate group across
+    clusters (the documented approximation) but must never merge two
+    globally-distinct groups; identical vectors always co-cluster and
+    always dedup."""
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    glob = (
+        semantic_dedup(emb, nlist=1, threshold=0.45)
+        .to_pandas()
+        .set_index("vec_id")["canonical_id"]
+    )
+    clus = semantic_dedup(emb, nlist=8, threshold=0.45).to_pandas()
+    assert len(clus) == len(glob)
+    # refinement: everything the clustered variant groups together is
+    # also together globally
+    for vid, canon in zip(clus.vec_id, clus.canonical_id):
+        assert glob[vid] == glob[canon]
+    # at least one true merge happened at this threshold on this corpus
+    assert (~clus.is_canonical).sum() > 0
+
+    # planted exact copies land in one cluster and dedup to the min id
+    base = np.random.RandomState(3).randn(4, 8)
+    tiny = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [list(base[0]), list(base[1]), list(base[2]),
+                 list(base[3]), list(base[1])],  # 4 == copy of 1
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(tiny), nlist=2, threshold=0.999999
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[4, "canonical_id"] == 1
+    assert not out.loc[4, "is_canonical"]
+    assert out.loc[[0, 1, 2, 3], "is_canonical"].all()
+
+
+def test_semantic_dedup_global_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    a = semantic_dedup(emb, nlist=1, threshold=0.45).to_pandas()
+    b = semantic_dedup(
+        emb.repartition(9), nlist=1, threshold=0.45
+    ).to_pandas()
+    assert_frames_equal(a, b)
