@@ -148,6 +148,29 @@ def _q_crawl_links(sf_dir: str):
     )
 
 
+def _q_crawl_host_pagerank(sf_dir: str):
+    """Host-graph PageRank (integer fixed-point, 5 iterations) over the
+    distinct host→host out-link edges — the link-centrality signal a
+    frontier prioritizer / corpus curator consumes (Common Crawl ships
+    the host-level equivalent with every snapshot)."""
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    return pagerank_hosts(host_edges(_extracted(sf_dir)))
+
+
+def _q_crawl_host_components(sf_dir: str):
+    """Undirected connected components of the host link graph
+    (spanning-forest sparsification; component label = lexicographic
+    min host) — the dedup/partitioning signal that groups mirrors and
+    site families before curation."""
+    from crawler_ai_ray.stages.linkgraph import (
+        connected_components,
+        host_edges,
+    )
+
+    return connected_components(host_edges(_extracted(sf_dir)))
+
+
 def _q_crawl_career_confidence(sf_dir: str):
     """M11: URL-only additive career-confidence scoring
     (career_pages_service.py:328-476) over every page URL."""
@@ -1591,6 +1614,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_emails": _q_crawl_emails,
         "crawl_phones_vn": _q_crawl_phones,
         "crawl_out_links": _q_crawl_links,
+        "crawl_host_pagerank": _q_crawl_host_pagerank,
+        "crawl_host_components": _q_crawl_host_components,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
         "crawl_job_url_flags": _q_crawl_job_url_flags,
@@ -1697,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
+        "crawl_host_pagerank", "crawl_host_components",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -1754,6 +1780,57 @@ def oracle_sql() -> dict[str, str]:
     def esc(pat: str) -> str:
         """Escape a regex for use inside a single-quoted SQL literal."""
         return pat.replace("'", "''")
+
+    # host-PageRank oracle: unroll the SAME 5 integer fixed-point
+    # iterations the engine runs (stages/linkgraph.py) — all-int
+    # arithmetic, so any summation order matches bit-for-bit.
+    pagerank_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        outdeg AS (SELECT src, count(*)::BIGINT c FROM edges GROUP BY 1),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        r0 AS (SELECT host, 1000000::BIGINT AS rank FROM hosts)"""
+    for _i in range(1, 6):
+        pagerank_sql += f""",
+        r{_i} AS (
+          SELECT h.host,
+                 (150000 + (85 * COALESCE(s.inb, 0)) // 100)::BIGINT
+                   AS rank
+          FROM hosts h LEFT JOIN (
+            SELECT e.dst AS host, sum(r.rank // o.c)::BIGINT AS inb
+            FROM edges e
+            JOIN r{_i - 1} r ON r.host = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1) s ON s.host = h.host)"""
+    pagerank_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # connected-components oracle: min reachable host over the
+    # UNDIRECTED edge set via a recursive CTE — the lexicographic-min
+    # component label the engine's spanning-forest labeling produces.
+    components_sql = f"""
+        WITH RECURSIVE e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT a AS host, a AS r FROM und
+          UNION
+          SELECT reach.host, und.b FROM reach
+          JOIN und ON und.a = reach.r)
+        SELECT host, min(r) AS component FROM reach GROUP BY host"""
 
     # fetch-outcome oracle: an INDEPENDENT SQL replay of the reference
     # retry loop (crawler.py:156-288) + error taxonomy (:424-446) over
@@ -2139,6 +2216,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_out_links": (
             f"SELECT url, unnest(out_links) AS link FROM read_parquet('{golden}')"
         ),
+        "crawl_host_pagerank": pagerank_sql,
+        "crawl_host_components": components_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "
             "m11_is_career_page AS is_career_page, "

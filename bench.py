@@ -170,6 +170,8 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_curate",
         "doc_dup_spans",
         "doc_length_quantiles",
+        "crawl_host_pagerank",
+        "crawl_host_components",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1,0 +1,383 @@
+"""Host-level link-graph analytics over the crawl corpus.
+
+A web-scale crawl's link structure is itself a ranking signal (Common
+Crawl publishes host-level harmonic centrality / PageRank with every
+snapshot); a frontier scheduler and a training-data curator both
+consume it.  This module builds the distinct host→host edge set from
+the extraction stage's ``out_links`` and runs PageRank over it.
+
+Determinism: all rank arithmetic is INTEGER fixed-point (ranks in
+micros, ``contrib = rank // outdeg``, ``new = base + d·inbound // 100``)
+— integer sums are associative, so the result is bit-identical no
+matter how blocks/batches are ordered, and a DuckDB oracle can unroll
+the same iterations with plain SQL integer arithmetic.  (A float
+PageRank would hash-mismatch the oracle on summation order alone.)
+
+Scale shape (iters × one streaming pass over edges, NO edge shuffle):
+edges are built once — distinct inside ``blake2b(src|dst) % B`` buckets,
+outdeg attached while all of a src's rows are co-located in its
+``src_h % B`` bucket — and every iteration broadcasts the rank vector
+via ``ray.put`` (two sorted numpy arrays: u64 host-hash keys + int64
+ranks), maps over edges computing per-batch dst-partial sums (a
+combiner), and reduces the partials in a small ``dst_h % B`` bucketed
+sweep.  This is the classic "ship the skinny vertex state, never the
+fat edge set" PageRank layout; it assumes the HOST universe (not the
+edge set) fits plasma — ~16 B/host ⇒ fine to ~10⁹ hosts.  Beyond that,
+co-partition ranks with edges on ``src_h % B`` and join per bucket
+(the `relational.hash_bucket_join` path) instead of broadcasting.
+
+Simplification mirrored exactly by the oracle: dangling hosts (no
+out-edges) leak their rank mass rather than redistributing it, and the
+node universe is the hosts that appear in ≥1 edge.  Host identity
+travels as a 64-bit blake2b hash through the iterations (collision
+odds ~1e-7 at 10⁶ hosts, same argument as `dedup.ngram_pairs_jaccard`);
+the final pass re-attaches the host string from the edge tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.classify import host_of
+
+__all__ = [
+    "host_edges",
+    "host_verts",
+    "pagerank_hosts",
+    "connected_components",
+]
+
+
+_FAN = 8
+
+
+def _merge_parts(*tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return tables[0]
+    agg = pa.concat_tables(live).group_by("dst_h").aggregate(
+        [("part", "sum")]
+    )
+    return pa.table({"dst_h": agg["dst_h"], "part": agg["part_sum"]})
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def host_edges(extracted_ds, num_buckets: int = 64):
+    """extracted pages (host, out_links) → distinct (src, dst, src_h,
+    dst_h, outdeg) host edges, self-loops and host-less links dropped.
+    Distinct + outdeg both happen inside ``src_h % num_buckets`` groups
+    — a src's edges all land in one bucket, so its out-degree is exact
+    and no second shuffle is needed."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for h, lst in zip(
+            batch["host"].to_pylist(), batch["out_links"].to_pylist()
+        ):
+            for u in lst or []:
+                d = host_of(u)
+                if d and d != h:
+                    srcs.append(h)
+                    dsts.append(d)
+        sh = np.array([_h64(s) for s in srcs], dtype=np.uint64)
+        dh = np.array([_h64(d) for d in dsts], dtype=np.uint64)
+        t = pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "src_h": pa.array(sh, pa.uint64()),
+                "dst_h": pa.array(dh, pa.uint64()),
+                "bucket": pa.array(
+                    (sh % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+        # batch-local pre-distinct: shrinks the shuffle, exactness comes
+        # from the per-bucket distinct below
+        return t.group_by(
+            ["src", "dst", "src_h", "dst_h", "bucket"]
+        ).aggregate([])
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        g = group.group_by(
+            ["src", "dst", "src_h", "dst_h"]
+        ).aggregate([])
+        deg = g.group_by("src_h").aggregate([("src_h", "count")])
+        k = deg["src_h"].to_numpy(zero_copy_only=False)
+        v = deg["src_h_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        k, v = k[order], v[order]
+        sh = g["src_h"].to_numpy(zero_copy_only=False)
+        out = v[np.searchsorted(k, sh)]
+        return g.append_column("outdeg", pa.array(out, pa.int64()))
+
+    return (
+        extracted_ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
+def host_verts(edges, num_buckets: int = 64):
+    """distinct host edges → MATERIALIZED distinct (host, h, vbucket)
+    vertex universe (hosts that appear in ≥1 edge), deduped inside
+    ``h % num_buckets`` groups so the host string + hash pair is
+    globally unique."""
+
+    def vert_rows(batch: pa.Table) -> pa.Table:
+        hs = list(
+            zip(
+                batch["src"].to_pylist(),
+                batch["src_h"].to_numpy(zero_copy_only=False).tolist(),
+            )
+        ) + list(
+            zip(
+                batch["dst"].to_pylist(),
+                batch["dst_h"].to_numpy(zero_copy_only=False).tolist(),
+            )
+        )
+        names, hh = (
+            [x[0] for x in hs],
+            np.array([x[1] for x in hs], dtype=np.uint64),
+        )
+        t = pa.table(
+            {
+                "host": pa.array(names, pa.string()),
+                "h": pa.array(hh, pa.uint64()),
+                "vbucket": pa.array(
+                    (hh % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+        return t.group_by(["host", "h", "vbucket"]).aggregate([])
+
+    return (
+        edges.map_batches(vert_rows, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(
+            lambda g: g.group_by(["host", "h", "vbucket"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
+def pagerank_hosts(
+    edges,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    num_buckets: int = 64,
+):
+    """distinct host edges (from ``host_edges``) → (host, rank_micros).
+
+    Integer PageRank: ``rank₀ = scale`` for every host in the edge set;
+    each iteration ``rank = base + damping_pct·inbound // 100`` with
+    ``inbound = Σ_{src→host} rank[src] // outdeg[src]`` and
+    ``base = scale·(100-damping_pct) // 100``.  Exact under any
+    summation order (all ints), so the DuckDB oracle unrolls the same
+    ``iters`` iterations and must match bit-for-bit."""
+    import ray
+
+    edges = edges.materialize()  # iterated over `iters` times
+    merge_task = ray.remote(num_cpus=1)(_merge_parts)
+    verts = host_verts(edges, num_buckets)
+    # the skinny vertex state: sorted u64 keys + int64 ranks (driver/
+    # plasma-sized by design — see module docstring for the boundary)
+    vparts = ray.get(verts.to_arrow_refs())
+    keys = np.sort(
+        np.concatenate(
+            [p["h"].to_numpy(zero_copy_only=False) for p in vparts]
+        )
+    )
+    ranks = np.full(len(keys), scale, dtype=np.int64)
+    base = scale * (100 - damping_pct) // 100
+
+    for _ in range(iters):
+        r_ref = ray.put((keys, ranks))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            k, r = ray.get(r_ref)
+            sh = batch["src_h"].to_numpy(zero_copy_only=False)
+            dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+            deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+            c = r[np.searchsorted(k, sh)] // deg
+            t = pa.table(
+                {
+                    "dst_h": pa.array(dh, pa.uint64()),
+                    "part": pa.array(c, pa.int64()),
+                }
+            )
+            agg = t.group_by("dst_h").aggregate([("part", "sum")])
+            return pa.table(
+                {"dst_h": agg["dst_h"], "part": agg["part_sum"]}
+            )
+
+        # tree-reduce the per-batch partials with plain tasks: a Ray
+        # groupby here would pay its fixed sort/shuffle cost ×iters for
+        # a combiner-sized input (house rule: never shuffle tiny
+        # candidate sets); each merge task handles ≤_FAN tables of
+        # ≤|hosts| rows, Arrow C++ hash-agg inside.
+        part_refs = edges.map_batches(
+            contrib, batch_format="pyarrow"
+        ).to_arrow_refs()
+        while len(part_refs) > 1:
+            part_refs = [
+                merge_task.remote(*part_refs[i : i + _FAN])
+                for i in range(0, len(part_refs), _FAN)
+            ]
+        merged = ray.get(part_refs[0]) if part_refs else None
+        inbound = np.zeros(len(keys), dtype=np.int64)
+        if merged is not None and merged.num_rows:
+            idx = np.searchsorted(
+                keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+            )
+            inbound[idx] = merged["part"].to_numpy(zero_copy_only=False)
+        ranks = base + (damping_pct * inbound) // 100
+
+    # re-attach host strings (verts is already distinct per host)
+    r_ref = ray.put((keys, ranks))
+
+    def name_ranks(batch: pa.Table) -> pa.Table:
+        k, r = ray.get(r_ref)
+        hh = batch["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": batch["host"],
+                "rank_micros": pa.array(
+                    r[np.searchsorted(k, hh)], pa.int64()
+                ),
+            }
+        )
+
+    return verts.map_batches(name_ranks, batch_format="pyarrow")
+
+
+def _forest(*tables: pa.Table) -> pa.Table:
+    """Union-find sparsification: edges in → spanning-forest edges out
+    (≤ |vertices|−1 rows, every input vertex still present).  The
+    irreducibly pointer-chasing part of connectivity — runs only on
+    already-sparsified batch/merge inputs, never the raw corpus."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    ea: list = []
+    eb: list = []
+    for t in tables:
+        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+                ea.append(a)
+                eb.append(b)
+    return pa.table(
+        {"a": pa.array(ea, pa.string()), "b": pa.array(eb, pa.string())}
+    )
+
+
+def connected_components(edges, num_buckets: int = 64):
+    """distinct host edges (from ``host_edges``) → (host, component),
+    where ``component`` is the lexicographically smallest host in the
+    undirected connected component — a canonical label both Python and
+    SQL ``min`` agree on (ASCII hosts), so a DuckDB recursive-CTE
+    oracle (min reachable host) must match exactly.
+
+    Scale shape — spanning-forest sparsification, the classic
+    distributed-connectivity reduction: each edge batch collapses to
+    its spanning forest (≤ vertices−1 edges) in one ``map_batches``
+    pass, forests tree-merge ``_FAN`` at a time with plain tasks
+    (re-sparsifying at every step, so no merge input exceeds
+    vertex-state size), and only the final vertex-sized forest is
+    labeled driver-side.  The corpus-sized edge set is touched exactly
+    once; everything after is O(|hosts|) — the same vertex-state
+    boundary `pagerank_hosts` declares.  Output labels are broadcast
+    back over the vertex universe, never joined through a shuffle."""
+    import ray
+
+    edges = edges.materialize()
+    verts = host_verts(edges, num_buckets)
+    merge_task = ray.remote(num_cpus=1)(_forest)
+
+    def batch_forest(batch: pa.Table) -> pa.Table:
+        return _forest(
+            pa.table({"a": batch["src"], "b": batch["dst"]})
+        )
+
+    refs = edges.map_batches(
+        batch_forest, batch_format="pyarrow"
+    ).to_arrow_refs()
+    while len(refs) > 1:
+        refs = [
+            merge_task.remote(*refs[i : i + _FAN])
+            for i in range(0, len(refs), _FAN)
+        ]
+    final = (
+        ray.get(refs[0])
+        if refs
+        else pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    )
+
+    # driver-side labeling of the vertex-sized final forest
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(final["a"].to_pylist(), final["b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict = {}
+    for h in parent:
+        r = find(h)
+        if r not in label or h < label[r]:
+            label[r] = h
+
+    hosts = list(parent)
+    hh = np.array([_h64(h) for h in hosts], dtype=np.uint64)
+    order = np.argsort(hh)
+    keys = hh[order]
+    labels = pa.array(
+        [label[find(hosts[i])] for i in order], pa.string()
+    )
+    l_ref = ray.put((keys, labels))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, lab = ray.get(l_ref)
+        idx = np.searchsorted(
+            k, batch["h"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "host": batch["host"],
+                "component": lab.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    return verts.map_batches(attach, batch_format="pyarrow")

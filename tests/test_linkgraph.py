@@ -1,0 +1,160 @@
+"""Host-graph PageRank: integer fixed-point semantics pinned by a
+hand-computed tiny graph, and partitioning/bucketing invariance (exact
+— all arithmetic is integer, so nothing may drift)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tiny_extracted():
+    # a→b, a→c, b→c, c→a (plus a self-loop and a host-less link that
+    # must be dropped)
+    return pa.table(
+        {
+            "host": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+            "out_links": pa.array(
+                [
+                    [
+                        "https://b.com/x",
+                        "https://c.com/y",
+                        "https://a.com/self",
+                        "mailto:nobody",
+                    ],
+                    ["https://c.com/z", "https://c.com/z2"],  # dup edge
+                    ["https://a.com/home"],
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+
+
+def test_pagerank_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    edges = host_edges(ray.data.from_arrow(_tiny_extracted()))
+    e = edges.to_pandas().sort_values(["src", "dst"], ignore_index=True)
+    assert list(zip(e.src, e.dst)) == [
+        ("a.com", "b.com"),
+        ("a.com", "c.com"),
+        ("b.com", "c.com"),
+        ("c.com", "a.com"),
+    ]
+    assert dict(zip(e.src, e.outdeg))["a.com"] == 2
+
+    got = (
+        pagerank_hosts(edges, iters=2)
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    # r1: a=1_000_000, b=575_000, c=1_425_000
+    # r2: a=150000+85*1425000//100, b=575000, c=150000+85*(500000+575000)//100
+    assert got["a.com"] == 1_361_250
+    assert got["b.com"] == 575_000
+    assert got["c.com"] == 1_063_750
+
+
+def test_components_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        connected_components,
+        host_edges,
+    )
+
+    # graph: {a,b,c} strongly linked; add an isolated pair d→e
+    tbl = pa.table(
+        {
+            "host": pa.array(
+                ["a.com", "b.com", "c.com", "d.com"], pa.string()
+            ),
+            "out_links": pa.array(
+                [
+                    ["https://b.com/x", "https://c.com/y"],
+                    ["https://c.com/z"],
+                    ["https://a.com/home"],
+                    ["https://e.com/only"],
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    got = (
+        connected_components(host_edges(ray.data.from_arrow(tbl)))
+        .to_pandas()
+        .set_index("host")["component"]
+    )
+    assert got["a.com"] == got["b.com"] == got["c.com"] == "a.com"
+    assert got["d.com"] == got["e.com"] == "d.com"
+    assert len(got) == 5
+
+
+def test_components_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_pages
+    from crawler_ai_ray.stages.linkgraph import (
+        connected_components,
+        host_edges,
+    )
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    ex = extract_pages(pages).select_columns(["host", "out_links"])
+    a = (
+        connected_components(host_edges(ex, num_buckets=64))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    b = (
+        connected_components(
+            host_edges(ex.repartition(7), num_buckets=16), num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+    # every component label is itself a member host with that label
+    lab = dict(zip(a.host, a.component))
+    assert all(lab[c] == c for c in set(a.component))
+
+
+def test_pagerank_partition_and_bucket_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_pages
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    ex = extract_pages(pages).select_columns(["host", "out_links"])
+
+    a = (
+        pagerank_hosts(host_edges(ex, num_buckets=64), iters=3)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    b = (
+        pagerank_hosts(
+            host_edges(ex.repartition(5), num_buckets=16),
+            iters=3,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    # integer arithmetic ⇒ EXACT equality, not approx
+    assert a.equals(b)
+    assert len(a) > 0
