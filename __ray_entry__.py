@@ -1082,6 +1082,19 @@ def _q_doc_dup_spans(sf_dir: str):
     )
 
 
+def _q_doc_segment_dedup(sf_dir: str):
+    """CCNet-style paragraph-level dedup at fixed 20-word-window
+    granularity: drop every segment occurrence duplicating an earlier
+    one corpus-wide, reassemble surviving text per doc.  Text never
+    shuffles — only skinny hash rows do, and the drop-key set is
+    broadcast for a map-side anti-filter."""
+    from crawler_ai_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -1676,6 +1689,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_dup_spans": _q_doc_dup_spans,
+        "doc_segment_dedup": _q_doc_segment_dedup,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1723,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
+        "doc_segment_dedup",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2543,6 +2558,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked, ps
             WHERE rn >= greatest(1.0, ceil(p * n))
             GROUP BY 1, 2""",
+        # segment dedup oracle compares segment STRINGS (the engine
+        # ships 64-bit hashes), so a hash collision would be caught
+        # here; key arithmetic (doc_id·2^21 + seg_idx) mirrors the
+        # engine's packed first-occurrence key exactly.
+        "doc_segment_dedup": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            segs AS (
+              SELECT doc_id, (i - 1) // 20 AS seg_idx,
+                     string_agg(word, ' ' ORDER BY i) AS seg
+              FROM w GROUP BY doc_id, (i - 1) // 20),
+            firsts AS (
+              SELECT seg, min(doc_id * 2097152 + seg_idx) AS k
+              FROM segs GROUP BY seg),
+            marked AS (
+              SELECT s.doc_id, s.seg_idx, s.seg,
+                     (s.doc_id * 2097152 + s.seg_idx <> f.k) AS dropped
+              FROM segs s JOIN firsts f ON f.seg = s.seg)
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN NOT dropped THEN seg END, ' '
+                     ORDER BY seg_idx), '') AS clean_text,
+                   count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dropped
+            FROM marked GROUP BY doc_id""",
         "doc_dup_spans": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t

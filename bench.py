@@ -172,6 +172,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_length_quantiles",
         "crawl_host_pagerank",
         "crawl_host_components",
+        "doc_segment_dedup",
     ]
     qs = entrymod.queries()
     out = {}

@@ -54,6 +54,8 @@ __all__ = [
     "decontaminate",
     "dup_ngram_rows_batch",
     "dup_span_stats",
+    "segment_rows_batch",
+    "segment_dedup",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
 ]
@@ -1168,3 +1170,156 @@ def dup_span_stats(
         .groupby("dbucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+_SEG_SHIFT = 21  # seg_idx < 2^21 per doc; doc_id < 2^42 → key fits int64
+
+
+def segment_rows_batch(
+    batch: pa.Table, seg_words: int = 20, text_col: str = "text"
+) -> pa.Table:
+    """doc → one skinny row per fixed ``seg_words``-word segment:
+    (doc_id, seg_idx, seg_h u64).  Segmentation is ``text.split(' ')``
+    chunked non-overlapping — deterministic and exactly reproducible by
+    SQL ``string_split(text, ' ')`` + ``(i-1)//seg_words`` (CCNet,
+    arXiv:1911.00359, dedups paragraphs; the synthetic corpus has no
+    newlines, so fixed word windows stand in for paragraph boundaries).
+    Only the 64-bit blake2b hash of the segment leaves the task."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id: list[int] = []
+    out_idx: list[int] = []
+    out_h: list[int] = []
+    for i, t in zip(ids, texts):
+        words = (t or "").split(" ")
+        for s in range(0, len(words), seg_words):
+            out_id.append(i)
+            out_idx.append(s // seg_words)
+            out_h.append(_seg_h64(" ".join(words[s : s + seg_words])))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "seg_idx": pa.array(out_idx, pa.int32()),
+            "seg_h": pa.array(
+                np.array(out_h, dtype=np.uint64), pa.uint64()
+            ),
+        }
+    )
+
+
+def _seg_h64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def segment_dedup(
+    ds,
+    seg_words: int = 20,
+    num_buckets: int = 512,
+    text_col: str = "text",
+):
+    """documents → (doc_id, clean_text, n_segments, n_dropped): remove
+    every segment occurrence that duplicates an EARLIER occurrence
+    (first = min (doc_id, seg_idx)) of the same segment text anywhere
+    in the corpus, and reassemble each doc from its surviving segments
+    — CCNet-style paragraph-level dedup (arXiv:1911.00359 §3) at fixed
+    word-window granularity.
+
+    Scale shape — the corpus text is never shuffled:
+    1. ``map_batches`` doc → skinny (doc_id, seg_idx, seg_h) rows.
+    2. first-occurrence per segment inside ``seg_h % num_buckets``
+       groups (a segment's rows all land in one bucket, so the global
+       min key is exact); each bucket emits only its DROP keys
+       (non-first occurrences), packed as ``doc_id<<21 | seg_idx``.
+    3. the drop-key set is tree-collected and broadcast via ``ray.put``
+       (sorted u64 array), and one more streaming pass over the docs
+       anti-filters segments by ``searchsorted`` membership and rejoins
+       the survivors in order.
+    The broadcast boundary: drop keys are 8 B per DUPLICATED segment
+    occurrence — ~10⁹ dropped segments ≈ 8 GB plasma, fine; a far
+    dirtier corpus should instead shuffle (doc_id-bucketed) the skinny
+    drop rows against a doc_id-bucketed text pass, trading one
+    corpus-wide text exchange for the broadcast.  Hash collisions can
+    only FALSELY drop a segment (P ≈ n²/2⁶⁵ — ~1e-10 at 10⁶ distinct
+    segments, the `ngram_pairs_jaccard` argument); the DuckDB oracle
+    compares segment STRINGS, so the correctness gate would catch one.
+    """
+    import ray
+
+    rows = ds.map_batches(
+        lambda b: segment_rows_batch(b, seg_words, text_col),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["seg_h"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def drop_keys(group: pa.Table) -> pa.Table:
+        h = group["seg_h"].to_numpy(zero_copy_only=False)
+        key = (
+            group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            << np.uint64(_SEG_SHIFT)
+        ) | group["seg_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((key, h))
+        hs, ks = h[order], key[order]
+        first = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            first[0] = True
+            np.not_equal(hs[1:], hs[:-1], out=first[1:])
+        return pa.table({"k": pa.array(ks[~first], pa.uint64())})
+
+    dropped = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(drop_keys, batch_format="pyarrow")
+    )
+    parts = [
+        t["k"].to_numpy(zero_copy_only=False)
+        for t in ray.get(dropped.to_arrow_refs())
+        if t.num_rows
+    ]
+    drop = np.sort(np.concatenate(parts)) if parts else np.zeros(
+        0, dtype=np.uint64
+    )
+    d_ref = ray.put(drop)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        dk = ray.get(d_ref)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[text_col].to_pylist()
+        clean: list[str] = []
+        nseg: list[int] = []
+        ndrop: list[int] = []
+        for i, t in zip(ids, texts):
+            words = (t or "").split(" ")
+            segs = [
+                " ".join(words[s : s + seg_words])
+                for s in range(0, len(words), seg_words)
+            ]
+            keys = (np.uint64(i) << np.uint64(_SEG_SHIFT)) | np.arange(
+                len(segs), dtype=np.uint64
+            )
+            idx = np.searchsorted(dk, keys)
+            hit = (idx < len(dk)) & (dk[np.minimum(idx, len(dk) - 1)] == keys) if len(dk) else np.zeros(len(segs), dtype=bool)
+            clean.append(" ".join(s for s, d in zip(segs, hit) if not d))
+            nseg.append(len(segs))
+            ndrop.append(int(hit.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "n_dropped": pa.array(ndrop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

@@ -1032,3 +1032,55 @@ def test_semantic_dedup_global_partition_invariant(ray_session):
         emb.repartition(9), nlist=1, threshold=0.45
     ).to_pandas()
     assert_frames_equal(a, b)
+
+
+def test_segment_dedup_planted_and_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(20))
+    seg_b = " ".join(f"b{i}" for i in range(20))
+    tail = "unique tail words"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{seg_a} {seg_b}",        # first occurrences
+                    f"{seg_b} {tail}",          # seg_b dup → dropped
+                    f"{seg_a} {seg_a} other tail",  # both copies dropped
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        segment_dedup(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "clean_text"] == f"{seg_a} {seg_b}"
+    assert got.loc[1, "n_dropped"] == 0
+    # doc 2: seg_b (idx 0) dropped, partial tail segment survives
+    assert got.loc[2, "clean_text"] == tail
+    assert got.loc[2, "n_dropped"] == 1
+    # doc 3: both seg_a copies dropped (first lives in doc 1)
+    assert got.loc[3, "clean_text"] == "other tail"
+    assert got.loc[3, "n_dropped"] == 2
+    assert got.loc[3, "n_segments"] == 3
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        segment_dedup(docs)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        segment_dedup(docs.repartition(7), num_buckets=32)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
