@@ -1095,6 +1095,35 @@ def _q_doc_segment_dedup(sf_dir: str):
     )
 
 
+_SEARCH_TERMS = ["spark", "window", "vector", "merge"]
+
+
+def _q_doc_search_tfidf(sf_dir: str):
+    """Integer-exact TF-IDF top-20 (idf = N·10⁶ // df): two streaming
+    passes, combiner-sized partials, per-batch top-k, driver merge —
+    no shuffle.  All-int scores ⇒ bit-exact DuckDB oracle."""
+    from crawler_ai_ray.stages.search import tfidf_topk
+
+    return tfidf_topk(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _SEARCH_TERMS,
+        k=20,
+    )
+
+
+def _q_doc_search_bm25(sf_dir: str):
+    """Lucene-BM25 top-20 returned as RANKS (k1=1.2, b=0.75): float
+    scoring in fixed term order, integer rank output so a 1-ulp ln()
+    difference between numpy and DuckDB can't break the compare."""
+    from crawler_ai_ray.stages.search import bm25_topk
+
+    return bm25_topk(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _SEARCH_TERMS,
+        k=20,
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -1690,6 +1719,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_segment_dedup": _q_doc_segment_dedup,
+        "doc_search_tfidf": _q_doc_search_tfidf,
+        "doc_search_bm25": _q_doc_search_bm25,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1737,7 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
-        "doc_segment_dedup",
+        "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -1846,6 +1877,60 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.host, und.b FROM reach
           JOIN und ON und.a = reach.r)
         SELECT host, min(r) AS component FROM reach GROUP BY host"""
+
+    # search oracles: df/tf/dl recomputed in SQL with the same RE2
+    # patterns the engine's pyarrow kernels use (both are RE2 — counts
+    # agree exactly).  TF-IDF is all-integer ⇒ bit-exact scores; BM25
+    # mirrors the engine's float expression shape term-by-term (same
+    # literals, same association) and compares RANKS only.
+    _terms = ["spark", "window", "vector", "merge"]
+    _dfs = ", ".join(
+        f"count(*) FILTER (WHERE regexp_matches(lower(text), "
+        f"'\\b{t}\\b'))::BIGINT AS df{i}"
+        for i, t in enumerate(_terms)
+    )
+    _tfs = ", ".join(
+        f"len(regexp_extract_all(lower(d.text), '\\b{t}\\b'))::BIGINT"
+        f" AS tf{i}"
+        for i, t in enumerate(_terms)
+    )
+    _int_score = " + ".join(
+        f"tf{i} * (CASE WHEN s.df{i} > 0 THEN (s.n * 1000000) // s.df{i}"
+        f" ELSE 0 END)"
+        for i in range(len(_terms))
+    )
+    tfidf_sql = f"""
+        WITH s AS (SELECT count(*)::BIGINT AS n, {_dfs} FROM documents),
+        tf AS (SELECT d.doc_id, {_tfs} FROM documents d),
+        scored AS (
+          SELECT tf.doc_id, ({_int_score}) AS score FROM tf, s)
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20"""
+    _bm_score = " + ".join(
+        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * (tf{i} * (1.2 + 1.0)) / (tf{i} + norm))"
+        for i in range(len(_terms))
+    )
+    bm25_sql = f"""
+        WITH s AS (SELECT count(*)::BIGINT AS n, {_dfs},
+                     sum(len(regexp_extract_all(lower(text),
+                         '\\S+')))::BIGINT AS tot
+                   FROM documents),
+        tf AS (SELECT d.doc_id, {_tfs},
+                 len(regexp_extract_all(lower(d.text), '\\S+'))::DOUBLE
+                   AS dl
+               FROM documents d),
+        scored AS (
+          SELECT tf.doc_id,
+                 ({_bm_score}) AS score
+          FROM tf, s,
+               LATERAL (SELECT 1.2 * (1.0 - 0.75 + 0.75 *
+                          (tf.dl / (s.tot::DOUBLE / s.n))) AS norm) x)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                 AS rank,
+               doc_id
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20"""
 
     # fetch-outcome oracle: an INDEPENDENT SQL replay of the reference
     # retry loop (crawler.py:156-288) + error taxonomy (:424-446) over
@@ -2562,6 +2647,8 @@ def oracle_sql() -> dict[str, str]:
         # ships 64-bit hashes), so a hash collision would be caught
         # here; key arithmetic (doc_id·2^21 + seg_idx) mirrors the
         # engine's packed first-occurrence key exactly.
+        "doc_search_tfidf": tfidf_sql,
+        "doc_search_bm25": bm25_sql,
         "doc_segment_dedup": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -173,6 +173,7 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_pagerank",
         "crawl_host_components",
         "doc_segment_dedup",
+        "doc_search_tfidf",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1084,3 +1084,54 @@ def test_segment_dedup_planted_and_partition_invariant(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_search_topk_planted_and_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.search import (
+        bm25_topk,
+        corpus_term_stats,
+        tfidf_topk,
+    )
+
+    filler = " ".join(["pad"] * 30)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark spark spark " + filler,  # heavy on one term
+                    "spark window " + filler,       # two distinct terms
+                    filler,                          # no query terms
+                    "window " + filler,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    n, df, tot = corpus_term_stats(ds, ["spark", "window"])
+    assert (n, tot) == (4, 33 + 32 + 30 + 31)
+    assert list(df) == [2, 2]
+
+    got = tfidf_topk(ds, ["spark", "window"], k=3).to_pydict()
+    # idf = 4*1e6 // 2 = 2e6 for both terms; scores: d1=6e6, d2=4e6, d4=2e6
+    assert got["doc_id"] == [1, 2, 4]
+    assert got["score"] == [6_000_000, 4_000_000, 2_000_000]
+
+    bm = bm25_topk(ds, ["spark", "window"], k=4).to_pydict()
+    assert bm["doc_id"][0] in (1, 2)  # saturated tf vs two terms
+    assert 3 not in bm["doc_id"]      # zero-score doc excluded
+    assert bm["rank"] == list(range(1, len(bm["doc_id"]) + 1))
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    terms = ["spark", "window", "vector", "merge"]
+    a = tfidf_topk(docs, terms, k=20).to_pydict()
+    b = tfidf_topk(docs.repartition(7), terms, k=20).to_pydict()
+    assert a == b
+    ra = bm25_topk(docs, terms, k=20).to_pydict()
+    rb = bm25_topk(docs.repartition(5), terms, k=20).to_pydict()
+    assert ra == rb
