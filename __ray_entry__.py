@@ -1748,6 +1748,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _rel("top_customers"),
         "supplier_by_region": _rel("supplier_by_region"),
         "lineitem_part_revenue": _rel("lineitem_part_revenue"),
+        "tpch_q3_unshipped": _rel("q3_unshipped"),
         # multimodal plumbing (stub decode; rows-only)
         "mm_image_features": _q_mm_image,
         "mm_audio_features": _q_mm_audio,
@@ -1769,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
+        "tpch_q3_unshipped",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2993,4 +2995,17 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT))::BIGINT AS revenue_cents
             FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1""",
+        "tpch_q3_unshipped": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+              sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT))::BIGINT AS revenue_cents
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
+            LIMIT 10""",
     }

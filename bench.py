@@ -174,6 +174,7 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_components",
         "doc_segment_dedup",
         "doc_search_tfidf",
+        "tpch_q3_unshipped",
     ]
     qs = entrymod.queries()
     out = {}

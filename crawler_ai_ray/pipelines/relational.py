@@ -37,6 +37,7 @@ __all__ = [
     "supplier_by_region",
     "hash_bucket_join",
     "lineitem_part_revenue",
+    "q3_unshipped",
     "events_hourly",
     "events_sessionize",
     "events_hopping",
@@ -468,6 +469,190 @@ def lineitem_part_revenue(sf_dir: str, num_buckets: int = 32):
 
 # ---------------------------------------------------------------------------
 # windowed + sessionized event aggregates
+def q3_unshipped(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 5_000_000,
+):
+    """TPC-H Q3 shape — top-k open orders by outstanding revenue for
+    one market segment: customer ⋈ orders ⋈ lineitem, three tables
+    joined on two different keys, → (o_orderkey, o_orderdate,
+    o_orderpriority, revenue_cents).
+
+    Two joins on two different keys, each picked by side shape:
+    1. orders(date < cutoff, columns pruned) ⋉ segment-filtered
+       customer KEYS on custkey — a semi-join whose build side is
+       keys-only (~1/5 of custkeys, 8 B each).  Below
+       ``broadcast_max_keys`` (decided from parquet METADATA row
+       counts, no extra pass) the key set is collected once, sorted,
+       ``ray.put`` and the filter runs map-side (`searchsorted`) — one
+       whole shuffle disappears.  Above it (≳5M keys ≈ 40 MB; TPC-H
+       SF≳170) it degrades to the bucketed ``hash_bucket_join``, the
+       honest all-to-all path.  Spark's autoBroadcastJoinThreshold
+       hybrid, made explicit.
+    2. result ⋈ lineitem(shipdate > cutoff) on orderkey — the fact
+       side pre-aggregates revenue per (batch, orderkey) before the
+       shuffle (distributive sum, n:1 join), and each bucket finishes
+       its orderkeys exactly (a key lives in one bucket), then keeps
+       only its LOCAL top-k, so ≤ buckets×k candidate rows reach the
+       driver-side final sort (house rule: no Ray sort on tiny sets).
+    Order: revenue desc, orderdate asc, orderkey asc — fully
+    deterministic tie-break, mirrored by the oracle."""
+    import ray
+    import ray.data
+
+    cutoff_ts = np.datetime64(cutoff, "us")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return pa.table({"o_custkey": t["c_custkey"]})
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(batch["o_orderdate"], pa.scalar(cutoff_ts))
+        )
+
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    if n_cust <= broadcast_max_keys:
+        key_blocks = [
+            t["o_custkey"].to_numpy(zero_copy_only=False)
+            for t in ray.get(
+                cust.map_batches(
+                    cust_keys, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        keyset = np.sort(np.concatenate(key_blocks)) if key_blocks else (
+            np.zeros(0, dtype=np.int64)
+        )
+        k_ref = ray.put(keyset)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            ks = ray.get(k_ref)
+            batch = ord_prep(batch)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, ck)
+            hit = (
+                (idx < len(ks)) & (ks[np.minimum(idx, max(len(ks) - 1, 0))] == ck)
+                if len(ks)
+                else np.zeros(len(ck), dtype=bool)
+            )
+            return batch.filter(pa.array(hit)).select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            )
+
+        open_orders = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        open_orders = hash_bucket_join(
+            orders.map_batches(ord_prep, batch_format="pyarrow"),
+            cust.map_batches(cust_keys, batch_format="pyarrow"),
+            on="o_custkey",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: b.select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(cutoff_ts))
+        )
+        ep = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        t = pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "revenue_cents": cents(
+                    pc.multiply(ep, pc.subtract(1.0, disc))
+                ),
+            }
+        )
+        agg = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return agg.rename_columns(["o_orderkey", "revenue_cents"])
+
+    def bucket_topk(joined: pa.Table) -> pa.Table:
+        agg = joined.group_by(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).aggregate([("revenue_cents", "sum")])
+        return (
+            agg.rename_columns(
+                [
+                    "o_orderkey",
+                    "o_orderdate",
+                    "o_orderpriority",
+                    "revenue_cents",
+                ]
+            )
+            .sort_by(
+                [
+                    ("revenue_cents", "descending"),
+                    ("o_orderdate", "ascending"),
+                    ("o_orderkey", "ascending"),
+                ]
+            )
+            .slice(0, k)
+        )
+
+    cand = hash_bucket_join(
+        open_orders,
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        on="o_orderkey",
+        num_buckets=num_buckets,
+        bucket_postprocess=bucket_topk,
+    )
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    out = (
+        pa.concat_tables(blocks)
+        .sort_by(
+            [
+                ("revenue_cents", "descending"),
+                ("o_orderdate", "ascending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        .slice(0, k)
+    )
+    # Arrow group_by keys may round-trip timestamp precision; pin [us]
+    return out.set_column(
+        1,
+        "o_orderdate",
+        pc.cast(out["o_orderdate"], pa.timestamp("us")),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def events_hourly(sf_dir: str):

@@ -187,3 +187,15 @@ def test_hash_bucket_join_generic(duck):
         ora[["l_partkey", "l_quantity", "p_brand"]],
         check_dtype=False,
     )
+
+
+def test_q3_broadcast_and_bucketed_paths_agree(ray_session):
+    from crawler_ai_ray.pipelines.relational import q3_unshipped
+
+    a = q3_unshipped(SF)  # broadcast semi-join path (small customer)
+    b = q3_unshipped(SF, broadcast_max_keys=0)  # forced bucketed path
+    assert a.equals(b)
+    assert a.num_rows == 10
+    # revenue is descending with deterministic tie-break
+    rev = a["revenue_cents"].to_pylist()
+    assert rev == sorted(rev, reverse=True)
