@@ -1749,6 +1749,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_region": _rel("supplier_by_region"),
         "lineitem_part_revenue": _rel("lineitem_part_revenue"),
         "tpch_q3_unshipped": _rel("q3_unshipped"),
+        "tpch_q5_region_volume": _rel("q5_local_supplier_volume"),
         # multimodal plumbing (stub decode; rows-only)
         "mm_image_features": _q_mm_image,
         "mm_audio_features": _q_mm_audio,
@@ -1770,7 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
-        "tpch_q3_unshipped",
+        "tpch_q3_unshipped", "tpch_q5_region_volume",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -3008,4 +3009,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
             LIMIT 10""",
+        "tpch_q5_region_volume": """
+            SELECT n_name,
+              sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT))::BIGINT AS revenue_cents
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1
+            ORDER BY revenue_cents DESC, n_name""",
     }

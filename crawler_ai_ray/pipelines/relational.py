@@ -38,6 +38,7 @@ __all__ = [
     "hash_bucket_join",
     "lineitem_part_revenue",
     "q3_unshipped",
+    "q5_local_supplier_volume",
     "events_hourly",
     "events_sessionize",
     "events_hopping",
@@ -651,6 +652,219 @@ def q3_unshipped(
         "o_orderdate",
         pc.cast(out["o_orderdate"], pa.timestamp("us")),
     )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1999-01-01",
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 5_000_000,
+):
+    """TPC-H Q5 shape — revenue by nation where customer and supplier
+    share the nation: six tables, → (n_name, revenue_cents) desc.
+
+    Join strategy by side shape (SURVEY §2.5 patterns composed):
+    * region ⋈ nation resolve DRIVER-side (≤25 rows) into a
+      nationkey→name map for the target region.
+    * customer (region-filtered) reduces to a custkey→nationkey pair
+      list — keys-only; broadcast sorted-array lookup under
+      ``broadcast_max_keys`` (same hybrid + threshold as
+      ``q3_unshipped``), so orders tag their customer's nation
+      map-side and the whole customer join costs no shuffle.
+    * supplier reduces to a suppkey→nationkey map, broadcast the same
+      way (supplier is 10× smaller than customer in TPC-H).
+    * orders(date-ranged) ⋈ lineitem on orderkey is the one real
+      all-to-all: ``hash_bucket_join`` with the lineitem side
+      pre-reduced to (orderkey, suppkey, revenue_cents) partials, and
+      the c_nation = s_nation predicate + per-nation rollup applied
+      INSIDE each bucket task, so only O(buckets × 5 nations) partial
+      rows ever leave the join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cut_lo = np.datetime64(date_from, "us")
+    cut_hi = np.datetime64(date_to, "us")
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {
+        n: k
+        for k, n in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+    }[region]
+    nmask = pc.equal(nation["n_regionkey"], rkey)
+    nat = nation.filter(nmask)
+    nat_keys = np.sort(
+        nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    # nationkey → name, as aligned arrays for vectorized take
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nk)
+    name_by_nation = (nk[order], nat["n_name"].take(pa.array(order)))
+
+    def _kv_broadcast(ds, key_col: str, val_col: str):
+        """collect a keys+values pair list driver-side, sorted by key
+        (combiner-sized under the threshold guard), → ray.put ref."""
+        ks, vs = [], []
+        for t in ray.get(ds.to_arrow_refs()):
+            if t.num_rows:
+                ks.append(
+                    t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                vs.append(
+                    t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        if not ks:
+            return ray.put(
+                (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
+        k = np.concatenate(ks)
+        v = np.concatenate(vs)
+        o = np.argsort(k)
+        return ray.put((k[o], v[o]))
+
+    n_cust = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    if n_cust > broadcast_max_keys:
+        raise NotImplementedError(
+            "q5 above the broadcast threshold needs the bucketed "
+            "customer path of q3_unshipped; raise broadcast_max_keys "
+            "or add a custkey-bucketed first join"
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=pa.array(nat_keys))
+        ),
+        batch_format="pyarrow",
+    )
+    c_ref = _kv_broadcast(cust, "c_custkey", "c_nationkey")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    s_ref = _kv_broadcast(sup, "s_suppkey", "s_nationkey")
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_tag(batch: pa.Table) -> pa.Table:
+        ck, cv = ray.get(c_ref)
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], pa.scalar(cut_lo)),
+                pc.less(batch["o_orderdate"], pa.scalar(cut_hi)),
+            )
+        )
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ck, oc)
+        hit = (
+            (idx < len(ck)) & (ck[np.minimum(idx, max(len(ck) - 1, 0))] == oc)
+            if len(ck)
+            else np.zeros(len(oc), dtype=bool)
+        )
+        kept = batch.filter(pa.array(hit))
+        nk = cv[
+            np.searchsorted(
+                ck, kept["o_custkey"].to_numpy(zero_copy_only=False)
+            )
+        ]
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"],
+                "c_nation": pa.array(nk, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ep = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        t = pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "revenue_cents": cents(
+                    pc.multiply(ep, pc.subtract(1.0, disc))
+                ),
+            }
+        )
+        agg = t.group_by(["o_orderkey", "l_suppkey"]).aggregate(
+            [("revenue_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["o_orderkey", "l_suppkey", "revenue_cents"]
+        )
+
+    def nation_partial(joined: pa.Table) -> pa.Table:
+        sk, sv = ray.get(s_ref)
+        supp = joined["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sk, supp)
+        ok = (
+            (idx < len(sk))
+            & (sk[np.minimum(idx, max(len(sk) - 1, 0))] == supp)
+            if len(sk)
+            else np.zeros(len(supp), dtype=bool)
+        )
+        s_nat = np.where(ok, sv[np.minimum(idx, max(len(sk) - 1, 0))], -1)
+        c_nat = joined["c_nation"].to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        t = pa.table(
+            {
+                "nation": pa.array(c_nat[keep], pa.int64()),
+                "revenue_cents": pc.cast(
+                    joined["revenue_cents"], pa.int64()
+                ).filter(pa.array(keep)),
+            }
+        )
+        agg = t.group_by("nation").aggregate([("revenue_cents", "sum")])
+        return agg.rename_columns(["nation", "revenue_cents"])
+
+    partials = hash_bucket_join(
+        orders.map_batches(ord_tag, batch_format="pyarrow"),
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        on="o_orderkey",
+        num_buckets=num_buckets,
+        bucket_postprocess=nation_partial,
+    )
+    blocks = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    tiny = (
+        pa.concat_tables(blocks)
+        .group_by("nation")
+        .aggregate([("revenue_cents", "sum")])
+    )
+    nats = tiny["nation"].to_numpy(zero_copy_only=False)
+    names = name_by_nation[1].take(
+        pa.array(np.searchsorted(name_by_nation[0], nats))
+    )
+    out = pa.table(
+        {
+            "n_name": names,
+            "revenue_cents": pc.cast(
+                tiny["revenue_cents_sum"], pa.int64()
+            ),
+        }
+    ).sort_by([("revenue_cents", "descending"), ("n_name", "ascending")])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,25 @@ def test_q3_broadcast_and_bucketed_paths_agree(ray_session):
     # revenue is descending with deterministic tie-break
     rev = a["revenue_cents"].to_pylist()
     assert rev == sorted(rev, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import q5_local_supplier_volume
+
+    eng = q5_local_supplier_volume(SF).to_pandas()
+    ora = duck.sql("""
+      SELECT n_name,
+        sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))
+          ::BIGINT revenue_cents
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1""").df()
+    assert_frames_equal(eng, ora)
