@@ -155,7 +155,16 @@ def _q_crawl_host_pagerank(sf_dir: str):
     the host-level equivalent with every snapshot)."""
     from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
 
-    return pagerank_hosts(host_edges(_extracted(sf_dir)))
+    return pagerank_hosts(host_edges(_link_pages(sf_dir)))
+
+
+def _link_pages(sf_dir: str):
+    """pages → (host, out_links) via the link-only extraction (same
+    parse + link semantics as extract_pages, ~2.8× cheaper — graph
+    queries touch the corpus for links alone)."""
+    from crawler_ai_ray.stages.extract import extract_links
+
+    return extract_links(_pages(sf_dir, columns=["url", "html"]))
 
 
 def _q_crawl_host_components(sf_dir: str):
@@ -168,7 +177,16 @@ def _q_crawl_host_components(sf_dir: str):
         host_edges,
     )
 
-    return connected_components(host_edges(_extracted(sf_dir)))
+    return connected_components(host_edges(_link_pages(sf_dir)))
+
+
+def _q_crawl_host_degrees(sf_dir: str):
+    """Per-host in/out degree over the distinct host link graph — the
+    first-look centrality/skew profile (combiner pass + one
+    vertex-bucketed shuffle)."""
+    from crawler_ai_ray.stages.linkgraph import host_degrees, host_edges
+
+    return host_degrees(host_edges(_link_pages(sf_dir)))
 
 
 def _q_crawl_career_confidence(sf_dir: str):
@@ -1124,6 +1142,18 @@ def _q_doc_search_bm25(sf_dir: str):
     )
 
 
+def _q_doc_mix_weights(sf_dir: str):
+    """Per-language sampling weights toward a uniform target mix
+    (weight = target_share / actual token share) — the multilingual
+    rebalance knob.  One streaming pass, ≤|langs| combiner rows per
+    batch, no shuffle; all-integer ppm/micros outputs."""
+    from crawler_ai_ray.stages.textstats import mix_weights
+
+    return mix_weights(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -1658,6 +1688,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_components": _q_crawl_host_components,
+        "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
         "crawl_job_url_flags": _q_crawl_job_url_flags,
@@ -1721,6 +1752,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_dedup": _q_doc_segment_dedup,
         "doc_search_tfidf": _q_doc_search_tfidf,
         "doc_search_bm25": _q_doc_search_bm25,
+        "doc_mix_weights": _q_doc_mix_weights,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1770,8 +1802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
+        "crawl_host_degrees",
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
         "tpch_q3_unshipped", "tpch_q5_region_volume",
+        "doc_mix_weights",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -1880,6 +1914,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.host, und.b FROM reach
           JOIN und ON und.a = reach.r)
         SELECT host, min(r) AS component FROM reach GROUP BY host"""
+
+    degrees_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        outd AS (SELECT src AS host, count(*)::BIGINT AS d
+                 FROM edges GROUP BY 1),
+        ind AS (SELECT dst AS host, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges)
+        SELECT h.host, COALESCE(o.d, 0)::BIGINT AS out_degree,
+               COALESCE(i.d, 0)::BIGINT AS in_degree
+        FROM hosts h
+        LEFT JOIN outd o ON o.host = h.host
+        LEFT JOIN ind i ON i.host = h.host"""
 
     # search oracles: df/tf/dl recomputed in SQL with the same RE2
     # patterns the engine's pyarrow kernels use (both are RE2 — counts
@@ -2321,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_components": components_sql,
+        "crawl_host_degrees": degrees_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "
             "m11_is_career_page AS is_career_page, "
@@ -2652,6 +2708,22 @@ def oracle_sql() -> dict[str, str]:
         # engine's packed first-occurrence key exactly.
         "doc_search_tfidf": tfidf_sql,
         "doc_search_bm25": bm25_sql,
+        # integer mix-weight arithmetic evaluated with Python bigints
+        # on the engine side; the SQL products stay under int64 at
+        # test scale (HUGEINT promotion would kick in far beyond it)
+        "doc_mix_weights": """
+            WITH s AS (
+              SELECT lang, count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS t,
+                           count(*)::BIGINT AS nl FROM s)
+            SELECT lang, n_docs, n_tokens,
+                   ((n_tokens * 1000000) // t)::BIGINT AS actual_ppm,
+                   (((1000000 // nl) * t) // n_tokens)::BIGINT
+                     AS weight_micros
+            FROM s, tot""",
         "doc_segment_dedup": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word,

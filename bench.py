@@ -175,6 +175,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_segment_dedup",
         "doc_search_tfidf",
         "tpch_q3_unshipped",
+        "crawl_host_degrees",
     ]
     qs = entrymod.queries()
     out = {}

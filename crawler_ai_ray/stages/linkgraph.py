@@ -48,6 +48,7 @@ __all__ = [
     "host_verts",
     "pagerank_hosts",
     "connected_components",
+    "host_degrees",
 ]
 
 
@@ -133,6 +134,14 @@ def host_verts(edges, num_buckets: int = 64):
     globally unique."""
 
     def vert_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                    "vbucket": pa.array([], pa.int32()),
+                }
+            )
         hs = list(
             zip(
                 batch["src"].to_pylist(),
@@ -192,11 +201,13 @@ def pagerank_hosts(
     verts = host_verts(edges, num_buckets)
     # the skinny vertex state: sorted u64 keys + int64 ranks (driver/
     # plasma-sized by design — see module docstring for the boundary)
-    vparts = ray.get(verts.to_arrow_refs())
+    vparts = [p for p in ray.get(verts.to_arrow_refs()) if p.num_rows]
     keys = np.sort(
         np.concatenate(
             [p["h"].to_numpy(zero_copy_only=False) for p in vparts]
         )
+        if vparts
+        else [np.zeros(0, dtype=np.uint64)]
     )
     ranks = np.full(len(keys), scale, dtype=np.int64)
     base = scale * (100 - damping_pct) // 100
@@ -205,6 +216,13 @@ def pagerank_hosts(
         r_ref = ray.put((keys, ranks))
 
         def contrib(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return pa.table(
+                    {
+                        "dst_h": pa.array([], pa.uint64()),
+                        "part": pa.array([], pa.int64()),
+                    }
+                )
             k, r = ray.get(r_ref)
             sh = batch["src_h"].to_numpy(zero_copy_only=False)
             dh = batch["dst_h"].to_numpy(zero_copy_only=False)
@@ -247,6 +265,13 @@ def pagerank_hosts(
     r_ref = ray.put((keys, ranks))
 
     def name_ranks(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "rank_micros": pa.array([], pa.int64()),
+                }
+            )
         k, r = ray.get(r_ref)
         hh = batch["h"].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -279,6 +304,8 @@ def _forest(*tables: pa.Table) -> pa.Table:
     ea: list = []
     eb: list = []
     for t in tables:
+        if not t.num_rows:  # Ray emits schema-less empty blocks
+            continue
         for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
             if a not in parent:
                 parent[a] = a
@@ -318,6 +345,10 @@ def connected_components(edges, num_buckets: int = 64):
     merge_task = ray.remote(num_cpus=1)(_forest)
 
     def batch_forest(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
         return _forest(
             pa.table({"a": batch["src"], "b": batch["dst"]})
         )
@@ -369,6 +400,13 @@ def connected_components(edges, num_buckets: int = 64):
     l_ref = ray.put((keys, labels))
 
     def attach(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "component": pa.array([], pa.string()),
+                }
+            )
         k, lab = ray.get(l_ref)
         idx = np.searchsorted(
             k, batch["h"].to_numpy(zero_copy_only=False)
@@ -381,3 +419,83 @@ def connected_components(edges, num_buckets: int = 64):
         )
 
     return verts.map_batches(attach, batch_format="pyarrow")
+
+
+def host_degrees(edges, num_buckets: int = 64):
+    """distinct host edges → (host, out_degree, in_degree) over the
+    vertex universe — the first-look centrality/skew profile of a
+    crawl's link graph (and the sanity companion to `pagerank_hosts`).
+
+    One combiner pass + one vertex-bucketed shuffle: each edge batch
+    collapses to ≤2·|batch hosts| partial rows (src→out_part,
+    dst→in_part, Arrow hash-agg batch-locally), the shuffle key is
+    ``h % num_buckets`` (uniform blake2b hash — no skew), and each
+    bucket finishes its hosts exactly.  Output is vertex-sized."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "out_part": pa.array([], pa.int64()),
+                    "in_part": pa.array([], pa.int64()),
+                    "vbucket": pa.array([], pa.int32()),
+                }
+            )
+        n = batch.num_rows
+        ones = np.ones(n, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        t = pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch["src"].combine_chunks(),
+                        batch["dst"].combine_chunks(),
+                    ]
+                ),
+                "h": pa.concat_arrays(
+                    [
+                        batch["src_h"].combine_chunks(),
+                        batch["dst_h"].combine_chunks(),
+                    ]
+                ),
+                "out_part": pa.array(
+                    np.concatenate([ones, zeros]), pa.int64()
+                ),
+                "in_part": pa.array(
+                    np.concatenate([zeros, ones]), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by(["host", "h"]).aggregate(
+            [("out_part", "sum"), ("in_part", "sum")]
+        )
+        hh = agg["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": agg["host"],
+                "out_part": agg["out_part_sum"],
+                "in_part": agg["in_part_sum"],
+                "vbucket": pa.array(
+                    (hh % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        agg = group.group_by("host").aggregate(
+            [("out_part", "sum"), ("in_part", "sum")]
+        )
+        return pa.table(
+            {
+                "host": agg["host"],
+                "out_degree": agg["out_part_sum"],
+                "in_degree": agg["in_part_sum"],
+            }
+        )
+
+    return (
+        edges.map_batches(partials, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "repetition_batch",
     "distinctive_terms",
     "grouped_quantiles",
+    "mix_weights",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
@@ -785,5 +786,102 @@ def grouped_quantiles(
             key_col: pa.array(out_k, hist["k"].type),
             "p": pa.array(out_p, pa.float64()),
             "q_value": pa.array(out_q, pa.int64()),
+        }
+    )
+
+
+def mix_weights(ds, target_ppm: dict[str, int] | None = None,
+                text_col: str = "text"):
+    """documents → (lang, n_docs, n_tokens, actual_ppm, weight_micros):
+    the per-language sampling weights that rebalance the corpus toward
+    a target language mix — the knob every multilingual training-data
+    recipe tunes (e.g. temperature-sampled mixes; weight =
+    target_share / actual_token_share, >1 ⇒ upsample).
+
+    ``target_ppm`` maps lang → parts-per-million of the target mix;
+    default is uniform over the OBSERVED languages (1e6 // n_langs —
+    integer, mirrored by the oracle).  All outputs are integers:
+    ``actual_ppm = n_tokens·10⁶ // total`` and ``weight_micros =
+    target_ppm·total // n_tokens``, evaluated driver-side with Python
+    arbitrary-precision ints (the product exceeds int64 around 10¹³
+    corpus tokens; the SQL mirror would need HUGEINT there).
+
+    Scale shape: one streaming pass; each batch collapses to ≤|langs|
+    combiner rows (Arrow group_by on lang, token counts via the same
+    vectorized RE2 kernel as ``token_stats_batch``), partials reduce
+    driver-side — languages are a tiny domain, so no Ray shuffle at
+    all (house rule: never shuffle a combiner-sized set)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": pc.cast(
+                    _count(batch[text_col], WS_TOKEN_RE), pa.int64()
+                ),
+                "n_docs": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by("lang").aggregate(
+            [("n_tokens", "sum"), ("n_docs", "sum")]
+        )
+        return agg.rename_columns(["lang", "n_tokens", "n_docs"])
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "actual_ppm": pa.array([], pa.int64()),
+                "weight_micros": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("lang")
+        .aggregate([("n_tokens", "sum"), ("n_docs", "sum")])
+    )
+    langs = agg["lang"].to_pylist()
+    toks = agg["n_tokens_sum"].to_pylist()
+    docs = agg["n_docs_sum"].to_pylist()
+    total = sum(toks)
+    if target_ppm is None:
+        u = 1_000_000 // len(langs)
+        target_ppm = {lg: u for lg in langs}
+    order = np.argsort(np.array(langs, dtype=object))
+    out = {
+        "lang": [],
+        "n_docs": [],
+        "n_tokens": [],
+        "actual_ppm": [],
+        "weight_micros": [],
+    }
+    for i in order:
+        lg, tk, nd = langs[i], toks[i], docs[i]
+        out["lang"].append(lg)
+        out["n_docs"].append(nd)
+        out["n_tokens"].append(tk)
+        out["actual_ppm"].append((tk * 1_000_000) // total if total else 0)
+        out["weight_micros"].append(
+            (target_ppm.get(lg, 0) * total) // tk if tk else 0
+        )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "actual_ppm": pa.array(out["actual_ppm"], pa.int64()),
+            "weight_micros": pa.array(out["weight_micros"], pa.int64()),
         }
     )

@@ -158,3 +158,44 @@ def test_pagerank_partition_and_bucket_invariant(ray_session):
     # integer arithmetic ⇒ EXACT equality, not approx
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_host_degrees_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_degrees, host_edges
+
+    got = (
+        host_degrees(host_edges(ray.data.from_arrow(_tiny_extracted())))
+        .to_pandas()
+        .set_index("host")
+    )
+    # edges: a→b, a→c, b→c, c→a
+    assert got.loc["a.com", "out_degree"] == 2
+    assert got.loc["a.com", "in_degree"] == 1
+    assert got.loc["c.com", "in_degree"] == 2
+    assert got.loc["c.com", "out_degree"] == 1
+
+
+def test_extract_links_matches_full_extraction(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_links, extract_pages
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    full = (
+        extract_pages(pages)
+        .select_columns(["url", "host", "out_links"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    lite = (
+        extract_links(pages.select_columns(["url", "html"]))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert full.equals(lite)

@@ -1135,3 +1135,31 @@ def test_search_topk_planted_and_partition_invariant(ray_session):
     ra = bm25_topk(docs, terms, k=20).to_pydict()
     rb = bm25_topk(docs.repartition(5), terms, k=20).to_pydict()
     assert ra == rb
+
+
+def test_mix_weights_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import mix_weights
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", "en", "vi"], pa.string()),
+            "text": pa.array(
+                ["one two three", "four five six seven", "tam chin"],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        mix_weights(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("lang")
+    )
+    # en: 7 tokens, vi: 2 tokens, total 9; uniform target = 500000 ppm
+    assert got.loc["en", "n_tokens"] == 7
+    assert got.loc["vi", "n_tokens"] == 2
+    assert got.loc["en", "actual_ppm"] == 7 * 1_000_000 // 9
+    assert got.loc["en", "weight_micros"] == 500_000 * 9 // 7
+    assert got.loc["vi", "weight_micros"] == 500_000 * 9 // 2  # upsample
