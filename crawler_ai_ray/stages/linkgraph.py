@@ -71,7 +71,8 @@ def _h64(s: str) -> int:
     )
 
 
-def host_edges(extracted_ds, num_buckets: int = 64):
+def host_edges(extracted_ds, num_buckets: int = 64,
+               driver_max_pairs: int = 2_000_000):
     """extracted pages (host, out_links) → distinct (src, dst, src_h,
     dst_h, outdeg) host edges, self-loops and host-less links dropped.
     Distinct + outdeg both happen inside ``src_h % num_buckets`` groups
@@ -120,8 +121,35 @@ def host_edges(extracted_ds, num_buckets: int = 64):
         out = v[np.searchsorted(k, sh)]
         return g.append_column("outdeg", pa.array(out, pa.int64()))
 
+    pre = extracted_ds.map_batches(rows, batch_format="pyarrow").materialize()
+    # adaptive finish (same exact semantics either way): the pre-distinct
+    # partials count is free from block metadata; below the threshold a
+    # Ray shuffle would move a tiny candidate set (house rule: don't) —
+    # finish the distinct + outdeg in one driver Arrow pass instead.
+    # Host-PAIR cardinality, not page count, drives this: ~2M distinct
+    # pairs ≈ 100 MB, fine on the driver; a 100 TB crawl blows past it
+    # and takes the bucketed path.
+    if pre.count() <= driver_max_pairs:
+        import ray
+        import ray.data
+
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([], pa.string()),
+                        "dst": pa.array([], pa.string()),
+                        "src_h": pa.array([], pa.uint64()),
+                        "dst_h": pa.array([], pa.uint64()),
+                        "outdeg": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        whole = bucket_distinct(pa.concat_tables(blocks))
+        return ray.data.from_arrow(whole)
     return (
-        extracted_ds.map_batches(rows, batch_format="pyarrow")
+        pre
         .groupby("bucket")
         .map_groups(bucket_distinct, batch_format="pyarrow")
     )
@@ -179,6 +207,58 @@ def host_verts(edges, num_buckets: int = 64):
     )
 
 
+def _collect_verts(edges):
+    """distinct (host, h64) pairs collected DRIVER-side: each edge
+    batch emits its batch-local distinct pairs (a combiner — no
+    shuffle), the driver np.unique-merges them.  Vertex-state-sized by
+    the module's declared boundary; replaces a full groupby shuffle
+    when the output is driver state anyway."""
+    import ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
+        t = pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch["src"].combine_chunks(),
+                        batch["dst"].combine_chunks(),
+                    ]
+                ),
+                "h": pa.concat_arrays(
+                    [
+                        batch["src_h"].combine_chunks(),
+                        batch["dst_h"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        return t.group_by(["host", "h"]).aggregate([])
+
+    parts = [
+        t
+        for t in ray.get(
+            edges.map_batches(pairs, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return [], np.zeros(0, dtype=np.uint64)
+    cat = pa.concat_tables(parts)
+    hh = cat["h"].to_numpy(zero_copy_only=False)
+    _, first = np.unique(hh, return_index=True)
+    hosts_arr = cat["host"].take(pa.array(np.sort(first)))
+    hh_u = hh[np.sort(first)]
+    order = np.argsort(hh_u)
+    return hosts_arr.take(pa.array(order)).to_pylist(), hh_u[order]
+
+
 def pagerank_hosts(
     edges,
     iters: int = 5,
@@ -198,17 +278,10 @@ def pagerank_hosts(
 
     edges = edges.materialize()  # iterated over `iters` times
     merge_task = ray.remote(num_cpus=1)(_merge_parts)
-    verts = host_verts(edges, num_buckets)
     # the skinny vertex state: sorted u64 keys + int64 ranks (driver/
-    # plasma-sized by design — see module docstring for the boundary)
-    vparts = [p for p in ray.get(verts.to_arrow_refs()) if p.num_rows]
-    keys = np.sort(
-        np.concatenate(
-            [p["h"].to_numpy(zero_copy_only=False) for p in vparts]
-        )
-        if vparts
-        else [np.zeros(0, dtype=np.uint64)]
-    )
+    # plasma-sized by design — see module docstring for the boundary);
+    # collected via per-batch distinct pairs, NOT a groupby shuffle
+    hosts, keys = _collect_verts(edges)
     ranks = np.full(len(keys), scale, dtype=np.int64)
     base = scale * (100 - damping_pct) // 100
 
@@ -247,12 +320,22 @@ def pagerank_hosts(
         part_refs = edges.map_batches(
             contrib, batch_format="pyarrow"
         ).to_arrow_refs()
-        while len(part_refs) > 1:
-            part_refs = [
-                merge_task.remote(*part_refs[i : i + _FAN])
-                for i in range(0, len(part_refs), _FAN)
+        # adaptive reduce: each partial is ≤|hosts| rows, so when
+        # blocks × |hosts| is small the driver merges in one Arrow
+        # hash-agg (2 fewer task rounds per iteration); the task tree
+        # takes over beyond ~5M partial rows
+        if len(part_refs) * max(len(keys), 1) <= 5_000_000:
+            live = [
+                t for t in ray.get(part_refs) if t.num_rows
             ]
-        merged = ray.get(part_refs[0]) if part_refs else None
+            merged = _merge_parts(*live) if live else None
+        else:
+            while len(part_refs) > 1:
+                part_refs = [
+                    merge_task.remote(*part_refs[i : i + _FAN])
+                    for i in range(0, len(part_refs), _FAN)
+                ]
+            merged = ray.get(part_refs[0]) if part_refs else None
         inbound = np.zeros(len(keys), dtype=np.int64)
         if merged is not None and merged.num_rows:
             idx = np.searchsorted(
@@ -261,29 +344,13 @@ def pagerank_hosts(
             inbound[idx] = merged["part"].to_numpy(zero_copy_only=False)
         ranks = base + (damping_pct * inbound) // 100
 
-    # re-attach host strings (verts is already distinct per host)
-    r_ref = ray.put((keys, ranks))
-
-    def name_ranks(batch: pa.Table) -> pa.Table:
-        if not batch.num_rows:
-            return pa.table(
-                {
-                    "host": pa.array([], pa.string()),
-                    "rank_micros": pa.array([], pa.int64()),
-                }
-            )
-        k, r = ray.get(r_ref)
-        hh = batch["h"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "host": batch["host"],
-                "rank_micros": pa.array(
-                    r[np.searchsorted(k, hh)], pa.int64()
-                ),
-            }
-        )
-
-    return verts.map_batches(name_ranks, batch_format="pyarrow")
+    # hosts are already aligned with keys — the result IS vertex state
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rank_micros": pa.array(ranks, pa.int64()),
+        }
+    )
 
 
 def _forest(*tables: pa.Table) -> pa.Table:
@@ -340,8 +407,6 @@ def connected_components(edges, num_buckets: int = 64):
     back over the vertex universe, never joined through a shuffle."""
     import ray
 
-    edges = edges.materialize()
-    verts = host_verts(edges, num_buckets)
     merge_task = ray.remote(num_cpus=1)(_forest)
 
     def batch_forest(batch: pa.Table) -> pa.Table:
@@ -390,35 +455,18 @@ def connected_components(edges, num_buckets: int = 64):
         if r not in label or h < label[r]:
             label[r] = h
 
-    hosts = list(parent)
-    hh = np.array([_h64(h) for h in hosts], dtype=np.uint64)
-    order = np.argsort(hh)
-    keys = hh[order]
-    labels = pa.array(
-        [label[find(hosts[i])] for i in order], pa.string()
+    # the forest's vertex set IS the host universe (every vertex's
+    # first edge emits a forest edge), so the vertex-sized output is
+    # built right here — no verts shuffle, no attach pass
+    hosts = sorted(parent)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "component": pa.array(
+                [label[find(h)] for h in hosts], pa.string()
+            ),
+        }
     )
-    l_ref = ray.put((keys, labels))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        if not batch.num_rows:
-            return pa.table(
-                {
-                    "host": pa.array([], pa.string()),
-                    "component": pa.array([], pa.string()),
-                }
-            )
-        k, lab = ray.get(l_ref)
-        idx = np.searchsorted(
-            k, batch["h"].to_numpy(zero_copy_only=False)
-        )
-        return pa.table(
-            {
-                "host": batch["host"],
-                "component": lab.take(pa.array(idx, pa.int64())),
-            }
-        )
-
-    return verts.map_batches(attach, batch_format="pyarrow")
 
 
 def host_degrees(edges, num_buckets: int = 64):
