@@ -1142,6 +1142,65 @@ def _q_doc_search_bm25(sf_dir: str):
     )
 
 
+def _q_doc_top_quality_per_lang(sf_dir: str):
+    """Grouped top-k: 3 highest-alpha-ratio docs per language (ratio
+    computed identically on both sides — same IEEE division, so float
+    ORDER BY agrees exactly; doc_id tie-break).  Per-batch top-k
+    combiner per lang → driver merge of ≤ batches·langs·k rows; no
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.stages.textstats import quality_batch
+
+    k = 3
+
+    def cand(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": q["doc_id"],
+                "alpha_ratio": q["alpha_ratio"],
+            }
+        )
+        out = []
+        for lg in pc.unique(t["lang"]).to_pylist():
+            g = t.filter(pc.equal(t["lang"], lg))
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            ar = g["alpha_ratio"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -ar))[:k]
+            out.append(g.take(pa.array(order)))
+        return pa.concat_tables(out) if out else t.slice(0, 0)
+
+    cands = [
+        t
+        for t in ray.get(
+            _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+            .map_batches(cand, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cat = pa.concat_tables(cands)
+    out = []
+    for lg in sorted(set(cat["lang"].to_pylist())):
+        g = cat.filter(pc.equal(cat["lang"], lg))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ar = g["alpha_ratio"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -ar))[:k]
+        top = g.take(pa.array(order))
+        out.append(
+            top.append_column(
+                "rank",
+                pa.array(np.arange(1, top.num_rows + 1), pa.int64()),
+            )
+        )
+    return pa.concat_tables(out)
+
+
 def _q_doc_mix_weights(sf_dir: str):
     """Per-language sampling weights toward a uniform target mix
     (weight = target_share / actual token share) — the multilingual
@@ -1753,6 +1812,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_tfidf": _q_doc_search_tfidf,
         "doc_search_bm25": _q_doc_search_bm25,
         "doc_mix_weights": _q_doc_mix_weights,
+        "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1771,6 +1831,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup_global": _q_emb_semantic_dedup_global,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
+        "events_daily_active": _rel("events_daily_active"),
+        "events_dau_hll": _rel("events_dau_hll"),
         "events_sessionize": _rel("events_sessionize"),
         "events_hopping": _rel("events_hopping"),
         "events_asof_join": _rel("events_asof_join"),
@@ -1805,7 +1867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_degrees",
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
         "tpch_q3_unshipped", "tpch_q5_region_volume",
-        "doc_mix_weights",
+        "doc_mix_weights", "events_daily_active", "events_dau_hll",
+        "doc_top_quality_per_lang",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2711,6 +2774,26 @@ def oracle_sql() -> dict[str, str]:
         # integer mix-weight arithmetic evaluated with Python bigints
         # on the engine side; the SQL products stay under int64 at
         # test scale (HUGEINT promotion would kick in far beyond it)
+        "events_daily_active": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_active
+            FROM events GROUP BY 1""",
+        "doc_top_quality_per_lang": """
+            WITH c AS (
+              SELECT doc_id, lang,
+                len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+                  AS n_alpha,
+                length(text)::BIGINT AS n_chars
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id,
+                n_alpha / GREATEST(n_chars, 1)::DOUBLE AS alpha_ratio,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY n_alpha / GREATEST(n_chars, 1)::DOUBLE DESC,
+                           doc_id)::BIGINT AS rank
+              FROM c)
+            SELECT lang, doc_id, alpha_ratio, rank
+            FROM r WHERE rank <= 3""",
         "doc_mix_weights": """
             WITH s AS (
               SELECT lang, count(*)::BIGINT AS n_docs,

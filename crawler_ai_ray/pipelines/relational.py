@@ -40,6 +40,8 @@ __all__ = [
     "q3_unshipped",
     "q5_local_supplier_volume",
     "events_hourly",
+    "events_daily_active",
+    "events_dau_hll",
     "events_sessionize",
     "events_hopping",
     "events_asof_join",
@@ -906,6 +908,158 @@ def events_hourly(sf_dir: str):
         # no cosmetic global sort: consumers compare order-insensitively
         # and a Ray sort costs a full sample+shuffle pass
         .map_batches(to_us, batch_format="pyarrow")
+    )
+
+
+def events_daily_active(sf_dir: str, num_buckets: int = 64):
+    """→ (day, n_active): EXACT daily count-distinct users — the
+    canonical big-data distinct aggregation, done as two-level
+    distinct so no stage ever sees the raw event stream twice:
+    1. per-batch pre-distinct of (day, user_id) pairs (Arrow hash-agg
+       combiner — repeat events collapse before any exchange);
+    2. one shuffle keyed ``user_id % num_buckets`` (a user's pairs all
+       land in one bucket, so the per-bucket distinct is globally
+       exact), each bucket emitting per-day partial counts;
+    3. ≤ buckets × days partial rows roll up driver-side."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "user_id": batch["user_id"],
+            }
+        )
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "bucket",
+            pa.array((uid % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        g = group.group_by(["day", "user_id"]).aggregate([])
+        agg = g.group_by("day").aggregate([("user_id", "count")])
+        return pa.table(
+            {"day": agg["day"], "n_part": agg["user_id_count"]}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ev.map_batches(pairs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_counts, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "day": pa.array([], pa.timestamp("us")),
+                "n_active": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts).group_by("day").aggregate([("n_part", "sum")])
+    )
+    return pa.table(
+        {
+            "day": pc.cast(agg["day"], pa.timestamp("us")),
+            "n_active": pc.cast(agg["n_part_sum"], pa.int64()),
+        }
+    )
+
+
+_HLL_P = 12  # 4096 registers; standard error ≈ 1.04/√m ≈ 1.6 %
+
+
+def _hll_registers(uids: np.ndarray) -> np.ndarray:
+    """int64 user ids → 2^p max-rank registers (uint8), via blake2b
+    64-bit hashes.  Deterministic: same ids ⇒ same registers."""
+    import hashlib
+
+    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    for u in uids.tolist():
+        h = int.from_bytes(
+            hashlib.blake2b(
+                int(u).to_bytes(8, "little", signed=True), digest_size=8
+            ).digest(),
+            "little",
+        )
+        idx = h & ((1 << _HLL_P) - 1)
+        w = h >> _HLL_P
+        rank = (52 - w.bit_length()) + 1 if w else 53
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return int(est)
+
+
+def events_dau_hll(sf_dir: str):
+    """→ (day, n_estimate): HyperLogLog daily-active sketch — the
+    constant-memory path when exact distinct (``events_daily_active``)
+    is too expensive to shuffle.  Registers merge by elementwise max
+    (associative + commutative ⇒ the estimate is DETERMINISTIC under
+    any partitioning — pinned by test), so per-batch sketches reduce
+    driver-side with no shuffle at all; 4 KB per (batch, day).
+    No SQL oracle by design (DuckDB's approx_count_distinct uses its
+    own incompatible HLL); the conformance test pins estimate error
+    ≤ 5 % against the exact operator and partition invariance."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(batch["ts"], unit="day")
+        t = pa.table({"day": days, "user_id": batch["user_id"]})
+        out_day, out_regs = [], []
+        for day_val in pc.unique(days).to_pylist():
+            mask = pc.equal(t["day"], pa.scalar(day_val, type=days.type))
+            uids = (
+                t.filter(mask)["user_id"].to_numpy(zero_copy_only=False)
+            )
+            out_day.append(day_val)
+            out_regs.append(_hll_registers(uids).tobytes())
+        return pa.table(
+            {
+                "day": pa.array(out_day, days.type),
+                "regs": pa.array(out_regs, pa.binary()),
+            }
+        )
+
+    merged: dict = {}
+    for t in ray.get(
+        ev.map_batches(sketch, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for day_val, rb in zip(t["day"].to_pylist(), t["regs"].to_pylist()):
+            r = np.frombuffer(rb, dtype=np.uint8)
+            if day_val in merged:
+                np.maximum(merged[day_val], r, out=merged[day_val])
+            else:
+                merged[day_val] = r.copy()
+    days = sorted(merged)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.timestamp("us")),
+            "n_estimate": pa.array(
+                [_hll_estimate(merged[d]) for d in days], pa.int64()
+            ),
+        }
     )
 
 

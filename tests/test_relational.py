@@ -221,3 +221,47 @@ def test_q5_vs_duckdb(duck):
         AND o_orderdate < TIMESTAMP '1999-01-01'
       GROUP BY 1""").df()
     assert_frames_equal(eng, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dau_exact_vs_duckdb_and_hll_bounds(duck):
+    from crawler_ai_ray.pipelines.relational import (
+        events_daily_active,
+        events_dau_hll,
+    )
+
+    exact = events_daily_active(SF).to_pandas().set_index("day")
+    ora = duck.sql("""
+      SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id)::BIGINT AS n_active
+      FROM events GROUP BY 1""").df().set_index("day")
+    assert exact["n_active"].sort_index().equals(
+        ora["n_active"].sort_index()
+    )
+
+    est = events_dau_hll(SF).to_pandas().set_index("day")
+    assert set(est.index) == set(exact.index)
+    for day, row in est.iterrows():
+        true = exact.loc[day, "n_active"]
+        assert abs(row["n_estimate"] - true) <= max(0.05 * true, 3)
+
+
+def test_dau_hll_partition_invariant(ray_session):
+    import os
+
+    from crawler_ai_ray.pipelines import relational as rel
+
+    a = rel.events_dau_hll(SF).to_pydict()
+    # different read parallelism → different batch boundaries; register
+    # max-merge must make the estimate identical
+    orig = rel._read
+
+    def _read5(sf_dir, table, columns=None):
+        return orig(sf_dir, table, columns=columns).repartition(5)
+
+    rel._read = _read5
+    try:
+        b = rel.events_dau_hll(SF).to_pydict()
+    finally:
+        rel._read = orig
+    assert a == b
