@@ -1142,6 +1142,18 @@ def _q_doc_search_bm25(sf_dir: str):
     )
 
 
+def _q_doc_commonness(sf_dir: str):
+    """Mean corpus unigram frequency per doc (ppm) — integer-exact
+    unigram-LM-lite quality signal (CCNet filters on LM perplexity;
+    low commonness = rare/noisy vocabulary).  Vocab counts reduce
+    driver-side and broadcast; two streaming passes, no shuffle."""
+    from crawler_ai_ray.stages.textstats import doc_commonness
+
+    return doc_commonness(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_top_quality_per_lang(sf_dir: str):
     """Grouped top-k: 3 highest-alpha-ratio docs per language (ratio
     computed identically on both sides — same IEEE division, so float
@@ -1813,6 +1825,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_bm25": _q_doc_search_bm25,
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
+        "doc_commonness": _q_doc_commonness,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1868,7 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
         "tpch_q3_unshipped", "tpch_q5_region_volume",
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
-        "doc_top_quality_per_lang",
+        "doc_top_quality_per_lang", "doc_commonness",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2778,6 +2791,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        # commonness: same two-step integer division as the engine
+        # (// n_tokens then ·1e6 // total); term STRINGS here vs term
+        # hashes in the engine, so a hash collision would be caught
+        "doc_commonness": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+            per AS (
+              SELECT doc_id, sum(cnt.c)::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM toks JOIN cnt USING (w) GROUP BY 1)
+            SELECT doc_id, n AS n_tokens,
+                   (((s // n) * 1000000) // t)::BIGINT AS commonness_ppm
+            FROM per, tot""",
         "doc_top_quality_per_lang": """
             WITH c AS (
               SELECT doc_id, lang,

@@ -48,6 +48,7 @@ __all__ = [
     "distinctive_terms",
     "grouped_quantiles",
     "mix_weights",
+    "doc_commonness",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
@@ -885,3 +886,110 @@ def mix_weights(ds, target_ppm: dict[str, int] | None = None,
             "weight_micros": pa.array(out["weight_micros"], pa.int64()),
         }
     )
+
+
+def doc_commonness(ds, text_col: str = "text"):
+    """documents → (doc_id, n_tokens, commonness_ppm): mean corpus
+    unigram frequency of each document's token positions, in ppm —
+    the integer-exact cousin of a unigram-LM perplexity filter (CCNet,
+    arXiv:1911.00359, filters on LM perplexity; low commonness = rare/
+    noisy vocabulary).  All arithmetic is integer two-step division
+    ``((Σ_pos count(tok) // n_tokens) · 10⁶) // total_tokens``, mirrored
+    verbatim by the oracle, so no float log ever enters the compare
+    (a float NLL would hash-mismatch on cross-library ln()).
+
+    Scale shape: two streaming passes over TF rows, no shuffle.
+    1. per-batch (term-hash u64, count) partials (terms never leave as
+       strings) reduce driver-side into the sorted vocab-count state —
+       the declared boundary is vocab size (~12 B/term: 10⁹ terms ≈
+       12 GB plasma; beyond that, bucket the TF⋈count join like
+       `distinctive_terms` instead of broadcasting).
+    2. the count vector broadcasts via ``ray.put``; each batch maps
+       its TF rows through ``searchsorted`` and emits per-doc integer
+       sums.  A term-hash collision merges two counts — the oracle
+       compares term STRINGS, so the gate would catch one.
+    Tokenization: lowercased ``[a-z]+`` runs (same as the TF/DF
+    machinery — ``_tf_rows_batch``)."""
+    import hashlib
+
+    import ray
+
+    def _th(term: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(term.encode(), digest_size=8).digest(), "little"
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tf = _tf_rows_batch(batch, num_buckets=1)
+        terms = tf["term"].to_pylist()
+        hh = np.array([_th(t) for t in terms], dtype=np.uint64)
+        t = pa.table(
+            {
+                "h": pa.array(hh, pa.uint64()),
+                "c": tf["tf"],
+            }
+        )
+        agg = t.group_by("h").aggregate([("c", "sum")])
+        return pa.table({"h": agg["h"], "c": agg["c_sum"]})
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                count_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "commonness_ppm": pa.array([], pa.int64()),
+            }
+        )
+    agg = pa.concat_tables(parts).group_by("h").aggregate([("c", "sum")])
+    hh = agg["h"].to_numpy(zero_copy_only=False)
+    cc = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(hh)
+    keys, counts = hh[order], cc[order]
+    total = int(counts.sum())
+    ref = ray.put((keys, counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, c = ray.get(ref)
+        tf = _tf_rows_batch(batch, num_buckets=1)
+        if not tf.num_rows:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "commonness_ppm": pa.array([], pa.int64()),
+                }
+            )
+        terms = tf["term"].to_pylist()
+        hh = np.array([_th(t) for t in terms], dtype=np.uint64)
+        cnt = c[np.searchsorted(k, hh)]
+        tfv = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "s": pa.array(tfv * cnt, pa.int64()),
+                "n": pa.array(tfv, pa.int64()),
+            }
+        )
+        g = t.group_by("doc_id").aggregate([("s", "sum"), ("n", "sum")])
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "commonness_ppm": pa.array(
+                    ((s // n) * 1_000_000) // total, pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1163,3 +1163,41 @@ def test_mix_weights_hand_computed(ray_session):
     assert got.loc["en", "actual_ppm"] == 7 * 1_000_000 // 9
     assert got.loc["en", "weight_micros"] == 500_000 * 9 // 7
     assert got.loc["vi", "weight_micros"] == 500_000 * 9 // 2  # upsample
+
+
+def test_doc_commonness_partition_invariant_and_planted(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import doc_commonness
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                # doc 1 = common words only, doc 2 = half rare
+                ["cat cat cat", "cat zyx"],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        doc_commonness(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # counts: cat=4, zyx=1, total=5
+    # doc1: s=12, n=3 -> ((12//3)*1e6)//5 = 800000
+    # doc2: s=5,  n=2 -> ((5//2)*1e6)//5  = 400000
+    assert got.loc[1, "commonness_ppm"] == 800_000
+    assert got.loc[2, "commonness_ppm"] == 400_000
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = doc_commonness(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    b = doc_commonness(docs.repartition(7)).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert a.equals(b)
