@@ -265,3 +265,14 @@ def test_dau_hll_partition_invariant(ray_session):
     finally:
         rel._read = orig
     assert a == b
+
+
+def test_lineitem_part_revenue_paths_agree(ray_session):
+    from crawler_ai_ray.pipelines.relational import lineitem_part_revenue
+
+    a = lineitem_part_revenue(SF).to_pandas()
+    b = lineitem_part_revenue(SF, broadcast_max_keys=0)
+    b = (b if hasattr(b, "to_pandas") else b).to_pandas()
+    a = a.sort_values("p_brand", ignore_index=True)
+    b = b.sort_values("p_brand", ignore_index=True)
+    assert a.equals(b)
