@@ -1846,6 +1846,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel("events_hourly"),
         "events_daily_active": _rel("events_daily_active"),
         "events_dau_hll": _rel("events_dau_hll"),
+        "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_sessionize": _rel("events_sessionize"),
         "events_hopping": _rel("events_hopping"),
         "events_asof_join": _rel("events_asof_join"),
@@ -1882,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_unshipped", "tpch_q5_region_volume",
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
         "doc_top_quality_per_lang", "doc_commonness",
+        "events_no_purchase_users",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2791,6 +2793,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        "events_no_purchase_users": """
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*)::BIGINT AS n_clicks
+            FROM events e
+            WHERE event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = e.user_id
+                  AND date_trunc('day', p.ts) = date_trunc('day', e.ts))
+            GROUP BY 1, 2""",
         # commonness: same two-step integer division as the engine
         # (// n_tokens then ·1e6 // total); term STRINGS here vs term
         # hashes in the engine, so a hash collision would be caught

@@ -41,6 +41,7 @@ __all__ = [
     "q5_local_supplier_volume",
     "events_hourly",
     "events_daily_active",
+    "events_no_purchase_users",
     "events_dau_hll",
     "events_sessionize",
     "events_hopping",
@@ -328,7 +329,7 @@ def supplier_by_region(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
-                     bucket_postprocess=None):
+                     bucket_postprocess=None, join_type: str = "inner"):
     """Distributed inner hash join on an **integer key** as a
     composition of ``map_batches`` + ``union`` + ``groupby(bucket)``
     + ``map_groups`` (SURVEY §2.5 J3 generalized; custom-operator
@@ -347,7 +348,10 @@ def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
 
     ``bucket_postprocess(joined: pa.Table) -> pa.Table``, when given,
     runs inside each bucket task (e.g. a partial rollup) so the join
-    output never re-shuffles at full width."""
+    output never re-shuffles at full width.  ``join_type`` passes
+    through to Arrow ``Table.join`` — "inner" (default), "left outer",
+    "left semi", "left anti" (the anti-join is the seen-URL filter
+    generalized, SURVEY §2.5 J5); semi/anti emit left columns only."""
     import ray.data
 
     lcols = [f.name for f in left.schema().base_schema]
@@ -394,8 +398,10 @@ def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lt = g.filter(pc.equal(g["side"], 0)).select([on] + lpay)
-        rt = g.filter(pc.equal(g["side"], 1)).select([on] + rpay)
-        j = lt.join(rt, keys=on, join_type="inner")
+        rt = g.filter(pc.equal(g["side"], 1)).select(
+            [on] + ([] if join_type in ("left semi", "left anti") else rpay)
+        )
+        j = lt.join(rt, keys=on, join_type=join_type)
         return bucket_postprocess(j) if bucket_postprocess else j
 
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -1045,6 +1051,64 @@ def events_daily_active(sf_dir: str, num_buckets: int = 64):
             "day": pc.cast(agg["day"], pa.timestamp("us")),
             "n_active": pc.cast(agg["n_part_sum"], pa.int64()),
         }
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+def events_no_purchase_users(sf_dir: str, num_buckets: int = 32):
+    """→ (user_id, day, n_clicks): click activity on (user, day) pairs
+    with NO same-day purchase by that user — the distributed ANTI-join
+    (the crawl's seen-URL filter, SURVEY §2.5 J5, generalized to
+    arbitrary keyed sides).  Both sides pre-reduce per batch (click
+    counts per (user, day); distinct purchaser (user, day) pairs), the
+    composite key packs into one int64 (``user·2¹⁶ + epoch_day`` —
+    day counts fit 16 bits for centuries), one bucketed shuffle
+    co-locates a key's rows, and Arrow's ``left anti`` join + rollup
+    finish inside each bucket."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def key_of(batch: pa.Table) -> pa.Array:
+        day = pc.divide(
+            pc.cast(batch["ts"], pa.int64()), _DAY_US
+        )
+        return pc.add(
+            pc.multiply(pc.cast(batch["user_id"], pa.int64()), 65536), day
+        )
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "click"))
+        k = key_of(t)
+        tt = pa.table({"k": k})
+        agg = tt.group_by("k").aggregate([("k", "count")])
+        return agg.rename_columns(["k", "n_clicks"])
+
+    def purchasers(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({"k": key_of(t)}).group_by("k").aggregate([])
+
+    def finish(g: pa.Table) -> pa.Table:
+        agg = g.group_by("k").aggregate([("n_clicks", "sum")])
+        k = agg["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(k // 65536, pa.int64()),
+                "day": pc.cast(
+                    pa.array((k % 65536) * _DAY_US, pa.int64()),
+                    pa.timestamp("us"),
+                ),
+                "n_clicks": pc.cast(agg["n_clicks_sum"], pa.int64()),
+            }
+        )
+
+    return hash_bucket_join(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ev.map_batches(purchasers, batch_format="pyarrow"),
+        on="k",
+        num_buckets=num_buckets,
+        join_type="left anti",
+        bucket_postprocess=finish,
     )
 
 

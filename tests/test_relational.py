@@ -276,3 +276,28 @@ def test_lineitem_part_revenue_paths_agree(ray_session):
     a = a.sort_values("p_brand", ignore_index=True)
     b = b.sort_values("p_brand", ignore_index=True)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import events_no_purchase_users
+
+    eng = (
+        events_no_purchase_users(SF)
+        .to_pandas()
+        .sort_values(["user_id", "day"], ignore_index=True)
+    )
+    ora = duck.sql("""
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*)::BIGINT AS n_clicks
+      FROM events e
+      WHERE event_type = 'click'
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+            AND date_trunc('day', p.ts) = date_trunc('day', e.ts))
+      GROUP BY 1, 2""").df().sort_values(
+        ["user_id", "day"], ignore_index=True
+    )
+    assert len(eng) > 0
+    assert_frames_equal(eng, ora)
