@@ -180,6 +180,98 @@ def _q_crawl_host_components(sf_dir: str):
     return connected_components(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_page_quality(sf_dir: str):
+    """Training-data quality signals over CRAWLED page text (the
+    extraction output feeding the curation chain, not the documents
+    fixture): the same vectorized `quality_batch` kernel keyed by url.
+    Demonstrates crawl → corpus-curation composition."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.stages.textstats import quality_batch
+
+    def q(batch: pa.Table) -> pa.Table:
+        t = quality_batch(
+            batch.rename_columns(["doc_id", "text"]), text_col="text"
+        )
+        return t.rename_columns(["url"] + t.column_names[1:])
+
+    return _extracted(sf_dir).select_columns(["url", "text"]).map_batches(
+        q, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_host_reputation(sf_dir: str):
+    """Host reputation: link-graph PageRank joined with per-host crawl
+    aggregates (pages, career pages, mean tokens) — rank is vertex
+    state (driver table), the aggregates are a combiner + tiny
+    groupby, and the join is a driver-side Arrow join of two
+    host-sized tables.  The cross-operator composition a frontier
+    prioritizer actually consumes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    ranks = pagerank_hosts(host_edges(_link_pages(sf_dir)))
+
+    ex = _extracted(sf_dir).select_columns(
+        ["host", "is_career_listing", "n_tokens"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_pages": pa.array([1] * batch.num_rows, pa.int64()),
+                "n_career": pc.cast(
+                    batch["is_career_listing"], pa.int64()
+                ),
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+            }
+        )
+        agg = t.group_by("host").aggregate(
+            [("n_pages", "sum"), ("n_career", "sum"), ("n_tokens", "sum")]
+        )
+        return agg.rename_columns(
+            ["host", "n_pages", "n_career", "n_tokens"]
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ex.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    stats = (
+        pa.concat_tables(parts)
+        .group_by("host")
+        .aggregate(
+            [("n_pages", "sum"), ("n_career", "sum"), ("n_tokens", "sum")]
+        )
+        .rename_columns(["host", "n_pages", "n_career", "n_tokens"])
+    )
+    joined = ranks.join(stats, keys="host", join_type="inner")
+    return pa.table(
+        {
+            "host": joined["host"],
+            "rank_micros": joined["rank_micros"],
+            "n_pages": pc.cast(joined["n_pages"], pa.int64()),
+            "n_career": pc.cast(joined["n_career"], pa.int64()),
+            "mean_tokens_ppm": pc.cast(
+                pc.divide(
+                    pc.multiply(
+                        pc.cast(joined["n_tokens"], pa.int64()), 1_000_000
+                    ),
+                    pc.cast(joined["n_pages"], pa.int64()),
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_crawl_host_degrees(sf_dir: str):
     """Per-host in/out degree over the distinct host link graph — the
     first-look centrality/skew profile (combiner pass + one
@@ -1760,6 +1852,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_components": _q_crawl_host_components,
         "crawl_host_degrees": _q_crawl_host_degrees,
+        "crawl_page_quality": _q_crawl_page_quality,
+        "crawl_host_reputation": _q_crawl_host_reputation,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
         "crawl_job_url_flags": _q_crawl_job_url_flags,
@@ -1878,7 +1972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
-        "crawl_host_degrees",
+        "crawl_host_degrees", "crawl_page_quality",
+        "crawl_host_reputation",
         "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
         "tpch_q3_unshipped", "tpch_q5_region_volume",
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
@@ -2067,6 +2162,45 @@ def oracle_sql() -> dict[str, str]:
                doc_id
         FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 20"""
+
+    # quality kernel over CRAWLED text (same SQL shape as doc_quality,
+    # keyed by url against the extraction golden)
+    crawl_quality_sql = f"""
+    WITH c AS (
+      SELECT url,
+        length(text)::BIGINT AS n_chars_text,
+        len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+        len(regexp_extract_all(text, '{esc(PUNCT_RE)}'))::BIGINT AS n_punct,
+        len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_alpha,
+        len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+        len(regexp_extract_all(text, '{QUALITY_STOPWORD_RE}'))::BIGINT
+          AS n_stopwords
+      FROM read_parquet('{golden}'))
+    SELECT *,
+      n_punct / GREATEST(n_chars_text,1)::DOUBLE AS punct_ratio,
+      n_alpha / GREATEST(n_chars_text,1)::DOUBLE AS alpha_ratio,
+      n_digit / GREATEST(n_chars_text,1)::DOUBLE AS digit_ratio,
+      n_stopwords / GREATEST(n_tokens_ws,1)::DOUBLE AS stopword_ratio,
+      n_chars_text / GREATEST(n_tokens_ws,1)::DOUBLE AS mean_word_len
+    FROM c"""
+
+    # host reputation: the pagerank CTE joined with per-host aggregates
+    # of the golden extraction (host re-derived via the same regex)
+    reputation_sql = pagerank_sql.replace(
+        "\n        SELECT host, rank AS rank_micros FROM r5",
+        f""",
+        stats AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                 count(*)::BIGINT AS n_pages,
+                 sum(CASE WHEN is_career_listing THEN 1 ELSE 0
+                     END)::BIGINT AS n_career,
+                 sum(n_tokens)::BIGINT AS n_tok
+          FROM read_parquet('{golden}') GROUP BY 1)
+        SELECT r5.host, r5.rank AS rank_micros, s.n_pages, s.n_career,
+               ((s.n_tok * 1000000) // s.n_pages)::BIGINT
+                 AS mean_tokens_ppm
+        FROM r5 JOIN stats s ON s.host = r5.host""",
+    )
 
     # fetch-outcome oracle: an INDEPENDENT SQL replay of the reference
     # retry loop (crawler.py:156-288) + error taxonomy (:424-446) over
@@ -2455,6 +2589,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_components": components_sql,
         "crawl_host_degrees": degrees_sql,
+        "crawl_page_quality": crawl_quality_sql,
+        "crawl_host_reputation": reputation_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "
             "m11_is_career_page AS is_career_page, "
