@@ -1,0 +1,180 @@
+"""Differential fuzz for the distributed graph + segment-dedup
+operators: random small inputs, brute-force single-process references
+(BFS components, dense-numpy PageRank, dict-based segment dedup) —
+the distributed orchestration (bucketing, spanning-forest merges,
+broadcast vertex state, drop-key anti-filter) must match them exactly
+(all-integer semantics ⇒ zero tolerance)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+_HOSTS = [f"h{i}.com" for i in range(12)]
+
+
+@st.composite
+def _graph_pages(draw):
+    n = draw(st.integers(1, 10))
+    rows = []
+    for _ in range(n):
+        src = draw(st.sampled_from(_HOSTS))
+        links = [
+            f"https://{draw(st.sampled_from(_HOSTS))}/p{draw(st.integers(0, 3))}"
+            for _ in range(draw(st.integers(0, 5)))
+        ]
+        rows.append((src, links))
+    return rows
+
+
+def _edges_ref(rows):
+    """brute-force distinct directed host edges, self-loops dropped."""
+    es = set()
+    for src, links in rows:
+        for u in links:
+            dst = u.split("://")[1].split("/")[0].lower()
+            if dst and dst != src:
+                es.add((src, dst))
+    return es
+
+
+@settings(max_examples=15, deadline=None)
+@given(_graph_pages())
+def test_components_match_bfs(ray_session, rows):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        connected_components,
+        host_edges,
+    )
+
+    es = _edges_ref(rows)
+    if not es:
+        return
+    # brute-force undirected BFS labeling, min-host label
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        if start in want:
+            continue
+        comp, queue = {start}, [start]
+        while queue:
+            x = queue.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    queue.append(y)
+        lab = min(comp)
+        for h in comp:
+            want[h] = lab
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = connected_components(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4)
+    ).to_pydict()
+    assert dict(zip(got["host"], got["component"])) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_graph_pages(), st.integers(1, 3))
+def test_pagerank_matches_dense_reference(ray_session, rows, iters):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    es = sorted(_edges_ref(rows))
+    if not es:
+        return
+    hosts = sorted({a for a, _ in es} | {b for _, b in es})
+    outdeg = {h: 0 for h in hosts}
+    for a, _ in es:
+        outdeg[a] += 1
+    rank = {h: 1_000_000 for h in hosts}
+    for _ in range(iters):
+        inbound = {h: 0 for h in hosts}
+        for a, b in es:
+            inbound[b] += rank[a] // outdeg[a]
+        rank = {h: 150_000 + (85 * inbound[h]) // 100 for h in hosts}
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = pagerank_hosts(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4),
+        iters=iters,
+        num_buckets=4,
+    ).to_pydict()
+    assert dict(zip(got["host"], got["rank_micros"])) == rank
+
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_segment_dedup_matches_reference(ray_session, docs, seg_words):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import segment_dedup
+
+    texts = [" ".join(ws) for ws in docs]
+    # brute-force reference: first (doc_id, seg_idx) occurrence wins
+    first: dict = {}
+    segs_by_doc = []
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        segs = [
+            " ".join(words[s : s + seg_words])
+            for s in range(0, len(words), seg_words)
+        ]
+        segs_by_doc.append(segs)
+        for j, seg in enumerate(segs):
+            first.setdefault(seg, (i, j))
+    want = {}
+    for i, segs in enumerate(segs_by_doc):
+        kept = [s for j, s in enumerate(segs) if first[s] == (i, j)]
+        want[i] = (
+            " ".join(kept),
+            len(segs),
+            len(segs) - len(kept),
+        )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = segment_dedup(
+        ray.data.from_arrow(tbl), seg_words=seg_words, num_buckets=4
+    ).to_pandas()
+    assert len(got) == len(texts)
+    for _, row in got.iterrows():
+        assert (
+            row["clean_text"],
+            row["n_segments"],
+            row["n_dropped"],
+        ) == want[row["doc_id"]]
