@@ -700,14 +700,84 @@ def q3_unshipped(
             .slice(0, k)
         )
 
-    cand = hash_bucket_join(
-        open_orders,
-        li.map_batches(li_prep, batch_format="pyarrow"),
-        on="o_orderkey",
-        num_buckets=num_buckets,
-        bucket_postprocess=bucket_topk,
-    )
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    # join 2 hybrid: the date+segment-filtered orders side is ~9 % of
+    # orders — when its MEASURED count (materialize → metadata count,
+    # one cheap pass) fits the broadcast budget, ship it as a sorted
+    # orderkey-indexed table and fold join + rollup + local top-k into
+    # the lineitem map pass (zero shuffles left in the whole query);
+    # else the bucketed join below is the all-to-all path.
+    open_orders = open_orders.materialize()
+    if open_orders.count() <= broadcast_max_keys:
+        oo_blocks = [
+            t for t in ray.get(open_orders.to_arrow_refs()) if t.num_rows
+        ]
+        if not oo_blocks:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        oo = pa.concat_tables(oo_blocks).combine_chunks()
+        ok = oo["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok)
+        oo = oo.take(pa.array(order))
+        oo_ref = ray.put((ok[order], oo))
+
+        # NO per-batch top-k here: an orderkey's lineitems can span
+        # batches, so partials must fully re-aggregate before any
+        # cut (per-batch top-k over partial sums would be unsound).
+        # Partial volume is ≤ blocks × |open orders in batch| — tiny
+        # under the same threshold that chose this path.
+        def joined_partial(batch: pa.Table) -> pa.Table:
+            keys, ootbl = ray.get(oo_ref)
+            part = li_prep(batch)
+            lk = part["o_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, lk)
+            hit = (
+                (idx < len(keys))
+                & (keys[np.minimum(idx, len(keys) - 1)] == lk)
+            )
+            part = part.filter(pa.array(hit))
+            idx = idx[hit]
+            return pa.table(
+                {
+                    "o_orderkey": part["o_orderkey"],
+                    "o_orderdate": ootbl["o_orderdate"].take(
+                        pa.array(idx)
+                    ),
+                    "o_orderpriority": ootbl["o_orderpriority"].take(
+                        pa.array(idx)
+                    ),
+                    "revenue_cents": part["revenue_cents"],
+                }
+            )
+
+        cand_blocks = [
+            t
+            for t in ray.get(
+                li.map_batches(
+                    joined_partial, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        blocks = (
+            [bucket_topk(pa.concat_tables(cand_blocks))]
+            if cand_blocks
+            else []
+        )
+    else:
+        cand = hash_bucket_join(
+            open_orders,
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            on="o_orderkey",
+            num_buckets=num_buckets,
+            bucket_postprocess=bucket_topk,
+        )
+        blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
     if not blocks:
         return pa.table(
             {
