@@ -1941,6 +1941,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active": _rel("events_daily_active"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
+        "events_funnel": _rel("events_funnel"),
         "events_sessionize": _rel("events_sessionize"),
         "events_hopping": _rel("events_hopping"),
         "events_asof_join": _rel("events_asof_join"),
@@ -1978,7 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_unshipped", "tpch_q5_region_volume",
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
         "doc_top_quality_per_lang", "doc_commonness",
-        "events_no_purchase_users",
+        "events_no_purchase_users", "events_funnel",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2929,6 +2930,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t
+                  GROUP BY 1)
+            SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+                   (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+                   (SELECT count(*) FROM p)::BIGINT
+                     AS n_view_click_purchase""",
         "events_no_purchase_users": """
             SELECT user_id, date_trunc('day', ts) AS day,
                    count(*)::BIGINT AS n_clicks

@@ -42,6 +42,7 @@ __all__ = [
     "events_hourly",
     "events_daily_active",
     "events_no_purchase_users",
+    "events_funnel",
     "events_dau_hll",
     "events_sessionize",
     "events_hopping",
@@ -1337,6 +1338,144 @@ def events_hopping(sf_dir: str, size_minutes: int = 60,
             Sum("value_micros", alias_name="sum_value_micros"),
         )
         .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, num_buckets: int = 64):
+    """→ one row (n_view, n_view_click, n_view_click_purchase): users
+    completing the ORDERED funnel — a first view, then a strictly
+    later click, then a strictly later purchase (greedy-earliest
+    semantics, the standard funnel definition; mirrored by the
+    oracle's chained min-ts CTEs).
+
+    Scale shape: events reduce per batch to skinny (user, stage-code,
+    ts) rows — only funnel-typed events survive the projection.  One
+    ``user % num_buckets`` shuffle co-locates a user's rows; inside a
+    bucket one vectorized sweep per stage computes first-view,
+    first-click-after, first-purchase-after; three integers per
+    bucket roll up driver-side."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    pow2 = num_buckets & (num_buckets - 1) == 0
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rows = []
+        for code, stage in enumerate(_FUNNEL_STAGES):
+            t = batch.filter(pc.equal(batch["event_type"], stage))
+            if not t.num_rows:
+                continue
+            rows.append(
+                pa.table(
+                    {
+                        "user_id": t["user_id"],
+                        "stage": pa.array(
+                            [code] * t.num_rows, pa.int8()
+                        ),
+                        "ts_us": pc.cast(t["ts"], pa.int64()),
+                    }
+                )
+            )
+        if not rows:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "stage": pa.array([], pa.int8()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(rows)
+        # no per-batch min: a later stage's earliest-after anchor
+        # depends on earlier stages' global mins, so local mins could
+        # discard the true earliest-after candidate — all funnel-typed
+        # rows ship (already a skinny 3-ints/event projection)
+        uid = pc.cast(t["user_id"], pa.uint64())
+        bucket = (
+            pc.bit_wise_and(uid, num_buckets - 1)
+            if pow2
+            else pc.subtract(
+                uid, pc.multiply(pc.divide(uid, num_buckets), num_buckets)
+            )
+        )
+        return t.append_column("bucket", pc.cast(bucket, pa.int64()))
+
+    def bucket_funnel(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stage = g["stage"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        n_done = [0, 0, 0]
+        if len(uid):
+            order = np.lexsort((ts, stage, uid))
+            uid, stage, ts = uid[order], stage[order], ts[order]
+            users, starts = np.unique(uid, return_index=True)
+            bounds = np.append(starts, len(uid))
+            for i in range(len(users)):
+                s, e = bounds[i], bounds[i + 1]
+                st_, t_ = stage[s:e], ts[s:e]
+                anchor = None
+                for code in (0, 1, 2):
+                    cand = t_[(st_ == code)] if anchor is None else t_[
+                        (st_ == code) & (t_ > anchor)
+                    ]
+                    if not len(cand):
+                        break
+                    anchor = cand.min()
+                    n_done[code] += 1
+        return pa.table(
+            {
+                "n_view": pa.array([n_done[0]], pa.int64()),
+                "n_view_click": pa.array([n_done[1]], pa.int64()),
+                "n_view_click_purchase": pa.array(
+                    [n_done[2]], pa.int64()
+                ),
+            }
+        )
+
+    pre = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    # adaptive finish (exact either way): below ~2M projected rows a
+    # bucketed Ray shuffle moves a tiny candidate set — sweep driver-
+    # side in one call instead (same house rule as host_edges)
+    if pre.count() <= 2_000_000:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        parts = (
+            [bucket_funnel(pa.concat_tables(blocks))] if blocks else []
+        )
+    else:
+        parts = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(bucket_funnel, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    if not parts:
+        return pa.table(
+            {
+                "n_view": pa.array([0], pa.int64()),
+                "n_view_click": pa.array([0], pa.int64()),
+                "n_view_click_purchase": pa.array([0], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "n_view": pa.array(
+                [pc.sum(cat["n_view"]).as_py() or 0], pa.int64()
+            ),
+            "n_view_click": pa.array(
+                [pc.sum(cat["n_view_click"]).as_py() or 0], pa.int64()
+            ),
+            "n_view_click_purchase": pa.array(
+                [pc.sum(cat["n_view_click_purchase"]).as_py() or 0],
+                pa.int64(),
+            ),
+        }
     )
 
 

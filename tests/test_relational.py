@@ -301,3 +301,59 @@ def test_anti_join_vs_duckdb(duck):
     )
     assert len(eng) > 0
     assert_frames_equal(eng, ora)
+
+
+def test_funnel_hand_computed_and_vs_duckdb(ray_session, duck):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.pipelines.relational import events_funnel
+
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (no click
+    # stage); u3 views+clicks, purchase precedes click (no purchase)
+    base = 1_600_000_000_000_000
+    rows = [
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "click", 1), (2, "view", 2), (2, "purchase", 3),
+        (3, "view", 1), (3, "purchase", 2), (3, "click", 3),
+        (4, "error", 1),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [base + r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    d = "/tmp/funnel_test_sf"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = events_funnel(d).to_pydict()
+    assert got == {
+        "n_view": [3],
+        # u2's view at t2 has a later purchase but no later click
+        "n_view_click": [2],       # u1 (click after view), u3? click t3 after view t1 -> yes
+        "n_view_click_purchase": [1],  # only u1
+    }
+
+    eng = events_funnel(SF).to_pydict()
+    ora = duck.sql("""
+      WITH v AS (SELECT user_id, min(ts) t FROM events
+                 WHERE event_type='view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) t FROM events e
+            JOIN v USING (user_id)
+            WHERE e.event_type='click' AND e.ts > v.t GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) t FROM events e
+            JOIN c USING (user_id)
+            WHERE e.event_type='purchase' AND e.ts > c.t GROUP BY 1)
+      SELECT (SELECT count(*) FROM v)::BIGINT n_view,
+             (SELECT count(*) FROM c)::BIGINT n_view_click,
+             (SELECT count(*) FROM p)::BIGINT n_view_click_purchase
+      """).df().iloc[0]
+    assert eng["n_view"][0] == ora["n_view"]
+    assert eng["n_view_click"][0] == ora["n_view_click"]
+    assert eng["n_view_click_purchase"][0] == ora["n_view_click_purchase"]
