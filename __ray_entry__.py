@@ -1305,6 +1305,18 @@ def _q_doc_top_quality_per_lang(sf_dir: str):
     return pa.concat_tables(out)
 
 
+def _q_tbl_profile_lineitem(sf_dir: str):
+    """Generic table profiler over lineitem's integer key columns:
+    row/null counts + min/max via per-batch combiners (no shuffle),
+    exact distinct via one (col, value)-bucketed exchange for all
+    columns at once."""
+    from crawler_ai_ray.pipelines.relational import _read
+    from crawler_ai_ray.stages.profile import profile_int_columns
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    return profile_int_columns(_read(sf_dir, "lineitem", columns=cols), cols)
+
+
 def _q_doc_mix_weights(sf_dir: str):
     """Per-language sampling weights toward a uniform target mix
     (weight = target_share / actual token share) — the multilingual
@@ -1920,6 +1932,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
+        "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
         "doc_curate": _q_doc_curate,
@@ -1980,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
         "doc_top_quality_per_lang", "doc_commonness",
         "events_no_purchase_users", "events_funnel",
+        "tbl_profile_lineitem",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2930,6 +2944,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        "tbl_profile_lineitem": """
+            SELECT col AS column, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(v))::BIGINT AS n_null,
+                   count(DISTINCT v)::BIGINT AS n_distinct,
+                   min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+            FROM (
+              SELECT 'l_linenumber' AS col, l_linenumber::BIGINT AS v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_orderkey', l_orderkey::BIGINT FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', l_partkey::BIGINT FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey', l_suppkey::BIGINT FROM lineitem)
+            GROUP BY 1""",
         "events_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS t FROM events
                        WHERE event_type = 'view' GROUP BY 1),

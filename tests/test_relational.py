@@ -357,3 +357,28 @@ def test_funnel_hand_computed_and_vs_duckdb(ray_session, duck):
     assert eng["n_view"][0] == ora["n_view"]
     assert eng["n_view_click"][0] == ora["n_view_click"]
     assert eng["n_view_click_purchase"][0] == ora["n_view_click_purchase"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_vs_duckdb(duck):
+    from crawler_ai_ray.pipelines.relational import _read
+    from crawler_ai_ray.stages.profile import profile_int_columns
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    eng = (
+        profile_int_columns(_read(SF, "lineitem", columns=cols), cols)
+        .to_pandas()
+        .sort_values("column", ignore_index=True)
+    )
+    ora = duck.sql("""
+      SELECT col AS column, count(*)::BIGINT n_rows,
+             (count(*) - count(v))::BIGINT n_null,
+             count(DISTINCT v)::BIGINT n_distinct,
+             min(v)::BIGINT min_v, max(v)::BIGINT max_v
+      FROM (
+        SELECT 'l_linenumber' AS col, l_linenumber::BIGINT AS v FROM lineitem
+        UNION ALL SELECT 'l_orderkey', l_orderkey::BIGINT FROM lineitem
+        UNION ALL SELECT 'l_partkey', l_partkey::BIGINT FROM lineitem
+        UNION ALL SELECT 'l_suppkey', l_suppkey::BIGINT FROM lineitem)
+      GROUP BY 1""").df().sort_values("column", ignore_index=True)
+    assert_frames_equal(eng, ora)
