@@ -330,7 +330,9 @@ def supplier_by_region(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
-                     bucket_postprocess=None, join_type: str = "inner"):
+                     bucket_postprocess=None, join_type: str = "inner",
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None):
     """Distributed inner hash join on an **integer key** as a
     composition of ``map_batches`` + ``union`` + ``groupby(bucket)``
     + ``map_groups`` (SURVEY §2.5 J3 generalized; custom-operator
@@ -355,10 +357,20 @@ def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
     generalized, SURVEY §2.5 J5); semi/anti emit left columns only."""
     import ray.data
 
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
-    lschema = {f.name: f.type for f in left.schema().base_schema}
-    rschema = {f.name: f.type for f in right.schema().base_schema}
+    # schema() on a lazy map_batches Dataset triggers a limit-1 probe
+    # execution; callers that know their prepped schemas pass them
+    # explicitly, skipping the probe (and the rare Ray task-cancel
+    # race a LimitOperator can hit)
+    lbase = left_schema if left_schema is not None else (
+        left.schema().base_schema
+    )
+    rbase = right_schema if right_schema is not None else (
+        right.schema().base_schema
+    )
+    lcols = [f.name for f in lbase]
+    rcols = [f.name for f in rbase]
+    lschema = {f.name: f.type for f in lbase}
+    rschema = {f.name: f.type for f in rbase}
     if on not in lschema or on not in rschema:
         raise ValueError(f"join key {on!r} must exist on both sides")
     payload = [(c, lschema[c]) for c in lcols if c != on] + [
@@ -532,6 +544,16 @@ def lineitem_part_revenue(
         on="l_partkey",
         num_buckets=num_buckets,
         bucket_postprocess=brand_partial,
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("disc_cents", pa.int64()),
+                ("n_items", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("p_brand", pa.string())]
+        ),
     )
     # final rollup: the partials are O(buckets × brands) rows — a Ray
     # groupby + sort here costs two more ~3.3 s fixed all-to-alls
@@ -648,6 +670,15 @@ def q3_unshipped(
             cust.map_batches(cust_keys, batch_format="pyarrow"),
             on="o_custkey",
             num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ),
+            right_schema=pa.schema([("o_custkey", pa.int64())]),
         ).map_batches(
             lambda b: b.select(
                 ["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -777,6 +808,9 @@ def q3_unshipped(
             on="o_orderkey",
             num_buckets=num_buckets,
             bucket_postprocess=bucket_topk,
+            right_schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+            ),
         )
         blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
     if not blocks:
@@ -991,6 +1025,16 @@ def q5_local_supplier_volume(
         on="o_orderkey",
         num_buckets=num_buckets,
         bucket_postprocess=nation_partial,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("c_nation", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
     )
     blocks = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not blocks:
@@ -1180,6 +1224,10 @@ def events_no_purchase_users(sf_dir: str, num_buckets: int = 32):
         num_buckets=num_buckets,
         join_type="left anti",
         bucket_postprocess=finish,
+        left_schema=pa.schema(
+            [("k", pa.int64()), ("n_clicks", pa.int64())]
+        ),
+        right_schema=pa.schema([("k", pa.int64())]),
     )
 
 
