@@ -242,7 +242,14 @@ def curate_output(docs_ds, decisions_ds, num_buckets: int = 32):
         )
 
     joined = hash_bucket_join(
-        docs_ds, kept, on="doc_id", num_buckets=num_buckets
+        docs_ds,
+        kept,
+        on="doc_id",
+        num_buckets=num_buckets,
+        # kept's schema is static — skip the limit-1 schema probe
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("pred_lang", pa.string())]
+        ),
     )
     return joined.map_batches(scrub, batch_format="pyarrow")
 
