@@ -80,9 +80,6 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "2001-09-01"):
 
     Combiner pattern: each Arrow batch collapses to ≤6 partial rows
     before the global groupby — the shuffle is O(blocks × groups)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
     cutoff_ts = np.datetime64(cutoff, "us")
     ds = _read(
         sf_dir,
@@ -150,15 +147,59 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "2001-09-01"):
             ]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("sum_charge_cents", alias_name="sum_charge_cents"),
-        Sum("count_order", alias_name="count_order"),
+    import ray
+
+    # partials are ≤6 rows per block — a Ray groupby + sort here pays
+    # two fixed all-to-all passes to aggregate a combiner-sized set
+    # (house rule: don't); concat + Arrow hash-agg on the driver
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return partial(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "l_quantity": pa.array([], pa.float64()),
+                    "l_extendedprice": pa.array([], pa.float64()),
+                    "l_discount": pa.array([], pa.float64()),
+                    "l_tax": pa.array([], pa.float64()),
+                    "l_shipdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_cents", "sum"),
+                ("sum_disc_cents", "sum"),
+                ("sum_charge_cents", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
+        .rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_disc_cents",
+                "sum_charge_cents",
+                "count_order",
+            ]
+        )
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+    return agg.sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
 
 
 # ---------------------------------------------------------------------------
