@@ -1777,11 +1777,9 @@ def _q_crawl_fetch_results(sf_dir: str):
 
 
 def _q_crawl_fetch_errors(sf_dir: str):
-    """S1 rollup: failed fetches by error class (combiner pre-agg, then
-    a ≤8-group Ray groupby)."""
+    """S1 rollup: failed fetches by error class (combiner pre-agg,
+    driver-side finish — the class domain is ≤8)."""
     import pyarrow as pa
-    import ray.data
-    from ray.data.aggregate import Sum
 
     res = _q_crawl_fetch_results(sf_dir)
 
@@ -1797,10 +1795,33 @@ def _q_crawl_fetch_errors(sf_dir: str):
         )
         return agg.rename_columns(["error_type", "n"])
 
-    return (
-        res.map_batches(partial, batch_format="pyarrow")
-        .groupby("error_type")
-        .aggregate(Sum("n", alias_name="n_urls"))
+    import ray
+
+    # ≤8 error classes per block: a Ray groupby here shuffles a
+    # combiner-sized set — concat + Arrow hash-agg driver-side
+    parts = [
+        t
+        for t in ray.get(
+            res.map_batches(
+                partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "error_type": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("error_type")
+        .aggregate([("n", "sum")])
+    )
+    return pa.table(
+        {"error_type": agg["error_type"], "n_urls": agg["n_sum"]}
     )
 
 

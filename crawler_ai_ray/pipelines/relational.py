@@ -1134,15 +1134,55 @@ def events_hourly(sf_dir: str):
             pc.cast(batch["window_start"], pa.timestamp("us")),
         )
 
-    return (
-        ev.map_batches(window, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_micros", alias_name="sum_value_micros"),
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = window(batch)
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value_micros", "count"), ("value_micros", "sum")]
         )
-        # no cosmetic global sort: consumers compare order-insensitively
-        # and a Ray sort costs a full sample+shuffle pass
+        return agg.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value_micros"]
+        )
+
+    pre = ev.map_batches(partial, batch_format="pyarrow").materialize()
+    # adaptive finish: partial volume is blocks × (windows × types) —
+    # combiner-sized for any realistic span; driver Arrow hash-agg
+    # under ~2M partial rows, the Ray groupby shuffle beyond
+    if pre.count() <= 2_000_000:
+        parts = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value_micros": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.concat_tables(parts)
+            .group_by(["window_start", "event_type"])
+            .aggregate([("n_events", "sum"), ("sum_value_micros", "sum")])
+        )
+        return pa.table(
+            {
+                "window_start": pc.cast(
+                    agg["window_start"], pa.timestamp("us")
+                ),
+                "event_type": agg["event_type"],
+                "n_events": pc.cast(agg["n_events_sum"], pa.int64()),
+                "sum_value_micros": pc.cast(
+                    agg["sum_value_micros_sum"], pa.int64()
+                ),
+            }
+        )
+    return (
+        pre.groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_micros", alias_name="sum_value_micros"),
+        )
         .map_batches(to_us, batch_format="pyarrow")
     )
 
@@ -1419,9 +1459,39 @@ def events_hopping(sf_dir: str, size_minutes: int = 60,
             }
         )
 
+    import ray
+
+    pre = ev.map_batches(window, batch_format="pyarrow").materialize()
+    # adaptive finish (same rule as events_hourly): combiner partials
+    # finish driver-side under ~2M rows, Ray groupby beyond
+    if pre.count() <= 2_000_000:
+        parts = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value_micros": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.concat_tables(parts)
+            .group_by(["ws_us", "event_type"])
+            .aggregate([("n", "sum"), ("value_micros", "sum")])
+        )
+        return pa.table(
+            {
+                "window_start": pc.cast(agg["ws_us"], pa.timestamp("us")),
+                "event_type": agg["event_type"],
+                "n_events": pc.cast(agg["n_sum"], pa.int64()),
+                "sum_value_micros": pc.cast(
+                    agg["value_micros_sum"], pa.int64()
+                ),
+            }
+        )
     return (
-        ev.map_batches(window, batch_format="pyarrow")
-        .groupby(["ws_us", "event_type"])
+        pre.groupby(["ws_us", "event_type"])
         .aggregate(
             Sum("n", alias_name="n_events"),
             Sum("value_micros", alias_name="sum_value_micros"),
