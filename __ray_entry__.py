@@ -1976,6 +1976,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_funnel": _rel("events_funnel"),
+        "events_top_user_per_day": _rel("events_top_user_per_day"),
+        "events_session_quantiles": _rel("events_session_length_quantiles"),
         "events_sessionize": _rel("events_sessionize"),
         "events_hopping": _rel("events_hopping"),
         "events_asof_join": _rel("events_asof_join"),
@@ -2014,7 +2016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights", "events_daily_active", "events_dau_hll",
         "doc_top_quality_per_lang", "doc_commonness",
         "events_no_purchase_users", "events_funnel",
-        "tbl_profile_lineitem",
+        "tbl_profile_lineitem", "events_top_user_per_day",
+        "events_session_quantiles",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2980,6 +2983,41 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'l_suppkey', l_suppkey::BIGINT FROM lineitem)
             GROUP BY 1""",
+        "events_session_quantiles": """
+            WITH o AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM o),
+            lens AS (SELECT count(*)::BIGINT AS len FROM s
+                     GROUP BY user_id, sidx),
+            ranked AS (
+              SELECT len, row_number() OVER (ORDER BY len) rn,
+                     count(*) OVER () n
+              FROM lens),
+            ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+            SELECT p, min(len)::BIGINT AS q_value
+            FROM ranked, ps
+            WHERE rn >= greatest(1.0, ceil(p * n))
+            GROUP BY 1""",
+        "events_top_user_per_day": """
+            WITH s AS (
+              SELECT date_trunc('day', ts) AS day, user_id,
+                     sum(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+                       ::BIGINT AS sum_value_micros
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY day
+                ORDER BY sum_value_micros DESC, user_id) AS rn
+              FROM s)
+            SELECT day, user_id, sum_value_micros FROM r WHERE rn = 1""",
         "events_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS t FROM events
                        WHERE event_type = 'view' GROUP BY 1),

@@ -43,6 +43,8 @@ __all__ = [
     "events_daily_active",
     "events_no_purchase_users",
     "events_funnel",
+    "events_top_user_per_day",
+    "events_session_length_quantiles",
     "events_dau_hll",
     "events_sessionize",
     "events_hopping",
@@ -1497,6 +1499,171 @@ def events_hopping(sf_dir: str, size_minutes: int = 60,
             Sum("value_micros", alias_name="sum_value_micros"),
         )
         .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+_SESSION_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def events_session_length_quantiles(sf_dir: str, gap_minutes: int = 30):
+    """→ (p, q_value): exact percentiles of session length (events per
+    session) — a two-operator composition: `events_sessionize` (the
+    user-bucketed windowed stage) feeds a histogram-combiner quantile
+    (the `grouped_quantiles` technique, single group).  Session
+    lengths are small integers, so each block collapses to a
+    (len, count) histogram and percentiles resolve exactly from the
+    merged cumulative counts driver-side: q(p) = min len whose rank
+    ≥ max(1, ceil(p·n)) — the same rule the oracle's window SQL
+    evaluates."""
+    import math
+
+    import ray
+
+    sess = events_sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["n_events"])
+            .group_by("n_events")
+            .aggregate([("n_events", "count")])
+        )
+        return agg.rename_columns(["len", "cnt"])
+
+    parts = [
+        t
+        for t in ray.get(
+            sess.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "p": pa.array([], pa.float64()),
+                "q_value": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts).group_by("len").aggregate([("cnt", "sum")])
+    )
+    lens = agg["len"].to_numpy(zero_copy_only=False)
+    cnts = agg["cnt_sum"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lens)
+    lens, cnts = lens[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    qs, vals = [], []
+    for p in _SESSION_QS:
+        rank = max(1.0, math.ceil(p * n))
+        qs.append(p)
+        vals.append(int(lens[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "p": pa.array(qs, pa.float64()),
+            "q_value": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def events_top_user_per_day(sf_dir: str, num_buckets: int = 64):
+    """→ (day, user_id, sum_value_micros): the highest-value user per
+    day (ties → min user_id) — windowed heavy-hitter detection.
+
+    Two-level exact top-1 without a day-keyed shuffle (days skew:
+    one hot day can hold most of the corpus): the shuffle key is
+    ``user % num_buckets`` so each bucket finishes its users' per-day
+    sums exactly, keeps one candidate per (bucket, day), and the
+    driver compares ≤ buckets × days candidates."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+    pow2 = num_buckets & (num_buckets - 1) == 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day_us": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit="day"), pa.int64()
+                ),
+                "user_id": batch["user_id"],
+                "v": cents(batch["value"], scale=1_000_000.0),
+            }
+        )
+        agg = t.group_by(["day_us", "user_id"]).aggregate([("v", "sum")])
+        uid = pc.cast(agg["user_id"], pa.uint64())
+        bucket = (
+            pc.bit_wise_and(uid, num_buckets - 1)
+            if pow2
+            else pc.subtract(
+                uid, pc.multiply(pc.divide(uid, num_buckets), num_buckets)
+            )
+        )
+        return pa.table(
+            {
+                "day_us": agg["day_us"],
+                "user_id": agg["user_id"],
+                "v": agg["v_sum"],
+                "bucket": pc.cast(bucket, pa.int64()),
+            }
+        )
+
+    def bucket_top1(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["day_us", "user_id"]).aggregate([("v", "sum")])
+        day = agg["day_us"].to_numpy(zero_copy_only=False)
+        uid = agg["user_id"].to_numpy(zero_copy_only=False)
+        v = agg["v_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -v, day))
+        day_s = day[order]
+        first = np.empty(len(day_s), dtype=bool)
+        if len(day_s):
+            first[0] = True
+            np.not_equal(day_s[1:], day_s[:-1], out=first[1:])
+        keep = order[first]
+        return pa.table(
+            {
+                "day_us": pa.array(day[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_top1, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "day": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "sum_value_micros": pa.array([], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    day = cat["day_us"].to_numpy(zero_copy_only=False)
+    uid = cat["user_id"].to_numpy(zero_copy_only=False)
+    v = cat["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, -v, day))
+    day_s = day[order]
+    first = np.empty(len(day_s), dtype=bool)
+    if len(day_s):
+        first[0] = True
+        np.not_equal(day_s[1:], day_s[:-1], out=first[1:])
+    keep = order[first]
+    return pa.table(
+        {
+            "day": pc.cast(
+                pa.array(day[keep], pa.int64()), pa.timestamp("us")
+            ),
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "sum_value_micros": pa.array(v[keep], pa.int64()),
+        }
     )
 
 
