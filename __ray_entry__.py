@@ -1641,6 +1641,20 @@ def _q_mm_audio(sf_dir: str):
     )
 
 
+def _q_mm_video_keyframes(sf_dir: str):
+    """Keyframe selection by integer SAD shot-boundary detection over
+    the y4m corpus — actor-pool decode, all-integer output matched
+    exactly by the sequential-golden oracle."""
+    from crawler_ai_ray.stages.multimodal import VideoKeyframes
+
+    return _media_ds(sf_dir, "video").map_batches(
+        VideoKeyframes,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
 def _q_mm_video_frames(sf_dir: str):
     from crawler_ai_ray.stages.multimodal import VideoFrameSample
 
@@ -1993,6 +2007,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _q_mm_image,
         "mm_audio_features": _q_mm_audio,
         "mm_video_frames": _q_mm_video_frames,
+        "mm_video_keyframes": _q_mm_video_keyframes,
     }
 
 
@@ -2017,7 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_quality_per_lang", "doc_commonness",
         "events_no_purchase_users", "events_funnel",
         "tbl_profile_lineitem", "events_top_user_per_day",
-        "events_session_quantiles",
+        "events_session_quantiles", "mm_video_keyframes",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2353,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
     mm_image_g = os.path.join(gdir, "mm_image.parquet")
     mm_audio_g = os.path.join(gdir, "mm_audio.parquet")
     mm_video_g = os.path.join(gdir, "mm_video.parquet")
+    mm_key_g = os.path.join(gdir, "mm_keyframes.parquet")
 
     fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
@@ -3357,6 +3373,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": f"""
             SELECT media_id, duration_s, rms, zero_crossings
             FROM read_parquet('{mm_audio_g}')""",
+        "mm_video_keyframes": f"""
+            SELECT media_id, frame_idx, sad
+            FROM read_parquet('{mm_key_g}')""",
         "mm_video_frames": f"""
             SELECT media_id, frame_idx, mean_luma
             FROM read_parquet('{mm_video_g}')""",

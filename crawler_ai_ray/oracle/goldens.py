@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g2"
+GOLDEN_VERSION = "g3"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -114,6 +114,7 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
         AudioFeatures,
         ImageDecodeResize,
         VideoFrameSample,
+        VideoKeyframes,
         synth_media_table,
     )
 
@@ -132,6 +133,10 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     pq.write_table(
         VideoFrameSample(every_n=10)(synth_media_table(n, "video")),
         os.path.join(gdir, "mm_video.parquet"),
+    )
+    pq.write_table(
+        VideoKeyframes()(synth_media_table(n, "video")),
+        os.path.join(gdir, "mm_keyframes.parquet"),
     )
 
 

@@ -335,6 +335,62 @@ class VideoFrameSample:
         )
 
 
+class VideoKeyframes:
+    """Actor-pool stage: y4m payload → keyframe rows by integer SAD
+    (sum of absolute luma differences) against the LAST KEPT frame —
+    the standard shot-boundary/keyframe selection, all-integer so the
+    golden oracle matches exactly.  Frame 0 always keys; frame f keys
+    when ``sad(f, last_kept) · 1000 ≥ threshold_milli · n_pixels``
+    (i.e. mean abs diff ≥ threshold_milli/1000 luma levels)."""
+
+    def __init__(self, threshold_milli: int = 8000, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.threshold_milli = threshold_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out = {"media_id": [], "frame_idx": [], "sad": []}
+        for mid, payload, meta in zip(ids, payloads, metas):
+            if self.decoder == "real":
+                frames, _fps = decode_y4m(payload)
+            else:
+                n = meta["n_frames"] or 30
+                frames = np.stack(
+                    [
+                        _fake_pixels(
+                            payload + f.to_bytes(4, "little"), 16, 16
+                        )[..., 0]
+                        for f in range(n)
+                    ]
+                )
+            if not len(frames):
+                continue
+            npx = int(frames[0].size)
+            last = frames[0].astype(np.int64)
+            out["media_id"].append(mid)
+            out["frame_idx"].append(0)
+            out["sad"].append(0)
+            for f in range(1, len(frames)):
+                cur = frames[f].astype(np.int64)
+                sad = int(np.abs(cur - last).sum())
+                if sad * 1000 >= self.threshold_milli * npx:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["sad"].append(sad)
+                    last = cur
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "sad": pa.array(out["sad"], type=pa.int64()),
+            }
+        )
+
+
 def synth_media_table(n: int, kind: str = "image", seed: int = 13) -> pa.Table:
     """Deterministic media corpus in REAL encodings (P6 PPM / WAV PCM16
     / y4m Cmono) for tests and bench."""

@@ -1201,3 +1201,32 @@ def test_doc_commonness_partition_invariant_and_planted(ray_session):
         "doc_id", ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_video_keyframes_planted():
+    import numpy as np
+
+    from crawler_ai_ray.stages.multimodal import (
+        VideoKeyframes,
+        encode_y4m,
+    )
+
+    # 6 frames: constant, constant, jump, constant, jump, constant
+    f = np.zeros((6, 8, 8), dtype=np.uint8)
+    f[2:] = 100
+    f[4:] = 200
+    payload = encode_y4m(f, fps=30)
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([payload], pa.binary()),
+            "meta": pa.array(
+                [{"n_frames": 6}],
+                pa.struct([("n_frames", pa.int32())]),
+            ),
+        }
+    )
+    out = VideoKeyframes(threshold_milli=8000)(batch).to_pydict()
+    # keyframes: 0 (always), 2 (|100-0|=100 >= 8), 4 (|200-100|=100)
+    assert out["frame_idx"] == [0, 2, 4]
+    assert out["sad"] == [0, 100 * 64, 100 * 64]
