@@ -1641,6 +1641,45 @@ def _q_mm_audio(sf_dir: str):
     )
 
 
+def _media_neardup_ds(sf_dir: str):
+    import ray.data
+    from crawler_ai_ray.stages.multimodal import synth_media_neardup_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 256
+    )
+    tbl = synth_media_neardup_table(n)
+    step = max(1, tbl.num_rows // 8)
+    slices = [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    return ray.data.from_arrow(slices)
+
+
+def _q_mm_image_phash(sf_dir: str):
+    """64-bit perceptual hash (dHash) per image via the actor-pool
+    decode — the multimodal fingerprint column."""
+    from crawler_ai_ray.stages.multimodal import ImagePHash
+
+    return _media_neardup_ds(sf_dir).map_batches(
+        ImagePHash,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+def _q_mm_image_neardup(sf_dir: str):
+    """Image near-duplicate pairs: dHash → the SAME banded Hamming
+    machinery as text simhash (`dedup.hash64_neardup_pairs`,
+    pigeonhole-exact at ≤3 bits).  Planted perturbed copies land 0-3
+    bits from their originals; unrelated noise images sit ~32 apart."""
+    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
+
+    pairs = hash64_neardup_pairs(
+        _q_mm_image_phash(sf_dir), id_col="media_id", hash_col="phash"
+    )
+    return pairs.rename_columns(["media_a", "media_b", "hamming"])
+
+
 def _q_mm_video_keyframes(sf_dir: str):
     """Keyframe selection by integer SAD shot-boundary detection over
     the y4m corpus — actor-pool decode, all-integer output matched
@@ -2008,6 +2047,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features": _q_mm_audio,
         "mm_video_frames": _q_mm_video_frames,
         "mm_video_keyframes": _q_mm_video_keyframes,
+        "mm_image_phash": _q_mm_image_phash,
+        "mm_image_neardup": _q_mm_image_neardup,
     }
 
 
@@ -2033,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_no_purchase_users", "events_funnel",
         "tbl_profile_lineitem", "events_top_user_per_day",
         "events_session_quantiles", "mm_video_keyframes",
+        "mm_image_phash", "mm_image_neardup",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2369,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
     mm_audio_g = os.path.join(gdir, "mm_audio.parquet")
     mm_video_g = os.path.join(gdir, "mm_video.parquet")
     mm_key_g = os.path.join(gdir, "mm_keyframes.parquet")
+    mm_phash_g = os.path.join(gdir, "mm_phash.parquet")
 
     fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
@@ -3373,6 +3416,19 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": f"""
             SELECT media_id, duration_s, rms, zero_crossings
             FROM read_parquet('{mm_audio_g}')""",
+        "mm_image_phash": f"""
+            SELECT media_id, phash FROM read_parquet('{mm_phash_g}')""",
+        # brute-force all-pairs from the sequential phash golden: any
+        # pair at Hamming ≤ 3 over 64 bits shares one of 4 16-bit
+        # bands (pigeonhole), so the engine's banded set must equal
+        # this exhaustive set exactly
+        "mm_image_neardup": f"""
+            WITH s AS (SELECT media_id, phash
+                       FROM read_parquet('{mm_phash_g}'))
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
         "mm_video_keyframes": f"""
             SELECT media_id, frame_idx, sad
             FROM read_parquet('{mm_key_g}')""",

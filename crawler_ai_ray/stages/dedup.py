@@ -50,6 +50,7 @@ __all__ = [
     "pair_labels",
     "simhash_batch",
     "simhash_neardup_pairs",
+    "hash64_neardup_pairs",
     "incremental_dedup",
     "decontaminate",
     "dup_ngram_rows_batch",
@@ -640,15 +641,27 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
     """documents → pairs with simhash Hamming distance ≤ k, blocked on
     4×16-bit bands (any pair within distance 3 shares ≥1 exact band)."""
-    import ray.data
-
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, text_col=text_col), batch_format="pyarrow"
     )
+    return hash64_neardup_pairs(hashed, max_hamming=max_hamming)
+
+
+def hash64_neardup_pairs(
+    hashed,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+):
+    """(id, 64-bit hash) rows → (doc_a, doc_b, hamming ≤ k) pairs via
+    4×16-bit band blocking — pigeonhole-exact for k ≤ 3 (any pair
+    within distance 3 agrees on ≥1 band).  Hash-agnostic: text simhash
+    and image perceptual hashes share this distributed path."""
+    import ray.data
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        shs = batch["simhash"].to_pylist()
+        ids = batch[id_col].to_pylist()
+        shs = batch[hash_col].to_pylist()
         out = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
         for i, sh in zip(ids, shs):
             u = np.uint64(sh)

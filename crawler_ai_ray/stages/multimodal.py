@@ -49,7 +49,11 @@ __all__ = [
     "ImageDecodeResize",
     "AudioFeatures",
     "VideoFrameSample",
+    "VideoKeyframes",
     "synth_media_table",
+    "synth_media_neardup_table",
+    "dhash64",
+    "ImagePHash",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -80,6 +84,33 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 TARGET_BATCH_BYTES = 32 << 20
+
+
+def synth_media_neardup_table(n: int, seed: int = 13) -> pa.Table:
+    """Image corpus with PLANTED near-duplicates: the base corpus plus,
+    for every 4th image, a copy (media_id + 100000) with a small corner
+    patch brightened — a handful of dhash block means move, so the copy
+    sits within a few Hamming bits of its original while unrelated
+    noise images stay ~32 bits apart."""
+    base = synth_media_table(n, "image", seed=seed)
+    rows = base.to_pylist()
+    extra = []
+    for r in rows:
+        if r["media_id"] % 4 != 0:
+            continue
+        px = decode_ppm(r["payload"]).copy()
+        h, w = px.shape[:2]
+        px[: max(1, h // 6), : max(1, w // 6)] = np.minimum(
+            px[: max(1, h // 6), : max(1, w // 6)].astype(np.int64) + 60, 255
+        ).astype(np.uint8)
+        extra.append(
+            {
+                **r,
+                "media_id": r["media_id"] + 100000,
+                "payload": encode_ppm(px),
+            }
+        )
+    return pa.Table.from_pylist(rows + extra, schema=base.schema)
 
 
 def media_batch_size(avg_payload_bytes: int, floor: int = 4, cap: int = 1024) -> int:
@@ -331,6 +362,60 @@ class VideoFrameSample:
                 "media_id": pa.array(out["media_id"], type=pa.int64()),
                 "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
                 "mean_luma": pa.array(out["mean_luma"], type=pa.float64()),
+            }
+        )
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash): integer block-mean downsample to
+    9×8 grayscale, bit y·8+x = g[y,x] < g[y,x+1].  All-integer ⇒ the
+    sequential golden matches exactly; near-duplicate images differ in
+    few bits (the image analogue of text simhash)."""
+    g = (
+        px[..., 0].astype(np.int64)
+        + px[..., 1].astype(np.int64)
+        + px[..., 2].astype(np.int64)
+    ) // 3
+    h, w = g.shape
+    yb = (np.arange(9) * h) // 9
+    xb = (np.arange(10) * w) // 10
+    small = np.empty((8, 9), dtype=np.int64)
+    for y in range(8):
+        for x in range(9):
+            blk = g[yb[y] : max(yb[y + 1], yb[y] + 1),
+                    xb[x] : max(xb[x + 1], xb[x] + 1)]
+            small[y, x] = int(blk.sum()) // blk.size
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class ImagePHash:
+    """Actor-pool stage: PPM payload → 64-bit perceptual hash (dHash);
+    output (media_id, phash int64-bitcast) feeds
+    ``dedup.hash64_neardup_pairs`` for image near-dup detection."""
+
+    def __init__(self, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out_id, out_h = [], []
+        for mid, payload, meta in zip(ids, payloads, metas):
+            if self.decoder == "real":
+                px = decode_ppm(payload)
+            else:
+                px = _fake_pixels(payload, meta["width"] or 32,
+                                  meta["height"] or 32)
+            out_id.append(mid)
+            out_h.append(np.uint64(dhash64(px)).astype(np.int64).item())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "phash": pa.array(out_h, pa.int64()),
             }
         )
 

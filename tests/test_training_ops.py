@@ -1230,3 +1230,33 @@ def test_video_keyframes_planted():
     # keyframes: 0 (always), 2 (|100-0|=100 >= 8), 4 (|200-100|=100)
     assert out["frame_idx"] == [0, 2, 4]
     assert out["sad"] == [0, 100 * 64, 100 * 64]
+
+
+def test_image_phash_neardup_planted(ray_session):
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
+    from crawler_ai_ray.stages.multimodal import (
+        ImagePHash,
+        synth_media_neardup_table,
+    )
+
+    tbl = synth_media_neardup_table(32)
+    hashed = ray.data.from_arrow(tbl).map_batches(
+        ImagePHash, batch_format="pyarrow", concurrency=2, batch_size=16
+    )
+    pairs = hash64_neardup_pairs(
+        hashed, id_col="media_id", hash_col="phash"
+    ).to_pandas()
+    got = {
+        (min(a, b), max(a, b))
+        for a, b in zip(pairs.media_a if "media_a" in pairs else pairs.doc_a,
+                        pairs.media_b if "media_b" in pairs else pairs.doc_b)
+    }
+    # every planted copy pairs with its original (hamming <= 3 by
+    # construction at this perturbation size)
+    planted = {(i, i + 100000) for i in range(0, 32, 4)}
+    assert planted <= got
+    # and nothing pairs across unrelated noise images
+    assert all(b - a == 100000 for a, b in got)
