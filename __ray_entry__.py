@@ -1654,6 +1654,42 @@ def _media_neardup_ds(sf_dir: str):
     return ray.data.from_arrow(slices)
 
 
+def _q_mm_audio_fp(sf_dir: str):
+    """64-bit audio fingerprint (sign-of-energy-delta contour) per
+    clip via the actor-pool WAV decode."""
+    import ray.data
+    from crawler_ai_ray.stages.multimodal import (
+        AudioFingerprint,
+        synth_audio_neardup_table,
+    )
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 256
+    )
+    tbl = synth_audio_neardup_table(n)
+    step = max(1, tbl.num_rows // 8)
+    ds = ray.data.from_arrow(
+        [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    )
+    return ds.map_batches(
+        AudioFingerprint,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+def _q_mm_audio_neardup(sf_dir: str):
+    """Audio near-duplicate pairs: fingerprint → the same banded
+    Hamming machinery as text simhash / image phash."""
+    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
+
+    pairs = hash64_neardup_pairs(
+        _q_mm_audio_fp(sf_dir), id_col="media_id", hash_col="afp"
+    )
+    return pairs.rename_columns(["media_a", "media_b", "hamming"])
+
+
 def _q_mm_image_phash(sf_dir: str):
     """64-bit perceptual hash (dHash) per image via the actor-pool
     decode — the multimodal fingerprint column."""
@@ -2049,6 +2085,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mm_video_keyframes": _q_mm_video_keyframes,
         "mm_image_phash": _q_mm_image_phash,
         "mm_image_neardup": _q_mm_image_neardup,
+        "mm_audio_fp": _q_mm_audio_fp,
+        "mm_audio_neardup": _q_mm_audio_neardup,
     }
 
 
@@ -2075,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tbl_profile_lineitem", "events_top_user_per_day",
         "events_session_quantiles", "mm_video_keyframes",
         "mm_image_phash", "mm_image_neardup",
+        "mm_audio_fp", "mm_audio_neardup",
         "doc_curate", "doc_curate_output", "doc_curate_funnel",
         "doc_pack_blocks", "doc_decontaminate",
         "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
@@ -2412,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
     mm_video_g = os.path.join(gdir, "mm_video.parquet")
     mm_key_g = os.path.join(gdir, "mm_keyframes.parquet")
     mm_phash_g = os.path.join(gdir, "mm_phash.parquet")
+    mm_afp_g = os.path.join(gdir, "mm_afp.parquet")
 
     fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
@@ -3416,6 +3456,15 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": f"""
             SELECT media_id, duration_s, rms, zero_crossings
             FROM read_parquet('{mm_audio_g}')""",
+        "mm_audio_fp": f"""
+            SELECT media_id, afp FROM read_parquet('{mm_afp_g}')""",
+        "mm_audio_neardup": f"""
+            WITH s AS (SELECT media_id, afp
+                       FROM read_parquet('{mm_afp_g}'))
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   bit_count(xor(a.afp, b.afp))::INTEGER AS hamming
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 3""",
         "mm_image_phash": f"""
             SELECT media_id, phash FROM read_parquet('{mm_phash_g}')""",
         # brute-force all-pairs from the sequential phash golden: any

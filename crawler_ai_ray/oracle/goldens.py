@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g4"
+GOLDEN_VERSION = "g5"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -113,9 +113,11 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     from ..stages.multimodal import (
         AudioFeatures,
         ImageDecodeResize,
+        AudioFingerprint,
         ImagePHash,
         VideoFrameSample,
         VideoKeyframes,
+        synth_audio_neardup_table,
         synth_media_neardup_table,
         synth_media_table,
     )
@@ -143,6 +145,10 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     pq.write_table(
         ImagePHash()(synth_media_neardup_table(n)),
         os.path.join(gdir, "mm_phash.parquet"),
+    )
+    pq.write_table(
+        AudioFingerprint()(synth_audio_neardup_table(n)),
+        os.path.join(gdir, "mm_afp.parquet"),
     )
 
 

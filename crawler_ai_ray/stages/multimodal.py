@@ -54,6 +54,9 @@ __all__ = [
     "synth_media_neardup_table",
     "dhash64",
     "ImagePHash",
+    "audio_fp64",
+    "AudioFingerprint",
+    "synth_audio_neardup_table",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -418,6 +421,87 @@ class ImagePHash:
                 "phash": pa.array(out_h, pa.int64()),
             }
         )
+
+
+def audio_fp64(pcm: np.ndarray) -> int:
+    """64-bit audio fingerprint: 65 equal windows, integer energy
+    (Σ pcm², exact int64) per window, bit i = e[i] < e[i+1] — the
+    sign-of-energy-delta contour (a chromaprint-style reduction that
+    is all-integer ⇒ golden-exact and robust to small noise)."""
+    n = len(pcm)
+    k = 65
+    bounds = (np.arange(k + 1) * n) // k
+    e = np.array(
+        [
+            int(
+                (
+                    pcm[bounds[i] : max(bounds[i + 1], bounds[i] + 1)].astype(
+                        np.int64
+                    )
+                    ** 2
+                ).sum()
+            )
+            for i in range(k)
+        ]
+    )
+    bits = (e[:-1] < e[1:]).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → (media_id, afp int64-bitcast);
+    feeds ``dedup.hash64_neardup_pairs`` for audio near-dup."""
+
+    def __init__(self, decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_h = [], []
+        for mid, payload in zip(ids, payloads):
+            if self.decoder == "real":
+                pcm, _sr = decode_wav(payload)
+            else:
+                pcm = np.frombuffer(payload[:4096], dtype=np.uint8).astype(
+                    np.int16
+                )
+            out_id.append(mid)
+            out_h.append(np.uint64(audio_fp64(pcm)).astype(np.int64).item())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "afp": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def synth_audio_neardup_table(n: int, seed: int = 13) -> pa.Table:
+    """Audio corpus with PLANTED near-duplicates: every 4th clip gets a
+    copy (media_id + 100000) with small uniform sample noise — its
+    energy contour (and so its fingerprint) stays within a couple of
+    bits while unrelated clips sit ~32 apart."""
+    base = synth_media_table(n, "audio", seed=seed)
+    rows = base.to_pylist()
+    rng = np.random.RandomState(seed + 1)
+    extra = []
+    for r in rows:
+        if r["media_id"] % 4 != 0:
+            continue
+        pcm, sr = decode_wav(r["payload"])
+        noisy = (
+            pcm.astype(np.int64) + rng.randint(-50, 51, size=len(pcm))
+        ).clip(-32768, 32767).astype(np.int16)
+        extra.append(
+            {
+                **r,
+                "media_id": r["media_id"] + 100000,
+                "payload": encode_wav(noisy, sr),
+            }
+        )
+    return pa.Table.from_pylist(rows + extra, schema=base.schema)
 
 
 class VideoKeyframes:

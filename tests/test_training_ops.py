@@ -1260,3 +1260,28 @@ def test_image_phash_neardup_planted(ray_session):
     assert planted <= got
     # and nothing pairs across unrelated noise images
     assert all(b - a == 100000 for a, b in got)
+
+
+def test_audio_fp_neardup_planted(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
+    from crawler_ai_ray.stages.multimodal import (
+        AudioFingerprint,
+        synth_audio_neardup_table,
+    )
+
+    tbl = synth_audio_neardup_table(32)
+    hashed = ray.data.from_arrow(tbl).map_batches(
+        AudioFingerprint, batch_format="pyarrow", concurrency=2,
+        batch_size=16,
+    )
+    pairs = hash64_neardup_pairs(
+        hashed, id_col="media_id", hash_col="afp"
+    ).to_pandas()
+    got = {
+        (min(a, b), max(a, b)) for a, b in zip(pairs.doc_a, pairs.doc_b)
+    }
+    planted = {(i, i + 100000) for i in range(0, 32, 4)}
+    assert planted <= got
+    assert all(b - a == 100000 for a, b in got)
