@@ -189,6 +189,7 @@ def curate(
     *,
     num_buckets: int = 64,
     threshold: float = 0.8,
+    resume: bool = False,
 ) -> dict:
     """Run the corpus-curation chain (pipelines/curate.py) over a
     documents Parquet table and write its three artifacts:
@@ -199,6 +200,14 @@ def curate(
       re-run or a downstream per-language consumer addresses
       partitions independently — the resumable-output layout);
     * ``out_dir/funnel.json`` — per-stage survival counts.
+
+    With ``resume=True`` a re-run skips finished stages via per-stage
+    marker files (``decisions.done``, ``corpus.done``): a crash
+    between stages restarts only the unfinished ones, and a fully
+    finished run is a cheap no-op that re-reads ``funnel.json`` — the
+    resumable-output contract at stage granularity (the per-language
+    corpus partitioning gives the finer file-level granularity to
+    downstream consumers).
 
     Returns the funnel dict."""
     import json
@@ -213,25 +222,45 @@ def curate(
     )
     from .sources.pqread import read_parquet_rowgroups
 
-    docs_full = read_parquet_rowgroups(
-        docs_path, columns=["doc_id", "text", "lang"]
-    )
-    decisions = curate_decisions(
-        docs_full, num_buckets=num_buckets, threshold=threshold
-    )
-    decisions = decisions.materialize()  # consumed 3× below, no text
-    decisions.write_parquet(os.path.join(out_dir, "decisions"))
-    docs_txt = read_parquet_rowgroups(
-        docs_path, columns=["doc_id", "text"]
-    )
-    curate_output(docs_txt, decisions).write_parquet(
-        os.path.join(out_dir, "corpus"), partition_cols=["pred_lang"]
-    )
+    dec_dir = os.path.join(out_dir, "decisions")
+    dec_done = os.path.join(out_dir, "decisions.done")
+    corpus_dir = os.path.join(out_dir, "corpus")
+    corpus_done = os.path.join(out_dir, "corpus.done")
+    funnel_path = os.path.join(out_dir, "funnel.json")
+
+    if resume and os.path.exists(funnel_path) and os.path.exists(
+        corpus_done
+    ) and os.path.exists(dec_done):
+        with open(funnel_path) as f:
+            return json.load(f)
+
+    if resume and os.path.exists(dec_done):
+        decisions = ray.data.read_parquet(dec_dir)
+    else:
+        docs_full = read_parquet_rowgroups(
+            docs_path, columns=["doc_id", "text", "lang"]
+        )
+        decisions = curate_decisions(
+            docs_full, num_buckets=num_buckets, threshold=threshold
+        )
+        decisions = decisions.materialize()  # consumed 3× below, no text
+        decisions.write_parquet(dec_dir)
+        with open(dec_done, "w") as f:
+            f.write("ok\n")
+    if not (resume and os.path.exists(corpus_done)):
+        docs_txt = read_parquet_rowgroups(
+            docs_path, columns=["doc_id", "text"]
+        )
+        curate_output(docs_txt, decisions).write_parquet(
+            corpus_dir, partition_cols=["pred_lang"]
+        )
+        with open(corpus_done, "w") as f:
+            f.write("ok\n")
     funnel_tbl = curate_funnel(decisions)
     funnel = {
         name: funnel_tbl[name][0].as_py()
         for name in funnel_tbl.column_names
     }
-    with open(os.path.join(out_dir, "funnel.json"), "w") as f:
+    with open(funnel_path, "w") as f:
         json.dump(funnel, f)
     return funnel

@@ -149,3 +149,39 @@ def test_funnel_consistent_with_decisions(decisions, ray_session):
         >= funnel["n_exact_keep"][0].as_py()
         >= funnel["n_kept"][0].as_py()
     )
+
+
+def test_curate_resume_skips_finished_stages(ray_session, tmp_path):
+    import json
+    import os
+
+    from crawler_ai_ray.api import curate
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    ensure_corpus(SF)  # warm any corpus deps
+    docs = f"{SF}/documents.parquet"
+    out = str(tmp_path / "cur")
+    f1 = curate(docs, out, num_buckets=16)
+    dec_file_mtimes = {
+        f: os.path.getmtime(os.path.join(out, "decisions", f))
+        for f in os.listdir(os.path.join(out, "decisions"))
+    }
+    # full re-run with resume: cheap no-op, same funnel
+    f2 = curate(docs, out, num_buckets=16, resume=True)
+    assert f1 == f2
+    for f, m in dec_file_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "decisions", f)) == m
+
+    # crash between stages: corpus missing, decisions finished —
+    # resume rebuilds only the corpus stage (decisions untouched)
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "corpus"))
+    os.remove(os.path.join(out, "corpus.done"))
+    os.remove(os.path.join(out, "funnel.json"))
+    f3 = curate(docs, out, num_buckets=16, resume=True)
+    assert f3 == f1
+    assert os.path.exists(os.path.join(out, "corpus.done"))
+    for f, m in dec_file_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "decisions", f)) == m
+    assert json.load(open(os.path.join(out, "funnel.json"))) == f1
