@@ -176,6 +176,10 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_search_tfidf",
         "tpch_q3_unshipped",
         "crawl_host_degrees",
+        "tpch_q5_region_volume",
+        "events_daily_active",
+        "events_funnel",
+        "mm_image_neardup",
     ]
     qs = entrymod.queries()
     out = {}

@@ -891,6 +891,7 @@ def q5_local_supplier_volume(
     date_to: str = "1999-01-01",
     num_buckets: int = 32,
     broadcast_max_keys: int = 5_000_000,
+    orderkey_broadcast_max: int | None = None,
 ):
     """TPC-H Q5 shape — revenue by nation where customer and supplier
     share the nation: six tables, → (n_name, revenue_cents) desc.
@@ -1062,24 +1063,77 @@ def q5_local_supplier_volume(
         agg = t.group_by("nation").aggregate([("revenue_cents", "sum")])
         return agg.rename_columns(["nation", "revenue_cents"])
 
-    partials = hash_bucket_join(
-        orders.map_batches(ord_tag, batch_format="pyarrow"),
-        li.map_batches(li_prep, batch_format="pyarrow"),
-        on="o_orderkey",
-        num_buckets=num_buckets,
-        bucket_postprocess=nation_partial,
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("c_nation", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("l_suppkey", pa.int64()),
-                ("revenue_cents", pa.int64()),
-            ]
-        ),
+    # orderkey-join hybrid (q3 pattern): the region+date-filtered
+    # orders side measures ~10 % of orders; under the broadcast budget
+    # it ships as sorted (orderkey, c_nation) arrays and the join +
+    # same-nation predicate + per-nation rollup fold into the lineitem
+    # map pass — zero shuffles in the whole query.  Summing per-batch
+    # nation partials is distributive (no cut before re-aggregation),
+    # so unlike q3 no extra care is needed.
+    tagged = orders.map_batches(ord_tag, batch_format="pyarrow").materialize()
+    ok_max = (
+        broadcast_max_keys
+        if orderkey_broadcast_max is None
+        else orderkey_broadcast_max
     )
-    blocks = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if tagged.count() <= ok_max:
+        tag_blocks = [
+            t for t in ray.get(tagged.to_arrow_refs()) if t.num_rows
+        ]
+        if not tag_blocks:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        tt = pa.concat_tables(tag_blocks)
+        okeys = tt["o_orderkey"].to_numpy(zero_copy_only=False)
+        order2 = np.argsort(okeys)
+        onat = tt["c_nation"].to_numpy(zero_copy_only=False)[order2]
+        t_ref = ray.put((okeys[order2], onat))
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            keys, nat = ray.get(t_ref)
+            part = li_prep(batch)
+            lk = part["o_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, lk)
+            hit = (
+                (idx < len(keys))
+                & (keys[np.minimum(idx, len(keys) - 1)] == lk)
+            )
+            part = part.filter(pa.array(hit))
+            j = part.append_column(
+                "c_nation",
+                pa.array(nat[idx[hit]], pa.int64()),
+            )
+            return nation_partial(j)
+
+        blocks = [
+            t
+            for t in ray.get(
+                li.map_batches(
+                    li_partial, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    else:
+        partials = hash_bucket_join(
+            tagged,
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            on="o_orderkey",
+            num_buckets=num_buckets,
+            bucket_postprocess=nation_partial,
+            right_schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("l_suppkey", pa.int64()),
+                    ("revenue_cents", pa.int64()),
+                ]
+            ),
+        )
+        blocks = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not blocks:
         return pa.table(
             {

@@ -382,3 +382,13 @@ def test_profile_vs_duckdb(duck):
         UNION ALL SELECT 'l_suppkey', l_suppkey::BIGINT FROM lineitem)
       GROUP BY 1""").df().sort_values("column", ignore_index=True)
     assert_frames_equal(eng, ora)
+
+
+def test_q5_broadcast_and_bucketed_paths_agree(ray_session):
+    from crawler_ai_ray.pipelines.relational import q5_local_supplier_volume
+
+    a = q5_local_supplier_volume(SF).to_pandas()
+    b = q5_local_supplier_volume(SF, orderkey_broadcast_max=0).to_pandas()
+    assert a.sort_values("n_name", ignore_index=True).equals(
+        b.sort_values("n_name", ignore_index=True)
+    )
