@@ -1243,7 +1243,11 @@ def events_hourly(sf_dir: str):
     )
 
 
-def events_daily_active(sf_dir: str, num_buckets: int = 64):
+def events_daily_active(
+    sf_dir: str,
+    num_buckets: int = 64,
+    driver_finish_max: int = 2_000_000,
+):
     """→ (day, n_active): EXACT daily count-distinct users — the
     canonical big-data distinct aggregation, done as two-level
     distinct so no stage ever sees the raw event stream twice:
@@ -1252,7 +1256,14 @@ def events_daily_active(sf_dir: str, num_buckets: int = 64):
     2. one shuffle keyed ``user_id % num_buckets`` (a user's pairs all
        land in one bucket, so the per-bucket distinct is globally
        exact), each bucket emitting per-day partial counts;
-    3. ≤ buckets × days partial rows roll up driver-side."""
+    3. ≤ buckets × days partial rows roll up driver-side.
+
+    Adaptive finish: the shuffled volume is DISTINCT (day, user) pairs
+    — users × active-days, far below raw events for any realistic
+    corpus.  When the materialized pre-distinct measures ≤ ~2M rows
+    (block-metadata count, free), one driver-side Arrow hash-distinct
+    replaces the bucketed shuffle; the bucketed path stays as the
+    above-threshold branch."""
     import ray
 
     ev = _read(sf_dir, "events", columns=["ts", "user_id"])
@@ -1278,16 +1289,31 @@ def events_daily_active(sf_dir: str, num_buckets: int = 64):
             {"day": agg["day"], "n_part": agg["user_id_count"]}
         )
 
-    parts = [
-        t
-        for t in ray.get(
-            ev.map_batches(pairs, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(bucket_counts, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    pre = ev.map_batches(pairs, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        pair_blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not pair_blocks:
+            parts = []
+        else:
+            g = (
+                pa.concat_tables(pair_blocks)
+                .group_by(["day", "user_id"])
+                .aggregate([])
+            )
+            agg = g.group_by("day").aggregate([("user_id", "count")])
+            parts = [
+                pa.table({"day": agg["day"], "n_part": agg["user_id_count"]})
+            ]
+    else:
+        parts = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(bucket_counts, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
     if not parts:
         return pa.table(
             {

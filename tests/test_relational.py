@@ -245,6 +245,16 @@ def test_dau_exact_vs_duckdb_and_hll_bounds(duck):
         true = exact.loc[day, "n_active"]
         assert abs(row["n_estimate"] - true) <= max(0.05 * true, 3)
 
+    # forced-bucketed branch agrees with the adaptive driver finish
+    bucketed = (
+        events_daily_active(SF, driver_finish_max=0)
+        .to_pandas()
+        .set_index("day")
+    )
+    assert exact["n_active"].sort_index().equals(
+        bucketed["n_active"].sort_index()
+    )
+
 
 def test_dau_hll_partition_invariant(ray_session):
     import os
