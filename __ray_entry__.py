@@ -200,6 +200,55 @@ def _q_crawl_page_quality(sf_dir: str):
     )
 
 
+def _q_crawl_snapshot_diff(sf_dir: str):
+    """Two-crawl snapshot delta (added / removed / changed urls) — the
+    incremental-recrawl primitive.  The two snapshots derive
+    deterministically from the extraction output by an md5(url)
+    selector (sel=0 only in A → removed, sel=3 only in B → added,
+    sel=1 content-bumped in B → changed); the oracle re-derives both
+    sides in SQL and FULL OUTER JOINs them, so the distributed diff —
+    fp-only shuffle, bucketed full-outer join, delta-only output — is
+    what's verified."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.snapshot import snapshot_diff
+
+    base = _extracted(sf_dir).select_columns(["url", "text"])
+
+    def snap(side_a: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist() if batch.num_rows else []
+            texts = batch["text"].to_pylist() if batch.num_rows else []
+            out_u, out_fp = [], []
+            for u, t in zip(urls, texts):
+                sel = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 4
+                if side_a:
+                    if sel == 3:
+                        continue
+                    body = t
+                else:
+                    if sel == 0:
+                        continue
+                    body = t + " updated" if sel == 1 else t
+                out_u.append(u)
+                out_fp.append(hashlib.md5(body.encode()).hexdigest())
+            return pa.table(
+                {
+                    "url": pa.array(out_u, pa.string()),
+                    "fp": pa.array(out_fp, pa.string()),
+                }
+            )
+
+        return fn
+
+    return snapshot_diff(
+        base.map_batches(snap(True), batch_format="pyarrow"),
+        base.map_batches(snap(False), batch_format="pyarrow"),
+    )
+
+
 def _q_crawl_host_reputation(sf_dir: str):
     """Host reputation: link-graph PageRank joined with per-host crawl
     aggregates (pages, career pages, mean tokens) — rank is vertex
@@ -1246,6 +1295,19 @@ def _q_doc_commonness(sf_dir: str):
     )
 
 
+def _q_doc_clf_score(sf_dir: str):
+    """Linear bag-of-words classifier inference (the fasttext-style
+    quality filter of GPT-3/CCNet/DSIR pipelines): per-doc integer
+    margin + keep flag, weights a deterministic pure function of the
+    term string recomputed independently by the oracle.  One stateless
+    streaming pass, no shuffle."""
+    from crawler_ai_ray.stages.textstats import classifier_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        classifier_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_top_quality_per_lang(sf_dir: str):
     """Grouped top-k: 3 highest-alpha-ratio docs per language (ratio
     computed identically on both sides — same IEEE division, so float
@@ -1975,6 +2037,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_components": _q_crawl_host_components,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_page_quality": _q_crawl_page_quality,
+        "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "crawl_host_reputation": _q_crawl_host_reputation,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
@@ -2042,6 +2105,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
+        "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
         # end-to-end curation chain (flagship training-data pipeline)
@@ -2100,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
         "crawl_host_pagerank", "crawl_host_components",
@@ -2728,6 +2793,27 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_components": components_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,
+        # snapshot diff: both snapshots re-derived in SQL from the
+        # golden by the same md5(url) selector, then a FULL OUTER JOIN
+        # classifies — verifying the engine's bucketed distributed diff
+        "crawl_snapshot_diff": f"""
+            WITH s AS (
+              SELECT url, text,
+                     ('0x' || substr(md5(url), 1, 8))::BIGINT % 4 AS sel
+              FROM read_parquet('{golden}')),
+            a AS (SELECT url, md5(text) AS fp FROM s WHERE sel != 3),
+            b AS (SELECT url,
+                         md5(CASE WHEN sel = 1 THEN text || ' updated'
+                                  ELSE text END) AS fp
+                  FROM s WHERE sel != 0),
+            j AS (
+              SELECT COALESCE(a.url, b.url) AS url,
+                     CASE WHEN a.url IS NULL THEN 'added'
+                          WHEN b.url IS NULL THEN 'removed'
+                          WHEN a.fp != b.fp THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM a FULL OUTER JOIN b ON a.url = b.url)
+            SELECT url, status FROM j WHERE status != 'same'""",
         "crawl_host_reputation": reputation_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "
@@ -3159,6 +3245,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_tokens,
                    (((s // n) * 1000000) // t)::BIGINT AS commonness_ppm
             FROM per, tot""",
+        # classifier: weight recomputed from the term STRING (codepoint
+        # sum via list_transform/unicode — independent of the engine's
+        # numpy byte-sum reduceat); margin is an exact int sum, no
+        # division, so no floor-sign ambiguity can enter the compare
+        "doc_clf_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            w AS (SELECT term,
+                    ((list_aggregate(
+                        list_transform(string_split(term, ''),
+                                       x -> unicode(x)), 'sum')
+                      * 2654435761 + length(term) * 97) % 2001
+                     - 1000)::BIGINT AS w
+                  FROM (SELECT DISTINCT term FROM tf)),
+            per AS (SELECT doc_id, sum(tf.tf)::BIGINT AS n_terms,
+                           sum(tf.tf * w.w)::BIGINT AS clf_margin
+                    FROM tf JOIN w USING (term) GROUP BY 1)
+            SELECT doc_id, n_terms, clf_margin,
+                   clf_margin >= 0 AS clf_keep
+            FROM per""",
         "doc_top_quality_per_lang": """
             WITH c AS (
               SELECT doc_id, lang,

@@ -180,6 +180,8 @@ def bench_queries(sf_dir: str) -> dict:
         "events_daily_active",
         "events_funnel",
         "mm_image_neardup",
+        "doc_clf_score",
+        "crawl_snapshot_diff",
     ]
     qs = entrymod.queries()
     out = {}

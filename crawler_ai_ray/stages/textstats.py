@@ -49,6 +49,7 @@ __all__ = [
     "grouped_quantiles",
     "mix_weights",
     "doc_commonness",
+    "classifier_batch",
     "LANG_STOPWORDS",
     "BPE_TOKEN_RE",
     "PUNCT_RE",
@@ -993,3 +994,88 @@ def doc_commonness(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- linear-classifier inference (fasttext-style quality filter) -----------
+
+_CLF_MULT = 2_654_435_761  # Knuth multiplicative constant
+_CLF_MOD = 2_001
+_CLF_BIAS = 1_000
+
+
+def _clf_term_weights(arr) -> np.ndarray:
+    """Per-term model weight in [-1000, 1000] from the term string:
+    ``((byte_sum · 2654435761 + len · 97) mod 2001) − 1000``.  Terms are
+    lowercase ``[a-z]+`` runs, so byte sums ARE codepoint sums and the
+    DuckDB oracle recomputes the identical weight from the term text
+    with ``list_transform(string_split(term,''), x -> unicode(x))`` —
+    two independent implementations of the same pure function.
+
+    Vectorized over the Arrow string buffers: one ``np.add.reduceat``
+    over the flat UTF-8 byte run, no per-term Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    vals = np.frombuffer(arr.buffers()[2], np.uint8).astype(np.int64)
+    # terms are non-empty ⇒ offsets strictly increase ⇒ reduceat is safe
+    sums = np.add.reduceat(vals[: off[-1]], off[:-1])
+    lens = np.diff(off)
+    return (sums * _CLF_MULT + lens * 97) % _CLF_MOD - _CLF_BIAS
+
+
+def classifier_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents → (doc_id, n_terms, clf_margin, clf_keep): inference
+    of a linear bag-of-words text classifier — the fasttext-style
+    quality filter every web-scale corpus pipeline runs (GPT-3's
+    WebText-vs-CommonCrawl classifier, CCNet, DSIR ride this exact
+    access pattern: tokenize → per-term weight lookup → per-doc margin
+    → threshold).  The weight table here is the deterministic pure
+    function of the term string above, standing in for trained weights;
+    swapping in real weights means broadcasting a sorted (term_hash →
+    weight) state via ``ray.put`` exactly as ``doc_commonness`` does
+    its count vector — the per-batch scoring path is unchanged.
+
+    ``clf_margin = Σ_term tf(term)·w(term)`` (exact int64 — no division
+    so no float or floor-sign ambiguity in the oracle compare) and
+    ``clf_keep = margin ≥ 0``.  Docs with zero ``[a-z]+`` tokens emit
+    no row (mirrors the oracle's unnest).
+
+    Scale shape: ONE stateless streaming pass, no shuffle, no
+    broadcast; per batch it is two Arrow/numpy hash-aggs.  Reference
+    parity: generalizes the reference's keyword-scoring page classifier
+    (scrapy_career_spider.py:497-546) to corpus-scale model inference.
+    """
+    tf = _tf_rows_batch(batch, num_buckets=1)
+    if not tf.num_rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_terms": pa.array([], pa.int64()),
+                "clf_margin": pa.array([], pa.int64()),
+                "clf_keep": pa.array([], pa.bool_()),
+            }
+        )
+    w = _clf_term_weights(tf["term"])
+    tfv = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": tf["doc_id"],
+            "s": pa.array(tfv * w, pa.int64()),
+            "n": pa.array(tfv, pa.int64()),
+        }
+    )
+    g = t.group_by("doc_id").aggregate([("s", "sum"), ("n", "sum")])
+    margin = g["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "n_terms": pc.cast(g["n_sum"], pa.int64()),
+            "clf_margin": pa.array(margin, pa.int64()),
+            "clf_keep": pa.array(margin >= 0, pa.bool_()),
+        }
+    )

@@ -1285,3 +1285,109 @@ def test_audio_fp_neardup_planted(ray_session):
     planted = {(i, i + 100000) for i in range(0, 32, 4)}
     assert planted <= got
     assert all(b - a == 100000 for a, b in got)
+
+
+def test_classifier_score_hand_computed():
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.textstats import classifier_batch
+
+    def w(term):
+        return (sum(term.encode()) * 2654435761 + len(term) * 97) % 2001 - 1000
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "Hello HELLO world",       # case-folds to 2x hello + world
+                "a zz",
+                "123 !!!",                 # no [a-z]+ tokens -> no row
+            ],
+        }
+    )
+    out = classifier_batch(t).to_pydict()
+    assert out["doc_id"] == [1, 2]
+    assert out["n_terms"] == [3, 2]
+    assert out["clf_margin"] == [2 * w("hello") + w("world"), w("a") + w("zz")]
+    assert out["clf_keep"] == [m >= 0 for m in out["clf_margin"]]
+
+    empty = classifier_batch(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "n_terms", "clf_margin", "clf_keep"]
+
+
+def test_snapshot_diff_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.snapshot import snapshot_diff
+
+    a = pa.table(
+        {
+            "url": ["u/same", "u/changed", "u/removed"],
+            "fp": ["f1", "f2", "f3"],
+        }
+    )
+    b = pa.table(
+        {
+            "url": ["u/same", "u/changed", "u/added"],
+            "fp": ["f1", "f2x", "f4"],
+        }
+    )
+    out = (
+        snapshot_diff(ray.data.from_arrow(a), ray.data.from_arrow(b))
+        .to_pandas()
+        .set_index("url")["status"]
+        .to_dict()
+    )
+    assert out == {
+        "u/changed": "changed",
+        "u/removed": "removed",
+        "u/added": "added",
+    }
+
+    # one-sided snapshots: everything is added / removed respectively
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "fp": pa.array([], pa.string())}
+    )
+    all_added = snapshot_diff(
+        ray.data.from_arrow(empty), ray.data.from_arrow(b)
+    ).to_pandas()
+    assert set(all_added["status"]) == {"added"} and len(all_added) == 3
+
+
+def test_snapshot_diff_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.snapshot import snapshot_diff
+
+    n = 300
+    urls = [f"https://h{i%17}.test/p{i}" for i in range(n)]
+    a = pa.table({"url": urls, "fp": [f"f{i}" for i in range(n)]})
+    # b: drop i%5==0 (removed), change i%5==1, add n..n+20
+    keep = [i for i in range(n) if i % 5 != 0]
+    b = pa.table(
+        {
+            "url": [urls[i] for i in keep] + [f"https://new.test/p{i}" for i in range(20)],
+            "fp": [f"f{i}x" if i % 5 == 1 else f"f{i}" for i in keep]
+            + [f"g{i}" for i in range(20)],
+        }
+    )
+    expect = (
+        {urls[i]: "removed" for i in range(0, n, 5)}
+        | {urls[i]: "changed" for i in range(1, n, 5)}
+        | {f"https://new.test/p{i}": "added" for i in range(20)}
+    )
+    for blocks in (1, 7):
+        da = ray.data.from_arrow(
+            [a.slice(i, max(1, n // blocks)) for i in range(0, n, max(1, n // blocks))]
+        )
+        db = ray.data.from_arrow(b)
+        got = (
+            snapshot_diff(da, db, num_buckets=8)
+            .to_pandas()
+            .set_index("url")["status"]
+            .to_dict()
+        )
+        assert got == expect
