@@ -264,3 +264,50 @@ def curate(
     with open(funnel_path, "w") as f:
         json.dump(funnel, f)
     return funnel
+
+
+def export_jsonl(
+    docs_path: str,
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    resume: bool = False,
+) -> dict:
+    """Export a Parquet corpus as sharded JSONL (one ``records``-
+    oriented line per doc, one file per block) — the delivery format
+    LLM training stacks ingest.  Column-pruned at the read
+    (``columns=``), streamed block-by-block by Ray's JSON datasink
+    (never materialized), row count taken from the Parquet FOOTER so
+    the export itself is the only full pass.
+
+    ``resume=True`` + an existing ``export.done`` marker makes a
+    re-run a no-op that re-reads the recorded manifest — same
+    stage-granularity contract as :func:`curate`.  Partitioned
+    (per-language) delivery stays Parquet (:func:`curate` writes
+    ``corpus/`` partitioned by ``pred_lang``); JSONL shards are flat
+    because a JSON sink routes files per BLOCK, not per key.
+
+    Returns ``{"rows": n, "files": k, "out_dir": ...}``."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.pqread import _file_list, read_parquet_rowgroups
+
+    done = os.path.join(out_dir, "export.done")
+    if resume and os.path.exists(done):
+        with open(done) as f:
+            return json.load(f)
+
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _file_list(docs_path)
+    )
+    ds = read_parquet_rowgroups(docs_path, columns=columns)
+    ds.write_json(out_dir)
+    files = len(glob.glob(os.path.join(out_dir, "*.json")))
+    manifest = {"rows": rows, "files": files, "out_dir": out_dir}
+    with open(done, "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -9,6 +9,8 @@
         [--op pages] [--batch-size N]
     python -m crawler_ai_ray.cli curate  --docs FILE --out DIR
         [--buckets N] [--threshold T]
+    python -m crawler_ai_ray.cli export-jsonl --docs FILE --out DIR
+        [--columns a,b,c] [--resume]
 
 Owns its Ray session (guarded init) — library code never calls
 ``ray.init``.
@@ -60,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--buckets", type=int, default=64)
     cu.add_argument("--threshold", type=float, default=0.8)
 
+    ex = sub.add_parser(
+        "export-jsonl", help="export a parquet corpus as sharded JSONL"
+    )
+    ex.add_argument("--docs", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated column subset")
+    ex.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
     _init_ray()
     try:
@@ -88,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
                 obey_robots=args.obey_robots,
             )
             print(json.dumps(totals))
+        elif args.cmd == "export-jsonl":
+            from .api import export_jsonl
+
+            manifest = export_jsonl(
+                args.docs,
+                args.out,
+                columns=args.columns.split(",") if args.columns else None,
+                resume=args.resume,
+            )
+            print(json.dumps(manifest))
         else:
             from .api import PagesPipeline
 

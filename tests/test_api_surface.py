@@ -110,3 +110,27 @@ def test_typed_curate_entry(tmp_path):
     assert parts and all(p.startswith("pred_lang=") for p in parts)
     with open(os.path.join(out, "funnel.json")) as f:
         assert json.load(f) == funnel
+
+
+def test_export_jsonl_roundtrip(tmp_path):
+    import duckdb
+
+    from crawler_ai_ray.api import export_jsonl
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "jsonl")
+    manifest = export_jsonl(src, out, columns=["doc_id", "lang", "n_chars"])
+    assert manifest["rows"] == 500 and manifest["files"] >= 1
+
+    got = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_json_auto('{out}/*.json') "
+        "ORDER BY doc_id"
+    ).df()
+    want = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{src}') "
+        "ORDER BY doc_id"
+    ).df()
+    assert got.equals(want)
+
+    # resume: a finished export is a no-op returning the manifest
+    assert export_jsonl(src, out, resume=True) == manifest
