@@ -210,42 +210,57 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     fp-only shuffle, bucketed full-outer join, delta-only output — is
     what's verified."""
     import hashlib
+    import zlib
 
     import pyarrow as pa
 
-    from crawler_ai_ray.stages.snapshot import snapshot_diff
+    from crawler_ai_ray.stages.snapshot import (
+        TAGGED_SCHEMA,
+        snapshot_diff_tagged,
+    )
 
     base = _extracted(sf_dir).select_columns(["url", "text"])
+    num_buckets = 64
 
-    def snap(side_a: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist() if batch.num_rows else []
-            texts = batch["text"].to_pylist() if batch.num_rows else []
-            out_u, out_fp = [], []
-            for u, t in zip(urls, texts):
-                sel = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 4
-                if side_a:
-                    if sel == 3:
-                        continue
-                    body = t
-                else:
-                    if sel == 0:
-                        continue
-                    body = t + " updated" if sel == 1 else t
+    def snap_both(batch: pa.Table) -> pa.Table:
+        # ONE upstream pass emits BOTH tagged sides: a lazy Dataset
+        # consumed through two branches recomputes the whole
+        # extraction per branch (measured 2× the query's wall).
+        urls = batch["url"].to_pylist() if batch.num_rows else []
+        texts = batch["text"].to_pylist() if batch.num_rows else []
+        out_b, out_u, out_fp, out_a = [], [], [], []
+        for u, t in zip(urls, texts):
+            sel = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 4
+            bk = zlib.crc32(u.encode()) % num_buckets
+            fp = hashlib.md5(t.encode()).hexdigest()
+            if sel != 3:  # present in old snapshot A
+                out_b.append(bk)
                 out_u.append(u)
-                out_fp.append(hashlib.md5(body.encode()).hexdigest())
-            return pa.table(
-                {
-                    "url": pa.array(out_u, pa.string()),
-                    "fp": pa.array(out_fp, pa.string()),
-                }
-            )
+                out_fp.append(fp)
+                out_a.append(True)
+            if sel != 0:  # present in new snapshot B
+                body_fp = (
+                    hashlib.md5((t + " updated").encode()).hexdigest()
+                    if sel == 1
+                    else fp
+                )
+                out_b.append(bk)
+                out_u.append(u)
+                out_fp.append(body_fp)
+                out_a.append(False)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int32()),
+                "key": pa.array(out_u, pa.string()),
+                "fp": pa.array(out_fp, pa.string()),
+                "is_a": pa.array(out_a, pa.bool_()),
+            },
+            schema=TAGGED_SCHEMA,
+        )
 
-        return fn
-
-    return snapshot_diff(
-        base.map_batches(snap(True), batch_format="pyarrow"),
-        base.map_batches(snap(False), batch_format="pyarrow"),
+    return snapshot_diff_tagged(
+        base.map_batches(snap_both, batch_format="pyarrow"),
+        num_buckets=num_buckets,
     )
 
 

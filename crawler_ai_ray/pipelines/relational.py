@@ -208,7 +208,8 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "2001-09-01"):
 # top-k customers by revenue: pre-aggregate → broadcast join → sort/limit
 # ---------------------------------------------------------------------------
 
-def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
+def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32,
+                  driver_finish_max: int = 2_000_000):
     """→ (c_custkey, c_name, c_mktsegment, n_orders, revenue_cents),
     top-k by revenue.
 
@@ -273,16 +274,44 @@ def top_customers(sf_dir: str, k: int = 10, num_buckets: int = 32):
             }
         )
 
-    cand_blocks = [
-        t
-        for t in ray.get(
-            orders.map_batches(partial, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(bucket_topk, batch_format="pyarrow")
-            .to_arrow_refs()
+    pre = orders.map_batches(partial, batch_format="pyarrow").materialize()
+    # adaptive finish: the partials are per-block per-custkey rows —
+    # below ~2M of them one driver Arrow hash-agg + sort replaces the
+    # bucket shuffle (same exact result; a custkey's partials all
+    # reach the same hash-agg either way); above, the bucketed
+    # shuffle + per-bucket exact top-k path bounds driver memory
+    if pre.count() <= driver_finish_max:
+        parts = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        merged = pa.concat_tables(parts) if parts else partial(
+            pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
         )
-        if t.num_rows
-    ]
+        agg = merged.group_by("o_custkey").aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        cand_blocks = [
+            pa.table(
+                {
+                    "c_custkey": agg["o_custkey"],
+                    "n_orders": agg["n_orders_sum"],
+                    "revenue_cents": agg["revenue_cents_sum"],
+                }
+            )
+        ]
+    else:
+        cand_blocks = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(bucket_topk, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
     # ≤ num_buckets × k candidate rows by construction — the global
     # top-k is a driver-side Arrow sort (a Ray Dataset.sort here pays
     # ~3.5 s of sample/shuffle fixed cost to order 320 rows)

@@ -33,7 +33,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "snapshot_diff_tagged", "TAGGED_SCHEMA"]
+
+TAGGED_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("key", pa.string()),
+        ("fp", pa.string()),
+        ("is_a", pa.bool_()),
+    ]
+)
 
 _DIFF_SCHEMA = pa.schema(
     [("url", pa.string()), ("status", pa.string())]
@@ -86,6 +95,18 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "url", fp_col: str = "fp",
     both = ds_a.map_batches(tag(True), batch_format="pyarrow").union(
         ds_b.map_batches(tag(False), batch_format="pyarrow")
     )
+    return snapshot_diff_tagged(both, num_buckets=num_buckets)
+
+
+def snapshot_diff_tagged(both, num_buckets: int = 64):
+    """Diff over a PRE-TAGGED union: rows in ``TAGGED_SCHEMA``
+    (bucket = crc32(key) % num_buckets, is_a marks the old side).
+
+    Split out so callers that derive BOTH snapshots from one upstream
+    pass (e.g. two selector views of the same crawl output) can emit
+    the tagged union in a single ``map_batches`` — consuming a lazy
+    Dataset through two branch pipelines recomputes the whole upstream
+    per branch (Ray Datasets have no cross-consumer caching)."""
 
     def diff_bucket(g: pa.Table) -> pa.Table:
         mask = g["is_a"]

@@ -103,6 +103,9 @@ def test_bucketed_ops_partition_invariant():
 
     for fn, kwargs in [
         (top_customers, {"k": 5}),
+        # driver_finish_max=0 forces the bucketed-shuffle branch so the
+        # hybrid's above-threshold path stays pinned ≡ the driver finish
+        (top_customers, {"k": 5, "driver_finish_max": 0}),
         (lineitem_part_revenue, {}),
         (events_asof_join, {}),
         (events_range_join, {}),
@@ -110,6 +113,11 @@ def test_bucketed_ops_partition_invariant():
         one = fn(SF, num_buckets=1, **kwargs).to_pandas()
         many = fn(SF, num_buckets=64, **kwargs).to_pandas()
         assert one.reset_index(drop=True).equals(many.reset_index(drop=True)), fn.__name__
+
+    # cross-path agreement: driver-finish ≡ bucketed-shuffle top-k
+    drv = top_customers(SF, k=5).to_pandas()
+    bkt = top_customers(SF, k=5, driver_finish_max=0).to_pandas()
+    assert drv.reset_index(drop=True).equals(bkt.reset_index(drop=True))
 
 
 @pytest.mark.usefixtures("ray_session")
