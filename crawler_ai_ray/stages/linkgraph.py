@@ -259,12 +259,62 @@ def _collect_verts(edges):
     return hosts_arr.take(pa.array(order)).to_pylist(), hh_u[order]
 
 
+def _pagerank_local(et: pa.Table, iters: int, damping_pct: int,
+                    scale: int) -> pa.Table:
+    """Driver-local integer PageRank over one Arrow edge table —
+    bit-identical to the distributed loop (same searchsorted vertex
+    index, same ``//`` truncations, order-free integer sums)."""
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    ranks = np.full(len(keys), scale, dtype=np.int64)
+    base = scale * (100 - damping_pct) // 100
+    if et.num_rows:
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        deg = et["outdeg"].to_numpy(zero_copy_only=False)
+        # segment-sum by destination: one stable argsort up front, an
+        # int64 reduceat per iteration (np.add.at is far slower; float
+        # bincount would widen past exact integers at real rank mass)
+        order = np.argsort(dst_idx, kind="stable")
+        sorted_dst = dst_idx[order]
+        starts = np.flatnonzero(
+            np.diff(sorted_dst, prepend=np.int64(-1))
+        )
+        seg_vert = sorted_dst[starts]
+        for _ in range(iters):
+            c = ranks[src_idx] // deg
+            inbound = np.zeros(len(keys), dtype=np.int64)
+            inbound[seg_vert] = np.add.reduceat(c[order], starts)
+            ranks = base + (damping_pct * inbound) // 100
+    else:
+        for _ in range(iters):
+            ranks = np.full(len(keys), base, dtype=np.int64)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rank_micros": pa.array(ranks, pa.int64()),
+        }
+    )
+
+
 def pagerank_hosts(
     edges,
     iters: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
     num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
 ):
     """distinct host edges (from ``host_edges``) → (host, rank_micros).
 
@@ -277,6 +327,26 @@ def pagerank_hosts(
     import ray
 
     edges = edges.materialize()  # iterated over `iters` times
+    # adaptive: below the edge threshold the whole iteration loop runs
+    # driver-local (identical integer math — pinned by a forced-path
+    # test).  5 Ray map rounds over a combiner-sized edge set pay ~5×
+    # fixed task/dispatch cost for state that already fits the driver.
+    if edges.count() <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "src_h": pa.array([], pa.uint64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return _pagerank_local(et, iters, damping_pct, scale)
     merge_task = ray.remote(num_cpus=1)(_merge_parts)
     # the skinny vertex state: sorted u64 keys + int64 ranks (driver/
     # plasma-sized by design — see module docstring for the boundary);

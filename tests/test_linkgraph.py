@@ -159,6 +159,17 @@ def test_pagerank_partition_and_bucket_invariant(ray_session):
     assert a.equals(b)
     assert len(a) > 0
 
+    # cross-path agreement: driver_max_edges=0 forces the distributed
+    # iteration loop; the default takes the driver-local numpy path
+    c = (
+        pagerank_hosts(
+            host_edges(ex, num_buckets=64), iters=3, driver_max_edges=0
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(c)
+
 
 def test_host_degrees_hand_computed(ray_session):
     import ray.data
