@@ -1118,6 +1118,18 @@ def _q_doc_langid(sf_dir: str):
     ).map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_doc_dsir_score(sf_dir: str):
+    """DSIR-style importance score (Xie et al. 2023): hashed-unigram
+    probability-difference weight of every document against the
+    lang='en' target slice — two streaming passes, a 4096-int broadcast
+    between them, integer-exact so the oracle rebuilds every score."""
+    from crawler_ai_ray.stages.importance import dsir_scores
+
+    return dsir_scores(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
 def _q_doc_fingerprint(sf_dir: str):
     from crawler_ai_ray.stages.textstats import fingerprint_batch
 
@@ -2120,6 +2132,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
+        "doc_dsir_score": _q_doc_dsir_score,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -2179,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
         "emb_semantic_dedup", "emb_semantic_dedup_global",
@@ -3260,6 +3274,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_tokens,
                    (((s // n) * 1000000) // t)::BIGINT AS commonness_ppm
             FROM per, tot""",
+        # DSIR: feature ids recomputed via md5_number_lower (==
+        # little-endian of md5 digest bytes 8..16, the engine's
+        # md5_feature), weights as add-one-smoothed probability
+        # differences cross-multiplied into exact int64s — every score
+        # rebuilt independently of the two-pass broadcast orchestration
+        "doc_dsir_score": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS tok
+              FROM documents),
+            f AS (SELECT doc_id, lang,
+                         CAST(md5_number_lower(tok) % 4096 AS BIGINT)
+                           AS feat
+                  FROM toks),
+            raw AS (SELECT feat, count(*)::BIGINT AS n FROM f GROUP BY 1),
+            tgt AS (SELECT feat, count(*)::BIGINT AS n FROM f
+                    WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM f)::BIGINT AS r,
+                           (SELECT count(*) FROM f WHERE lang = 'en')
+                             ::BIGINT AS t),
+            w AS (SELECT raw.feat,
+                         ((COALESCE(tgt.n, 0) + 1) * (tot.r + 4096)
+                          - (raw.n + 1) * (tot.t + 4096))::BIGINT AS w
+                  FROM raw LEFT JOIN tgt ON raw.feat = tgt.feat, tot)
+            SELECT f.doc_id, sum(w.w)::BIGINT AS dsir_score
+            FROM f JOIN w ON f.feat = w.feat
+            GROUP BY 1""",
         # classifier: weight recomputed from the term STRING (codepoint
         # sum via list_transform/unicode — independent of the engine's
         # numpy byte-sum reduceat); margin is an exact int sum, no

@@ -1391,3 +1391,86 @@ def test_snapshot_diff_partition_invariant(ray_session):
             .to_dict()
         )
         assert got == expect
+
+
+# --- DSIR importance scores ------------------------------------------------
+
+def _naive_dsir(rows, target_lang="en", num_feats=4096):
+    """Independent dict-based reimplementation (no numpy, no Arrow):
+    feature histograms over token occurrences, add-one-smoothed
+    probability-difference weights, per-doc occurrence sums."""
+    import hashlib
+    import re
+
+    def feats(text):
+        return [
+            int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:], "little"
+            )
+            % num_feats
+            for t in re.findall(r"[a-z]+", text.lower())
+        ]
+
+    raw, tgt = {}, {}
+    for r in rows:
+        for f in feats(r["text"]):
+            raw[f] = raw.get(f, 0) + 1
+            if r["lang"] == target_lang:
+                tgt[f] = tgt.get(f, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for r in rows:
+        fs = feats(r["text"])
+        if not fs:
+            continue
+        out[r["doc_id"]] = sum(
+            (tgt.get(f, 0) + 1) * (R + num_feats)
+            - (raw.get(f, 0) + 1) * (T + num_feats)
+            for f in fs
+        )
+    return out
+
+
+def test_dsir_feature_hash_matches_duckdb(duck):
+    from crawler_ai_ray.stages.importance import md5_feature
+
+    for tok in ["hello", "a", "zebra", "importanceresampling", "qq"]:
+        got = md5_feature(tok, 4096)
+        ora = duck.sql(
+            f"SELECT CAST(md5_number_lower('{tok}') % 4096 AS BIGINT)"
+        ).fetchone()[0]
+        assert got == ora, tok
+
+
+def test_dsir_scores_planted(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import dsir_scores
+
+    rows = [
+        {"doc_id": 1, "text": "The cat sat on the mat", "lang": "en"},
+        {"doc_id": 2, "text": "the cat ate the cat food", "lang": "en"},
+        {"doc_id": 3, "text": "le chat et le chien", "lang": "fr"},
+        {"doc_id": 4, "text": "der hund und der hund", "lang": "de"},
+        {"doc_id": 5, "text": "12345 67890", "lang": "en"},  # no tokens
+        {"doc_id": 6, "text": "cat chat hund", "lang": "fr"},
+    ]
+    expect = _naive_dsir(rows)
+    assert 5 not in expect  # token-less doc excluded
+    for blocks in (1, 3):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        got = dict(
+            zip(
+                *(
+                    dsir_scores(ds)
+                    .to_pandas()
+                    .sort_values("doc_id")[["doc_id", "dsir_score"]]
+                    .T.values.tolist()
+                )
+            )
+        )
+        assert got == expect
+    # ordering sanity: the en 'cat'-heavy doc must outscore the
+    # German-only doc (absolute signs are smoothing-dominated at toy
+    # corpus size — B=4096 pseudo-counts vs 25 real tokens)
+    assert expect[2] > expect[4]
