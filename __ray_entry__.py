@@ -2154,6 +2154,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_daily_active": _rel("events_daily_active"),
+        "events_retention": _rel("events_retention"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_funnel": _rel("events_funnel"),
@@ -2192,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "events_retention",
         "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
@@ -3182,6 +3184,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        "events_retention": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events),
+            cohorts AS (
+              SELECT user_id, min(day) AS cohort_day FROM pairs
+              GROUP BY 1)
+            SELECT c.cohort_day,
+                   date_diff('day', c.cohort_day, p.day)::BIGINT
+                     AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM pairs p JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2""",
         "tbl_profile_lineitem": """
             SELECT col AS column, count(*)::BIGINT AS n_rows,
                    (count(*) - count(v))::BIGINT AS n_null,

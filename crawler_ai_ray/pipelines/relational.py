@@ -1423,6 +1423,104 @@ def events_no_purchase_users(sf_dir: str, num_buckets: int = 32):
     )
 
 
+def events_retention(
+    sf_dir: str,
+    num_buckets: int = 64,
+    driver_finish_max: int = 2_000_000,
+):
+    """→ (cohort_day, day_offset, n_users): classic cohort retention —
+    each user is cohorted by their FIRST active day, then counted once
+    per later active day, reported as whole-day offsets from the
+    cohort day (offset 0 = the cohort's own size).
+
+    Same two-level exact-distinct shape as :func:`events_daily_active`:
+
+    1. per-batch pre-distinct of (user, epoch-day) pairs (Arrow
+       hash-agg combiner — repeat events collapse before any exchange;
+       days ride as int64 epoch-days, 8 bytes/row in the shuffle);
+    2. one shuffle keyed ``user_id % num_buckets`` co-locates every
+       pair of a user, so the per-bucket cohort (min day per user,
+       via one Arrow C++ hash join back onto the pairs) and the
+       per-(cohort, offset) counts are globally exact — users
+       partition across buckets, so partial counts SUM;
+    3. ≤ buckets × cohorts × offsets partial rows roll up driver-side.
+
+    Adaptive finish: when the materialized pre-distinct measures
+    ≤ ~2M rows (block-metadata count, free), one driver-side Arrow
+    pass replaces the bucketed shuffle; the bucketed path stays as
+    the above-threshold branch."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), _DAY_US)
+        t = pa.table({"user_id": batch["user_id"], "day": day})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "bucket",
+            pa.array((uid % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def cohort_counts(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["user_id", "day"])
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        coh = g.group_by("user_id").aggregate([("day", "min")])
+        j = g.join(coh, keys="user_id")  # user_id, day, day_min
+        t = pa.table(
+            {
+                "cohort_day": j["day_min"],
+                "day_offset": pc.subtract(j["day"], j["day_min"]),
+            }
+        )
+        agg = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("day_offset", "count")]
+        )
+        return agg.rename_columns(["cohort_day", "day_offset", "n_part"])
+
+    pre = ev.map_batches(pairs, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        parts = [cohort_counts(pa.concat_tables(blocks))] if blocks else []
+    else:
+        parts = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(cohort_counts, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    if not parts:
+        return pa.table(
+            {
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "day_offset": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["cohort_day", "day_offset"])
+        .aggregate([("n_part", "sum")])
+    )
+    return pa.table(
+        {
+            "cohort_day": pc.cast(
+                pc.multiply(pc.cast(agg["cohort_day"], pa.int64()), _DAY_US),
+                pa.timestamp("us"),
+            ),
+            "day_offset": pc.cast(agg["day_offset"], pa.int64()),
+            "n_users": pc.cast(agg["n_part_sum"], pa.int64()),
+        }
+    )
+
+
 _HLL_P = 12  # 4096 registers; standard error ≈ 1.04/√m ≈ 1.6 %
 
 

@@ -3,6 +3,9 @@ discipline makes every aggregate bitwise-comparable."""
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
 import pytest
 
 from tests.test_training_ops import SF, assert_frames_equal, duck  # noqa: F401
@@ -410,3 +413,56 @@ def test_q5_broadcast_and_bucketed_paths_agree(ray_session):
     assert a.sort_values("n_name", ignore_index=True).equals(
         b.sort_values("n_name", ignore_index=True)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_vs_duckdb_and_naive(duck):
+    from crawler_ai_ray.pipelines.relational import events_retention
+
+    key = ["cohort_day", "day_offset"]
+    eng = (
+        events_retention(SF)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    ora = duck.sql("""
+      WITH pairs AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM pairs GROUP BY 1)
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, p.day)::BIGINT AS day_offset,
+             count(*)::BIGINT AS n_users
+      FROM pairs p JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2""").df().sort_values(key, ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # independent naive reimplementation (pandas, no shared code path)
+    ev = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                         columns=["ts", "user_id"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    cohort = pairs.groupby("user_id")["day"].min().rename("cohort_day")
+    j = pairs.join(cohort, on="user_id")
+    j["day_offset"] = (j["day"] - j["cohort_day"]).dt.days.astype("int64")
+    naive = (
+        j.groupby(["cohort_day", "day_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .astype({"n_users": "int64"})
+        .sort_values(key, ignore_index=True)
+    )
+    assert_frames_equal(eng, naive)
+
+    # offset-0 row of each cohort == the cohort's size
+    sizes = cohort.value_counts().sort_index()
+    zero = eng[eng["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    assert zero.sort_index().equals(sizes.rename_axis("cohort_day"))
+
+    # forced-bucketed branch agrees with the adaptive driver finish
+    bucketed = (
+        events_retention(SF, driver_finish_max=0)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert_frames_equal(eng, bucketed)
