@@ -167,6 +167,23 @@ def _link_pages(sf_dir: str):
     return extract_links(_pages(sf_dir, columns=["url", "html"]))
 
 
+def _q_crawl_anchor_texts(sf_dir: str):
+    """Inbound anchor-text corpus per target host (n_links,
+    n_src_hosts, sorted-distinct-text digest) — the Common-Crawl-style
+    anchor harvesting that feeds retrieval / host-quality training
+    signals.  Extraction: ``htmltext.extract_anchor_pairs`` flat_map;
+    aggregation: ``linkgraph.anchor_text_corpus`` (combiner pre-agg →
+    one target-hash bucket shuffle, adaptive driver finish)."""
+    from crawler_ai_ray.stages.extract import anchor_pairs_batch
+    from crawler_ai_ray.stages.linkgraph import anchor_text_corpus
+
+    return anchor_text_corpus(
+        _pages(sf_dir, columns=["url", "html"]).map_batches(
+            anchor_pairs_batch, batch_format="pyarrow"
+        )
+    )
+
+
 def _q_crawl_host_components(sf_dir: str):
     """Undirected connected components of the host link graph
     (spanning-forest sparsification; component label = lexicographic
@@ -2063,6 +2080,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_components": _q_crawl_host_components,
         "crawl_host_degrees": _q_crawl_host_degrees,
+        "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_page_quality": _q_crawl_page_quality,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "crawl_host_reputation": _q_crawl_host_reputation,
@@ -2155,6 +2173,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel("events_hourly"),
         "events_daily_active": _rel("events_daily_active"),
         "events_retention": _rel("events_retention"),
+        "tpch_q18_big_orders": _rel("q18_big_orders"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_funnel": _rel("events_funnel"),
@@ -2194,6 +2213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [
         # new this round
         "events_retention",
+        "crawl_anchor_texts",
+        "tpch_q18_big_orders",
         "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
@@ -2820,6 +2841,19 @@ def oracle_sql() -> dict[str, str]:
         "crawl_out_links": (
             f"SELECT url, unnest(out_links) AS link FROM read_parquet('{golden}')"
         ),
+        "crawl_anchor_texts": f"""
+            WITH pairs AS (
+              SELECT regexp_extract(url, '{_HOST_RX}', 1) AS src_host,
+                     unnest(anchor_hosts) AS target_host,
+                     unnest(anchor_texts) AS anchor_text
+              FROM read_parquet('{golden}'))
+            SELECT target_host,
+                   count(*)::BIGINT AS n_links,
+                   count(DISTINCT src_host)::BIGINT AS n_src_hosts,
+                   array_to_string(
+                     list_sort(list(DISTINCT anchor_text))[1:20], '|')
+                     AS top_texts
+            FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_components": components_sql,
         "crawl_host_degrees": degrees_sql,
@@ -3184,6 +3218,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        "tpch_q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                       ::BIGINT AS sum_qty_centi
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                     > 30000)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                     AS total_price_cents,
+                   sum_qty_centi
+            FROM big JOIN orders USING (o_orderkey)
+            JOIN customer ON c_custkey = o_custkey""",
         "events_retention": """
             WITH pairs AS (
               SELECT DISTINCT user_id, date_trunc('day', ts) AS day

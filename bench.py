@@ -182,6 +182,8 @@ def bench_queries(sf_dir: str) -> dict:
         "mm_image_neardup",
         "doc_clf_score",
         "crawl_snapshot_diff",
+        "events_retention",
+        "crawl_anchor_texts",
     ]
     qs = entrymod.queries()
     out = {}

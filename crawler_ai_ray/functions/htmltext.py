@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlparse
 
 __all__ = [
     "PageFacts",
@@ -455,4 +455,27 @@ def extract_out_links(facts: PageFacts, base_url: str, limit: int = 50) -> list[
         if full not in seen:
             seen.add(full)
             out.append(full)
+    return out
+
+
+def extract_anchor_pairs(
+    facts: PageFacts, base_url: str, limit: int = 100
+) -> list[tuple[str, str]]:
+    """First-``limit`` anchors as (target_host, visible_text) pairs — the
+    inbound anchor-text-corpus projection (beyond the reference; href
+    rules shared with :func:`extract_out_links` / crawler.py:388-399).
+
+    Anchor text is whitespace-collapsed and stripped (the
+    ``get_text(" ", strip=True)`` discipline — raw capture joins text
+    nodes without separators).  Duplicates are KEPT — every anchor
+    occurrence is one inbound-text vote for the target host; host-less
+    targets and empty texts are dropped."""
+    out: list[tuple[str, str]] = []
+    for href, txt in facts.anchors[:limit]:
+        if not href or href.startswith(_SKIP_HREF_PREFIXES):
+            continue
+        host = urlparse(urljoin(base_url, href)).netloc
+        text = " ".join(txt.split())
+        if host and text:
+            out.append((host, text))
     return out

@@ -1190,6 +1190,191 @@ def q5_local_supplier_volume(
     return out
 
 
+def q18_big_orders(
+    sf_dir: str,
+    threshold_centi: int = 30_000,
+    num_buckets: int = 32,
+    driver_finish_max: int = 2_000_000,
+):
+    """TPC-H Q18 shape — "large volume" orders: every order whose total
+    lineitem quantity exceeds the threshold, with its customer name
+    attached.  → (c_name, c_custkey, o_orderkey, o_orderdate,
+    total_price_cents, sum_qty_centi).
+
+    The HAVING-over-a-billion-key-groupby composition:
+
+    1. lineitem → per-batch partial quantity sums per orderkey
+       (distributive combiner — repeats collapse before the exchange;
+       quantity travels as integer centi-units so any summation order
+       is exact), ONE orderkey-bucket shuffle, per-bucket exact sum +
+       ``HAVING sum > threshold`` filter.  Survivors are the extreme
+       tail by construction (~1/1000 orders at TPC-H distributions),
+       so they collect driver-side and become the broadcast key set
+       for everything downstream — the `top_customers` inversion:
+       ship the WINNERS' keys, never a dimension table.
+    2. orders, then customer, are FILTERED READS against the sorted
+       survivor key arrays (map-side ``searchsorted``, no shuffle),
+       and the final ≤-survivors-sized join + sort run driver-side.
+    """
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "qc": pc.cast(cents(batch["l_quantity"]), pa.int64()),
+            }
+        )
+        agg = t.group_by("o_orderkey").aggregate([("qc", "sum")])
+        ok = agg["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": agg["o_orderkey"],
+                "qc": agg["qc_sum"],
+                "bucket": pa.array(
+                    (ok % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket_having(group: pa.Table) -> pa.Table:
+        agg = group.group_by("o_orderkey").aggregate([("qc", "sum")])
+        agg = agg.filter(pc.greater(agg["qc_sum"], threshold_centi))
+        return agg.rename_columns(["o_orderkey", "sum_qty_centi"])
+
+    # adaptive finish: partials are per-batch-distinct orderkeys — when
+    # that measures small (free block-metadata count) the HAVING sweep
+    # is one driver Arrow pass; the bucketed shuffle is the big branch
+    pre = li.map_batches(partials, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        big = [bucket_having(pa.concat_tables(blocks))] if blocks else []
+        big = [t for t in big if t.num_rows]
+    else:
+        big = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(bucket_having, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    empty = pa.table(
+        {
+            "c_name": pa.array([], pa.string()),
+            "c_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "total_price_cents": pa.array([], pa.int64()),
+            "sum_qty_centi": pa.array([], pa.int64()),
+        }
+    )
+    if not big:
+        return empty
+    big_tbl = pa.concat_tables(big)
+    okeys = np.sort(big_tbl["o_orderkey"].to_numpy(zero_copy_only=False))
+    ok_ref = ray.put(okeys)
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ok_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ok)
+        hit = (idx < len(ks)) & (
+            ks[np.minimum(idx, len(ks) - 1)] == ok
+        )
+        t = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "total_price_cents": pc.cast(
+                    cents(t["o_totalprice"]), pa.int64()
+                ),
+            }
+        )
+
+    ords = [
+        t
+        for t in ray.get(
+            _read(
+                sf_dir,
+                "orders",
+                columns=[
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderdate",
+                    "o_totalprice",
+                ],
+            )
+            .map_batches(ord_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not ords:
+        return empty
+    ord_tbl = pa.concat_tables(ords)
+    ckeys = np.sort(
+        np.unique(ord_tbl["o_custkey"].to_numpy(zero_copy_only=False))
+    )
+    ck_ref = ray.put(ckeys)
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ck_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        hit = (idx < len(ks)) & (
+            ks[np.minimum(idx, len(ks) - 1)] == ck
+        )
+        return batch.filter(pa.array(hit)).select(["c_custkey", "c_name"])
+
+    custs = [
+        t
+        for t in ray.get(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(cust_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cust_tbl = (
+        pa.concat_tables(custs)
+        if custs
+        else pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = big_tbl.join(ord_tbl, keys="o_orderkey").join(
+        cust_tbl, keys="o_custkey", right_keys="c_custkey"
+    )
+    out = out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("total_price_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+    )
+    return pa.table(
+        {
+            "c_name": out["c_name"],
+            "c_custkey": pc.cast(out["o_custkey"], pa.int64()),
+            "o_orderkey": out["o_orderkey"],
+            "o_orderdate": out["o_orderdate"],
+            "total_price_cents": out["total_price_cents"],
+            "sum_qty_centi": pc.cast(out["sum_qty_centi"], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def events_hourly(sf_dir: str):

@@ -58,12 +58,17 @@ from ..functions import (
     jobs as jobfns,
     sitemap,
 )
-from ..functions.htmltext import extract_out_links, parse_page, facts_crawldata_text
+from ..functions.htmltext import (
+    extract_anchor_pairs,
+    extract_out_links,
+    facts_crawldata_text,
+    parse_page,
+)
 from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v23"
+CORPUS_VERSION = "v24"
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -461,6 +466,7 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
         if full not in seen:
             seen.add(full)
             all_links.append(full)
+    anchor_pairs = extract_anchor_pairs(facts, url)
     row = {
         "url": url,
         "text": text,
@@ -472,6 +478,10 @@ def _golden_for_page(url: str, html: str) -> tuple[dict, list[dict]]:
         "phones_vn": contacts.extract_phones_vn(text),
         "out_links": extract_out_links(facts, url),
         "all_links": all_links,
+        # aligned (target_host, anchor_text) pairs — the anchor-corpus
+        # projection (htmltext.extract_anchor_pairs)
+        "anchor_hosts": [h for h, _ in anchor_pairs],
+        "anchor_texts": [t for _, t in anchor_pairs],
         "priority": classify.priority_for_link(url),
         "is_career_listing": classify.is_career_listing_page(url, html),
         "career_score": classify.career_page_score(url, title, html),

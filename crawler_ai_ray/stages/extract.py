@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..functions import classify, contacts
 from ..functions import jobs as jobfns
 from ..functions.htmltext import (
+    extract_anchor_pairs,
     extract_out_links,
     facts_crawldata_text,
     facts_jobdetail_text,
@@ -188,6 +189,37 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
 def extract_links(pages_ds):
     """pages → link-graph projection dataset (see extract_links_batch)."""
     return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
+
+
+ANCHOR_SCHEMA = pa.schema(
+    [
+        ("src_host", pa.string()),
+        ("target_host", pa.string()),
+        ("anchor_text", pa.string()),
+    ]
+)
+
+
+def anchor_pairs_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → one row per kept anchor (src_host,
+    target_host, anchor_text) — the flattened anchor-text-corpus
+    projection (semantics in ``htmltext.extract_anchor_pairs``).
+    Variable output length: a flat_map expressed as map_batches."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {
+        "src_host": [],
+        "target_host": [],
+        "anchor_text": [],
+    }
+    for url, html_b in zip(urls, htmls):
+        facts = parse_page(_decode(html_b))
+        src = classify.host_of(url)
+        for host, text in extract_anchor_pairs(facts, url):
+            cols["src_host"].append(src)
+            cols["target_host"].append(host)
+            cols["anchor_text"].append(text)
+    return pa.Table.from_pydict(cols, schema=ANCHOR_SCHEMA)
 
 
 def extract_jobs_batch(batch: pa.Table) -> pa.Table:

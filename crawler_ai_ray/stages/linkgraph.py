@@ -40,6 +40,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.classify import host_of
 
@@ -617,3 +618,148 @@ def host_degrees(edges, num_buckets: int = 64):
         .groupby("vbucket")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def anchor_text_corpus(
+    pairs_ds,
+    num_buckets: int = 64,
+    top_k: int = 20,
+    driver_max_partials: int = 2_000_000,
+) -> pa.Table:
+    """(src_host, target_host, anchor_text) rows → per-target-host
+    inbound anchor profile (the Common-Crawl-style anchor-text corpus
+    used as a retrieval/quality training signal):
+
+      (target_host, n_links, n_src_hosts, top_texts)
+
+    n_links counts every kept anchor occurrence; n_src_hosts is the
+    distinct linking hosts; top_texts is the first-``top_k``
+    lexicographically sorted DISTINCT anchor texts, '|'-joined (a
+    deterministic, oracle-comparable digest of the text set).
+
+    Shape: per-batch Arrow pre-agg of (target, src, text) triple counts
+    collapses boilerplate nav anchors before any exchange; ONE
+    ``blake2b(target) % num_buckets`` shuffle co-locates each target's
+    partials (so the per-bucket finish — count sum, two hash-distincts,
+    segmented sorted top-k — is globally exact and buckets concat
+    disjointly).  Adaptive driver finish below ~2M partial rows."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "target_host": pa.array([], pa.string()),
+                    "src_host": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        g = batch.group_by(
+            ["target_host", "src_host", "anchor_text"]
+        ).aggregate([("src_host", "count")])
+        g = g.rename_columns(
+            ["target_host", "src_host", "anchor_text", "n"]
+        )
+        th = np.array(
+            [_h64(s) for s in g["target_host"].to_pylist()],
+            dtype=np.uint64,
+        )
+        return g.append_column(
+            "bucket",
+            pa.array((th % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "target_host": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                    "n_src_hosts": pa.array([], pa.int64()),
+                    "top_texts": pa.array([], pa.string()),
+                }
+            )
+        sums = group.group_by("target_host").aggregate([("n", "sum")])
+        srcs = (
+            group.group_by(["target_host", "src_host"])
+            .aggregate([])
+            .group_by("target_host")
+            .aggregate([("src_host", "count")])
+        )
+        dt = group.group_by(["target_host", "anchor_text"]).aggregate([])
+        dt = dt.take(
+            pc.sort_indices(
+                dt,
+                sort_keys=[
+                    ("target_host", "ascending"),
+                    ("anchor_text", "ascending"),
+                ],
+            )
+        )
+        th = dt["target_host"].to_numpy(zero_copy_only=False)
+        tx = dt["anchor_text"].to_pylist()
+        _, starts = np.unique(th, return_index=True)
+        starts = np.sort(starts)
+        bounds = np.append(starts, len(th))
+        hosts = [th[s] for s in starts]
+        tops = [
+            "|".join(tx[s : min(int(e), int(s) + top_k)])
+            for s, e in zip(starts, bounds[1:])
+        ]
+        top_tbl = pa.table(
+            {
+                "target_host": pa.array(hosts, pa.string()),
+                "top_texts": pa.array(tops, pa.string()),
+            }
+        )
+        out = (
+            sums.rename_columns(["target_host", "n_links"])
+            .join(
+                srcs.rename_columns(["target_host", "n_src_hosts"]),
+                keys="target_host",
+            )
+            .join(top_tbl, keys="target_host")
+        )
+        return pa.table(
+            {
+                "target_host": out["target_host"],
+                "n_links": pc.cast(out["n_links"], pa.int64()),
+                "n_src_hosts": pc.cast(out["n_src_hosts"], pa.int64()),
+                "top_texts": out["top_texts"],
+            }
+        )
+
+    import ray
+
+    pre = pairs_ds.map_batches(partials, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_max_partials:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return finish(partials(pa.table(
+                {
+                    "src_host": pa.array([], pa.string()),
+                    "target_host": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                }
+            )))
+        return finish(pa.concat_tables(blocks).drop_columns("bucket"))
+    parts = [
+        t
+        for t in ray.get(
+            pre.groupby("bucket")
+            .map_groups(finish, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return finish(pa.table(
+            {
+                "target_host": pa.array([], pa.string()),
+                "src_host": pa.array([], pa.string()),
+                "anchor_text": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        ))
+    return pa.concat_tables(parts)

@@ -79,6 +79,23 @@ class TestTextExtraction:
         links = extract_out_links(facts, "https://acme.com/base")
         assert links == ["https://acme.com/jobs/1", "https://other.com/a"]
 
+    def test_anchor_pairs_hosts_text_collapse_and_dups(self):
+        from crawler_ai_ray.functions.htmltext import extract_anchor_pairs
+
+        facts = parse_page(
+            '<a href="mailto:x@y.z">m</a>'
+            '<a href="/jobs/1">  Open\n  Roles </a>'
+            '<a href="https://other.com/a"><span>See</span> <b>all</b></a>'
+            '<a href="/jobs/1">Open Roles</a>'       # dup kept: one vote each
+            '<a href="https://other.com/b"></a>'      # empty text dropped
+        )
+        pairs = extract_anchor_pairs(facts, "https://acme.com/base")
+        assert pairs == [
+            ("acme.com", "Open Roles"),
+            ("other.com", "See all"),
+            ("acme.com", "Open Roles"),
+        ]
+
 
 class TestContacts:
     def test_emails_lowercased_validated(self):

@@ -210,3 +210,55 @@ def test_extract_links_matches_full_extraction(ray_session):
         .sort_values("url", ignore_index=True)
     )
     assert full.equals(lite)
+
+
+def test_anchor_text_corpus_hand_computed_and_paths(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import anchor_text_corpus
+
+    pairs = pa.table(
+        {
+            "src_host": pa.array(
+                ["a.com", "a.com", "a.com", "b.com", "b.com"], pa.string()
+            ),
+            "target_host": pa.array(
+                ["t.com", "t.com", "u.com", "t.com", "t.com"], pa.string()
+            ),
+            "anchor_text": pa.array(
+                ["Jobs", "Jobs", "About", "Careers", "Jobs"], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pairs)
+    out = anchor_text_corpus(ds).to_pandas().set_index("target_host")
+    assert out.loc["t.com", "n_links"] == 4
+    assert out.loc["t.com", "n_src_hosts"] == 2
+    assert out.loc["t.com", "top_texts"] == "Careers|Jobs"
+    assert out.loc["u.com", "n_links"] == 1
+    assert out.loc["u.com", "n_src_hosts"] == 1
+    assert out.loc["u.com", "top_texts"] == "About"
+
+    # forced-bucketed path agrees with the adaptive driver finish
+    bucketed = (
+        anchor_text_corpus(ray.data.from_arrow(pairs), driver_max_partials=0)
+        .to_pandas()
+        .sort_values("target_host", ignore_index=True)
+    )
+    driver = out.reset_index().sort_values("target_host", ignore_index=True)
+    assert driver[bucketed.columns.tolist()].equals(bucketed)
+
+    # top_k cap: 25 distinct texts → first 20 sorted kept
+    many = pa.table(
+        {
+            "src_host": pa.array(["s.com"] * 25, pa.string()),
+            "target_host": pa.array(["t.com"] * 25, pa.string()),
+            "anchor_text": pa.array(
+                [f"text{i:02d}" for i in range(25)], pa.string()
+            ),
+        }
+    )
+    top = anchor_text_corpus(ray.data.from_arrow(many)).to_pandas()
+    assert top.loc[0, "top_texts"] == "|".join(
+        f"text{i:02d}" for i in range(20)
+    )

@@ -466,3 +466,44 @@ def test_retention_vs_duckdb_and_naive(duck):
         .sort_values(key, ignore_index=True)
     )
     assert_frames_equal(eng, bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q18_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q18_big_orders
+
+    # lower threshold at sf0.001 so the survivor set is non-trivial
+    eng = (
+        q18_big_orders(SF, threshold_centi=20_000)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      WITH big AS (
+        SELECT l_orderkey AS o_orderkey,
+               sum(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))::BIGINT
+                 AS sum_qty_centi
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) > 20000)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+               AS total_price_cents,
+             sum_qty_centi
+      FROM big JOIN orders USING (o_orderkey)
+      JOIN customer ON c_custkey = o_custkey
+      """).df().sort_values("o_orderkey", ignore_index=True)
+    assert_frames_equal(eng[ora.columns.tolist()], ora)
+
+    # forced-bucketed HAVING branch agrees with the driver finish
+    bucketed = (
+        q18_big_orders(SF, threshold_centi=20_000, driver_finish_max=0)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    assert eng.equals(bucketed)
+
+    # impossible threshold → typed empty result
+    none = q18_big_orders(SF, threshold_centi=10**12)
+    assert none.num_rows == 0
+    assert none.schema.names[:2] == ["c_name", "c_custkey"]
