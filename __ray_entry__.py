@@ -158,6 +158,31 @@ def _q_crawl_host_pagerank(sf_dir: str):
     return pagerank_hosts(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_budget_allocation(
+    sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
+):
+    """Graph-driven frontier budget allocation: each host's next-wave
+    URL budget = ``base`` + its PageRank share of the wave ``pool``,
+    capped at ``cap`` — the reprioritization signal a frontier
+    scheduler feeds to plan_wave (north_star: priority-queue
+    scheduling from host-level signals).  Integer arithmetic
+    end-to-end ⇒ the oracle reproduces it bit-for-bit on top of the
+    unrolled-PageRank CTE.  The rank table is vertex state
+    (driver-sized by the linkgraph module's design boundary); at a
+    larger vertex universe the identical arithmetic runs as a
+    map_batches over the rank table with the total broadcast."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    pr = pagerank_hosts(host_edges(_link_pages(sf_dir)))
+    r = pr["rank_micros"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = max(int(r.sum()), 1)
+    budget = np.minimum(base + (r * pool) // total, cap)
+    return pr.append_column("budget", pa.array(budget, pa.int64()))
+
+
 def _link_pages(sf_dir: str):
     """pages → (host, out_links) via the link-only extraction (same
     parse + link semantics as extract_pages, ~2.8× cheaper — graph
@@ -2078,6 +2103,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phones_vn": _q_crawl_phones,
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
+        "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_host_components": _q_crawl_host_components,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
@@ -2215,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention",
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
+        "crawl_budget_allocation",
         "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
@@ -2855,6 +2882,13 @@ def oracle_sql() -> dict[str, str]:
                      AS top_texts
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
+        "crawl_budget_allocation": f"""
+            WITH pr AS ({pagerank_sql})
+            SELECT host, rank_micros,
+                   least(10 + (rank_micros * 100000)
+                           // (SELECT sum(rank_micros) FROM pr),
+                         2000)::BIGINT AS budget
+            FROM pr""",
         "crawl_host_components": components_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,

@@ -393,7 +393,6 @@ def supplier_by_region(sf_dir: str):
             Count(alias_name="n_suppliers"),
             Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
         )
-        .sort("r_name")
     )
 
 
@@ -2378,10 +2377,11 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
             }
         )
 
-    return (
-        both.groupby("bucket")
-        .map_groups(asof_bucket, batch_format="pyarrow")
-        .sort(["user_id", "click_id"])
+    # no final sort: row order is an execution detail (driver compare
+    # and tests sort client-side); a Ray Dataset.sort here costs ~3.5 s
+    # fixed regardless of size (house rule: drop cosmetic sorts)
+    return both.groupby("bucket").map_groups(
+        asof_bucket, batch_format="pyarrow"
     )
 
 
@@ -2441,5 +2441,4 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     return (
         both.groupby("bucket")
         .map_groups(range_bucket, batch_format="pyarrow")
-        .sort(["user_id", "signup_id"])
     )
