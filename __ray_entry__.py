@@ -183,6 +183,17 @@ def _q_crawl_budget_allocation(
     return pr.append_column("budget", pa.array(budget, pa.int64()))
 
 
+def _q_crawl_trap_hosts(sf_dir: str):
+    """Per-host URL-shape profile (crawl-trap / frontier-hygiene
+    signal): url counts, distinct base paths, query-variant share and
+    depth folded into an integer trap_score (stages/urlprofile.py —
+    the corpus-level generalization of the reference spider's
+    per-domain caps and URL-pattern filters)."""
+    from crawler_ai_ray.stages.urlprofile import host_url_profile
+
+    return host_url_profile(_pages(sf_dir, columns=["url"]))
+
+
 def _link_pages(sf_dir: str):
     """pages → (host, out_links) via the link-only extraction (same
     parse + link semantics as extract_pages, ~2.8× cheaper — graph
@@ -2104,6 +2115,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
+        "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
@@ -2242,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
         "crawl_budget_allocation",
+        "crawl_trap_hosts",
         "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
@@ -2882,6 +2895,25 @@ def oracle_sql() -> dict[str, str]:
                      AS top_texts
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
+        "crawl_trap_hosts": f"""
+            WITH u AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                     regexp_replace(url, '\\?.*$', '') AS base,
+                     CASE WHEN contains(url, '?') THEN 1 ELSE 0 END
+                       AS has_q,
+                     length(COALESCE(regexp_extract(
+                         url, '^[a-z]+://[^/]*(/.*)$', 1), ''))
+                     - length(replace(COALESCE(regexp_extract(
+                         url, '^[a-z]+://[^/]*(/.*)$', 1), ''), '/', ''))
+                       AS depth
+              FROM read_parquet('{pages_pq}'))
+            SELECT host, count(*)::BIGINT AS n_urls,
+                   count(DISTINCT base)::BIGINT AS n_paths,
+                   sum(has_q)::BIGINT AS n_query_urls,
+                   max(depth)::BIGINT AS max_depth,
+                   ((sum(has_q) * 1000) // greatest(count(*), 1)
+                    + max(depth) * 10)::BIGINT AS trap_score
+            FROM u GROUP BY 1""",
         "crawl_budget_allocation": f"""
             WITH pr AS ({pagerank_sql})
             SELECT host, rank_micros,

@@ -184,6 +184,8 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_snapshot_diff",
         "events_retention",
         "crawl_anchor_texts",
+        "tpch_q18_big_orders",
+        "crawl_trap_hosts",
     ]
     qs = entrymod.queries()
     out = {}

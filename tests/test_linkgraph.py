@@ -262,3 +262,50 @@ def test_anchor_text_corpus_hand_computed_and_paths(ray_session):
     assert top.loc[0, "top_texts"] == "|".join(
         f"text{i:02d}" for i in range(20)
     )
+
+
+def test_host_url_profile_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.urlprofile import host_url_profile
+
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/",
+                    "https://a.com/jobs",
+                    "https://a.com/jobs?page=2",
+                    "https://a.com/jobs?page=3",
+                    "https://b.com/x/y/z/deep/path",
+                ],
+                pa.string(),
+            )
+        }
+    )
+    out = (
+        host_url_profile(ray.data.from_arrow(pages))
+        .to_pandas()
+        .set_index("host")
+    )
+    # a.com: 4 urls, base paths {/, /jobs, /jobs} -> 2 distinct, 2 query
+    # urls, max depth 1, score = 2000//4 + 10 = 510
+    assert out.loc["a.com", "n_urls"] == 4
+    assert out.loc["a.com", "n_paths"] == 2
+    assert out.loc["a.com", "n_query_urls"] == 2
+    assert out.loc["a.com", "max_depth"] == 1
+    assert out.loc["a.com", "trap_score"] == 510
+    # b.com: 1 deep url, depth 5, score = 0 + 50
+    assert out.loc["b.com", "n_urls"] == 1
+    assert out.loc["b.com", "max_depth"] == 5
+    assert out.loc["b.com", "trap_score"] == 50
+
+    # forced-bucketed path agrees with the driver finish
+    bucketed = (
+        host_url_profile(ray.data.from_arrow(pages), driver_max_partials=0)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert out.reset_index().sort_values("host", ignore_index=True)[
+        bucketed.columns.tolist()
+    ].equals(bucketed)
