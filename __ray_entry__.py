@@ -1218,6 +1218,18 @@ def _q_doc_sample(sf_dir: str):
     ).map_batches(sample_batch, batch_format="pyarrow")
 
 
+def _q_doc_sample_weighted(sf_dir: str):
+    """Deterministic weighted priority sample: k docs with the smallest
+    md5₆₀(doc_id) // n_chars rank (integer-exact Efraimidis–Spirakis
+    cousin — longer docs proportionally likelier, reproducible across
+    runs/partitions/engines; per-batch top-k combiner, no shuffle)."""
+    from crawler_ai_ray.stages.textstats import weighted_sample
+
+    return weighted_sample(
+        _table(sf_dir, "documents", columns=["doc_id", "n_chars"]), k=100
+    )
+
+
 def _q_crawl_pii_redact(sf_dir: str):
     """PII scrub over the extracted page text: count + placeholder-
     redact email/phone spans (pyarrow RE2 ≡ DuckDB RE2, so the oracle's
@@ -2175,6 +2187,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_sample": _q_doc_sample,
+        "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
         "doc_distinctive_terms": _q_doc_distinctive_terms,
         "doc_sample_stratified": _q_doc_sample_stratified,
@@ -2255,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_big_orders",
         "crawl_budget_allocation",
         "crawl_trap_hosts",
+        "doc_sample_weighted",
         "doc_dsir_score",
         "doc_clf_score", "crawl_snapshot_diff",
         "doc_dup_spans", "doc_length_quantiles",
@@ -3566,6 +3580,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('0', '1')""",
+        "doc_sample_weighted": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT // greatest(n_chars, 1) AS rank
+              FROM documents)
+            SELECT doc_id, n_chars, rank FROM r
+            ORDER BY rank, doc_id LIMIT 100""",
         "doc_repetition": """
             WITH d AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l

@@ -1079,3 +1079,82 @@ def classifier_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "clf_keep": pa.array(margin >= 0, pa.bool_()),
         }
     )
+
+
+def weighted_sample(
+    ds, k: int = 100, weight_col: str = "n_chars"
+) -> pa.Table:
+    """→ the ``k`` docs with the smallest ``md5₆₀(doc_id) // weight``
+    rank — deterministic weighted priority sampling (the integer-exact
+    cousin of Efraimidis–Spirakis ``u^(1/w)`` keys: the 60-bit hash
+    plays the uniform draw, larger weights shrink the rank, so
+    selection probability grows with weight while the sample stays
+    reproducible across runs, partitions and engines — DuckDB
+    recomputes the identical rank as
+    ``('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT //
+    greatest(w, 1)``).
+
+    Shape: per-batch local top-k combiner → ≤ blocks×k candidate rows
+    merge driver-side with the same (rank, doc_id) tie-break; no
+    shuffle, no text movement."""
+    import hashlib
+
+    import ray
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                for i in ids.tolist()
+            ],
+            dtype=np.int64,
+        )
+        w = np.maximum(
+            batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            1,
+        )
+        r = h // w
+        order = np.lexsort((ids, r))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                weight_col: pa.array(
+                    batch[weight_col]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order],
+                    pa.int64(),
+                ),
+                "rank": pa.array(r[order], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return topk(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    cat = pa.concat_tables(parts)
+    ids = cat["doc_id"].to_numpy(zero_copy_only=False)
+    r = cat["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, r))[:k]
+    return cat.take(pa.array(order))

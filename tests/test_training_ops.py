@@ -6,6 +6,8 @@ reference computations.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -1474,3 +1476,53 @@ def test_dsir_scores_planted(ray_session):
     # German-only doc (absolute signs are smoothing-dominated at toy
     # corpus size — B=4096 pseudo-counts vs 25 real tokens)
     assert expect[2] > expect[4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_vs_duckdb_and_naive(duck):
+    import hashlib
+
+    import pandas as pd
+
+    from crawler_ai_ray.stages.textstats import weighted_sample
+    from __ray_entry__ import _table
+
+    k = 37
+    eng = (
+        weighted_sample(
+            _table(SF, "documents", columns=["doc_id", "n_chars"]), k=k
+        )
+        .to_pandas()
+        .sort_values(["rank", "doc_id"], ignore_index=True)
+    )
+    assert len(eng) == k
+    ora = duck.sql(f"""
+      WITH r AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT // greatest(n_chars, 1) AS rank
+        FROM documents)
+      SELECT doc_id, n_chars, rank FROM r
+      ORDER BY rank, doc_id LIMIT {k}""").df()
+    assert_frames_equal(eng, ora)
+
+    # independent naive reimplementation
+    df = pd.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    df["rank"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        // max(int(w), 1)
+        for i, w in zip(df["doc_id"], df["n_chars"])
+    ]
+    naive = (
+        df.sort_values(["rank", "doc_id"], ignore_index=True)
+        .head(k)
+        .astype({"rank": "int64"})
+    )
+    assert_frames_equal(eng, naive)
+
+    # weighting sanity: the sample skews long — mean sampled length
+    # exceeds the corpus mean
+    assert eng["n_chars"].mean() > df["n_chars"].mean()
