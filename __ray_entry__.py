@@ -2225,6 +2225,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active": _rel("events_daily_active"),
         "events_retention": _rel("events_retention"),
         "tpch_q18_big_orders": _rel("q18_big_orders"),
+        "tpch_q13_custdist": _rel("q13_customer_distribution"),
+        "tpch_q4_priority": _rel("q4_order_priority"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_funnel": _rel("events_funnel"),
@@ -2263,6 +2265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     first = [
         # new this round
+        "tpch_q13_custdist",
+        "tpch_q4_priority",
         "events_retention",
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
@@ -3312,6 +3316,27 @@ def oracle_sql() -> dict[str, str]:
                    sum_qty_centi
             FROM big JOIN orders USING (o_orderkey)
             JOIN customer ON c_custkey = o_custkey""",
+        "tpch_q13_custdist": """
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM (
+              SELECT c.c_custkey,
+                     count(o.o_custkey)::BIGINT AS c_count
+              FROM customer c
+              LEFT JOIN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
         "events_retention": """
             WITH pairs AS (
               SELECT DISTINCT user_id, date_trunc('day', ts) AS day

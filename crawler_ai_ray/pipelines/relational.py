@@ -39,6 +39,8 @@ __all__ = [
     "lineitem_part_revenue",
     "q3_unshipped",
     "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q4_order_priority",
     "events_hourly",
     "events_daily_active",
     "events_no_purchase_users",
@@ -1370,6 +1372,252 @@ def q18_big_orders(
             "o_orderdate": out["o_orderdate"],
             "total_price_cents": out["total_price_cents"],
             "sum_qty_centi": pc.cast(out["sum_qty_centi"], pa.int64()),
+        }
+    )
+
+
+def q13_customer_distribution(
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    num_buckets: int = 32,
+    driver_finish_max: int = 2_000_000,
+):
+    """TPC-H Q13 shape — customer order-count distribution:
+    → (c_count, custdist) where ``c_count`` = number of *matching*
+    orders a customer placed and ``custdist`` = how many customers
+    share that count.  The LEFT-OUTER-JOIN-then-double-groupby
+    composition, with the zero-preserving twist: customers with NO
+    matching order must appear in the ``c_count = 0`` bucket.
+
+    Zero-preservation WITHOUT shipping the customer table: orders'
+    ``o_custkey`` is a foreign key into customer (guaranteed by the
+    generator, asserted by the oracle's LEFT JOIN), so the c_count=0
+    population is ``total_customers − |distinct custkeys with ≥1
+    matching order|`` — and ``total_customers`` is free from parquet
+    file metadata.  No join, no customer scan.
+
+    1. orders → per-batch filter + partial counts per custkey
+       (distributive combiner: repeats collapse before any exchange);
+    2. adaptive finish (see `events_daily_active`): below ~2M partial
+       rows ONE driver Arrow hash-agg; above, a ``custkey %
+       num_buckets`` shuffle where each bucket emits its HISTOGRAM
+       partials (≤ max_count rows per bucket — the second groupby
+       never re-shuffles at customer width);
+    3. histogram partials merge driver-side; the 0-bucket is appended
+       arithmetically.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    total_customers = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"], priority))
+        agg = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        ck = agg["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": agg["o_custkey"],
+                "n": pc.cast(agg["o_custkey_count"], pa.int64()),
+                "bucket": pa.array(
+                    (ck % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def hist_of(counts: pa.Table) -> pa.Table:
+        """counts (o_custkey, n) → histogram partial (c_count, custdist)."""
+        per_cust = counts.group_by("o_custkey").aggregate([("n", "sum")])
+        h = per_cust.group_by("n_sum").aggregate([("n_sum", "count")])
+        return pa.table(
+            {
+                "c_count": pc.cast(h["n_sum"], pa.int64()),
+                "custdist": pc.cast(h["n_sum_count"], pa.int64()),
+            }
+        )
+
+    pre = ords.map_batches(partials, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        parts = [hist_of(pa.concat_tables(blocks))] if blocks else []
+    else:
+        parts = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(
+                    lambda g: hist_of(g.select(["o_custkey", "n"])),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    if parts:
+        h = (
+            pa.concat_tables(parts)
+            .group_by("c_count")
+            .aggregate([("custdist", "sum")])
+        )
+        c_count = h["c_count"].to_numpy(zero_copy_only=False)
+        custdist = h["custdist_sum"].to_numpy(zero_copy_only=False)
+    else:
+        c_count = np.array([], dtype=np.int64)
+        custdist = np.array([], dtype=np.int64)
+    n_zero = total_customers - int(custdist.sum())
+    if n_zero > 0:
+        c_count = np.append(c_count, 0)
+        custdist = np.append(custdist, n_zero)
+    order = np.lexsort((c_count,))
+    return pa.table(
+        {
+            "c_count": pa.array(c_count[order], pa.int64()),
+            "custdist": pa.array(custdist[order], pa.int64()),
+        }
+    )
+
+
+def q4_order_priority(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 4_000_000,
+):
+    """TPC-H Q4 shape — order-priority checking: count orders placed in
+    a quarter that have at least one returned lineitem (EXISTS
+    semi-join) → (o_orderpriority, order_count).
+
+    Broadcast-vs-bucketed SEMI-JOIN hybrid (the Q3/Q5 pattern applied
+    to EXISTS):
+
+    * both sides combine first — lineitem collapses to per-batch
+      DISTINCT returned orderkeys, orders filter to the quarter at the
+      read;
+    * below `broadcast_max_keys` distinct returned keys, the key set
+      broadcasts once (`ray.put` of a sorted int64 array) and the
+      EXISTS test is a map-side ``searchsorted`` — ZERO shuffles, and
+      each task emits its ≤5-row priority-count partial;
+    * above it, `hash_bucket_join(..., join_type="left semi")` with a
+      per-bucket priority rollup, so the exchange carries only
+      (orderkey, priority) pairs and each bucket emits ≤5 rows.
+
+    The driver-side finish merges ≤ tasks×5 partial rows either way.
+    """
+    import ray
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return t.group_by("l_orderkey").aggregate([]).rename_columns(
+            ["o_orderkey"]
+        )
+
+    ords = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def quarter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo.item())),
+            pc.less(batch["o_orderdate"], pa.scalar(hi.item())),
+        )
+        return batch.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("o_orderpriority").aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": agg["o_orderpriority"],
+                "n": pc.cast(agg["o_orderpriority_count"], pa.int64()),
+            }
+        )
+
+    keys_ds = li.map_batches(
+        returned_keys, batch_format="pyarrow"
+    ).materialize()
+    if keys_ds.count() <= broadcast_max_keys:
+        blocks = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
+        rkeys = (
+            np.unique(
+                np.concatenate(
+                    [
+                        t["o_orderkey"].to_numpy(zero_copy_only=False)
+                        for t in blocks
+                    ]
+                )
+            )
+            if blocks
+            else np.array([], dtype=np.int64)
+        )
+        rk_ref = ray.put(rkeys)
+
+        def exists_counts(batch: pa.Table) -> pa.Table:
+            t = quarter(batch)
+            ks = ray.get(rk_ref)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ks):
+                idx = np.searchsorted(ks, ok)
+                hit = (idx < len(ks)) & (
+                    ks[np.minimum(idx, len(ks) - 1)] == ok
+                )
+            else:
+                hit = np.zeros(len(ok), dtype=bool)
+            return prio_partial(t.filter(pa.array(hit)))
+
+        parts = [
+            t
+            for t in ray.get(
+                ords.map_batches(
+                    exists_counts, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    else:
+        joined = hash_bucket_join(
+            ords.map_batches(quarter, batch_format="pyarrow"),
+            keys_ds,
+            on="o_orderkey",
+            num_buckets=num_buckets,
+            join_type="left semi",
+            bucket_postprocess=prio_partial,
+            left_schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+            ),
+            right_schema=pa.schema([("o_orderkey", pa.int64())]),
+        )
+        parts = [
+            t for t in ray.get(joined.to_arrow_refs()) if t.num_rows
+        ]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "order_count": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("o_orderpriority")
+        .aggregate([("n", "sum")])
+    )
+    agg = agg.take(pc.sort_indices(agg, sort_keys=[("o_orderpriority", "ascending")]))
+    return pa.table(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "order_count": pc.cast(agg["n_sum"], pa.int64()),
         }
     )
 

@@ -511,3 +511,69 @@ def test_q18_vs_duckdb_and_paths(duck):
     none = q18_big_orders(SF, threshold_centi=10**12)
     assert none.num_rows == 0
     assert none.schema.names[:2] == ["c_name", "c_custkey"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q13_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q13_customer_distribution
+
+    eng = (
+        q13_customer_distribution(SF)
+        .to_pandas()
+        .sort_values("c_count", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM (
+        SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+      GROUP BY c_count
+      """).df().sort_values("c_count", ignore_index=True)
+    assert_frames_equal(eng, ora)
+    # the zero-preserving bucket must be real at this scale (~e^-2 of
+    # customers have no urgent order)
+    assert (eng["c_count"] == 0).any()
+
+    # forced-bucketed histogram branch agrees with the driver finish
+    bucketed = (
+        q13_customer_distribution(SF, driver_finish_max=0)
+        .to_pandas()
+        .sort_values("c_count", ignore_index=True)
+    )
+    assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q4_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q4_order_priority
+
+    eng = (
+        q4_order_priority(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      """).df().sort_values("o_orderpriority", ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # forced-bucketed semi-join agrees with the broadcast path
+    bucketed = (
+        q4_order_priority(SF, broadcast_max_keys=0)
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    assert eng.equals(bucketed)
