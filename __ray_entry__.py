@@ -2222,6 +2222,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup_global": _q_emb_semantic_dedup_global,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
+        "events_rollup": _rel("events_rollup"),
+        "events_running_total": _rel("events_running_total"),
         "events_daily_active": _rel("events_daily_active"),
         "events_retention": _rel("events_retention"),
         "tpch_q18_big_orders": _rel("q18_big_orders"),
@@ -2267,6 +2269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round
         "tpch_q13_custdist",
         "tpch_q4_priority",
+        "events_rollup",
+        "events_running_total",
         "events_retention",
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
@@ -3328,6 +3332,23 @@ def oracle_sql() -> dict[str, str]:
                 ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey)
             GROUP BY c_count""",
+        "events_rollup": """
+            SELECT event_type, day, count(*)::BIGINT AS n_events,
+                   sum(value_cents)::BIGINT AS sum_value_cents
+            FROM (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+              FROM events)
+            GROUP BY ROLLUP(event_type, day)""",
+        "events_running_total": """
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
+                   CAST(sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_cents
+            FROM events WHERE event_type = 'purchase'""",
         "tpch_q4_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS order_count
             FROM orders

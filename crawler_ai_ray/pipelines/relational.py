@@ -42,6 +42,8 @@ __all__ = [
     "q13_customer_distribution",
     "q4_order_priority",
     "events_hourly",
+    "events_rollup",
+    "events_running_total",
     "events_daily_active",
     "events_no_purchase_users",
     "events_funnel",
@@ -2689,4 +2691,236 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     return (
         both.groupby("bucket")
         .map_groups(range_bucket, batch_format="pyarrow")
+    )
+
+
+def events_rollup(
+    sf_dir: str,
+    num_buckets: int = 32,
+    driver_finish_max: int = 2_000_000,
+):
+    """GROUP BY ROLLUP(event_type, day) — the grouping-sets aggregate:
+    one result with THREE granularities (per type-day, per type, grand
+    total), rolled-up keys reading NULL exactly as SQL's ROLLUP emits
+    them.  → (event_type|NULL, day|NULL, n_events, sum_value_cents).
+
+    Rollup needs no extra exchanges: the finest level is bounded by
+    |event types| × |days| regardless of event volume, so every
+    coarser level derives from it driver-side with plain Arrow
+    group_bys.  The event stream itself is touched ONCE by a per-batch
+    (type, day) combiner; the adaptive finish / bucketed-shuffle split
+    follows `events_daily_active` (the shuffle is keyed on the
+    type-day pair's hash so a hot type still spreads across days).
+    """
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "vc": cents(batch["value"]),
+            }
+        )
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [("vc", "sum"), ("vc", "count")]
+        )
+        import zlib
+
+        day_us = agg["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # crc32 is process-independent (unlike str hash()): the same
+        # (type, day) pair MUST map to one bucket from every worker
+        tkey = np.array(
+            [
+                zlib.crc32(s.encode())
+                for s in agg["event_type"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "day": agg["day"],
+                "vc": agg["vc_sum"],
+                "n": pc.cast(agg["vc_count"], pa.int64()),
+                "bucket": pa.array(
+                    ((tkey ^ day_us) % num_buckets).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def finest_of(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["event_type", "day"]).aggregate(
+            [("vc", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "day": pc.cast(agg["day"], pa.timestamp("us")),
+                "vc": pc.cast(agg["vc_sum"], pa.int64()),
+                "n": pc.cast(agg["n_sum"], pa.int64()),
+            }
+        )
+
+    pre = ev.map_batches(partials, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        fine = (
+            finest_of(pa.concat_tables(blocks))
+            if blocks
+            else pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "vc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    else:
+        parts = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(
+                    lambda g: finest_of(
+                        g.select(["event_type", "day", "vc", "n"])
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        # bucket key == group key pair, so partials are already final;
+        # concat (not re-agg) is exact
+        fine = (
+            pa.concat_tables(parts)
+            if parts
+            else finest_of(
+                pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "day": pa.array([], pa.timestamp("us")),
+                        "vc": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        )
+
+    by_type = fine.group_by("event_type").aggregate(
+        [("vc", "sum"), ("n", "sum")]
+    )
+    lvl1 = pa.table(
+        {
+            "event_type": by_type["event_type"],
+            "day": pa.nulls(by_type.num_rows, pa.timestamp("us")),
+            "vc": pc.cast(by_type["vc_sum"], pa.int64()),
+            "n": pc.cast(by_type["n_sum"], pa.int64()),
+        }
+    )
+    total_n = pc.sum(fine["n"]).as_py() or 0
+    lvl0 = pa.table(
+        {
+            "event_type": pa.nulls(1, pa.string()),
+            "day": pa.nulls(1, pa.timestamp("us")),
+            "vc": pa.array([pc.sum(fine["vc"]).as_py() or 0], pa.int64()),
+            "n": pa.array([total_n], pa.int64()),
+        }
+    )
+    out = pa.concat_tables([fine, lvl1] + ([lvl0] if total_n else []))
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "day": out["day"],
+            "n_events": out["n"],
+            "sum_value_cents": out["vc"],
+        }
+    )
+
+
+def events_running_total(
+    sf_dir: str, event_type: str = "purchase", num_buckets: int = 64
+):
+    """Per-user running spend — the classic SQL window function
+    ``SUM(x) OVER (PARTITION BY user ORDER BY ts, id)`` distributed:
+    → one row per matching event with its cumulative cents so far.
+
+    A user's rows must be totalled in order, so the only exchange is
+    ONE shuffle keyed ``user_id % num_buckets`` (same partitioning as
+    sessionize / the temporal joins — a user lives in exactly one
+    bucket).  Inside a bucket the whole window computation is three
+    numpy kernels over the concatenated rows: lexsort by (user, ts,
+    event_id), one cumsum, and a per-user offset subtraction at group
+    starts (no per-user loop).  Output is event-sized and streams out
+    block-per-bucket; nothing is re-ordered globally (the driver
+    compare is order-insensitive; a total order would be a cosmetic
+    full sort).
+    """
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pow2 = num_buckets & (num_buckets - 1) == 0
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], event_type))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (
+            (uid.astype(np.uint64) & np.uint64(num_buckets - 1))
+            if pow2
+            else (uid.astype(np.uint64) % np.uint64(num_buckets))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "vc": cents(t["value"]),
+            }
+        )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "value_cents": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts.view(np.int64), uid))
+        u, v = uid[order], vc[order]
+        cs = np.cumsum(v)
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(u)))
+        offsets = np.concatenate(([0], cs[starts[1:] - 1]))
+        running = cs - np.repeat(offsets, sizes)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(ts[order], pa.timestamp("us")),
+                "value_cents": pa.array(v, pa.int64()),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_bucket, batch_format="pyarrow")
     )

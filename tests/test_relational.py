@@ -577,3 +577,70 @@ def test_q4_vs_duckdb_and_paths(duck):
         .sort_values("o_orderpriority", ignore_index=True)
     )
     assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import events_rollup
+
+    key = ["event_type", "day"]
+    eng = (
+        events_rollup(SF)
+        .to_pandas()
+        .sort_values(key, ignore_index=True, na_position="first")
+    )
+    ora = duck.sql("""
+      SELECT event_type, day, count(*)::BIGINT AS n_events,
+             sum(value_cents)::BIGINT AS sum_value_cents
+      FROM (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+            FROM events)
+      GROUP BY ROLLUP(event_type, day)
+      """).df().sort_values(key, ignore_index=True, na_position="first")
+    assert_frames_equal(eng, ora)
+
+    # the three granularities are mutually consistent
+    grand = eng[eng["event_type"].isna()]
+    lvl1 = eng[eng["event_type"].notna() & eng["day"].isna()]
+    fine = eng[eng["day"].notna()]
+    assert len(grand) == 1
+    assert grand["n_events"].iloc[0] == lvl1["n_events"].sum() == fine["n_events"].sum()
+
+    # forced-bucketed branch ≡ driver finish (deterministic crc32 bucket)
+    bucketed = (
+        events_rollup(SF, driver_finish_max=0)
+        .to_pandas()
+        .sort_values(key, ignore_index=True, na_position="first")
+    )
+    assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_total_vs_duckdb_and_bucket_invariance(duck):
+    from crawler_ai_ray.pipelines.relational import events_running_total
+
+    eng = (
+        events_running_total(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
+             CAST(sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+      FROM events WHERE event_type = 'purchase'
+      """).df().sort_values("event_id", ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # a user's final running total == their plain sum, any bucketing
+    for nb in (1, 7):
+        alt = (
+            events_running_total(SF, num_buckets=nb)
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        assert eng.equals(alt)
