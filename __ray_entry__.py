@@ -1208,6 +1208,15 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_doc_cooccurrence(sf_dir: str):
+    """Exact top-50 distinct-term co-occurrence pairs: per-doc Arrow
+    self-join pairs (quadratic only per doc, capped), batch combiner →
+    pair-hash-bucketed shuffle → driver rank of ≤buckets×k rows."""
+    from crawler_ai_ray.stages.textstats import cooccurrence_topk
+
+    return cooccurrence_topk(_table(sf_dir, "documents", columns=["text"]))
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic ⅛ hash sample (md5(doc_id) hex prefix) — stable
     across runs/partitions/engines."""
@@ -2186,6 +2195,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_ngram": _q_doc_neardup_ngram,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
+        "doc_cooccurrence": _q_doc_cooccurrence,
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2271,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4_priority",
         "events_rollup",
         "events_running_total",
+        "doc_cooccurrence",
         "events_retention",
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
@@ -3614,6 +3625,27 @@ def oracle_sql() -> dict[str, str]:
                                   i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.8""",
         "doc_fingerprint_rolling": f"""
             SELECT doc_id, fingerprint FROM read_parquet('{rolling_g}')""",
+        "doc_cooccurrence": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS term
+                FROM documents)
+              WHERE term <> ''),
+            capped AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, term,
+                       row_number() OVER (
+                         PARTITION BY doc_id ORDER BY term) AS rn
+                FROM dt)
+              WHERE rn <= 256)
+            SELECT a.term AS term_a, b.term AS term_b,
+                   count(*)::BIGINT AS n_docs
+            FROM capped a JOIN capped b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2
+            ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 50""",
         "doc_top_terms": """
             WITH toks AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

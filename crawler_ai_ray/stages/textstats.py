@@ -46,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "repetition_batch",
     "distinctive_terms",
+    "cooccurrence_topk",
     "grouped_quantiles",
     "mix_weights",
     "doc_commonness",
@@ -1158,3 +1159,152 @@ def weighted_sample(
     r = cat["rank"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, r))[:k]
     return cat.take(pa.array(order))
+
+
+def cooccurrence_topk(
+    ds,
+    k: int = 50,
+    num_buckets: int = 64,
+    max_terms_per_doc: int = 256,
+    text_col: str = "text",
+):
+    """documents → top-k distinct-term co-occurrence pairs, exactly:
+    (term_a, term_b, n_docs) with ``term_a < term_b`` and ``n_docs`` =
+    how many documents contain BOTH terms — the corpus co-occurrence
+    matrix head (the statistic GloVe-style embedding training and
+    collocation mining consume).
+
+    Scale shape: the quadratic step is per-DOC (distinct terms
+    self-paired), never per-corpus, and is bounded by
+    ``max_terms_per_doc`` (alphabetic rank cap, mirrored exactly by
+    the oracle's ``row_number() OVER (ORDER BY term)`` filter) — at
+    256 the worst doc yields ≤32 640 pair rows, and the per-batch
+    Arrow group_by combiner collapses them to batch-vocab² partials
+    before any exchange.  The single Ray shuffle is keyed
+    ``crc32(pair) % num_buckets`` (a pair lives in one bucket →
+    bucket-local top-k is globally safe, the `top_terms` argument);
+    the driver ranks ≤ buckets × k candidate rows.
+
+    Pair generation is an Arrow self-join on doc index (C++ hash
+    join), not a Python loop: distinct (doc, term) ⋈ itself, filtered
+    to ``term_a < term_b``.
+    """
+    import zlib
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        dt = (
+            pa.table({"d": doc.filter(keep), "t": flat.filter(keep)})
+            .group_by(["d", "t"])
+            .aggregate([])
+        )
+        if dt.num_rows == 0:
+            return empty
+        # alphabetic-rank cap per doc (numpy: sort + segment offsets)
+        d = dt["d"].to_numpy(zero_copy_only=False)
+        t = dt["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, d))
+        d, t = d[order], t[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(d)))
+        rank = np.arange(len(d)) - np.repeat(starts, sizes)
+        capped = rank < max_terms_per_doc
+        side = pa.table(
+            {"d": pa.array(d[capped]), "t": pa.array(t[capped])}
+        )
+        pairs = side.rename_columns(["d", "term_a"]).join(
+            side.rename_columns(["d", "term_b"]), keys="d"
+        )
+        pairs = pairs.filter(pc.less(pairs["term_a"], pairs["term_b"]))
+        agg = pairs.group_by(["term_a", "term_b"]).aggregate(
+            [([], "count_all")]
+        )
+        buckets = pa.array(
+            [
+                zlib.crc32(f"{a}|{b}".encode()) % num_buckets
+                for a, b in zip(
+                    agg["term_a"].to_pylist(), agg["term_b"].to_pylist()
+                )
+            ],
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "bucket": buckets,
+                "term_a": agg["term_a"],
+                "term_b": agg["term_b"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["term_a", "term_b"]).aggregate([("n", "sum")])
+        top = agg.sort_by(
+            [
+                ("n_sum", "descending"),
+                ("term_a", "ascending"),
+                ("term_b", "ascending"),
+            ]
+        ).slice(0, k)
+        return pa.table(
+            {
+                "term_a": top["term_a"],
+                "term_b": top["term_b"],
+                "n_docs": top["n_sum"],
+            }
+        )
+
+    cand = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not cand:
+        return pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    return (
+        pa.concat_tables(cand)
+        .sort_by(
+            [
+                ("n_docs", "descending"),
+                ("term_a", "ascending"),
+                ("term_b", "ascending"),
+            ]
+        )
+        .slice(0, k)
+    )

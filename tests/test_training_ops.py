@@ -1526,3 +1526,48 @@ def test_weighted_sample_vs_duckdb_and_naive(duck):
     # weighting sanity: the sample skews long — mean sampled length
     # exceeds the corpus mean
     assert eng["n_chars"].mean() > df["n_chars"].mean()
+
+
+def test_cooccurrence_vs_brute_force_and_cap(docs_ds):
+    import re
+
+    import pandas as pd
+
+    from crawler_ai_ray.stages.textstats import cooccurrence_topk
+
+    for cap in (256, 5):  # 5 binds on every doc; 256 never does here
+        eng = cooccurrence_topk(
+            docs_ds, k=30, max_terms_per_doc=cap
+        ).to_pandas()
+
+        df = pd.read_parquet(
+            os.path.join(SF, "documents.parquet"), columns=["text"]
+        )
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in df["text"]:
+            terms = sorted(
+                {t for t in re.findall(r"[a-z]+", text.lower())}
+            )[:cap]
+            for i, a in enumerate(terms):
+                for b in terms[i + 1:]:
+                    counts[(a, b)] += 1
+        naive = (
+            pd.DataFrame(
+                [(a, b, n) for (a, b), n in counts.items()],
+                columns=["term_a", "term_b", "n_docs"],
+            )
+            .sort_values(
+                ["n_docs", "term_a", "term_b"],
+                ascending=[False, True, True],
+                ignore_index=True,
+            )
+            .head(30)
+            .astype({"n_docs": "int64"})
+        )
+        assert_frames_equal(eng, naive)
+
+    # symmetry invariant: every pair is emitted once, ordered
+    full = cooccurrence_topk(docs_ds, k=30).to_pandas()
+    assert (full["term_a"] < full["term_b"]).all()
