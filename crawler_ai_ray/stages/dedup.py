@@ -468,40 +468,98 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.Table:
+    """Batch-vectorized ``minhash_signature``: shingle hashes of ALL
+    docs concatenate into one array, the 128 permutations apply as a
+    single (128, Σshingles) broadcast, and per-doc minima fall out of
+    ``np.minimum.reduceat`` at doc boundaries — bit-identical to the
+    per-doc function (same wraparound mul + M61 mod per element), with
+    no per-doc Python matrix setup and no int→list→Arrow round-trip.
+    Docs chunk at ~2^16 shingles so the broadcast stays ≤64 MiB."""
     ids = batch["doc_id"].to_pylist()
     texts = batch[text_col].to_pylist()
-    sigs = [minhash_signature(t, n) for t in texts]
+    bases = [_shingle_hashes(t, n) for t in texts]
+    n_docs = len(bases)
+    sig_mat = np.full(
+        (n_docs, _N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64
+    )
+    sizes = np.array([b.size for b in bases], dtype=np.int64)
+    nz = np.flatnonzero(sizes > 0)
+    chunk_cap = 1 << 16
+    pos = 0
+    while pos < nz.size:
+        end = pos
+        tot = 0
+        while end < nz.size and (tot == 0 or tot + sizes[nz[end]] <= chunk_cap):
+            tot += sizes[nz[end]]
+            end += 1
+        sel = nz[pos:end]
+        allb = np.concatenate([bases[i] for i in sel])
+        with np.errstate(over="ignore"):
+            vals = (
+                _PERM_A[:, None] * allb[None, :] + _PERM_B[:, None]
+            ) % _MERSENNE
+        bounds = np.zeros(sel.size, dtype=np.int64)
+        np.cumsum(sizes[sel[:-1]], out=bounds[1:])
+        sig_mat[sel] = np.minimum.reduceat(vals, bounds, axis=1).T
+        pos = end
+    sig_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(sig_mat.astype(np.int64).reshape(-1), pa.int64()), _N_PERM
+    )
     return pa.table(
-        {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array(
-                [s.astype(np.int64).tolist() for s in sigs],
-                type=pa.list_(pa.int64(), _N_PERM),
-            ),
-        }
+        {"doc_id": pa.array(ids, type=pa.int64()), "sig": sig_col}
     )
 
 
 def _band_rows(batch: pa.Table) -> pa.Table:
-    """signature rows → (band, band_hash, doc_id, sig) LSH bucket rows."""
-    ids = batch["doc_id"].to_pylist()
-    sigs = batch["sig"].to_pylist()
-    out_band, out_hash, out_id, out_sig = [], [], [], []
-    for i, sig in zip(ids, sigs):
-        arr = np.asarray(sig, dtype=np.int64)
-        for b in range(_N_BANDS):
-            chunk = arr[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)
-            out_id.append(i)
-            out_sig.append(sig)
+    """signature rows → (band, band_hash, doc_id, sig) LSH bucket rows.
+
+    Fully vectorized: the sig column reads as an (N, 128) int64 matrix
+    (FixedSizeList → one reshape, no Python lists), band hashes are an
+    FNV-1a fold over each band's 8 components (numpy wraparound mul/xor
+    across all N×16 bands at once), and the 16× sig duplication is one
+    ``np.repeat``.  The hash function choice is free: equal chunks
+    collide under ANY hash (no true candidate is ever lost), unequal
+    chunks collide with p≈2⁻⁶³ and a false candidate must still pass
+    the est≥τ verify — so the emitted pair set is unchanged vs the
+    previous per-chunk blake2b."""
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), _N_PERM
+                ),
+            }
+        )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sig_arr = batch["sig"].combine_chunks()
+    flat = sig_arr.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(n_docs, _N_PERM)
+    chunks = mat.astype(np.uint64).reshape(n_docs, _N_BANDS, _ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        h = np.full(
+            (n_docs, _N_BANDS), np.uint64(0xCBF29CE484222325), np.uint64
+        )
+        for r in range(_ROWS_PER_BAND):
+            h = (h ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+    band_hash = (h >> np.uint64(1)).astype(np.int64).reshape(-1)
     return pa.table(
         {
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64(), _N_PERM)),
+            "band": pa.array(
+                np.tile(np.arange(_N_BANDS, dtype=np.int32), n_docs),
+                pa.int32(),
+            ),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, _N_BANDS), pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.repeat(mat, _N_BANDS, axis=0).reshape(-1), pa.int64()
+                ),
+                _N_PERM,
+            ),
         }
     )
 
@@ -543,44 +601,55 @@ def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group["band"].to_pylist(),
-                group["band_hash"].to_pylist(),
-                group["doc_id"].to_pylist(),
-                group["sig"].to_pylist(),
-            )
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
         )
+        if group.num_rows == 0:
+            return empty
+        band = group["band"].to_numpy(zero_copy_only=False)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        mat = (
+            group["sig"]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(group.num_rows, _N_PERM)
+        )
+        order = np.lexsort((did, bh, band))
+        band, bh, did = band[order], bh[order], did[order]
+        mat = mat[order]
+        new = np.empty(len(band), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.append(np.flatnonzero(new), len(band))
         a_out, b_out, j_out = [], [], []
-        i = 0
-        while i < len(rows):
-            j = i
-            while (
-                j < len(rows)
-                and rows[j][0] == rows[i][0]
-                and rows[j][1] == rows[i][1]
-            ):
-                j += 1
-            if j - i >= 2:
-                run = rows[i:j]
-                sig_arrs = [
-                    np.asarray(r[3], dtype=np.int64) for r in run
-                ]
-                for x in range(len(run)):
-                    for y in range(x + 1, len(run)):
-                        if run[x][2] == run[y][2]:
-                            continue
-                        est = float(np.mean(sig_arrs[x] == sig_arrs[y]))
-                        if est >= threshold:
-                            a_out.append(run[x][2])
-                            b_out.append(run[y][2])
-                            j_out.append(est)
-            i = j
+        for i, j in zip(starts[:-1], starts[1:]):
+            if j - i < 2:
+                continue
+            x, y = np.triu_indices(j - i, k=1)
+            keep = did[i + x] != did[i + y]
+            x, y = x[keep], y[keep]
+            if not x.size:
+                continue
+            est = (mat[i + x] == mat[i + y]).mean(axis=1)
+            hit = est >= threshold
+            a_out.append(did[i + x[hit]])
+            b_out.append(did[i + y[hit]])
+            j_out.append(est[hit])
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(a_out, type=pa.int64()),
-                "doc_b": pa.array(b_out, type=pa.int64()),
-                "est_jaccard": pa.array(j_out, type=pa.float64()),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "est_jaccard": pa.array(
+                    np.concatenate(j_out), pa.float64()
+                ),
             }
         )
 
@@ -588,7 +657,34 @@ def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
         buckets.map_batches(add_sbucket, batch_format="pyarrow")
         .groupby("sbucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        .materialize()
     )
+    # cross-band duplicates collapse with a groupby(pair) max (all of a
+    # pair's estimates are equal — the max is just the dedup).  The
+    # pair set is LSH OUTPUT — O(duplicate pairs) — so below ~2M rows
+    # ONE driver-side Arrow hash-agg replaces a Ray shuffle whose fixed
+    # cost (~1.5 s) dwarfs the data; the Ray groupby stays as the
+    # above-threshold branch.
+    if pairs.count() <= 2_000_000:
+        import ray
+
+        blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            tbl = pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        else:
+            agg = (
+                pa.concat_tables(blocks)
+                .group_by(["doc_a", "doc_b"])
+                .aggregate([("est_jaccard", "max")])
+            )
+            tbl = agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+        return ray.data.from_arrow(tbl)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Max("est_jaccard", alias_name="est_jaccard")
     )
