@@ -2541,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
+    events_hll_g = os.path.join(gdir, "events_hll.parquet")
 
     # --- user-friendly formatter oracle (SQL rebuilt from the shared
     # constant tables; the scan/sort/cap/CASE logic itself is SQL) -----
@@ -3317,6 +3318,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    count(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1""",
+        # sequential single-pass-per-day HLL golden (no merge step) —
+        # verifies the engine's per-batch sketch + driver max-merge
+        "events_dau_hll": f"""
+            SELECT day, n_estimate
+            FROM read_parquet('{events_hll_g}')""",
         "tpch_q18_big_orders": """
             WITH big AS (
               SELECT l_orderkey AS o_orderkey,

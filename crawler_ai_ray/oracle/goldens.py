@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g5"
+GOLDEN_VERSION = "g6"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -102,6 +102,41 @@ def _build_doc_goldens(sf_dir: str, gdir: str) -> None:
     pq.write_table(
         fp.select(["doc_id", "fingerprint"]),
         os.path.join(gdir, "rolling.parquet"),
+    )
+
+
+def _build_events_goldens(sf_dir: str, gdir: str) -> None:
+    """events_hll golden: the per-day HyperLogLog estimate computed
+    SEQUENTIALLY — one register set per day over ALL of that day's
+    user ids at once, no batching and no merge step — so the engine's
+    distributed sketch (per-batch registers + driver max-merge) is
+    verified against a path that never exercises the merge.  The pure
+    register/estimate functions are unit-pinned (the ``rolling.parquet``
+    jobs-golden pattern: same pure fn, plumbing checked end-to-end)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import _hll_estimate, _hll_registers
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    days = pc.floor_temporal(ev["ts"], unit="day")
+    tbl = pa.table({"day": days, "user_id": ev["user_id"]})
+    out_day, out_est = [], []
+    for day_val in sorted(pc.unique(days).to_pylist()):
+        uids = tbl.filter(
+            pc.equal(tbl["day"], pa.scalar(day_val, days.type))
+        )["user_id"].to_numpy(zero_copy_only=False)
+        out_day.append(day_val)
+        out_est.append(_hll_estimate(_hll_registers(uids)))
+    pq.write_table(
+        pa.table(
+            {
+                "day": pa.array(out_day, pa.timestamp("us")),
+                "n_estimate": pa.array(out_est, pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "events_hll.parquet"),
     )
 
 
@@ -175,6 +210,8 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
+    if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        _build_events_goldens(sf_dir, tmp)
     _build_media_goldens(sf_dir, tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(stamp)

@@ -1996,9 +1996,11 @@ def events_dau_hll(sf_dir: str):
     (associative + commutative ⇒ the estimate is DETERMINISTIC under
     any partitioning — pinned by test), so per-batch sketches reduce
     driver-side with no shuffle at all; 4 KB per (batch, day).
-    No SQL oracle by design (DuckDB's approx_count_distinct uses its
-    own incompatible HLL); the conformance test pins estimate error
-    ≤ 5 % against the exact operator and partition invariance."""
+    DuckDB's approx_count_distinct uses its own incompatible HLL, so
+    the oracle is the sequential golden (`oracle/goldens.py`
+    ``events_hll.parquet``: one register set per day, no merge step);
+    the conformance test additionally pins estimate error ≤ 5 %
+    against the exact operator and partition invariance."""
     import ray
 
     ev = _read(sf_dir, "events", columns=["ts", "user_id"])
