@@ -2239,6 +2239,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_big_orders": _rel("q18_big_orders"),
         "tpch_q13_custdist": _rel("q13_customer_distribution"),
         "tpch_q4_priority": _rel("q4_order_priority"),
+        "tpch_q15_top_supplier": _rel("q15_top_supplier"),
+        "tpch_q22_inactive": _rel("q22_inactive_customers"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
         "events_funnel": _rel("events_funnel"),
@@ -2279,6 +2281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round
         "tpch_q13_custdist",
         "tpch_q4_priority",
+        "tpch_q15_top_supplier",
+        "tpch_q22_inactive",
         "events_rollup",
         "events_running_total",
         "doc_cooccurrence",
@@ -3375,6 +3379,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem
                 WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
             GROUP BY o_orderpriority""",
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     sum(CAST(FLOOR(
+                       l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT))::BIGINT AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM rev r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM rev)""",
+        "tpch_q22_inactive": """
+            WITH c AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+              FROM customer),
+            pos AS (
+              SELECT sum(bal)::BIGINT AS s, count(*)::BIGINT AS n
+              FROM c WHERE bal > 0)
+            SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+                   sum(bal)::BIGINT AS totacctbal_cents
+            FROM c, pos
+            WHERE bal * pos.n > pos.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment""",
         "events_retention": """
             WITH pairs AS (
               SELECT DISTINCT user_id, date_trunc('day', ts) AS day

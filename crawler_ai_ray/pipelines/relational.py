@@ -41,6 +41,8 @@ __all__ = [
     "q5_local_supplier_volume",
     "q13_customer_distribution",
     "q4_order_priority",
+    "q15_top_supplier",
+    "q22_inactive_customers",
     "events_hourly",
     "events_rollup",
     "events_running_total",
@@ -1620,6 +1622,312 @@ def q4_order_priority(
         {
             "o_orderpriority": agg["o_orderpriority"],
             "order_count": pc.cast(agg["n_sum"], pa.int64()),
+        }
+    )
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+    num_buckets: int = 32,
+    driver_finish_max: int = 2_000_000,
+):
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    ARGMAX-WITH-TIES composition (a correlated ``= (SELECT max(...))``
+    subquery in SQL) → (s_suppkey, s_name, total_revenue_cents).
+
+    Max-selection distributes without a second pass: per-batch revenue
+    partials per suppkey (combiner), then either the driver finish
+    (below ~2M partial rows: one Arrow hash-agg + max scan) or a
+    suppkey-bucketed shuffle where each bucket — holding its suppliers'
+    EXACT totals — emits only rows equal to its LOCAL max: the global
+    max is the max of bucket maxima, so winners are guaranteed to be
+    among the ≤ buckets × ties candidates.  Winner names come from a
+    filtered supplier read against the sorted winner-key array (the
+    `q18` inversion — ship winners' keys, never the dimension table).
+    """
+    import ray
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo.item())),
+            pc.less(batch["l_shipdate"], pa.scalar(hi.item())),
+        )
+        t = batch.filter(m)
+        ep = pc.cast(t["l_extendedprice"], pa.float64())
+        disc = pc.cast(t["l_discount"], pa.float64())
+        part = pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "rc": cents(pc.multiply(ep, pc.subtract(1.0, disc))),
+            }
+        )
+        agg = part.group_by("s_suppkey").aggregate([("rc", "sum")])
+        sk = agg["s_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": agg["s_suppkey"],
+                "rc": agg["rc_sum"],
+                "bucket": pa.array(
+                    (sk % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket_max_rows(t: pa.Table) -> pa.Table:
+        agg = t.group_by("s_suppkey").aggregate([("rc", "sum")])
+        mx = pc.max(agg["rc_sum"])
+        win = agg.filter(pc.equal(agg["rc_sum"], mx))
+        return pa.table(
+            {
+                "s_suppkey": win["s_suppkey"],
+                "total_revenue_cents": pc.cast(win["rc_sum"], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+    pre = li.map_batches(partials, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        cand = (
+            [bucket_max_rows(pa.concat_tables(blocks))] if blocks else []
+        )
+    else:
+        cand = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(
+                    lambda g: bucket_max_rows(g.select(["s_suppkey", "rc"])),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    if not cand:
+        return empty
+    cand_tbl = pa.concat_tables(cand)
+    gmax = pc.max(cand_tbl["total_revenue_cents"])
+    winners = cand_tbl.filter(
+        pc.equal(cand_tbl["total_revenue_cents"], gmax)
+    )
+    wkeys = np.sort(winners["s_suppkey"].to_numpy(zero_copy_only=False))
+    wk_ref = ray.put(wkeys)
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(wk_ref)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, sk)
+        hit = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == sk)
+        return batch.filter(pa.array(hit)).select(["s_suppkey", "s_name"])
+
+    names = [
+        t
+        for t in ray.get(
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+            .map_batches(name_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not names:
+        return empty
+    out = winners.join(pa.concat_tables(names), keys="s_suppkey")
+    out = out.take(pc.sort_indices(out, sort_keys=[("s_suppkey", "ascending")]))
+    return pa.table(
+        {
+            "s_suppkey": out["s_suppkey"],
+            "s_name": out["s_name"],
+            "total_revenue_cents": out["total_revenue_cents"],
+        }
+    )
+
+
+def q22_inactive_customers(
+    sf_dir: str,
+    active_since: str = "2000-01-01",
+    num_buckets: int = 32,
+    broadcast_max_keys: int = 4_000_000,
+):
+    """TPC-H Q22 shape — "global sales opportunity": customers with an
+    ABOVE-AVERAGE positive account balance and NO order since a cutoff
+    → (c_mktsegment, numcust, totacctbal_cents).  Composes a scalar
+    aggregate subquery, an anti-join, and a groupby.
+
+    Float-free average: the threshold test ``bal > avg(bal)`` runs as
+    the integer cross-multiplication ``bal_cents × n_pos >
+    sum_pos_cents`` — both sides exact int64, so engine and oracle
+    agree bit-for-bit regardless of summation order (the repo's money
+    discipline; a float avg would be order-dependent).
+
+    Three passes, all combiner-sized exchanges:
+    1. customer → (Σ positive balance cents, count) — two numbers;
+    2. orders(date ≥ cutoff) → distinct active custkeys; below
+       `broadcast_max_keys` they broadcast sorted (map-side
+       ``searchsorted`` anti-join — the seen-URL filter shape, J5),
+       above they anti-join via `hash_bucket_join(left anti)`;
+    3. customer → filter (above-avg ∧ inactive) → per-batch
+       (segment, count, Σ) partials → driver merge of ≤ tasks ×
+       segments rows.
+    """
+    import ray
+
+    cutoff = np.datetime64(active_since, "us")
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = cents(batch["c_acctbal"])
+        t = pc.filter(bal, pc.greater(bal, 0))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(t).as_py() or 0], pa.int64()),
+                "n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    pos_blocks = [
+        t
+        for t in ray.get(
+            cust.map_batches(pos_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    pos_tbl = pa.concat_tables(pos_blocks)
+    sum_pos = pc.sum(pos_tbl["s"]).as_py() or 0
+    n_pos = pc.sum(pos_tbl["n"]).as_py() or 0
+
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def active_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(cutoff.item()))
+        )
+        return t.group_by("o_custkey").aggregate([]).rename_columns(
+            ["c_custkey"]
+        )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        bal = cents(t["c_acctbal"])
+        t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "bal": bal})
+        agg = t2.group_by("c_mktsegment").aggregate(
+            [("bal", "sum"), ("bal", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": agg["c_mktsegment"],
+                "numcust": pc.cast(agg["bal_count"], pa.int64()),
+                "totacctbal_cents": pc.cast(agg["bal_sum"], pa.int64()),
+            }
+        )
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        bal = cents(batch["c_acctbal"])
+        keep = pc.greater(pc.multiply(bal, n_pos), sum_pos)
+        return batch.filter(keep)
+
+    keys_ds = ords.map_batches(
+        active_keys, batch_format="pyarrow"
+    ).materialize()
+    if keys_ds.count() <= broadcast_max_keys:
+        blocks = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
+        akeys = (
+            np.unique(
+                np.concatenate(
+                    [
+                        t["c_custkey"].to_numpy(zero_copy_only=False)
+                        for t in blocks
+                    ]
+                )
+            )
+            if blocks
+            else np.array([], dtype=np.int64)
+        )
+        ak_ref = ray.put(akeys)
+
+        def inactive_partial(batch: pa.Table) -> pa.Table:
+            t = above_avg(batch)
+            ks = ray.get(ak_ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(ks):
+                idx = np.searchsorted(ks, ck)
+                hit = (idx < len(ks)) & (
+                    ks[np.minimum(idx, len(ks) - 1)] == ck
+                )
+            else:
+                hit = np.zeros(len(ck), dtype=bool)
+            return seg_partial(t.filter(pa.array(~hit)))
+
+        parts = [
+            t
+            for t in ray.get(
+                cust.map_batches(
+                    inactive_partial, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    else:
+        joined = hash_bucket_join(
+            cust.map_batches(above_avg, batch_format="pyarrow"),
+            keys_ds,
+            on="c_custkey",
+            num_buckets=num_buckets,
+            join_type="left anti",
+            bucket_postprocess=seg_partial,
+            left_schema=pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("c_mktsegment", pa.string()),
+                    ("c_acctbal", pa.float64()),
+                ]
+            ),
+            right_schema=pa.schema([("c_custkey", pa.int64())]),
+        )
+        parts = [t for t in ray.get(joined.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([], pa.string()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal_cents": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("c_mktsegment")
+        .aggregate([("numcust", "sum"), ("totacctbal_cents", "sum")])
+    )
+    agg = agg.take(
+        pc.sort_indices(agg, sort_keys=[("c_mktsegment", "ascending")])
+    )
+    return pa.table(
+        {
+            "c_mktsegment": agg["c_mktsegment"],
+            "numcust": pc.cast(agg["numcust_sum"], pa.int64()),
+            "totacctbal_cents": pc.cast(
+                agg["totacctbal_cents_sum"], pa.int64()
+            ),
         }
     )
 

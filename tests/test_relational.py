@@ -644,3 +644,75 @@ def test_running_total_vs_duckdb_and_bucket_invariance(duck):
             .sort_values("event_id", ignore_index=True)
         )
         assert eng.equals(alt)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q15_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q15_top_supplier
+
+    eng = (
+        q15_top_supplier(SF)
+        .to_pandas()
+        .sort_values("s_suppkey", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                 AS BIGINT))::BIGINT AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+      FROM rev r JOIN supplier s USING (s_suppkey)
+      WHERE r.total_revenue_cents =
+            (SELECT max(total_revenue_cents) FROM rev)
+      """).df().sort_values("s_suppkey", ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # forced-bucketed local-max branch ≡ driver finish
+    bucketed = (
+        q15_top_supplier(SF, driver_finish_max=0)
+        .to_pandas()
+        .sort_values("s_suppkey", ignore_index=True)
+    )
+    assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q22_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q22_inactive_customers
+
+    eng = (
+        q22_inactive_customers(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+        FROM customer),
+      pos AS (SELECT sum(bal)::BIGINT AS s, count(*)::BIGINT AS n
+              FROM c WHERE bal > 0)
+      SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+             sum(bal)::BIGINT AS totacctbal_cents
+      FROM c, pos
+      WHERE bal * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      """).df().sort_values("c_mktsegment", ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # forced-bucketed anti-join ≡ broadcast searchsorted path
+    bucketed = (
+        q22_inactive_customers(SF, broadcast_max_keys=0)
+        .to_pandas()
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    assert eng.equals(bucketed)
