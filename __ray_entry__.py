@@ -253,27 +253,20 @@ def _q_crawl_page_quality(sf_dir: str):
     )
 
 
-def _q_crawl_snapshot_diff(sf_dir: str):
-    """Two-crawl snapshot delta (added / removed / changed urls) — the
-    incremental-recrawl primitive.  The two snapshots derive
-    deterministically from the extraction output by an md5(url)
-    selector (sel=0 only in A → removed, sel=3 only in B → added,
-    sel=1 content-bumped in B → changed); the oracle re-derives both
-    sides in SQL and FULL OUTER JOINs them, so the distributed diff —
-    fp-only shuffle, bucketed full-outer join, delta-only output — is
-    what's verified."""
+def _snapshot_tagged(sf_dir: str, num_buckets: int = 64):
+    """ONE extraction pass → the tagged two-snapshot union
+    (`stages.snapshot.TAGGED_SCHEMA`) both snapshot queries consume.
+    Snapshots derive deterministically from the extraction output by an
+    md5(url) selector (sel=0 only in A → removed, sel=3 only in B →
+    added, sel=1 content-bumped in B → changed)."""
     import hashlib
     import zlib
 
     import pyarrow as pa
 
-    from crawler_ai_ray.stages.snapshot import (
-        TAGGED_SCHEMA,
-        snapshot_diff_tagged,
-    )
+    from crawler_ai_ray.stages.snapshot import TAGGED_SCHEMA
 
     base = _extracted(sf_dir).select_columns(["url", "text"])
-    num_buckets = 64
 
     def snap_both(batch: pa.Table) -> pa.Table:
         # ONE upstream pass emits BOTH tagged sides: a lazy Dataset
@@ -311,9 +304,150 @@ def _q_crawl_snapshot_diff(sf_dir: str):
             schema=TAGGED_SCHEMA,
         )
 
-    return snapshot_diff_tagged(
-        base.map_batches(snap_both, batch_format="pyarrow"),
-        num_buckets=num_buckets,
+    return base.map_batches(snap_both, batch_format="pyarrow")
+
+
+def _q_crawl_snapshot_diff(sf_dir: str):
+    """Two-crawl snapshot delta (added / removed / changed urls) — the
+    incremental-recrawl primitive.  The oracle re-derives both sides in
+    SQL and FULL OUTER JOINs them, so the distributed diff — fp-only
+    shuffle, bucketed full-outer join, delta-only output — is what's
+    verified."""
+    from crawler_ai_ray.stages.snapshot import snapshot_diff_tagged
+
+    return snapshot_diff_tagged(_snapshot_tagged(sf_dir), num_buckets=64)
+
+
+def _q_crawl_recrawl_priority(sf_dir: str):
+    """Change-rate-driven recrawl scheduling — the composition a real
+    incremental crawler runs on top of the snapshot diff: per host,
+    page churn between the two snapshots and an integer priority
+    → (host, n_pages_b, n_added, n_removed, n_changed, priority_milli)
+    with ``priority_milli = churn × 1000 // max(pages_b, 1)`` (single
+    exact integer division — the repo's ratio discipline).
+
+    Reuses the SAME url-bucketed exchange as the diff: each bucket's
+    full-outer join emits per-host PARTIAL counts (a host's urls spread
+    across buckets, so partials sum driver-side — host cardinality is
+    bounded exactly as in the link-graph ops), and the B-side page
+    count rides the same pass, so the whole query is one extraction
+    pass + one shuffle."""
+    import ray
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def host_partials(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_pages_b": pa.array([], pa.int64()),
+                "n_added": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_changed": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        mask = g["is_a"]
+        a = g.filter(mask).select(["key", "fp"]).rename_columns(
+            ["url", "fp_a"]
+        )
+        b = g.filter(pc.invert(mask)).select(["key", "fp"]).rename_columns(
+            ["url", "fp_b"]
+        )
+        j = a.join(b, keys="url", join_type="full outer")
+        host = pc.list_element(pc.split_pattern(j["url"], "/"), 2)
+        added = pc.is_null(j["fp_a"])
+        removed = pc.is_null(j["fp_b"])
+        # not_equal is NULL on outer-join rows (fp null) — Kleene
+        # False-wins + fill_null keeps the count column non-null int64
+        changed = pc.fill_null(
+            pc.and_kleene(
+                pc.and_(pc.invert(added), pc.invert(removed)),
+                pc.not_equal(j["fp_a"], j["fp_b"]),
+            ),
+            False,
+        )
+        t = pa.table(
+            {
+                "host": host,
+                # B-side pages (added ∪ kept) = fp_b non-null rows
+                "in_b": pc.cast(pc.is_valid(j["fp_b"]), pa.int64()),
+                "n_added": pc.cast(added, pa.int64()),
+                "n_removed": pc.cast(removed, pa.int64()),
+                "n_changed": pc.cast(changed, pa.int64()),
+            }
+        )
+        agg = t.group_by("host").aggregate(
+            [
+                ("in_b", "sum"),
+                ("n_added", "sum"),
+                ("n_removed", "sum"),
+                ("n_changed", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "host": agg["host"],
+                "n_pages_b": pc.cast(agg["in_b_sum"], pa.int64()),
+                "n_added": pc.cast(agg["n_added_sum"], pa.int64()),
+                "n_removed": pc.cast(agg["n_removed_sum"], pa.int64()),
+                "n_changed": pc.cast(agg["n_changed_sum"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _snapshot_tagged(sf_dir)
+            .groupby("bucket")
+            .map_groups(host_partials, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_pages_b": pa.array([], pa.int64()),
+                "n_added": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_changed": pa.array([], pa.int64()),
+                "priority_milli": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("host")
+        .aggregate(
+            [
+                ("n_pages_b", "sum"),
+                ("n_added", "sum"),
+                ("n_removed", "sum"),
+                ("n_changed", "sum"),
+            ]
+        )
+    )
+    import numpy as np
+
+    pb = agg["n_pages_b_sum"].to_numpy(zero_copy_only=False)
+    churn = (
+        agg["n_added_sum"].to_numpy(zero_copy_only=False)
+        + agg["n_removed_sum"].to_numpy(zero_copy_only=False)
+        + agg["n_changed_sum"].to_numpy(zero_copy_only=False)
+    )
+    prio = churn * 1000 // np.maximum(pb, 1)
+    return pa.table(
+        {
+            "host": agg["host"],
+            "n_pages_b": pc.cast(agg["n_pages_b_sum"], pa.int64()),
+            "n_added": pc.cast(agg["n_added_sum"], pa.int64()),
+            "n_removed": pc.cast(agg["n_removed_sum"], pa.int64()),
+            "n_changed": pc.cast(agg["n_changed_sum"], pa.int64()),
+            "priority_milli": pa.array(prio.astype(np.int64), pa.int64()),
+        }
     )
 
 
@@ -2142,6 +2276,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_page_quality": _q_crawl_page_quality,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
+        "crawl_recrawl_priority": _q_crawl_recrawl_priority,
         "crawl_host_reputation": _q_crawl_host_reputation,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
@@ -2286,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup",
         "events_running_total",
         "doc_cooccurrence",
+        "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
@@ -2983,6 +3119,34 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'same' END AS status
               FROM a FULL OUTER JOIN b ON a.url = b.url)
             SELECT url, status FROM j WHERE status != 'same'""",
+        "crawl_recrawl_priority": f"""
+            WITH s AS (
+              SELECT url, text,
+                     ('0x' || substr(md5(url), 1, 8))::BIGINT % 4 AS sel
+              FROM read_parquet('{golden}')),
+            a AS (SELECT url, md5(text) AS fp FROM s WHERE sel != 3),
+            b AS (SELECT url,
+                         md5(CASE WHEN sel = 1 THEN text || ' updated'
+                                  ELSE text END) AS fp
+                  FROM s WHERE sel != 0),
+            j AS (
+              SELECT COALESCE(a.url, b.url) AS url,
+                     string_split(COALESCE(a.url, b.url), '/')[3] AS host,
+                     (b.url IS NOT NULL)::BIGINT AS in_b,
+                     (a.url IS NULL)::BIGINT AS is_added,
+                     (b.url IS NULL)::BIGINT AS is_removed,
+                     (a.url IS NOT NULL AND b.url IS NOT NULL
+                      AND a.fp != b.fp)::BIGINT AS is_changed
+              FROM a FULL OUTER JOIN b ON a.url = b.url)
+            SELECT host,
+                   sum(in_b)::BIGINT AS n_pages_b,
+                   sum(is_added)::BIGINT AS n_added,
+                   sum(is_removed)::BIGINT AS n_removed,
+                   sum(is_changed)::BIGINT AS n_changed,
+                   ((sum(is_added) + sum(is_removed) + sum(is_changed))
+                    * 1000 // greatest(sum(in_b), 1))::BIGINT
+                     AS priority_milli
+            FROM j GROUP BY host""",
         "crawl_host_reputation": reputation_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "

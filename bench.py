@@ -186,6 +186,13 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_anchor_texts",
         "tpch_q18_big_orders",
         "crawl_trap_hosts",
+        "tpch_q13_custdist",
+        "tpch_q4_priority",
+        "tpch_q15_top_supplier",
+        "tpch_q22_inactive",
+        "events_rollup",
+        "events_running_total",
+        "doc_cooccurrence",
     ]
     qs = entrymod.queries()
     out = {}

@@ -716,3 +716,34 @@ def test_q22_vs_duckdb_and_paths(duck):
         .sort_values("c_mktsegment", ignore_index=True)
     )
     assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_priority_consistent_with_diff():
+    """The host-level recrawl aggregates must equal a rollup of the
+    url-level diff (independent consumers of the same tagged union),
+    and the priority formula must be the exact integer division."""
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    pri = entry.queries()["crawl_recrawl_priority"](sf).to_pandas()
+    diff = entry.queries()["crawl_snapshot_diff"](sf).to_pandas()
+    diff["host"] = diff["url"].str.split("/").str[2]
+    roll = (
+        diff.pivot_table(
+            index="host", columns="status", values="url",
+            aggfunc="count", fill_value=0,
+        )
+        .reindex(columns=["added", "removed", "changed"], fill_value=0)
+        .astype("int64")
+    )
+    m = pri.set_index("host")
+    for host, row in roll.iterrows():
+        assert m.loc[host, "n_added"] == row["added"]
+        assert m.loc[host, "n_removed"] == row["removed"]
+        assert m.loc[host, "n_changed"] == row["changed"]
+    # hosts with no diffs still appear, all-zero churn
+    assert (pri["n_pages_b"] > 0).any()
+    churn = pri["n_added"] + pri["n_removed"] + pri["n_changed"]
+    expect = churn * 1000 // pri["n_pages_b"].clip(lower=1)
+    assert (pri["priority_milli"] == expect).all()
