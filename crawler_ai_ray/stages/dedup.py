@@ -1031,50 +1031,111 @@ def embedding_neardup_lsh(
 # near-dup clustering: LSH pairs → connected components → canonical labels
 # ---------------------------------------------------------------------------
 
+def _forest64(*tables: pa.Table) -> pa.Table:
+    """int64-edge union-find sparsification: (a, b) pair edges in →
+    spanning-forest edges out (≤ |vertices|−1 rows).  Every input
+    vertex survives: a vertex's FIRST edge always joins two distinct
+    roots (doc_a ≠ doc_b is guaranteed upstream), so it is emitted.
+    The `linkgraph._forest` reduction specialized to doc-id pairs."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    ea: list = []
+    eb: list = []
+    for t in tables:
+        if not t.num_rows:  # Ray emits schema-less empty blocks
+            continue
+        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+                ea.append(a)
+                eb.append(b)
+    return pa.table(
+        {"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())}
+    )
+
+
 def pair_labels(pairs_ds) -> tuple[np.ndarray, np.ndarray]:
-    """near-dup pairs dataset → (sorted doc_ids, canonical labels) via
-    driver-side union-find (union by MIN id, so the root IS the
-    canonical).  The pair set is LSH OUTPUT — O(duplicate pairs), far
-    smaller than the corpus — which is why collecting it on the driver
-    is the standard post-LSH step.  Only docs appearing in ≥1 pair get
-    an entry; everything else is its own canonical by default."""
+    """near-dup pairs dataset → (sorted doc_ids, canonical labels),
+    canonical = MIN doc_id in the pair graph's connected component.
+
+    Scale shape — spanning-forest sparsification (the
+    `linkgraph.connected_components` reduction applied to the LSH pair
+    graph): each pair block collapses to its spanning forest (≤
+    vertices−1 edges) inside ``map_batches``, forests tree-merge 8 at
+    a time with plain Ray tasks (re-sparsifying at every step, so no
+    merge input exceeds vertex-state size), and only the final
+    VERTEX-sized forest reaches the driver — the pair set itself never
+    does, so a pair graph larger than driver memory is fine as long as
+    its duplicated-vertex universe fits (the same vertex-state boundary
+    the link-graph ops declare).  Only docs appearing in ≥1 pair get an
+    entry; everything else is its own canonical by default."""
     import ray
 
-    pairs_tbl = pa.concat_tables(
-        [
-            t
-            for t in ray.get(pairs_ds.to_arrow_refs())
-            if t.num_rows
+    def batch_forest(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return _forest64(
+            pa.table({"a": batch["doc_a"], "b": batch["doc_b"]})
+        )
+
+    merge_task = ray.remote(num_cpus=1)(_forest64)
+    refs = pairs_ds.map_batches(
+        batch_forest, batch_format="pyarrow"
+    ).to_arrow_refs()
+    while len(refs) > 1:
+        refs = [
+            merge_task.remote(*refs[i : i + 8])
+            for i in range(0, len(refs), 8)
         ]
-        or [pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "est_jaccard": pa.array([], pa.float64())})]
+    final = (
+        ray.get(refs[0])
+        if refs
+        else pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
     )
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
         r = x
-        while parent.get(r, r) != r:
+        while parent[r] != r:
             r = parent[r]
-        while parent.get(x, x) != x:  # path compression
+        while parent[x] != r:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in zip(pairs_tbl["doc_a"].to_pylist(),
-                    pairs_tbl["doc_b"].to_pylist()):
+    for a, b in zip(final["a"].to_pylist(), final["b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
-            # union by MIN id so the root IS the canonical
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    labels = {x: find(x) for x in parent} | {
-        x: x for x in set(pairs_tbl["doc_a"].to_pylist())
-        | set(pairs_tbl["doc_b"].to_pylist())
-        if x not in parent
-    }
-    labels = {x: find(x) for x in labels}
-    lk = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
-    lv = np.fromiter((labels[k] for k in lk), dtype=np.int64, count=len(lk))
+            parent[rb] = ra
+    # canonical = min id per component (min over members, so the union
+    # order inside the forest passes is irrelevant)
+    cmin: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        if r not in cmin or x < cmin[r]:
+            cmin[r] = x
+    lk = np.fromiter(sorted(parent), dtype=np.int64, count=len(parent))
+    lv = np.fromiter((cmin[find(int(k))] for k in lk), dtype=np.int64,
+                     count=len(lk))
     return lk, lv
 
 
@@ -1086,14 +1147,13 @@ def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,
     keep-one near-dup DEDUP step a training pipeline runs after pair
     generation.
 
-    Scale shape: the pair set is the LSH OUTPUT — O(duplicate pairs),
-    orders of magnitude smaller than the corpus — so the union-find runs
-    driver-side over pairs only (the standard post-LSH step; a corpus
-    whose pair graph itself exceeds driver memory needs iterative
-    label-propagation rounds — out of scope, assumption documented).
-    The label map (only docs that appear in ≥1 pair) broadcasts via
-    ``ray.put`` and every document is tagged in one streaming
-    ``map_batches`` pass — unpaired docs are their own canonical."""
+    Scale shape: pairs sparsify to spanning forests inside map_batches
+    and tree-merge before the driver ever sees them (`pair_labels`), so
+    driver state is bounded by the DUPLICATED-vertex universe, not the
+    pair count.  The label map (only docs that appear in ≥1 pair)
+    broadcasts via ``ray.put`` and every document is tagged in one
+    streaming ``map_batches`` pass — unpaired docs are their own
+    canonical."""
     import ray
 
     lk, lv = pair_labels(

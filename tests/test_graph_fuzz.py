@@ -178,3 +178,57 @@ def test_segment_dedup_matches_reference(ray_session, docs, seg_words):
             row["n_segments"],
             row["n_dropped"],
         ) == want[row["doc_id"]]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 6),
+)
+def test_pair_labels_match_naive_union_find(ray_session, raw_pairs, nblocks):
+    """Forest-sparsified pair_labels ≡ brute-force union-find over the
+    full pair list, for any pair set and any block split."""
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import pair_labels
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    if not pairs:
+        return
+    # brute force: min id per connected component
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    tbls = []
+    for i in range(nblocks):
+        chunk = pairs[i::nblocks]
+        tbls.append(
+            pa.table(
+                {
+                    "doc_a": pa.array([a for a, _ in chunk], pa.int64()),
+                    "doc_b": pa.array([b for _, b in chunk], pa.int64()),
+                    "est_jaccard": pa.array(
+                        [1.0] * len(chunk), pa.float64()
+                    ),
+                }
+            )
+        )
+    ds = ray.data.from_arrow(tbls)
+    lk, lv = pair_labels(ds)
+    got = dict(zip(lk.tolist(), lv.tolist()))
+    assert got == want
