@@ -1342,6 +1342,19 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_events_value_sketch(sf_dir: str):
+    """DDSketch quantile estimates (p50/p90/p99 per event type) of the
+    continuous value column — the deterministic mergeable-sketch path
+    `grouped_quantiles` can't take for unbounded doubles.  Per-batch
+    (key, γ-bin) combiner, driver histogram merge; verified against
+    the sequential single-pass golden (same pure binning fns)."""
+    from crawler_ai_ray.stages.textstats import ddsketch_quantiles
+
+    return ddsketch_quantiles(
+        _table(sf_dir, "events", columns=["event_type", "value"])
+    )
+
+
 def _q_doc_cooccurrence(sf_dir: str):
     """Exact top-50 distinct-term co-occurrence pairs: per-doc Arrow
     self-join pairs (quadratic only per doc, capped), batch combiner →
@@ -2331,6 +2344,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_cooccurrence": _q_doc_cooccurrence,
+        "events_value_sketch": _q_events_value_sketch,
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2421,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup",
         "events_running_total",
         "doc_cooccurrence",
+        "events_value_sketch",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -3491,6 +3506,11 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_hll": f"""
             SELECT day, n_estimate
             FROM read_parquet('{events_hll_g}')""",
+        # sequential whole-table DDSketch golden (same pure binning) —
+        # verifies the distributed combiner + histogram merge
+        "events_value_sketch": f"""
+            SELECT key, p, n, q_est
+            FROM read_parquet('{os.path.join(gdir, "events_ddsketch.parquet")}')""",
         "tpch_q18_big_orders": """
             WITH big AS (
               SELECT l_orderkey AS o_orderkey,

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g6"
+GOLDEN_VERSION = "g7"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -137,6 +137,51 @@ def _build_events_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "events_hll.parquet"),
+    )
+
+    # DDSketch golden: the whole table binned and walked SEQUENTIALLY
+    # per key — no batching, no partial merge — using the same pure
+    # dd_bin/dd_estimate the engine combiner uses (rolling.parquet
+    # pattern), so the driver compare verifies the distributed
+    # combiner + histogram-merge path.
+    import numpy as np
+
+    from ..stages.textstats import dd_bin, dd_estimate
+
+    ev2 = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    keys = ev2["event_type"].to_numpy(zero_copy_only=False)
+    vals = ev2["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha_ppm = 10_000
+    ps = (0.5, 0.9, 0.99)
+    out_k, out_p, out_n, out_q = [], [], [], []
+    for k in sorted(set(keys.tolist())):
+        v = vals[keys == k]
+        bins = np.sort(dd_bin(v, alpha_ppm))
+        n = len(bins)
+        uniq, cnt = np.unique(bins, return_counts=True)
+        cum = np.cumsum(cnt)
+        for p in ps:
+            rank = max(int(np.ceil(p * n)), 1)
+            sel = int(np.searchsorted(cum, rank))
+            out_k.append(k)
+            out_p.append(p)
+            out_n.append(n)
+            out_q.append(
+                float(dd_estimate(uniq[sel : sel + 1], alpha_ppm)[0])
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array(out_k, pa.string()),
+                "p": pa.array(out_p, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+                "q_est": pa.array(out_q, pa.float64()),
+            }
+        ),
+        os.path.join(gdir, "events_ddsketch.parquet"),
     )
 
 

@@ -48,6 +48,9 @@ __all__ = [
     "distinctive_terms",
     "cooccurrence_topk",
     "grouped_quantiles",
+    "ddsketch_quantiles",
+    "dd_bin",
+    "dd_estimate",
     "mix_weights",
     "doc_commonness",
     "classifier_batch",
@@ -741,8 +744,9 @@ def grouped_quantiles(
     merges the tiny partials driver-side (same bounded-output rule as
     the k-means partials: O(distinct values), never O(rows)).  The
     cumsum walk over each group's sorted histogram yields all exact
-    quantiles at once.  An unbounded/continuous column needs a sketch
-    (t-digest / KLL) instead — out of scope, assumption documented."""
+    quantiles at once.  An unbounded/continuous column takes the
+    sketch path instead — `ddsketch_quantiles` below (deterministic,
+    mergeable, α relative-error bound)."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1307,4 +1311,129 @@ def cooccurrence_topk(
             ]
         )
         .slice(0, k)
+    )
+
+
+# --- DDSketch quantiles (continuous columns, relative-error bound) ---------
+
+def dd_bin(values: np.ndarray, alpha_ppm: int) -> np.ndarray:
+    """DDSketch bin index per POSITIVE double: ``ceil(ln(x)/ln(γ))``
+    with ``γ = (1+α)/(1−α)`` (Masson, Rim & Lee, VLDB 2019).  Pure and
+    shared by the engine combiner AND the sequential golden, so both
+    sides bin bit-identically (the ceil boundary is the only
+    float-sensitive step, and it is the same numpy expression on
+    both).  Non-positive values get the sentinel bin INT32_MIN
+    (callers' profile columns are positive; the sentinel keeps the
+    operator total rather than crashing on a stray zero)."""
+    out = np.full(len(values), np.iinfo(np.int32).min, dtype=np.int32)
+    pos = values > 0
+    gamma = (1.0 + alpha_ppm / 1e6) / (1.0 - alpha_ppm / 1e6)
+    out[pos] = np.ceil(
+        np.log(values[pos]) / np.log(gamma)
+    ).astype(np.int32)
+    return out
+
+
+def dd_estimate(bin_idx: np.ndarray, alpha_ppm: int) -> np.ndarray:
+    """bin index → representative value (the γ-bucket midpoint
+    ``2·γ^i/(γ+1)``), within relative α of every value in the bin."""
+    gamma = (1.0 + alpha_ppm / 1e6) / (1.0 - alpha_ppm / 1e6)
+    return 2.0 * np.power(gamma, bin_idx.astype(np.float64)) / (gamma + 1.0)
+
+
+def ddsketch_quantiles(
+    ds,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "value",
+    key_col: str = "event_type",
+    alpha_ppm: int = 10_000,
+) -> pa.Table:
+    """→ (key, p, n, q_est): DDSketch quantile estimates of a
+    CONTINUOUS double column per group — the sketch path
+    `grouped_quantiles` documents as needed when the profile column
+    isn't bounded-cardinality integer.  DDSketch over t-digest/KLL
+    because it is fully DETERMINISTIC (binning is a pure function of
+    the value — no randomized compaction) and trivially MERGEABLE
+    (bin-count histograms add), so the result is partition-invariant
+    and a sequential golden verifies the distributed path exactly;
+    the α relative-error guarantee (default 1 %) is pinned separately
+    against exact quantiles.
+
+    Scale shape: per-batch (key, bin)→count combiner (bins are ~log
+    of the value range — a few hundred per key at any corpus size),
+    tiny partials merge driver-side, one cumsum walk per key emits all
+    quantiles.  Rank convention = ``percentile_disc``: smallest bin
+    whose cumulative count reaches ``ceil(p·n)``."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        t = pa.table(
+            {
+                "k": batch[key_col],
+                "b": pa.array(dd_bin(v, alpha_ppm), pa.int32()),
+            }
+        )
+        agg = t.group_by(["k", "b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "k": agg["k"],
+                "b": agg["b"],
+                "cnt": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "p": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+            "q_est": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    hist = (
+        pa.concat_tables(parts)
+        .group_by(["k", "b"])
+        .aggregate([("cnt", "sum")])
+    )
+    ks = hist["k"].to_numpy(zero_copy_only=False)
+    bs = hist["b"].to_numpy(zero_copy_only=False)
+    cnts = hist["cnt_sum"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((bs, ks))
+    ks, bs, cnts = ks[order], bs[order], cnts[order]
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.append(np.flatnonzero(new), len(ks))
+    out_k, out_p, out_n, out_q = [], [], [], []
+    for i, j in zip(starts[:-1], starts[1:]):
+        cum = np.cumsum(cnts[i:j])
+        n = int(cum[-1])
+        for p in ps:
+            rank = max(int(np.ceil(p * n)), 1)
+            sel = int(np.searchsorted(cum, rank))
+            out_k.append(ks[i])
+            out_p.append(p)
+            out_n.append(n)
+            out_q.append(
+                float(dd_estimate(bs[i + sel : i + sel + 1], alpha_ppm)[0])
+            )
+    return pa.table(
+        {
+            "key": pa.array(out_k, pa.string()),
+            "p": pa.array(out_p, pa.float64()),
+            "n": pa.array(out_n, pa.int64()),
+            "q_est": pa.array(out_q, pa.float64()),
+        }
     )

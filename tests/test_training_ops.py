@@ -1571,3 +1571,46 @@ def test_cooccurrence_vs_brute_force_and_cap(docs_ds):
     # symmetry invariant: every pair is emitted once, ordered
     full = cooccurrence_topk(docs_ds, k=30).to_pandas()
     assert (full["term_a"] < full["term_b"]).all()
+
+
+def test_ddsketch_error_bound_and_partition_invariance(ray_session, duck):
+    """DDSketch estimates stay within the α relative-error bound of the
+    EXACT percentile_disc quantiles, and the sketch is
+    partition-invariant (deterministic binning + mergeable histograms
+    ⇒ block layout cannot change the result)."""
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import ddsketch_quantiles
+
+    alpha = 0.01
+    base = None
+    for blocks in (2, 17):
+        ds = ray.data.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_type", "value"],
+            override_num_blocks=blocks,
+        )
+        out = (
+            ddsketch_quantiles(ds, alpha_ppm=10_000)
+            .to_pandas()
+            .sort_values(["key", "p"], ignore_index=True)
+        )
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base)
+
+    exact = duck.sql("""
+        SELECT event_type AS key, 0.5 AS p,
+               quantile_disc(value, 0.5) AS q FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type, 0.9, quantile_disc(value, 0.9)
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type, 0.99, quantile_disc(value, 0.99)
+        FROM events GROUP BY 1
+        """).df().sort_values(["key", "p"], ignore_index=True)
+    m = base.merge(exact, on=["key", "p"])
+    assert len(m) == len(base)
+    rel = (m["q_est"] - m["q"]).abs() / m["q"]
+    assert (rel <= alpha + 1e-12).all(), rel.max()
