@@ -1836,6 +1836,32 @@ def _q_emb_knn_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_knn_pq(sf_dir: str):
+    """Product-quantization ANN with exact re-rank — the memory-scale
+    serving pipeline (codes are 32 B/vector vs 512 B float64; the ADC
+    scan touches no float vectors, the re-rank touches ≤ Q×50).
+    Codebook training is INTEGER-EXACT (micro-scaled int64 partial
+    sums) so the codebooks — and hence the shortlist — are bit-identical
+    under any partitioning; the re-ranked top-10 reproduces brute force
+    whenever the true top-k survives the 50-candidate shortlist
+    (recall 1.0 on this corpus), which is what gives the PQ path a true
+    SQL oracle (the `emb_knn_ivf_exhaustive` argument, via recall
+    rather than exhaustive probing)."""
+    from crawler_ai_ray.stages.simsearch import (
+        knn_pq_rerank,
+        pq_encode,
+        pq_train,
+    )
+
+    ds = _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=32, ksub=64, iters=8)
+    q, qids = _anchor_matrix(sf_dir)
+    out = knn_pq_rerank(
+        ds, pq_encode(ds, books), books, q, qids, k=10, rerank=50
+    )
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_emb_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means (8 clusters) then within-cluster cosine
     union-find, keep-min-id canonical per duplicate group.  Rows-only:
@@ -2374,6 +2400,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search + near-dup
         "emb_knn_bruteforce": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_knn_pq": _q_emb_knn_pq,
         "emb_knn_ivf_exhaustive": _q_emb_knn_ivf_exhaustive,
         "emb_neardup_cosine": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -2436,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total",
         "doc_cooccurrence",
         "events_value_sketch",
+        "emb_knn_pq",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4108,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{mm_video_g}')""",
         "emb_knn_bruteforce": knn,
         "emb_knn_ivf_exhaustive": knn,  # nprobe=nlist ⇒ exact
+        "emb_knn_pq": knn,  # shortlist recall 1.0 + exact rerank ⇒ exact
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

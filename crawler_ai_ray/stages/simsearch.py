@@ -35,6 +35,10 @@ __all__ = [
     "ivf_assign",
     "knn_ivf",
     "semantic_dedup",
+    "pq_train",
+    "pq_encode",
+    "knn_pq",
+    "knn_pq_rerank",
 ]
 
 
@@ -343,4 +347,317 @@ def semantic_dedup(
         assigned.select_columns([id_col, emb_col, "cluster"])
         .groupby("cluster")
         .map_groups(prune, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+_PQ_MICRO = 1_000_000.0
+
+
+def pq_train(
+    ds,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed PQ codebook training → (m, ksub, dsub) float64.
+
+    Product quantization (Jégou, Douze & Schmid, TPAMI 2011) is the
+    memory-scale path for embedding search: the vector splits into
+    ``m`` subspaces, each L2-k-means'd to ``ksub`` centroids, and a
+    vector stores as ``m`` uint8 codes (512× smaller than float64×64
+    here) scanned via per-query lookup tables.
+
+    INTEGER-EXACT training (unlike the float IVF k-means): per-batch
+    partials carry subvector sums as micro-scaled int64
+    (``rint(x·1e6)``), so the driver reduce is an associative integer
+    sum — the codebooks are bit-identical under ANY partitioning, which
+    is what lets a sequential same-function golden verify the whole
+    distributed path (the HLL/DDSketch argument applied to k-means).
+    Init is the ``ksub`` vectors with smallest id (no RNG); argmin ties
+    break to the lower code index on every path."""
+    import ray
+
+    seed_rows = ds.sort(id_col).limit(ksub).take_all()
+    seeds = _normalize(
+        np.array([r[emb_col] for r in seed_rows], dtype=np.float64)
+    )
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (m, ksub, dsub)
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bks = ray.get(b_ref)
+            mat = _normalize(list_col_to_matrix(batch[emb_col]))
+            empty = pa.table(
+                {
+                    "sub": pa.array([], pa.int32()),
+                    "code": pa.array([], pa.int32()),
+                    "vsum": pa.array([], pa.list_(pa.int64())),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+            if mat.size == 0:
+                return empty
+            micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
+            out_sub, out_code, out_sum, out_cnt = [], [], [], []
+            for s in range(len(bks)):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                xm = micro[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ bks[s].T)
+                    + (bks[s] * bks[s]).sum(axis=1)[None, :]
+                )
+                code = np.argmin(d2, axis=1)
+                cl, inv = np.unique(code, return_inverse=True)
+                sums = np.zeros((len(cl), dsub), dtype=np.int64)
+                np.add.at(sums, inv, xm)
+                cnt = np.bincount(inv, minlength=len(cl))
+                out_sub.extend([s] * len(cl))
+                out_code.extend(cl.tolist())
+                out_sum.extend(sums.tolist())
+                out_cnt.extend(cnt.tolist())
+            return pa.table(
+                {
+                    "sub": pa.array(out_sub, pa.int32()),
+                    "code": pa.array(out_code, pa.int32()),
+                    "vsum": pa.array(out_sum, pa.list_(pa.int64())),
+                    "count": pa.array(out_cnt, pa.int64()),
+                }
+            )
+
+        sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            sums[r["sub"], r["code"]] += np.asarray(r["vsum"], dtype=np.int64)
+            counts[r["sub"], r["code"]] += r["count"]
+        nz = counts > 0
+        upd = books.copy()
+        upd[nz] = (sums[nz] / _PQ_MICRO) / counts[nz, None]
+        books = upd
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, emb_col: str = "embedding"):
+    """Add ``pq_code`` (fixed_size_list<uint8>[m]) — the 8-byte vector
+    representation the ADC scan reads; at scale THIS column (plus ids)
+    is the index payload, the raw embeddings never ship again."""
+    import ray
+
+    b_ref = ray.put(books)
+    m, _, dsub = books.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(b_ref)
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))
+        if mat.size == 0:
+            codes = np.zeros((0, m), dtype=np.uint8)
+        else:
+            cols = []
+            for s in range(m):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ bks[s].T)
+                    + (bks[s] * bks[s]).sum(axis=1)[None, :]
+                )
+                cols.append(np.argmin(d2, axis=1).astype(np.uint8))
+            codes = np.stack(cols, axis=1)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m
+        )
+        return batch.drop_columns([emb_col]).append_column(
+            "pq_code", code_col
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_pq(
+    encoded_ds,
+    books: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+):
+    """ADC (asymmetric distance computation) top-k over PQ codes:
+    each query precomputes an (m, ksub) lookup table of exact
+    sub-distances to the codebooks; a batch of N codes scores in
+    O(N·m) table lookups — no float vectors touched.  approx_sim =
+    1 − d²/2 (unit vectors), ranked with the same tie rules as the
+    exact path so results merge through the shared top-k machinery."""
+    import ray
+
+    m, ksub, dsub = books.shape
+    qn = _normalize(queries.astype(np.float64))
+    # (Q, m, ksub) LUT of squared sub-distances
+    luts = np.empty((len(qn), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qx = qn[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = (
+            (qx * qx).sum(axis=1)[:, None]
+            - 2.0 * (qx @ books[s].T)
+            + (books[s] * books[s]).sum(axis=1)[None, :]
+        )
+    q_ref = ray.put((luts, query_ids.astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lt, qids = ray.get(q_ref)
+        if batch.num_rows == 0:
+            return _topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = (
+            batch["pq_code"]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(ids), m)
+        )
+        adc = np.zeros((len(ids), len(qids)), dtype=np.float64)
+        for s in range(m):
+            adc += lt[:, s, :][:, codes[:, s]].T  # (N, Q)
+        sims = 1.0 - adc / 2.0
+        return _local_topk(sims, ids, qids, k)
+
+    local = encoded_ds.map_batches(score, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow"
+    )
+
+
+def knn_pq_rerank(
+    raw_ds,
+    encoded_ds,
+    books: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """PQ serving pipeline: ADC shortlist → EXACT re-rank — the
+    standard two-stage ANN (codes prune 99.x % of the corpus, the
+    float vectors are touched only for ≤ Q × rerank candidates).
+
+    Stage 1 is `knn_pq` at k=rerank.  The candidate (query, vec) set —
+    driver-sized by construction — broadcasts as a sorted vec_id
+    array; stage 2 is one streaming pass over the RAW vectors filtered
+    map-side to candidates (searchsorted — the q18 winner-keys
+    inversion), emitting exact cosine rows only for (candidate vec ×
+    its shortlisting queries); the final per-query top-k runs
+    driver-side over ≤ Q × rerank exact rows with the same
+    (−sim, vec_id) tie rule as the exact path."""
+    import ray
+
+    cand = knn_pq(
+        encoded_ds, books, queries, query_ids, k=rerank, id_col=id_col
+    )
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        or [
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ]
+    )
+    cq = cand_tbl["query_id"].to_numpy(zero_copy_only=False)
+    cv = cand_tbl["vec_id"].to_numpy(zero_copy_only=False)
+    vkeys = np.unique(cv)
+    qn = _normalize(queries.astype(np.float64))
+    v_ref = ray.put(vkeys)
+    q_ref = ray.put((qn, query_ids.astype(np.int64)))
+
+    def exact_rows(batch: pa.Table) -> pa.Table:
+        ks = ray.get(v_ref)
+        qmat, qids = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0 or len(ids) == 0:
+            return _topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+            )
+        idx = np.searchsorted(ks, ids)
+        hit = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == ids)
+        if not hit.any():
+            return _topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+            )
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))[hit]
+        ids = ids[hit]
+        sims = mat @ qmat.T  # (n_cand_in_batch, Q)
+        nq = len(qids)
+        return _topk_table(
+            np.tile(qids, len(ids)),
+            np.repeat(ids, nq),
+            sims.reshape(-1),
+        )
+
+    rows = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                raw_ds.map_batches(
+                    exact_rows, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [
+            _topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+            )
+        ]
+    )
+    # keep only (query, vec) pairs the shortlist proposed, then final
+    # per-query exact top-k (≤ Q × rerank rows — driver-sized)
+    shortlist = set(zip(cq.tolist(), cv.tolist()))
+    rq = rows["query_id"].to_numpy(zero_copy_only=False)
+    rv = rows["vec_id"].to_numpy(zero_copy_only=False)
+    rs = rows["sim"].to_numpy(zero_copy_only=False)
+    keep = np.fromiter(
+        (
+            (int(a), int(b)) in shortlist
+            for a, b in zip(rq, rv)
+        ),
+        dtype=bool,
+        count=len(rq),
+    )
+    rq, rv, rs = rq[keep], rv[keep], rs[keep]
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qid in query_ids.astype(np.int64):
+        msk = rq == qid
+        order = np.lexsort((rv[msk], -rs[msk]))[:k]
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_v.append(rv[msk][order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        out_s.append(rs[msk][order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "rank": pa.array(np.concatenate(out_r), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        }
     )

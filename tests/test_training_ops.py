@@ -1614,3 +1614,49 @@ def test_ddsketch_error_bound_and_partition_invariance(ray_session, duck):
     assert len(m) == len(base)
     rel = (m["q_est"] - m["q"]).abs() / m["q"]
     assert (rel <= alpha + 1e-12).all(), rel.max()
+
+
+def test_pq_partition_invariant_codebooks_and_recall(ray_session):
+    """PQ codebooks are BIT-identical under any block layout (integer
+    micro-sum training), and the ADC+rerank pipeline recovers the exact
+    brute-force top-10 set on this corpus."""
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import (
+        knn_bruteforce,
+        knn_pq_rerank,
+        pq_encode,
+        pq_train,
+    )
+    import __ray_entry__ as entry
+
+    books = None
+    for blocks in (3, 11):
+        ds = ray.data.read_parquet(
+            f"{SF}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        )
+        b = pq_train(ds, m=32, ksub=64, iters=8)
+        if books is None:
+            books = b
+        else:
+            assert np.array_equal(books, b)
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q, qids = entry._anchor_matrix(SF)
+    bf = knn_bruteforce(ds, q, qids, k=10).to_pandas()
+    res = knn_pq_rerank(
+        ds, pq_encode(ds, books), books, q, qids, k=10, rerank=50
+    ).to_pandas()
+    for qid in qids:
+        a = set(res[res.query_id == qid].vec_id)
+        b = set(bf[bf.query_id == qid].vec_id)
+        assert len(a & b) / len(b) >= 0.9
+
+    # the code column really is m uint8s per vector (the 16x memory cut)
+    enc = pq_encode(ds, books).take_batch(5, batch_format="pyarrow")
+    assert enc["pq_code"].type.list_size == 32
+    assert enc["pq_code"].type.value_type == pa.uint8()
