@@ -193,6 +193,8 @@ def bench_queries(sf_dir: str) -> dict:
         "events_rollup",
         "events_running_total",
         "doc_cooccurrence",
+        "events_value_sketch",
+        "emb_knn_pq",
     ]
     qs = entrymod.queries()
     out = {}
