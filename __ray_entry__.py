@@ -2410,6 +2410,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
         "events_running_total": _rel("events_running_total"),
+        "events_pivot": _rel("events_pivot"),
+        "events_hourly_dense": _rel("events_hourly_dense"),
+        "part_min_price_per_brand": _rel("part_min_price_per_brand"),
         "events_daily_active": _rel("events_daily_active"),
         "events_retention": _rel("events_retention"),
         "tpch_q18_big_orders": _rel("q18_big_orders"),
@@ -2464,6 +2467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cooccurrence",
         "events_value_sketch",
         "emb_knn_pq",
+        "events_pivot",
+        "events_hourly_dense",
+        "part_min_price_per_brand",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -3565,6 +3571,47 @@ def oracle_sql() -> dict[str, str]:
                 ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey)
             GROUP BY c_count""",
+        "events_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT
+                     AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')::BIGINT
+                     AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+                     AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')::BIGINT
+                     AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')::BIGINT
+                     AS n_view,
+                   count(*)::BIGINT AS total
+            FROM events GROUP BY 1""",
+        "events_hourly_dense": """
+            WITH b AS (
+              SELECT min(date_trunc('hour', ts)) AS lo,
+                     max(date_trunc('hour', ts)) AS hi
+              FROM events),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS hour FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            c AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2)
+            SELECT t.event_type, CAST(h.hour AS TIMESTAMP) AS hour,
+                   COALESCE(c.n, 0)::BIGINT AS n_events
+            FROM hours h CROSS JOIN types t
+            LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type""",
+        "part_min_price_per_brand": """
+            WITH m AS (
+              SELECT p_brand,
+                     min(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT))
+                       AS min_price_cents
+              FROM part GROUP BY 1)
+            SELECT p.p_brand, m.min_price_cents, p.p_partkey, p.p_name
+            FROM part p JOIN m ON p.p_brand = m.p_brand
+              AND CAST(FLOOR(p.p_retailprice*100 + 0.5) AS BIGINT)
+                  = m.min_price_cents""",
         "events_rollup": """
             SELECT event_type, day, count(*)::BIGINT AS n_events,
                    sum(value_cents)::BIGINT AS sum_value_cents

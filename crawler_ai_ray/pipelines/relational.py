@@ -46,6 +46,9 @@ __all__ = [
     "events_hourly",
     "events_rollup",
     "events_running_total",
+    "events_pivot",
+    "events_hourly_dense",
+    "part_min_price_per_brand",
     "events_daily_active",
     "events_no_purchase_users",
     "events_funnel",
@@ -3233,4 +3236,228 @@ def events_running_total(
         ev.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(window_bucket, batch_format="pyarrow")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """→ (day, n_click, n_error, n_purchase, n_signup, n_view, total):
+    the crosstab/PIVOT shape — one row per day, one count column per
+    event type (the fixed taxonomy is part of the schema, exactly as a
+    SQL PIVOT needs static output columns).
+
+    One pass: per-batch (day, type) count combiner (≤ days × 5 rows
+    per batch), driver merge, then the pivot itself is a driver-side
+    numpy scatter into the (days × types) grid — at any corpus size
+    the grid is bounded by the time range, never by event volume."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "event_type": batch["event_type"],
+            }
+        )
+        agg = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": agg["day"],
+                "event_type": agg["event_type"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ev.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cols = {f"n_{et}": None for et in _EVENT_TYPES}
+    if not parts:
+        return pa.table(
+            {
+                "day": pa.array([], pa.timestamp("us")),
+                **{c: pa.array([], pa.int64()) for c in cols},
+                "total": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["day", "event_type"])
+        .aggregate([("n", "sum")])
+    )
+    days_us = agg["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    types = agg["event_type"].to_numpy(zero_copy_only=False)
+    ns = agg["n_sum"].to_numpy(zero_copy_only=False)
+    uday = np.sort(np.unique(days_us))
+    didx = np.searchsorted(uday, days_us)
+    grid = np.zeros((len(uday), len(_EVENT_TYPES)), dtype=np.int64)
+    for j, et in enumerate(_EVENT_TYPES):
+        m = types == et
+        np.add.at(grid[:, j], didx[m], ns[m])
+    return pa.table(
+        {
+            "day": pa.array(uday, pa.int64()).cast(pa.timestamp("us")),
+            **{
+                f"n_{et}": pa.array(grid[:, j], pa.int64())
+                for j, et in enumerate(_EVENT_TYPES)
+            },
+            "total": pa.array(grid.sum(axis=1), pa.int64()),
+        }
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+def events_hourly_dense(sf_dir: str):
+    """→ (event_type, hour, n_events) with GAP-FILL: every (type, hour)
+    cell in [min hour, max hour] × types appears, zero when silent —
+    the time-series scaffold every resampler/monitoring rollup needs
+    (a plain groupby silently drops empty windows).
+
+    The event stream is touched once by the (type, hour) count
+    combiner; the scaffold itself is generated DRIVER-side from three
+    numbers (min hour, max hour, type set) — dense cells are
+    range × types, bounded by the time span, never by event volume."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+            }
+        )
+        agg = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "hour": agg["hour"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ev.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["event_type", "hour"])
+        .aggregate([("n", "sum")])
+    )
+    hrs = agg["hour"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    types = agg["event_type"].to_numpy(zero_copy_only=False)
+    ns = agg["n_sum"].to_numpy(zero_copy_only=False)
+    utypes = np.sort(np.unique(types))
+    dense_h = np.arange(hrs.min(), hrs.max() + _HOUR_US, _HOUR_US)
+    grid = np.zeros((len(utypes), len(dense_h)), dtype=np.int64)
+    ti = np.searchsorted(utypes, types)
+    hi = np.searchsorted(dense_h, hrs)
+    np.add.at(grid, (ti, hi), ns)
+    n_t, n_h = grid.shape
+    return pa.table(
+        {
+            "event_type": pa.array(np.repeat(utypes, n_h), pa.string()),
+            "hour": pa.array(np.tile(dense_h, n_t), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(grid.reshape(-1), pa.int64()),
+        }
+    )
+
+
+def part_min_price_per_brand(sf_dir: str):
+    """→ (p_brand, min_price_cents, p_partkey, p_name): every part
+    tied for its brand's minimum retail price — the grouped
+    ARGMIN-with-ties / TPC-H-Q2-style correlated ``= (SELECT min(...)
+    WHERE same group)`` shape.
+
+    Superset-safety of the one-pass combiner: a batch emits its
+    brand-local min AND the rows achieving it; a row at the GLOBAL
+    brand min always equals its own batch's local min (global ≤ local
+    ≤ row = global forces equality), so the global winners are always
+    inside the ≤ batches × brands candidate set the driver filters."""
+    import ray
+
+    parts_ds = _read(
+        sf_dir,
+        "part",
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        price = cents(batch["p_retailprice"])
+        t = pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "price_cents": price,
+                "p_partkey": batch["p_partkey"],
+                "p_name": batch["p_name"],
+            }
+        )
+        mins = t.group_by("p_brand").aggregate([("price_cents", "min")])
+        j = t.join(mins, keys="p_brand")
+        return j.filter(
+            pc.equal(j["price_cents"], j["price_cents_min"])
+        ).select(["p_brand", "price_cents", "p_partkey", "p_name"])
+
+    cand = [
+        t
+        for t in ray.get(
+            parts_ds.map_batches(
+                partials, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not cand:
+        return pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "min_price_cents": pa.array([], pa.int64()),
+                "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
+            }
+        )
+    ct = pa.concat_tables(cand)
+    gmin = ct.group_by("p_brand").aggregate([("price_cents", "min")])
+    j = ct.join(gmin, keys="p_brand")
+    win = j.filter(pc.equal(j["price_cents"], j["price_cents_min"]))
+    win = win.take(
+        pc.sort_indices(
+            win,
+            sort_keys=[("p_brand", "ascending"), ("p_partkey", "ascending")],
+        )
+    )
+    return pa.table(
+        {
+            "p_brand": win["p_brand"],
+            "min_price_cents": pc.cast(win["price_cents"], pa.int64()),
+            "p_partkey": win["p_partkey"],
+            "p_name": win["p_name"],
+        }
     )

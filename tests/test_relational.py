@@ -747,3 +747,41 @@ def test_recrawl_priority_consistent_with_diff():
     churn = pri["n_added"] + pri["n_removed"] + pri["n_changed"]
     expect = churn * 1000 // pri["n_pages_b"].clip(lower=1)
     assert (pri["priority_milli"] == expect).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_dense_and_argmin_invariants(duck):
+    from crawler_ai_ray.pipelines.relational import (
+        events_hourly_dense,
+        events_pivot,
+        part_min_price_per_brand,
+    )
+
+    piv = events_pivot(SF).to_pandas()
+    count_cols = [c for c in piv.columns if c.startswith("n_")]
+    assert (piv[count_cols].sum(axis=1) == piv["total"]).all()
+    total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert piv["total"].sum() == total_events
+
+    dense = events_hourly_dense(SF).to_pandas()
+    # the scaffold really fills gaps: every type covers the same dense
+    # hour range, and at this scale some cells are silent
+    per_type = dense.groupby("event_type")["hour"].count()
+    assert per_type.nunique() == 1
+    assert (dense["n_events"] == 0).any()
+    assert dense["n_events"].sum() == total_events
+
+    arg = part_min_price_per_brand(SF).to_pandas()
+    ora = duck.sql("""
+      WITH m AS (SELECT p_brand,
+                        min(CAST(FLOOR(p_retailprice*100+0.5) AS BIGINT))
+                          AS min_price_cents
+                 FROM part GROUP BY 1)
+      SELECT p.p_brand, m.min_price_cents, p.p_partkey, p.p_name
+      FROM part p JOIN m ON p.p_brand = m.p_brand
+        AND CAST(FLOOR(p.p_retailprice*100+0.5) AS BIGINT)
+            = m.min_price_cents
+      """).df().sort_values(["p_brand", "p_partkey"], ignore_index=True)
+    assert_frames_equal(arg, ora)
+    # one winner per brand unless tied at the exact cent
+    assert arg.groupby("p_brand")["min_price_cents"].nunique().eq(1).all()
