@@ -1465,6 +1465,55 @@ def _q_doc_neardup_clusters(sf_dir: str):
     )
 
 
+def _q_doc_split_leakage_safe(sf_dir: str):
+    """Dedup-aware train/val/test split: the split key is the near-dup
+    CLUSTER canonical, not the document — every near-duplicate of a
+    training doc lands in train with it, so eval can never score a
+    paraphrase of its own training data (the contamination-by-split
+    failure mode benchmark decontamination can't catch).  Split rule is
+    the house hash convention: first hex digit of
+    ``md5(str(canonical_id))`` — 0-b train (¾), c-d val (⅛), e-f test
+    (⅛) — deterministic across runs/partitions/engines."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.dedup import minhash_cluster_labels
+
+    labeled = minhash_cluster_labels(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _table(sf_dir, "documents", columns=["doc_id"]),
+        n=3,
+        threshold=0.8,
+    )
+
+    def tag_split(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "canonical_id": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        canon = batch["canonical_id"].to_pylist()
+        splits = []
+        for c in canon:
+            h = hashlib.md5(str(c).encode()).hexdigest()[0]
+            splits.append(
+                "train" if h < "c" else ("val" if h < "e" else "test")
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical_id": batch["canonical_id"],
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return labeled.map_batches(tag_split, batch_format="pyarrow")
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact per-language length percentiles (percentile_disc rank
     formula) via bounded-cardinality histogram combiners — never a
@@ -2379,6 +2428,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        "doc_split_leakage_safe": _q_doc_split_leakage_safe,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_segment_dedup": _q_doc_segment_dedup,
         "doc_search_tfidf": _q_doc_search_tfidf,
@@ -2470,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot",
         "events_hourly_dense",
         "part_min_price_per_brand",
+        "doc_split_leakage_safe",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4076,6 +4127,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id,
                    (min(lbl) = doc) AS is_canonical
             FROM reach GROUP BY doc""",
+        "doc_split_leakage_safe": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id, sig, bandkeys
+              FROM read_parquet('{minhash_g}')),
+            pr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE list_has_any(a.bandkeys, b.bandkeys)
+                AND len(list_filter(range(1, 129),
+                                    i -> a.sig[i] = b.sig[i])) / 128.0
+                    >= 0.8),
+            e AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+            reach(doc, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.doc),
+            canon AS (
+              SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id
+              FROM reach GROUP BY doc)
+            SELECT doc_id, canonical_id,
+                   CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1)
+                             < 'c' THEN 'train'
+                        WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1)
+                             < 'e' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM canon""",
         "doc_curate": curate_cte + """
             SELECT doc_id, pred_lang, quality_keep, repetition_keep,
                    exact_keep, kept

@@ -1660,3 +1660,19 @@ def test_pq_partition_invariant_codebooks_and_recall(ray_session):
     enc = pq_encode(ds, books).take_batch(5, batch_format="pyarrow")
     assert enc["pq_code"].type.list_size == 32
     assert enc["pq_code"].type.value_type == pa.uint8()
+
+
+def test_leakage_safe_split_no_cluster_straddles(ray_session):
+    """Every near-dup cluster lives entirely in ONE split (the leakage
+    guarantee), and all three splits are non-empty at this scale."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["doc_split_leakage_safe"](SF).to_pandas()
+    assert df.groupby("canonical_id")["split"].nunique().eq(1).all()
+    assert set(df["split"].unique()) == {"train", "val", "test"}
+    # split is keyed on the canonical, so a doc and its canonical agree
+    canon_split = df.set_index("doc_id")["split"]
+    joined = df.join(
+        canon_split.rename("canon_split"), on="canonical_id"
+    )
+    assert (joined["split"] == joined["canon_split"]).all()
