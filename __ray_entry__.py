@@ -1913,10 +1913,11 @@ def _q_emb_knn_pq(sf_dir: str):
 
 def _q_emb_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means (8 clusters) then within-cluster cosine
-    union-find, keep-min-id canonical per duplicate group.  Rows-only:
-    labels depend on the learned clustering; the machinery is pinned by
-    the nlist=1 global variant's recursive-CTE oracle + refinement
-    tests."""
+    union-find, keep-min-id canonical per duplicate group.  Oracled
+    against the sequential same-math golden (valid because
+    kmeans_train's integer micro-sum reduce makes the centroids
+    partition-invariant); the nlist=1 global variant additionally
+    carries a from-scratch recursive-CTE SQL oracle."""
     from crawler_ai_ray.stages.simsearch import semantic_dedup
 
     return semantic_dedup(
@@ -4261,7 +4262,24 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_bruteforce": knn,
         "emb_knn_ivf_exhaustive": knn,  # nprobe=nlist ⇒ exact
         "emb_knn_pq": knn,  # shortlist recall 1.0 + exact rerank ⇒ exact
+        # sequential same-math goldens — valid because kmeans_train's
+        # integer micro-sum reduce makes centroids bit-identical under
+        # any partitioning (see oracle/goldens.py:_build_emb_goldens)
+        "emb_knn_ivf": f"""
+            SELECT query_id, vec_id, rank
+            FROM read_parquet('{os.path.join(gdir, "emb_ivf.parquet")}')""",
+        "emb_semantic_dedup": f"""
+            SELECT vec_id, cluster, canonical_id, is_canonical
+            FROM read_parquet('{os.path.join(gdir, "emb_semantic.parquet")}')""",
         "emb_neardup_cosine": """
+            SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        # banded candidates + exact cosine verify: the emitted pair set
+        # equals the exact all-pairs set whenever band recall is 1.0
+        # (holds on this corpus; recall >= 0.95 pinned by test) — the
+        # emb_knn_pq exact-via-recall argument applied to pair mining
+        "emb_neardup_lsh": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",

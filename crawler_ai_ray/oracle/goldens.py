@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g7"
+GOLDEN_VERSION = "g8"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -185,6 +185,118 @@ def _build_events_goldens(sf_dir: str, gdir: str) -> None:
     )
 
 
+def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
+    """IVF kNN + SemDeDup goldens, computed SEQUENTIALLY (one matrix,
+    no Ray, no batching) with the same pure math as the engine.  Valid
+    as oracles because `kmeans_train` reduces integer micro-sums: the
+    distributed centroids are bit-identical to this single-pass run
+    under any partitioning, so any divergence the driver compare sees
+    is a real orchestration bug (assignment pass, probe filter,
+    groupby(cluster) sweep, top-k merge), not float drift."""
+    import numpy as np
+
+    from ..stages.dedup import list_col_to_matrix
+    from ..stages.simsearch import _normalize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = list_col_to_matrix(t["embedding"])
+    matn = _normalize(raw)
+
+    def train(nlist: int, iters: int) -> np.ndarray:
+        seed_idx = np.argsort(ids, kind="stable")[:nlist]
+        # engine seeds from the raw rows of the nlist smallest ids
+        cent = _normalize(raw[seed_idx].astype(np.float64))
+        for _ in range(iters):
+            assign = np.argmax(matn @ cent.T, axis=1)
+            micro = np.rint(matn * 1_000_000.0).astype(np.int64)
+            sums = np.zeros((nlist, matn.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, micro)
+            counts = np.bincount(assign, minlength=nlist)
+            nz = counts > 0
+            cent[nz] = _normalize(
+                (sums[nz] / 1_000_000.0) / counts[nz, None]
+            )
+        return cent
+
+    # --- emb_knn_ivf golden (nlist=8, iters=3, k=10, nprobe=3) -------
+    cent = train(nlist=8, iters=3)
+    clusters = np.argmax(matn @ cent.T, axis=1).astype(np.int32)
+    qmask = ids % 97 == 0
+    qorder = np.argsort(ids[qmask], kind="stable")
+    qids = ids[qmask][qorder]
+    qn = _normalize(raw[qmask][qorder].astype(np.float64))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :3]
+    out_q, out_v, out_r = [], [], []
+    for qi in range(len(qids)):
+        mask = np.isin(clusters, probes[qi])
+        sims = matn[mask] @ qn[qi]
+        cand = ids[mask]
+        order = np.lexsort((cand, -sims))[:10]
+        out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+        out_v.append(cand[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "emb_ivf.parquet"),
+    )
+
+    # --- emb_semantic_dedup golden (nlist=8, iters=5, τ=0.45) --------
+    cent = train(nlist=8, iters=5)
+    clusters = np.argmax(matn @ cent.T, axis=1).astype(np.int32)
+    out_id, out_cl, out_canon = [], [], []
+    for c in np.unique(clusters):
+        sel = clusters == c
+        cids = ids[sel]
+        order = np.argsort(cids)
+        cids = cids[order]
+        m = matn[sel][order]
+        n = len(cids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        canon = cids[np.array([find(i) for i in range(n)], dtype=np.int64)]
+        out_id.append(cids)
+        out_cl.append(np.full(n, c, dtype=np.int32))
+        out_canon.append(canon)
+    all_ids = np.concatenate(out_id)
+    all_canon = np.concatenate(out_canon)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(all_ids, pa.int64()),
+                "cluster": pa.array(np.concatenate(out_cl), pa.int32()),
+                "canonical_id": pa.array(all_canon, pa.int64()),
+                "is_canonical": pa.array(all_canon == all_ids, pa.bool_()),
+            }
+        ),
+        os.path.join(gdir, "emb_semantic.parquet"),
+    )
+
+
 def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     """mm_* goldens: the SAME pure stage callables run sequentially on
     the driver over the deterministic media corpus — independent of the
@@ -257,6 +369,8 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
         _build_doc_goldens(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "events.parquet")):
         _build_events_goldens(sf_dir, tmp)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        _build_emb_goldens(sf_dir, tmp)
     _build_media_goldens(sf_dir, tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(stamp)

@@ -155,7 +155,14 @@ def kmeans_train(
     Init: the ``nlist`` vectors with smallest ``vec_id`` (deterministic
     — no RNG in the data path).  Each iteration is one streaming pass:
     ``map_batches`` emits per-centroid partial sums/counts (a combiner
-    — the classic pre-aggregation before the tiny driver-side reduce)."""
+    — the classic pre-aggregation before the tiny driver-side reduce).
+
+    INTEGER-EXACT reduce (the `pq_train` discipline): partials carry
+    vector sums as micro-scaled int64 (``rint(x·1e6)``), so the driver
+    reduce is an associative integer sum and the centroids are
+    BIT-identical under any partitioning / block order — which is what
+    lets sequential same-function goldens act as oracles for the IVF
+    and SemDeDup pipelines built on top."""
     import ray
 
     seed_rows = (
@@ -177,31 +184,34 @@ def kmeans_train(
                 return pa.table(
                     {
                         "cluster": pa.array([], type=pa.int32()),
-                        "vsum": pa.array([], type=pa.list_(pa.float64())),
+                        "vsum": pa.array([], type=pa.list_(pa.int64())),
                         "count": pa.array([], type=pa.int64()),
                     }
                 )
             assign = np.argmax(mat @ c.T, axis=1)
+            micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
             cl, inv = np.unique(assign, return_inverse=True)
-            sums = np.zeros((len(cl), mat.shape[1]))
-            np.add.at(sums, inv, mat)
+            sums = np.zeros((len(cl), mat.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, micro)
             counts = np.bincount(inv, minlength=len(cl))
             return pa.table(
                 {
                     "cluster": pa.array(cl, type=pa.int32()),
-                    "vsum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "vsum": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
                     "count": pa.array(counts, type=pa.int64()),
                 }
             )
 
         parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(len(centroids))
+        sums = np.zeros(centroids.shape, dtype=np.int64)
+        counts = np.zeros(len(centroids), dtype=np.int64)
         for r in parts:
-            sums[r["cluster"]] += np.asarray(r["vsum"])
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.int64)
             counts[r["cluster"]] += r["count"]
         nz = counts > 0
-        centroids[nz] = _normalize(sums[nz] / counts[nz, None])
+        centroids[nz] = _normalize(
+            (sums[nz] / _PQ_MICRO) / counts[nz, None]
+        )
     return centroids
 
 
