@@ -1342,6 +1342,37 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_doc_bpe_train(sf_dir: str):
+    """BPE tokenizer training over the corpus: ONE distributed pass
+    builds the exact word→count table (Arrow combiner, driver holds
+    distinct words only — the HF training scheme), then the
+    deterministic merge loop (ties → lexicographic pair) emits the
+    merge table.  Golden-oracled against a sequential no-Ray rerun."""
+    from crawler_ai_ray.stages.textstats import bpe_train
+
+    return bpe_train(
+        _table(sf_dir, "documents", columns=["text"]), num_merges=50
+    )
+
+
+def _q_doc_bpe_tokenize(sf_dir: str):
+    """Apply the trained BPE merges back over the corpus: broadcast
+    merge-rank table, per-batch encode cached per distinct word →
+    (doc_id, n_tokens_bpe_trained)."""
+    from crawler_ai_ray.stages.textstats import (
+        bpe_apply,
+        bpe_merges_from_counts,
+        corpus_word_counts,
+    )
+
+    docs = _table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_merges_from_counts(
+        corpus_word_counts(_table(sf_dir, "documents", columns=["text"])),
+        50,
+    )
+    return bpe_apply(docs, merges)
+
+
 def _q_events_value_sketch(sf_dir: str):
     """DDSketch quantile estimates (p50/p90/p99 per event type) of the
     continuous value column — the deterministic mergeable-sketch path
@@ -2421,6 +2452,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
+        "doc_bpe_train": _q_doc_bpe_train,
+        "doc_bpe_tokenize": _q_doc_bpe_tokenize,
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2522,6 +2555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense",
         "part_min_price_per_brand",
         "doc_split_leakage_safe",
+        "doc_bpe_train",
+        "doc_bpe_tokenize",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -3597,6 +3632,14 @@ def oracle_sql() -> dict[str, str]:
         "events_value_sketch": f"""
             SELECT key, p, n, q_est
             FROM read_parquet('{os.path.join(gdir, "events_ddsketch.parquet")}')""",
+        # sequential-word-count BPE goldens — verify the distributed
+        # count combiner and the broadcast apply pass
+        "doc_bpe_train": f"""
+            SELECT rank, left_sym, right_sym, merged
+            FROM read_parquet('{os.path.join(gdir, "bpe_merges.parquet")}')""",
+        "doc_bpe_tokenize": f"""
+            SELECT doc_id, n_tokens_bpe_trained
+            FROM read_parquet('{os.path.join(gdir, "bpe_tokens.parquet")}')""",
         "tpch_q18_big_orders": """
             WITH big AS (
               SELECT l_orderkey AS o_orderkey,

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g8"
+GOLDEN_VERSION = "g10"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -182,6 +182,64 @@ def _build_events_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "events_ddsketch.parquet"),
+    )
+
+
+def _build_bpe_goldens(sf_dir: str, gdir: str) -> None:
+    """BPE goldens: word counts gathered SEQUENTIALLY (one regex pass,
+    no batching) then the same pure merge-loop / encoder the engine
+    broadcasts — the driver compare therefore verifies the distributed
+    word-count combiner and the apply pass."""
+    import re
+
+    from ..stages.textstats import (
+        bpe_encode_word,
+        bpe_merges_from_counts,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    counts: dict[str, int] = {}
+    for txt in docs["text"].to_pylist():
+        for w in re.findall(r"[a-z]+", txt.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    merges = bpe_merges_from_counts(counts, 50)
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(range(len(merges)), pa.int64()),
+                "left_sym": pa.array([a for a, _ in merges], pa.string()),
+                "right_sym": pa.array([b for _, b in merges], pa.string()),
+                "merged": pa.array(
+                    [a + b for a, b in merges], pa.string()
+                ),
+            }
+        ),
+        os.path.join(gdir, "bpe_merges.parquet"),
+    )
+    rank = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, int] = {}
+    ids, ns = [], []
+    for did, txt in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+    ):
+        n = 0
+        for w in re.findall(r"[a-z]+", txt.lower()):
+            if w not in cache:
+                cache[w] = bpe_encode_word(w, rank)
+            n += cache[w]
+        ids.append(did)
+        ns.append(n)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens_bpe_trained": pa.array(ns, pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "bpe_tokens.parquet"),
     )
 
 
@@ -367,6 +425,7 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
+        _build_bpe_goldens(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "events.parquet")):
         _build_events_goldens(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):

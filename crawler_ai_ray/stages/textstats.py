@@ -51,6 +51,11 @@ __all__ = [
     "ddsketch_quantiles",
     "dd_bin",
     "dd_estimate",
+    "bpe_train",
+    "bpe_apply",
+    "bpe_merges_from_counts",
+    "bpe_encode_word",
+    "corpus_word_counts",
     "mix_weights",
     "doc_commonness",
     "classifier_batch",
@@ -1437,3 +1442,158 @@ def ddsketch_quantiles(
             "q_est": pa.array(out_q, pa.float64()),
         }
     )
+
+
+# --- BPE tokenizer training (corpus word counts → merge table) -------------
+
+def bpe_merges_from_counts(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE training loop (Sennrich et al. 2016; the GPT-2
+    scheme) over a word→count table: repeatedly merge the most
+    frequent adjacent symbol pair, ties broken by lexicographic pair —
+    fully deterministic given integer counts.  Pure function shared by
+    the engine and the sequential golden."""
+    seqs: dict[str, list[str]] = {
+        w: list(w) + ["</w>"] for w in word_counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for w, syms in seqs.items():
+            i = 0
+            out = []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_encode_word(word: str, rank: dict[tuple[str, str], int]) -> int:
+    """→ number of BPE tokens for one word under a trained merge-rank
+    table (apply merges best-rank-first, the GPT-2 encoder loop)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def corpus_word_counts(ds, text_col: str = "text") -> dict[str, int]:
+    """documents → exact {word: count} over ``[a-z]+`` tokens — the
+    table BPE trains on.  Distributed part: per-batch Arrow group_by
+    combiner (O(batch vocab) rows leave each task); the driver merge
+    holds DISTINCT words only — the same bounded vocab-state boundary
+    `doc_commonness` declares (HF tokenizer training works off exactly
+    this table, never the token stream)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        flat = pc.list_flatten(
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = (
+            pa.table({"w": flat})
+            .group_by("w")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"w": agg["w"], "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    counts: dict[str, int] = {}
+    for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for w, n in zip(t["w"].to_pylist(), t["n"].to_pylist()):
+            counts[w] = counts.get(w, 0) + n
+    return counts
+
+
+def bpe_train(ds, num_merges: int = 50, text_col: str = "text") -> pa.Table:
+    """→ (rank, left, right, merged): the learned BPE merge table."""
+    merges = bpe_merges_from_counts(
+        corpus_word_counts(ds, text_col=text_col), num_merges
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left_sym": pa.array([a for a, _ in merges], pa.string()),
+            "right_sym": pa.array([b for _, b in merges], pa.string()),
+            "merged": pa.array([a + b for a, b in merges], pa.string()),
+        }
+    )
+
+
+def bpe_apply(ds, merges: list[tuple[str, str]], text_col: str = "text"):
+    """→ (doc_id, n_tokens_bpe_trained): token counts per doc under the
+    TRAINED merges — the broadcast-model apply pass (merge table ships
+    once via the closure; each task keeps a per-word encode cache, so
+    work is O(distinct words per batch), not O(tokens))."""
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        docs = parent.filter(keep).to_numpy(zero_copy_only=False)
+        cache: dict[str, int] = {}
+        n_tok = np.zeros(batch.num_rows, dtype=np.int64)
+        uniq, inv = np.unique(words, return_inverse=True)
+        per_word = np.array(
+            [
+                cache.setdefault(w, bpe_encode_word(w, rank))
+                for w in uniq.tolist()
+            ],
+            dtype=np.int64,
+        )
+        np.add.at(n_tok, docs, per_word[inv])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens_bpe_trained": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")

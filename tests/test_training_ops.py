@@ -1676,3 +1676,41 @@ def test_leakage_safe_split_no_cluster_straddles(ray_session):
         canon_split.rename("canon_split"), on="canonical_id"
     )
     assert (joined["split"] == joined["canon_split"]).all()
+
+
+def test_bpe_train_hand_case_and_corpus_compression(ray_session, docs_ds):
+    """The merge loop reproduces a hand-computed BPE on a toy corpus;
+    on the real corpus the trained tokenizer compresses (fewer tokens
+    than characters, more than whitespace words)."""
+    from crawler_ai_ray.stages.textstats import (
+        bpe_apply,
+        bpe_encode_word,
+        bpe_merges_from_counts,
+        corpus_word_counts,
+    )
+
+    # toy: 'aaab' x3, 'ab' x2 → pair counts: (a,a)=6, (a,b)=5, (b,</w>)=5
+    merges = bpe_merges_from_counts({"aaab": 3, "ab": 2}, 3)
+    assert merges[0] == ("a", "a")
+    # after merging aa: aaab -> [aa,a,b,</w>]; pairs: (aa,a)=3,(a,b)=5,(b,</w>)=5
+    # tie (a,b) vs (b,</w>) at 5 → lexicographic: ('a','b') wins
+    assert merges[1] == ("a", "b")
+    assert merges[2] == ("ab", "</w>")
+    rank = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("ab", rank) == 1  # [ab</w>] after all 3
+    assert bpe_encode_word("ab", {("a", "b"): 0}) == 2  # [ab, </w>]
+
+    counts = corpus_word_counts(docs_ds)
+    trained = bpe_merges_from_counts(counts, 50)
+    assert len(trained) == 50
+    out = bpe_apply(docs_ds, trained).to_pandas()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    m = out.merge(docs, on="doc_id")
+    n_words = m["text"].str.findall(r"[a-z]+").str.len()
+    n_chars = m["text"].str.replace(r"[^a-z]", "", regex=True).str.len()
+    # tokens ≥ words (a word is ≥1 token), and the 50 merges compress
+    # well below the character count
+    assert (m["n_tokens_bpe_trained"] >= n_words).all()
+    assert m["n_tokens_bpe_trained"].sum() < n_chars.sum()
