@@ -162,7 +162,13 @@ def kmeans_train(
     reduce is an associative integer sum and the centroids are
     BIT-identical under any partitioning / block order — which is what
     lets sequential same-function goldens act as oracles for the IVF
-    and SemDeDup pipelines built on top."""
+    and SemDeDup pipelines built on top.
+
+    Iteration loop = plain Ray tasks over the ONCE-materialized block
+    refs, not a Dataset job per iteration: the streaming executor's
+    ~0.2 s fixed startup × iters was pure overhead on a fixed block
+    list (the crawl-round dispatch argument; partial grouping doesn't
+    matter — the integer reduce is associative)."""
     import ray
 
     seed_rows = (
@@ -173,41 +179,37 @@ def kmeans_train(
     centroids = _normalize(
         np.array([r[emb_col] for r in seed_rows], dtype=np.float64)
     )
+    block_refs = [
+        r for r in ds.materialize().to_arrow_refs()
+    ]
+
+    @ray.remote(num_cpus=1)
+    def partial(block: pa.Table, c: np.ndarray):
+        if block.num_rows == 0:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros((0, 0), np.int64),
+                np.zeros(0, np.int64),
+            )
+        mat = _normalize(list_col_to_matrix(block[emb_col]))
+        assign = np.argmax(mat @ c.T, axis=1)
+        micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
+        cl, inv = np.unique(assign, return_inverse=True)
+        sums = np.zeros((len(cl), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        return cl, sums, np.bincount(inv, minlength=len(cl)).astype(np.int64)
 
     for _ in range(iters):
         c_ref = ray.put(centroids)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(c_ref)
-            mat = _normalize(list_col_to_matrix(batch[emb_col]))
-            if mat.size == 0:
-                return pa.table(
-                    {
-                        "cluster": pa.array([], type=pa.int32()),
-                        "vsum": pa.array([], type=pa.list_(pa.int64())),
-                        "count": pa.array([], type=pa.int64()),
-                    }
-                )
-            assign = np.argmax(mat @ c.T, axis=1)
-            micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
-            cl, inv = np.unique(assign, return_inverse=True)
-            sums = np.zeros((len(cl), mat.shape[1]), dtype=np.int64)
-            np.add.at(sums, inv, micro)
-            counts = np.bincount(inv, minlength=len(cl))
-            return pa.table(
-                {
-                    "cluster": pa.array(cl, type=pa.int32()),
-                    "vsum": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
-                    "count": pa.array(counts, type=pa.int64()),
-                }
-            )
-
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        parts = ray.get(
+            [partial.remote(b, c_ref) for b in block_refs]
+        )
         sums = np.zeros(centroids.shape, dtype=np.int64)
         counts = np.zeros(len(centroids), dtype=np.int64)
-        for r in parts:
-            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.int64)
-            counts[r["cluster"]] += r["count"]
+        for cl, s, n in parts:
+            if len(cl):
+                np.add.at(sums, cl, s)
+                np.add.at(counts, cl, n)
         nz = counts > 0
         centroids[nz] = _normalize(
             (sums[nz] / _PQ_MICRO) / counts[nz, None]
@@ -406,55 +408,40 @@ def pq_train(
         [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
     )
 
+    # plain tasks over once-materialized blocks (the `kmeans_train`
+    # dispatch rationale: no per-iteration Dataset-job startup; the
+    # integer reduce is associative, so partial grouping is free)
+    block_refs = [r for r in ds.materialize().to_arrow_refs()]
+
+    @ray.remote(num_cpus=1)
+    def partial(block: pa.Table, bks: np.ndarray):
+        sums = np.zeros((len(bks), bks.shape[1], dsub), dtype=np.int64)
+        counts = np.zeros((len(bks), bks.shape[1]), dtype=np.int64)
+        if block.num_rows == 0:
+            return sums, counts
+        mat = _normalize(list_col_to_matrix(block[emb_col]))
+        micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
+        for s in range(len(bks)):
+            x = mat[:, s * dsub : (s + 1) * dsub]
+            xm = micro[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ bks[s].T)
+                + (bks[s] * bks[s]).sum(axis=1)[None, :]
+            )
+            code = np.argmin(d2, axis=1)
+            np.add.at(sums[s], code, xm)
+            np.add.at(counts[s], code, 1)
+        return sums, counts
+
     for _ in range(iters):
         b_ref = ray.put(books)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            bks = ray.get(b_ref)
-            mat = _normalize(list_col_to_matrix(batch[emb_col]))
-            empty = pa.table(
-                {
-                    "sub": pa.array([], pa.int32()),
-                    "code": pa.array([], pa.int32()),
-                    "vsum": pa.array([], pa.list_(pa.int64())),
-                    "count": pa.array([], pa.int64()),
-                }
-            )
-            if mat.size == 0:
-                return empty
-            micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
-            out_sub, out_code, out_sum, out_cnt = [], [], [], []
-            for s in range(len(bks)):
-                x = mat[:, s * dsub : (s + 1) * dsub]
-                xm = micro[:, s * dsub : (s + 1) * dsub]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ bks[s].T)
-                    + (bks[s] * bks[s]).sum(axis=1)[None, :]
-                )
-                code = np.argmin(d2, axis=1)
-                cl, inv = np.unique(code, return_inverse=True)
-                sums = np.zeros((len(cl), dsub), dtype=np.int64)
-                np.add.at(sums, inv, xm)
-                cnt = np.bincount(inv, minlength=len(cl))
-                out_sub.extend([s] * len(cl))
-                out_code.extend(cl.tolist())
-                out_sum.extend(sums.tolist())
-                out_cnt.extend(cnt.tolist())
-            return pa.table(
-                {
-                    "sub": pa.array(out_sub, pa.int32()),
-                    "code": pa.array(out_code, pa.int32()),
-                    "vsum": pa.array(out_sum, pa.list_(pa.int64())),
-                    "count": pa.array(out_cnt, pa.int64()),
-                }
-            )
-
+        parts = ray.get([partial.remote(b, b_ref) for b in block_refs])
         sums = np.zeros((m, ksub, dsub), dtype=np.int64)
         counts = np.zeros((m, ksub), dtype=np.int64)
-        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
-            sums[r["sub"], r["code"]] += np.asarray(r["vsum"], dtype=np.int64)
-            counts[r["sub"], r["code"]] += r["count"]
+        for s, c in parts:
+            sums += s
+            counts += c
         nz = counts > 0
         upd = books.copy()
         upd[nz] = (sums[nz] / _PQ_MICRO) / counts[nz, None]
