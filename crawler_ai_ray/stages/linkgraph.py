@@ -356,41 +356,43 @@ def pagerank_hosts(
     ranks = np.full(len(keys), scale, dtype=np.int64)
     base = scale * (100 - damping_pct) // 100
 
-    for _ in range(iters):
-        r_ref = ray.put((keys, ranks))
-
-        def contrib(batch: pa.Table) -> pa.Table:
-            if not batch.num_rows:
-                return pa.table(
-                    {
-                        "dst_h": pa.array([], pa.uint64()),
-                        "part": pa.array([], pa.int64()),
-                    }
-                )
-            k, r = ray.get(r_ref)
-            sh = batch["src_h"].to_numpy(zero_copy_only=False)
-            dh = batch["dst_h"].to_numpy(zero_copy_only=False)
-            deg = batch["outdeg"].to_numpy(zero_copy_only=False)
-            c = r[np.searchsorted(k, sh)] // deg
-            t = pa.table(
+    @ray.remote(num_cpus=1)
+    def contrib(batch: pa.Table, k: np.ndarray, r: np.ndarray) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
                 {
-                    "dst_h": pa.array(dh, pa.uint64()),
-                    "part": pa.array(c, pa.int64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "part": pa.array([], pa.int64()),
                 }
             )
-            agg = t.group_by("dst_h").aggregate([("part", "sum")])
-            return pa.table(
-                {"dst_h": agg["dst_h"], "part": agg["part_sum"]}
-            )
+        sh = batch["src_h"].to_numpy(zero_copy_only=False)
+        dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+        deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+        c = r[np.searchsorted(k, sh)] // deg
+        t = pa.table(
+            {
+                "dst_h": pa.array(dh, pa.uint64()),
+                "part": pa.array(c, pa.int64()),
+            }
+        )
+        agg = t.group_by("dst_h").aggregate([("part", "sum")])
+        return pa.table({"dst_h": agg["dst_h"], "part": agg["part_sum"]})
 
-        # tree-reduce the per-batch partials with plain tasks: a Ray
+    # iterate with plain tasks over the once-materialized edge blocks —
+    # no per-iteration Dataset-job startup (the crawl-round dispatch
+    # rule); integer partials are associative so grouping is free
+    edge_block_refs = list(edges.to_arrow_refs())
+    for _ in range(iters):
+        k_ref = ray.put(keys)
+        r_ref = ray.put(ranks)
+        # tree-reduce the per-block partials with plain tasks: a Ray
         # groupby here would pay its fixed sort/shuffle cost ×iters for
         # a combiner-sized input (house rule: never shuffle tiny
         # candidate sets); each merge task handles ≤_FAN tables of
         # ≤|hosts| rows, Arrow C++ hash-agg inside.
-        part_refs = edges.map_batches(
-            contrib, batch_format="pyarrow"
-        ).to_arrow_refs()
+        part_refs = [
+            contrib.remote(b, k_ref, r_ref) for b in edge_block_refs
+        ]
         # adaptive reduce: each partial is ≤|hosts| rows, so when
         # blocks × |hosts| is small the driver merges in one Arrow
         # hash-agg (2 fewer task rounds per iteration); the task tree
