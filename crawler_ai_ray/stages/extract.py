@@ -191,6 +191,39 @@ def extract_links(pages_ds):
     return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
 
 
+TEXT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("text_crawldata", pa.string()),
+    ]
+)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → (url, text, text_crawldata) ONLY — the text
+    projection.  Same ``parse_page`` + text assembly as the full
+    extraction (byte-identical columns by construction — pinned by an
+    equivalence test), but skips contacts regexes, link joins and
+    classification, which the text consumers (snapshot diff, the
+    crawl-text queries) drop anyway — measured ~1.6× cheaper per
+    page."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {"url": [], "text": [], "text_crawldata": []}
+    for url, html_b in zip(urls, htmls):
+        facts = parse_page(_decode(html_b))
+        cols["url"].append(url)
+        cols["text"].append(facts_jobdetail_text(facts))
+        cols["text_crawldata"].append(facts_crawldata_text(facts))
+    return pa.Table.from_pydict(cols, schema=TEXT_SCHEMA)
+
+
+def extract_text(pages_ds):
+    """pages → text projection dataset (see extract_text_batch)."""
+    return pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
+
+
 ANCHOR_SCHEMA = pa.schema(
     [
         ("src_host", pa.string()),

@@ -59,3 +59,30 @@ def test_extract_jobs_matches_golden(unit_corpus):
     for col in ("title", "company", "location", "job_type", "salary",
                 "description", "summary", "source"):
         assert (out[col] == golden[col]).all(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_projection_equivalent_to_full_extraction():
+    """extract_text must produce byte-identical text columns to the
+    full extraction (same parser, same assembly)."""
+    import ray.data
+
+    from crawler_ai_ray.sources.synth import ensure_corpus
+    from crawler_ai_ray.stages.extract import extract_pages, extract_text
+
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html"]
+    )
+    full = (
+        extract_pages(pages)
+        .select_columns(["url", "text", "text_crawldata"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    slim = (
+        extract_text(pages)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert slim.equals(full)
