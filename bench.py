@@ -197,6 +197,14 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_knn_pq",
     ]
     qs = entrymod.queries()
+    # warm the worker pool before timing (first query otherwise absorbs
+    # every worker's numpy/pyarrow import + first-dispatch cost — the
+    # same reason bench_crawl warms the crawl; measured 3-5 s of
+    # first-query-only noise attributed to whichever pick ran first).
+    # Warm at the MEASURED scale: a tiny-corpus warmup spawns only a
+    # few workers, so the first full-fanout query still paid the spawn.
+    warm = qs["doc_token_stats"](sf_dir)
+    warm.count() if hasattr(warm, "count") else len(warm)
     out = {}
     for name in picks:
         t0 = time.time()
