@@ -395,7 +395,8 @@ def _expand_rows(
 
 
 def _seen_filter_rows(
-    cands: list[dict], seen_handles: list, num_seen_shards: int
+    cands: list[dict], seen_handles: list, num_seen_shards: int,
+    epoch: str | None = None,
 ) -> list[dict]:
     """Stage 3b: candidate rows → queue rows surviving the URL-seen
     anti-join (J5).  One batched ``check_and_add`` call per shard (all
@@ -413,7 +414,7 @@ def _seen_filter_rows(
         ).append(i)
     refs = {
         sh: seen_handles[sh].check_and_add.remote(
-            [cands[i]["url"] for i in idxs]
+            [cands[i]["url"] for i in idxs], epoch
         )
         for sh, idxs in by_shard.items()
     }
@@ -457,7 +458,10 @@ def _initial_state(cfg: CrawlConfig, seen: SeenPool) -> pa.Table:
     import ray
 
     ray.get(
-        [seen.shards[sh].check_and_add.remote(urls) for sh, urls in by_shard.items()]
+        [
+            seen.shards[sh].check_and_add.remote(urls, "init:seed")
+            for sh, urls in by_shard.items()
+        ]
     )
     return _rows_to_table(rows)
 
@@ -605,7 +609,9 @@ def _process_bucket(
     wave, rest, states = _plan_bucket(table, policy, rnd)
     _fetch_extract_rows(wave, store_handles, n_store)
     o_rows, cands = _expand_rows(wave, states, policy)
-    new_q = _seen_filter_rows(cands, seen_handles, n_seen)
+    new_q = _seen_filter_rows(
+        cands, seen_handles, n_seen, epoch=f"{rnd}:{bucket}:{sub}"
+    )
 
     py_rows = o_rows + new_q + list(states.values())
     py_tbl = _rows_to_table(py_rows)

@@ -131,10 +131,36 @@ class UrlSeenShard:
         # urls added since the last delta dump (per-round incremental
         # checkpoints: O(new) per round instead of O(seen))
         self._journal: list[str] = []
+        # idempotency: last answer per caller epoch ("rnd:bucket:sub");
+        # a RETRIED bucket task replays its original answer instead of
+        # seeing its own first attempt's marks (which would silently
+        # shrink the frontier).  Entries from older rounds are pruned
+        # on first use of a new round → ≤ bucket-tasks entries live.
+        self._epoch_cache: dict[str, list[bool]] = {}
+        self._epoch_rnd: str | None = None
 
-    def check_and_add(self, urls: list[str]) -> list[bool]:
+    def check_and_add(
+        self, urls: list[str], epoch: str | None = None
+    ) -> list[bool]:
         """For each url: True iff it was NOT seen before (and is now added).
-        The frontier keeps rows where the answer is True (anti-join J5)."""
+        The frontier keeps rows where the answer is True (anti-join J5).
+        ``epoch`` makes the call idempotent per caller round/bucket —
+        required now that bucket rounds run as plain Ray tasks, which
+        Ray may transparently retry."""
+        if epoch is not None:
+            cached = self._epoch_cache.get(epoch)
+            if cached is not None and len(cached) == len(urls):
+                return cached
+        out = self._check_and_add(urls)
+        if epoch is not None:
+            rnd = epoch.split(":", 1)[0]
+            if rnd != self._epoch_rnd:
+                self._epoch_cache.clear()
+                self._epoch_rnd = rnd
+            self._epoch_cache[epoch] = out
+        return out
+
+    def _check_and_add(self, urls: list[str]) -> list[bool]:
         if self.exact is not None:
             out = []
             h_new = []

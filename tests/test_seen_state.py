@@ -104,3 +104,27 @@ def test_crawl_with_approximate_seen_matches_exact(unit_corpus, tmp_path):
             .to_pylist()
         )
     assert logs["approx"] == logs["exact"]
+
+
+def test_check_and_add_epoch_idempotent():
+    """A retried bucket task (same epoch) must replay its ORIGINAL
+    answer — not see its own first attempt's marks — while a new epoch
+    observes the post-attempt state; old rounds' cache entries prune."""
+    from crawler_ai_ray.state.seen import UrlSeenShard
+
+    sh = UrlSeenShard(exact=True)
+    urls = [f"https://h.com/p{i}" for i in range(5)]
+    first = sh.check_and_add(urls, epoch="3:7:0")
+    assert first == [True] * 5
+    # retry: identical answer, no state change
+    assert sh.check_and_add(urls, epoch="3:7:0") == first
+    assert sh.n_seen() == 5
+    # a different epoch sees them as already-seen
+    assert sh.check_and_add(urls, epoch="3:8:0") == [False] * 5
+    # next round prunes older entries, then caches its own
+    sh.check_and_add(["https://h.com/new"], epoch="4:0:0")
+    assert "3:7:0" not in sh._epoch_cache
+    assert "4:0:0" in sh._epoch_cache
+    # epoch-less calls bypass the cache entirely (legacy behavior)
+    assert sh.check_and_add(["https://h.com/x"]) == [True]
+    assert sh.check_and_add(["https://h.com/x"]) == [False]
