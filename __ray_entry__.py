@@ -1314,6 +1314,102 @@ def _q_doc_langid(sf_dir: str):
     ).map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_doc_langid_confusion(sf_dir: str):
+    """Language-ID evaluation: labeled-vs-predicted confusion counts —
+    the standard classifier-eval rollup over the langid stage.  The
+    per-batch (lang, pred) combiner is ≤ |langs|² rows; driver merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from crawler_ai_ray.stages.textstats import langid_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = langid_batch(batch)
+        agg = t.group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "pred_lang": agg["pred_lang"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["lang", "pred_lang"])
+        .aggregate([("n", "sum")])
+    )
+    agg = agg.take(
+        pc.sort_indices(
+            agg,
+            sort_keys=[("lang", "ascending"), ("pred_lang", "ascending")],
+        )
+    )
+    return pa.table(
+        {
+            "lang": agg["lang"],
+            "pred_lang": agg["pred_lang"],
+            "n": pc.cast(agg["n_sum"], pa.int64()),
+        }
+    )
+
+
+def _q_events_anomaly(sf_dir: str, k: int = 3):
+    """Hourly volume anomaly flags per event type — the monitoring
+    rollup, with the z-score test evaluated in EXACT integers: hour
+    count n is anomalous iff ``(n·H − S)² > k²·(H·Q − S²)`` where
+    (S, Q, H) = (Σn, Σn², #hours) over the type's DENSE hour series
+    (silent hours count as 0 — a gap IS an anomaly signal).  Both
+    sides are int64-exact products of exact counts, so engine and
+    oracle agree bit-for-bit — no float mean/σ anywhere.  One combiner
+    pass; the dense series and the test run driver-side (bounded by
+    the time range × types, the `events_hourly_dense` argument)."""
+    import numpy as np
+    import pyarrow as pa
+
+    dense = _rel("events_hourly_dense")(sf_dir)
+    et = dense["event_type"].to_numpy(zero_copy_only=False)
+    hour = dense["hour"]
+    n = dense["n_events"].to_numpy(zero_copy_only=False)
+    flags = np.zeros(len(n), dtype=bool)
+    for t in np.unique(et):
+        m = et == t
+        x = n[m].astype(np.int64)
+        H = np.int64(len(x))
+        S = np.int64(x.sum())
+        Q = np.int64((x * x).sum())
+        lhs = (x * H - S) ** 2
+        rhs = np.int64(k * k) * (H * Q - S * S)
+        flags[m] = lhs > rhs
+    return pa.table(
+        {
+            "event_type": dense["event_type"],
+            "hour": hour,
+            "n_events": dense["n_events"],
+            "is_anomaly": pa.array(flags, pa.bool_()),
+        }
+    )
+
+
 def _q_doc_dsir_score(sf_dir: str):
     """DSIR-style importance score (Xie et al. 2023): hashed-unigram
     probability-difference weight of every document against the
@@ -2463,6 +2559,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
         "doc_bpe_tokenize": _q_doc_bpe_tokenize,
+        "doc_langid_confusion": _q_doc_langid_confusion,
+        "events_anomaly": _q_events_anomaly,
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2566,6 +2664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakage_safe",
         "doc_bpe_train",
         "doc_bpe_tokenize",
+        "doc_langid_confusion",
+        "events_anomaly",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -3592,6 +3692,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_quality": quality,
         "doc_langid": langid,
+        "doc_langid_confusion": f"""
+            SELECT lang, pred_lang, count(*)::BIGINT AS n
+            FROM ({langid}) t GROUP BY 1, 2""",
+        "events_anomaly": """
+            WITH b AS (
+              SELECT min(date_trunc('hour', ts)) AS lo,
+                     max(date_trunc('hour', ts)) AS hi
+              FROM events),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS hour FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            c AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT t.event_type, CAST(h.hour AS TIMESTAMP) AS hour,
+                     COALESCE(c.n, 0)::BIGINT AS n_events
+              FROM hours h CROSS JOIN types t
+              LEFT JOIN c ON c.hour = h.hour
+                AND c.event_type = t.event_type),
+            s AS (
+              SELECT event_type, sum(n_events)::BIGINT AS sn,
+                     sum(n_events*n_events)::BIGINT AS qn,
+                     count(*)::BIGINT AS hn
+              FROM d GROUP BY 1)
+            SELECT d.event_type, d.hour, d.n_events,
+                   (d.n_events*s.hn - s.sn)*(d.n_events*s.hn - s.sn)
+                     > 9*(s.hn*s.qn - s.sn*s.sn) AS is_anomaly
+            FROM d JOIN s USING (event_type)""",
         "doc_fingerprint_md5": """
             SELECT doc_id,
               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

