@@ -806,3 +806,143 @@ def test_anomaly_flags_planted_spike():
         H, S, Q = np.int64(len(x)), np.int64(x.sum()), np.int64((x * x).sum())
         want = (x * H - S) ** 2 > 9 * (H * Q - S * S)
         assert (g["is_anomaly"].to_numpy() == want).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _event_rows(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # event_id
+                draw(st.integers(0, 3 * 3600)),  # seconds offset
+                draw(st.integers(1, 5)),  # user_id
+                draw(st.sampled_from(["view", "click", "purchase"])),
+                draw(
+                    st.floats(
+                        0.01, 500, allow_nan=False, allow_infinity=False
+                    )
+                ),
+            )
+        )
+    return rows
+
+
+@settings(max_examples=6, deadline=None)
+@given(_event_rows())
+def test_relational_fuzz_rollup_running_pivot_dense(ray_session, rows):
+    """Random tiny event tables: the distributed rollup / running-total
+    / pivot / dense-hourly operators must match direct pandas
+    references exactly (all-integer aggregates ⇒ zero tolerance)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.pipelines.relational import (
+        events_hourly_dense,
+        events_pivot,
+        events_rollup,
+        events_running_total,
+    )
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(r[1], "s") for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/events.parquet")
+        df = tbl.to_pandas()
+        df["vc"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        df["day"] = df["ts"].dt.floor("D")
+        df["hour"] = df["ts"].dt.floor("h")
+
+        # rollup
+        eng = events_rollup(d).to_pandas()
+        fine = (
+            df.groupby(["event_type", "day"], as_index=False)
+            .agg(n_events=("vc", "size"), sum_value_cents=("vc", "sum"))
+        )
+        lvl1 = (
+            df.groupby("event_type", as_index=False)
+            .agg(n_events=("vc", "size"), sum_value_cents=("vc", "sum"))
+        )
+        lvl1["day"] = pd.NaT
+        total = pd.DataFrame(
+            {
+                "event_type": [None],
+                "day": [pd.NaT],
+                "n_events": [len(df)],
+                "sum_value_cents": [df["vc"].sum()],
+            }
+        )
+        want = pd.concat([fine, lvl1, total], ignore_index=True)[
+            ["event_type", "day", "n_events", "sum_value_cents"]
+        ].astype({"n_events": "int64", "sum_value_cents": "int64"})
+        key = ["event_type", "day"]
+        eng_s = eng.sort_values(key, ignore_index=True, na_position="first")
+        want_s = want.sort_values(key, ignore_index=True, na_position="first")
+        pd.testing.assert_frame_equal(eng_s, want_s, check_dtype=False)
+
+        # running total (purchases only)
+        eng = events_running_total(d).to_pandas()
+        p = df[df["event_type"] == "purchase"].sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        if len(p) == 0:
+            assert len(eng) == 0
+            eng = None
+        else:
+            eng = eng.sort_values("event_id", ignore_index=True)
+        if eng is not None:
+            p = p.assign(
+                running_cents=p.groupby("user_id")["vc"].cumsum()
+            )
+            want = (
+                p[["event_id", "user_id", "ts", "vc", "running_cents"]]
+                .rename(columns={"vc": "value_cents"})
+                .sort_values("event_id", ignore_index=True)
+                .astype({"running_cents": "int64"})
+            )
+            pd.testing.assert_frame_equal(eng, want, check_dtype=False)
+
+        # pivot
+        eng = events_pivot(d).to_pandas().sort_values("day", ignore_index=True)
+        assert (
+            eng[[c for c in eng.columns if c.startswith("n_")]].sum(axis=1)
+            == eng["total"]
+        ).all()
+        assert eng["total"].sum() == len(df)
+        per_type = df.groupby("event_type").size()
+        for t, cnt in per_type.items():
+            assert eng[f"n_{t}"].sum() == cnt
+
+        # dense hourly
+        eng = events_hourly_dense(d).to_pandas()
+        lo, hi = df["hour"].min(), df["hour"].max()
+        n_hours = int((hi - lo) / pd.Timedelta(hours=1)) + 1
+        assert (
+            eng.groupby("event_type")["hour"].count() == n_hours
+        ).all()
+        assert eng["n_events"].sum() == len(df)
+        got = eng.set_index(["event_type", "hour"])["n_events"]
+        for (t, h), cnt in (
+            df.groupby(["event_type", "hour"]).size().items()
+        ):
+            assert got.loc[(t, h)] == cnt
