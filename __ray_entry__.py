@@ -804,6 +804,102 @@ def _q_crawl_sitemap_jobs(sf_dir: str):
     )
 
 
+def _q_crawl_sitemap_coverage(sf_dir: str):
+    """Sitemap-loc recall of the crawl, per target host: how many of
+    the job locs the sitemaps advertise did the frontier actually
+    fetch → (host, n_sitemap_urls, n_crawled, coverage_milli).  The
+    audit query a crawl operator runs to find hosts whose discovery
+    path (links vs sitemap) is leaking.
+
+    Shape: sitemap locs are the SMALL side (per-host sitemaps are
+    bounded) — they collect once, sort, broadcast; the crawl fetch log
+    streams through one `map_batches` match pass (searchsorted) whose
+    per-batch output is matched-loc INDICES, OR-merged into one bitset
+    driver-side; counts and the exact integer coverage ratio are a
+    ≤hosts-sized rollup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.functions.sitemap import sitemap_jobs_batch
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    loc_blocks = [
+        t
+        for t in ray.get(
+            _pages(sf_dir, columns=["url", "html"])
+            .map_batches(sitemap_jobs_batch, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_sitemap_urls": pa.array([], pa.int64()),
+            "n_crawled": pa.array([], pa.int64()),
+            "coverage_milli": pa.array([], pa.int64()),
+        }
+    )
+    if not loc_blocks:
+        return empty
+    loc_tbl = pa.concat_tables(loc_blocks)
+    locs = np.unique(
+        np.asarray(loc_tbl["loc"].to_pylist(), dtype=object)
+    )
+    if not len(locs):
+        return empty
+    loc_ref = ray.put(locs)
+
+    def match(batch: pa.Table) -> pa.Table:
+        ks = ray.get(loc_ref)
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, urls)
+        idx_c = np.minimum(idx, len(ks) - 1)
+        hit = ks[idx_c] == urls
+        return pa.table(
+            {"loc_idx": pa.array(idx_c[hit].astype(np.int64), pa.int64())}
+        )
+
+    out_dir = _ensure_crawl(sf_dir)
+    fetched = np.zeros(len(locs), dtype=bool)
+    for t in ray.get(
+        ray.data.read_parquet(crawl_output_files(out_dir))
+        .filter(expr="kind == 'o'")
+        .select_columns(["url"])
+        .map_batches(match, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            fetched[t["loc_idx"].to_numpy(zero_copy_only=False)] = True
+
+    hosts = np.array([u.split("/")[2] for u in locs], dtype=object)
+    order = np.argsort(hosts, kind="stable")
+    h, f = hosts[order], fetched[order]
+    new = np.empty(len(h), dtype=bool)
+    new[0] = True
+    new[1:] = h[1:] != h[:-1]
+    starts = np.append(np.flatnonzero(new), len(h))
+    out_h, out_n, out_c = [], [], []
+    for i, j in zip(starts[:-1], starts[1:]):
+        out_h.append(h[i])
+        out_n.append(j - i)
+        out_c.append(int(f[i:j].sum()))
+    n = np.array(out_n, dtype=np.int64)
+    c = np.array(out_c, dtype=np.int64)
+    return pa.table(
+        {
+            "host": pa.array(list(out_h), pa.string()),
+            "n_sitemap_urls": pa.array(n, pa.int64()),
+            "n_crawled": pa.array(c, pa.int64()),
+            "coverage_milli": pa.array(c * 1000 // n, pa.int64()),
+        }
+    )
+
+
 def _q_crawl_api_jobs(sf_dir: str):
     """M31: API-response job parser over JSON endpoint pages
     (job_extraction_service.py:3740-3805)."""
@@ -2561,6 +2657,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokenize": _q_doc_bpe_tokenize,
         "doc_langid_confusion": _q_doc_langid_confusion,
         "events_anomaly": _q_events_anomaly,
+        "crawl_sitemap_coverage": _q_crawl_sitemap_coverage,
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2666,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokenize",
         "doc_langid_confusion",
         "events_anomaly",
+        "crawl_sitemap_coverage",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4404,6 +4502,21 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        # sitemap recall audit: locs from the extraction golden, the
+        # fetched set from the INDEPENDENT simulator's fetch log
+        "crawl_sitemap_coverage": f"""
+            WITH l AS (
+              SELECT DISTINCT unnest(sitemap_job_locs) AS loc
+              FROM read_parquet('{golden}')
+              WHERE url LIKE '%/sitemap.xml'),
+            lh AS (SELECT loc, string_split(loc, '/')[3] AS host FROM l),
+            f AS (SELECT DISTINCT url FROM read_parquet('{sim_crawl}'))
+            SELECT host, count(*)::BIGINT AS n_sitemap_urls,
+                   count(f.url)::BIGINT AS n_crawled,
+                   (count(f.url) * 1000 // count(*))::BIGINT
+                     AS coverage_milli
+            FROM lh LEFT JOIN f ON f.url = lh.loc
+            GROUP BY host""",
         # mm goldens: same pure stage callables run SEQUENTIALLY on the
         # driver (decode pinned by codec round-trip tests) — the query
         # side exercises the Ray actor-pool plumbing over the same
