@@ -584,12 +584,19 @@ def knn_pq_rerank(
     cv = cand_tbl["vec_id"].to_numpy(zero_copy_only=False)
     vkeys = np.unique(cv)
     qn = _normalize(queries.astype(np.float64))
+    qids64 = query_ids.astype(np.int64)
+    # per-query SORTED candidate arrays: the exact pass emits a row
+    # only for (query, vec) pairs the shortlist proposed — ≤ Q×rerank
+    # rows total, never candidates×Q (which would be quadratic in Q)
+    per_q = {
+        int(qid): np.sort(cv[cq == qid]) for qid in qids64
+    }
     v_ref = ray.put(vkeys)
-    q_ref = ray.put((qn, query_ids.astype(np.int64)))
+    q_ref = ray.put((qn, qids64, per_q))
 
     def exact_rows(batch: pa.Table) -> pa.Table:
         ks = ray.get(v_ref)
-        qmat, qids = ray.get(q_ref)
+        qmat, qids, qcand = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ks) == 0 or len(ids) == 0:
             return _topk_table(
@@ -603,12 +610,32 @@ def knn_pq_rerank(
             )
         mat = _normalize(list_col_to_matrix(batch[emb_col]))[hit]
         ids = ids[hit]
-        sims = mat @ qmat.T  # (n_cand_in_batch, Q)
-        nq = len(qids)
+        # ONE GEMM for the batch's candidate rows (same matmul shape
+        # family as the exact path — keeps sims bit-comparable), then
+        # per-query subsetting decides which rows are EMITTED
+        sims_all = mat @ qmat.T  # (n_cand_in_batch, Q)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            cands = qcand[int(qid)]
+            if not len(cands):
+                continue
+            pos = np.searchsorted(cands, ids)
+            sel = (pos < len(cands)) & (
+                cands[np.minimum(pos, len(cands) - 1)] == ids
+            )
+            if not sel.any():
+                continue
+            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims_all[sel, qi])
+        if not out_q:
+            return _topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+            )
         return _topk_table(
-            np.tile(qids, len(ids)),
-            np.repeat(ids, nq),
-            sims.reshape(-1),
+            np.concatenate(out_q),
+            np.concatenate(out_v),
+            np.concatenate(out_s),
         )
 
     rows = pa.concat_tables(
@@ -627,21 +654,11 @@ def knn_pq_rerank(
             )
         ]
     )
-    # keep only (query, vec) pairs the shortlist proposed, then final
-    # per-query exact top-k (≤ Q × rerank rows — driver-sized)
-    shortlist = set(zip(cq.tolist(), cv.tolist()))
+    # rows are already exactly the shortlisted (query, vec) pairs
+    # (≤ Q × rerank — driver-sized); final per-query exact top-k
     rq = rows["query_id"].to_numpy(zero_copy_only=False)
     rv = rows["vec_id"].to_numpy(zero_copy_only=False)
     rs = rows["sim"].to_numpy(zero_copy_only=False)
-    keep = np.fromiter(
-        (
-            (int(a), int(b)) in shortlist
-            for a, b in zip(rq, rv)
-        ),
-        dtype=bool,
-        count=len(rq),
-    )
-    rq, rv, rs = rq[keep], rv[keep], rs[keep]
     out_q, out_v, out_r, out_s = [], [], [], []
     for qid in query_ids.astype(np.int64):
         msk = rq == qid
