@@ -195,6 +195,12 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_cooccurrence",
         "events_value_sketch",
         "emb_knn_pq",
+        "events_pivot",
+        "events_hourly_dense",
+        "events_anomaly",
+        "doc_langid_confusion",
+        "part_min_price_per_brand",
+        "doc_bpe_tokenize",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
