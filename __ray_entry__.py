@@ -327,6 +327,71 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     return snapshot_diff_tagged(_snapshot_tagged(sf_dir), num_buckets=64)
 
 
+def _q_crawl_frontier_depth(sf_dir: str):
+    """Crawl-depth profile: how many pages the frontier fetched at each
+    round, per success flag → (round, success, n_pages) — the
+    discovery-depth histogram a crawl operator reads first.  Combiner
+    over the checkpoint stream; ≤ rounds × 2 rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_crawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["round", "success"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "round": pc.cast(agg["round"], pa.int32()),
+                "success": agg["success"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(crawl_output_files(out_dir))
+            .filter(expr="kind == 'o'")
+            .select_columns(["round", "success"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "round": pa.array([], pa.int32()),
+                "success": pa.array([], pa.bool_()),
+                "n_pages": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["round", "success"])
+        .aggregate([("n", "sum")])
+    )
+    agg = agg.take(
+        pc.sort_indices(
+            agg, sort_keys=[("round", "ascending"), ("success", "ascending")]
+        )
+    )
+    return pa.table(
+        {
+            "round": agg["round"],
+            "success": agg["success"],
+            "n_pages": pc.cast(agg["n_sum"], pa.int64()),
+        }
+    )
+
+
 def _q_crawl_recrawl_priority(sf_dir: str):
     """Change-rate-driven recrawl scheduling — the composition a real
     incremental crawler runs on top of the snapshot diff: per host,
@@ -2658,6 +2723,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_confusion": _q_doc_langid_confusion,
         "events_anomaly": _q_events_anomaly,
         "crawl_sitemap_coverage": _q_crawl_sitemap_coverage,
+        "crawl_frontier_depth": _q_crawl_frontier_depth,
+        "events_transitions": _rel("events_transitions"),
         "doc_sample": _q_doc_sample,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_repetition": _q_doc_repetition,
@@ -2764,6 +2831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_confusion",
         "events_anomaly",
         "crawl_sitemap_coverage",
+        "crawl_frontier_depth",
+        "events_transitions",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4502,6 +4571,21 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        "crawl_frontier_depth": f"""
+            SELECT round, success, count(*)::BIGINT AS n_pages
+            FROM read_parquet('{sim_crawl}')
+            GROUP BY round, success""",
+        "events_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events)
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2""",
         # sitemap recall audit: locs from the extraction golden, the
         # fetched set from the INDEPENDENT simulator's fetch log
         "crawl_sitemap_coverage": f"""

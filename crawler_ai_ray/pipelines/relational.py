@@ -48,6 +48,7 @@ __all__ = [
     "events_running_total",
     "events_pivot",
     "events_hourly_dense",
+    "events_transitions",
     "part_min_price_per_brand",
     "events_daily_active",
     "events_no_purchase_users",
@@ -3459,5 +3460,117 @@ def part_min_price_per_brand(sf_dir: str):
             "min_price_cents": pc.cast(win["price_cents"], pa.int64()),
             "p_partkey": win["p_partkey"],
             "p_name": win["p_name"],
+        }
+    )
+
+
+def events_transitions(sf_dir: str, num_buckets: int = 64):
+    """→ (from_type, to_type, n): counts of CONSECUTIVE event-type
+    pairs per user ordered by (ts, event_id) — the empirical Markov
+    transition matrix behavioral analytics fits (SQL: LAG OVER
+    (PARTITION BY user ORDER BY ...) then GROUP BY).
+
+    One user-keyed shuffle (a user's sequence lives in one bucket);
+    inside a bucket the transitions fall out of one lexsort and a
+    shifted compare — the pair (row i, row i+1) counts iff both rows
+    belong to the same user — then an Arrow hash-agg emits the
+    ≤ types² bucket partial.  Driver merges ≤ buckets × types² rows."""
+    import ray
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    pow2 = num_buckets & (num_buckets - 1) == 0
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (
+            (uid.astype(np.uint64) & np.uint64(num_buckets - 1))
+            if pow2
+            else (uid.astype(np.uint64) % np.uint64(num_buckets))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def trans_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts.view(np.int64), uid))
+        u, t = uid[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        agg = (
+            pa.table(
+                {
+                    "from_type": pa.array(t[:-1][same]),
+                    "to_type": pa.array(t[1:][same]),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "from_type": agg["from_type"],
+                "to_type": agg["to_type"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(trans_bucket, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["from_type", "to_type"])
+        .aggregate([("n", "sum")])
+    )
+    agg = agg.take(
+        pc.sort_indices(
+            agg,
+            sort_keys=[("from_type", "ascending"), ("to_type", "ascending")],
+        )
+    )
+    return pa.table(
+        {
+            "from_type": agg["from_type"],
+            "to_type": agg["to_type"],
+            "n": pc.cast(agg["n_sum"], pa.int64()),
         }
     )

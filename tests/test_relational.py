@@ -946,3 +946,39 @@ def test_relational_fuzz_rollup_running_pivot_dense(ray_session, rows):
             df.groupby(["event_type", "hour"]).size().items()
         ):
             assert got.loc[(t, h)] == cnt
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transitions_vs_duckdb_and_bucket_invariance(duck):
+    from crawler_ai_ray.pipelines.relational import events_transitions
+
+    key = ["from_type", "to_type"]
+    eng = (
+        events_transitions(SF)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*)::BIGINT AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      """).df().sort_values(key, ignore_index=True)
+    assert_frames_equal(eng, ora)
+    # total transitions = events - distinct users
+    totals = duck.sql(
+        "SELECT count(*) - count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert eng["n"].sum() == totals
+    for nb in (1, 5):
+        alt = (
+            events_transitions(SF, num_buckets=nb)
+            .to_pandas()
+            .sort_values(key, ignore_index=True)
+        )
+        assert eng.equals(alt)
