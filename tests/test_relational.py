@@ -982,3 +982,155 @@ def test_transitions_vs_duckdb_and_bucket_invariance(duck):
             .sort_values(key, ignore_index=True)
         )
         assert eng.equals(alt)
+
+
+@st.composite
+def _tpch_rows(draw):
+    n_cust = draw(st.integers(2, 8))
+    n_ord = draw(st.integers(0, 25))
+    n_li = draw(st.integers(0, 60))
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    segs = ["BUILDING", "MACHINERY"]
+    orders = [
+        (
+            i,
+            draw(st.integers(0, n_cust - 1)),
+            draw(st.sampled_from(prios)),
+            draw(st.integers(0, 2000)),  # days offset from 1995-01-01
+            draw(st.floats(1, 9999, allow_nan=False, allow_infinity=False)),
+        )
+        for i in range(n_ord)
+    ]
+    custs = [
+        (
+            c,
+            f"Customer{c}",
+            draw(st.sampled_from(segs)),
+            draw(st.floats(-500, 5000, allow_nan=False, allow_infinity=False)),
+        )
+        for c in range(n_cust)
+    ]
+    lis = [
+        (
+            draw(st.integers(0, max(n_ord - 1, 0))),
+            draw(st.integers(1, 3)),
+            draw(st.sampled_from(["A", "N", "R"])),
+            draw(st.floats(1, 50, allow_nan=False, allow_infinity=False)),
+            draw(st.integers(0, 2000)),
+            draw(st.floats(1, 999, allow_nan=False, allow_infinity=False)),
+            draw(st.floats(0, 0.1, allow_nan=False, allow_infinity=False)),
+        )
+        for _ in range(n_li if n_ord else 0)
+    ]
+    return custs, orders, lis
+
+
+@settings(max_examples=5, deadline=None)
+@given(_tpch_rows())
+def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
+    """Random tiny TPC-H tables: the engine pipelines and THEIR OWN
+    oracle_sql() strings must agree on arbitrary data, not just the
+    fixed corpus — catches any hidden data-shape assumption on either
+    side (Q13 zero-preservation, Q4/Q22 empty semi/anti sides, Q15
+    ties)."""
+    import tempfile
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    custs, orders, lis = data
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(86400, "s")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
+                    "c_name": pa.array([c[1] for c in custs], pa.string()),
+                    "c_nationkey": pa.array([0] * len(custs), pa.int32()),
+                    "c_acctbal": pa.array([c[3] for c in custs], pa.float64()),
+                    "c_mktsegment": pa.array([c[2] for c in custs], pa.string()),
+                }
+            ),
+            f"{d}/customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                    "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                    "o_totalprice": pa.array([o[4] for o in orders], pa.float64()),
+                    "o_orderdate": pa.array(
+                        [base + o[3] * day for o in orders], pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(
+                        [o[2] for o in orders], pa.string()
+                    ),
+                }
+            ),
+            f"{d}/orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([r[0] for r in lis], pa.int64()),
+                    "l_partkey": pa.array([0] * len(lis), pa.int64()),
+                    "l_suppkey": pa.array([r[1] for r in lis], pa.int64()),
+                    "l_linenumber": pa.array(
+                        list(range(len(lis))), pa.int32()
+                    ),
+                    "l_quantity": pa.array([r[3] for r in lis], pa.float64()),
+                    "l_extendedprice": pa.array(
+                        [r[5] for r in lis], pa.float64()
+                    ),
+                    "l_discount": pa.array([r[6] for r in lis], pa.float64()),
+                    "l_tax": pa.array([0.0] * len(lis), pa.float64()),
+                    "l_returnflag": pa.array([r[2] for r in lis], pa.string()),
+                    "l_linestatus": pa.array(["O"] * len(lis), pa.string()),
+                    "l_shipdate": pa.array(
+                        [base + r[4] * day for r in lis], pa.timestamp("us")
+                    ),
+                }
+            ),
+            f"{d}/lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                    "s_name": pa.array(
+                        ["Supp1", "Supp2", "Supp3"], pa.string()
+                    ),
+                    "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+                    "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+                }
+            ),
+            f"{d}/supplier.parquet",
+        )
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "supplier"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+            )
+        qs = entry.queries()
+        osql = entry.oracle_sql()
+        for name in (
+            "tpch_q13_custdist",
+            "tpch_q4_priority",
+            "tpch_q15_top_supplier",
+            "tpch_q22_inactive",
+        ):
+            res = qs[name](d)
+            eng = res.to_pandas()
+            ora = con.sql(osql[name]).df()
+            cols = sorted(eng.columns)
+            eng = eng[cols].sort_values(cols, ignore_index=True)
+            ora = ora[cols].sort_values(cols, ignore_index=True)
+            pd.testing.assert_frame_equal(
+                eng, ora, check_dtype=False
+            ), name
