@@ -1475,6 +1475,30 @@ def _q_doc_langid(sf_dir: str):
     ).map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_doc_nb_train(sf_dir: str):
+    """Multinomial-NB language model trained distributed: one
+    (lang, term)-count combiner pass, vocab-bounded driver state,
+    log-micros weights (+1 smoothing over the full lang × vocab
+    grid) + per-lang priors ('' term rows)."""
+    from crawler_ai_ray.stages.textstats import nb_train
+
+    model_tbl, _ = nb_train(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+    return model_tbl
+
+
+def _q_doc_nb_classify(sf_dir: str):
+    """Train-then-apply: the NB model broadcasts once and every doc
+    scores with vectorized integer accumulation — argmax (ties →
+    earlier lang) is bit-deterministic and SQL-reproducible."""
+    from crawler_ai_ray.stages.textstats import nb_classify, nb_train
+
+    ds = _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    _, state = nb_train(ds)
+    return nb_classify(ds, state)
+
+
 def _q_doc_langid_confusion(sf_dir: str):
     """Language-ID evaluation: labeled-vs-predicted confusion counts —
     the standard classifier-eval rollup over the langid stage.  The
@@ -2723,6 +2747,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_confusion": _q_doc_langid_confusion,
         "events_anomaly": _q_events_anomaly,
         "crawl_sitemap_coverage": _q_crawl_sitemap_coverage,
+        "doc_nb_train": _q_doc_nb_train,
+        "doc_nb_classify": _q_doc_nb_classify,
         "crawl_frontier_depth": _q_crawl_frontier_depth,
         "events_transitions": _rel("events_transitions"),
         "doc_sample": _q_doc_sample,
@@ -2833,6 +2859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap_coverage",
         "crawl_frontier_depth",
         "events_transitions",
+        "doc_nb_train",
+        "doc_nb_classify",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -3862,6 +3890,85 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid_confusion": f"""
             SELECT lang, pred_lang, count(*)::BIGINT AS n
             FROM ({langid}) t GROUP BY 1, 2""",
+        # ln() is the same libm double on both engines; FLOOR(x*1e6+0.5)
+        # mirrors the engine's micro-rounding exactly (DSIR precedent)
+        "doc_nb_train": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            c AS (SELECT lang, term, count(*)::BIGINT AS c
+                  FROM tok GROUP BY 1, 2),
+            nl AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            dl AS (SELECT lang, count(*)::BIGINT AS nd
+                   FROM documents GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS td FROM documents),
+            v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tok),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            vocab AS (SELECT DISTINCT term FROM tok),
+            grid AS (SELECT l.lang, t.term FROM langs l CROSS JOIN vocab t)
+            SELECT g.lang, g.term,
+                   CAST(FLOOR(ln((COALESCE(c.c, 0) + 1)::DOUBLE
+                              / (COALESCE(nl.n, 0) + v.v))
+                              * 1000000 + 0.5) AS BIGINT)
+                     AS weight_micros
+            FROM grid g
+            LEFT JOIN nl USING (lang) CROSS JOIN v
+            LEFT JOIN c ON c.lang = g.lang AND c.term = g.term
+            UNION ALL
+            SELECT dl.lang, '' AS term,
+                   CAST(FLOOR(ln(dl.nd::DOUBLE / tot.td) * 1000000 + 0.5)
+                        AS BIGINT)
+            FROM dl CROSS JOIN tot""",
+        "doc_nb_classify": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            c AS (SELECT lang, term, count(*)::BIGINT AS c
+                  FROM tok GROUP BY 1, 2),
+            nl AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            dl AS (SELECT lang, count(*)::BIGINT AS nd
+                   FROM documents GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS td FROM documents),
+            v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tok),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            vocab AS (SELECT DISTINCT term FROM tok),
+            w AS (
+              SELECT g.lang, g.term,
+                     CAST(FLOOR(ln((COALESCE(c.c, 0) + 1)::DOUBLE
+                                / (COALESCE(nl.n, 0) + v.v))
+                                * 1000000 + 0.5) AS BIGINT) AS wm
+              FROM (SELECT l.lang, t.term
+                    FROM langs l CROSS JOIN vocab t) g
+              LEFT JOIN nl USING (lang) CROSS JOIN v
+              LEFT JOIN c ON c.lang = g.lang AND c.term = g.term),
+            pri AS (
+              SELECT dl.lang,
+                     CAST(FLOOR(ln(dl.nd::DOUBLE / tot.td)
+                                * 1000000 + 0.5) AS BIGINT) AS pm
+              FROM dl CROSS JOIN tot),
+            doctf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2),
+            scores AS (
+              SELECT d.doc_id, l.lang AS cand,
+                     pri.pm + COALESCE(sum(doctf.tf * w.wm), 0) AS score
+              FROM documents d CROSS JOIN langs l
+              JOIN pri ON pri.lang = l.lang
+              LEFT JOIN doctf ON doctf.doc_id = d.doc_id
+              LEFT JOIN w ON w.lang = l.lang AND w.term = doctf.term
+              GROUP BY 1, 2, pri.pm),
+            r AS (
+              SELECT doc_id, cand,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, cand ASC) AS rk
+              FROM scores)
+            SELECT d.doc_id, d.lang, r.cand AS pred_nb
+            FROM r JOIN documents d USING (doc_id) WHERE rk = 1""",
         "events_anomaly": """
             WITH b AS (
               SELECT min(date_trunc('hour', ts)) AS lo,

@@ -1597,3 +1597,188 @@ def bpe_apply(ds, merges: list[tuple[str, str]], text_col: str = "text"):
         )
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# --- Naive Bayes language classifier (count-based train + apply) ----------
+
+def nb_train(ds, text_col: str = "text", lang_col: str = "lang"):
+    """documents(lang-labeled) → the multinomial-NB model, exactly:
+    per-(lang, term) smoothed log-likelihood and per-lang log-prior,
+    both as MICRO-ints (``floor(ln(·)·1e6 + 0.5)``, the DSIR log-micros
+    pattern — ln is the same libm double on both engines, the floor
+    mirrors SQL).  Training a count-based model is a pure aggregation,
+    so it distributes as ONE combiner pass: per-batch (lang, term)
+    counts + per-lang doc counts; the driver merge holds the
+    vocab-bounded state (the `doc_commonness` boundary) and derives
+    weights for the FULL lang × vocab grid (absent pairs get the
+    +1-smoothed floor weight) →
+    (lang, term, weight_micros) + (lang, '', prior row).
+
+    Returns ``(model_table, model_state)`` where ``model_state`` =
+    (langs, vocab, W, priors) ready for `nb_classify`'s broadcast."""
+    import math
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        langs = batch[lang_col].combine_chunks() if isinstance(
+            batch[lang_col], pa.ChunkedArray
+        ) else batch[lang_col]
+        t = pa.table(
+            {
+                "lang": langs.take(parent.filter(keep)),
+                "term": flat.filter(keep),
+            }
+        )
+        agg = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        dl = (
+            pa.table({"lang": batch[lang_col]})
+            .group_by("lang")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": pa.concat_arrays(
+                    [
+                        agg["lang"].combine_chunks(),
+                        dl["lang"].combine_chunks(),
+                    ]
+                ),
+                "term": pa.concat_arrays(
+                    [
+                        agg["term"].combine_chunks(),
+                        pa.array([None] * dl.num_rows, pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pc.cast(agg["count_all"], pa.int64()).combine_chunks(),
+                        pc.cast(dl["count_all"], pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    term_counts: dict[tuple[str, str], int] = {}
+    doc_counts: dict[str, int] = {}
+    for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if not t.num_rows:
+            continue
+        for lg, tm, n in zip(
+            t["lang"].to_pylist(), t["term"].to_pylist(), t["n"].to_pylist()
+        ):
+            if tm is None:
+                doc_counts[lg] = doc_counts.get(lg, 0) + n
+            else:
+                term_counts[(lg, tm)] = term_counts.get((lg, tm), 0) + n
+
+    langs = sorted(doc_counts)
+    vocab = sorted({tm for _, tm in term_counts})
+    v = len(vocab)
+    total_docs = sum(doc_counts.values())
+    tok_totals = {
+        lg: sum(n for (l2, _), n in term_counts.items() if l2 == lg)
+        for lg in langs
+    }
+    vpos = {tm: i for i, tm in enumerate(vocab)}
+    W = np.zeros((len(langs), v), dtype=np.int64)
+    for li, lg in enumerate(langs):
+        denom = tok_totals.get(lg, 0) + v
+        base = math.floor(math.log(1.0 / denom) * 1e6 + 0.5)
+        W[li, :] = base
+        for (l2, tm), n in term_counts.items():
+            if l2 == lg:
+                W[li, vpos[tm]] = math.floor(
+                    math.log((n + 1.0) / denom) * 1e6 + 0.5
+                )
+    priors = np.array(
+        [
+            math.floor(
+                math.log(doc_counts[lg] / total_docs) * 1e6 + 0.5
+            )
+            for lg in langs
+        ],
+        dtype=np.int64,
+    )
+    rows_lang, rows_term, rows_w = [], [], []
+    for li, lg in enumerate(langs):
+        rows_lang.append(lg)
+        rows_term.append("")
+        rows_w.append(int(priors[li]))
+        for ti, tm in enumerate(vocab):
+            rows_lang.append(lg)
+            rows_term.append(tm)
+            rows_w.append(int(W[li, ti]))
+    model_tbl = pa.table(
+        {
+            "lang": pa.array(rows_lang, pa.string()),
+            "term": pa.array(rows_term, pa.string()),
+            "weight_micros": pa.array(rows_w, pa.int64()),
+        }
+    )
+    return model_tbl, (langs, vocab, W, priors)
+
+
+def nb_classify(ds, model_state, text_col: str = "text"):
+    """→ (doc_id, lang, pred_nb): argmax-lang under the trained NB
+    model — broadcast (sorted vocab, weight matrix, priors) once via
+    ``ray.put``; per batch the doc×term tf counts map onto vocab codes
+    with one searchsorted, and each lang's score accumulates with one
+    vectorized ``np.add.at`` (L small).  Integer scores ⇒ the argmax
+    (ties → earlier lang in sorted order) is bit-deterministic and
+    SQL-reproducible."""
+    import ray
+
+    langs, vocab, W, priors = model_state
+    vocab_arr = np.array(vocab, dtype=object)
+    ref = ray.put((vocab_arr, W, priors))
+
+    def score(batch: pa.Table) -> pa.Table:
+        varr, w, pri = ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        docs = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        scores = np.tile(pri, (n_docs, 1))  # (docs, L)
+        if len(words):
+            pos = np.searchsorted(varr, words)
+            pos_c = np.minimum(pos, len(varr) - 1)
+            hit = varr[pos_c] == words
+            d, p = docs[hit], pos_c[hit]
+            for li in range(w.shape[0]):
+                np.add.at(scores[:, li], d, w[li, p])
+        best = np.argmax(scores, axis=1)  # first max wins ⇒ ties →
+        # earlier lang in sorted order, same rule as the SQL row_number
+        langs_np = np.array(langs, dtype=object)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_nb": pa.array(langs_np[best].tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

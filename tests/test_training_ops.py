@@ -1714,3 +1714,43 @@ def test_bpe_train_hand_case_and_corpus_compression(ray_session, docs_ds):
     # well below the character count
     assert (m["n_tokens_bpe_trained"] >= n_words).all()
     assert m["n_tokens_bpe_trained"].sum() < n_chars.sum()
+
+
+def test_nb_train_classify_hand_case(ray_session):
+    """Toy corpus with disjoint vocabularies: NB must classify each
+    doc by its own language's terms; a mixed doc goes to the lang
+    with more matching evidence."""
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import nb_classify, nb_train
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": [
+                "alpha alpha beta",
+                "alpha beta beta",
+                "gamma delta gamma",
+                "delta delta gamma",
+                "alpha gamma gamma",  # mixed: 2 gr-terms vs 1 en-term
+            ],
+            "lang": ["en", "en", "gr", "gr", "gr"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    model_tbl, state = nb_train(ds)
+    langs, vocab, W, priors = state
+    assert langs == ["en", "gr"]
+    assert vocab == ["alpha", "beta", "delta", "gamma"]
+    # en never saw 'gamma': its weight is the smoothed floor
+    en, gr = 0, 1
+    g_i = vocab.index("gamma")
+    a_i = vocab.index("alpha")
+    assert W[en, g_i] < W[gr, g_i]
+    assert W[en, a_i] > W[gr, a_i]
+    out = (
+        nb_classify(ds, state)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["pred_nb"]) == ["en", "en", "gr", "gr", "gr"]
