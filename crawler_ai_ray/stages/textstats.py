@@ -1670,40 +1670,52 @@ def nb_train(ds, text_col: str = "text", lang_col: str = "lang"):
             }
         )
 
+    blocks = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
     term_counts: dict[tuple[str, str], int] = {}
     doc_counts: dict[str, int] = {}
-    for t in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if not t.num_rows:
-            continue
+    if blocks:
+        # ONE Arrow hash-agg merges all partials (C++, not a Python
+        # dict loop over vocab × langs × blocks rows)
+        merged = (
+            pa.concat_tables(blocks)
+            .group_by(["lang", "term"])
+            .aggregate([("n", "sum")])
+        )
         for lg, tm, n in zip(
-            t["lang"].to_pylist(), t["term"].to_pylist(), t["n"].to_pylist()
+            merged["lang"].to_pylist(),
+            merged["term"].to_pylist(),
+            merged["n_sum"].to_pylist(),
         ):
             if tm is None:
-                doc_counts[lg] = doc_counts.get(lg, 0) + n
+                doc_counts[lg] = n
             else:
-                term_counts[(lg, tm)] = term_counts.get((lg, tm), 0) + n
+                term_counts[(lg, tm)] = n
 
     langs = sorted(doc_counts)
     vocab = sorted({tm for _, tm in term_counts})
     v = len(vocab)
     total_docs = sum(doc_counts.values())
-    tok_totals = {
-        lg: sum(n for (l2, _), n in term_counts.items() if l2 == lg)
-        for lg in langs
-    }
+    lpos = {lg: i for i, lg in enumerate(langs)}
     vpos = {tm: i for i, tm in enumerate(vocab)}
+    tok_totals = np.zeros(len(langs), dtype=np.int64)
+    for (lg, _), n in term_counts.items():
+        tok_totals[lpos[lg]] += n
     W = np.zeros((len(langs), v), dtype=np.int64)
     for li, lg in enumerate(langs):
-        denom = tok_totals.get(lg, 0) + v
-        base = math.floor(math.log(1.0 / denom) * 1e6 + 0.5)
-        W[li, :] = base
-        for (l2, tm), n in term_counts.items():
-            if l2 == lg:
-                W[li, vpos[tm]] = math.floor(
-                    math.log((n + 1.0) / denom) * 1e6 + 0.5
-                )
+        denom = int(tok_totals[li]) + v
+        W[li, :] = math.floor(math.log(1.0 / denom) * 1e6 + 0.5)
+    for (lg, tm), n in term_counts.items():
+        li = lpos[lg]
+        denom = int(tok_totals[li]) + v
+        W[li, vpos[tm]] = math.floor(
+            math.log((n + 1.0) / denom) * 1e6 + 0.5
+        )
     priors = np.array(
         [
             math.floor(
