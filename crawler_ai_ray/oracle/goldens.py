@@ -1,11 +1,14 @@
 """Lazily-built oracle golden tables — shrink the driver's ``no_oracle``
-set (VERDICT r01 item 7).
+set (VERDICT r01 item 7; by round-2 close only ``crawl_metrics`` —
+wall-clock lineage — remains rows-only).
 
-Three goldens per (corpus tag, testdata dir):
+Golden families per (corpus tag, testdata dir), each a deterministic
+function of the corpus + the driver's testdata tables, built once per
+corpus/golden version under the corpus directory:
 
 * ``sim_crawl.parquet`` — the INDEPENDENT sequential crawl simulator's
-  fetch log (``oracle/sim.py``); makes ``crawl_loop`` DuckDB-checkable
-  (`SELECT ... FROM read_parquet(...)`) instead of rows-only.
+  fetch log (``oracle/sim.py``); makes ``crawl_loop`` (and the
+  frontier-depth / sitemap-coverage audits) DuckDB-checkable.
 * ``simhash.parquet`` — (doc_id, simhash) via the pure ``simhash64``
   (pinned by unit tests).  The PAIRING oracle is then brute-force SQL:
   any pair at Hamming ≤ 3 over 64 bits must share one of the 4 16-bit
@@ -19,9 +22,19 @@ Three goldens per (corpus tag, testdata dir):
   the engine's shuffle/bucket orchestration.
 * ``rolling.parquet`` — (doc_id, fingerprint) rolling-hash golden
   (jobs_golden pattern: same pure fn, plumbing checked end-to-end).
-
-All are deterministic functions of the corpus + the driver's testdata
-tables, built once per corpus version under the corpus directory.
+* ``events_hll.parquet`` / ``events_ddsketch.parquet`` — sequential
+  single-pass sketches (no batching, no merge) verifying the
+  distributed register-max-merge / histogram-merge paths.
+* ``bpe_merges.parquet`` / ``bpe_tokens.parquet`` — sequential word
+  counts + the shared pure merge-loop/encoder, verifying the
+  distributed count combiner and broadcast apply.
+* ``emb_ivf.parquet`` / ``emb_semantic.parquet`` — sequential
+  same-math IVF kNN and SemDeDup, valid as oracles because
+  ``kmeans_train``'s integer micro-sum reduce makes centroids
+  bit-identical under any partitioning.
+* mm_* goldens — the same pure stage callables run sequentially over
+  the deterministic media corpus (decode pinned by codec round-trip
+  tests); the queries exercise the Ray actor-pool plumbing.
 """
 
 from __future__ import annotations
