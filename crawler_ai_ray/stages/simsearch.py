@@ -22,7 +22,6 @@ rank).
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pyarrow as pa
