@@ -7,12 +7,17 @@
   Communication: O(batches × Q × k) candidate rows — never the corpus.
 
 * **IVF (inverted-file) ANN** (the scale path): k-means centroids are
-  trained distributed (map_batches partial assign+sum, driver reduce —
-  the classic mini-batch scheme), vectors are assigned to their nearest
+  trained distributed (plain tasks over once-materialized blocks emit
+  integer micro-sum partials; driver reduce — partition-invariant by
+  construction), vectors are assigned to their nearest
   centroid (one hash-partitioned pass), and a query probes only the
   ``nprobe`` nearest lists.  At 100 TB the probe prunes the corpus to
   nprobe/nlist of its blocks; the assignment column doubles as the
   Parquet partition key so probes become file-level reads.
+
+* **PQ (product quantization)** (the memory-scale path): per-subspace
+  integer-exact k-means codebooks, uint8 code encoding, per-query ADC
+  lookup-table scans, and an exact-cosine re-rank of the shortlist.
 
 Determinism: all float math is float64; ranking ties broken by
 ``vec_id`` ascending, so results are stable across runs/platforms and
@@ -170,17 +175,34 @@ def kmeans_train(
     matter — the integer reduce is associative)."""
     import ray
 
-    seed_rows = (
-        ds.sort(id_col)
-        .limit(nlist)
-        .take_all()
+    block_refs = [r for r in ds.materialize().to_arrow_refs()]
+
+    # deterministic init: the nlist globally-smallest ids — per-block
+    # top-nlist combiner + driver merge (a Ray Dataset.sort here would
+    # pay its fixed all-to-all cost to pick nlist rows; house rule:
+    # never sort tiny candidate sets in Ray)
+    @ray.remote(num_cpus=1)
+    def seed_partial(block: pa.Table):
+        if block.num_rows == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 0), np.float64)
+        ids_b = block[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mat_b = list_col_to_matrix(block[emb_col])
+        order = np.argsort(ids_b, kind="stable")[:nlist]
+        return ids_b[order], mat_b[order]
+
+    seed_parts = ray.get([seed_partial.remote(b) for b in block_refs])
+    cand_ids = np.concatenate([p[0] for p in seed_parts]) if seed_parts else (
+        np.zeros(0, np.int64)
     )
-    centroids = _normalize(
-        np.array([r[emb_col] for r in seed_rows], dtype=np.float64)
+    cand_mat = (
+        np.concatenate([p[1] for p in seed_parts if p[1].size])
+        if any(p[1].size for p in seed_parts)
+        else np.zeros((0, 0), np.float64)
     )
-    block_refs = [
-        r for r in ds.materialize().to_arrow_refs()
-    ]
+    order = np.argsort(cand_ids, kind="stable")[:nlist]
+    centroids = _normalize(cand_mat[order].astype(np.float64))
 
     @ray.remote(num_cpus=1)
     def partial(block: pa.Table, c: np.ndarray):
