@@ -416,10 +416,35 @@ def pq_train(
     break to the lower code index on every path."""
     import ray
 
-    seed_rows = ds.sort(id_col).limit(ksub).take_all()
-    seeds = _normalize(
-        np.array([r[emb_col] for r in seed_rows], dtype=np.float64)
+    # plain tasks over once-materialized blocks (the `kmeans_train`
+    # dispatch rationale: no per-iteration Dataset-job startup; the
+    # integer reduce is associative, so partial grouping is free)
+    block_refs = [r for r in ds.materialize().to_arrow_refs()]
+
+    # seed selection via per-block top-ksub combiner (no Dataset.sort
+    # for a handful of rows — the kmeans_train seed argument)
+    @ray.remote(num_cpus=1)
+    def seed_partial(block: pa.Table):
+        if block.num_rows == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 0), np.float64)
+        ids_b = block[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mat_b = list_col_to_matrix(block[emb_col])
+        order = np.argsort(ids_b, kind="stable")[:ksub]
+        return ids_b[order], mat_b[order]
+
+    seed_parts = ray.get([seed_partial.remote(b) for b in block_refs])
+    cand_ids = np.concatenate([p[0] for p in seed_parts]) if seed_parts else (
+        np.zeros(0, np.int64)
     )
+    cand_mat = (
+        np.concatenate([p[1] for p in seed_parts if p[1].size])
+        if any(p[1].size for p in seed_parts)
+        else np.zeros((0, 0), np.float64)
+    )
+    order = np.argsort(cand_ids, kind="stable")[:ksub]
+    seeds = _normalize(cand_mat[order].astype(np.float64))
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -428,11 +453,6 @@ def pq_train(
     books = np.stack(
         [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
     )
-
-    # plain tasks over once-materialized blocks (the `kmeans_train`
-    # dispatch rationale: no per-iteration Dataset-job startup; the
-    # integer reduce is associative, so partial grouping is free)
-    block_refs = [r for r in ds.materialize().to_arrow_refs()]
 
     @ray.remote(num_cpus=1)
     def partial(block: pa.Table, bks: np.ndarray):
