@@ -2800,6 +2800,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": _rel("q13_customer_distribution"),
         "tpch_q4_priority": _rel("q4_order_priority"),
         "tpch_q15_top_supplier": _rel("q15_top_supplier"),
+        "tpch_q16_supplier_variety": _rel("q16_supplier_variety"),
         "tpch_q22_inactive": _rel("q22_inactive_customers"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
@@ -2861,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions",
         "doc_nb_train",
         "doc_nb_classify",
+        "tpch_q16_supplier_variety",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4161,6 +4163,14 @@ def oracle_sql() -> dict[str, str]:
             FROM rev r JOIN supplier s USING (s_suppkey)
             WHERE r.total_revenue_cents =
                   (SELECT max(total_revenue_cents) FROM rev)""",
+        "tpch_q16_supplier_variety": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier
+              WHERE CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) < 0)
+            GROUP BY 1, 2, 3""",
         "tpch_q22_inactive": """
             WITH c AS (
               SELECT c_custkey, c_mktsegment,

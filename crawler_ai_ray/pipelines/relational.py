@@ -42,6 +42,7 @@ __all__ = [
     "q13_customer_distribution",
     "q4_order_priority",
     "q15_top_supplier",
+    "q16_supplier_variety",
     "q22_inactive_customers",
     "events_hourly",
     "events_rollup",
@@ -3574,3 +3575,165 @@ def events_transitions(sf_dir: str, num_buckets: int = 64):
             "n": pc.cast(agg["n_sum"], pa.int64()),
         }
     )
+
+
+def q16_supplier_variety(
+    sf_dir: str,
+    num_buckets: int = 32,
+    driver_finish_max: int = 2_000_000,
+):
+    """TPC-H Q16 shape — parts/supplier relationship variety: how many
+    DISTINCT (non-blacklisted) suppliers ship each (brand, type, size)
+    part class → (p_brand, p_type, p_size, supplier_cnt), blacklist =
+    suppliers with a negative account balance (the complaints NOT-IN
+    of Q16, on a deterministic predicate this corpus has).
+
+    Three-way composition with no wide exchange:
+    1. the supplier blacklist is tiny by construction — collected,
+       sorted, broadcast (NOT-IN as a map-side searchsorted);
+    2. lineitem collapses to per-batch DISTINCT (partkey, suppkey)
+       pairs (combiner) — the only corpus-scale stream;
+    3. part attributes broadcast keyed by partkey (dimension table,
+       the supplier_by_region pattern) tag each pair in-map, and the
+       partkey is DROPPED — what remains is the distinct
+       (class, suppkey) incidence set;
+    4. the grouped COUNT-DISTINCT finishes as two-level distinct keyed
+       by SUPPKEY (the `events_daily_active` pattern: a supplier's
+       rows co-locate, so per-bucket distinct is globally exact and
+       per-class bucket counts SUM exactly because a (class, supp)
+       pair lives in one bucket); driver finish below ~2M rows.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    bal = cents(sup["s_acctbal"])
+    bad = np.sort(
+        sup.filter(pc.less(bal, 0))["s_suppkey"].to_numpy(
+            zero_copy_only=False
+        )
+    )
+    part_tbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    part_sorted = part_tbl.take(pa.array(order))
+    pkeys = pk[order]
+    bad_ref = ray.put(bad)
+    part_ref = ray.put((pkeys, part_sorted))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bad_ref)
+        ks, ptab = ray.get(part_ref)
+        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(bd):
+            i = np.searchsorted(bd, sk)
+            good = ~(
+                (i < len(bd)) & (bd[np.minimum(i, len(bd) - 1)] == sk)
+            )
+            g = g.filter(pa.array(good))
+        lk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, lk)
+        idx = np.minimum(idx, max(len(ks) - 1, 0))
+        # FK integrity: every l_partkey exists in part.  partkey is
+        # dropped here — only the (class, suppkey) incidence matters,
+        # and the per-batch distinct collapses it before the exchange
+        t = pa.table(
+            {
+                "p_brand": ptab["p_brand"].take(pa.array(idx)),
+                "p_type": ptab["p_type"].take(pa.array(idx)),
+                "p_size": ptab["p_size"].take(pa.array(idx)),
+                "l_suppkey": g["l_suppkey"],
+            }
+        ).group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).aggregate([])
+        sk3 = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((sk3 % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).aggregate([])
+        agg = d.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("l_suppkey", "count")]
+        )
+        return pa.table(
+            {
+                "p_brand": agg["p_brand"],
+                "p_type": agg["p_type"],
+                "p_size": agg["p_size"],
+                "supplier_cnt": pc.cast(agg["l_suppkey_count"], pa.int64()),
+            }
+        )
+
+    pre = li.map_batches(pairs, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int32()),
+            "supplier_cnt": pa.array([], pa.int64()),
+        }
+    )
+    if pre.count() <= driver_finish_max:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return empty
+        out = finish(pa.concat_tables(blocks))
+    else:
+        # suppkey-bucketed: per-bucket distinct (class, suppkey) is
+        # globally exact (a supplier lives in one bucket) and the
+        # per-class partial counts SUM exactly across buckets
+        parts_out = [
+            t
+            for t in ray.get(
+                pre.groupby("bucket")
+                .map_groups(
+                    lambda g: finish(g.drop_columns(["bucket"])),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not parts_out:
+            return empty
+        agg = (
+            pa.concat_tables(parts_out)
+            .group_by(["p_brand", "p_type", "p_size"])
+            .aggregate([("supplier_cnt", "sum")])
+        )
+        out = pa.table(
+            {
+                "p_brand": agg["p_brand"],
+                "p_type": agg["p_type"],
+                "p_size": agg["p_size"],
+                "supplier_cnt": pc.cast(
+                    agg["supplier_cnt_sum"], pa.int64()
+                ),
+            }
+        )
+    out = out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("p_brand", "ascending"),
+                ("p_type", "ascending"),
+                ("p_size", "ascending"),
+            ],
+        )
+    )
+    return out

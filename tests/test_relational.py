@@ -1134,3 +1134,34 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             pd.testing.assert_frame_equal(
                 eng, ora, check_dtype=False
             ), name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q16_vs_duckdb_and_paths(duck):
+    from crawler_ai_ray.pipelines.relational import q16_supplier_variety
+
+    key = ["p_brand", "p_type", "p_size"]
+    eng = (
+        q16_supplier_variety(SF)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(eng) > 0
+    ora = duck.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+             count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) < 0)
+      GROUP BY 1, 2, 3
+      """).df().sort_values(key, ignore_index=True)
+    assert_frames_equal(eng, ora)
+
+    # forced suppkey-bucketed distinct ≡ driver finish
+    bucketed = (
+        q16_supplier_variety(SF, driver_finish_max=0)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert eng.equals(bucketed)
