@@ -2801,6 +2801,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4_priority": _rel("q4_order_priority"),
         "tpch_q15_top_supplier": _rel("q15_top_supplier"),
         "tpch_q16_supplier_variety": _rel("q16_supplier_variety"),
+        "tpch_q6_forecast": _rel("q6_forecast_revenue"),
         "tpch_q22_inactive": _rel("q22_inactive_customers"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
@@ -2863,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nb_train",
         "doc_nb_classify",
         "tpch_q16_supplier_variety",
+        "tpch_q6_forecast",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4163,6 +4165,16 @@ def oracle_sql() -> dict[str, str]:
             FROM rev r JOIN supplier s USING (s_suppkey)
             WHERE r.total_revenue_cents =
                   (SELECT max(total_revenue_cents) FROM rev)""",
+        "tpch_q6_forecast": """
+            SELECT COALESCE(sum(CAST(FLOOR(
+                     l_extendedprice*l_discount*100 + 0.5) AS BIGINT)),
+                   0)::BIGINT AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)
+                  BETWEEN 3 AND 8
+              AND l_quantity < 24""",
         "tpch_q16_supplier_variety": """
             SELECT p.p_brand, p.p_type, p.p_size,
                    count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt

@@ -44,6 +44,7 @@ __all__ = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q22_inactive_customers",
+    "q6_forecast_revenue",
     "events_hourly",
     "events_rollup",
     "events_running_total",
@@ -3737,3 +3738,61 @@ def q16_supplier_variety(
         )
     )
     return out
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    disc_lo_cents: int = 3,
+    disc_hi_cents: int = 8,
+    max_qty: int = 24,
+):
+    """TPC-H Q6 shape — revenue-increase forecast: ONE filtered scan,
+    ONE scalar sum → a single (revenue_cents) row.  The trivially
+    parallel end of the spectrum: per-batch partials are one int64
+    each, the driver adds ≤ #batches numbers, nothing shuffles.
+    Discount band compared in exact cents (floor(d·100+0.5)) so the
+    boundary rows match the oracle bit-for-bit."""
+    import ray
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dc = cents(batch["l_discount"])
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo.item())),
+                pc.less(batch["l_shipdate"], pa.scalar(hi.item())),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(dc, disc_lo_cents),
+                    pc.less_equal(dc, disc_hi_cents),
+                ),
+                pc.less(batch["l_quantity"], float(max_qty)),
+            ),
+        )
+        t = batch.filter(m)
+        ep = pc.cast(t["l_extendedprice"], pa.float64())
+        disc = pc.cast(t["l_discount"], pa.float64())
+        rev = cents(pc.multiply(ep, disc))
+        return pa.table(
+            {"rc": pa.array([pc.sum(rev).as_py() or 0], pa.int64())}
+        )
+
+    total = sum(
+        t["rc"][0].as_py()
+        for t in ray.get(
+            li.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    return pa.table({"revenue_cents": pa.array([total], pa.int64())})

@@ -1124,6 +1124,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             "tpch_q4_priority",
             "tpch_q15_top_supplier",
             "tpch_q22_inactive",
+            "tpch_q6_forecast",
         ):
             res = qs[name](d)
             eng = res.to_pandas()
