@@ -2802,6 +2802,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": _rel("q15_top_supplier"),
         "tpch_q16_supplier_variety": _rel("q16_supplier_variety"),
         "tpch_q6_forecast": _rel("q6_forecast_revenue"),
+        "tpch_q14_promo": _rel("q14_promo_effect"),
         "tpch_q22_inactive": _rel("q22_inactive_customers"),
         "events_dau_hll": _rel("events_dau_hll"),
         "events_no_purchase_users": _rel("events_no_purchase_users"),
@@ -2865,6 +2866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nb_classify",
         "tpch_q16_supplier_variety",
         "tpch_q6_forecast",
+        "tpch_q14_promo",
         "crawl_recrawl_priority",
         "events_retention",
         "crawl_anchor_texts",
@@ -4175,6 +4177,22 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)
                   BETWEEN 3 AND 8
               AND l_quantity < 24""",
+        "tpch_q14_promo": """
+            WITH f AS (
+              SELECT CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                          AS BIGINT) AS rc,
+                     (p.p_type = 'PROMO') AS is_promo
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l.l_shipdate <  TIMESTAMP '1997-10-01')
+            SELECT COALESCE(sum(rc) FILTER (WHERE is_promo), 0)::BIGINT
+                     AS promo_cents,
+                   COALESCE(sum(rc), 0)::BIGINT AS total_cents,
+                   (COALESCE(sum(rc) FILTER (WHERE is_promo), 0)
+                    * 1000000
+                    // greatest(COALESCE(sum(rc), 0), 1))::BIGINT
+                     AS promo_ratio_ppm
+            FROM f""",
         "tpch_q16_supplier_variety": """
             SELECT p.p_brand, p.p_type, p.p_size,
                    count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt

@@ -45,6 +45,7 @@ __all__ = [
     "q16_supplier_variety",
     "q22_inactive_customers",
     "q6_forecast_revenue",
+    "q14_promo_effect",
     "events_hourly",
     "events_rollup",
     "events_running_total",
@@ -3796,3 +3797,81 @@ def q6_forecast_revenue(
         if t.num_rows
     )
     return pa.table({"revenue_cents": pa.array([total], pa.int64())})
+
+
+def q14_promo_effect(
+    sf_dir: str,
+    date_lo: str = "1997-09-01",
+    date_hi: str = "1997-10-01",
+):
+    """TPC-H Q14 shape — promotion effect: the share of a month's
+    revenue earned by PROMO parts → one row
+    (promo_cents, total_cents, promo_ratio_ppm).  The conditional-
+    aggregate + exact-ratio composition: the part type resolves
+    map-side through a broadcast partkey→is_promo membership array
+    (dimension table, never shuffled), each batch emits TWO int64
+    partials, and the ratio is a single integer division in ppm — no
+    float percentage anywhere, so the oracle matches bit-for-bit."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    part_tbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = pc.equal(part_tbl["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], promo[order]))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, isp = ray.get(ref)
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo.item())),
+            pc.less(batch["l_shipdate"], pa.scalar(hi.item())),
+        )
+        t = batch.filter(m)
+        ep = pc.cast(t["l_extendedprice"], pa.float64())
+        disc = pc.cast(t["l_discount"], pa.float64())
+        rev = cents(pc.multiply(ep, pc.subtract(1.0, disc))).to_numpy(
+            zero_copy_only=False
+        )
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ks, lk), max(len(ks) - 1, 0))
+        is_promo = isp[idx] if len(ks) else np.zeros(len(lk), dtype=bool)
+        return pa.table(
+            {
+                "promo": pa.array(
+                    [int(rev[is_promo].sum())], pa.int64()
+                ),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    promo_c, total_c = 0, 0
+    for t in ray.get(
+        li.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            promo_c += t["promo"][0].as_py()
+            total_c += t["total"][0].as_py()
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo_c], pa.int64()),
+            "total_cents": pa.array([total_c], pa.int64()),
+            "promo_ratio_ppm": pa.array(
+                [promo_c * 1_000_000 // max(total_c, 1)], pa.int64()
+            ),
+        }
+    )

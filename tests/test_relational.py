@@ -1112,8 +1112,21 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             ),
             f"{d}/supplier.parquet",
         )
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([0, 1], pa.int64()),
+                    "p_name": pa.array(["p0", "p1"], pa.string()),
+                    "p_brand": pa.array(["B1", "B2"], pa.string()),
+                    "p_type": pa.array(["PROMO", "MEDIUM"], pa.string()),
+                    "p_size": pa.array([1, 2], pa.int32()),
+                    "p_retailprice": pa.array([1.0, 2.0], pa.float64()),
+                }
+            ),
+            f"{d}/part.parquet",
+        )
         con = duckdb.connect()
-        for t in ("customer", "orders", "lineitem", "supplier"):
+        for t in ("customer", "orders", "lineitem", "supplier", "part"):
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
             )
@@ -1125,6 +1138,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             "tpch_q15_top_supplier",
             "tpch_q22_inactive",
             "tpch_q6_forecast",
+            "tpch_q14_promo",
         ):
             res = qs[name](d)
             eng = res.to_pandas()
