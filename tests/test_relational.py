@@ -1139,6 +1139,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             "tpch_q22_inactive",
             "tpch_q6_forecast",
             "tpch_q14_promo",
+            "tpch_q16_supplier_variety",
         ):
             res = qs[name](d)
             eng = res.to_pandas()
