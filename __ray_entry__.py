@@ -2841,7 +2841,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     way)."""
     q = _all_queries()
     first = [
-        # new this round
+        # --- round 3 front-load -------------------------------------------
+        # The driver records exactly the FIRST 50 entries per round.  After
+        # r01+r02, 100 of 150 entries are driver-green except 6 stale rows
+        # (5 no_oracle from r01 that have oracles now + 1 r01 hash-FAIL
+        # fixed at __ray_entry__.py jobs_summary_by_company) and 50 entries
+        # the driver has never seen.  Order: 6 stale first, then the 44
+        # highest-value never-checked; the 6 deferred (variants of
+        # already-green operators) sit at positions 51-56 for round 4.
+        "jobs_summary_by_company",      # r01 hash-FAIL, ::BIGINT fix landed
+        "crawl_loop",                   # sim-golden oracle landed r02
+        "doc_neardup_minhash",          # est-jaccard SQL oracle landed r02
+        "doc_neardup_simhash",          # pigeonhole all-pairs oracle r02
+        "doc_fingerprint_rolling",      # oracle landed r02
+        "crawl_metrics",                # stays rows-only (wall-clock lineage)
+        # never-checked: crawl operators
+        "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
+        "crawl_subdomain_candidates", "crawl_pii_redact",
+        # never-checked: multimodal family
+        "mm_image_features", "mm_image_phash", "mm_image_neardup",
+        "mm_audio_features", "mm_audio_fp", "mm_audio_neardup",
+        "mm_video_frames", "mm_video_keyframes",
+        # never-checked: curation chain (flagship training-data path)
+        "doc_curate", "doc_curate_output", "doc_curate_funnel",
+        "doc_pack_blocks", "doc_decontaminate", "doc_neardup_clusters",
+        "doc_dedup_incremental", "doc_repetition",
+        "doc_distinctive_terms", "doc_top_terms",
+        "doc_sample_stratified", "doc_top_quality_per_lang", "doc_commonness",
+        # never-checked: relational/TPC-H kernels
+        "tpch_q1_pricing", "top_customers", "supplier_by_region",
+        "lineitem_part_revenue", "tbl_profile_lineitem",
+        # never-checked: events family
+        "events_hourly", "events_sessionize", "events_asof_join",
+        "events_range_join", "events_hopping", "events_funnel",
+        "events_no_purchase_users", "events_daily_active",
+        "events_top_user_per_day", "events_session_quantiles",
+        # never-checked: embeddings
+        "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
+        # --- positions 51-56: deferred to round 4 (cheap variants of
+        # operators that will be green above) ------------------------------
+        "doc_sample", "events_dau_hll", "emb_knn_ivf_exhaustive",
+        "jobs_user_friendly", "jobs_user_summary",
+        "crawl_job_location_counts",
+        # --- driver-green in r01/r02; order below only affects re-checks --
         "tpch_q13_custdist",
         "tpch_q4_priority",
         "tpch_q15_top_supplier",
