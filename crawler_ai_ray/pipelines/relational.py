@@ -1004,12 +1004,6 @@ def q5_local_supplier_volume(
     n_cust = pq.read_metadata(
         os.path.join(sf_dir, "customer.parquet")
     ).num_rows
-    if n_cust > broadcast_max_keys:
-        raise NotImplementedError(
-            "q5 above the broadcast threshold needs the bucketed "
-            "customer path of q3_unshipped; raise broadcast_max_keys "
-            "or add a custkey-bucketed first join"
-        )
 
     cust = _read(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
@@ -1019,7 +1013,6 @@ def q5_local_supplier_volume(
         ),
         batch_format="pyarrow",
     )
-    c_ref = _kv_broadcast(cust, "c_custkey", "c_nationkey")
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     s_ref = _kv_broadcast(sup, "s_suppkey", "s_nationkey")
 
@@ -1027,14 +1020,17 @@ def q5_local_supplier_volume(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
-    def ord_tag(batch: pa.Table) -> pa.Table:
-        ck, cv = ray.get(c_ref)
-        batch = batch.filter(
+    def _ord_date_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
             pc.and_(
                 pc.greater_equal(batch["o_orderdate"], pa.scalar(cut_lo)),
                 pc.less(batch["o_orderdate"], pa.scalar(cut_hi)),
             )
         )
+
+    def ord_tag(batch: pa.Table) -> pa.Table:
+        ck, cv = ray.get(c_ref)
+        batch = _ord_date_filter(batch)
         oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(ck, oc)
         hit = (
@@ -1104,6 +1100,52 @@ def q5_local_supplier_volume(
         agg = t.group_by("nation").aggregate([("revenue_cents", "sum")])
         return agg.rename_columns(["nation", "revenue_cents"])
 
+    # customer-join hybrid (q3_unshipped pattern, both branches): under
+    # the broadcast budget the region-filtered customer side ships as
+    # sorted (custkey, nationkey) arrays and orders tag their customer
+    # nation map-side (zero-shuffle first join); above it, the first
+    # join is a custkey-bucketed ``hash_bucket_join`` of date-filtered
+    # orders against the (custkey, nation) pair list — TPC-H SF ≥ ~35
+    # customer no longer fits a worker heap as a broadcast array.
+    if n_cust <= broadcast_max_keys:
+        c_ref = _kv_broadcast(cust, "c_custkey", "c_nationkey")
+        tagged = orders.map_batches(
+            ord_tag, batch_format="pyarrow"
+        ).materialize()
+    else:
+        def ord_date(batch: pa.Table) -> pa.Table:
+            return _ord_date_filter(batch).select(
+                ["o_orderkey", "o_custkey"]
+            )
+
+        def cust_pairs(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                    "c_nation": pc.cast(batch["c_nationkey"], pa.int64()),
+                }
+            )
+
+        tagged = (
+            hash_bucket_join(
+                orders.map_batches(ord_date, batch_format="pyarrow"),
+                cust.map_batches(cust_pairs, batch_format="pyarrow"),
+                on="o_custkey",
+                num_buckets=num_buckets,
+                left_schema=pa.schema(
+                    [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+                ),
+                right_schema=pa.schema(
+                    [("o_custkey", pa.int64()), ("c_nation", pa.int64())]
+                ),
+            )
+            .map_batches(
+                lambda b: b.select(["o_orderkey", "c_nation"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
     # orderkey-join hybrid (q3 pattern): the region+date-filtered
     # orders side measures ~10 % of orders; under the broadcast budget
     # it ships as sorted (orderkey, c_nation) arrays and the join +
@@ -1111,7 +1153,6 @@ def q5_local_supplier_volume(
     # map pass — zero shuffles in the whole query.  Summing per-batch
     # nation partials is distributive (no cut before re-aggregation),
     # so unlike q3 no extra care is needed.
-    tagged = orders.map_batches(ord_tag, batch_format="pyarrow").materialize()
     ok_max = (
         broadcast_max_keys
         if orderkey_broadcast_max is None

@@ -414,9 +414,17 @@ def test_q5_broadcast_and_bucketed_paths_agree(ray_session):
 
     a = q5_local_supplier_volume(SF).to_pandas()
     b = q5_local_supplier_volume(SF, orderkey_broadcast_max=0).to_pandas()
-    assert a.sort_values("n_name", ignore_index=True).equals(
-        b.sort_values("n_name", ignore_index=True)
-    )
+    # broadcast_max_keys=0 forces the custkey-bucketed FIRST join (the
+    # above-threshold branch real TPC-H SF>=35 takes) AND the bucketed
+    # orderkey join
+    c = q5_local_supplier_volume(SF, broadcast_max_keys=0).to_pandas()
+    # bucketed customer join + broadcast orderkey fold (mixed paths)
+    d = q5_local_supplier_volume(
+        SF, broadcast_max_keys=0, orderkey_broadcast_max=10_000_000
+    ).to_pandas()
+    a = a.sort_values("n_name", ignore_index=True)
+    for other in (b, c, d):
+        assert a.equals(other.sort_values("n_name", ignore_index=True))
 
 
 @pytest.mark.usefixtures("ray_session")
