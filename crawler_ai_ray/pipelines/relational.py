@@ -3000,31 +3000,34 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
     same user's `right_type` events with ts in (left.ts, left.ts +
     window] (left-join semantics: zero-match lefts kept with count 0).
 
-    Composition path (a): bucket by user → per-user vectorized
-    ``np.searchsorted`` of all window bounds into the user's sorted
-    right-side timestamps — O(n log n) per user, no pairwise blowup.
+    Composition path (a): bucket by user → ONE vectorized pass per
+    bucket (the `events_sessionize` treatment — no per-user Python
+    loop, which at 10^8 users / 64 buckets would be ~1.5M pandas-group
+    iterations per bucket task): rights lexsort by (user, ts) into
+    contiguous per-user runs; each left's window bounds become
+    composite ``run_idx << 32 | ts_rank`` keys (ranks taken over the
+    union of all bound/right timestamps, so the key order is exactly
+    the (run, ts) lexicographic order with ~48 bits used), and TWO
+    global ``np.searchsorted`` calls count the in-window rights for
+    every left at once — O(n log n) per bucket total.
     → (signup_id, user_id, signup_ts, n_clicks)."""
     both = _events_sides(sf_dir, left_type, right_type, num_buckets)
     win_us = window_minutes * 60 * 1_000_000
 
     def range_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        out_ids, out_users, out_ts, out_n = [], [], [], []
-        for uid, grp in df.groupby("user_id", sort=False):
-            lefts = grp[grp["is_left"]]
-            if lefts.empty:
-                continue
-            rts = np.sort(
-                grp.loc[~grp["is_left"], "ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            )
-            lts = lefts["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            lo = np.searchsorted(rts, lts, side="right")
-            hi = np.searchsorted(rts, lts + win_us, side="right")
-            out_ids.append(lefts["event_id"].to_numpy())
-            out_users.append(np.full(len(lefts), uid, dtype=np.int64))
-            out_ts.append(lefts["ts"].to_numpy().astype("datetime64[us]"))
-            out_n.append(hi - lo)
-        if not out_ids:
+        is_left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsi = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        luid, lts = uid[is_left], tsi[is_left]
+        lid = (
+            g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )[is_left]
+        if len(luid) == 0:
             return pa.table(
                 {
                     "signup_id": pa.array([], pa.int64()),
@@ -3033,16 +3036,44 @@ def events_range_join(sf_dir: str, window_minutes: int = 60,
                     "n_clicks": pa.array([], pa.int64()),
                 }
             )
+        ruid, rts = uid[~is_left], tsi[~is_left]
+        if len(ruid) == 0:
+            n = np.zeros(len(luid), dtype=np.int64)
+        else:
+            ro = np.lexsort((rts, ruid))
+            ruid_s, rts_s = ruid[ro], rts[ro]
+            new_run = np.r_[True, ruid_s[1:] != ruid_s[:-1]]
+            r_users = ruid_s[new_run]
+            run_id_r = np.cumsum(new_run) - 1  # run index per right row
+            # left → its user's right run (invalid lefts count 0)
+            u_idx = np.minimum(
+                np.searchsorted(r_users, luid), len(r_users) - 1
+            )
+            valid = r_users[u_idx] == luid
+            # rank-compress timestamps over the union so composite keys
+            # stay in 64 bits regardless of the raw microsecond values
+            hts = lts + win_us
+            uniq = np.unique(np.concatenate([rts_s, lts, hts]))
+            sh = np.uint64(32)
+            rkey = (run_id_r.astype(np.uint64) << sh) | np.searchsorted(
+                uniq, rts_s
+            ).astype(np.uint64)
+            run_l = np.where(valid, u_idx, 0).astype(np.uint64) << sh
+            key_lo = run_l | np.searchsorted(uniq, lts).astype(np.uint64)
+            key_hi = run_l | np.searchsorted(uniq, hts).astype(np.uint64)
+            # window is (left.ts, left.ts + win]: side="right" at both
+            # bounds excludes rights <= left.ts, includes == the upper
+            lo = np.searchsorted(rkey, key_lo, side="right")
+            hi = np.searchsorted(rkey, key_hi, side="right")
+            n = np.where(valid, hi - lo, 0).astype(np.int64)
         return pa.table(
             {
-                "signup_id": pa.array(np.concatenate(out_ids), pa.int64()),
-                "user_id": pa.array(np.concatenate(out_users), pa.int64()),
+                "signup_id": pa.array(lid, pa.int64()),
+                "user_id": pa.array(luid, pa.int64()),
                 "signup_ts": pa.array(
-                    np.concatenate(out_ts), pa.timestamp("us")
+                    lts.astype("datetime64[us]"), pa.timestamp("us")
                 ),
-                "n_clicks": pa.array(
-                    np.concatenate(out_n).astype(np.int64), pa.int64()
-                ),
+                "n_clicks": pa.array(n, pa.int64()),
             }
         )
 

@@ -956,6 +956,121 @@ def test_relational_fuzz_rollup_running_pivot_dense(ray_session, rows):
             assert got.loc[(t, h)] == cnt
 
 
+@settings(max_examples=6, deadline=None)
+@given(_event_rows())
+def test_temporal_join_fuzz_vs_naive_pandas(ray_session, rows):
+    """Random tiny event tables: the bucketed asof / range joins must
+    match O(n²) per-row pandas references exactly, including the
+    duplicate-(user, ts) tie-break (largest event_id among equal ts)
+    and zero-match lefts (kept by range, dropped by asof)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.pipelines.relational import (
+        events_asof_join,
+        events_range_join,
+    )
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(r[1], "s") for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/events.parquet")
+        df = tbl.to_pandas()
+        df["vc"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+
+        # range join: view → clicks within (ts, ts + 30 min]
+        win = pd.Timedelta(minutes=30)
+        lefts = df[df["event_type"] == "view"]
+        rights = df[df["event_type"] == "click"]
+        eng = events_range_join(
+            d, window_minutes=30, left_type="view", num_buckets=4
+        ).to_pandas()
+        if len(lefts) == 0:
+            assert len(eng) == 0
+        eng = (
+            eng.sort_values("signup_id", ignore_index=True)
+            if len(eng)
+            else eng
+        )
+        want_n = [
+            (
+                (rights["user_id"] == l.user_id)
+                & (rights["ts"] > l.ts)
+                & (rights["ts"] <= l.ts + win)
+            ).sum()
+            for l in lefts.itertuples()
+        ]
+        want = pd.DataFrame(
+            {
+                "signup_id": lefts["event_id"].to_numpy(),
+                "user_id": lefts["user_id"].to_numpy(),
+                "signup_ts": lefts["ts"].to_numpy(),
+                "n_clicks": np.asarray(want_n, dtype="int64"),
+            }
+        ).sort_values("signup_id", ignore_index=True)
+        if len(want):
+            pd.testing.assert_frame_equal(eng, want, check_dtype=False)
+
+        # asof join: click → most recent purchase at-or-before, inner;
+        # ties on (user, ts) break to the largest event_id
+        eng = events_asof_join(d, num_buckets=4).to_pandas()
+        eng = (
+            eng.sort_values("click_id", ignore_index=True)
+            if len(eng)
+            else eng
+        )
+        purch = df[df["event_type"] == "purchase"]
+        recs = []
+        for l in df[df["event_type"] == "click"].itertuples():
+            cand = purch[
+                (purch["user_id"] == l.user_id) & (purch["ts"] <= l.ts)
+            ]
+            if cand.empty:
+                continue
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            recs.append(
+                (
+                    l.user_id,
+                    l.event_id,
+                    l.ts,
+                    best["event_id"],
+                    best["ts"],
+                    best["vc"],
+                )
+            )
+        want = pd.DataFrame(
+            recs,
+            columns=[
+                "user_id",
+                "click_id",
+                "click_ts",
+                "purchase_id",
+                "purchase_ts",
+                "purchase_cents",
+            ],
+        ).sort_values("click_id", ignore_index=True)
+        if len(recs) == 0:
+            assert len(eng) == 0
+        else:
+            pd.testing.assert_frame_equal(eng, want, check_dtype=False)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_transitions_vs_duckdb_and_bucket_invariance(duck):
     from crawler_ai_ray.pipelines.relational import events_transitions
