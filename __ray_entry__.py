@@ -1776,8 +1776,22 @@ def _q_doc_dedup_incremental(sf_dir: str):
 def _q_doc_neardup_clusters(sf_dir: str):
     """MinHash-LSH pair graph → connected components → canonical keep-
     one labels per document."""
-    from crawler_ai_ray.stages.dedup import minhash_cluster_labels
+    from crawler_ai_ray.stages.dedup import (
+        minhash_cluster_labels,
+        minhash_cluster_labels_local,
+    )
 
+    if _docs_num_rows(sf_dir) <= _MINHASH_LOCAL_MAX:
+        import pyarrow.parquet as pq
+
+        return minhash_cluster_labels_local(
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ),
+            n=3,
+            threshold=0.8,
+        )
     return minhash_cluster_labels(
         _table(sf_dir, "documents", columns=["doc_id", "text"]),
         _table(sf_dir, "documents", columns=["doc_id"]),
@@ -2132,9 +2146,40 @@ def _q_doc_neardup_ngram(sf_dir: str):
     )
 
 
-def _q_doc_neardup_minhash(sf_dir: str):
-    from crawler_ai_ray.stages.dedup import minhash_lsh_pairs
+# adaptive whole-query split for the minhash family: below this many
+# documents the input is a couple of MB and the real compute ~0.2 s,
+# so the Ray pipeline's fixed shuffle/startup constants (~1-2 s, and
+# up to ~7 s under box interference — BENCH_r02's doc_neardup_minhash
+# recording) dominate; the driver-local path runs the SAME kernels
+# bit-identically (path-agreement test pins it).  0 forces distributed.
+_MINHASH_LOCAL_MAX = int(os.environ.get("GRAFT_MINHASH_LOCAL_MAX", "20000"))
 
+
+def _docs_num_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+
+def _q_doc_neardup_minhash(sf_dir: str):
+    from crawler_ai_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_local,
+    )
+
+    if _docs_num_rows(sf_dir) <= _MINHASH_LOCAL_MAX:
+        import pyarrow.parquet as pq
+
+        return minhash_lsh_pairs_local(
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ),
+            n=3,
+            threshold=0.8,
+        )
     return minhash_lsh_pairs(
         _table(sf_dir, "documents", columns=["doc_id", "text"]),
         n=3,

@@ -439,6 +439,19 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 _PERM_A, _PERM_B = _perm_params()
 
 
+def _mod_m61_inplace(x: np.ndarray) -> np.ndarray:
+    """``x % _MERSENNE`` for uint64 ``x`` via Mersenne shift-add fold —
+    bit-identical to the hardware ``%`` (both compute x mod 2⁶¹−1) but
+    ~5× faster: uint64 division is ~30 cycles/elem, the fold is 4 cheap
+    ops.  ``x < 2⁶⁴`` ⇒ ``(x>>61) + (x&M) < M + 8`` ⇒ one conditional
+    subtract completes the reduction.  Mutates and returns ``x``."""
+    hi = x >> np.uint64(61)
+    x &= _MERSENNE
+    x += hi
+    x -= _MERSENNE * (x >= _MERSENNE).astype(np.uint64)
+    return x
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     toks = (text or "").lower().split()
     if len(toks) < n:
@@ -463,7 +476,7 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     with np.errstate(over="ignore"):
         # (perm, shingle): (a*x + b) mod M61 — wraparound mul then mod
         prod = _PERM_A[:, None] * base[None, :] + _PERM_B[:, None]
-        vals = prod % _MERSENNE
+        vals = _mod_m61_inplace(prod)
     return vals.min(axis=1)
 
 
@@ -485,6 +498,11 @@ def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     sizes = np.array([b.size for b in bases], dtype=np.int64)
     nz = np.flatnonzero(sizes > 0)
     chunk_cap = 1 << 16
+    # reusable chunk buffers: without them every chunk allocates ~4
+    # fresh 64 MiB temporaries (mul result, shift, mask, cast) whose
+    # first-touch page faults cost 3-4× the arithmetic itself.
+    buf = np.empty((_N_PERM, chunk_cap), dtype=np.uint64)
+    hibuf = np.empty((_N_PERM, chunk_cap), dtype=np.uint64)
     pos = 0
     while pos < nz.size:
         end = pos
@@ -494,10 +512,22 @@ def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
             end += 1
         sel = nz[pos:end]
         allb = np.concatenate([bases[i] for i in sel])
+        if allb.size > chunk_cap:  # single giant doc exceeds the cap
+            vals = np.empty((_N_PERM, allb.size), dtype=np.uint64)
+            hi = np.empty_like(vals)
+        else:
+            vals = buf[:, : allb.size]
+            hi = hibuf[:, : allb.size]
         with np.errstate(over="ignore"):
-            vals = (
-                _PERM_A[:, None] * allb[None, :] + _PERM_B[:, None]
-            ) % _MERSENNE
+            np.multiply(_PERM_A[:, None], allb[None, :], out=vals)
+            vals += _PERM_B[:, None]
+            # in-place M61 fold (see _mod_m61_inplace; bit-identical)
+            np.right_shift(vals, np.uint64(61), out=hi)
+            vals &= _MERSENNE
+            vals += hi
+            np.subtract(
+                vals, _MERSENNE, out=vals, where=vals >= _MERSENNE
+            )
         bounds = np.zeros(sel.size, dtype=np.int64)
         np.cumsum(sizes[sel[:-1]], out=bounds[1:])
         sig_mat[sel] = np.minimum.reduceat(vals, bounds, axis=1).T
@@ -578,11 +608,98 @@ def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "t
     return minhash_pairs_from_sigs(sigs, threshold=threshold)
 
 
+def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """(band, band_hash, doc_id, sig) rows → verified near-dup pairs.
+    Pure table→table: runs inside a shuffle-bucket group task on the
+    distributed path and once over the whole band table on the local
+    path — both sweep sorted (band, band_hash) runs identically."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    band = group["band"].to_numpy(zero_copy_only=False)
+    bh = group["band_hash"].to_numpy(zero_copy_only=False)
+    did = group["doc_id"].to_numpy(zero_copy_only=False)
+    mat = (
+        group["sig"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(group.num_rows, _N_PERM)
+    )
+    order = np.lexsort((did, bh, band))
+    band, bh, did = band[order], bh[order], did[order]
+    mat = mat[order]
+    new = np.empty(len(band), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.append(np.flatnonzero(new), len(band))
+    a_out, b_out, j_out = [], [], []
+    for i, j in zip(starts[:-1], starts[1:]):
+        if j - i < 2:
+            continue
+        x, y = np.triu_indices(j - i, k=1)
+        keep = did[i + x] != did[i + y]
+        x, y = x[keep], y[keep]
+        if not x.size:
+            continue
+        est = (mat[i + x] == mat[i + y]).mean(axis=1)
+        hit = est >= threshold
+        a_out.append(did[i + x[hit]])
+        b_out.append(did[i + y[hit]])
+        j_out.append(est[hit])
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "est_jaccard": pa.array(
+                np.concatenate(j_out), pa.float64()
+            ),
+        }
+    )
+
+
+def _dedup_pairs_table(pairs: pa.Table) -> pa.Table:
+    """cross-band duplicate pairs collapse with group_by(pair) max
+    (all of a pair's estimates are equal — the max is just the dedup)."""
+    if pairs.num_rows == 0:
+        return pairs
+    agg = pairs.group_by(["doc_a", "doc_b"]).aggregate(
+        [("est_jaccard", "max")]
+    )
+    return agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+
+
+def minhash_lsh_pairs_local(
+    tab: pa.Table, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text",
+) -> pa.Table:
+    """Driver-local ``minhash_lsh_pairs`` over an in-memory table — the
+    SAME kernels (``minhash_sig_batch`` → ``_band_rows`` →
+    ``_bucket_pairs`` → pair dedup) with zero Ray jobs, so the output
+    is bit-identical to the distributed path by construction.  Small-
+    input branch of the adaptive split (house rule: a Ray pipeline
+    costs ~1-2 s fixed in shuffle/startup constants; below ~20k docs
+    the whole input is a couple of MB and real compute is ~0.2 s, so
+    ANY distributed plan is pure overhead)."""
+    sigs = minhash_sig_batch(tab, n=n, text_col=text_col)
+    return _dedup_pairs_table(_bucket_pairs(_band_rows(sigs), threshold))
+
+
 def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
     """(doc_id, sig) dataset → near-dup pairs.  Split out of
     ``minhash_lsh_pairs`` so pipelines that already carry signatures
     (e.g. the curation chain's stage-1 checkpoint) skip re-shingling
     the text."""
+    import functools
+
     import ray.data
 
     buckets = sigs.map_batches(_band_rows, batch_format="pyarrow")
@@ -600,58 +717,7 @@ def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
             pa.array((bh % n_sbuckets).astype(np.int32), pa.int32()),
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if group.num_rows == 0:
-            return empty
-        band = group["band"].to_numpy(zero_copy_only=False)
-        bh = group["band_hash"].to_numpy(zero_copy_only=False)
-        did = group["doc_id"].to_numpy(zero_copy_only=False)
-        mat = (
-            group["sig"]
-            .combine_chunks()
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(group.num_rows, _N_PERM)
-        )
-        order = np.lexsort((did, bh, band))
-        band, bh, did = band[order], bh[order], did[order]
-        mat = mat[order]
-        new = np.empty(len(band), dtype=bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.append(np.flatnonzero(new), len(band))
-        a_out, b_out, j_out = [], [], []
-        for i, j in zip(starts[:-1], starts[1:]):
-            if j - i < 2:
-                continue
-            x, y = np.triu_indices(j - i, k=1)
-            keep = did[i + x] != did[i + y]
-            x, y = x[keep], y[keep]
-            if not x.size:
-                continue
-            est = (mat[i + x] == mat[i + y]).mean(axis=1)
-            hit = est >= threshold
-            a_out.append(did[i + x[hit]])
-            b_out.append(did[i + y[hit]])
-            j_out.append(est[hit])
-        if not a_out:
-            return empty
-        return pa.table(
-            {
-                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
-                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
-                "est_jaccard": pa.array(
-                    np.concatenate(j_out), pa.float64()
-                ),
-            }
-        )
+    bucket_pairs = functools.partial(_bucket_pairs, threshold=threshold)
 
     pairs = (
         buckets.map_batches(add_sbucket, batch_format="pyarrow")
@@ -678,12 +744,7 @@ def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
                 }
             )
         else:
-            agg = (
-                pa.concat_tables(blocks)
-                .group_by(["doc_a", "doc_b"])
-                .aggregate([("est_jaccard", "max")])
-            )
-            tbl = agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+            tbl = _dedup_pairs_table(pa.concat_tables(blocks))
         return ray.data.from_arrow(tbl)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Max("est_jaccard", alias_name="est_jaccard")
@@ -1109,7 +1170,12 @@ def pair_labels(pairs_ds) -> tuple[np.ndarray, np.ndarray]:
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
     )
+    return _labels_from_forest(final)
 
+
+def _labels_from_forest(final: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """edge table → (sorted doc_ids, canonical labels) via union-find;
+    canonical = MIN doc_id per connected component."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1137,6 +1203,36 @@ def pair_labels(pairs_ds) -> tuple[np.ndarray, np.ndarray]:
     lv = np.fromiter((cmin[find(int(k))] for k in lk), dtype=np.int64,
                      count=len(lk))
     return lk, lv
+
+
+def minhash_cluster_labels_local(
+    tab: pa.Table, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text",
+) -> pa.Table:
+    """Driver-local ``minhash_cluster_labels`` over an in-memory table:
+    local pair generation (same kernels) + the same min-label
+    union-find, one vectorized tag pass.  Small-input branch of the
+    adaptive split — see ``minhash_lsh_pairs_local``."""
+    pairs = minhash_lsh_pairs_local(
+        tab, n=n, threshold=threshold, text_col=text_col
+    )
+    lk, lv = _labels_from_forest(
+        pa.table({"a": pairs["doc_a"], "b": pairs["doc_b"]})
+    )
+    ids = tab["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(lk):
+        pos = np.clip(np.searchsorted(lk, ids), 0, len(lk) - 1)
+        hit = lk[pos] == ids
+        canon = np.where(hit, lv[pos], ids)
+    else:
+        canon = ids
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "canonical_id": pa.array(canon, pa.int64()),
+            "is_canonical": pa.array(canon == ids, pa.bool_()),
+        }
+    )
 
 
 def minhash_cluster_labels(ds, docs_ds, n: int = 3, threshold: float = 0.8,

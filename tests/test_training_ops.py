@@ -183,6 +183,51 @@ def test_minhash_estimates_jaccard(docs_ds):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_local_path_agreement(docs_ds):
+    """The driver-local small-input branch must be bit-identical to the
+    distributed pipeline (same kernels by construction — this pins it
+    stays that way), for both pair generation and cluster labels."""
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.stages.dedup import (
+        minhash_cluster_labels,
+        minhash_cluster_labels_local,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_local,
+    )
+
+    tab = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = ["doc_a", "doc_b"]
+    dist = (
+        minhash_lsh_pairs(docs_ds, n=3, threshold=0.8)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    loc = (
+        minhash_lsh_pairs_local(tab, n=3, threshold=0.8)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert dist.equals(loc)
+
+    dist_l = (
+        minhash_cluster_labels(
+            docs_ds, docs_ds.select_columns(["doc_id"]), n=3, threshold=0.8
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    loc_l = (
+        minhash_cluster_labels_local(tab, n=3, threshold=0.8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert dist_l.equals(loc_l)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_neardup_symmetric_and_planted(docs_ds):
     from crawler_ai_ray.stages.dedup import simhash64, simhash_neardup_pairs
 
