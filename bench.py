@@ -201,6 +201,19 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_langid_confusion",
         "part_min_price_per_brand",
         "doc_bpe_tokenize",
+        # flagship training-data chain + multimodal pools (VERDICT r02
+        # next-round #7: regressions here should show in the driver's
+        # BENCH recording, not just targeted runs)
+        "doc_curate_output",
+        "doc_curate_funnel",
+        "doc_pack_blocks",
+        "crawl_pii_redact",
+        "mm_image_phash",
+        "mm_audio_features",
+        "mm_audio_fp",
+        "mm_audio_neardup",
+        "mm_video_frames",
+        "mm_video_keyframes",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -279,9 +279,11 @@ def _fetch_extract_rows(
     extraction per hit."""
     import ray
 
+    from ..state.pagestore import store_shard_for_host
+
     by_shard: dict[int, list[int]] = {}
     for i, r in enumerate(rows):
-        sh = shard_for_host(r["host"], num_store_shards)
+        sh = store_shard_for_host(r["host"], num_store_shards)
         by_shard.setdefault(sh, []).append(i)
     refs = {
         sh: store_handles[sh].fetch_detailed.remote(

@@ -68,7 +68,7 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v24"
+CORPUS_VERSION = "v25"  # v25: hshard column + shard-sorted pages rows
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -705,6 +705,12 @@ PAGES_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        # crc32(host) % 256 — the PageStore shard key at 256-bucket
+        # granularity.  Pages are written SORTED by this column so a
+        # shard actor's init reads only its own row groups via a
+        # stats-pruned parquet filter instead of decoding the whole
+        # corpus × num_shards (state/pagestore.py).
+        ("hshard", pa.int32()),
     ]
 )
 
@@ -873,6 +879,21 @@ def generate_corpus(out_dir: str, n_hosts: int, seed: int = 42) -> None:
         host_rows.extend(hrows)
         fetch_rows.extend(frows)
 
+    import zlib
+
+    import numpy as np
+
+    for p in page_rows:
+        host = classify.host_of(p["url"])
+        p["hshard"] = zlib.crc32(host.encode("utf-8")) % 256
+    # stable sort by shard bucket: with 512-row row groups each group
+    # spans a narrow hshard range, so a PageStoreShard's filtered read
+    # prunes to ~1/num_shards of the file by row-group stats alone
+    order = np.argsort(
+        np.array([p["hshard"] for p in page_rows], dtype=np.int32),
+        kind="stable",
+    )
+    page_rows = [page_rows[i] for i in order]
     pages_tbl = pa.Table.from_pylist(page_rows, schema=PAGES_SCHEMA)
     # small row groups: Ray Data parallelizes a single-file read at
     # row-group granularity — 512-row groups let 32+ read tasks split one

@@ -24,6 +24,8 @@ import os
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import zlib
+
 from .seen import shard_for_host
 from ..functions.classify import host_of
 from ..functions.fetch_errors import (
@@ -33,7 +35,20 @@ from ..functions.fetch_errors import (
     simulate_fetch,
 )
 
-__all__ = ["PageStoreShard", "PageStorePool"]
+__all__ = ["PageStoreShard", "PageStorePool", "store_shard_for_host"]
+
+
+def store_shard_for_host(host: str, num_shards: int) -> int:
+    """Page-store shard routing: RANGE partition over the 256-bucket
+    ``hshard = crc32(host) % 256`` key (shard s owns the contiguous
+    bucket run ``b * num_shards // 256 == s``), unlike the seen pool's
+    modulo mapping.  Contiguity is the point — the corpus parquet is
+    written sorted by hshard (sources/synth.py), so a shard's init read
+    prunes to its own row groups by min/max stats; a modulo mapping
+    scatters every shard across every row group and prunes nothing."""
+    if num_shards > 256:
+        return shard_for_host(host, num_shards)
+    return (zlib.crc32(host.encode("utf-8")) % 256) * num_shards // 256
 
 
 class PageStoreShard:
@@ -42,16 +57,40 @@ class PageStoreShard:
 
     def __init__(self, pages_path: str, shard: int, num_shards: int) -> None:
         self.pages: dict[str, bytes] = {}
-        tbl = pq.read_table(pages_path, columns=["url", "html"])
-        urls = tbl["url"].to_pylist()
-        keep = [
-            i
-            for i, u in enumerate(urls)
-            if shard_for_host(host_of(u), num_shards) == shard
-        ]
-        if keep:
-            sub = tbl.take(keep)
-            self.pages = dict(zip(sub["url"].to_pylist(), sub["html"].to_pylist()))
+        schema = pq.read_schema(pages_path)
+        if "hshard" in schema.names and num_shards <= 256:
+            # v25+ corpora carry hshard = crc32(host) % 256 and are
+            # written SORTED by it; store_shard_for_host range-
+            # partitions that key, so this contiguous-range filter
+            # prunes at row-group stats: each shard decodes
+            # ~1/num_shards of the file instead of the whole corpus ×
+            # num_shards.  Exact — hshard fully determines the shard.
+            lo = [b for b in range(256)
+                  if b * num_shards // 256 == shard]
+            sub = pq.read_table(
+                pages_path,
+                columns=["url", "html"],
+                filters=[
+                    ("hshard", ">=", lo[0]),
+                    ("hshard", "<=", lo[-1]),
+                ],
+            )
+            self.pages = dict(
+                zip(sub["url"].to_pylist(), sub["html"].to_pylist())
+            )
+        else:
+            tbl = pq.read_table(pages_path, columns=["url", "html"])
+            urls = tbl["url"].to_pylist()
+            keep = [
+                i
+                for i, u in enumerate(urls)
+                if store_shard_for_host(host_of(u), num_shards) == shard
+            ]
+            if keep:
+                sub = tbl.take(keep)
+                self.pages = dict(
+                    zip(sub["url"].to_pylist(), sub["html"].to_pylist())
+                )
         # non-default fetch profiles (retry/error fixtures) — absent for
         # corpora predating fetchcfg; everything then gets the defaults
         self.profiles: dict[str, tuple[int, list[int]]] = {}
@@ -64,7 +103,7 @@ class PageStoreShard:
                 cfg["head_status"].to_pylist(),
                 cfg["attempts"].to_pylist(),
             ):
-                if shard_for_host(h, num_shards) == shard:
+                if store_shard_for_host(h, num_shards) == shard:
                     self.profiles[u] = (hs, att)
 
     def fetch(self, urls: list[str]) -> list[bytes | None]:
@@ -105,7 +144,7 @@ class PageStorePool:
         ]
 
     def handle_for_host(self, host: str):
-        return self.shards[shard_for_host(host, self.num_shards)]
+        return self.shards[store_shard_for_host(host, self.num_shards)]
 
     def fetch(self, host: str, urls: list[str]) -> list[bytes | None]:
         import ray
