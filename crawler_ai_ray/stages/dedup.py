@@ -480,14 +480,55 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.Table:
+def _sig_chunk(
+    sel: np.ndarray,
+    bases: list[np.ndarray],
+    sizes: np.ndarray,
+    sig_mat: np.ndarray,
+    buf: np.ndarray | None = None,
+    hibuf: np.ndarray | None = None,
+) -> None:
+    """Apply all 128 permutations to one chunk of docs and write their
+    signature rows into ``sig_mat[sel]`` (disjoint rows per chunk, so
+    concurrent calls are race-free).  ``buf``/``hibuf`` are optional
+    reusable (128, cap) scratch arrays."""
+    allb = np.concatenate([bases[i] for i in sel])
+    if buf is not None and allb.size <= buf.shape[1]:
+        vals = buf[:, : allb.size]
+        hi = hibuf[:, : allb.size]
+    else:  # no scratch given, or a single giant doc exceeds the cap
+        vals = np.empty((_N_PERM, allb.size), dtype=np.uint64)
+        hi = np.empty_like(vals)
+    with np.errstate(over="ignore"):
+        np.multiply(_PERM_A[:, None], allb[None, :], out=vals)
+        vals += _PERM_B[:, None]
+        # in-place M61 fold (see _mod_m61_inplace; bit-identical)
+        np.right_shift(vals, np.uint64(61), out=hi)
+        vals &= _MERSENNE
+        vals += hi
+        np.subtract(vals, _MERSENNE, out=vals, where=vals >= _MERSENNE)
+    bounds = np.zeros(sel.size, dtype=np.int64)
+    np.cumsum(sizes[sel[:-1]], out=bounds[1:])
+    sig_mat[sel] = np.minimum.reduceat(vals, bounds, axis=1).T
+
+
+def minhash_sig_batch(
+    batch: pa.Table, n: int = 3, text_col: str = "text"
+) -> pa.Table:
     """Batch-vectorized ``minhash_signature``: shingle hashes of ALL
     docs concatenate into one array, the 128 permutations apply as a
     single (128, Σshingles) broadcast, and per-doc minima fall out of
     ``np.minimum.reduceat`` at doc boundaries — bit-identical to the
     per-doc function (same wraparound mul + M61 mod per element), with
     no per-doc Python matrix setup and no int→list→Arrow round-trip.
-    Docs chunk at ~2^16 shingles so the broadcast stays ≤64 MiB."""
+
+    Docs chunk at 2^13 shingles and the two (128, 2^13) scratch
+    buffers (8 MiB each) are REUSED across chunks: this box (and any
+    ballooned VM) backs fresh pages so slowly that first-touch faults
+    on big temporaries cost up to 18 s/GiB — a 2^16 cap with per-chunk
+    temporaries measured 1.4-4.4 s for the same 0.33 s of arithmetic,
+    and was the real cause of BENCH r02's 7.4 s minhash recording.
+    Small reused buffers also stay L2/L3-resident."""
     ids = batch["doc_id"].to_pylist()
     texts = batch[text_col].to_pylist()
     bases = [_shingle_hashes(t, n) for t in texts]
@@ -497,10 +538,7 @@ def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     )
     sizes = np.array([b.size for b in bases], dtype=np.int64)
     nz = np.flatnonzero(sizes > 0)
-    chunk_cap = 1 << 16
-    # reusable chunk buffers: without them every chunk allocates ~4
-    # fresh 64 MiB temporaries (mul result, shift, mask, cast) whose
-    # first-touch page faults cost 3-4× the arithmetic itself.
+    chunk_cap = 1 << 13
     buf = np.empty((_N_PERM, chunk_cap), dtype=np.uint64)
     hibuf = np.empty((_N_PERM, chunk_cap), dtype=np.uint64)
     pos = 0
@@ -510,27 +548,7 @@ def minhash_sig_batch(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
         while end < nz.size and (tot == 0 or tot + sizes[nz[end]] <= chunk_cap):
             tot += sizes[nz[end]]
             end += 1
-        sel = nz[pos:end]
-        allb = np.concatenate([bases[i] for i in sel])
-        if allb.size > chunk_cap:  # single giant doc exceeds the cap
-            vals = np.empty((_N_PERM, allb.size), dtype=np.uint64)
-            hi = np.empty_like(vals)
-        else:
-            vals = buf[:, : allb.size]
-            hi = hibuf[:, : allb.size]
-        with np.errstate(over="ignore"):
-            np.multiply(_PERM_A[:, None], allb[None, :], out=vals)
-            vals += _PERM_B[:, None]
-            # in-place M61 fold (see _mod_m61_inplace; bit-identical)
-            np.right_shift(vals, np.uint64(61), out=hi)
-            vals &= _MERSENNE
-            vals += hi
-            np.subtract(
-                vals, _MERSENNE, out=vals, where=vals >= _MERSENNE
-            )
-        bounds = np.zeros(sel.size, dtype=np.int64)
-        np.cumsum(sizes[sel[:-1]], out=bounds[1:])
-        sig_mat[sel] = np.minimum.reduceat(vals, bounds, axis=1).T
+        _sig_chunk(nz[pos:end], bases, sizes, sig_mat, buf, hibuf)
         pos = end
     sig_col = pa.FixedSizeListArray.from_arrays(
         pa.array(sig_mat.astype(np.int64).reshape(-1), pa.int64()), _N_PERM
@@ -677,20 +695,98 @@ def _dedup_pairs_table(pairs: pa.Table) -> pa.Table:
     return agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
+def _pairs_from_sig_matrix(
+    mat: np.ndarray, did: np.ndarray, threshold: float
+) -> pa.Table:
+    """(n_docs, 128) signature matrix → verified near-dup pairs,
+    without materializing band rows: the distributed path must carry a
+    full sig copy in every one of the 16 band rows (the shuffle needs
+    it), but locally that 16× duplication is ~33× the input size in
+    fresh allocations — on this box's slow-page-backing VM that cost
+    multiples of the arithmetic.  Here band hashes are an (n, 16)
+    FNV fold (same math as ``_band_rows``), candidates come from
+    lexsorted (band, hash) runs over 3 skinny index arrays, and the
+    est-jaccard verify indexes the ORIGINAL matrix.  Emits the same
+    pair set as ``_bucket_pairs`` over ``_band_rows`` by construction
+    (same candidate buckets, same verify) — the path-agreement test
+    pins it."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n_docs = mat.shape[0]
+    if n_docs == 0:
+        return empty
+    chunks = mat.astype(np.uint64).reshape(n_docs, _N_BANDS, _ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        h = np.full(
+            (n_docs, _N_BANDS), np.uint64(0xCBF29CE484222325), np.uint64
+        )
+        for r in range(_ROWS_PER_BAND):
+            h = (h ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+    bh = (h >> np.uint64(1)).astype(np.int64).reshape(-1)  # doc-major
+    band = np.tile(np.arange(_N_BANDS, dtype=np.int32), n_docs)
+    idx = np.repeat(np.arange(n_docs, dtype=np.int64), _N_BANDS)
+    dids = did[idx]
+    order = np.lexsort((dids, bh, band))
+    band, bh, dids, idx = band[order], bh[order], dids[order], idx[order]
+    new = np.empty(len(band), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.append(np.flatnonzero(new), len(band))
+    a_out, b_out, j_out = [], [], []
+    for i, j in zip(starts[:-1], starts[1:]):
+        if j - i < 2:
+            continue
+        x, y = np.triu_indices(j - i, k=1)
+        keep = dids[i + x] != dids[i + y]
+        x, y = x[keep], y[keep]
+        if not x.size:
+            continue
+        est = (mat[idx[i + x]] == mat[idx[i + y]]).mean(axis=1)
+        hit = est >= threshold
+        a_out.append(dids[i + x[hit]])
+        b_out.append(dids[i + y[hit]])
+        j_out.append(est[hit])
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(j_out), pa.float64()),
+        }
+    )
+
+
 def minhash_lsh_pairs_local(
     tab: pa.Table, n: int = 3, threshold: float = 0.8,
     text_col: str = "text",
 ) -> pa.Table:
     """Driver-local ``minhash_lsh_pairs`` over an in-memory table — the
-    SAME kernels (``minhash_sig_batch`` → ``_band_rows`` →
-    ``_bucket_pairs`` → pair dedup) with zero Ray jobs, so the output
-    is bit-identical to the distributed path by construction.  Small-
-    input branch of the adaptive split (house rule: a Ray pipeline
-    costs ~1-2 s fixed in shuffle/startup constants; below ~20k docs
-    the whole input is a couple of MB and real compute is ~0.2 s, so
-    ANY distributed plan is pure overhead)."""
+    same signature kernel (``minhash_sig_batch``) and the same banded
+    candidate/verify semantics with zero Ray jobs and no band-row
+    materialization, so the output matches the distributed path
+    exactly (pinned by the path-agreement test).  Small-input branch
+    of the adaptive split (house rule: a Ray pipeline costs ~1-2 s
+    fixed in shuffle/startup constants; below ~20k docs the whole
+    input is a couple of MB and real compute is ~0.3 s, so ANY
+    distributed plan is pure overhead)."""
     sigs = minhash_sig_batch(tab, n=n, text_col=text_col)
-    return _dedup_pairs_table(_bucket_pairs(_band_rows(sigs), threshold))
+    mat = (
+        sigs["sig"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(sigs.num_rows, _N_PERM)
+    )
+    did = sigs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _dedup_pairs_table(
+        _pairs_from_sig_matrix(mat, did, threshold)
+    )
 
 
 def minhash_pairs_from_sigs(sigs, threshold: float = 0.8):
