@@ -2188,8 +2188,21 @@ def _q_doc_neardup_minhash(sf_dir: str):
 
 
 def _q_doc_neardup_simhash(sf_dir: str):
-    from crawler_ai_ray.stages.dedup import simhash_neardup_pairs
+    from crawler_ai_ray.stages.dedup import (
+        simhash_neardup_pairs,
+        simhash_neardup_pairs_local,
+    )
 
+    if _docs_num_rows(sf_dir) <= _MINHASH_LOCAL_MAX:
+        import pyarrow.parquet as pq
+
+        return simhash_neardup_pairs_local(
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ),
+            max_hamming=3,
+        )
     return simhash_neardup_pairs(
         _table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
     )
@@ -2357,10 +2370,7 @@ def _media_ds(sf_dir: str, kind: str):
     import ray.data
     from crawler_ai_ray.stages.multimodal import synth_media_table
 
-    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
-        os.path.basename(os.path.normpath(sf_dir)), 256
-    )
-    tbl = synth_media_table(n, kind=kind)
+    tbl = synth_media_table(_media_n(sf_dir), kind=kind)
     # from_arrow(one table) = ONE block, which starves the decode actor
     # pool — pre-slice so every actor has work from the first batch.
     # Step derives from the table so EVERY scale yields ≥8 blocks (a
@@ -2393,14 +2403,19 @@ def _q_mm_audio(sf_dir: str):
     )
 
 
+def _media_n(sf_dir: str) -> int:
+    """Synthetic media corpus size per scale factor (shared by the
+    image/audio/video fixtures and the adaptive-local gates)."""
+    return {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 256
+    )
+
+
 def _media_neardup_ds(sf_dir: str):
     import ray.data
     from crawler_ai_ray.stages.multimodal import synth_media_neardup_table
 
-    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
-        os.path.basename(os.path.normpath(sf_dir)), 256
-    )
-    tbl = synth_media_neardup_table(n)
+    tbl = synth_media_neardup_table(_media_n(sf_dir))
     step = max(1, tbl.num_rows // 8)
     slices = [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
     return ray.data.from_arrow(slices)
@@ -2415,10 +2430,7 @@ def _q_mm_audio_fp(sf_dir: str):
         synth_audio_neardup_table,
     )
 
-    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
-        os.path.basename(os.path.normpath(sf_dir)), 256
-    )
-    tbl = synth_audio_neardup_table(n)
+    tbl = synth_audio_neardup_table(_media_n(sf_dir))
     step = max(1, tbl.num_rows // 8)
     ds = ray.data.from_arrow(
         [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
@@ -2431,14 +2443,47 @@ def _q_mm_audio_fp(sf_dir: str):
     )
 
 
-def _q_mm_audio_neardup(sf_dir: str):
-    """Audio near-duplicate pairs: fingerprint → the same banded
-    Hamming machinery as text simhash / image phash."""
-    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
+def _collect_small_ds(ds):
+    """Materialize a KNOWN-SMALL Dataset (e.g. fingerprint rows — a few
+    KB) to one Arrow table, with the typed-empty-block guard."""
+    import ray
+    import pyarrow as pa
 
-    pairs = hash64_neardup_pairs(
-        _q_mm_audio_fp(sf_dir), id_col="media_id", hash_col="afp"
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
+def _q_mm_audio_neardup(sf_dir: str):
+    """Audio near-duplicate pairs: fingerprint (actor-pool decode —
+    stays distributed, that's the real work) → banded Hamming sweep.
+    The pair sweep runs driver-local below the adaptive threshold:
+    fingerprints are 16 B/clip, and the distributed sweep's fixed
+    shuffle constants (~2 s) dwarf the ~ms of actual Hamming work."""
+    from crawler_ai_ray.stages.dedup import (
+        hash64_neardup_pairs,
+        hash64_neardup_pairs_local,
     )
+
+    fp = _q_mm_audio_fp(sf_dir)
+    if _media_n(sf_dir) <= _MINHASH_LOCAL_MAX:
+        tab = _collect_small_ds(fp)
+        if tab is None:
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "media_a": pa.array([], pa.int64()),
+                    "media_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int32()),
+                }
+            )
+        pairs = hash64_neardup_pairs_local(
+            tab, id_col="media_id", hash_col="afp"
+        )
+    else:
+        pairs = hash64_neardup_pairs(
+            fp, id_col="media_id", hash_col="afp"
+        )
     return pairs.rename_columns(["media_a", "media_b", "hamming"])
 
 
@@ -2459,12 +2504,34 @@ def _q_mm_image_neardup(sf_dir: str):
     """Image near-duplicate pairs: dHash → the SAME banded Hamming
     machinery as text simhash (`dedup.hash64_neardup_pairs`,
     pigeonhole-exact at ≤3 bits).  Planted perturbed copies land 0-3
-    bits from their originals; unrelated noise images sit ~32 apart."""
-    from crawler_ai_ray.stages.dedup import hash64_neardup_pairs
-
-    pairs = hash64_neardup_pairs(
-        _q_mm_image_phash(sf_dir), id_col="media_id", hash_col="phash"
+    bits from their originals; unrelated noise images sit ~32 apart.
+    Decode stays an actor pool; the pair sweep is adaptive-local (see
+    `_q_mm_audio_neardup`)."""
+    from crawler_ai_ray.stages.dedup import (
+        hash64_neardup_pairs,
+        hash64_neardup_pairs_local,
     )
+
+    fp = _q_mm_image_phash(sf_dir)
+    if _media_n(sf_dir) <= _MINHASH_LOCAL_MAX:
+        tab = _collect_small_ds(fp)
+        if tab is None:
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "media_a": pa.array([], pa.int64()),
+                    "media_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int32()),
+                }
+            )
+        pairs = hash64_neardup_pairs_local(
+            tab, id_col="media_id", hash_col="phash"
+        )
+    else:
+        pairs = hash64_neardup_pairs(
+            fp, id_col="media_id", hash_col="phash"
+        )
     return pairs.rename_columns(["media_a", "media_b", "hamming"])
 
 

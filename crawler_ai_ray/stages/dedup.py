@@ -998,6 +998,99 @@ def hash64_neardup_pairs(
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy 1.x has no
+    ``bitwise_count``): unpack the bytes, sum bits."""
+    return np.unpackbits(
+        x.view(np.uint8).reshape(-1, 8), axis=1
+    ).sum(axis=1, dtype=np.int32)
+
+
+def hash64_neardup_pairs_local(
+    tab: pa.Table,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> pa.Table:
+    """Driver-local ``hash64_neardup_pairs`` over an in-memory (id,
+    hash) table: the same 4×16-bit band blocking (pigeonhole-exact for
+    k ≤ 3) and the same Hamming verify, as skinny numpy arrays with no
+    Ray jobs — identical pair set to the distributed path by
+    construction (path-agreement test pins it).  Small-input branch of
+    the adaptive split: a 64-bit hash per item is a few KB even at
+    100k items, where the distributed plan's fixed shuffle constants
+    (~2 s) dwarf the ~10 ms sweep."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int32()),
+        }
+    )
+    n = tab.num_rows
+    if n == 0:
+        return empty
+    ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = tab[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    vals = np.concatenate(
+        [
+            ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            for b in range(4)
+        ]
+    )
+    band = np.repeat(np.arange(4, dtype=np.int32), n)
+    idx = np.tile(np.arange(n, dtype=np.int64), 4)
+    dids = ids[idx]
+    order = np.lexsort((dids, vals, band))
+    band, vals, dids, idx = (
+        band[order], vals[order], dids[order], idx[order]
+    )
+    new = np.empty(len(band), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (vals[1:] != vals[:-1])
+    starts = np.append(np.flatnonzero(new), len(band))
+    a_out, b_out, d_out = [], [], []
+    for i, j in zip(starts[:-1], starts[1:]):
+        if j - i < 2:
+            continue
+        x, y = np.triu_indices(j - i, k=1)
+        keep = dids[i + x] != dids[i + y]
+        x, y = x[keep], y[keep]
+        if not x.size:
+            continue
+        d = _popcount64(u[idx[i + x]] ^ u[idx[i + y]])
+        hit = d <= max_hamming
+        a_out.append(dids[i + x[hit]])
+        b_out.append(dids[i + y[hit]])
+        d_out.append(d[hit])
+    if not a_out:
+        return empty
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "hamming": pa.array(
+                np.concatenate(d_out).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    # cross-band duplicates collapse exactly like the distributed
+    # groupby Min (a pair's hamming is band-independent)
+    agg = pairs.group_by(["doc_a", "doc_b"]).aggregate(
+        [("hamming", "min")]
+    )
+    return agg.rename_columns(["doc_a", "doc_b", "hamming"])
+
+
+def simhash_neardup_pairs_local(
+    tab: pa.Table, max_hamming: int = 3, text_col: str = "text"
+) -> pa.Table:
+    """Driver-local ``simhash_neardup_pairs``: same per-doc
+    ``simhash64`` kernel, then the local banded sweep."""
+    sigs = simhash_batch(tab, text_col=text_col)
+    return hash64_neardup_pairs_local(sigs, max_hamming=max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (anchors broadcast, batches streamed)
 # ---------------------------------------------------------------------------

@@ -1799,3 +1799,37 @@ def test_nb_train_classify_hand_case(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert list(out["pred_nb"]) == ["en", "en", "gr", "gr", "gr"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash64_local_path_agreement(docs_ds):
+    """Driver-local banded-Hamming sweep must match the distributed
+    pipeline exactly (same 4x16 bands, same verify)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.stages.dedup import (
+        simhash_batch,
+        simhash_neardup_pairs,
+        simhash_neardup_pairs_local,
+    )
+
+    tab = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = ["doc_a", "doc_b"]
+    dist = (
+        simhash_neardup_pairs(docs_ds, max_hamming=3)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    loc = (
+        simhash_neardup_pairs_local(tab, max_hamming=3)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(loc) > 0  # planted near-dups exist at this SF
+    assert list(dist.columns) == list(loc.columns)
+    assert (
+        dist.astype({"hamming": "int64"})
+        .equals(loc.astype({"hamming": "int64"}))
+    )
