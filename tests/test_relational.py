@@ -1393,3 +1393,102 @@ def test_hash_bucket_join_planted_skew():
     # worst-case imbalance of round-robin over ceil(n/8192) batches is
     # one extra row per batch -> bound well under 2x the even share
     assert per_salt < 0.25 * hot_count
+
+
+@st.composite
+def _join_tables(draw):
+    """Random (left, right) integer-key tables with optional planted
+    skew: key space small enough that hot keys, misses, and multi-row
+    matches all occur."""
+    nl = draw(st.integers(1, 60))
+    keyspace = draw(st.integers(1, 12))
+    skew_key = draw(st.integers(0, keyspace - 1))
+    skewed = draw(st.booleans())
+    left = []
+    for i in range(nl):
+        k = (
+            skew_key
+            if skewed and draw(st.integers(0, 1))
+            else draw(st.integers(0, keyspace - 1))
+        )
+        left.append((k, i))
+    nr = draw(st.integers(0, 15))
+    right = [
+        (draw(st.integers(0, keyspace - 1)), 1000 + j) for j in range(nr)
+    ]
+    # right side must be key-unique for a well-defined expected frame
+    seen = set()
+    right = [
+        (k, v) for k, v in right if not (k in seen or seen.add(k))
+    ]
+    hot = sorted({k for k, _ in left}) if draw(st.booleans()) else [skew_key]
+    return left, right, hot
+
+
+@settings(max_examples=10, deadline=None)
+@given(_join_tables(), st.sampled_from(["inner", "left outer", "left semi", "left anti"]))
+def test_hash_bucket_join_fuzz_salted_vs_pandas(ray_session, tables, jt):
+    """Random tables + random hot-key sets (including keys that are
+    NOT actually hot, keys missing from either side): the salted join
+    must match both the unsalted join and a direct pandas reference
+    for every join type."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.pipelines.relational import hash_bucket_join
+
+    left, right, hot = tables
+    lt = pa.table(
+        {
+            "k": pa.array([k for k, _ in left], pa.int64()),
+            "lv": pa.array([v for _, v in left], pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array([k for k, _ in right], pa.int64()),
+            "rv": pa.array([v for _, v in right], pa.int64()),
+        }
+    )
+    ldf = lt.to_pandas()
+    rdf = rt.to_pandas()
+    if jt == "inner":
+        exp = ldf.merge(rdf, on="k")
+    elif jt == "left outer":
+        exp = ldf.merge(rdf, on="k", how="left")
+    elif jt == "left semi":
+        exp = ldf[ldf.k.isin(rdf.k)]
+    else:
+        exp = ldf[~ldf.k.isin(rdf.k)]
+    got = (
+        hash_bucket_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            on="k",
+            num_buckets=4,
+            join_type=jt,
+            left_schema=lt.schema,
+            right_schema=rt.schema,
+            hot_keys=hot,
+            n_salts=3,
+        )
+        .to_pandas()
+    )
+    if len(exp) == 0:
+        # Ray empty results can be schema-less (documented artifact);
+        # row-count equality is the whole contract here
+        assert len(got) == 0
+        return
+    cols = sorted(exp.columns)
+    key = list(cols)
+    exp_s = exp[cols].sort_values(key, ignore_index=True)
+    got_s = got[cols].sort_values(key, ignore_index=True)
+    assert len(exp_s) == len(got_s)
+    for c in cols:
+        a = exp_s[c].to_numpy()
+        b = got_s[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = np.nan_to_num(a.astype(float), nan=-1)
+            b = np.nan_to_num(b.astype(float), nan=-1)
+        assert (a == b).all(), c
