@@ -654,20 +654,50 @@ def _process_bucket(
     return counts
 
 
-def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
+_BUCKET_TASK = None
+
+
+def _get_bucket_task():
+    global _BUCKET_TASK
+    if _BUCKET_TASK is None:
+        import ray
+
+        _BUCKET_TASK = ray.remote(num_cpus=1)(_process_bucket)
+    return _BUCKET_TASK
+
+
+def run_crawl(
+    cfg: CrawlConfig, resume: bool = False, store_pool=None,
+    seen_pool=None,
+) -> dict:
     """Run the crawl; returns summary stats.  Writes per-round Parquet
     checkpoints + manifests under ``cfg.out_dir`` (per-partition lineage:
-    every manifest records the input round, row counts and wall time)."""
+    every manifest records the input round, row counts and wall time).
+
+    ``store_pool`` / ``seen_pool``: existing actor pools to reuse — the
+    service pattern (a deployment keeps its fetch-client and seen-shard
+    fleets up between jobs instead of paying actor spin-up per crawl).
+    The store is read-only; a reused seen pool is ``reset()`` to the
+    same blank state a fresh one would have.  The caller owns shutdown
+    of any pool it passes."""
     import ray
 
-    # one remote export per crawl run; the policy ships once via plasma
-    # (auto-deref'd task arg), not re-pickled into every bucket task
-    bucket_task = ray.remote(num_cpus=1)(_process_bucket)
+    # one remote export per SESSION (cached): re-wrapping per run
+    # re-exports the function and re-ships it to every worker — ~1 s
+    # of first-round gap on each fresh crawl.  The policy ships once
+    # via plasma (auto-deref'd task arg), not re-pickled per task.
+    bucket_task = _get_bucket_task()
     pol_ref = ray.put(cfg.policy)
 
     os.makedirs(cfg.out_dir, exist_ok=True)
-    seen = SeenPool(cfg.seen_shards, exact=cfg.exact_seen)
-    store = PageStorePool(
+    own_seen = seen_pool is None
+    if seen_pool is not None:
+        seen_pool.reset()
+        seen = seen_pool
+    else:
+        seen = SeenPool(cfg.seen_shards, exact=cfg.exact_seen)
+    own_store = store_pool is None
+    store = store_pool if store_pool is not None else PageStorePool(
         os.path.join(cfg.corpus, "pages.parquet"), cfg.store_shards
     )
     start_round = 0
@@ -722,15 +752,19 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
 
         totals = {"fetched": 0, "errors": 0, "rounds": 0}
         n_buckets = cfg.buckets
+        # q-rows entering the first round need one footer scan; every
+        # later round reuses its predecessor's manifest count (the scan
+        # over 32 bucket dirs cost ~50-100 ms/round for a number the
+        # loop already computed)
+        in_rows = pads.dataset(
+            crawl_output_files(cfg.out_dir, only_round=start_round - 1),
+            format="parquet",
+        ).count_rows(filter=pc.field("kind") == "q")
         for rnd in range(start_round, cfg.max_rounds):
             t0 = time.time()
             prev = _round_dir(cfg.out_dir, rnd - 1)
             out = _round_dir(cfg.out_dir, rnd)
             os.makedirs(out, exist_ok=True)
-            in_rows = pads.dataset(
-                crawl_output_files(cfg.out_dir, only_round=rnd - 1),
-                format="parquet",
-            ).count_rows(filter=pc.field("kind") == "q")
             args = (
                 cfg.policy, seen.shards, seen.num_shards, store.shards,
                 store.num_shards, n_buckets,
@@ -778,10 +812,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                         for w in work
                     ]
                 )
-            seen.dump(os.path.join(cfg.out_dir, "seen", f"round={rnd:04d}"))
+            seen_total = seen.dump(
+                os.path.join(cfg.out_dir, "seen", f"round={rnd:04d}"),
+                return_total=True,
+            )
             counts = {
                 k: sum(c[k] for c in bucket_counts) for k in ("q", "s", "o")
             }
+            in_rows = counts["q"]  # next round's queue size, no re-scan
             wall_ms = (time.time() - t0) * 1000
             manifest = {
                 "round": rnd,
@@ -789,7 +827,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 "wall_ms": round(wall_ms, 1),
                 **counts,
                 "buckets": n_buckets,
-                "seen_total": seen.total_seen(),
+                "seen_total": seen_total,
                 # per-partition lineage: one record per bucket task
                 # (urls_in / fetched / errors / bytes / wall_ms /
                 # input_files) — the exact-resume + audit trail
@@ -815,5 +853,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         totals["seen_total"] = seen.total_seen()
         return totals
     finally:
-        seen.shutdown()
-        store.shutdown()
+        if own_seen:
+            seen.shutdown()
+        if own_store:
+            store.shutdown()

@@ -139,6 +139,14 @@ class UrlSeenShard:
         self._epoch_cache: dict[str, list[bool]] = {}
         self._epoch_rnd: str | None = None
 
+    def reset(self) -> None:
+        """Blank ALL state (filter, exact set, journal, epoch cache) —
+        a persistent service pool starts each crawl job from the same
+        state a fresh actor would, without paying actor spin-up."""
+        self.__init__(
+            self.filter.n_buckets * 4, exact=self.exact is not None
+        )
+
     def check_and_add(
         self, urls: list[str], epoch: str | None = None
     ) -> list[bool]:
@@ -251,10 +259,22 @@ class SeenPool:
 
         return sum(ray.get([s.n_seen.remote() for s in self.shards]))
 
-    def dump(self, out_dir: str, delta: bool = True) -> None:
+    def reset(self) -> None:
+        """Blank every shard (see ``UrlSeenShard.reset``) — persistent
+        service pools start each crawl from fresh state."""
+        import ray
+
+        ray.get([s.reset.remote() for s in self.shards])
+
+    def dump(
+        self, out_dir: str, delta: bool = True, return_total: bool = False
+    ) -> int | None:
         """Write per-shard parquet; ``delta=True`` writes only urls added
         since the last dump (O(new) per round — at 10^10-URL scale a full
-        dump per round would be quadratic I/O)."""
+        dump per round would be quadratic I/O).  ``return_total=True``
+        piggybacks the per-shard seen counts on the SAME actor round-trip
+        (the crawl loop otherwise paid a second 2×shards RTT per round
+        for ``total_seen``)."""
         import os
 
         import pyarrow.parquet as pq
@@ -262,9 +282,15 @@ class SeenPool:
 
         os.makedirs(out_dir, exist_ok=True)
         meth = "dump_delta" if delta else "dump"
-        tables = ray.get([getattr(s, meth).remote() for s in self.shards])
+        refs = [getattr(s, meth).remote() for s in self.shards]
+        if return_total:
+            nrefs = [s.n_seen.remote() for s in self.shards]
+        tables = ray.get(refs)
         for i, t in enumerate(tables):
             pq.write_table(t, os.path.join(out_dir, f"shard-{i:04d}.parquet"))
+        if return_total:
+            return sum(ray.get(nrefs))
+        return None
 
     def restore(self, in_dirs: str | list[str]) -> None:
         """Replay one or more dump dirs (deltas in round order)."""
