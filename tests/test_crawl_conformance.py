@@ -196,3 +196,55 @@ def test_split_buckets_identical(unit_corpus, tmp_path):
 
     m = read_crawl_metrics(str(tmp_path / "split"))
     assert max(m["sub"].to_pylist()) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pool_reuse_identical(unit_corpus, tmp_path):
+    """Service-pattern pool reuse (run_crawl(store_pool=, seen_pool=))
+    must be byte-identical to fresh pools — including a SECOND crawl on
+    the same reused pools (reset() must fully blank seen state)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from crawler_ai_ray.pipelines.crawl import (
+        CrawlConfig,
+        crawl_output_files,
+        run_crawl,
+    )
+    from crawler_ai_ray.state.pagestore import PageStorePool
+    from crawler_ai_ray.state.seen import SeenPool
+
+    def collect(out_dir):
+        return pads.dataset(
+            crawl_output_files(out_dir), format="parquet"
+        ).to_table().sort_by(
+            [("kind", "ascending"), ("host", "ascending"),
+             ("url", "ascending"), ("round", "ascending")]
+        )
+
+    fresh_dir = str(tmp_path / "fresh")
+    run_crawl(
+        CrawlConfig(unit_corpus, fresh_dir, seen_shards=4, store_shards=2)
+    )
+    fresh = collect(fresh_dir)
+
+    store = PageStorePool(
+        os.path.join(unit_corpus, "pages.parquet"), 2
+    )
+    seen = SeenPool(4)
+    try:
+        for name in ("pooled1", "pooled2"):
+            d = str(tmp_path / name)
+            run_crawl(
+                CrawlConfig(
+                    unit_corpus, d, seen_shards=4, store_shards=2
+                ),
+                store_pool=store,
+                seen_pool=seen,
+            )
+            assert collect(d).equals(fresh), name
+    finally:
+        store.shutdown()
+        seen.shutdown()
+    assert fresh.num_rows > 0
