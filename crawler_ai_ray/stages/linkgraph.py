@@ -461,12 +461,275 @@ def _forest(*tables: pa.Table) -> pa.Table:
     )
 
 
-def connected_components(edges, num_buckets: int = 64):
+def _cc_scatter(forest: pa.Table, n_buckets: int):
+    """One worker task: spanning forest → per-bucket state for the
+    distributed labeler.  Edges duplicate both directions and bucket
+    by hash(src) (a message reads L(src) bucket-locally and routes to
+    ``dst_b = hash(dst) % B``); labels init L(v) = v, bucketed by
+    hash(v)."""
+    a = np.asarray(forest["a"].to_pylist(), dtype=object)
+    b = np.asarray(forest["b"].to_pylist(), dtype=object)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    src_b = np.array([_h64(s) % n_buckets for s in src], dtype=np.int64)
+    dst_b = np.array([_h64(s) % n_buckets for s in dst], dtype=np.int64)
+    hosts = np.unique(np.concatenate([a, b]))
+    host_b = np.array([_h64(h) % n_buckets for h in hosts], dtype=np.int64)
+    edge_bs, label_bs = [], []
+    for k in range(n_buckets):
+        m = src_b == k
+        edge_bs.append(
+            pa.table(
+                {
+                    "src": pa.array(src[m].astype(str), pa.string()),
+                    "dst": pa.array(dst[m].astype(str), pa.string()),
+                    "dst_b": pa.array(dst_b[m], pa.int64()),
+                }
+            )
+        )
+        hm = hosts[host_b == k]
+        label_bs.append(
+            pa.table(
+                {
+                    "host": pa.array(hm.tolist(), pa.string()),
+                    "label": pa.array(hm.tolist(), pa.string()),
+                }
+            )
+        )
+    return edge_bs, label_bs
+
+
+def _cc_lab_of(labels: pa.Table, keys: np.ndarray) -> np.ndarray:
+    """Vectorized L(key) lookup against one bucket's sorted-able label
+    table (keys MUST belong to this bucket)."""
+    hs = np.asarray(labels["host"].to_pylist(), dtype=object)
+    ls = np.asarray(labels["label"].to_pylist(), dtype=object)
+    order = np.argsort(hs)
+    pos = np.searchsorted(hs[order], keys)
+    return ls[order][pos]
+
+
+def _cc_msgs(edges_b: pa.Table, labels_b: pa.Table, n_buckets: int):
+    """Neighbor step, send side: (dst, L(src)) messages partitioned by
+    the destination's bucket."""
+    out = [
+        pa.table(
+            {"host": pa.array([], pa.string()),
+             "label": pa.array([], pa.string())}
+        )
+        for _ in range(n_buckets)
+    ]
+    if edges_b.num_rows == 0:
+        return out
+    src = np.asarray(edges_b["src"].to_pylist(), dtype=object)
+    dst = np.asarray(edges_b["dst"].to_pylist(), dtype=object)
+    dst_b = edges_b["dst_b"].to_numpy(zero_copy_only=False)
+    lab = _cc_lab_of(labels_b, src)
+    for k in np.unique(dst_b):
+        m = dst_b == k
+        out[int(k)] = pa.table(
+            {
+                "host": pa.array(dst[m], pa.string()),
+                "label": pa.array(lab[m], pa.string()),
+            }
+        )
+    return out
+
+
+def _cc_min_apply(labels_b: pa.Table, *msg_tables: pa.Table):
+    """Neighbor step, receive side: L(v) = min(L(v), incoming labels).
+    Returns (new labels table, n_changed)."""
+    live = [t for t in msg_tables if t.num_rows]
+    hs = np.asarray(labels_b["host"].to_pylist(), dtype=object)
+    ls = np.asarray(labels_b["label"].to_pylist(), dtype=object)
+    if not live or not len(hs):
+        return labels_b, 0
+    msgs = pa.concat_tables(live)
+    agg = msgs.group_by("host").aggregate([("label", "min")])
+    mh = np.asarray(agg["host"].to_pylist(), dtype=object)
+    ml = np.asarray(agg["label_min"].to_pylist(), dtype=object)
+    order = np.argsort(hs)
+    pos = np.searchsorted(hs[order], mh)
+    tgt = order[pos]  # every msg host exists in this bucket
+    new = ls.copy()
+    upd = ml < new[tgt]
+    new[tgt[upd]] = ml[upd]
+    changed = int(np.count_nonzero(new != ls))
+    return (
+        pa.table(
+            {"host": pa.array(hs, pa.string()),
+             "label": pa.array(new, pa.string())}
+        ),
+        changed,
+    )
+
+
+def _cc_jump_reqs(labels_b: pa.Table, n_buckets: int):
+    """Pointer-jump, request side: distinct label values routed to the
+    bucket that owns them."""
+    out = [pa.table({"label": pa.array([], pa.string())})
+           for _ in range(n_buckets)]
+    if labels_b.num_rows == 0:
+        return out
+    labs = np.unique(np.asarray(labels_b["label"].to_pylist(), dtype=object))
+    lb = np.array([_h64(x) % n_buckets for x in labs], dtype=np.int64)
+    for k in np.unique(lb):
+        out[int(k)] = pa.table(
+            {"label": pa.array(labs[lb == k], pa.string())}
+        )
+    return out
+
+
+def _cc_jump_lookup(labels_b: pa.Table, *req_tables: pa.Table) -> pa.Table:
+    """Pointer-jump, serve side: (label, L(label)) for requested labels
+    owned by this bucket."""
+    live = [t for t in req_tables if t.num_rows]
+    if not live or labels_b.num_rows == 0:
+        return pa.table(
+            {"label": pa.array([], pa.string()),
+             "label2": pa.array([], pa.string())}
+        )
+    req = np.unique(
+        np.asarray(
+            pa.concat_tables(live)["label"].to_pylist(), dtype=object
+        )
+    )
+    return pa.table(
+        {
+            "label": pa.array(req, pa.string()),
+            "label2": pa.array(_cc_lab_of(labels_b, req), pa.string()),
+        }
+    )
+
+
+def _cc_jump_apply(labels_b: pa.Table, *lookup_tables: pa.Table):
+    """Pointer-jump, apply side: L(v) = L(L(v)) (labels only shrink, so
+    this equals the min).  Returns (new labels, n_changed)."""
+    live = [t for t in lookup_tables if t.num_rows]
+    if not live or labels_b.num_rows == 0:
+        return labels_b, 0
+    lk = pa.concat_tables(live)
+    kh = np.asarray(lk["label"].to_pylist(), dtype=object)
+    kv = np.asarray(lk["label2"].to_pylist(), dtype=object)
+    order = np.argsort(kh)
+    kh, kv = kh[order], kv[order]
+    hs = np.asarray(labels_b["host"].to_pylist(), dtype=object)
+    ls = np.asarray(labels_b["label"].to_pylist(), dtype=object)
+    pos = np.searchsorted(kh, ls)
+    new = kv[np.clip(pos, 0, len(kh) - 1)]
+    hit = kh[np.clip(pos, 0, len(kh) - 1)] == ls
+    new = np.where(hit, new, ls)
+    changed = int(np.count_nonzero(new != ls))
+    return (
+        pa.table(
+            {"host": pa.array(hs, pa.string()),
+             "label": pa.array(new, pa.string())}
+        ),
+        changed,
+    )
+
+
+def _cc_distributed_labels(
+    forest_ref, n_buckets: int = 32, max_rounds: int = 64
+) -> pa.Table:
+    """Distributed final labeling: hash-min message rounds + pointer
+    jumping over bucket-sharded label state — NO vertex-sized driver
+    or broadcast structure anywhere (the scale path past the
+    documented O(hosts)-driver-state boundary of the default branch).
+    Labels shard by hash(host); each round is two bucketed exchanges
+    (neighbor-min, then L(v)=L(L(v)) pointer jump, which contracts
+    label chains geometrically → O(log V) rounds on any forest shape,
+    path graphs included).  Plain Ray tasks over a fixed bucket list
+    per round (house rule: driver-coordinated loops don't pay Ray
+    Data's per-job startup).  At test/bench scale the result concats
+    driver-side; a 100 TB deployment writes each bucket straight to
+    hash-partitioned parquet."""
+    import ray
+
+    def _scatter_flat(forest: pa.Table, n: int):
+        e, lab = _cc_scatter(forest, n)
+        return (*e, *lab)
+
+    scatter = ray.remote(num_cpus=1)(_scatter_flat)
+    msgs_t = ray.remote(num_cpus=1)(_cc_msgs)
+    apply_t = ray.remote(num_cpus=1, num_returns=2)(_cc_min_apply)
+    jreq_t = ray.remote(num_cpus=1)(_cc_jump_reqs)
+    jlook_t = ray.remote(num_cpus=1)(_cc_jump_lookup)
+    japply_t = ray.remote(num_cpus=1, num_returns=2)(_cc_jump_apply)
+
+    # every per-bucket table is its OWN object ref (num_returns) and
+    # flows task→task through plasma; the driver only ever pulls the
+    # per-bucket `changed` ints
+    flat = scatter.options(num_returns=2 * n_buckets).remote(
+        forest_ref, n_buckets
+    )
+    edge_refs = list(flat[:n_buckets])
+    label_refs = list(flat[n_buckets:])
+    for _ in range(max_rounds):
+        # neighbor-min: B sender tasks × B routed outputs each
+        msg_grid = [
+            msgs_t.options(num_returns=n_buckets).remote(
+                edge_refs[k], label_refs[k], n_buckets
+            )
+            for k in range(n_buckets)
+        ]
+        new_labels, changes = [], []
+        for k in range(n_buckets):
+            lr, ch = apply_t.remote(
+                label_refs[k], *[row[k] for row in msg_grid]
+            )
+            new_labels.append(lr)
+            changes.append(ch)
+        label_refs = new_labels
+        n_changed = sum(ray.get(changes))
+        # pointer jump (contracts label chains geometrically)
+        req_grid = [
+            jreq_t.options(num_returns=n_buckets).remote(
+                label_refs[k], n_buckets
+            )
+            for k in range(n_buckets)
+        ]
+        lookups = [
+            jlook_t.remote(
+                label_refs[k], *[row[k] for row in req_grid]
+            )
+            for k in range(n_buckets)
+        ]
+        new_labels, jchanges = [], []
+        for k in range(n_buckets):
+            lr, ch = japply_t.remote(label_refs[k], *lookups)
+            new_labels.append(lr)
+            jchanges.append(ch)
+        label_refs = new_labels
+        n_changed += sum(ray.get(jchanges))
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "connected-components labeler did not converge "
+            f"in {max_rounds} rounds"
+        )
+    parts = [t for t in ray.get(label_refs) if t.num_rows]
+    out = pa.concat_tables(parts).sort_by([("host", "ascending")])
+    return pa.table(
+        {"host": out["host"], "component": out["label"]}
+    )
+
+
+def connected_components(
+    edges, num_buckets: int = 64, driver_label_max: int = 5_000_000
+):
     """distinct host edges (from ``host_edges``) → (host, component),
     where ``component`` is the lexicographically smallest host in the
     undirected connected component — a canonical label both Python and
     SQL ``min`` agree on (ASCII hosts), so a DuckDB recursive-CTE
     oracle (min reachable host) must match exactly.
+
+    Above ``driver_label_max`` forest edges the final labeling runs
+    DISTRIBUTED (``_cc_distributed_labels``: bucket-sharded hash-min +
+    pointer jumping) instead of driver-side union-find — closing the
+    O(hosts)-driver-state boundary at 10^9-host scale.  Forced-path
+    test pins both branches equal (``driver_label_max=0``).
 
     Scale shape — spanning-forest sparsification, the classic
     distributed-connectivity reduction: each edge batch collapses to
@@ -499,6 +762,14 @@ def connected_components(edges, num_buckets: int = 64):
             merge_task.remote(*refs[i : i + _FAN])
             for i in range(0, len(refs), _FAN)
         ]
+    if refs:
+        n_forest = ray.get(
+            ray.remote(num_cpus=0)(lambda t: t.num_rows).remote(refs[0])
+        )
+        if n_forest > driver_label_max:
+            # scale path: the forest never lands on the driver — labels
+            # stay bucket-sharded through hash-min + pointer jumping
+            return _cc_distributed_labels(refs[0])
     final = (
         ray.get(refs[0])
         if refs

@@ -309,3 +309,61 @@ def test_host_url_profile_hand_computed(ray_session):
     assert out.reset_index().sort_values("host", ignore_index=True)[
         bucketed.columns.tolist()
     ].equals(bucketed)
+
+
+def test_components_distributed_labeler_agrees(ray_session):
+    """``driver_label_max=0`` forces the bucket-sharded hash-min +
+    pointer-jump labeler (the 10^9-host scale path); it must agree
+    EXACTLY with the driver-side union-find on (1) the hand graph,
+    (2) a 300-host path graph — the pathological diameter case that
+    needs pointer jumping to converge in O(log V) rounds — and
+    (3) the sf0.001 corpus link graph."""
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_links
+    from crawler_ai_ray.stages.linkgraph import (
+        connected_components,
+        host_edges,
+    )
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    def agree(edges_ds):
+        a = (
+            connected_components(edges_ds)
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        b = (
+            connected_components(edges_ds, driver_label_max=0)
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        assert a.equals(b)
+        return a
+
+    # (1) hand graph: {a,b,c} linked, {d,e} linked
+    a = agree(host_edges(ray.data.from_arrow(_tiny_extracted())))
+    assert set(a.component) == {"a.com"}
+
+    # (2) path graph h0000→h0001→…→h0299 plus a second 50-chain:
+    # hash-min alone needs O(diameter) rounds here; the jump step must
+    # contract it inside the 64-round cap
+    hosts = [f"h{i:04d}.com" for i in range(300)]
+    tail = [f"z{i:03d}.org" for i in range(50)]
+    chain = pa.table(
+        {
+            "src": pa.array(hosts[:-1] + tail[:-1], pa.string()),
+            "dst": pa.array(hosts[1:] + tail[1:], pa.string()),
+        }
+    )
+    c = agree(ray.data.from_arrow(chain).repartition(6))
+    lab = dict(zip(c.host, c.component))
+    assert all(lab[h] == "h0000.com" for h in hosts)
+    assert all(lab[t] == "z000.org" for t in tail)
+
+    # (3) real corpus graph at sf0.001
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html"]
+    )
+    agree(host_edges(extract_links(pages)))
