@@ -309,6 +309,220 @@ def _pagerank_local(et: pa.Table, iters: int, damping_pct: int,
     )
 
 
+def _pr_scatter(block: pa.Table, n: int):
+    """One worker task: an edge block → per-src-bucket edge slices
+    (src_h, dst_h, dst_b, outdeg) + per-vert-bucket distinct (host, h)
+    pairs for the sharded PageRank.  Routing key is the u64 host hash
+    already carried by ``host_edges``, so bucket membership (and the
+    integer math downstream) matches the broadcast path bit-for-bit."""
+    empty_e = pa.table(
+        {
+            "src_h": pa.array([], pa.uint64()),
+            "dst_h": pa.array([], pa.uint64()),
+            "dst_b": pa.array([], pa.int64()),
+            "outdeg": pa.array([], pa.int64()),
+        }
+    )
+    empty_v = pa.table(
+        {"host": pa.array([], pa.string()), "h": pa.array([], pa.uint64())}
+    )
+    if not block.num_rows:
+        return (*[empty_e] * n, *[empty_v] * n)
+    sh = block["src_h"].to_numpy(zero_copy_only=False)
+    dh = block["dst_h"].to_numpy(zero_copy_only=False)
+    deg = block["outdeg"].to_numpy(zero_copy_only=False)
+    src_b = (sh % np.uint64(n)).astype(np.int64)
+    dst_b = (dh % np.uint64(n)).astype(np.int64)
+    edge_slices = []
+    for k in range(n):
+        m = src_b == k
+        edge_slices.append(
+            pa.table(
+                {
+                    "src_h": pa.array(sh[m], pa.uint64()),
+                    "dst_h": pa.array(dh[m], pa.uint64()),
+                    "dst_b": pa.array(dst_b[m], pa.int64()),
+                    "outdeg": pa.array(deg[m], pa.int64()),
+                }
+            )
+        )
+    vt = pa.table(
+        {
+            "host": pa.concat_arrays(
+                [block["src"].combine_chunks(), block["dst"].combine_chunks()]
+            ),
+            "h": pa.concat_arrays(
+                [
+                    block["src_h"].combine_chunks(),
+                    block["dst_h"].combine_chunks(),
+                ]
+            ),
+        }
+    ).group_by(["host", "h"]).aggregate([])
+    vb = (
+        vt["h"].to_numpy(zero_copy_only=False) % np.uint64(n)
+    ).astype(np.int64)
+    vert_slices = [vt.filter(pa.array(vb == k)) for k in range(n)]
+    return (*edge_slices, *vert_slices)
+
+
+def _pr_gather_edges(*slices: pa.Table) -> pa.Table:
+    live = [t for t in slices if t.num_rows]
+    return pa.concat_tables(live) if live else slices[0]
+
+
+def _pr_init_state(scale: int, *slices: pa.Table) -> pa.Table:
+    """unique-merge one bucket's (host, h) pairs → h-sorted state table
+    with rank₀ = scale."""
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "h": pa.array([], pa.uint64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(live)
+    hh = cat["h"].to_numpy(zero_copy_only=False)
+    keys, first = np.unique(hh, return_index=True)
+    return pa.table(
+        {
+            "host": cat["host"].take(pa.array(first)).combine_chunks(),
+            "h": pa.array(keys, pa.uint64()),
+            "rank": pa.array(
+                np.full(len(keys), scale, dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _pr_contrib_sharded(edges_b: pa.Table, state_b: pa.Table, n: int):
+    """This src bucket's rank/outdeg contributions, pre-summed by dst_h
+    and routed by the destination's bucket."""
+    empty = pa.table(
+        {"dst_h": pa.array([], pa.uint64()), "part": pa.array([], pa.int64())}
+    )
+    out = [empty] * n
+    if not edges_b.num_rows:
+        return out
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    ranks = state_b["rank"].to_numpy(zero_copy_only=False)
+    sh = edges_b["src_h"].to_numpy(zero_copy_only=False)
+    c = ranks[np.searchsorted(keys, sh)] // edges_b["outdeg"].to_numpy(
+        zero_copy_only=False
+    )
+    db = edges_b["dst_b"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "dst_h": edges_b["dst_h"],
+            "part": pa.array(c, pa.int64()),
+        }
+    )
+    for k in np.unique(db):
+        agg = (
+            t.filter(pa.array(db == k))
+            .group_by("dst_h")
+            .aggregate([("part", "sum")])
+        )
+        out[int(k)] = pa.table(
+            {"dst_h": agg["dst_h"], "part": agg["part_sum"]}
+        )
+    return out
+
+
+def _pr_apply_sharded(
+    state_b: pa.Table, base: int, damping_pct: int, *parts: pa.Table
+) -> pa.Table:
+    live = [t for t in parts if t.num_rows]
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    inbound = np.zeros(len(keys), dtype=np.int64)
+    if live and len(keys):
+        merged = (
+            pa.concat_tables(live)
+            .group_by("dst_h")
+            .aggregate([("part", "sum")])
+        )
+        idx = np.searchsorted(
+            keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        inbound[idx] = merged["part_sum"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "host": state_b["host"],
+            "h": state_b["h"],
+            "rank": pa.array(
+                base + (damping_pct * inbound) // 100, pa.int64()
+            ),
+        }
+    )
+
+
+def _pr_distributed_sharded(
+    edge_block_refs, iters: int, damping_pct: int, scale: int,
+    n_buckets: int = 32,
+) -> pa.Table:
+    """Fully bucket-sharded PageRank iteration — NO vertex-sized driver
+    or broadcast structure (the scale path past the documented
+    O(hosts)-broadcast boundary of the default distributed branch, the
+    PageRank twin of ``_cc_distributed_labels``).  Vertex state
+    (host, h, rank) shards by ``h % B``; each iteration is one routed
+    exchange: B contrib tasks (rank//outdeg, pre-summed per dst_h)
+    scatter ``num_returns=B`` outputs, B apply tasks sum their column
+    and rewrite their shard.  Edges are bucketed by src once and stay
+    in plasma across iterations; the driver only schedules — it never
+    holds keys, ranks, or messages.  Integer math is associative, so
+    the result is bit-identical to the broadcast and driver-local
+    paths (pinned by a forced-path test).  At test/bench scale the
+    final shards concat driver-side; a 100 TB deployment writes each
+    shard straight to hash-partitioned parquet."""
+    import ray
+
+    scatter = ray.remote(num_cpus=1)(_pr_scatter)
+    gath_e = ray.remote(num_cpus=1)(_pr_gather_edges)
+    init_s = ray.remote(num_cpus=1)(_pr_init_state)
+    contrib = ray.remote(num_cpus=1)(_pr_contrib_sharded)
+    apply_s = ray.remote(num_cpus=1)(_pr_apply_sharded)
+
+    flats = [
+        scatter.options(num_returns=2 * n_buckets).remote(b, n_buckets)
+        for b in edge_block_refs
+    ]
+    edge_refs = [
+        gath_e.remote(*[f[k] for f in flats]) for k in range(n_buckets)
+    ]
+    state_refs = [
+        init_s.remote(scale, *[f[n_buckets + k] for f in flats])
+        for k in range(n_buckets)
+    ]
+    base = scale * (100 - damping_pct) // 100
+    for _ in range(iters):
+        grids = [
+            contrib.options(num_returns=n_buckets).remote(
+                edge_refs[k], state_refs[k], n_buckets
+            )
+            for k in range(n_buckets)
+        ]
+        state_refs = [
+            apply_s.remote(
+                state_refs[k], base, damping_pct, *[g[k] for g in grids]
+            )
+            for k in range(n_buckets)
+        ]
+    parts = [t for t in ray.get(state_refs) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "rank_micros": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return pa.table(
+        {"host": out["host"], "rank_micros": out["rank"]}
+    ).sort_by([("host", "ascending")])
+
+
 def pagerank_hosts(
     edges,
     iters: int = 5,
@@ -316,6 +530,7 @@ def pagerank_hosts(
     scale: int = 1_000_000,
     num_buckets: int = 64,
     driver_max_edges: int = 5_000_000,
+    shard_min_edges: int = 500_000_000,
 ):
     """distinct host edges (from ``host_edges``) → (host, rank_micros).
 
@@ -324,15 +539,28 @@ def pagerank_hosts(
     ``inbound = Σ_{src→host} rank[src] // outdeg[src]`` and
     ``base = scale·(100-damping_pct) // 100``.  Exact under any
     summation order (all ints), so the DuckDB oracle unrolls the same
-    ``iters`` iterations and must match bit-for-bit."""
+    ``iters`` iterations and must match bit-for-bit.
+
+    Three adaptive tiers, all bit-identical (forced-path tests pin
+    each pair equal): ≤ ``driver_max_edges`` runs driver-local;
+    above it the broadcast loop (vertex-sized (keys, ranks) via
+    ``ray.put`` per iteration — fine to ~10^8 hosts); past
+    ``shard_min_edges`` the fully bucket-sharded
+    ``_pr_distributed_sharded`` path, which holds NO vertex-sized
+    state anywhere (10^9-host framing)."""
     import ray
 
     edges = edges.materialize()  # iterated over `iters` times
+    n_edges = edges.count()
+    if n_edges > shard_min_edges:
+        return _pr_distributed_sharded(
+            list(edges.to_arrow_refs()), iters, damping_pct, scale
+        )
     # adaptive: below the edge threshold the whole iteration loop runs
     # driver-local (identical integer math — pinned by a forced-path
     # test).  5 Ray map rounds over a combiner-sized edge set pay ~5×
     # fixed task/dispatch cost for state that already fits the driver.
-    if edges.count() <= driver_max_edges:
+    if n_edges <= driver_max_edges:
         blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
         et = (
             pa.concat_tables(blocks)

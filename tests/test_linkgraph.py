@@ -170,6 +170,40 @@ def test_pagerank_partition_and_bucket_invariant(ray_session):
     )
     assert a.equals(c)
 
+    # shard_min_edges=0 forces the fully bucket-sharded tier (no
+    # vertex-sized driver/broadcast state anywhere) — still bit-equal
+    d = (
+        pagerank_hosts(
+            host_edges(ex.repartition(5), num_buckets=16),
+            iters=3,
+            driver_max_edges=0,
+            shard_min_edges=0,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(d)
+
+
+def test_pagerank_sharded_hand_computed(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    got = (
+        pagerank_hosts(
+            host_edges(ray.data.from_arrow(_tiny_extracted())),
+            iters=2,
+            driver_max_edges=0,
+            shard_min_edges=0,
+        )
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    assert got["a.com"] == 1_361_250
+    assert got["b.com"] == 575_000
+    assert got["c.com"] == 1_063_750
+
 
 def test_host_degrees_hand_computed(ray_session):
     import ray.data
