@@ -2364,6 +2364,18 @@ def _rel(name):
     return make(name)
 
 
+def _tm(name):
+    def make(fn_name):
+        def q(sf_dir: str):
+            from crawler_ai_ray.pipelines import tpch_more
+
+            return getattr(tpch_more, fn_name)(sf_dir)
+
+        return q
+
+    return make(name)
+
+
 # --- multimodal (stubbed decode, real plumbing; rows-only checks) ---------
 
 def _media_ds(sf_dir: str, kind: str):
@@ -2932,6 +2944,19 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_part_revenue": _rel("lineitem_part_revenue"),
         "tpch_q3_unshipped": _rel("q3_unshipped"),
         "tpch_q5_region_volume": _rel("q5_local_supplier_volume"),
+        # TPC-H remainder (pipelines/tpch_more.py — full 22-query suite;
+        # schema adaptations documented in the module docstring)
+        "tpch_q2_min_cost": _tm("q2_min_cost_supplier"),
+        "tpch_q7_volume": _tm("q7_volume_shipping"),
+        "tpch_q8_mktshare": _tm("q8_market_share"),
+        "tpch_q9_profit": _tm("q9_product_profit"),
+        "tpch_q10_returns": _tm("q10_returned_items"),
+        "tpch_q11_stock": _tm("q11_important_stock"),
+        "tpch_q12_late": _tm("q12_late_shipments"),
+        "tpch_q17_small_qty": _tm("q17_small_qty_revenue"),
+        "tpch_q19_disc_revenue": _tm("q19_discounted_revenue"),
+        "tpch_q20_promo_suppliers": _tm("q20_promotion_suppliers"),
+        "tpch_q21_waiting": _tm("q21_waiting_suppliers"),
         # multimodal plumbing (stub decode; rows-only)
         "mm_image_features": _q_mm_image,
         "mm_audio_features": _q_mm_audio,
@@ -3066,6 +3091,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join", "tpch_q1_pricing", "top_customers",
         "supplier_by_region", "lineitem_part_revenue",
         "mm_image_features", "mm_audio_features", "mm_video_frames",
+        # new in round 3 (TPC-H remainder) — never driver-checked yet;
+        # round 4's reorder should front-load these
+        "tpch_q2_min_cost", "tpch_q7_volume", "tpch_q8_mktshare",
+        "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_stock",
+        "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
+        "tpch_q20_promo_suppliers", "tpch_q21_waiting",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5060,4 +5091,196 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY 1
             ORDER BY revenue_cents DESC, n_name""",
+        # --- TPC-H remainder (pipelines/tpch_more.py) --------------------
+        "tpch_q2_min_cost": """
+            WITH fp AS (SELECT p_partkey, p_name FROM part
+                        WHERE p_type='STANDARD' AND p_size >= 25),
+            rs AS (SELECT s.s_suppkey, s.s_name,
+                     CAST(FLOOR(s.s_acctbal*100 + 0.5) AS BIGINT)
+                       AS s_acctbal_cents, n.n_name
+                   FROM supplier s
+                   JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'EUROPE'),
+            cost AS (SELECT l.l_partkey, l.l_suppkey,
+                       min(CAST(FLOOR(l.l_extendedprice / l.l_quantity
+                                      * 100 + 0.5) AS BIGINT))::BIGINT
+                         AS supply_cost_centi
+                     FROM lineitem l
+                     JOIN fp ON fp.p_partkey = l.l_partkey
+                     JOIN rs ON rs.s_suppkey = l.l_suppkey
+                     GROUP BY 1, 2)
+            SELECT fp.p_partkey, fp.p_name, rs.s_suppkey, rs.s_name,
+                   rs.n_name, c.supply_cost_centi, rs.s_acctbal_cents
+            FROM cost c JOIN fp ON fp.p_partkey = c.l_partkey
+            JOIN rs ON rs.s_suppkey = c.l_suppkey
+            WHERE c.supply_cost_centi = (
+              SELECT min(c2.supply_cost_centi) FROM cost c2
+              WHERE c2.l_partkey = c.l_partkey)""",
+        "tpch_q7_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
+                   sum(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100
+                                  + 0.5) AS BIGINT))::BIGINT
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN region rg1 ON rg1.r_regionkey = nc.n_regionkey
+              AND rg1.r_name = 'ASIA'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN region rg2 ON rg2.r_regionkey = ns.n_regionkey
+              AND rg2.r_name = 'EUROPE'
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3""",
+        "tpch_q8_mktshare": """
+            WITH rev AS (
+              SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+                     CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100
+                                + 0.5) AS BIGINT) AS rcent,
+                     (ns.n_name = 'NATION_2') AS is_t
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+                AND p.p_type = 'PROMO'
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+              JOIN region rg1 ON rg1.r_regionkey = nc.n_regionkey
+                AND rg1.r_name = 'ASIA'
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   sum(CASE WHEN is_t THEN rcent ELSE 0 END)::BIGINT
+                     AS rev_target_cents,
+                   sum(rcent)::BIGINT AS rev_total_cents,
+                   sum(CASE WHEN is_t THEN rcent ELSE 0 END)::DOUBLE
+                     / sum(rcent)::DOUBLE AS mkt_share
+            FROM rev GROUP BY 1""",
+        "tpch_q9_profit": """
+            SELECT n.n_name,
+                   EXTRACT(year FROM l.l_shipdate)::BIGINT AS ship_year,
+                   sum(CAST(FLOOR((l.l_extendedprice*(1-l.l_discount)
+                                   - p.p_retailprice*l.l_quantity)*100
+                                  + 0.5) AS BIGINT))::BIGINT
+                     AS profit_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+              AND p.p_name LIKE '%red%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2""",
+        "tpch_q10_returns": """
+            WITH rev AS (
+              SELECT o.o_custkey,
+                     sum(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)
+                                    *100 + 0.5) AS BIGINT))::BIGINT
+                       AS revenue_cents
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, r.revenue_cents,
+                   CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT)
+                     AS acctbal_cents,
+                   n.n_name
+            FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.revenue_cents DESC, c.c_custkey LIMIT 20""",
+        "tpch_q11_stock": """
+            WITH v AS (
+              SELECT l.l_partkey AS p_partkey,
+                     sum(CAST(FLOOR(l.l_extendedprice*100 + 0.5)
+                              AS BIGINT))::BIGINT AS value_cents
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+                AND r.r_name = 'EUROPE'
+              GROUP BY 1)
+            SELECT p_partkey, value_cents FROM v
+            WHERE value_cents::HUGEINT * 1000000
+                  > 1000::HUGEINT * (SELECT sum(value_cents) FROM v)""",
+        "tpch_q12_late": """
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN
+                             ('1-URGENT','2-HIGH') THEN 1 ELSE 0
+                       END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN
+                             ('1-URGENT','2-HIGH') THEN 0 ELSE 1
+                       END)::BIGINT AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1""",
+        "tpch_q17_small_qty": """
+            WITH fp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#3' AND p_size <= 10),
+            agg AS (SELECT l.l_partkey,
+                      sum(CAST(FLOOR(l.l_quantity*100 + 0.5)
+                               AS BIGINT))::BIGINT AS sum_qc,
+                      count(*)::BIGINT AS cnt
+                    FROM lineitem l
+                    JOIN fp ON fp.p_partkey = l.l_partkey GROUP BY 1)
+            SELECT COALESCE(sum(CAST(FLOOR(l.l_extendedprice*100 + 0.5)
+                                     AS BIGINT)), 0)::DOUBLE / 700.0
+                     AS avg_yearly
+            FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
+            WHERE CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT)
+                  * 5 * a.cnt < a.sum_qc""",
+        "tpch_q19_disc_revenue": """
+            SELECT COALESCE(sum(CAST(FLOOR(l.l_extendedprice
+                                           *(1-l.l_discount)*100 + 0.5)
+                                     AS BIGINT)), 0)::BIGINT
+                     AS revenue_cents
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand='Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND CAST(FLOOR(l.l_quantity*100+0.5) AS BIGINT)
+                       BETWEEN 100 AND 1100)
+               OR (p.p_brand='Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND CAST(FLOOR(l.l_quantity*100+0.5) AS BIGINT)
+                       BETWEEN 1000 AND 2000)
+               OR (p.p_brand='Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND CAST(FLOOR(l.l_quantity*100+0.5) AS BIGINT)
+                       BETWEEN 2000 AND 3000)""",
+        "tpch_q20_promo_suppliers": """
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+              AND r.r_name = 'EUROPE'
+            WHERE s.s_suppkey IN (
+              SELECT l.l_suppkey FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l.l_suppkey, l.l_partkey
+              HAVING sum(CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT))
+                     > 5000)""",
+        "tpch_q21_waiting": """
+            WITH d AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     max(CASE WHEN l.l_returnflag='R' THEN 1 ELSE 0
+                         END) AS has_r
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+                AND o.o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            q AS (SELECT l_orderkey FROM d GROUP BY 1
+                  HAVING count(*) >= 2 AND sum(has_r) = 1)
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+            FROM d JOIN q USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = d.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+              AND r.r_name = 'ASIA'
+            WHERE d.has_r = 1
+            GROUP BY 1, 2""",
     }
