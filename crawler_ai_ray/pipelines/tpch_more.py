@@ -823,6 +823,7 @@ def q10_returned_items(
     k: int = 20,
     num_buckets: int = 32,
     broadcast_max_keys: int = 5_000_000,
+    driver_finish_max: int = 2_000_000,
 ):
     """TPC-H Q10 shape — customers ranked by revenue from lineitems
     they returned ('R') on orders placed in one quarter; top-k with
@@ -955,12 +956,22 @@ def q10_returned_items(
         )
         return agg
 
-    cands = _blocks(
-        bucketed_agg(
-            per_order, "o_custkey", topk_bucket, part_schema,
-            num_buckets=num_buckets,
+    # adaptive finish (house rule): the per-(batch/bucket) partials are
+    # already custkey-aggregated — when the materialized partial count
+    # is tiny, one driver-side Arrow hash-agg beats the ~1.5-3.5 s
+    # fixed cost of a Ray groupby shuffle; above the gate, the custkey
+    # bucketed_agg finishes distributed with per-bucket top-k cuts.
+    per_order = per_order.materialize()
+    if per_order.count() <= driver_finish_max:
+        blocks = _blocks(per_order)
+        cands = [topk_bucket(pa.concat_tables(blocks))] if blocks else []
+    else:
+        cands = _blocks(
+            bucketed_agg(
+                per_order, "o_custkey", topk_bucket, part_schema,
+                num_buckets=num_buckets,
+            )
         )
-    )
     if not cands:
         return empty
     allc = pa.concat_tables(cands)
@@ -1011,6 +1022,7 @@ def q11_important_stock(
     region: str = "EUROPE",
     fraction_ppm: int = 1000,
     num_buckets: int = 64,
+    driver_finish_max: int = 2_000_000,
 ):
     """TPC-H Q11 shape — per-part share of total "stock" value held by
     one region's suppliers, keeping parts above a global threshold.
@@ -1018,12 +1030,14 @@ def q11_important_stock(
     shipped by the region's suppliers.
 
     Plan: region supplier set broadcasts; lineitem pre-aggregates
-    (partkey, value) per batch; ONE partkey ``bucketed_agg`` finishes
-    the per-part sums; the global total is a streamed per-block scalar
-    reduce over those outputs (the driver holds scalars, never the
-    full per-part table); the threshold filter compares integers —
-    ``value_cents * 1_000_000 > fraction_ppm * total_cents`` — so the
-    engine and the oracle agree exactly."""
+    (partkey, value) per batch; the per-part sums finish driver-side
+    when the materialized partial count is tiny (adaptive finish) else
+    via ONE partkey ``bucketed_agg``; the global total is a streamed
+    per-block scalar reduce over those outputs (the driver holds
+    scalars, never the full distributed per-part table); the threshold
+    filter compares integers — ``value_cents * 1_000_000 >
+    fraction_ppm * total_cents`` — so the engine and the oracle agree
+    exactly."""
     import ray
 
     s_nats = _region_nations(sf_dir, region)
@@ -1066,8 +1080,27 @@ def q11_important_stock(
             .rename_columns(["p_partkey", "value_cents"])
         )
 
+    partials = li.materialize()
+    if partials.count() <= driver_finish_max:
+        # adaptive finish: merged partials are per-part rows; the
+        # total, cutoff and cut all complete locally — zero shuffles
+        blocks = _blocks(partials)
+        merged = (
+            merge_bucket(pa.concat_tables(blocks))
+            if blocks
+            else schema.empty_table()
+        )
+        total = int(pc.sum(merged["value_cents"]).as_py() or 0)
+        if total == 0:
+            return schema.empty_table()
+        cutoff = (fraction_ppm * total) // 1_000_000 + 1
+        v = merged["value_cents"].to_numpy(zero_copy_only=False)
+        return merged.filter(pa.array(v >= cutoff)).sort_by(
+            [("value_cents", "descending"), ("p_partkey", "ascending")]
+        )
     per_part = bucketed_agg(
-        li, "p_partkey", merge_bucket, schema, num_buckets=num_buckets
+        partials, "p_partkey", merge_bucket, schema,
+        num_buckets=num_buckets,
     ).materialize()
 
     def block_total(b: pa.Table) -> pa.Table:
@@ -1707,6 +1740,7 @@ def q21_waiting_suppliers(
     region: str = "ASIA",
     num_buckets: int = 64,
     broadcast_max_keys: int = 5_000_000,
+    driver_finish_max: int = 2_000_000,
 ):
     """TPC-H Q21 shape — on finished ('F') orders involving ≥2 distinct
     suppliers where EXACTLY ONE supplier has a returned ('R') line
@@ -1828,15 +1862,26 @@ def q21_waiting_suppliers(
             )
             return batch.filter(pa.array(hit))
 
-        parts = _blocks(
-            bucketed_agg(
-                li.map_batches(f_filter, batch_format="pyarrow"),
-                "o_orderkey",
-                analyze,
-                schema,
-                num_buckets=num_buckets,
+        filtered = li.map_batches(
+            f_filter, batch_format="pyarrow"
+        ).materialize()
+        # adaptive finish: the F-filtered distinct-pair partials are
+        # often tiny — below the gate the per-order analysis runs once
+        # driver-side (identical kernel) instead of paying the bucket
+        # shuffle's fixed cost
+        if filtered.count() <= driver_finish_max:
+            blocks = _blocks(filtered)
+            parts = [analyze(pa.concat_tables(blocks))] if blocks else []
+        else:
+            parts = _blocks(
+                bucketed_agg(
+                    filtered,
+                    "o_orderkey",
+                    analyze,
+                    schema,
+                    num_buckets=num_buckets,
+                )
             )
-        )
     else:
         parts = _blocks(
             hash_bucket_join(

@@ -26,27 +26,36 @@ NEW_TPCH = [
     "tpch_q21_waiting",
 ]
 
-# engine fn name + kwargs that force the distributed path
+# engine fn name + list of kwarg sets, each forcing a distributed path
 FORCED = {
-    "tpch_q2_min_cost": ("q2_min_cost_supplier", {"driver_finish_max": 0}),
-    "tpch_q7_volume": ("q7_volume_shipping", {"broadcast_max_keys": 0}),
-    "tpch_q8_mktshare": ("q8_market_share", {"broadcast_max_keys": 0}),
-    "tpch_q9_profit": ("q9_product_profit", {"broadcast_max_keys": 0}),
-    "tpch_q10_returns": ("q10_returned_items", {"broadcast_max_keys": 0}),
-    "tpch_q12_late": ("q12_late_shipments", {"broadcast_max_keys": 0}),
+    "tpch_q2_min_cost": (
+        "q2_min_cost_supplier", [{"driver_finish_max": 0}]
+    ),
+    "tpch_q7_volume": ("q7_volume_shipping", [{"broadcast_max_keys": 0}]),
+    "tpch_q8_mktshare": ("q8_market_share", [{"broadcast_max_keys": 0}]),
+    "tpch_q9_profit": ("q9_product_profit", [{"broadcast_max_keys": 0}]),
+    "tpch_q10_returns": (
+        "q10_returned_items",
+        [{"broadcast_max_keys": 0}, {"driver_finish_max": 0},
+         {"broadcast_max_keys": 0, "driver_finish_max": 0}],
+    ),
+    "tpch_q11_stock": (
+        "q11_important_stock", [{"driver_finish_max": 0}]
+    ),
+    "tpch_q12_late": ("q12_late_shipments", [{"broadcast_max_keys": 0}]),
     "tpch_q17_small_qty": (
-        "q17_small_qty_revenue", {"driver_finish_max": 0}
+        "q17_small_qty_revenue", [{"driver_finish_max": 0}]
     ),
     "tpch_q19_disc_revenue": (
-        "q19_discounted_revenue", {"broadcast_max_keys": 0}
+        "q19_discounted_revenue", [{"broadcast_max_keys": 0}]
     ),
     "tpch_q20_promo_suppliers": (
-        "q20_promotion_suppliers", {"driver_finish_max": 0}
+        "q20_promotion_suppliers", [{"driver_finish_max": 0}]
     ),
     "tpch_q21_waiting": (
-        "q21_waiting_suppliers", {"broadcast_max_keys": 0}
+        "q21_waiting_suppliers",
+        [{"broadcast_max_keys": 0}, {"driver_finish_max": 0}],
     ),
-    # tpch_q11_stock is always bucketed — no second path to force
 }
 
 
@@ -72,8 +81,9 @@ def test_tpch_more_vs_duckdb(duck, name):
 def test_tpch_more_path_agreement(name):
     from crawler_ai_ray.pipelines import tpch_more
 
-    fn_name, kw = FORCED[name]
+    fn_name, kwsets = FORCED[name]
     fn = getattr(tpch_more, fn_name)
     a = _norm(fn(SF).to_pandas())
-    b = _norm(fn(SF, **kw).to_pandas())
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    for kw in kwsets:
+        b = _norm(fn(SF, **kw).to_pandas())
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
