@@ -1927,6 +1927,18 @@ def _q_doc_commonness(sf_dir: str):
     )
 
 
+def _q_doc_bigram_fluency(sf_dir: str):
+    """Mean corpus bigram conditional probability per doc (ppm) —
+    integer-exact bigram-LM fluency signal (CCNet/Gopher filter on
+    n-gram-LM perplexity).  Bigram counts reduce driver-side and
+    broadcast; two streaming passes, no shuffle."""
+    from crawler_ai_ray.stages.textstats import bigram_fluency
+
+    return bigram_fluency(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_clf_score(sf_dir: str):
     """Linear bag-of-words classifier inference (the fasttext-style
     quality filter of GPT-3/CCNet/DSIR pipelines): per-doc integer
@@ -2891,6 +2903,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
+        "doc_bigram_fluency": _q_doc_bigram_fluency,
         "doc_dsir_score": _q_doc_dsir_score,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
@@ -3097,6 +3110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_stock",
         "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
+        "doc_bigram_fluency",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4508,6 +4522,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_tokens,
                    (((s // n) * 1000000) // t)::BIGINT AS commonness_ppm
             FROM per, tot""",
+        # bigram fluency: pair/prefix counts over pair STRINGS (vs the
+        # engine's folded token hashes — a collision would be caught);
+        # identical integer divisions ((1e6·c_pair)//c_prev, Σ//n)
+        "doc_bigram_fluency": """
+            WITH lt AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, z[1] AS prev, z[2] AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_zip(l[:-1], l[2:])) AS z
+                    FROM lt)
+              WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+            cp AS (SELECT prev, tok, count(*)::BIGINT AS n
+                   FROM pairs GROUP BY 1, 2),
+            pre AS (SELECT prev, sum(n)::BIGINT AS n
+                    FROM cp GROUP BY 1),
+            p AS (SELECT pairs.doc_id,
+                         (1000000 * cp.n) // pre.n AS pmic
+                  FROM pairs
+                  JOIN cp USING (prev, tok)
+                  JOIN pre USING (prev))
+            SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                   (sum(pmic) // count(*))::BIGINT AS fluency_ppm
+            FROM p GROUP BY 1""",
         # DSIR: feature ids recomputed via md5_number_lower (==
         # little-endian of md5 digest bytes 8..16, the engine's
         # md5_feature), weights as add-one-smoothed probability

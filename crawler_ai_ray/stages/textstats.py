@@ -1006,6 +1006,166 @@ def doc_commonness(ds, text_col: str = "text"):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_BG_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bigram_rows(batch: pa.Table, text_col: str):
+    """vectorized ordered-bigram extraction: lowercased ``[a-z]+`` runs
+    per doc (the corpus tokenization), consecutive-pair rows →
+    (local doc index, prev-token u64 hash, pair u64 hash).  Token
+    hashing is blake2b over the batch's UNIQUE terms (dictionary-
+    encoded — the only per-string loop is vocab-sized, the per-token
+    path is a numpy gather); the pair key folds the two token hashes
+    (``h_prev·φ ⊕ h_tok``), never materializing pair strings."""
+    import hashlib
+
+    low = pc.utf8_lower(pc.cast(batch[text_col], pa.string()))
+    lists = pc.split_pattern_regex(low, "[^a-z]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    # list_flatten/list_value_length respect any array offset (raw
+    # .values/.offsets would mis-align on sliced arrays)
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    toks = flat.filter(keep)
+    doc_idx = doc_idx[keep_np]
+    if len(doc_idx) == 0:
+        z = np.zeros(0, np.uint64)
+        return np.zeros(0, np.int64), z, z
+    d = toks.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hdict = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    t.encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for t in d.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    htok = hdict[codes]
+    m = doc_idx[1:] == doc_idx[:-1]
+    hprev = htok[:-1][m]
+    hpair = hprev * _BG_GOLD ^ htok[1:][m]
+    return doc_idx[1:][m], hprev, hpair
+
+
+def bigram_fluency(ds, text_col: str = "text"):
+    """documents → (doc_id, n_pairs, fluency_ppm): mean corpus bigram
+    conditional probability over each document's adjacent token pairs,
+    in integer ppm — the bigram-LM fluency filter (CCNet / Gopher
+    filter on n-gram-LM perplexity, arXiv:1911.00359 / 2112.11446;
+    low fluency = token sequences the corpus LM finds improbable).
+    The per-pair score is ``(10⁶ · c(prev,tok)) // c(prev·)`` — exact
+    integer MLE of P(tok|prev) in ppm, and ``fluency_ppm =
+    Σ pair_ppm // n_pairs`` — both divisions mirrored verbatim by the
+    oracle, so no float log/exp enters the compare.
+
+    Scale shape (``doc_commonness`` doctrine, one n-gram order up):
+    two streaming passes, no shuffle.  Pass 1 reduces per-batch
+    (pair-hash, prev-hash, count) partials driver-side into the
+    bigram-count state — the declared boundary is bigram-vocab size
+    (~24 B/pair; beyond plasma budget, bucket the count merge and the
+    score join like ``distinctive_terms``).  Pass 2 broadcasts the two
+    sorted count vectors and scores each batch map-side.  A 64-bit
+    pair-hash collision merges two counts — the oracle compares pair
+    STRINGS, so the gate would catch one."""
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, hprev, hpair = _bigram_rows(batch, text_col)
+        if len(hpair) == 0:
+            return pa.table(
+                {
+                    "hp": pa.array([], pa.uint64()),
+                    "hprev": pa.array([], pa.uint64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        u, first, counts = np.unique(
+            hpair, return_index=True, return_counts=True
+        )
+        return pa.table(
+            {
+                "hp": pa.array(u, pa.uint64()),
+                "hprev": pa.array(hprev[first], pa.uint64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "fluency_ppm": pa.array([], pa.int64()),
+        }
+    )
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                count_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("hp")
+        .aggregate([("c", "sum"), ("hprev", "min")])
+    )
+    hp = agg["hp"].to_numpy(zero_copy_only=False)
+    cp = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(hp)
+    pair_keys, pair_counts = hp[o], cp[o]
+    pre = (
+        pa.table({"h": agg["hprev_min"], "c": agg["c_sum"]})
+        .group_by("h")
+        .aggregate([("c", "sum")])
+    )
+    ph = pre["h"].to_numpy(zero_copy_only=False)
+    pn = pre["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    po = np.argsort(ph)
+    ref = ray.put((pair_keys, pair_counts, ph[po], pn[po]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pk, pcn, qk, qn = ray.get(ref)
+        di, hprev, hpair = _bigram_rows(batch, text_col)
+        if len(hpair) == 0:
+            return empty
+        c_pair = pcn[np.searchsorted(pk, hpair)]
+        c_pre = qn[np.searchsorted(qk, hprev)]
+        pmic = (1_000_000 * c_pair) // c_pre
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[di], pa.int64()),
+                "s": pa.array(pmic, pa.int64()),
+                "one": pa.array(np.ones(len(pmic), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("doc_id").aggregate([("s", "sum"), ("one", "sum")])
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        n = g["one_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_pairs": pa.array(n, pa.int64()),
+                "fluency_ppm": pa.array(s // n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # --- linear-classifier inference (fasttext-style quality filter) -----------
 
 _CLF_MULT = 2_654_435_761  # Knuth multiplicative constant

@@ -1250,6 +1250,41 @@ def test_doc_commonness_partition_invariant_and_planted(ray_session):
     assert a.equals(b)
 
 
+def test_bigram_fluency_planted_and_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import bigram_fluency
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b a b a", "a c!"], pa.string()),
+        }
+    )
+    got = (
+        bigram_fluency(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # pair counts: (a,b)=2 (b,a)=2 (a,c)=1; prefix: a·=3 b·=2
+    # pmic: (a,b)=(1e6*2)//3=666666, (b,a)=1000000, (a,c)=333333
+    # doc1: (666666+1000000)*2 // 4 = 833333 ; doc2: 333333 // 1
+    assert got.loc[1, "n_pairs"] == 4
+    assert got.loc[1, "fluency_ppm"] == 833_333
+    assert got.loc[2, "fluency_ppm"] == 333_333
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = bigram_fluency(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    b = bigram_fluency(docs.repartition(7)).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert a.equals(b)
+
+
 def test_video_keyframes_planted():
     import numpy as np
 
