@@ -228,6 +228,13 @@ def bench_queries(sf_dir: str) -> dict:
         "mm_audio_neardup",
         "mm_video_frames",
         "mm_video_keyframes",
+        # round 3: TPC-H remainder join shapes + the bigram-LM filter
+        "tpch_q2_min_cost",
+        "tpch_q7_volume",
+        "tpch_q10_returns",
+        "tpch_q12_late",
+        "tpch_q21_waiting",
+        "doc_bigram_fluency",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
