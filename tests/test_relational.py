@@ -1121,6 +1121,7 @@ def _tpch_rows(draw):
             draw(st.sampled_from(prios)),
             draw(st.integers(0, 2000)),  # days offset from 1995-01-01
             draw(st.floats(1, 9999, allow_nan=False, allow_infinity=False)),
+            draw(st.sampled_from(["O", "F", "P"])),
         )
         for i in range(n_ord)
     ]
@@ -1130,6 +1131,7 @@ def _tpch_rows(draw):
             f"Customer{c}",
             draw(st.sampled_from(segs)),
             draw(st.floats(-500, 5000, allow_nan=False, allow_infinity=False)),
+            draw(st.integers(0, 24)),  # nationkey (region = key % 5)
         )
         for c in range(n_cust)
     ]
@@ -1142,10 +1144,13 @@ def _tpch_rows(draw):
             draw(st.integers(0, 2000)),
             draw(st.floats(1, 999, allow_nan=False, allow_infinity=False)),
             draw(st.floats(0, 0.1, allow_nan=False, allow_infinity=False)),
+            draw(st.integers(0, 2)),  # partkey
+            draw(st.sampled_from(["O", "F"])),  # linestatus
         )
         for _ in range(n_li if n_ord else 0)
     ]
-    return custs, orders, lis
+    s_nats = [draw(st.integers(0, 24)) for _ in range(3)]
+    return custs, orders, lis, s_nats
 
 
 @settings(max_examples=5, deadline=None)
@@ -1165,7 +1170,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
 
     import __ray_entry__ as entry
 
-    custs, orders, lis = data
+    custs, orders, lis, s_nats = data
     base = np.datetime64("1995-01-01", "us")
     day = np.timedelta64(86400, "s")
     with tempfile.TemporaryDirectory() as d:
@@ -1174,7 +1179,9 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
                 {
                     "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
                     "c_name": pa.array([c[1] for c in custs], pa.string()),
-                    "c_nationkey": pa.array([0] * len(custs), pa.int32()),
+                    "c_nationkey": pa.array(
+                        [c[4] for c in custs], pa.int32()
+                    ),
                     "c_acctbal": pa.array([c[3] for c in custs], pa.float64()),
                     "c_mktsegment": pa.array([c[2] for c in custs], pa.string()),
                 }
@@ -1186,7 +1193,9 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
                 {
                     "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
                     "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
-                    "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                    "o_orderstatus": pa.array(
+                        [o[5] for o in orders], pa.string()
+                    ),
                     "o_totalprice": pa.array([o[4] for o in orders], pa.float64()),
                     "o_orderdate": pa.array(
                         [base + o[3] * day for o in orders], pa.timestamp("us")
@@ -1202,7 +1211,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             pa.table(
                 {
                     "l_orderkey": pa.array([r[0] for r in lis], pa.int64()),
-                    "l_partkey": pa.array([0] * len(lis), pa.int64()),
+                    "l_partkey": pa.array([r[7] for r in lis], pa.int64()),
                     "l_suppkey": pa.array([r[1] for r in lis], pa.int64()),
                     "l_linenumber": pa.array(
                         list(range(len(lis))), pa.int32()
@@ -1214,7 +1223,9 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
                     "l_discount": pa.array([r[6] for r in lis], pa.float64()),
                     "l_tax": pa.array([0.0] * len(lis), pa.float64()),
                     "l_returnflag": pa.array([r[2] for r in lis], pa.string()),
-                    "l_linestatus": pa.array(["O"] * len(lis), pa.string()),
+                    "l_linestatus": pa.array(
+                        [r[8] for r in lis], pa.string()
+                    ),
                     "l_shipdate": pa.array(
                         [base + r[4] * day for r in lis], pa.timestamp("us")
                     ),
@@ -1229,7 +1240,7 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
                     "s_name": pa.array(
                         ["Supp1", "Supp2", "Supp3"], pa.string()
                     ),
-                    "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+                    "s_nationkey": pa.array(s_nats, pa.int32()),
                     "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
                 }
             ),
@@ -1238,18 +1249,57 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
         pq.write_table(
             pa.table(
                 {
-                    "p_partkey": pa.array([0, 1], pa.int64()),
-                    "p_name": pa.array(["p0", "p1"], pa.string()),
-                    "p_brand": pa.array(["B1", "B2"], pa.string()),
-                    "p_type": pa.array(["PROMO", "MEDIUM"], pa.string()),
-                    "p_size": pa.array([1, 2], pa.int32()),
-                    "p_retailprice": pa.array([1.0, 2.0], pa.float64()),
+                    # part 0 hits q9 '%red%' / q17 Brand#3 size<=10 /
+                    # q19 branch-3 / q20 'red%'; part 1 is PROMO for
+                    # q8/q14; part 2 hits q2 (STANDARD size>=25)
+                    "p_partkey": pa.array([0, 1, 2], pa.int64()),
+                    "p_name": pa.array(
+                        ["red gear", "p1", "big anvil"], pa.string()
+                    ),
+                    "p_brand": pa.array(
+                        ["Brand#3", "B2", "Brand#1"], pa.string()
+                    ),
+                    "p_type": pa.array(
+                        ["STANDARD", "PROMO", "STANDARD"], pa.string()
+                    ),
+                    "p_size": pa.array([9, 2, 30], pa.int32()),
+                    "p_retailprice": pa.array(
+                        [1.0, 2.0, 3.0], pa.float64()
+                    ),
                 }
             ),
             f"{d}/part.parquet",
         )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array(list(range(25)), pa.int32()),
+                    "n_name": pa.array(
+                        [f"NATION_{i}" for i in range(25)], pa.string()
+                    ),
+                    "n_regionkey": pa.array(
+                        [i % 5 for i in range(25)], pa.int32()
+                    ),
+                }
+            ),
+            f"{d}/nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array(list(range(5)), pa.int32()),
+                    "r_name": pa.array(
+                        ["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                         "MIDDLE EAST"],
+                        pa.string(),
+                    ),
+                }
+            ),
+            f"{d}/region.parquet",
+        )
         con = duckdb.connect()
-        for t in ("customer", "orders", "lineitem", "supplier", "part"):
+        for t in ("customer", "orders", "lineitem", "supplier", "part",
+                  "nation", "region"):
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
             )
@@ -1263,6 +1313,19 @@ def test_tpch_fuzz_engine_vs_own_oracle_sql(ray_session, data):
             "tpch_q6_forecast",
             "tpch_q14_promo",
             "tpch_q16_supplier_variety",
+            # round-3 remainder: the region/part predicates above make
+            # each branch reachable on random draws
+            "tpch_q2_min_cost",
+            "tpch_q7_volume",
+            "tpch_q8_mktshare",
+            "tpch_q9_profit",
+            "tpch_q10_returns",
+            "tpch_q11_stock",
+            "tpch_q12_late",
+            "tpch_q17_small_qty",
+            "tpch_q19_disc_revenue",
+            "tpch_q20_promo_suppliers",
+            "tpch_q21_waiting",
         ):
             res = qs[name](d)
             eng = res.to_pandas()
