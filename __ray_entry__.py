@@ -167,6 +167,16 @@ def _q_crawl_host_pagerank(sf_dir: str):
     return pagerank_hosts(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_host_hits(sf_dir: str):
+    """Host-graph HITS hubs-and-authorities (integer half-step
+    fixed-point, 3 iterations, divide-only renormalization) over the
+    distinct host→host out-link edges — the directory-page vs
+    destination-page centrality split a seed-list curator consumes."""
+    from crawler_ai_ray.stages.linkgraph import hits_hosts, host_edges
+
+    return hits_hosts(host_edges(_link_pages(sf_dir)))
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -2815,6 +2825,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phones_vn": _q_crawl_phones,
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
+        "crawl_host_hits": _q_crawl_host_hits,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3110,7 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_stock",
         "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
-        "doc_bigram_fluency",
+        "doc_bigram_fluency", "crawl_host_hits",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3176,6 +3187,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = h.host)"""
     pagerank_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # HITS oracle: unroll the SAME 3 integer half-step iterations the
+    # engine runs (stages/linkgraph.py hits_hosts) — the divide-only
+    # renormalization raw // (max(raw)//1e6 + 1) is exact integer math
+    # on both sides, so any summation order matches bit-for-bit.
+    hits_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        h0 AS (SELECT host, 1000000::BIGINT AS hub FROM hosts)"""
+    for _i in range(1, 4):
+        hits_sql += f""",
+        ar{_i} AS MATERIALIZED (
+          SELECT h.host, COALESCE(s.v, 0)::BIGINT AS raw
+          FROM hosts h LEFT JOIN (
+            SELECT e.dst AS host, sum(hb.hub)::BIGINT AS v
+            FROM edges e JOIN h{_i - 1} hb ON hb.host = e.src
+            GROUP BY 1) s ON s.host = h.host),
+        a{_i} AS MATERIALIZED (
+          SELECT host,
+                 (raw // ((SELECT max(raw) FROM ar{_i}) // 1000000 + 1))
+                   ::BIGINT AS auth
+          FROM ar{_i}),
+        hr{_i} AS MATERIALIZED (
+          SELECT h.host, COALESCE(s.v, 0)::BIGINT AS raw
+          FROM hosts h LEFT JOIN (
+            SELECT e.src AS host, sum(a.auth)::BIGINT AS v
+            FROM edges e JOIN a{_i} a ON a.host = e.dst
+            GROUP BY 1) s ON s.host = h.host),
+        h{_i} AS MATERIALIZED (
+          SELECT host,
+                 (raw // ((SELECT max(raw) FROM hr{_i}) // 1000000 + 1))
+                   ::BIGINT AS hub
+          FROM hr{_i})"""
+    hits_sql += """
+        SELECT a3.host, a3.auth AS auth_micros, h3.hub AS hub_micros
+        FROM a3 JOIN h3 USING (host)"""
 
     # connected-components oracle: min reachable host over the
     # UNDIRECTED edge set via a recursive CTE — the lexicographic-min
@@ -3714,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
                      AS top_texts
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
+        "crawl_host_hits": hits_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

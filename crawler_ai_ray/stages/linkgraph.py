@@ -654,6 +654,173 @@ def pagerank_hosts(
     )
 
 
+def _hits_norm_div(raw: np.ndarray, scale: int) -> int:
+    """HITS renormalization divisor: ``max(raw) // scale + 1``.  A
+    divide-only rescale (kills the ``raw * scale // max`` overflow at
+    raw ≈ scale·indegree) that keeps the vector's magnitude ≈ scale —
+    exact integers, mirrored verbatim by the oracle."""
+    mx = int(raw.max()) if len(raw) else 0
+    return mx // scale + 1
+
+
+def _hits_local(et: pa.Table, iters: int, scale: int) -> pa.Table:
+    """Driver-local integer HITS over one Arrow edge table —
+    bit-identical to the distributed loop (same vertex index, same
+    ``//`` truncations, order-free integer sums)."""
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    hub = np.full(len(keys), scale, dtype=np.int64)
+    auth = np.full(len(keys), scale, dtype=np.int64)
+    if et.num_rows:
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        d_ord = np.argsort(dst_idx, kind="stable")
+        d_sorted = dst_idx[d_ord]
+        d_starts = np.flatnonzero(np.diff(d_sorted, prepend=np.int64(-1)))
+        d_vert = d_sorted[d_starts]
+        s_ord = np.argsort(src_idx, kind="stable")
+        s_sorted = src_idx[s_ord]
+        s_starts = np.flatnonzero(np.diff(s_sorted, prepend=np.int64(-1)))
+        s_vert = s_sorted[s_starts]
+        for _ in range(iters):
+            araw = np.zeros(len(keys), dtype=np.int64)
+            araw[d_vert] = np.add.reduceat(hub[src_idx][d_ord], d_starts)
+            auth = araw // _hits_norm_div(araw, scale)
+            hraw = np.zeros(len(keys), dtype=np.int64)
+            hraw[s_vert] = np.add.reduceat(auth[dst_idx][s_ord], s_starts)
+            hub = hraw // _hits_norm_div(hraw, scale)
+    else:
+        zero = np.zeros(len(keys), dtype=np.int64)
+        auth, hub = zero, zero.copy()
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "auth_micros": pa.array(auth, pa.int64()),
+            "hub_micros": pa.array(hub, pa.int64()),
+        }
+    )
+
+
+def hits_hosts(
+    edges,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    driver_max_edges: int = 5_000_000,
+):
+    """distinct host edges (from ``host_edges``) → (host, auth_micros,
+    hub_micros): integer HITS (Kleinberg hubs-and-authorities) —
+    ``auth(v) = Σ_{u→v} hub(u)``, ``hub(u) = Σ_{u→v} auth(v)``, each
+    half-step renormalized by the divide-only
+    ``raw // (max(raw)//scale + 1)`` rescale (``_hits_norm_div``; no
+    float L2 norm — exact under any summation order, so the DuckDB
+    oracle unrolls the same iterations and must match bit-for-bit).
+
+    Two adaptive tiers (PageRank doctrine, forced-path-test pinned):
+    ≤ ``driver_max_edges`` runs driver-local; above it a broadcast
+    loop — plain Ray tasks over the once-materialized edge blocks,
+    per-block Arrow hash-agg contributions, vertex-sized (keys, vec)
+    broadcast per half-step (the module's declared vertex-state
+    boundary; the ``_pr_distributed_sharded`` routing pattern is the
+    10⁹-host extension if that boundary ever binds)."""
+    import ray
+
+    edges = edges.materialize()
+    if edges.count() <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "src_h": pa.array([], pa.uint64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return _hits_local(et, iters, scale)
+
+    hosts, keys = _collect_verts(edges)
+    hub = np.full(len(keys), scale, dtype=np.int64)
+    auth = np.full(len(keys), scale, dtype=np.int64)
+
+    @ray.remote(num_cpus=1)
+    def contrib(
+        batch: pa.Table, k: np.ndarray, v: np.ndarray,
+        in_col: str, out_col: str,
+    ) -> pa.Table:
+        """per-block Σ v[in_col-endpoint] grouped by out_col-endpoint"""
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "dst_h": pa.array([], pa.uint64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        src = batch[in_col].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "dst_h": batch[out_col],
+                "part": pa.array(v[np.searchsorted(k, src)], pa.int64()),
+            }
+        )
+        agg = t.group_by("dst_h").aggregate([("part", "sum")])
+        return pa.table({"dst_h": agg["dst_h"], "part": agg["part_sum"]})
+
+    merge_task = ray.remote(num_cpus=1)(_merge_parts)
+    edge_block_refs = list(edges.to_arrow_refs())
+    k_ref = ray.put(keys)
+
+    def half_step(vec: np.ndarray, in_col: str, out_col: str) -> np.ndarray:
+        v_ref = ray.put(vec)
+        part_refs = [
+            contrib.remote(b, k_ref, v_ref, in_col, out_col)
+            for b in edge_block_refs
+        ]
+        if len(part_refs) * max(len(keys), 1) <= 5_000_000:
+            live = [t for t in ray.get(part_refs) if t.num_rows]
+            merged = _merge_parts(*live) if live else None
+        else:
+            while len(part_refs) > 1:
+                part_refs = [
+                    merge_task.remote(*part_refs[i : i + _FAN])
+                    for i in range(0, len(part_refs), _FAN)
+                ]
+            merged = ray.get(part_refs[0]) if part_refs else None
+        raw = np.zeros(len(keys), dtype=np.int64)
+        if merged is not None and merged.num_rows:
+            idx = np.searchsorted(
+                keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+            )
+            raw[idx] = merged["part"].to_numpy(zero_copy_only=False)
+        return raw // _hits_norm_div(raw, scale)
+
+    for _ in range(iters):
+        auth = half_step(hub, "src_h", "dst_h")
+        hub = half_step(auth, "dst_h", "src_h")
+
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "auth_micros": pa.array(auth, pa.int64()),
+            "hub_micros": pa.array(hub, pa.int64()),
+        }
+    )
+
+
 def _forest(*tables: pa.Table) -> pa.Table:
     """Union-find sparsification: edges in → spanning-forest edges out
     (≤ |vertices|−1 rows, every input vertex still present).  The

@@ -401,3 +401,77 @@ def test_components_distributed_labeler_agrees(ray_session):
         f"{corpus}/pages.parquet", columns=["url", "html"]
     )
     agree(host_edges(extract_links(pages)))
+
+
+def test_hits_hand_computed(ray_session):
+    """Integer HITS on the tiny graph, both tiers.
+
+    iters=2 by hand (scale=1e6, renorm div = max//scale + 1):
+      half-step 1: auth_raw=(a:1e6, b:1e6, c:2e6) div 3 → (333333,
+      333333, 666666); hub_raw=(a:999999, b:666666, c:333333) div 1.
+      half-step 2: auth_raw=(a:333333, b:999999, c:1666665) div 2 →
+      (166666, 499999, 833332); hub_raw=(a:1333331, b:833332,
+      c:166666) div 2 → (666665, 416666, 83333).
+    """
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import hits_hosts, host_edges
+
+    for dmax in (5_000_000, 0):  # driver-local vs distributed tier
+        got = (
+            hits_hosts(
+                host_edges(ray.data.from_arrow(_tiny_extracted())),
+                iters=2,
+                driver_max_edges=dmax,
+            )
+            .to_pandas()
+            .set_index("host")
+        )
+        assert dict(got["auth_micros"]) == {
+            "a.com": 166_666,
+            "b.com": 499_999,
+            "c.com": 833_332,
+        }, dmax
+        assert dict(got["hub_micros"]) == {
+            "a.com": 666_665,
+            "b.com": 416_666,
+            "c.com": 83_333,
+        }, dmax
+
+
+def test_hits_partition_invariant_and_path_agreement(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_pages
+    from crawler_ai_ray.stages.linkgraph import hits_hosts, host_edges
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    ex = extract_pages(pages).select_columns(["host", "out_links"])
+
+    a = (
+        hits_hosts(host_edges(ex, num_buckets=64))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    # repartition + different bucketing: integer math ⇒ EXACT equality
+    b = (
+        hits_hosts(host_edges(ex.repartition(5), num_buckets=16))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+    # driver_max_edges=0 forces the distributed broadcast loop
+    c = (
+        hits_hosts(host_edges(ex, num_buckets=64), driver_max_edges=0)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(c)
+    # authorities and hubs differ (directed graph) and are bounded
+    assert (a.auth_micros <= 2_000_000).all()
+    assert not a.auth_micros.equals(a.hub_micros)
