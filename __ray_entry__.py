@@ -2286,6 +2286,36 @@ def _q_emb_knn_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_knn_graph(sf_dir: str):
+    """Exact all-pairs kNN graph (every vector's cosine top-5, self
+    excluded) — the graph-construction step SemDeDup-style curation and
+    graph ANN indexes consume.  Sims quantize to integer micros right
+    after the float64 matmul, so ranking is integer-lexicographic:
+    bit-identical across tiers/partitionings and exactly reproducible
+    by the DuckDB oracle (`round(list_cosine_similarity(::DOUBLE[])
+    * 1e6)` — the float32 builtin disagrees at micros precision, the
+    double-cast one matched 249 500/249 500 pairs at sf0.01)."""
+    from crawler_ai_ray.stages.simsearch import knn_graph
+
+    return knn_graph(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=5
+    )
+
+
+def _q_emb_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph at nlist=1 — the degenerate cell holds
+    the whole corpus, so the cell-restricted path must reproduce the
+    exact graph and shares its SQL oracle (the `emb_semantic_dedup
+    _global` argument); nlist>1 cell-locality is pinned in tests."""
+    from crawler_ai_ray.stages.simsearch import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=5,
+        nlist=1,
+    ).select_columns(["query_id", "vec_id", "rank", "sim_micros"])
+
+
 def _q_emb_knn_pq(sf_dir: str):
     """Product-quantization ANN with exact re-rank — the memory-scale
     serving pipeline (codes are 32 B/vector vs 512 B float64; the ADC
@@ -2931,6 +2961,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_knn_pq": _q_emb_knn_pq,
         "emb_knn_ivf_exhaustive": _q_emb_knn_ivf_exhaustive,
+        "emb_knn_graph": _q_emb_knn_graph,
+        "emb_knn_graph_ivf": _q_emb_knn_graph_ivf,
         "emb_neardup_cosine": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
@@ -3122,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
         "doc_bigram_fluency", "crawl_host_hits",
+        "emb_knn_graph", "emb_knn_graph_ivf",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3694,6 +3727,22 @@ def oracle_sql() -> dict[str, str]:
                AS rank
       FROM s)
     SELECT query_id, vec_id, rank FROM r WHERE rank <= 10"""
+
+
+    knn_graph = """
+    WITH s AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             CAST(round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000)
+               AS BIGINT) AS sim_micros
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT query_id, vec_id, sim_micros,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_micros DESC, vec_id ASC)
+               AS rank
+      FROM s)
+    SELECT query_id, vec_id, rank, sim_micros FROM r WHERE rank <= 5"""
 
     sessionize = """
     WITH o AS (
@@ -5069,6 +5118,8 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{mm_video_g}')""",
         "emb_knn_bruteforce": knn,
         "emb_knn_ivf_exhaustive": knn,  # nprobe=nlist ⇒ exact
+        "emb_knn_graph": knn_graph,
+        "emb_knn_graph_ivf": knn_graph,  # nlist=1 cell = whole corpus
         "emb_knn_pq": knn,  # shortlist recall 1.0 + exact rerank ⇒ exact
         # sequential same-math goldens — valid because kmeans_train's
         # integer micro-sum reduce makes centroids bit-identical under

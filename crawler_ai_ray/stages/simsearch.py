@@ -43,6 +43,8 @@ __all__ = [
     "pq_encode",
     "knn_pq",
     "knn_pq_rerank",
+    "knn_graph",
+    "knn_graph_ivf",
 ]
 
 
@@ -715,4 +717,203 @@ def knn_pq_rerank(
             "rank": pa.array(np.concatenate(out_r), pa.int64()),
             "sim": pa.array(np.concatenate(out_s), pa.float64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph (all-pairs top-k neighbors)
+# ---------------------------------------------------------------------------
+
+def _knn_graph_rows(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    blocks: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    scratch_rows: int = 256,
+) -> pa.Table:
+    """Exact top-k neighbors (self excluded) of the ``q_ids`` rows
+    against every ``(ids, mat)`` block — the shared kernel of both
+    tiers.  Cosines are quantized to integer micros immediately after
+    the float64 matmul (``rint(sim·1e6)``), so ALL selection is
+    integer-lexicographic (-sim_micros, vec_id): partition layout,
+    block visit order and BLAS kernel shape cannot change the result,
+    and the DuckDB oracle ranks by the same rounded integer.  Queries
+    stream in ``scratch_rows`` chunks so the sims temporary stays small
+    and REUSED (slow-page-backing rule); the running candidate set is
+    re-cut to k per block, so state is O(chunk × k), never O(N)."""
+    out_q, out_v, out_r, out_s = [], [], [], []
+    # far below any cosine-micros (≥ -1e6) yet safely negatable in
+    # the lexsort (int64.min negation overflows to itself)
+    sentinel = np.int64(-(2**62))
+    for lo in range(0, len(q_ids), scratch_rows):
+        cq_ids = q_ids[lo : lo + scratch_rows]
+        cq = q_mat[lo : lo + scratch_rows]
+        best_v = np.zeros((len(cq_ids), 0), dtype=np.int64)
+        best_s = np.zeros((len(cq_ids), 0), dtype=np.int64)
+        for ids, mat in blocks:
+            if not len(ids):
+                continue
+            sims = np.rint((cq @ mat.T) * 1e6).astype(np.int64)
+            sims[cq_ids[:, None] == ids[None, :]] = sentinel  # self
+            kk = min(k, sims.shape[1])
+            if sims.shape[1] > kk:
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(
+                    np.arange(sims.shape[1]), sims.shape
+                ).copy()
+            cand_v = np.concatenate([best_v, ids[part]], axis=1)
+            cand_s = np.concatenate(
+                [best_s, np.take_along_axis(sims, part, axis=1)], axis=1
+            )
+            # re-cut to k: per row lexsort by (-sim_micros, vec_id)
+            order = np.lexsort((cand_v, -cand_s), axis=1)[:, :k]
+            best_v = np.take_along_axis(cand_v, order, axis=1)
+            best_s = np.take_along_axis(cand_s, order, axis=1)
+        keep = best_s > sentinel
+        nk = keep.sum(axis=1)
+        out_q.append(np.repeat(cq_ids, nk))
+        out_v.append(best_v[keep])
+        out_s.append(best_s[keep])
+        out_r.append(
+            np.concatenate([np.arange(1, n + 1) for n in nk])
+            if len(nk)
+            else np.zeros(0, np.int64)
+        )
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "sim_micros": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "rank": pa.array(
+                np.concatenate(out_r).astype(np.int64), pa.int64()
+            ),
+            "sim_micros": pa.array(np.concatenate(out_s), pa.int64()),
+        }
+    )
+
+
+def knn_graph(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    driver_max_vecs: int = 20_000,
+):
+    """→ (query_id, vec_id, rank, sim_micros): exact cosine top-k
+    neighbors of EVERY vector (self excluded) — the kNN-graph construction step that
+    SemDeDup-style curation, graph-based ANN indexes and label
+    propagation consume.
+
+    Tiers (path-agreement pinned): ≤ ``driver_max_vecs`` runs
+    driver-local over the collected normalized blocks.  Above, a
+    block-nested-loop: normalized (ids, matrix) blocks are materialized
+    ONCE as object refs; one Ray task per block streams every other
+    block through a running per-row top-k of its own rows — ZERO
+    shuffle, O(chunk × k) task state, each task's output is final (no
+    merge stage).  Exact all-pairs is inherently N²-flops; at 100 TB
+    use ``knn_graph_ivf`` (cell-restricted, linear in Σ mᵢ²) and keep
+    this as the oracle baseline."""
+    import ray
+
+    def norm_block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))
+        dim = mat.shape[1] if mat.size else 1
+        return pa.table(
+            {
+                "ids": pa.array(ids, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    nb = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+
+    def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            t["ids"].to_numpy(zero_copy_only=False).astype(np.int64),
+            list_col_to_matrix(t["vec"]),
+        )
+
+    block_refs = [r for r in nb.to_arrow_refs()]
+    if nb.count() <= driver_max_vecs:
+        blocks = [
+            unpack(t) for t in ray.get(block_refs) if t.num_rows
+        ]
+        if not blocks:
+            return ray.data.from_arrow(
+                _knn_graph_rows(np.zeros(0, np.int64), np.zeros((0, 1)), [], k)
+            )
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.concat_tables(
+                _knn_graph_rows(ids, mat, blocks, k) for ids, mat in blocks
+            )
+        )
+
+    @ray.remote(num_cpus=1)
+    def own_block_topk(me: pa.Table, others: list) -> pa.Table:
+        if not me.num_rows:
+            return _knn_graph_rows(np.zeros(0, np.int64), np.zeros((0, 1)), [], k)
+        ids, mat = unpack(me)
+        return _knn_graph_rows(
+            ids, mat, [unpack(t) for t in ray.get(others) if t.num_rows], k
+        )
+
+    import ray.data
+
+    parts = ray.get(
+        [own_block_topk.remote(b, block_refs) for b in block_refs]
+    )
+    live = [t for t in parts if t.num_rows]
+    return ray.data.from_arrow(
+        pa.concat_tables(live)
+        if live
+        else _knn_graph_rows(np.zeros(0, np.int64), np.zeros((0, 1)), [], k)
+    )
+
+
+def knn_graph_ivf(
+    ds,
+    k: int = 10,
+    nlist: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate kNN graph: k-means the corpus into ``nlist`` cells
+    (`kmeans_train` — integer-exact combiner k-means), assign each
+    vector once (`ivf_assign`), and build the exact graph WITHIN each
+    cell — O(Σ mᵢ²) instead of O(N²), one ``groupby(cluster)`` move of
+    each vector, per-cell tasks independent.  ``nlist`` grows with the
+    corpus so mᵢ stays ~10⁴-10⁵ (the SemDeDup sizing).  ``nlist=1``
+    degenerates to the EXACT graph — that variant shares
+    ``knn_graph``'s brute-force oracle, pinning the shared plumbing."""
+    centroids = kmeans_train(
+        ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
+    )
+    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+
+    def cell_graph(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(list_col_to_matrix(group[emb_col]))[order]
+        return _knn_graph_rows(ids, mat, [(ids, mat)], k)
+
+    return (
+        assigned.select_columns([id_col, emb_col, "cluster"])
+        .groupby("cluster")
+        .map_groups(cell_graph, batch_format="pyarrow")
     )

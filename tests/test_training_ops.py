@@ -1868,3 +1868,124 @@ def test_hash64_local_path_agreement(docs_ds):
         dist.astype({"hamming": "int64"})
         .equals(loc.astype({"hamming": "int64"}))
     )
+
+
+def test_knn_graph_exact_tiers_and_naive(ray_session):
+    """kNN graph: both tiers bit-identical across partitionings, and
+    exactly the naive integer-micros all-pairs result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel()), d
+            ),
+        }
+    )
+    a = (
+        knn_graph(ray.data.from_arrow(tbl).repartition(4), k=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    # distributed block-nested-loop tier, different partitioning
+    b = (
+        knn_graph(
+            ray.data.from_arrow(tbl).repartition(7), k=3, driver_max_vecs=0
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) == n * 3
+
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+    for q in range(n):
+        s = sims[q].copy()
+        s[q] = -(2**62)
+        want = np.lexsort((np.arange(n), -s))[:3]
+        got = a[a.query_id == q]
+        assert (got.vec_id.to_numpy() == want).all()
+        assert (got.sim_micros.to_numpy() == s[want]).all()
+
+    # nlist=1 IVF cell = whole corpus ⇒ must reproduce the exact graph
+    c = (
+        knn_graph_ivf(ray.data.from_arrow(tbl).repartition(4), k=3, nlist=1)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert c.equals(a)
+
+
+def test_knn_graph_ivf_cell_restricted(ray_session):
+    """nlist>1: every edge stays within one k-means cell and per-cell
+    results equal the exact graph run on that cell alone."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import (
+        ivf_assign,
+        kmeans_train,
+        knn_graph,
+        knn_graph_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    # two well-separated blobs so cells are stable
+    blob = lambda c, n: rng.normal(size=(n, 6)) * 0.05 + c  # noqa: E731
+    mat = np.concatenate(
+        [blob(np.ones(6), 40), blob(-np.ones(6), 40)]
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel()), 6
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = knn_graph_ivf(ds, k=4, nlist=2).to_pandas()
+
+    cells = dict(
+        zip(
+            *[
+                ivf_assign(ds, kmeans_train(ds, nlist=2, iters=5))
+                .to_pandas()[c]
+                .to_numpy()
+                for c in ("vec_id", "cluster")
+            ]
+        )
+    )
+    assert len(set(cells.values())) == 2
+    # every edge endpoint pair shares a cell
+    assert all(
+        cells[r.query_id] == cells[r.vec_id] for r in got.itertuples()
+    )
+    # per-cell: equals the exact graph over just that cell's rows
+    for cell in set(cells.values()):
+        members = sorted(v for v, c in cells.items() if c == cell)
+        sub = tbl.filter(
+            pa.compute.is_in(tbl["vec_id"], value_set=pa.array(members))
+        )
+        want = (
+            knn_graph(ray.data.from_arrow(sub), k=4)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        have = (
+            got[got.query_id.isin(members)]
+            .sort_values(["query_id", "rank"], ignore_index=True)
+            .reset_index(drop=True)
+        )
+        assert have.equals(want)
