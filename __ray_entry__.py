@@ -1883,6 +1883,19 @@ def _q_doc_dup_spans(sf_dir: str):
     )
 
 
+def _q_doc_dup_spans_removed(sf_dir: str):
+    """The REMOVAL half of Lee et al. 2022 exact-substring dedup: drop
+    every token covered by a corpus-duplicated 5-gram window and
+    reassemble the survivors (``doc_dup_spans`` is the measurement
+    half).  Oracle compares the rebuilt strings, so the hash-only
+    distributed DF pass is verified against n-gram STRING semantics."""
+    from crawler_ai_ray.stages.dedup import dup_span_removal
+
+    return dup_span_removal(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    )
+
+
 def _q_doc_segment_dedup(sf_dir: str):
     """CCNet-style paragraph-level dedup at fixed 20-word-window
     granularity: drop every segment occurrence duplicating an earlier
@@ -2938,6 +2951,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_split_leakage_safe": _q_doc_split_leakage_safe,
         "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_spans_removed": _q_doc_dup_spans_removed,
         "doc_segment_dedup": _q_doc_segment_dedup,
         "doc_search_tfidf": _q_doc_search_tfidf,
         "doc_search_bm25": _q_doc_search_bm25,
@@ -3155,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
         "doc_bigram_fluency", "crawl_host_hits",
         "emb_knn_graph", "emb_knn_graph_ivf",
+        "doc_dup_spans_removed",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4759,6 +4774,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
                      AS n_dropped
             FROM marked GROUP BY doc_id""",
+        "doc_dup_spans_removed": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') t
+              FROM documents),
+            ng AS (
+              SELECT doc_id, i,
+                     lower(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                           t[i+3] || ' ' || t[i+4]) AS g
+              FROM toks, unnest(generate_series(1, len(t)-4)) AS s(i)
+              WHERE len(t) >= 5),
+            dupg AS (
+              SELECT g FROM ng GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT ng.doc_id, u.j
+              FROM ng JOIN dupg USING (g),
+                   unnest(generate_series(ng.i, ng.i + 4)) AS u(j)),
+            tok_rows AS (
+              SELECT doc_id, i, t[i] AS w
+              FROM toks, unnest(generate_series(1, len(t))) AS s(i)),
+            surv AS (
+              SELECT tr.doc_id, string_agg(tr.w, ' ' ORDER BY tr.i) ct,
+                     count(*) nk
+              FROM tok_rows tr
+              LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.j = tr.i
+              WHERE cov.j IS NULL GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(s.ct, '') AS clean_text,
+                   len(t.t)::BIGINT AS n_tokens,
+                   (len(t.t) - coalesce(s.nk, 0))::BIGINT AS n_removed
+            FROM toks t LEFT JOIN surv s USING (doc_id)""",
         "doc_dup_spans": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t

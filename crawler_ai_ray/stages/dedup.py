@@ -55,6 +55,8 @@ __all__ = [
     "decontaminate",
     "dup_ngram_rows_batch",
     "dup_span_stats",
+    "dup_span_removal",
+    "dup_span_rows_batch",
     "segment_rows_batch",
     "segment_dedup",
     "embedding_neardup_pairs",
@@ -1773,6 +1775,154 @@ def segment_dedup(
                 "clean_text": pa.array(clean, pa.string()),
                 "n_segments": pa.array(nseg, pa.int64()),
                 "n_dropped": pa.array(ndrop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def dup_span_rows_batch(
+    batch: pa.Table, n: int = 5, text_col: str = "text"
+) -> pa.Table:
+    """doc → distinct (doc_id, ngram_h) rows for the REMOVAL pass.
+    Tokenization is split-then-lower (``text.split()`` on the original,
+    n-gram lowered as one string) so the rebuild stage can emit the
+    surviving ORIGINAL-case tokens while hashing stays case-folded —
+    mirrored exactly by the oracle's ``lower(t[i] || ' ' || …)``."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id: list[int] = []
+    out_h: list[int] = []
+    for i, t in zip(ids, texts):
+        toks = (t or "").split()
+        seen: set[int] = set()
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p : p + n]).lower()
+            seen.add(_seg_h64(g))
+        for h in sorted(seen):
+            out_id.append(i)
+            out_h.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "ngram_h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+        }
+    )
+
+
+def dup_span_removal(
+    ds,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    num_buckets: int = 512,
+):
+    """documents → (doc_id, clean_text, n_tokens, n_removed): drop every
+    token covered by at least one DUPLICATED n-gram window (one whose
+    n-gram occurs in ≥ ``min_df`` distinct documents corpus-wide) and
+    reassemble the survivors in order — the removal half of
+    exact-substring train-set dedup (Lee et al. 2022, arXiv:2107.06499;
+    ``dup_span_stats`` is the measurement half).
+
+    Scale shape — corpus text never shuffles:
+    1. ``map_batches`` doc → skinny distinct (doc_id, ngram_h) rows.
+    2. doc-frequency inside ``ngram_h % num_buckets`` groups (an
+       n-gram's rows land wholly in one bucket ⇒ DF exact); each bucket
+       emits only its DUPLICATED hashes.
+    3. the dup-hash set is collected, sorted and broadcast once
+       (``ray.put``; 8 B per duplicated DISTINCT n-gram — the
+       boilerplate boundary shared with ``segment_dedup``: a dirtier
+       corpus should doc_id-bucket-shuffle drop rows against a
+       doc-bucketed text pass instead), and one more streaming pass
+       recomputes window hashes per doc, marks covered tokens with a
+       diff/cumsum interval overlay, and rejoins the survivors.
+    Hash collisions can only FALSELY remove a window (~1e-10; the
+    oracle compares n-gram STRINGS, so the gate would catch one)."""
+    import ray
+
+    rows = ds.map_batches(
+        lambda b: dup_span_rows_batch(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["ngram_h"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % num_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        h = np.sort(group["ngram_h"].to_numpy(zero_copy_only=False))
+        new = np.empty(len(h), dtype=bool)
+        if len(h):
+            new[0] = True
+            np.not_equal(h[1:], h[:-1], out=new[1:])
+        gid = np.cumsum(new) - 1
+        df = np.bincount(gid) if len(gid) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"h": pa.array(h[new][df >= min_df], pa.uint64())}
+        )
+
+    dupped = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_hashes, batch_format="pyarrow")
+    )
+    parts = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in ray.get(dupped.to_arrow_refs())
+        if t.num_rows
+    ]
+    dup = (
+        np.sort(np.concatenate(parts))
+        if parts
+        else np.zeros(0, dtype=np.uint64)
+    )
+    d_ref = ray.put(dup)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        dk = ray.get(d_ref)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[text_col].to_pylist()
+        clean: list[str] = []
+        ntok: list[int] = []
+        nrem: list[int] = []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            npos = len(toks) - n + 1
+            hs = np.fromiter(
+                (
+                    _seg_h64(" ".join(toks[p : p + n]).lower())
+                    for p in range(max(npos, 0))
+                ),
+                dtype=np.uint64,
+                count=max(npos, 0),
+            )
+            if len(dk) and len(hs):
+                idx = np.searchsorted(dk, hs)
+                hit = (idx < len(dk)) & (
+                    dk[np.minimum(idx, len(dk) - 1)] == hs
+                )
+            else:
+                hit = np.zeros(len(hs), dtype=bool)
+            # interval overlay: window p covers tokens [p, p+n)
+            delta = np.zeros(len(toks) + 1, dtype=np.int64)
+            starts = np.flatnonzero(hit)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + n, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            clean.append(
+                " ".join(w for w, c in zip(toks, covered) if not c)
+            )
+            ntok.append(len(toks))
+            nrem.append(int(covered.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_removed": pa.array(nrem, pa.int64()),
             }
         )
 

@@ -1989,3 +1989,50 @@ def test_knn_graph_ivf_cell_restricted(ray_session):
             .reset_index(drop=True)
         )
         assert have.equals(want)
+
+
+def test_dup_span_removal_planted_and_partition_invariant(ray_session):
+    """Planted shared 6-token run across two docs: exactly the two
+    5-gram windows' union is removed from each, original case kept;
+    a unique doc is untouched; repartition changes nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import dup_span_removal
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "The QUICK brown fox jumps over the lazy dog today",
+                    "a different opening but the quick brown fox JUMPS"
+                    " over something else",
+                    "totally unique words here nothing shared with"
+                    " others at all",
+                ]
+            ),
+        }
+    )
+    got = (
+        dup_span_removal(ray.data.from_arrow(docs).repartition(2), n=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # "the quick brown fox jumps over" (case-folded) is shared: windows
+    # at p=0,1 cover tokens 0-5 in doc 1 / tokens 4-9 in doc 2
+    assert got.clean_text.tolist() == [
+        "the lazy dog today",
+        "a different opening but something else",
+        "totally unique words here nothing shared with others at all",
+    ]
+    assert got.n_tokens.tolist() == [10, 12, 10]
+    assert got.n_removed.tolist() == [6, 6, 0]
+
+    other = (
+        dup_span_removal(ray.data.from_arrow(docs).repartition(3), n=5,
+                         num_buckets=7)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert other.equals(got)
