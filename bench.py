@@ -235,6 +235,10 @@ def bench_queries(sf_dir: str) -> dict:
         "tpch_q12_late",
         "tpch_q21_waiting",
         "doc_bigram_fluency",
+        # round 3 late: graph + dedup + ANN additions
+        "crawl_host_hits",
+        "emb_knn_graph",
+        "doc_dup_spans_removed",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -232,3 +232,126 @@ def test_pair_labels_match_naive_union_find(ray_session, raw_pairs, nblocks):
     lk, lv = pair_labels(ds)
     got = dict(zip(lk.tolist(), lv.tolist()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dup-span removal vs brute-force string reference
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "Beta", "GAMMA", "delta", "ep", "zeta", "eta"]
+
+
+@st.composite
+def _span_docs(draw):
+    n = draw(st.integers(1, 6))
+    return [
+        " ".join(
+            draw(st.sampled_from(_WORDS))
+            for _ in range(draw(st.integers(0, 14)))
+        )
+        for _ in range(n)
+    ]
+
+
+def _removal_ref(texts, n=3, min_df=2):
+    """brute-force: string n-gram DF, interval union, rebuild."""
+    grams = {}
+    toks = [t.split() for t in texts]
+    for d, tk in enumerate(toks):
+        for p in range(len(tk) - n + 1):
+            grams.setdefault(
+                " ".join(tk[p : p + n]).lower(), set()
+            ).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_df}
+    out = []
+    for d, tk in enumerate(toks):
+        cov = [False] * len(tk)
+        for p in range(len(tk) - n + 1):
+            if " ".join(tk[p : p + n]).lower() in dup:
+                for j in range(p, p + n):
+                    cov[j] = True
+        out.append(
+            (
+                " ".join(w for w, c in zip(tk, cov) if not c),
+                len(tk),
+                sum(cov),
+            )
+        )
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_span_docs())
+def test_dup_span_removal_matches_reference(ray_session, texts):
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import dup_span_removal
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        dup_span_removal(
+            ray.data.from_arrow(docs).repartition(2), n=3, num_buckets=5
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _removal_ref(texts, n=3)
+    assert got.clean_text.tolist() == [w[0] for w in want]
+    assert got.n_tokens.tolist() == [w[1] for w in want]
+    assert got.n_removed.tolist() == [w[2] for w in want]
+
+
+@st.composite
+def _vec_table(draw):
+    n = draw(st.integers(2, 24))
+    d = draw(st.integers(2, 5))
+    # tiny value grid → duplicate vectors and EXACT cosine ties, the
+    # hard case for (-sim_micros, vec_id) tie-breaking
+    vals = [
+        [draw(st.sampled_from([-1.0, 0.0, 0.5, 1.0])) for _ in range(d)]
+        for _ in range(n)
+    ]
+    return vals
+
+
+@settings(max_examples=15, deadline=None)
+@given(_vec_table(), st.integers(1, 5))
+def test_knn_graph_matches_naive_with_ties(ray_session, vals, k):
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import knn_graph
+
+    mat = np.array(vals, dtype=np.float32)
+    n = len(mat)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel()), mat.shape[1]
+            ),
+        }
+    )
+    got = (
+        knn_graph(ray.data.from_arrow(tbl).repartition(3), k=k)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    m = mat.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+    kk = min(k, n - 1)
+    for q in range(n):
+        s = sims[q].copy()
+        s[q] = -(2**62)
+        want = np.lexsort((np.arange(n), -s))[:kk]
+        sub = got[got.query_id == q]
+        assert (sub.vec_id.to_numpy() == want).all()
+        assert (sub.sim_micros.to_numpy() == s[want]).all()
