@@ -1605,6 +1605,61 @@ def _q_events_anomaly(sf_dir: str, k: int = 3):
     )
 
 
+def _q_doc_embed_hash(sf_dir: str):
+    """Deterministic signed hashed-projection doc embeddings (a
+    non-thresholded SimHash / {±1} JL projection of the unigram bag):
+    component j = Σ ±1 per token occurrence, sign = bit j of the
+    token's md5_number_lower — pure integer sums, one streaming pass,
+    exactly rebuilt in SQL.  Exposed EXPLODED (doc_id, j, v): the
+    driver's value-hash sorts scalar columns; the list form stays
+    internal (see `doc_text_knn_graph`)."""
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.importance import hash_embed
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lst = batch["embedding"].combine_chunks()
+        n = len(lst)
+        dim = lst.type.list_size
+        import numpy as np
+
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(
+                        batch["doc_id"].to_numpy(zero_copy_only=False), dim
+                    ),
+                    pa.int64(),
+                ),
+                "j": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), n), pa.int64()
+                ),
+                "v": pa.array(
+                    lst.flatten().to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+        )
+
+    return hash_embed(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), dim=32
+    ).map_batches(explode, batch_format="pyarrow")
+
+
+def _q_doc_text_knn_graph(sf_dir: str):
+    """Text → embedding → kNN graph, end-to-end in-engine: the hashed
+    projection feeds `simsearch.knn_graph` (integer-micros cosine
+    ranking), so each document gets its 5 nearest neighbors BY TEXT
+    with no model and no pre-built embedding table; the oracle rebuilds
+    the projection and the graph entirely in SQL."""
+    from crawler_ai_ray.stages.importance import hash_embed
+    from crawler_ai_ray.stages.simsearch import knn_graph
+
+    emb = hash_embed(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), dim=32
+    )
+    return knn_graph(emb, k=5, id_col="doc_id")
+
+
 def _q_doc_dsir_score(sf_dir: str):
     """DSIR-style importance score (Xie et al. 2023): hashed-unigram
     probability-difference weight of every document against the
@@ -2960,6 +3015,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": _q_doc_commonness,
         "doc_bigram_fluency": _q_doc_bigram_fluency,
         "doc_dsir_score": _q_doc_dsir_score,
+        "doc_embed_hash": _q_doc_embed_hash,
+        "doc_text_knn_graph": _q_doc_text_knn_graph,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3169,7 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
         "doc_bigram_fluency", "crawl_host_hits",
         "emb_knn_graph", "emb_knn_graph_ivf",
-        "doc_dup_spans_removed",
+        "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4774,6 +4831,51 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
                      AS n_dropped
             FROM marked GROUP BY doc_id""",
+        "doc_embed_hash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+              FROM documents),
+            comp AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                              THEN 1 ELSE -1 END)::BIGINT AS v
+              FROM toks CROSS JOIN
+                   (SELECT unnest(generate_series(0, 31)) AS j)
+              GROUP BY 1, 2),
+            emb AS (
+              SELECT doc_id, list(v ORDER BY j) AS embedding
+              FROM comp GROUP BY 1)
+            SELECT doc_id, j, v FROM comp""",
+        "doc_text_knn_graph": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+              FROM documents),
+            comp AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                              THEN 1 ELSE -1 END)::BIGINT AS v
+              FROM toks CROSS JOIN
+                   (SELECT unnest(generate_series(0, 31)) AS j)
+              GROUP BY 1, 2),
+            emb AS (
+              SELECT doc_id, list(v ORDER BY j) AS embedding
+              FROM comp GROUP BY 1),
+            s AS (
+              SELECT a.doc_id AS query_id, b.doc_id AS vec_id,
+                     CAST(round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       * 1000000) AS BIGINT) AS sim_micros
+              FROM emb a JOIN emb b ON a.doc_id <> b.doc_id),
+            r AS (
+              SELECT query_id, vec_id, sim_micros,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim_micros DESC,
+                                                 vec_id ASC) AS rank
+              FROM s)
+            SELECT query_id, vec_id, rank, sim_micros
+            FROM r WHERE rank <= 5""",
         "doc_dup_spans_removed": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\\S+') t

@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dsir_scores", "md5_feature"]
+__all__ = ["dsir_scores", "md5_feature", "hash_embed", "hash_embed_batch"]
 
 
 def md5_feature(token: str, num_feats: int) -> int:
@@ -186,3 +186,82 @@ def dsir_scores(
     # pass 2 stays a lazy Dataset — scores stream to whatever sink the
     # caller attaches; nothing doc-sized ever lands on the driver
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def hash_embed_batch(
+    batch: pa.Table,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """doc → (doc_id, embedding list<int64>[dim]): deterministic signed
+    hashed projection of the unigram bag — component j is
+    Σ_occurrences ±1 with the sign = bit j of the token's 64-bit md5
+    (``md5_number_lower`` semantics, the ``md5_feature`` bytes), i.e. a
+    non-thresholded SimHash / {±1} Johnson-Lindenstrauss projection.
+    Pure integer sums ⇒ partition-invariant and exactly reproducible in
+    SQL (``(md5_number_lower(tok) >> j) & 1``).  Docs with zero
+    ``[a-z]+`` tokens are outside the output domain (oracle mirror).
+    Requires ``dim ≤ 64`` (one md5 per DISTINCT token, no per-dim
+    rehash)."""
+    if dim > 64:
+        raise ValueError("dim must be ≤ 64 (signs come from one u64 hash)")
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    flat, parent = _tokens(batch, text_col)
+    d = pc.dictionary_encode(flat)
+    vocab = d.dictionary.to_pylist()
+    h = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+            for t in vocab
+        ],
+        dtype=np.uint64,
+    )
+    shifts = np.arange(dim, dtype=np.uint64)
+    signs = (
+        ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        * 2
+        - 1
+    )  # (V, dim)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    par = parent.to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    emb = np.empty((n, dim), dtype=np.int64)
+    for j in range(dim):  # dim bincounts, each vectorized over tokens
+        emb[:, j] = np.bincount(
+            par, weights=signs[idx, j], minlength=n
+        ).astype(np.int64)
+    has_tok = np.zeros(n, dtype=bool)
+    has_tok[par] = True
+    ids = (
+        batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    )[has_tok]
+    emb = emb[has_tok]
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.int64()), dim
+            ),
+        }
+    )
+
+
+def hash_embed(
+    ds, dim: int = 32, text_col: str = "text", id_col: str = "doc_id"
+):
+    """documents → (doc_id, embedding): one streaming ``map_batches``
+    pass, no shuffle, no model — the deterministic text-side entry into
+    the embedding stack (`simsearch.knn_graph` / `semantic_dedup` /
+    `knn_*` all accept the int64 list column and normalize to float64),
+    closing the text → embedding → near-dup/cluster loop in-engine."""
+    return ds.map_batches(
+        lambda b: hash_embed_batch(b, dim=dim, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )

@@ -355,3 +355,44 @@ def test_knn_graph_matches_naive_with_ties(ray_session, vals, k):
         sub = got[got.query_id == q]
         assert (sub.vec_id.to_numpy() == want).all()
         assert (sub.sim_micros.to_numpy() == s[want]).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(_graph_pages(), st.integers(1, 3))
+def test_hits_matches_dense_reference(ray_session, rows, iters):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import hits_hosts, host_edges
+
+    es = sorted(_edges_ref(rows))
+    if not es:
+        return
+    hosts = sorted({a for a, _ in es} | {b for _, b in es})
+    hub = {h: 1_000_000 for h in hosts}
+    auth = {h: 1_000_000 for h in hosts}
+
+    def half(vec, edges_by_out):
+        raw = {h: 0 for h in hosts}
+        for a, b in edges_by_out:
+            raw[b] += vec[a]
+        div = max(raw.values()) // 1_000_000 + 1
+        return {h: raw[h] // div for h in hosts}
+
+    rev = [(b, a) for a, b in es]
+    for _ in range(iters):
+        auth = half(hub, es)
+        hub = half(auth, rev)
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = hits_hosts(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4), iters=iters
+    ).to_pydict()
+    assert dict(zip(got["host"], got["auth_micros"])) == auth
+    assert dict(zip(got["host"], got["hub_micros"])) == hub

@@ -2036,3 +2036,95 @@ def test_dup_span_removal_planted_and_partition_invariant(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert other.equals(got)
+
+
+def test_hash_embed_matches_duckdb_and_partition_invariant(
+    ray_session, duck
+):
+    """Signed hashed projection: exact SQL parity per component, bit
+    equality across partitionings, zero-token docs excluded."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import hash_embed
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello world hello",
+                    "a b. c,d",
+                    "  \t ",  # no [a-z]+ tokens → outside output domain
+                    "zebra zebra zebra",
+                ]
+            ),
+        }
+    )
+    got = (
+        hash_embed(ray.data.from_arrow(docs).repartition(3), dim=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    duck.register("hash_embed_docs", docs)
+    want = duck.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+          FROM hash_embed_docs),
+        comp AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                          THEN 1 ELSE -1 END)::BIGINT AS v
+          FROM toks CROSS JOIN
+               (SELECT unnest(generate_series(0, 7)) AS j)
+          GROUP BY 1, 2)
+        SELECT doc_id, list(v ORDER BY j) AS embedding
+        FROM comp GROUP BY 1 ORDER BY doc_id
+        """
+    ).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist() == [1, 2, 4]
+    assert [list(e) for e in got.embedding] == [
+        list(e) for e in want.embedding
+    ]
+    again = (
+        hash_embed(ray.data.from_arrow(docs).repartition(1), dim=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert again.equals(got)
+
+
+def test_text_knn_graph_chain_planted(ray_session):
+    """text → hash_embed → knn_graph: two near-identical docs must be
+    each other's rank-1 neighbor with sim ≈ 1."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import hash_embed
+    from crawler_ai_ray.stages.simsearch import knn_graph
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(
+                [
+                    base,
+                    base + "extra token",
+                    "completely different vocabulary about databases and"
+                    " shuffles and parquet row groups",
+                ]
+            ),
+        }
+    )
+    emb = hash_embed(ray.data.from_arrow(docs).repartition(2), dim=32)
+    got = (
+        knn_graph(emb, k=1, id_col="doc_id")
+        .to_pandas()
+        .set_index("query_id")
+    )
+    assert got.loc[10, "vec_id"] == 20
+    assert got.loc[20, "vec_id"] == 10
+    assert got.loc[10, "sim_micros"] > 990_000
