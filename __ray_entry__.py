@@ -1660,6 +1660,24 @@ def _q_doc_text_knn_graph(sf_dir: str):
     return knn_graph(emb, k=5, id_col="doc_id")
 
 
+def _q_doc_text_semantic_dedup(sf_dir: str):
+    """SemDeDup over TEXT-derived embeddings: hash_embed (no model) →
+    integer-exact k-means machinery at nlist=1 (degenerate = exact
+    global clustering, so the recursive-CTE SQL oracle applies) →
+    within-cluster cosine ≥ 0.95 union-find, keep-min-id canonical —
+    the full text → embedding → semantic-dedup chain in one lazy
+    pipeline, every stage SQL-verified."""
+    from crawler_ai_ray.stages.importance import hash_embed
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    emb = hash_embed(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), dim=32
+    )
+    return semantic_dedup(
+        emb, nlist=1, threshold=0.95, id_col="doc_id"
+    )
+
+
 def _q_doc_dsir_score(sf_dir: str):
     """DSIR-style importance score (Xie et al. 2023): hashed-unigram
     probability-difference weight of every document against the
@@ -3017,6 +3035,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_score": _q_doc_dsir_score,
         "doc_embed_hash": _q_doc_embed_hash,
         "doc_text_knn_graph": _q_doc_text_knn_graph,
+        "doc_text_semantic_dedup": _q_doc_text_semantic_dedup,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3227,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_fluency", "crawl_host_hits",
         "emb_knn_graph", "emb_knn_graph_ivf",
         "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
+        "doc_text_semantic_dedup",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4876,6 +4896,37 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, vec_id, rank, sim_micros
             FROM r WHERE rank <= 5""",
+        "doc_text_semantic_dedup": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+              FROM documents),
+            comp AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                              THEN 1 ELSE -1 END)::BIGINT AS v
+              FROM toks CROSS JOIN
+                   (SELECT unnest(generate_series(0, 31)) AS j)
+              GROUP BY 1, 2),
+            emb AS (
+              SELECT doc_id, list(v ORDER BY j) AS embedding
+              FROM comp GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM emb a JOIN emb b ON a.doc_id < b.doc_id
+              WHERE list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    >= 0.95),
+            e AS (SELECT a, b FROM pr
+                  UNION ALL SELECT b AS a, a AS b FROM pr),
+            reach(v, lbl) AS (
+              SELECT doc_id, doc_id FROM emb
+              UNION
+              SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.v)
+            SELECT v AS doc_id, 0::INTEGER AS cluster,
+                   min(lbl)::BIGINT AS canonical_id,
+                   (min(lbl) = v) AS is_canonical
+            FROM reach GROUP BY v""",
         "doc_dup_spans_removed": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\\S+') t

@@ -2128,3 +2128,43 @@ def test_text_knn_graph_chain_planted(ray_session):
     assert got.loc[10, "vec_id"] == 20
     assert got.loc[20, "vec_id"] == 10
     assert got.loc[10, "sim_micros"] > 990_000
+
+
+def test_text_semantic_dedup_chain_planted(ray_session):
+    """text → hash_embed → SemDeDup: two near-identical docs merge
+    under the min-id canonical; the distinct doc stays canonical."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import hash_embed
+    from crawler_ai_ray.stages.simsearch import semantic_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(
+                [
+                    base,
+                    base + "tiny difference",
+                    "completely different vocabulary about parquet row"
+                    " groups and shuffles and object stores",
+                ]
+            ),
+        }
+    )
+    emb = hash_embed(ray.data.from_arrow(docs).repartition(2), dim=32)
+    got = (
+        semantic_dedup(emb, nlist=1, threshold=0.95, id_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[10, "canonical_id"] == 10 and bool(
+        got.loc[10, "is_canonical"]
+    )
+    assert got.loc[20, "canonical_id"] == 10 and not bool(
+        got.loc[20, "is_canonical"]
+    )
+    assert got.loc[30, "canonical_id"] == 30 and bool(
+        got.loc[30, "is_canonical"]
+    )
