@@ -1678,6 +1678,51 @@ def _q_doc_text_semantic_dedup(sf_dir: str):
     )
 
 
+def _labeled_docs(sf_dir: str):
+    from crawler_ai_ray.stages.importance import label_quality_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        label_quality_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_logreg_train(sf_dir: str):
+    """Distill the rule-based quality filter into a trainable classifier
+    (the fastText-on-rule-labels practice): full-batch gradient-descent
+    logistic regression on binary hashed-unigram features, 32 epochs —
+    each epoch a plain-task fan-out computing int64 gradient partials
+    under the broadcast integer weight vector (the k-means shape).
+    Integer micro quantization of every per-doc contribution makes
+    training partition-invariant, so the sequential same-math golden is
+    a valid oracle; `logreg_train_tables` is that sequential run."""
+    from crawler_ai_ray.stages.importance import logreg_train
+
+    return logreg_train(
+        _labeled_docs(sf_dir), target=True, label_col="is_quality"
+    )
+
+
+def _q_doc_logreg_classify(sf_dir: str):
+    """Score every doc with the trained weights: margin = Σ w[f] + bias
+    over the doc's DISTINCT hashed features — pure integers, so the SQL
+    oracle recomputes every margin independently from the weight golden
+    and the md5-hashed features it rebuilds itself."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.importance import logreg_margins, logreg_train
+
+    w = logreg_train(
+        _labeled_docs(sf_dir), target=True, label_col="is_quality"
+    )
+    wt = pa.concat_tables(
+        [t for t in ray.get(w.materialize().to_arrow_refs()) if t.num_rows]
+    )
+    return logreg_margins(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), wt
+    )
+
+
 def _q_doc_dsir_score(sf_dir: str):
     """DSIR-style importance score (Xie et al. 2023): hashed-unigram
     probability-difference weight of every document against the
@@ -3036,6 +3081,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_hash": _q_doc_embed_hash,
         "doc_text_knn_graph": _q_doc_text_knn_graph,
         "doc_text_semantic_dedup": _q_doc_text_semantic_dedup,
+        "doc_logreg_train": _q_doc_logreg_train,
+        "doc_logreg_classify": _q_doc_logreg_classify,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3246,7 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_fluency", "crawl_host_hits",
         "emb_knn_graph", "emb_knn_graph_ivf",
         "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
-        "doc_text_semantic_dedup",
+        "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3506,6 +3553,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
+    logreg_g = os.path.join(gdir, "logreg_w.parquet")
     events_hll_g = os.path.join(gdir, "events_hll.parquet")
 
     # --- user-friendly formatter oracle (SQL rebuilt from the shared
@@ -4896,6 +4944,27 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, vec_id, rank, sim_micros
             FROM r WHERE rank <= 5""",
+        "doc_logreg_train": f"""
+            SELECT feat, weight_micros FROM read_parquet('{logreg_g}')""",
+        "doc_logreg_classify": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+              FROM documents),
+            feats AS (
+              SELECT DISTINCT doc_id,
+                     CAST(md5_number_lower(tok) % 1024 AS BIGINT) f
+              FROM toks),
+            w AS (SELECT feat, weight_micros
+                  FROM read_parquet('{logreg_g}')),
+            m AS (
+              SELECT feats.doc_id,
+                     (sum(w.weight_micros)
+                      + (SELECT weight_micros FROM w WHERE feat = 1024)
+                     )::BIGINT AS margin_micros
+              FROM feats JOIN w ON w.feat = feats.f GROUP BY 1)
+            SELECT doc_id, margin_micros, margin_micros > 0 AS pred
+            FROM m""",
         "doc_text_semantic_dedup": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g10"
+GOLDEN_VERSION = "g11"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -415,6 +415,27 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     )
 
 
+def _build_logreg_golden(sf_dir: str, gdir: str) -> None:
+    """Sequential same-math logreg training run (quality-rule labels →
+    `logreg_train_tables`); valid as an oracle because every doc's
+    per-epoch gradient contribution is a pure function of (doc, w) and
+    partials sum as int64 — the k-means partition-invariance argument
+    (forced-path tests pin distributed ≡ sequential)."""
+    from ..stages.importance import label_quality_batch, logreg_train_tables
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    labeled = label_quality_batch(docs)
+    pq.write_table(
+        logreg_train_tables(
+            [labeled], target=True, label_col="is_quality"
+        ),
+        os.path.join(gdir, "logreg_w.parquet"),
+    )
+
+
 def ensure_oracle_goldens(sf_dir: str) -> str:
     """Idempotently build the oracle goldens for a testdata dir; returns
     the golden directory (inside the per-tag corpus dir, so it expires
@@ -439,6 +460,7 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
         _build_bpe_goldens(sf_dir, tmp)
+        _build_logreg_golden(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "events.parquet")):
         _build_events_goldens(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):

@@ -45,7 +45,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dsir_scores", "md5_feature", "hash_embed", "hash_embed_batch"]
+__all__ = [
+    "dsir_scores",
+    "md5_feature",
+    "hash_embed",
+    "hash_embed_batch",
+    "logreg_train",
+    "logreg_train_tables",
+    "logreg_epoch_grad",
+    "logreg_margins",
+    "label_quality_batch",
+]
 
 
 def md5_feature(token: str, num_feats: int) -> int:
@@ -264,4 +274,246 @@ def hash_embed(
     return ds.map_batches(
         lambda b: hash_embed_batch(b, dim=dim, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression quality/langid classifier training (full-batch GD)
+# ---------------------------------------------------------------------------
+
+def _doc_feat_incidence(
+    batch: pa.Table, num_feats: int, text_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_row_idx, feat_id) pairs, DISTINCT per (doc, feat) —
+    binary hashed-unigram features, rows sorted by doc_row_idx."""
+    flat, parent = _tokens(batch, text_col)
+    feats = _feat_ids(flat, num_feats)
+    par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(par):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((feats, par))
+    p, f = par[order], feats[order]
+    keep = np.empty(len(p), dtype=bool)
+    keep[0] = True
+    keep[1:] = (p[1:] != p[:-1]) | (f[1:] != f[:-1])
+    return p[keep], f[keep]
+
+
+def logreg_epoch_grad(
+    batch: pa.Table,
+    w_micros: np.ndarray,
+    num_feats: int,
+    target,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> tuple[np.ndarray, int]:
+    """One block's full-batch gradient partial under the CURRENT integer
+    weights: per doc, margin = (Σ w[f] + bias)/1e6, err_micros =
+    rint((σ(margin) − y)·1e6); returns (int64 grad[num_feats+1] with
+    the bias partial last, n_docs_with_tokens).  Every doc's
+    contribution is a pure function of (doc, w) ⇒ int64 partial sums
+    are partition-invariant (the k-means argument), which is what makes
+    the sequential same-math golden a valid oracle."""
+    p, f = _doc_feat_incidence(batch, num_feats, text_col)
+    grad = np.zeros(num_feats + 1, dtype=np.int64)
+    if not len(p):
+        return grad, 0
+    n = batch.num_rows
+    # margins: p is sorted → run-boundary reduceat (exact int64 sums)
+    starts = np.flatnonzero(np.diff(p, prepend=np.int64(-1)))
+    doc_rows = p[starts]
+    msum = np.add.reduceat(w_micros[f], starts)
+    margin = (msum + int(w_micros[num_feats])) / 1e6
+    y = (
+        pc.equal(batch[label_col], target)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )[doc_rows]
+    sig = 1.0 / (1.0 + np.exp(-margin))
+    err = np.rint((sig - y) * 1e6).astype(np.int64)
+    # scatter err over each doc's feats: exact int64 via sorted reduceat
+    err_per_pair = err[np.searchsorted(doc_rows, p)]
+    forder = np.argsort(f, kind="stable")
+    fs = f[forder]
+    fstarts = np.flatnonzero(np.diff(fs, prepend=np.int64(-1)))
+    grad[fs[fstarts]] = np.add.reduceat(err_per_pair[forder], fstarts)
+    grad[num_feats] = int(err.sum())
+    return grad, len(doc_rows)
+
+
+def logreg_train_tables(
+    tables: list[pa.Table],
+    epochs: int = 32,
+    lr_micros: int = 8_000_000,
+    num_feats: int = 1024,
+    target="en",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> pa.Table:
+    """Sequential same-math trainer over in-memory Arrow blocks — the
+    golden builder AND the driver-side finish share this loop."""
+    w = np.zeros(num_feats + 1, dtype=np.int64)
+    for _ in range(epochs):
+        grad = np.zeros(num_feats + 1, dtype=np.int64)
+        n = 0
+        for t in tables:
+            g, m = logreg_epoch_grad(
+                t, w, num_feats, target, text_col, label_col
+            )
+            grad += g
+            n += m
+        if not n:
+            break
+        # python-int update: exact at any corpus size (grad ≤ n·1e6)
+        denom = n * 1_000_000
+        w -= np.array(
+            [(lr_micros * int(g)) // denom for g in grad.tolist()],
+            dtype=np.int64,
+        )
+    return pa.table(
+        {
+            "feat": pa.array(np.arange(num_feats + 1), pa.int64()),
+            "weight_micros": pa.array(w, pa.int64()),
+        }
+    )
+
+
+def logreg_train(
+    ds,
+    epochs: int = 32,
+    lr_micros: int = 8_000_000,
+    num_feats: int = 1024,
+    target="en",
+    text_col: str = "text",
+    label_col: str = "lang",
+    driver_max_docs: int = 200_000,
+):
+    """documents → (feat, weight_micros)[num_feats+1] (bias last):
+    full-batch gradient-descent logistic regression on binary hashed
+    unigram features predicting ``label == target`` — the
+    CCNet/fastText-style quality-classifier TRAINING loop, in-engine
+    (``nb_train`` counts, ``clf_score``/``dsir`` apply fixed weights;
+    this one fits weights).
+
+    Scale shape: blocks materialized ONCE; each epoch is a plain-task
+    fan-out (the k-means precedent — no per-epoch Dataset job fixed
+    cost) computing int64 gradient partials under the broadcast
+    integer weight vector, tree-summed on the driver; the update runs
+    in python ints (exact at any corpus size).  Weights are
+    (num_feats+1)-sized broadcast state — the documented vocab-sized
+    boundary shared with dsir/bpe.  Partition-invariant ⇒ the
+    sequential `logreg_train_tables` golden is a valid oracle."""
+    import ray
+    import ray.data
+
+    ds = ds.materialize()
+    if ds.count() <= driver_max_docs:
+        # adaptive driver-local finish (partition-invariance makes it
+        # bit-identical to the epoch fan-out; forced-path-test pinned)
+        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return ray.data.from_arrow(
+            logreg_train_tables(
+                tables,
+                epochs=epochs,
+                lr_micros=lr_micros,
+                num_feats=num_feats,
+                target=target,
+                text_col=text_col,
+                label_col=label_col,
+            )
+        )
+    blocks = [r for r in ds.to_arrow_refs()]
+
+    @ray.remote(num_cpus=1)
+    def part(tbl: pa.Table, w: np.ndarray):
+        return logreg_epoch_grad(
+            tbl, w, num_feats, target, text_col, label_col
+        )
+
+    w = np.zeros(num_feats + 1, dtype=np.int64)
+    for _ in range(epochs):
+        w_ref = ray.put(w)
+        outs = ray.get([part.remote(b, w_ref) for b in blocks])
+        grad = np.zeros(num_feats + 1, dtype=np.int64)
+        n = 0
+        for g, m in outs:
+            grad += g
+            n += m
+        if not n:
+            break
+        denom = n * 1_000_000
+        w = w - np.array(
+            [(lr_micros * int(g)) // denom for g in grad.tolist()],
+            dtype=np.int64,
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "feat": pa.array(np.arange(num_feats + 1), pa.int64()),
+                "weight_micros": pa.array(w, pa.int64()),
+            }
+        )
+    )
+
+
+def logreg_margins(
+    ds,
+    weights: pa.Table,
+    num_feats: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """documents × trained weights → (doc_id, margin_micros, pred):
+    pure-integer scoring pass (margin = Σ w[f] + bias over the doc's
+    DISTINCT hashed features) — broadcast weights, one streaming
+    ``map_batches``, and because margins are exact ints the SQL oracle
+    recomputes them independently from the weight golden."""
+    import ray
+
+    w = np.zeros(num_feats + 1, dtype=np.int64)
+    w[weights["feat"].to_numpy(zero_copy_only=False)] = weights[
+        "weight_micros"
+    ].to_numpy(zero_copy_only=False)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ww = ray.get(w_ref)
+        p, f = _doc_feat_incidence(batch, num_feats, text_col)
+        if not len(p):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "margin_micros": pa.array([], pa.int64()),
+                    "pred": pa.array([], pa.bool_()),
+                }
+            )
+        starts = np.flatnonzero(np.diff(p, prepend=np.int64(-1)))
+        doc_rows = p[starts]
+        margin = np.add.reduceat(ww[f], starts) + int(ww[num_feats])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[doc_rows]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "margin_micros": pa.array(margin, pa.int64()),
+                "pred": pa.array(margin > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def label_quality_batch(
+    batch: pa.Table, threshold: float = 0.06, text_col: str = "text"
+) -> pa.Table:
+    """Append ``is_quality = stopword_ratio ≥ threshold`` — the
+    rule-based quality filter the logreg classifier DISTILLS (the
+    fastText-classifier-on-rule-labels practice; ratio from
+    `textstats.quality_batch`, exact single division)."""
+    from .textstats import quality_batch
+
+    q = quality_batch(batch, text_col=text_col)
+    return batch.append_column(
+        "is_quality", pc.greater_equal(q["stopword_ratio"], threshold)
     )

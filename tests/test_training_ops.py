@@ -2168,3 +2168,63 @@ def test_text_semantic_dedup_chain_planted(ray_session):
     assert got.loc[30, "canonical_id"] == 30 and bool(
         got.loc[30, "is_canonical"]
     )
+
+
+def test_logreg_train_planted_separable(ray_session):
+    """On a separable planted corpus (class vocabularies disjoint) the
+    trainer must reach 100% train accuracy, and the forced-distributed
+    epoch fan-out must be bit-identical to the sequential run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import (
+        logreg_margins,
+        logreg_train,
+        logreg_train_tables,
+    )
+
+    rng = np.random.default_rng(3)
+    pos_vocab = ["apple", "pear", "plum", "grape"]
+    neg_vocab = ["stone", "iron", "slate", "gravel"]
+    texts, labels = [], []
+    for i in range(60):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        texts.append(" ".join(rng.choice(vocab, size=8)))
+        labels.append(i % 2 == 0)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+            "y": pa.array(labels, pa.bool_()),
+        }
+    )
+    seq = logreg_train_tables([docs], target=True, label_col="y")
+    dist = (
+        logreg_train(
+            ray.data.from_arrow(docs).repartition(4),
+            target=True,
+            label_col="y",
+            driver_max_docs=0,  # force the epoch fan-out tier
+        )
+        .to_pandas()
+        .sort_values("feat", ignore_index=True)
+    )
+    assert dist.equals(seq.to_pandas())
+    local = (
+        logreg_train(
+            ray.data.from_arrow(docs).repartition(7),
+            target=True,
+            label_col="y",
+        )
+        .to_pandas()
+        .sort_values("feat", ignore_index=True)
+    )
+    assert local.equals(dist)
+
+    scored = (
+        logreg_margins(ray.data.from_arrow(docs), seq)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (scored.pred.to_numpy() == np.array(labels)).all()
