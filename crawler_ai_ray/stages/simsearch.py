@@ -745,23 +745,26 @@ def _knn_graph_rows(
     # far below any cosine-micros (≥ -1e6) yet safely negatable in
     # the lexsort (int64.min negation overflows to itself)
     sentinel = np.int64(-(2**62))
+    # sort every block by vec_id so a STABLE row-wise argsort of -sims
+    # resolves ties id-ascending — an argpartition here would drop an
+    # arbitrary tied candidate BEFORE the lexicographic re-cut (caught
+    # by the all-identical-vectors fuzz case)
+    sblocks = []
+    for ids, mat in blocks:
+        order = np.argsort(ids)
+        sblocks.append((ids[order], mat[order]))
     for lo in range(0, len(q_ids), scratch_rows):
         cq_ids = q_ids[lo : lo + scratch_rows]
         cq = q_mat[lo : lo + scratch_rows]
         best_v = np.zeros((len(cq_ids), 0), dtype=np.int64)
         best_s = np.zeros((len(cq_ids), 0), dtype=np.int64)
-        for ids, mat in blocks:
+        for ids, mat in sblocks:
             if not len(ids):
                 continue
             sims = np.rint((cq @ mat.T) * 1e6).astype(np.int64)
             sims[cq_ids[:, None] == ids[None, :]] = sentinel  # self
             kk = min(k, sims.shape[1])
-            if sims.shape[1] > kk:
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            else:
-                part = np.broadcast_to(
-                    np.arange(sims.shape[1]), sims.shape
-                ).copy()
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             cand_v = np.concatenate([best_v, ids[part]], axis=1)
             cand_s = np.concatenate(
                 [best_s, np.take_along_axis(sims, part, axis=1)], axis=1

@@ -32,6 +32,7 @@ generalize that to corpus-scale document statistics.
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -1954,3 +1955,77 @@ def nb_classify(ds, model_state, text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- winnowing fingerprints (MOSS, Schleimer et al. 2003) -----------------
+
+_WORD_RE_PY = re.compile(r"[a-z]+")
+
+def winnow_batch(
+    batch: pa.Table, k: int = 5, w: int = 4, text_col: str = "text"
+) -> pa.Table:
+    """doc → distinct selected (doc_id, pos, fp_md5) winnowing
+    fingerprints: word-k-gram md5 position hashes, a sliding window of
+    ``w`` consecutive positions, select each window's MINIMUM hash
+    (ties → RIGHTMOST position, the MOSS rule), dedupe selections.
+    Guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    fingerprint — the document-fingerprinting step of plagiarism /
+    near-dup detection at sub-document granularity.
+
+    Hashing is ``md5_number_lower`` semantics (selection order) with
+    the full hex digest emitted (comparison), so the DuckDB oracle
+    recomputes hashes, window argmins AND the dedup from the n-gram
+    STRINGS themselves.  Docs with < k tokens have no positions; docs
+    with fewer than w positions winnow over one short window."""
+    import hashlib
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id: list[int] = []
+    out_pos: list[int] = []
+    out_fp: list[str] = []
+    for did, t in zip(ids, texts):
+        toks = _WORD_RE_PY.findall((t or "").lower())
+        p = len(toks) - k + 1
+        if p < 1:
+            continue
+        digs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()
+            for i in range(p)
+        ]
+        h = np.frombuffer(b"".join(d[8:] for d in digs), dtype="<u8")
+        nw = max(p - w + 1, 1)
+        sel: set[int] = set()
+        if p <= w:
+            col = h
+            i = p - 1 - int(np.argmin(col[::-1]))
+            sel.add(i)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(h, w)  # (nw, w)
+            right_arg = w - 1 - np.argmin(win[:, ::-1], axis=1)
+            sel = set((np.arange(nw) + right_arg).tolist())
+        for i in sorted(sel):
+            out_id.append(did)
+            out_pos.append(i + 1)  # 1-based, matches SQL generate_series
+            out_fp.append(digs[i].hex())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "fp_md5": pa.array(out_fp, pa.string()),
+        }
+    )
+
+
+def winnow_fingerprints(
+    ds, k: int = 5, w: int = 4, text_col: str = "text"
+):
+    """documents → selected winnowing fingerprints: one streaming
+    ``map_batches`` pass, no shuffle, no state — downstream dedup
+    groups on fp_md5 exactly like the segment/ngram families."""
+    return ds.map_batches(
+        lambda b: winnow_batch(b, k=k, w=w, text_col=text_col),
+        batch_format="pyarrow",
+    )

@@ -2228,3 +2228,65 @@ def test_logreg_train_planted_separable(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert (scored.pred.to_numpy() == np.array(labels)).all()
+
+
+def test_winnow_fingerprints_guarantee_and_parity(ray_session, duck):
+    """Winnowing: exact DuckDB parity (hashes, window argmin with the
+    rightmost-tie rule, dedup) and the MOSS guarantee — two docs
+    sharing a ≥ w+k-1 token run share at least one fingerprint."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import winnow_fingerprints
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "prefix words here " + shared + " tail alpha",
+                    "other opening " + shared + " different ending",
+                    "nothing in common with the rest at all whatsoever",
+                ]
+            ),
+        }
+    )
+    got = (
+        winnow_fingerprints(
+            ray.data.from_arrow(docs).repartition(2), k=3, w=4
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    )
+    duck.register("winnow_docs", docs)
+    want = duck.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t
+          FROM winnow_docs),
+        ng AS (
+          SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM toks, unnest(generate_series(1, len(t)-2)) s(i)
+          WHERE len(t) >= 3),
+        h AS (SELECT doc_id, i, md5_number_lower(g) hv, md5(g) fp FROM ng),
+        pcount AS (SELECT doc_id, max(i) p FROM h GROUP BY 1),
+        wins AS (SELECT doc_id,
+                        unnest(generate_series(1, greatest(p - 3, 1))) j
+                 FROM pcount),
+        cand AS (
+          SELECT w.doc_id, w.j, h.i, h.fp,
+                 row_number() OVER (PARTITION BY w.doc_id, w.j
+                                    ORDER BY h.hv ASC, h.i DESC) rn
+          FROM wins w JOIN h ON h.doc_id = w.doc_id
+                             AND h.i BETWEEN w.j AND w.j + 3)
+        SELECT DISTINCT doc_id, i AS pos, fp AS fp_md5
+        FROM cand WHERE rn = 1 ORDER BY doc_id, pos
+        """
+    ).df()
+    assert got.equals(want)
+    f1 = set(got[got.doc_id == 1].fp_md5)
+    f2 = set(got[got.doc_id == 2].fp_md5)
+    f3 = set(got[got.doc_id == 3].fp_md5)
+    assert f1 & f2  # the shared run must yield a shared fingerprint
+    assert not (f1 & f3) and not (f2 & f3)
