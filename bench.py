@@ -235,10 +235,14 @@ def bench_queries(sf_dir: str) -> dict:
         "tpch_q12_late",
         "tpch_q21_waiting",
         "doc_bigram_fluency",
-        # round 3 late: graph + dedup + ANN additions
+        # round 3 late: graph + dedup + ANN + trained-classifier additions
         "crawl_host_hits",
         "emb_knn_graph",
         "doc_dup_spans_removed",
+        "doc_logreg_train",
+        "doc_text_knn_graph",
+        "doc_fingerprint_winnow",
+        "doc_text_semantic_dedup",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -53,6 +53,8 @@ __all__ = [
     "logreg_train",
     "logreg_train_tables",
     "logreg_epoch_grad",
+    "logreg_prepare",
+    "logreg_grad_prepared",
     "logreg_margins",
     "label_quality_batch",
 ]
@@ -299,6 +301,64 @@ def _doc_feat_incidence(
     return p[keep], f[keep]
 
 
+def logreg_prepare(
+    batch: pa.Table,
+    num_feats: int,
+    target,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> dict:
+    """Tokenize/hash ONCE per block (features don't change across
+    epochs — caching the incidence is the 10× of the epoch loop):
+    returns the cached arrays every epoch's gradient needs."""
+    p, f = _doc_feat_incidence(batch, num_feats, text_col)
+    if not len(p):
+        return {"n": 0}
+    starts = np.flatnonzero(np.diff(p, prepend=np.int64(-1)))
+    doc_rows = p[starts]
+    y = (
+        pc.equal(batch[label_col], target)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )[doc_rows]
+    forder = np.argsort(f, kind="stable")
+    fs = f[forder]
+    return {
+        "n": len(doc_rows),
+        "f": f,
+        "starts": starts,
+        "pair_doc": np.searchsorted(doc_rows, p),
+        "forder": forder,
+        "fs": fs,
+        "fstarts": np.flatnonzero(np.diff(fs, prepend=np.int64(-1))),
+        "y": y,
+    }
+
+
+def logreg_grad_prepared(
+    prep: dict, w_micros: np.ndarray, num_feats: int
+) -> tuple[np.ndarray, int]:
+    """One block's full-batch gradient partial under the CURRENT integer
+    weights from the cached incidence: per doc, margin = (Σ w[f] +
+    bias)/1e6, err_micros = rint((σ(margin) − y)·1e6).  Every doc's
+    contribution is a pure function of (doc, w) ⇒ int64 partial sums
+    are partition-invariant (the k-means argument), which is what makes
+    the sequential same-math golden a valid oracle."""
+    grad = np.zeros(num_feats + 1, dtype=np.int64)
+    if not prep["n"]:
+        return grad, 0
+    msum = np.add.reduceat(w_micros[prep["f"]], prep["starts"])
+    margin = (msum + int(w_micros[num_feats])) / 1e6
+    sig = 1.0 / (1.0 + np.exp(-margin))
+    err = np.rint((sig - prep["y"]) * 1e6).astype(np.int64)
+    err_per_pair = err[prep["pair_doc"]]
+    grad[prep["fs"][prep["fstarts"]]] = np.add.reduceat(
+        err_per_pair[prep["forder"]], prep["fstarts"]
+    )
+    grad[num_feats] = int(err.sum())
+    return grad, prep["n"]
+
+
 def logreg_epoch_grad(
     batch: pa.Table,
     w_micros: np.ndarray,
@@ -307,38 +367,13 @@ def logreg_epoch_grad(
     text_col: str = "text",
     label_col: str = "lang",
 ) -> tuple[np.ndarray, int]:
-    """One block's full-batch gradient partial under the CURRENT integer
-    weights: per doc, margin = (Σ w[f] + bias)/1e6, err_micros =
-    rint((σ(margin) − y)·1e6); returns (int64 grad[num_feats+1] with
-    the bias partial last, n_docs_with_tokens).  Every doc's
-    contribution is a pure function of (doc, w) ⇒ int64 partial sums
-    are partition-invariant (the k-means argument), which is what makes
-    the sequential same-math golden a valid oracle."""
-    p, f = _doc_feat_incidence(batch, num_feats, text_col)
-    grad = np.zeros(num_feats + 1, dtype=np.int64)
-    if not len(p):
-        return grad, 0
-    n = batch.num_rows
-    # margins: p is sorted → run-boundary reduceat (exact int64 sums)
-    starts = np.flatnonzero(np.diff(p, prepend=np.int64(-1)))
-    doc_rows = p[starts]
-    msum = np.add.reduceat(w_micros[f], starts)
-    margin = (msum + int(w_micros[num_feats])) / 1e6
-    y = (
-        pc.equal(batch[label_col], target)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-    )[doc_rows]
-    sig = 1.0 / (1.0 + np.exp(-margin))
-    err = np.rint((sig - y) * 1e6).astype(np.int64)
-    # scatter err over each doc's feats: exact int64 via sorted reduceat
-    err_per_pair = err[np.searchsorted(doc_rows, p)]
-    forder = np.argsort(f, kind="stable")
-    fs = f[forder]
-    fstarts = np.flatnonzero(np.diff(fs, prepend=np.int64(-1)))
-    grad[fs[fstarts]] = np.add.reduceat(err_per_pair[forder], fstarts)
-    grad[num_feats] = int(err.sum())
-    return grad, len(doc_rows)
+    """prepare + gradient in one call (the uncached form; the trainers
+    cache `logreg_prepare` across epochs)."""
+    return logreg_grad_prepared(
+        logreg_prepare(batch, num_feats, target, text_col, label_col),
+        w_micros,
+        num_feats,
+    )
 
 
 def logreg_train_tables(
@@ -352,14 +387,16 @@ def logreg_train_tables(
 ) -> pa.Table:
     """Sequential same-math trainer over in-memory Arrow blocks — the
     golden builder AND the driver-side finish share this loop."""
+    preps = [
+        logreg_prepare(t, num_feats, target, text_col, label_col)
+        for t in tables
+    ]
     w = np.zeros(num_feats + 1, dtype=np.int64)
     for _ in range(epochs):
         grad = np.zeros(num_feats + 1, dtype=np.int64)
         n = 0
-        for t in tables:
-            g, m = logreg_epoch_grad(
-                t, w, num_feats, target, text_col, label_col
-            )
+        for prep in preps:
+            g, m = logreg_grad_prepared(prep, w, num_feats)
             grad += g
             n += m
         if not n:
@@ -425,15 +462,19 @@ def logreg_train(
     blocks = [r for r in ds.to_arrow_refs()]
 
     @ray.remote(num_cpus=1)
-    def part(tbl: pa.Table, w: np.ndarray):
-        return logreg_epoch_grad(
-            tbl, w, num_feats, target, text_col, label_col
-        )
+    def prepare(tbl: pa.Table):
+        return logreg_prepare(tbl, num_feats, target, text_col, label_col)
 
+    @ray.remote(num_cpus=1)
+    def part(prep: dict, w: np.ndarray):
+        return logreg_grad_prepared(prep, w, num_feats)
+
+    # tokenize/hash once; epochs reuse the cached incidence refs
+    prep_refs = [prepare.remote(b) for b in blocks]
     w = np.zeros(num_feats + 1, dtype=np.int64)
     for _ in range(epochs):
         w_ref = ray.put(w)
-        outs = ray.get([part.remote(b, w_ref) for b in blocks])
+        outs = ray.get([part.remote(pr, w_ref) for pr in prep_refs])
         grad = np.zeros(num_feats + 1, dtype=np.int64)
         n = 0
         for g, m in outs:
