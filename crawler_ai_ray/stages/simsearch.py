@@ -337,10 +337,22 @@ def semantic_dedup(
     global dedup — that variant carries the recursive-CTE DuckDB
     oracle, pinning the union-find/grouping machinery that the
     clustered path shares."""
-    centroids = kmeans_train(
-        ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
-    )
-    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+    if nlist == 1:
+        # degenerate exact tier: one cluster holds everything — skip
+        # k-means training + assignment entirely (cluster is 0 either
+        # way; saves iters epoch fan-outs + one full pass)
+        def assign0(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "cluster",
+                pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()),
+            )
+
+        assigned = ds.map_batches(assign0, batch_format="pyarrow")
+    else:
+        centroids = kmeans_train(
+            ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
+        )
+        assigned = ivf_assign(ds, centroids, emb_col=emb_col)
 
     def prune(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -903,10 +915,21 @@ def knn_graph_ivf(
     corpus so mᵢ stays ~10⁴-10⁵ (the SemDeDup sizing).  ``nlist=1``
     degenerates to the EXACT graph — that variant shares
     ``knn_graph``'s brute-force oracle, pinning the shared plumbing."""
-    centroids = kmeans_train(
-        ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
-    )
-    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+    if nlist == 1:
+        # degenerate exact tier — skip training/assignment (see
+        # semantic_dedup)
+        def assign0(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "cluster",
+                pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()),
+            )
+
+        assigned = ds.map_batches(assign0, batch_format="pyarrow")
+    else:
+        centroids = kmeans_train(
+            ds, nlist, iters=iters, emb_col=emb_col, id_col=id_col
+        )
+        assigned = ivf_assign(ds, centroids, emb_col=emb_col)
 
     def cell_graph(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
