@@ -369,8 +369,22 @@ def semantic_dedup(
                 x = parent[x]
             return x
 
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        # chunked upper-triangle pair sweep with one REUSED scratch
+        # buffer — an n×n sims materialization is ~8·n² fresh bytes,
+        # the slow-page-backing class (200 MB at n=5000)
+        chunk = 512
+        buf = np.empty((min(chunk, n), n), dtype=np.float64)
+        pairs_i: list[np.ndarray] = []
+        pairs_j: list[np.ndarray] = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            s = np.matmul(mat[lo:hi], mat.T, out=buf[: hi - lo])
+            ci, cj = np.nonzero(s >= threshold)
+            keep = cj > ci + lo  # strict upper triangle, global index
+            pairs_i.append(ci[keep] + lo)
+            pairs_j.append(cj[keep])
+        ii = np.concatenate(pairs_i) if pairs_i else np.zeros(0, np.int64)
+        jj = np.concatenate(pairs_j) if pairs_j else np.zeros(0, np.int64)
         for a, b in zip(ii.tolist(), jj.tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
