@@ -1736,6 +1736,21 @@ def _q_doc_fingerprint_winnow(sf_dir: str):
     )
 
 
+def _q_doc_neardup_winnow(sf_dir: str):
+    """MOSS match step: document pairs sharing ≥2 distinct winnowing
+    fingerprints (window-min selection guarantees any shared ≥8-token
+    run fingerprints identically in both docs).  Only the 64-bit fp
+    hash shuffles; postings sweep + DF cap inside fp-hash buckets."""
+    from crawler_ai_ray.stages.dedup import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=5,
+        w=4,
+        min_shared=2,
+    ).select_columns(["doc_a", "doc_b", "shared"])
+
+
 def _q_doc_dsir_score(sf_dir: str):
     """DSIR-style importance score (Xie et al. 2023): hashed-unigram
     probability-difference weight of every document against the
@@ -3097,6 +3112,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_logreg_train": _q_doc_logreg_train,
         "doc_logreg_classify": _q_doc_logreg_classify,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
+        "doc_neardup_winnow": _q_doc_neardup_winnow,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3308,7 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_graph", "emb_knn_graph_ivf",
         "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
-        "doc_fingerprint_winnow",
+        "doc_fingerprint_winnow", "doc_neardup_winnow",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5005,6 +5021,37 @@ def oracle_sql() -> dict[str, str]:
                                  AND h.i BETWEEN w.j AND w.j + 3)
             SELECT DISTINCT doc_id, i AS pos, fp AS fp_md5
             FROM cand WHERE rn = 1""",
+        "doc_neardup_winnow": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t
+              FROM documents),
+            ng AS (
+              SELECT doc_id, i,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4] AS g
+              FROM toks, unnest(generate_series(1, len(t)-4)) s(i)
+              WHERE len(t) >= 5),
+            h AS (SELECT doc_id, i, md5_number_lower(g) hv, md5(g) fp
+                  FROM ng),
+            pcount AS (SELECT doc_id, max(i) p FROM h GROUP BY 1),
+            wins AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(p - 3, 1))) j
+              FROM pcount),
+            cand AS (
+              SELECT w.doc_id, w.j, h.i, h.fp,
+                     row_number() OVER (PARTITION BY w.doc_id, w.j
+                                        ORDER BY h.hv ASC, h.i DESC) rn
+              FROM wins w JOIN h ON h.doc_id = w.doc_id
+                                 AND h.i BETWEEN w.j AND w.j + 3),
+            sel AS (SELECT DISTINCT doc_id, fp FROM cand WHERE rn = 1),
+            keepfp AS (SELECT fp FROM sel GROUP BY fp
+                       HAVING count(*) <= 50)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS shared
+            FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            JOIN keepfp kf ON kf.fp = a.fp
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
         "doc_text_semantic_dedup": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

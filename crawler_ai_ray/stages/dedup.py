@@ -56,6 +56,7 @@ __all__ = [
     "dup_ngram_rows_batch",
     "dup_span_stats",
     "dup_span_removal",
+    "winnow_neardup_pairs",
     "dup_span_rows_batch",
     "segment_rows_batch",
     "segment_dedup",
@@ -1927,3 +1928,118 @@ def dup_span_removal(
         )
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def winnow_neardup_pairs(
+    ds,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    text_col: str = "text",
+    num_buckets: int = 512,
+):
+    """documents → (doc_a, doc_b, shared): pairs sharing ≥ ``min_shared``
+    DISTINCT winnowing fingerprints — the MOSS match step on top of
+    `textstats.winnow_fingerprints` (any shared ≥ w+k-1 token run
+    guarantees a shared fingerprint, so long plagiarised spans cannot
+    be missed).  Same shape as `ngram_pairs_jaccard`: only the 64-bit
+    fingerprint hash shuffles, postings sweep inside fp-hash buckets
+    with a DF cap dropping boilerplate fingerprints, pair counting via
+    Arrow hash-agg inside pair-hash buckets."""
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col)
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [
+                int.from_bytes(bytes.fromhex(s)[8:], "little")
+                for s in batch["fp_md5"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        order = np.lexsort((h, doc))
+        d, hh = doc[order], h[order]
+        keep = np.empty(len(d), dtype=bool)
+        if len(d):
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "fp_h": pa.array(hh[keep], pa.uint64()),
+                "bucket": pa.array(
+                    (hh[keep] % num_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket_to_pairs(group: pa.Table) -> pa.Table:
+        h = group["fp_h"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h, doc = h[order], doc[order]
+        if len(h):
+            new_run = np.empty(len(h), dtype=bool)
+            new_run[0] = True
+            np.not_equal(h[1:], h[:-1], out=new_run[1:])
+            starts = np.flatnonzero(new_run)
+        else:
+            starts = np.zeros(0, np.int64)
+        a_ids: list[int] = []
+        b_ids: list[int] = []
+        bounds = list(starts) + [len(h)]
+        for si in range(len(bounds) - 1):
+            i, j = bounds[si], bounds[si + 1]
+            if j - i <= max_df:
+                ds_run = doc[i:j]
+                for x in range(len(ds_run)):
+                    for y in range(x + 1, len(ds_run)):
+                        a_ids.append(int(ds_run[x]))
+                        b_ids.append(int(ds_run[y]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids, pa.int64()),
+                "doc_b": pa.array(b_ids, pa.int64()),
+            }
+        )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(1000003)) ^ b
+        return batch.append_column(
+            "pbucket",
+            pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int32), pa.int32()
+            ),
+        )
+
+    def combine_pairs(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count")]
+        )
+        shared = agg["doc_a_count"]
+        t = pa.table(
+            {
+                "doc_a": agg["doc_a"],
+                "doc_b": agg["doc_b"],
+                "shared": pa.Array.from_pandas(
+                    shared.to_numpy(zero_copy_only=False).astype("int64")
+                ),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["shared"], min_shared))
+
+    return (
+        fps.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_to_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(combine_pairs, batch_format="pyarrow")
+    )

@@ -2290,3 +2290,48 @@ def test_winnow_fingerprints_guarantee_and_parity(ray_session, duck):
     f3 = set(got[got.doc_id == 3].fp_md5)
     assert f1 & f2  # the shared run must yield a shared fingerprint
     assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_winnow_neardup_pairs_planted(ray_session):
+    """MOSS match step: docs sharing a long run pair up (with the
+    shared-fingerprint count), unrelated docs don't, and partitioning
+    doesn't change the result."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import winnow_neardup_pairs
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "prefix words here " + shared + " tail alpha",
+                    "other opening " + shared + " different ending",
+                    "nothing in common with the rest at all whatsoever",
+                ]
+            ),
+        }
+    )
+    got = (
+        winnow_neardup_pairs(
+            ray.data.from_arrow(docs).repartition(2), k=3, w=4, min_shared=1
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert got.doc_a.tolist() == [1] and got.doc_b.tolist() == [2]
+    assert got.shared.tolist() == [3]
+    other = (
+        winnow_neardup_pairs(
+            ray.data.from_arrow(docs).repartition(3),
+            k=3,
+            w=4,
+            min_shared=1,
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert other.equals(got)
