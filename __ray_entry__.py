@@ -1618,6 +1618,14 @@ def _q_doc_embed_hash(sf_dir: str):
     from crawler_ai_ray.stages.importance import hash_embed
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less empty blocks
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
         lst = batch["embedding"].combine_chunks()
         n = len(lst)
         dim = lst.type.list_size

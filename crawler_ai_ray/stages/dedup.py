@@ -1751,8 +1751,11 @@ def segment_dedup(
 
     def rebuild(batch: pa.Table) -> pa.Table:
         dk = ray.get(d_ref)
-        ids = batch["doc_id"].to_pylist()
-        texts = batch[text_col].to_pylist()
+        if batch.num_rows == 0:
+            ids, texts = [], []
+        else:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch[text_col].to_pylist()
         clean: list[str] = []
         nseg: list[int] = []
         ndrop: list[int] = []
@@ -1790,8 +1793,11 @@ def dup_span_rows_batch(
     n-gram lowered as one string) so the rebuild stage can emit the
     surviving ORIGINAL-case tokens while hashing stays case-folded —
     mirrored exactly by the oracle's ``lower(t[i] || ' ' || …)``."""
-    ids = batch["doc_id"].to_pylist()
-    texts = batch[text_col].to_pylist()
+    if batch.num_rows == 0:  # schema-less empty blocks (CLAUDE.md rule)
+        ids, texts = [], []
+    else:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[text_col].to_pylist()
     out_id: list[int] = []
     out_h: list[int] = []
     for i, t in zip(ids, texts):
@@ -1884,8 +1890,11 @@ def dup_span_removal(
 
     def rebuild(batch: pa.Table) -> pa.Table:
         dk = ray.get(d_ref)
-        ids = batch["doc_id"].to_pylist()
-        texts = batch[text_col].to_pylist()
+        if batch.num_rows == 0:
+            ids, texts = [], []
+        else:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch[text_col].to_pylist()
         clean: list[str] = []
         ntok: list[int] = []
         nrem: list[int] = []
@@ -1952,6 +1961,14 @@ def winnow_neardup_pairs(
     fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col)
 
     def distinct_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fp_h": pa.array([], pa.uint64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         h = np.array(
             [

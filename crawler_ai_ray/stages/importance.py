@@ -288,6 +288,8 @@ def _doc_feat_incidence(
 ) -> tuple[np.ndarray, np.ndarray]:
     """→ (doc_row_idx, feat_id) pairs, DISTINCT per (doc, feat) —
     binary hashed-unigram features, rows sorted by doc_row_idx."""
+    if batch.num_rows == 0:  # schema-less empty blocks (CLAUDE.md rule)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     flat, parent = _tokens(batch, text_col)
     feats = _feat_ids(flat, num_feats)
     par = parent.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1979,11 +1979,14 @@ def winnow_batch(
     with fewer than w positions winnow over one short window."""
     import hashlib
 
-    ids = batch["doc_id"].to_pylist()
-    texts = batch[text_col].to_pylist()
     out_id: list[int] = []
     out_pos: list[int] = []
     out_fp: list[str] = []
+    if batch.num_rows == 0:  # schema-less empty blocks (CLAUDE.md rule)
+        ids, texts = [], []
+    else:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[text_col].to_pylist()
     for did, t in zip(ids, texts):
         toks = _WORD_RE_PY.findall((t or "").lower())
         p = len(toks) - k + 1

@@ -396,3 +396,57 @@ def test_hits_matches_dense_reference(ray_session, rows, iters):
     ).to_pydict()
     assert dict(zip(got["host"], got["auth_micros"])) == auth
     assert dict(zip(got["host"], got["hub_micros"])) == hub
+
+
+@st.composite
+def _labeled_docs_tbl(draw):
+    n = draw(st.integers(1, 12))
+    texts = [
+        " ".join(
+            draw(st.sampled_from(_WORDS))
+            for _ in range(draw(st.integers(0, 10)))
+        )
+        for _ in range(n)
+    ]
+    labels = [draw(st.booleans()) for _ in range(n)]
+    return texts, labels
+
+
+@settings(max_examples=10, deadline=None)
+@given(_labeled_docs_tbl(), st.integers(1, 6))
+def test_logreg_distributed_matches_sequential(ray_session, td, epochs):
+    """Integer-exact GD: forced epoch fan-out ≡ sequential same-math
+    run on arbitrary tiny corpora (incl. empty-text and single-class
+    degenerate cases)."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import (
+        logreg_train,
+        logreg_train_tables,
+    )
+
+    texts, labels = td
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "y": pa.array(labels, pa.bool_()),
+        }
+    )
+    seq = logreg_train_tables(
+        [docs], epochs=epochs, target=True, label_col="y", num_feats=64
+    ).to_pandas()
+    dist = (
+        logreg_train(
+            ray.data.from_arrow(docs).repartition(3),
+            epochs=epochs,
+            target=True,
+            label_col="y",
+            num_feats=64,
+            driver_max_docs=0,
+        )
+        .to_pandas()
+        .sort_values("feat", ignore_index=True)
+    )
+    assert dist.equals(seq)
