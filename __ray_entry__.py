@@ -177,6 +177,16 @@ def _q_crawl_host_hits(sf_dir: str):
     return hits_hosts(host_edges(_link_pages(sf_dir)))
 
 
+def _q_events_cms(sf_dir: str):
+    """Count-Min Sketch frequency estimates for the deterministic probe
+    users: per-batch (4×1024) int64 counter partials summed driver-side
+    (sketch-sized state, zero shuffle, exact under any partitioning);
+    the oracle rebuilds the sketch and every min-estimate in SQL."""
+    from crawler_ai_ray.pipelines.relational import events_cms_estimates
+
+    return events_cms_estimates(sf_dir, probe_mod=7)
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -3121,6 +3131,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_logreg_classify": _q_doc_logreg_classify,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "doc_neardup_winnow": _q_doc_neardup_winnow,
+        "events_cms_heavy_hitters": _q_events_cms,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3333,6 +3344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
         "doc_fingerprint_winnow", "doc_neardup_winnow",
+        "events_cms_heavy_hitters",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5029,6 +5041,26 @@ def oracle_sql() -> dict[str, str]:
                                  AND h.i BETWEEN w.j AND w.j + 3)
             SELECT DISTINCT doc_id, i AS pos, fp AS fp_md5
             FROM cand WHERE rn = 1""",
+        "events_cms_heavy_hitters": """
+            WITH dims AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cms AS (
+              SELECT j,
+                     CAST(md5_number_lower(j::VARCHAR || ':' ||
+                          user_id::VARCHAR) % 1024 AS BIGINT) AS slot,
+                     count(*)::BIGINT AS cnt
+              FROM events CROSS JOIN dims GROUP BY 1, 2),
+            probes AS (
+              SELECT user_id, count(*)::BIGINT AS true_count
+              FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+            est AS (
+              SELECT p.user_id, min(c.cnt)::BIGINT AS est_count
+              FROM probes p CROSS JOIN dims d
+              JOIN cms c ON c.j = d.j
+                 AND c.slot = CAST(md5_number_lower(d.j::VARCHAR || ':'
+                       || p.user_id::VARCHAR) % 1024 AS BIGINT)
+              GROUP BY 1)
+            SELECT p.user_id, e.est_count, p.true_count
+            FROM probes p JOIN est e USING (user_id)""",
         "doc_neardup_winnow": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t

@@ -4071,3 +4071,105 @@ def q14_promo_effect(
             ),
         }
     )
+
+
+# --- Count-Min Sketch frequency estimation --------------------------------
+
+_CMS_W = 1024
+_CMS_D = 4
+
+
+def _cms_slot_matrix(uids: np.ndarray) -> np.ndarray:
+    """distinct int64 ids → (n, D) slot indices via
+    ``md5_number_lower(j || ':' || id) % W`` — the SQL-reproducible
+    hash family (one md5 per (id, depth))."""
+    import hashlib
+
+    out = np.empty((len(uids), _CMS_D), dtype=np.int64)
+    for i, u in enumerate(uids.tolist()):
+        for j in range(_CMS_D):
+            h = int.from_bytes(
+                hashlib.md5(f"{j}:{u}".encode()).digest()[8:], "little"
+            )
+            out[i, j] = h % _CMS_W
+    return out
+
+
+def events_cms_estimates(sf_dir: str, probe_mod: int = 97):
+    """→ (user_id, est_count, true_count) for the deterministic probe
+    users (``user_id % probe_mod == 0``): Count-Min Sketch frequency
+    estimation (Cormode & Muthukrishnan 2005) — the constant-memory
+    heavy-hitter path when exact per-key counts are too wide to
+    shuffle.  Counters merge by elementwise ADD, so per-batch (D×W)
+    int64 partials reduce driver-side with NO shuffle and the sketch is
+    EXACT under any partitioning; estimate = min over the D rows
+    (always ≥ the true count — pinned by test).  Hashing is
+    ``md5_number_lower(depth || ':' || id) % W``, so the DuckDB oracle
+    rebuilds the entire sketch AND every estimate independently.  The
+    probe set stands in for the candidate heavy-hitter stream a real
+    topk-tracker would maintain; ``true_count`` (exact, probe-sized
+    groupby) is carried for error accounting."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        tp: dict[int, int] = {}
+        if batch.num_rows:
+            uids = batch["user_id"].to_numpy(zero_copy_only=False)
+            distinct, counts = np.unique(uids, return_counts=True)
+            slots = _cms_slot_matrix(distinct)
+            for j in range(_CMS_D):
+                np.add.at(cms[j], slots[:, j], counts)
+            pmask = distinct % probe_mod == 0
+            tp = dict(
+                zip(
+                    distinct[pmask].tolist(),
+                    counts[pmask].astype(int).tolist(),
+                )
+            )
+        return pa.table(
+            {
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "probe_ids": pa.array(
+                    [list(tp.keys())], pa.list_(pa.int64())
+                ),
+                "probe_counts": pa.array(
+                    [list(tp.values())], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    true_counts: dict[int, int] = {}
+    for t in ray.get(
+        ev.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        for rb, pids, pcnts in zip(
+            t["cms"].to_pylist(),
+            t["probe_ids"].to_pylist(),
+            t["probe_counts"].to_pylist(),
+        ):
+            cms += np.frombuffer(rb, dtype=np.int64).reshape(
+                _CMS_D, _CMS_W
+            )
+            for u, c in zip(pids, pcnts):
+                true_counts[u] = true_counts.get(u, 0) + c
+    users = sorted(true_counts)
+    if users:
+        slots = _cms_slot_matrix(np.array(users, dtype=np.int64))
+        ests = np.min(
+            cms[np.arange(_CMS_D)[None, :], slots], axis=1
+        ).astype(np.int64)
+    else:
+        ests = np.zeros(0, dtype=np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "est_count": pa.array(ests, pa.int64()),
+            "true_count": pa.array(
+                [true_counts[u] for u in users], pa.int64()
+            ),
+        }
+    )

@@ -1555,3 +1555,41 @@ def test_hash_bucket_join_fuzz_salted_vs_pandas(ray_session, tables, jt):
             a = np.nan_to_num(a.astype(float), nan=-1)
             b = np.nan_to_num(b.astype(float), nan=-1)
         assert (a == b).all(), c
+
+
+def test_cms_overestimates_and_partition_invariant(ray_session):
+    """Count-Min property: est ≥ true for every probe key, exact when
+    no collisions; elementwise-add merge ⇒ identical under any
+    partitioning (compare against a direct whole-table run)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.pipelines.relational import (
+        _cms_slot_matrix,
+        events_cms_estimates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_cms_estimates(sf, probe_mod=7).to_pandas()
+    assert len(got) > 0
+    assert (got.est_count >= got.true_count).all()
+
+    # exact true counts from the raw table
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    uids = ev["user_id"].to_numpy(zero_copy_only=False)
+    want = {}
+    for u in uids.tolist():
+        if u % 7 == 0:
+            want[u] = want.get(u, 0) + 1
+    assert dict(zip(got.user_id, got.true_count)) == want
+
+    # sequential same-math sketch: one whole-table partial
+    distinct, counts = np.unique(uids, return_counts=True)
+    cms = np.zeros((4, 1024), dtype=np.int64)
+    slots = _cms_slot_matrix(distinct)
+    for j in range(4):
+        np.add.at(cms[j], slots[:, j], counts)
+    probes = np.array(sorted(want), dtype=np.int64)
+    ps = _cms_slot_matrix(probes)
+    est = np.min(cms[np.arange(4)[None, :], ps], axis=1)
+    assert (got.est_count.to_numpy() == est).all()
