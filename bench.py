@@ -243,6 +243,8 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_text_knn_graph",
         "doc_fingerprint_winnow",
         "doc_text_semantic_dedup",
+        "doc_neardup_winnow",
+        "events_cms_heavy_hitters",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -450,3 +450,64 @@ def test_logreg_distributed_matches_sequential(ray_session, td, epochs):
         .sort_values("feat", ignore_index=True)
     )
     assert dist.equals(seq)
+
+
+def _winnow_ref(texts, k=2, w=3):
+    """brute-force winnowing: md5 k-gram hashes, window min with the
+    rightmost-tie rule, dedup selected positions."""
+    import hashlib
+
+    out = []
+    for d, t in enumerate(texts):
+        toks = [m for m in __import__("re").findall(r"[a-z]+", t.lower())]
+        p = len(toks) - k + 1
+        if p < 1:
+            continue
+        digs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()
+            for i in range(p)
+        ]
+        hs = [int.from_bytes(dg[8:], "little") for dg in digs]
+        sel = set()
+        nw = max(p - w + 1, 1)
+        for j in range(nw):
+            win = hs[j : j + w]
+            best = min(range(len(win)), key=lambda x: (win[x], -x))
+            sel.add(j + best)
+        for i in sorted(sel):
+            out.append((d, i + 1, digs[i].hex()))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(1, 3),
+    st.integers(1, 4),
+)
+def test_winnow_matches_reference(ray_session, texts, k, w):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import winnow_fingerprints
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = winnow_fingerprints(
+        ray.data.from_arrow(docs).repartition(2), k=k, w=w
+    ).to_pandas()
+    want = _winnow_ref(texts, k=k, w=w)
+    if len(got) == 0:  # empty Dataset → schemaless frame, nothing to sort
+        assert want == []
+        return
+    got = got.sort_values(["doc_id", "pos"], ignore_index=True)
+    assert list(zip(got.doc_id, got.pos, got.fp_md5)) == want
