@@ -3333,8 +3333,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join", "tpch_q1_pricing", "top_customers",
         "supplier_by_region", "lineitem_part_revenue",
         "mm_image_features", "mm_audio_features", "mm_video_frames",
-        # new in round 3 (TPC-H remainder) — never driver-checked yet;
-        # round 4's reorder should front-load these
+        # new in round 3 (TPC-H remainder) — never driver-checked yet.
+        # ROUND-4 REORDER PLAN (precomputed at r03 close): after the r03
+        # driver run the cumulative-checked set is 144/174; move the 30
+        # remaining never-checked entries to the front — the 6 deferred
+        # cheap variants above (doc_sample, events_dau_hll,
+        # emb_knn_ivf_exhaustive, jobs_user_friendly, jobs_user_summary,
+        # crawl_job_location_counts) plus everything from here down —
+        # then fill the ~20 spare slots with re-checks of the oldest
+        # r01 rows.
         "tpch_q2_min_cost", "tpch_q7_volume", "tpch_q8_mktshare",
         "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_stock",
         "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
