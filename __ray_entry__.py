@@ -1859,6 +1859,16 @@ def _q_doc_cooccurrence(sf_dir: str):
     return cooccurrence_topk(_table(sf_dir, "documents", columns=["text"]))
 
 
+def _q_doc_pmi(sf_dir: str):
+    """Top-50 co-occurrence pairs annotated with integer PMI lift
+    ((n_docs·N·1e6) // (df_a·df_b), df over the same capped set) — the
+    collocation-mining ranking statistic, log-free so both sides are
+    exact; the df pass counts only the winning terms (broadcast set)."""
+    from crawler_ai_ray.stages.textstats import pmi_topk
+
+    return pmi_topk(_table(sf_dir, "documents", columns=["text"]))
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic ⅛ hash sample (md5(doc_id) hex prefix) — stable
     across runs/partitions/engines."""
@@ -3132,6 +3142,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "doc_neardup_winnow": _q_doc_neardup_winnow,
         "events_cms_heavy_hitters": _q_events_cms,
+        "doc_pmi_collocations": _q_doc_pmi,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3351,7 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
         "doc_fingerprint_winnow", "doc_neardup_winnow",
-        "events_cms_heavy_hitters",
+        "events_cms_heavy_hitters", "doc_pmi_collocations",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5048,6 +5059,37 @@ def oracle_sql() -> dict[str, str]:
                                  AND h.i BETWEEN w.j AND w.j + 3)
             SELECT DISTINCT doc_id, i AS pos, fp AS fp_md5
             FROM cand WHERE rn = 1""",
+        "doc_pmi_collocations": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS term
+                FROM documents)
+              WHERE term <> ''),
+            capped AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, term,
+                       row_number() OVER (
+                         PARTITION BY doc_id ORDER BY term) AS rn
+                FROM dt)
+              WHERE rn <= 256),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     count(*)::BIGINT AS n_docs
+              FROM capped a JOIN capped b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2
+              ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 50),
+            df AS (SELECT term, count(*)::BIGINT AS d
+                   FROM capped GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS total FROM documents)
+            SELECT p.term_a, p.term_b, p.n_docs,
+                   ((p.n_docs * n.total * 1000000)
+                    // (da.d * db.d))::BIGINT AS lift_ppm
+            FROM pairs p CROSS JOIN n
+            JOIN df da ON da.term = p.term_a
+            JOIN df db ON db.term = p.term_b""",
         "events_cms_heavy_hitters": """
             WITH dims AS (SELECT unnest(generate_series(0, 3)) AS j),
             cms AS (

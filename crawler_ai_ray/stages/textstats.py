@@ -2032,3 +2032,108 @@ def winnow_fingerprints(
         lambda b: winnow_batch(b, k=k, w=w, text_col=text_col),
         batch_format="pyarrow",
     )
+
+
+def pmi_topk(
+    ds,
+    k: int = 50,
+    num_buckets: int = 64,
+    max_terms_per_doc: int = 256,
+    text_col: str = "text",
+):
+    """top-k co-occurring pairs annotated with integer PMI lift:
+    ``lift_ppm = (n_docs(a,b) · N · 1e6) // (df_a · df_b)`` with N =
+    total documents and df over the SAME capped distinct-(doc, term)
+    set the pair counts use — log-free pointwise mutual information
+    (PMI = ln(lift); collocation mining ranks by it), exact integers
+    on both sides.
+
+    Scale shape: winners come from `cooccurrence_topk` (driver-sized
+    k rows); the df pass streams the corpus ONCE more counting only
+    the ≤2k winning terms against a broadcast term set (the
+    `top_customers` targeted-attach argument) — never a full term
+    histogram exchange."""
+    import ray
+
+    ds = ds.materialize()
+    pairs = cooccurrence_topk(
+        ds,
+        k=k,
+        num_buckets=num_buckets,
+        max_terms_per_doc=max_terms_per_doc,
+        text_col=text_col,
+    )
+    n_total = ds.count()
+    terms = sorted(
+        set(pairs["term_a"].to_pylist()) | set(pairs["term_b"].to_pylist())
+    )
+    if not terms:
+        return pairs.append_column(
+            "lift_ppm", pa.array([], pa.int64())
+        )
+    t_ref = ray.put(pa.array(terms, pa.string()))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        dt = (
+            pa.table({"d": doc.filter(keep), "t": flat.filter(keep)})
+            .group_by(["d", "t"])
+            .aggregate([])
+        )
+        if dt.num_rows == 0:
+            return empty
+        # the SAME alphabetic-rank cap the pair pass applies
+        dt = dt.sort_by([("d", "ascending"), ("t", "ascending")])
+        d = dt["d"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.diff(d, prepend=np.int64(-1)))
+        rank = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.append(starts, len(d)))
+        )
+        dt = dt.filter(pa.array(rank < max_terms_per_doc))
+        dt = dt.filter(pc.is_in(dt["t"], value_set=ray.get(t_ref)))
+        agg = dt.group_by("t").aggregate([("d", "count")])
+        return pa.table(
+            {
+                "term": agg["t"],
+                "n": pc.cast(agg["d_count"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    df: dict[str, int] = {}
+    if parts:
+        agg = (
+            pa.concat_tables(parts).group_by("term").aggregate([("n", "sum")])
+        )
+        df = dict(zip(agg["term"].to_pylist(), agg["n_sum"].to_pylist()))
+    lifts = [
+        (int(nd) * int(n_total) * 1_000_000)
+        // (int(df[a]) * int(df[b]))
+        for a, b, nd in zip(
+            pairs["term_a"].to_pylist(),
+            pairs["term_b"].to_pylist(),
+            pairs["n_docs"].to_pylist(),
+        )
+    ]
+    return pairs.append_column("lift_ppm", pa.array(lifts, pa.int64()))

@@ -2335,3 +2335,39 @@ def test_winnow_neardup_pairs_planted(ray_session):
         .sort_values(["doc_a", "doc_b"], ignore_index=True)
     )
     assert other.equals(got)
+
+
+def test_pmi_topk_hand_computed(ray_session):
+    """PMI lift on a tiny corpus: lift_ppm = n_docs·N·1e6 // (df_a·df_b)
+    with df over the same capped distinct-term set."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import pmi_topk
+
+    docs = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "apple banana",       # {apple, banana}
+                    "apple banana carrot",
+                    "apple carrot",
+                    "date",               # lone term, no pairs
+                ]
+            )
+        }
+    )
+    got = (
+        pmi_topk(ray.data.from_arrow(docs).repartition(2), k=10)
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+    )
+    # df: apple 3, banana 2, carrot 2; N = 4
+    # (apple,banana): n=2 → 2·4·1e6 // (3·2) = 1_333_333
+    # (apple,carrot): n=2 → 2·4·1e6 // (3·2) = 1_333_333
+    # (banana,carrot): n=1 → 1·4·1e6 // (2·2) = 1_000_000
+    assert got.loc[("apple", "banana"), "lift_ppm"] == 1_333_333
+    assert got.loc[("apple", "carrot"), "lift_ppm"] == 1_333_333
+    assert got.loc[("banana", "carrot"), "lift_ppm"] == 1_000_000
+    assert got.loc[("apple", "banana"), "n_docs"] == 2
+    assert len(got) == 3
