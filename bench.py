@@ -245,6 +245,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_text_semantic_dedup",
         "doc_neardup_winnow",
         "events_cms_heavy_hitters",
+        "doc_pmi_collocations",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
