@@ -511,3 +511,59 @@ def test_winnow_matches_reference(ray_session, texts, k, w):
         return
     got = got.sort_values(["doc_id", "pos"], ignore_index=True)
     assert list(zip(got.doc_id, got.pos, got.fp_md5)) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hash_embed_matches_duckdb_fuzz(ray_session, texts):
+    """Signed hashed projection: exact DuckDB parity on arbitrary tiny
+    corpora (md5 bit signs, [a-z]+ tokenization, empty-doc domain)."""
+    import duckdb
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import hash_embed
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = hash_embed(
+        ray.data.from_arrow(docs).repartition(2), dim=6
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("fuzz_docs", docs)
+    want = con.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+          FROM fuzz_docs),
+        comp AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                          THEN 1 ELSE -1 END)::BIGINT AS v
+          FROM toks CROSS JOIN
+               (SELECT unnest(generate_series(0, 5)) AS j)
+          GROUP BY 1, 2)
+        SELECT doc_id, list(v ORDER BY j) AS embedding
+        FROM comp GROUP BY 1 ORDER BY doc_id
+        """
+    ).df()
+    if len(got) == 0:
+        assert len(want) == 0
+        return
+    got = got.sort_values("doc_id", ignore_index=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert [list(e) for e in got.embedding] == [
+        list(e) for e in want.embedding
+    ]

@@ -2371,3 +2371,21 @@ def test_pmi_topk_hand_computed(ray_session):
     assert got.loc[("banana", "carrot"), "lift_ppm"] == 1_000_000
     assert got.loc[("apple", "banana"), "n_docs"] == 2
     assert len(got) == 3
+
+
+def test_pmi_partition_invariant_sf(ray_session):
+    """Integer PMI on the sf0.001 corpus: exact equality across
+    partitionings (all arithmetic integer)."""
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.stages.textstats import pmi_topk
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    a = pmi_topk(ray.data.from_arrow(t).repartition(3), k=20).to_pandas()
+    b = pmi_topk(ray.data.from_arrow(t).repartition(9), k=20).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 20
+    assert (a.lift_ppm > 0).all()
