@@ -753,63 +753,60 @@ def knn_pq_rerank(
 def _knn_graph_rows(
     q_ids: np.ndarray,
     q_mat: np.ndarray,
-    blocks: list[tuple[np.ndarray, np.ndarray]],
+    blocks,
     k: int,
     scratch_rows: int = 256,
 ) -> pa.Table:
     """Exact top-k neighbors (self excluded) of the ``q_ids`` rows
     against every ``(ids, mat)`` block — the shared kernel of both
-    tiers.  Cosines are quantized to integer micros immediately after
-    the float64 matmul (``rint(sim·1e6)``), so ALL selection is
+    tiers.  ``blocks`` may be a ONE-SHOT iterable: blocks stream
+    through an outer loop (the distributed tier ray.gets one object
+    ref at a time, so task state is O(own_rows × k) plus one
+    (chunk × block) sims scratch — never the whole corpus), queries
+    chunk in an inner loop.  Cosines quantize to integer micros right
+    after the float64 matmul (``rint(sim·1e6)``), so ALL selection is
     integer-lexicographic (-sim_micros, vec_id): partition layout,
     block visit order and BLAS kernel shape cannot change the result,
-    and the DuckDB oracle ranks by the same rounded integer.  Queries
-    stream in ``scratch_rows`` chunks so the sims temporary stays small
-    and REUSED (slow-page-backing rule); the running candidate set is
-    re-cut to k per block, so state is O(chunk × k), never O(N)."""
-    out_q, out_v, out_r, out_s = [], [], [], []
+    and the DuckDB oracle ranks by the same rounded integer.  Each
+    block is sorted by vec_id on arrival so the stable row-wise argsort
+    resolves ties id-ascending (an argpartition here would drop an
+    arbitrary tied candidate BEFORE the lexicographic re-cut — caught
+    by the all-identical-vectors fuzz case)."""
+    nq = len(q_ids)
     # far below any cosine-micros (≥ -1e6) yet safely negatable in
     # the lexsort (int64.min negation overflows to itself)
     sentinel = np.int64(-(2**62))
-    # sort every block by vec_id so a STABLE row-wise argsort of -sims
-    # resolves ties id-ascending — an argpartition here would drop an
-    # arbitrary tied candidate BEFORE the lexicographic re-cut (caught
-    # by the all-identical-vectors fuzz case)
-    sblocks = []
+    best_v = np.zeros((nq, 0), dtype=np.int64)
+    best_s = np.zeros((nq, 0), dtype=np.int64)
     for ids, mat in blocks:
+        if not len(ids):
+            continue
         order = np.argsort(ids)
-        sblocks.append((ids[order], mat[order]))
-    for lo in range(0, len(q_ids), scratch_rows):
-        cq_ids = q_ids[lo : lo + scratch_rows]
-        cq = q_mat[lo : lo + scratch_rows]
-        best_v = np.zeros((len(cq_ids), 0), dtype=np.int64)
-        best_s = np.zeros((len(cq_ids), 0), dtype=np.int64)
-        for ids, mat in sblocks:
-            if not len(ids):
-                continue
-            sims = np.rint((cq @ mat.T) * 1e6).astype(np.int64)
-            sims[cq_ids[:, None] == ids[None, :]] = sentinel  # self
+        ids, mat = ids[order], mat[order]
+        width = best_v.shape[1]
+        nb_v = np.empty((nq, min(k, width + len(ids))), dtype=np.int64)
+        nb_s = np.empty_like(nb_v)
+        for lo in range(0, nq, scratch_rows):
+            hi = min(lo + scratch_rows, nq)
+            sims = np.rint((q_mat[lo:hi] @ mat.T) * 1e6).astype(np.int64)
+            sims[q_ids[lo:hi, None] == ids[None, :]] = sentinel  # self
             kk = min(k, sims.shape[1])
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            cand_v = np.concatenate([best_v, ids[part]], axis=1)
+            cand_v = np.concatenate([best_v[lo:hi], ids[part]], axis=1)
             cand_s = np.concatenate(
-                [best_s, np.take_along_axis(sims, part, axis=1)], axis=1
+                [best_s[lo:hi], np.take_along_axis(sims, part, axis=1)],
+                axis=1,
             )
             # re-cut to k: per row lexsort by (-sim_micros, vec_id)
-            order = np.lexsort((cand_v, -cand_s), axis=1)[:, :k]
-            best_v = np.take_along_axis(cand_v, order, axis=1)
-            best_s = np.take_along_axis(cand_s, order, axis=1)
-        keep = best_s > sentinel
-        nk = keep.sum(axis=1)
-        out_q.append(np.repeat(cq_ids, nk))
-        out_v.append(best_v[keep])
-        out_s.append(best_s[keep])
-        out_r.append(
-            np.concatenate([np.arange(1, n + 1) for n in nk])
-            if len(nk)
-            else np.zeros(0, np.int64)
-        )
-    if not out_q:
+            cut = np.lexsort((cand_v, -cand_s), axis=1)[
+                :, : nb_v.shape[1]
+            ]
+            nb_v[lo:hi] = np.take_along_axis(cand_v, cut, axis=1)
+            nb_s[lo:hi] = np.take_along_axis(cand_s, cut, axis=1)
+        best_v, best_s = nb_v, nb_s
+    keep = best_s > sentinel
+    nk = keep.sum(axis=1)
+    if not nq or best_v.shape[1] == 0:
         return pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -818,14 +815,17 @@ def _knn_graph_rows(
                 "sim_micros": pa.array([], pa.int64()),
             }
         )
+    ranks = (
+        np.concatenate([np.arange(1, n + 1) for n in nk])
+        if len(nk)
+        else np.zeros(0, np.int64)
+    )
     return pa.table(
         {
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-            "rank": pa.array(
-                np.concatenate(out_r).astype(np.int64), pa.int64()
-            ),
-            "sim_micros": pa.array(np.concatenate(out_s), pa.int64()),
+            "query_id": pa.array(np.repeat(q_ids, nk), pa.int64()),
+            "vec_id": pa.array(best_v[keep], pa.int64()),
+            "rank": pa.array(ranks.astype(np.int64), pa.int64()),
+            "sim_micros": pa.array(best_s[keep], pa.int64()),
         }
     )
 
@@ -896,9 +896,16 @@ def knn_graph(
         if not me.num_rows:
             return _knn_graph_rows(np.zeros(0, np.int64), np.zeros((0, 1)), [], k)
         ids, mat = unpack(me)
-        return _knn_graph_rows(
-            ids, mat, [unpack(t) for t in ray.get(others) if t.num_rows], k
-        )
+
+        def stream():
+            # ONE other block resident at a time — task memory stays
+            # O(own_rows × k + chunk × block), never the corpus
+            for ref in others:
+                t = ray.get(ref)
+                if t.num_rows:
+                    yield unpack(t)
+
+        return _knn_graph_rows(ids, mat, stream(), k)
 
     import ray.data
 
