@@ -73,14 +73,13 @@ def _local_topk(
     n, q = sims.shape
     kk = min(k, n)
     out_q, out_v, out_s = [], [], []
-    # lexsort per column: primary -sim, secondary vec_id
+    # lexsort per column: primary -sim, secondary vec_id.  The full
+    # lexsort IS the selection — a pre-argpartition (even with 2k
+    # headroom) drops arbitrary tied candidates when > headroom
+    # candidates tie at the boundary (the knn_graph fuzz lesson)
     for qi in range(q):
         col = sims[:, qi]
-        if n > kk:
-            part = np.argpartition(-col, kk - 1)[: kk * 2 if kk * 2 < n else n]
-        else:
-            part = np.arange(n)
-        order = part[np.lexsort((ids[part], -col[part]))][:kk]
+        order = np.lexsort((ids, -col))[:kk]
         out_q.append(np.full(kk, q_ids[qi], dtype=np.int64))
         out_v.append(ids[order])
         out_s.append(col[order])

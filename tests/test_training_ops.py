@@ -2389,3 +2389,35 @@ def test_pmi_partition_invariant_sf(ray_session):
     assert a.equals(b)
     assert len(a) == 20
     assert (a.lift_ppm > 0).all()
+
+
+def test_knn_bruteforce_tie_breaks_by_vec_id(ray_session):
+    """All-identical vectors: the top-k must be the k LOWEST vec_ids
+    (the (−sim, vec_id) rule) — a pre-argpartition cut used to drop
+    arbitrary tied candidates (the knn_graph fuzz lesson, same class)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import knn_bruteforce
+
+    mat = np.full((100, 4), 1.0, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel()), 4
+            ),
+        }
+    )
+    out = (
+        knn_bruteforce(
+            ray.data.from_arrow(tbl).repartition(4),
+            mat[:1].astype(np.float64),
+            np.array([0]),
+            k=10,
+        )
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert out.vec_id.tolist() == list(range(10))
