@@ -187,6 +187,18 @@ def _q_events_cms(sf_dir: str):
     return events_cms_estimates(sf_dir, probe_mod=7)
 
 
+def _q_crawl_host_triangles(sf_dir: str):
+    """Exact per-host triangle counts on the undirected host graph —
+    the clustering/community signal beside PageRank/HITS/CC.  Degree-
+    ordered wedge join (each triangle counted once at its minimum-rank
+    apex; hub wedges bounded), exact two-u64 structured searchsorted
+    membership; adaptive driver kernel ≤5M distinct edges, wedge/pair-
+    bucketed distributed tier above (forced-path pinned)."""
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+
+    return host_triangles(host_edges(_link_pages(sf_dir)))
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -3043,6 +3055,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_hits": _q_crawl_host_hits,
+        "crawl_host_triangles": _q_crawl_host_triangles,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3363,6 +3376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
         "doc_fingerprint_winnow", "doc_neardup_winnow",
         "events_cms_heavy_hitters", "doc_pmi_collocations",
+        "crawl_host_triangles",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3428,6 +3442,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = h.host)"""
     pagerank_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+
+    triangles_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (
+          SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+          FROM ed),
+        tri AS (
+          SELECT e1.a x, e1.b y, e2.b z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        m AS (SELECT x AS h FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        SELECT h AS host, count(*)::BIGINT AS n_triangles
+        FROM m GROUP BY 1"""
 
     # HITS oracle: unroll the SAME 3 integer half-step iterations the
     # engine runs (stages/linkgraph.py hits_hosts) — the divide-only
@@ -4028,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_hits": hits_sql,
+        "crawl_host_triangles": triangles_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

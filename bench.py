@@ -246,6 +246,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_neardup_winnow",
         "events_cms_heavy_hitters",
         "doc_pmi_collocations",
+        "crawl_host_triangles",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -1431,3 +1431,343 @@ def anchor_text_corpus(
             }
         ))
     return pa.concat_tables(parts)
+
+
+# --- triangle counting (degree-ordered wedge join) -------------------------
+
+_PAIR_DT = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+
+def _pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    out = np.empty(len(a), dtype=_PAIR_DT)
+    out["a"], out["b"] = a, b
+    return out
+
+
+def _tri_from_und(
+    lo: np.ndarray,
+    hi: np.ndarray,
+    names: dict[int, str],
+) -> pa.Table:
+    """Shared exact kernel: undirected distinct edges (u64 endpoint
+    hashes) → per-host triangle counts.  Degree-ordered orientation —
+    every edge points from the lower to the higher (degree, hash) rank,
+    so each triangle forms exactly ONE wedge at its minimum-rank apex
+    and Σ out-deg² stays bounded (hubs receive edges, never emit
+    them — the node-iterator++ bound, cf. Suri & Vassilvitskii 2011).
+    Wedge→edge membership is an exact structured-array searchsorted
+    over BOTH u64 components (no folded-hash collisions)."""
+    if not len(lo):
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_triangles": pa.array([], pa.int64()),
+            }
+        )
+    verts, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(verts)).astype(np.int64)
+    li, hi_i = inv[: len(lo)], inv[len(lo) :]
+    # rank: total order by (deg, hash); orient low rank → high rank
+    rank = np.empty(len(verts), dtype=np.int64)
+    rank[np.lexsort((verts, deg))] = np.arange(len(verts))
+    swap = rank[li] > rank[hi_i]
+    src = np.where(swap, hi_i, li)
+    dst = np.where(swap, li, hi_i)
+    # adjacency grouped by src; neighbors sorted by rank
+    order = np.lexsort((rank[dst], src))
+    s, d = src[order], dst[order]
+    starts = np.flatnonzero(np.diff(s, prepend=np.int64(-1)))
+    counts = np.diff(np.append(starts, len(s)))
+    # wedge generation: per apex, all ordered neighbor pairs
+    w_apex: list[np.ndarray] = []
+    w_a: list[np.ndarray] = []
+    w_b: list[np.ndarray] = []
+    for st, c in zip(starts.tolist(), counts.tolist()):
+        if c < 2:
+            continue
+        nb = d[st : st + c]  # rank-ascending
+        ii, jj = np.triu_indices(c, k=1)
+        w_apex.append(np.full(len(ii), s[st], dtype=np.int64))
+        w_a.append(nb[ii])
+        w_b.append(nb[jj])
+    tri_counts = np.zeros(len(verts), dtype=np.int64)
+    if w_apex:
+        apex = np.concatenate(w_apex)
+        wa = np.concatenate(w_a)
+        wb = np.concatenate(w_b)
+        ekeys = np.sort(_pairs(verts[src], verts[dst]))
+        wkeys = _pairs(verts[wa], verts[wb])
+        idx = np.searchsorted(ekeys, wkeys)
+        ok = idx < len(ekeys)
+        hit = np.zeros(len(wkeys), dtype=bool)
+        hit[ok] = ekeys[np.minimum(idx[ok], len(ekeys) - 1)] == wkeys[ok]
+        for arr in (apex[hit], wa[hit], wb[hit]):
+            tri_counts += np.bincount(arr, minlength=len(verts))
+    keep = tri_counts > 0
+    return pa.table(
+        {
+            "host": pa.array(
+                [names[int(v)] for v in verts[keep]], pa.string()
+            ),
+            "n_triangles": pa.array(tri_counts[keep], pa.int64()),
+        }
+    )
+
+
+def host_triangles(edges, num_buckets: int = 64,
+                   driver_max_edges: int = 5_000_000):
+    """distinct host edges (from ``host_edges``) → (host, n_triangles):
+    exact per-host triangle counts on the UNDIRECTED host graph — the
+    clustering/community signal that complements PageRank/HITS/CC.
+
+    Scale shape: directed-edge rows reduce to undirected distinct
+    (lo, hi) pairs inside pair-hash buckets (strings shuffle once,
+    already-distinct rows); ≤ ``driver_max_edges`` distinct edges then
+    run the exact degree-ordered wedge kernel driver-local (edges are
+    two u64s + two strings — 5M edges ≈ a few hundred MB).  Above the
+    gate, the same kernel's stages distribute: degree combiner →
+    broadcast rank → wedge generation inside apex-hash buckets → the
+    wedge⋈edge membership inside pair-hash buckets (documented
+    extension; the adaptive gate is count-checked like PageRank's)."""
+    import ray
+    import pyarrow.compute as pc
+
+    def und_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.string()),
+                    "hi": pa.array([], pa.string()),
+                    "lo_h": pa.array([], pa.uint64()),
+                    "hi_h": pa.array([], pa.uint64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        sh = batch["src_h"].to_numpy(zero_copy_only=False)
+        dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+        swap = src > dst  # canonical by host string
+        lo = np.where(swap, dst, src)
+        hi = np.where(swap, src, dst)
+        lo_h = np.where(swap, dh, sh)
+        hi_h = np.where(swap, sh, dh)
+        b = ((lo_h ^ (hi_h >> np.uint64(7))) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.string()),
+                "hi": pa.array(hi, pa.string()),
+                "lo_h": pa.array(lo_h, pa.uint64()),
+                "hi_h": pa.array(hi_h, pa.uint64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        lo_h = group["lo_h"].to_numpy(zero_copy_only=False)
+        hi_h = group["hi_h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi_h, lo_h))
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (
+                (lo_h[order][1:] != lo_h[order][:-1])
+                | (hi_h[order][1:] != hi_h[order][:-1])
+            )
+        return group.take(pa.array(order[keep]))
+
+    und = (
+        edges.map_batches(und_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .materialize()
+    )
+    blocks = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_triangles": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    # hash → host names (vertex-sized driver map — the module boundary;
+    # collected from the distinct-edge blocks either tier needs anyway)
+    names: dict[int, str] = {}
+    for t in blocks:
+        for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+            names.update(
+                zip(
+                    (int(x) for x in t[col_h].to_pylist()),
+                    t[col_s].to_pylist(),
+                )
+            )
+
+    if und.count() <= driver_max_edges:
+        t = pa.concat_tables(blocks)
+        return _tri_from_und(
+            t["lo_h"].to_numpy(zero_copy_only=False),
+            t["hi_h"].to_numpy(zero_copy_only=False),
+            names,
+        )
+
+    # ---- distributed tier: degree combiner → broadcast rank →
+    # apex-bucket wedge generation → pair-bucket exact membership ----
+    deg: dict[int, int] = {}
+    for t in blocks:
+        for col in ("lo_h", "hi_h"):
+            hh, cc = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            for h, c in zip(hh.tolist(), cc.tolist()):
+                deg[h] = deg.get(h, 0) + int(c)
+    verts = np.array(sorted(deg), dtype=np.uint64)
+    degv = np.array([deg[int(v)] for v in verts], dtype=np.int64)
+    rank = np.empty(len(verts), dtype=np.int64)
+    rank[np.lexsort((verts, degv))] = np.arange(len(verts))
+    rank_ref = ray.put((verts, rank))
+
+    def oriented(batch: pa.Table) -> pa.Table:
+        vs, rk = ray.get(rank_ref)
+        lo_h = batch["lo_h"].to_numpy(zero_copy_only=False)
+        hi_h = batch["hi_h"].to_numpy(zero_copy_only=False)
+        r_lo = rk[np.searchsorted(vs, lo_h)]
+        r_hi = rk[np.searchsorted(vs, hi_h)]
+        swap = r_lo > r_hi
+        a = np.where(swap, hi_h, lo_h)
+        b = np.where(swap, lo_h, hi_h)
+        return pa.table(
+            {
+                "a_h": pa.array(a, pa.uint64()),
+                "b_h": pa.array(b, pa.uint64()),
+                "abucket": pa.array(
+                    (a % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    ori = und.map_batches(oriented, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        vs, rk = ray.get(rank_ref)
+        a = group["a_h"].to_numpy(zero_copy_only=False)
+        b = group["b_h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rk[np.searchsorted(vs, b)], a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], a[1:] != a[:-1]])
+        ) if len(a) else np.zeros(0, np.int64)
+        counts = np.diff(np.append(starts, len(a)))
+        w_apex, w_a, w_b = [], [], []
+        for st, c in zip(starts.tolist(), counts.tolist()):
+            if c < 2:
+                continue
+            nb = b[st : st + c]  # rank-ascending out-neighbors
+            ii, jj = np.triu_indices(c, k=1)
+            w_apex.append(np.full(len(ii), a[st], dtype=np.uint64))
+            w_a.append(nb[ii])
+            w_b.append(nb[jj])
+        if not w_apex:
+            return pa.table(
+                {
+                    "wa": pa.array([], pa.uint64()),
+                    "wb": pa.array([], pa.uint64()),
+                    "apex": pa.array([], pa.uint64()),
+                    "kind": pa.array([], pa.int8()),
+                    "pbucket": pa.array([], pa.int32()),
+                }
+            )
+        wa = np.concatenate(w_a)
+        wb = np.concatenate(w_b)
+        apex = np.concatenate(w_apex)
+        pb = ((wa ^ (wb >> np.uint64(7))) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "wa": pa.array(wa, pa.uint64()),
+                "wb": pa.array(wb, pa.uint64()),
+                "apex": pa.array(apex, pa.uint64()),
+                "kind": pa.array(np.zeros(len(wa), np.int8), pa.int8()),
+                "pbucket": pa.array(pb, pa.int32()),
+            }
+        )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch["a_h"].to_numpy(zero_copy_only=False)
+        b = batch["b_h"].to_numpy(zero_copy_only=False)
+        pb = ((a ^ (b >> np.uint64(7))) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "wa": pa.array(a, pa.uint64()),
+                "wb": pa.array(b, pa.uint64()),
+                "apex": pa.array(np.zeros(len(a), np.uint64), pa.uint64()),
+                "kind": pa.array(np.ones(len(a), np.int8), pa.int8()),
+                "pbucket": pa.array(pb, pa.int32()),
+            }
+        )
+
+    wedge_ds = ori.groupby("abucket").map_groups(
+        wedges, batch_format="pyarrow"
+    ).select_columns(["wa", "wb", "apex", "kind", "pbucket"])
+    ekey_ds = ori.map_batches(edge_keys, batch_format="pyarrow")
+
+    def match(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        wa = group["wa"].to_numpy(zero_copy_only=False)
+        wb = group["wb"].to_numpy(zero_copy_only=False)
+        apex = group["apex"].to_numpy(zero_copy_only=False)
+        em = kind == 1
+        ek = np.sort(_pairs(wa[em], wb[em]))
+        wm = ~em
+        wk = _pairs(wa[wm], wb[wm])
+        if not len(ek) or not len(wk):
+            return pa.table(
+                {
+                    "host_h": pa.array([], pa.uint64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.searchsorted(ek, wk)
+        ok = idx < len(ek)
+        hit = np.zeros(len(wk), dtype=bool)
+        hit[ok] = ek[np.minimum(idx[ok], len(ek) - 1)] == wk[ok]
+        members = np.concatenate(
+            [wa[wm][hit], wb[wm][hit], apex[wm][hit]]
+        )
+        hh, cc = np.unique(members, return_counts=True)
+        return pa.table(
+            {
+                "host_h": pa.array(hh, pa.uint64()),
+                "n": pa.array(cc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            wedge_ds.union(ekey_ds)
+            .groupby("pbucket")
+            .map_groups(match, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    agg = pa.concat_tables(parts).group_by("host_h").aggregate([("n", "sum")])
+    hh = agg["host_h"].to_pylist()
+    return pa.table(
+        {
+            "host": pa.array([names[int(h)] for h in hh], pa.string()),
+            "n_triangles": pa.array(
+                agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )

@@ -567,3 +567,42 @@ def test_hash_embed_matches_duckdb_fuzz(ray_session, texts):
     assert [list(e) for e in got.embedding] == [
         list(e) for e in want.embedding
     ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_graph_pages(), st.booleans())
+def test_triangles_match_bruteforce(ray_session, rows, force_dist):
+    """Per-host triangle counts vs itertools brute force over the
+    undirected edge set, both tiers."""
+    import itertools
+
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+
+    und = {tuple(sorted(e)) for e in _edges_ref(rows)}
+    hosts = sorted({v for e in und for v in e})
+    want = {}
+    for a, b, c in itertools.combinations(hosts, 3):
+        if (
+            (a, b) in und
+            and tuple(sorted((b, c))) in und
+            and tuple(sorted((a, c))) in und
+        ):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = host_triangles(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4),
+        num_buckets=4,
+        driver_max_edges=0 if force_dist else 5_000_000,
+    ).to_pandas()
+    assert dict(zip(got.host, got.n_triangles)) == want

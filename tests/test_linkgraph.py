@@ -475,3 +475,77 @@ def test_hits_partition_invariant_and_path_agreement(ray_session):
     # authorities and hubs differ (directed graph) and are bounded
     assert (a.auth_micros <= 2_000_000).all()
     assert not a.auth_micros.equals(a.hub_micros)
+
+
+def test_triangles_hand_computed_and_tiers(ray_session):
+    """K4 (4 triangles, each vertex in 3) plus a pendant: exact counts
+    from both the driver kernel and the forced-distributed wedge tier,
+    invariant to partitioning/bucketing."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+
+    tbl = pa.table(
+        {
+            "host": pa.array(
+                ["a.com", "b.com", "c.com", "d.com", "e.com"], pa.string()
+            ),
+            "out_links": pa.array(
+                [
+                    ["https://b.com/1", "https://c.com/1", "https://d.com/1"],
+                    ["https://c.com/2", "https://d.com/2"],
+                    ["https://d.com/3", "https://a.com/3"],
+                    [],
+                    ["https://a.com/x"],  # pendant: no triangle
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    loc = (
+        host_triangles(host_edges(ray.data.from_arrow(tbl)))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert loc.host.tolist() == ["a.com", "b.com", "c.com", "d.com"]
+    assert loc.n_triangles.tolist() == [3, 3, 3, 3]
+    dist = (
+        host_triangles(
+            host_edges(ray.data.from_arrow(tbl).repartition(3), num_buckets=8),
+            num_buckets=4,
+            driver_max_edges=0,  # force the distributed wedge tier
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert dist.equals(loc)
+
+
+def test_triangles_corpus_tier_agreement(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_pages
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    ex = extract_pages(pages).select_columns(["host", "out_links"])
+    a = (
+        host_triangles(host_edges(ex, num_buckets=64))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    b = (
+        host_triangles(
+            host_edges(ex.repartition(5), num_buckets=16),
+            num_buckets=8,
+            driver_max_edges=0,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
