@@ -199,6 +199,15 @@ def _q_crawl_host_triangles(sf_dir: str):
     return host_triangles(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_host_clustering(sf_dir: str):
+    """Local clustering coefficient per host (2·tri·1e6 // deg·(deg−1),
+    exact integer ppm over the undirected graph, domain deg ≥ 2) — the
+    community-density profile on top of the triangle kernel."""
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+
+    return host_triangles(host_edges(_link_pages(sf_dir)), clustering=True)
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -3056,6 +3065,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_triangles": _q_crawl_host_triangles,
+        "crawl_host_clustering": _q_crawl_host_clustering,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3376,7 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
         "doc_fingerprint_winnow", "doc_neardup_winnow",
         "events_cms_heavy_hitters", "doc_pmi_collocations",
-        "crawl_host_triangles",
+        "crawl_host_triangles", "crawl_host_clustering",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3466,6 +3476,40 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri)
         SELECT h AS host, count(*)::BIGINT AS n_triangles
         FROM m GROUP BY 1"""
+
+
+    clustering_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (
+          SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+          FROM ed),
+        degs AS (
+          SELECT h AS host, count(*)::BIGINT AS degree
+          FROM (SELECT a h FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+        tri AS (
+          SELECT e1.a x, e1.b y, e2.b z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        m AS (SELECT x AS h FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri),
+        tcount AS (SELECT h AS host, count(*)::BIGINT n FROM m GROUP BY 1)
+        SELECT d.host,
+               COALESCE(t.n, 0)::BIGINT AS n_triangles,
+               d.degree,
+               ((2 * COALESCE(t.n, 0) * 1000000)
+                // (d.degree * (d.degree - 1)))::BIGINT AS clustering_ppm
+        FROM degs d LEFT JOIN tcount t USING (host)
+        WHERE d.degree >= 2"""
 
     # HITS oracle: unroll the SAME 3 integer half-step iterations the
     # engine runs (stages/linkgraph.py hits_hosts) — the divide-only
@@ -4067,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,
+        "crawl_host_clustering": clustering_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

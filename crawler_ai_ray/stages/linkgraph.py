@@ -1448,6 +1448,7 @@ def _tri_from_und(
     lo: np.ndarray,
     hi: np.ndarray,
     names: dict[int, str],
+    clustering: bool = False,
 ) -> pa.Table:
     """Shared exact kernel: undirected distinct edges (u64 endpoint
     hashes) → per-host triangle counts.  Degree-ordered orientation —
@@ -1458,12 +1459,14 @@ def _tri_from_und(
     Wedge→edge membership is an exact structured-array searchsorted
     over BOTH u64 components (no folded-hash collisions)."""
     if not len(lo):
-        return pa.table(
-            {
-                "host": pa.array([], pa.string()),
-                "n_triangles": pa.array([], pa.int64()),
-            }
-        )
+        cols = {
+            "host": pa.array([], pa.string()),
+            "n_triangles": pa.array([], pa.int64()),
+        }
+        if clustering:
+            cols["degree"] = pa.array([], pa.int64())
+            cols["clustering_ppm"] = pa.array([], pa.int64())
+        return pa.table(cols)
     verts, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
     deg = np.bincount(inv, minlength=len(verts)).astype(np.int64)
     li, hi_i = inv[: len(lo)], inv[len(lo) :]
@@ -1503,6 +1506,23 @@ def _tri_from_und(
         hit[ok] = ekeys[np.minimum(idx[ok], len(ekeys) - 1)] == wkeys[ok]
         for arr in (apex[hit], wa[hit], wb[hit]):
             tri_counts += np.bincount(arr, minlength=len(verts))
+    if clustering:
+        # domain: hosts with ≥2 undirected neighbors (cc undefined
+        # below); cc_ppm = 2·tri·1e6 // (deg·(deg−1)) — exact integers
+        keep = deg >= 2
+        dk = deg[keep]
+        tk = tri_counts[keep]
+        cc = (2 * tk * 1_000_000) // (dk * (dk - 1))
+        return pa.table(
+            {
+                "host": pa.array(
+                    [names[int(v)] for v in verts[keep]], pa.string()
+                ),
+                "n_triangles": pa.array(tk, pa.int64()),
+                "degree": pa.array(dk, pa.int64()),
+                "clustering_ppm": pa.array(cc, pa.int64()),
+            }
+        )
     keep = tri_counts > 0
     return pa.table(
         {
@@ -1515,7 +1535,8 @@ def _tri_from_und(
 
 
 def host_triangles(edges, num_buckets: int = 64,
-                   driver_max_edges: int = 5_000_000):
+                   driver_max_edges: int = 5_000_000,
+                   clustering: bool = False):
     """distinct host edges (from ``host_edges``) → (host, n_triangles):
     exact per-host triangle counts on the UNDIRECTED host graph — the
     clustering/community signal that complements PageRank/HITS/CC.
@@ -1611,6 +1632,7 @@ def host_triangles(edges, num_buckets: int = 64,
             t["lo_h"].to_numpy(zero_copy_only=False),
             t["hi_h"].to_numpy(zero_copy_only=False),
             names,
+            clustering=clustering,
         )
 
     # ---- distributed tier: degree combiner → broadcast rank →
@@ -1758,15 +1780,40 @@ def host_triangles(edges, num_buckets: int = 64,
         )
         if t.num_rows
     ]
-    if not parts:
+    tri_by_h: dict[int, int] = {}
+    if parts:
+        agg = (
+            pa.concat_tables(parts)
+            .group_by("host_h")
+            .aggregate([("n", "sum")])
+        )
+        tri_by_h = dict(
+            zip(
+                (int(x) for x in agg["host_h"].to_pylist()),
+                (int(x) for x in agg["n_sum"].to_pylist()),
+            )
+        )
+    if clustering:
+        hs = sorted(h for h, dg in deg.items() if dg >= 2)
+        dk = np.array([deg[h] for h in hs], dtype=np.int64)
+        tk = np.array([tri_by_h.get(h, 0) for h in hs], dtype=np.int64)
+        cc = (2 * tk * 1_000_000) // (dk * (dk - 1))
+        return pa.table(
+            {
+                "host": pa.array([names[h] for h in hs], pa.string()),
+                "n_triangles": pa.array(tk, pa.int64()),
+                "degree": pa.array(dk, pa.int64()),
+                "clustering_ppm": pa.array(cc, pa.int64()),
+            }
+        )
+    if not tri_by_h:
         return empty
-    agg = pa.concat_tables(parts).group_by("host_h").aggregate([("n", "sum")])
-    hh = agg["host_h"].to_pylist()
+    hs = sorted(tri_by_h)
     return pa.table(
         {
-            "host": pa.array([names[int(h)] for h in hh], pa.string()),
+            "host": pa.array([names[h] for h in hs], pa.string()),
             "n_triangles": pa.array(
-                agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.array([tri_by_h[h] for h in hs], dtype=np.int64),
                 pa.int64(),
             ),
         }

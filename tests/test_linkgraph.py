@@ -549,3 +549,55 @@ def test_triangles_corpus_tier_agreement(ray_session):
     )
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_clustering_coefficient_hand_computed(ray_session):
+    """K4 + pendant: every K4 vertex has deg 3 (cc relative to the
+    pendant-attached one differs), exact integer ppm."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+
+    tbl = pa.table(
+        {
+            "host": pa.array(
+                ["a.com", "b.com", "c.com", "d.com", "e.com"], pa.string()
+            ),
+            "out_links": pa.array(
+                [
+                    ["https://b.com/1", "https://c.com/1", "https://d.com/1"],
+                    ["https://c.com/2", "https://d.com/2"],
+                    ["https://d.com/3", "https://a.com/3"],
+                    [],
+                    ["https://a.com/x"],
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    got = (
+        host_triangles(
+            host_edges(ray.data.from_arrow(tbl)), clustering=True
+        )
+        .to_pandas()
+        .set_index("host")
+    )
+    # a has degree 4 (K4 + pendant e): cc = 2*3*1e6 // (4*3) = 500_000
+    assert got.loc["a.com", "degree"] == 4
+    assert got.loc["a.com", "clustering_ppm"] == 500_000
+    # b, c, d: degree 3, all 3 wedges closed → 1_000_000
+    for h in ("b.com", "c.com", "d.com"):
+        assert got.loc[h, "clustering_ppm"] == 1_000_000
+    # e: degree 1 → outside the domain
+    assert "e.com" not in got.index
+    # forced-distributed tier agrees
+    dist = (
+        host_triangles(
+            host_edges(ray.data.from_arrow(tbl).repartition(3)),
+            clustering=True,
+            driver_max_edges=0,
+        )
+        .to_pandas()
+        .set_index("host")
+    )
+    assert dist.sort_index().equals(got.sort_index())
