@@ -208,6 +208,16 @@ def _q_crawl_host_clustering(sf_dir: str):
     return host_triangles(host_edges(_link_pages(sf_dir)), clustering=True)
 
 
+def _q_crawl_host_kcore(sf_dir: str):
+    """2-core of the undirected host graph (8 bounded synchronous
+    peels, fixpoint-stable): survivors + their in-subgraph degree —
+    the periphery/link-farm filter beside triangles.  The oracle
+    unrolls the same 8 peels (the HITS trick)."""
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_kcore
+
+    return host_kcore(host_edges(_link_pages(sf_dir)), k=2, rounds=8)
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -3066,6 +3076,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_triangles": _q_crawl_host_triangles,
         "crawl_host_clustering": _q_crawl_host_clustering,
+        "crawl_host_kcore": _q_crawl_host_kcore,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3387,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow", "doc_neardup_winnow",
         "events_cms_heavy_hitters", "doc_pmi_collocations",
         "crawl_host_triangles", "crawl_host_clustering",
+        "crawl_host_kcore",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -3510,6 +3522,45 @@ def oracle_sql() -> dict[str, str]:
                 // (d.degree * (d.degree - 1)))::BIGINT AS clustering_ppm
         FROM degs d LEFT JOIN tcount t USING (host)
         WHERE d.degree >= 2"""
+
+
+    kcore_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (
+          SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+          FROM ed),
+        a0 AS (SELECT a AS host FROM und UNION SELECT b FROM und)"""
+    for _i in range(1, 9):
+        kcore_sql += f""",
+        d{_i} AS MATERIALIZED (
+          SELECT h AS host, count(*)::BIGINT AS c FROM (
+            SELECT u.a h FROM und u
+            JOIN a{_i - 1} x ON x.host = u.a
+            JOIN a{_i - 1} y ON y.host = u.b
+            UNION ALL
+            SELECT u.b FROM und u
+            JOIN a{_i - 1} x ON x.host = u.a
+            JOIN a{_i - 1} y ON y.host = u.b)
+          GROUP BY 1),
+        a{_i} AS MATERIALIZED (
+          SELECT host FROM d{_i} WHERE c >= 2)"""
+    kcore_sql += """
+        SELECT host, c AS kcore_degree FROM (
+          SELECT h AS host, count(*)::BIGINT AS c FROM (
+            SELECT u.a h FROM und u
+            JOIN a8 x ON x.host = u.a JOIN a8 y ON y.host = u.b
+            UNION ALL
+            SELECT u.b FROM und u
+            JOIN a8 x ON x.host = u.a JOIN a8 y ON y.host = u.b)
+          GROUP BY 1)
+        WHERE c >= 1"""
 
     # HITS oracle: unroll the SAME 3 integer half-step iterations the
     # engine runs (stages/linkgraph.py hits_hosts) — the divide-only
@@ -4112,6 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,
         "crawl_host_clustering": clustering_sql,
+        "crawl_host_kcore": kcore_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

@@ -247,6 +247,7 @@ def bench_queries(sf_dir: str) -> dict:
         "events_cms_heavy_hitters",
         "doc_pmi_collocations",
         "crawl_host_triangles",
+        "crawl_host_kcore",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

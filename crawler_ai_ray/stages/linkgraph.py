@@ -1534,24 +1534,12 @@ def _tri_from_und(
     )
 
 
-def host_triangles(edges, num_buckets: int = 64,
-                   driver_max_edges: int = 5_000_000,
-                   clustering: bool = False):
-    """distinct host edges (from ``host_edges``) → (host, n_triangles):
-    exact per-host triangle counts on the UNDIRECTED host graph — the
-    clustering/community signal that complements PageRank/HITS/CC.
-
-    Scale shape: directed-edge rows reduce to undirected distinct
-    (lo, hi) pairs inside pair-hash buckets (strings shuffle once,
-    already-distinct rows); ≤ ``driver_max_edges`` distinct edges then
-    run the exact degree-ordered wedge kernel driver-local (edges are
-    two u64s + two strings — 5M edges ≈ a few hundred MB).  Above the
-    gate, the same kernel's stages distribute: degree combiner →
-    broadcast rank → wedge generation inside apex-hash buckets → the
-    wedge⋈edge membership inside pair-hash buckets (documented
-    extension; the adaptive gate is count-checked like PageRank's)."""
+def _und_distinct(edges, num_buckets: int):
+    """directed distinct host edges → (materialized undirected-distinct
+    dataset, its nonempty Arrow blocks, hash→host names map).  Strings
+    canonicalize (lo, hi) by host string; dedup inside pair-hash
+    buckets."""
     import ray
-    import pyarrow.compute as pc
 
     def und_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1564,18 +1552,18 @@ def host_triangles(edges, num_buckets: int = 64,
                     "bucket": pa.array([], pa.int32()),
                 }
             )
-        src = batch["src"].to_numpy(zero_copy_only=False)
+        src_ = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
         sh = batch["src_h"].to_numpy(zero_copy_only=False)
         dh = batch["dst_h"].to_numpy(zero_copy_only=False)
-        swap = src > dst  # canonical by host string
-        lo = np.where(swap, dst, src)
-        hi = np.where(swap, src, dst)
+        swap = src_ > dst  # canonical by host string
+        lo = np.where(swap, dst, src_)
+        hi = np.where(swap, src_, dst)
         lo_h = np.where(swap, dh, sh)
         hi_h = np.where(swap, sh, dh)
-        b = ((lo_h ^ (hi_h >> np.uint64(7))) % np.uint64(num_buckets)).astype(
-            np.int32
-        )
+        b = (
+            (lo_h ^ (hi_h >> np.uint64(7))) % np.uint64(num_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
                 "lo": pa.array(lo, pa.string()),
@@ -1606,16 +1594,6 @@ def host_triangles(edges, num_buckets: int = 64,
         .materialize()
     )
     blocks = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
-    empty = pa.table(
-        {
-            "host": pa.array([], pa.string()),
-            "n_triangles": pa.array([], pa.int64()),
-        }
-    )
-    if not blocks:
-        return empty
-    # hash → host names (vertex-sized driver map — the module boundary;
-    # collected from the distinct-edge blocks either tier needs anyway)
     names: dict[int, str] = {}
     for t in blocks:
         for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
@@ -1625,6 +1603,36 @@ def host_triangles(edges, num_buckets: int = 64,
                     t[col_s].to_pylist(),
                 )
             )
+    return und, blocks, names, None
+
+
+def host_triangles(edges, num_buckets: int = 64,
+                   driver_max_edges: int = 5_000_000,
+                   clustering: bool = False):
+    """distinct host edges (from ``host_edges``) → (host, n_triangles):
+    exact per-host triangle counts on the UNDIRECTED host graph — the
+    clustering/community signal that complements PageRank/HITS/CC.
+
+    Scale shape: directed-edge rows reduce to undirected distinct
+    (lo, hi) pairs inside pair-hash buckets (strings shuffle once,
+    already-distinct rows); ≤ ``driver_max_edges`` distinct edges then
+    run the exact degree-ordered wedge kernel driver-local (edges are
+    two u64s + two strings — 5M edges ≈ a few hundred MB).  Above the
+    gate, the same kernel's stages distribute: degree combiner →
+    broadcast rank → wedge generation inside apex-hash buckets → the
+    wedge⋈edge membership inside pair-hash buckets (documented
+    extension; the adaptive gate is count-checked like PageRank's)."""
+    import ray
+
+    und, blocks, names, _ = _und_distinct(edges, num_buckets)
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_triangles": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
 
     if und.count() <= driver_max_edges:
         t = pa.concat_tables(blocks)
@@ -1815,6 +1823,142 @@ def host_triangles(edges, num_buckets: int = 64,
             "n_triangles": pa.array(
                 np.array([tri_by_h[h] for h in hs], dtype=np.int64),
                 pa.int64(),
+            ),
+        }
+    )
+
+
+def host_kcore(
+    edges,
+    k: int = 2,
+    rounds: int = 8,
+    num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
+):
+    """distinct host edges → (host, kcore_degree): the hosts surviving
+    ``rounds`` synchronous peels of the undirected k-core (drop every
+    vertex with degree < k, recompute, repeat) with their degree inside
+    the surviving subgraph — the link-farm/periphery filter beside the
+    triangle kernel.  ``rounds`` BOUNDS the peel on BOTH sides: the
+    DuckDB oracle unrolls the same ``rounds`` iterations (the HITS
+    trick), and once the peel converges earlier the extra rounds are
+    no-ops, so the bounded operator equals the true k-core whenever it
+    converges within the budget (raise ``rounds`` with graph depth).
+
+    Tiers: ≤ ``driver_max_edges`` distinct undirected edges peel
+    driver-local (vectorized numpy rounds); above, each round is a
+    plain-task fan-out over the materialized edge blocks computing
+    alive-filtered degree partials under a broadcast alive set
+    (vertex-sized, the module boundary), exactly the PageRank
+    default-tier shape."""
+    import ray
+
+    und, blocks, names, empty_cols = _und_distinct(edges, num_buckets)
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "kcore_degree": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+
+    if und.count() <= driver_max_edges:
+        t = pa.concat_tables(blocks)
+        lo = t["lo_h"].to_numpy(zero_copy_only=False)
+        hi = t["hi_h"].to_numpy(zero_copy_only=False)
+        verts, inv = np.unique(
+            np.concatenate([lo, hi]), return_inverse=True
+        )
+        li, hi_i = inv[: len(lo)], inv[len(lo) :]
+        alive = np.ones(len(verts), dtype=bool)
+        deg = np.bincount(
+            np.concatenate([li, hi_i]), minlength=len(verts)
+        ).astype(np.int64)
+        for _ in range(rounds):
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            alive &= ~drop
+            e_alive = alive[li] & alive[hi_i]
+            deg = np.bincount(
+                np.concatenate([li[e_alive], hi_i[e_alive]]),
+                minlength=len(verts),
+            ).astype(np.int64)
+        keep = alive & (deg > 0)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [names[int(v)] for v in verts[keep]], pa.string()
+                ),
+                "kcore_degree": pa.array(deg[keep], pa.int64()),
+            }
+        )
+
+    # distributed tier: per-round alive-filtered degree combiner
+    @ray.remote(num_cpus=1)
+    def deg_partial(t: pa.Table, alive_keys: np.ndarray) -> pa.Table:
+        lo = t["lo_h"].to_numpy(zero_copy_only=False)
+        hi = t["hi_h"].to_numpy(zero_copy_only=False)
+        if len(alive_keys):
+            def isin(x):
+                i = np.searchsorted(alive_keys, x)
+                return (i < len(alive_keys)) & (
+                    alive_keys[np.minimum(i, len(alive_keys) - 1)] == x
+                )
+            m = isin(lo) & isin(hi)
+            lo, hi = lo[m], hi[m]
+        hh, cc = np.unique(np.concatenate([lo, hi]), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hh, pa.uint64()),
+                "n": pa.array(cc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    block_refs = list(und.to_arrow_refs())
+    alive = np.array(sorted(names), dtype=np.uint64)
+    deg_map: dict[int, int] = {}
+    for _ in range(rounds):
+        a_ref = ray.put(alive)
+        parts = [
+            t
+            for t in ray.get(
+                [deg_partial.remote(b, a_ref) for b in block_refs]
+            )
+            if t.num_rows
+        ]
+        deg_map = {}
+        for t in parts:
+            for h, n in zip(t["h"].to_pylist(), t["n"].to_pylist()):
+                deg_map[int(h)] = deg_map.get(int(h), 0) + int(n)
+        survivors = np.array(
+            sorted(h for h in alive.tolist() if deg_map.get(h, 0) >= k),
+            dtype=np.uint64,
+        )
+        if len(survivors) == len(alive):
+            break
+        alive = survivors
+    keep = [
+        h for h in alive.tolist() if deg_map.get(h, 0) >= k
+    ] if rounds else alive.tolist()
+    # after the final peel, recompute degrees within the survivor set
+    a_ref = ray.put(np.array(sorted(keep), dtype=np.uint64))
+    parts = [
+        t
+        for t in ray.get([deg_partial.remote(b, a_ref) for b in block_refs])
+        if t.num_rows
+    ]
+    final: dict[int, int] = {}
+    for t in parts:
+        for h, n in zip(t["h"].to_pylist(), t["n"].to_pylist()):
+            final[int(h)] = final.get(int(h), 0) + int(n)
+    hs = sorted(h for h in keep if final.get(h, 0) > 0)
+    return pa.table(
+        {
+            "host": pa.array([names[h] for h in hs], pa.string()),
+            "kcore_degree": pa.array(
+                np.array([final[h] for h in hs], dtype=np.int64), pa.int64()
             ),
         }
     )

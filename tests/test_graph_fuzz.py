@@ -606,3 +606,48 @@ def test_triangles_match_bruteforce(ray_session, rows, force_dist):
         driver_max_edges=0 if force_dist else 5_000_000,
     ).to_pandas()
     assert dict(zip(got.host, got.n_triangles)) == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(_graph_pages(), st.integers(2, 3), st.booleans())
+def test_kcore_matches_bruteforce_peel(ray_session, rows, k, force_dist):
+    """Bounded k-core peel vs a dict-based sequential peel (8 rounds,
+    fixpoint-stable on these sizes), both tiers."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_kcore
+
+    und = {tuple(sorted(e)) for e in _edges_ref(rows)}
+    alive = {v for e in und for v in e}
+    for _ in range(8):
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        nxt = {v for v in alive if deg.get(v, 0) >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    deg = {}
+    for a, b in und:
+        if a in alive and b in alive:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    want = {v: d for v, d in deg.items() if d > 0}
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = host_kcore(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4),
+        k=k,
+        num_buckets=4,
+        driver_max_edges=0 if force_dist else 5_000_000,
+    ).to_pandas()
+    assert dict(zip(got.host, got.kcore_degree)) == want

@@ -601,3 +601,46 @@ def test_clustering_coefficient_hand_computed(ray_session):
         .set_index("host")
     )
     assert dist.sort_index().equals(got.sort_index())
+
+
+def test_kcore_hand_computed_and_tiers(ray_session):
+    """Triangle (the 2-core) + chain + pendant: peel drops everything
+    but the triangle; both tiers bit-equal."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, host_kcore
+
+    tbl = pa.table(
+        {
+            "host": pa.array(
+                ["a.com", "b.com", "c.com", "d.com", "f.com"], pa.string()
+            ),
+            "out_links": pa.array(
+                [
+                    ["https://b.com/1", "https://c.com/1"],
+                    ["https://c.com/2"],
+                    [],
+                    ["https://e.com/1"],
+                    ["https://a.com/9"],
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    loc = (
+        host_kcore(host_edges(ray.data.from_arrow(tbl)), k=2)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert loc.host.tolist() == ["a.com", "b.com", "c.com"]
+    assert loc.kcore_degree.tolist() == [2, 2, 2]
+    dist = (
+        host_kcore(
+            host_edges(ray.data.from_arrow(tbl).repartition(3)),
+            k=2,
+            driver_max_edges=0,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert dist.equals(loc)
