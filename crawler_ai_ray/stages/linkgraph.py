@@ -1536,9 +1536,10 @@ def _tri_from_und(
 
 def _und_distinct(edges, num_buckets: int):
     """directed distinct host edges → (materialized undirected-distinct
-    dataset, its nonempty Arrow blocks, hash→host names map).  Strings
-    canonicalize (lo, hi) by host string; dedup inside pair-hash
-    buckets."""
+    dataset, its block REFS, distinct-edge count).  Blocks stay in the
+    object store — the driver pulls them only in the below-gate tier.
+    Strings canonicalize (lo, hi) by host string; dedup inside
+    pair-hash buckets."""
     import ray
 
     def und_rows(batch: pa.Table) -> pa.Table:
@@ -1593,17 +1594,7 @@ def _und_distinct(edges, num_buckets: int):
         .map_groups(bucket_distinct, batch_format="pyarrow")
         .materialize()
     )
-    blocks = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
-    names: dict[int, str] = {}
-    for t in blocks:
-        for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
-            names.update(
-                zip(
-                    (int(x) for x in t[col_h].to_pylist()),
-                    t[col_s].to_pylist(),
-                )
-            )
-    return und, blocks, names, None
+    return und, list(und.to_arrow_refs()), und.count()
 
 
 def host_triangles(edges, num_buckets: int = 64,
@@ -1624,35 +1615,62 @@ def host_triangles(edges, num_buckets: int = 64,
     extension; the adaptive gate is count-checked like PageRank's)."""
     import ray
 
-    und, blocks, names, _ = _und_distinct(edges, num_buckets)
+    und, block_refs, n_edges = _und_distinct(edges, num_buckets)
     empty = pa.table(
         {
             "host": pa.array([], pa.string()),
             "n_triangles": pa.array([], pa.int64()),
         }
     )
-    if not blocks:
+    if not n_edges:
         return empty
 
-    if und.count() <= driver_max_edges:
+    if n_edges <= driver_max_edges:
+        blocks = [b for b in ray.get(block_refs) if b.num_rows]
         t = pa.concat_tables(blocks)
+        names: dict[int, str] = {}
+        for blk in blocks:
+            for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+                names.update(
+                    zip(
+                        (int(x) for x in blk[col_h].to_pylist()),
+                        blk[col_s].to_pylist(),
+                    )
+                )
         return _tri_from_und(
             t["lo_h"].to_numpy(zero_copy_only=False),
             t["hi_h"].to_numpy(zero_copy_only=False),
             names,
             clustering=clustering,
         )
+    # above the gate: edge blocks STAY in the object store; degree/rank
+    # and the hash→host names are vertex-sized driver state (the module
+    # boundary — the _pr_distributed_sharded routing is the extension)
+    names = {}
+    deg0: dict[int, int] = {}
+
+    @ray.remote(num_cpus=1)
+    def vert_partial(t: pa.Table):
+        out_n: dict[int, str] = {}
+        out_d: dict[int, int] = {}
+        for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+            hs = t[col_h].to_pylist()
+            ss = t[col_s].to_pylist()
+            for h, s in zip(hs, ss):
+                out_n[int(h)] = s
+                out_d[int(h)] = out_d.get(int(h), 0) + 1
+        return out_n, out_d
+
+    for out_n, out_d in ray.get(
+        [vert_partial.remote(b) for b in block_refs]
+    ):
+        names.update(out_n)
+        for h, c in out_d.items():
+            deg0[h] = deg0.get(h, 0) + c
 
     # ---- distributed tier: degree combiner → broadcast rank →
     # apex-bucket wedge generation → pair-bucket exact membership ----
-    deg: dict[int, int] = {}
-    for t in blocks:
-        for col in ("lo_h", "hi_h"):
-            hh, cc = np.unique(
-                t[col].to_numpy(zero_copy_only=False), return_counts=True
-            )
-            for h, c in zip(hh.tolist(), cc.tolist()):
-                deg[h] = deg.get(h, 0) + int(c)
+    deg = deg0
     verts = np.array(sorted(deg), dtype=np.uint64)
     degv = np.array([deg[int(v)] for v in verts], dtype=np.int64)
     rank = np.empty(len(verts), dtype=np.int64)
@@ -1853,18 +1871,28 @@ def host_kcore(
     default-tier shape."""
     import ray
 
-    und, blocks, names, empty_cols = _und_distinct(edges, num_buckets)
+    und, block_refs, n_edges = _und_distinct(edges, num_buckets)
     empty = pa.table(
         {
             "host": pa.array([], pa.string()),
             "kcore_degree": pa.array([], pa.int64()),
         }
     )
-    if not blocks:
+    if not n_edges:
         return empty
 
-    if und.count() <= driver_max_edges:
+    if n_edges <= driver_max_edges:
+        blocks = [b for b in ray.get(block_refs) if b.num_rows]
         t = pa.concat_tables(blocks)
+        names: dict[int, str] = {}
+        for blk in blocks:
+            for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+                names.update(
+                    zip(
+                        (int(x) for x in blk[col_h].to_pylist()),
+                        blk[col_s].to_pylist(),
+                    )
+                )
         lo = t["lo_h"].to_numpy(zero_copy_only=False)
         hi = t["hi_h"].to_numpy(zero_copy_only=False)
         verts, inv = np.unique(
@@ -1916,7 +1944,23 @@ def host_kcore(
             }
         )
 
-    block_refs = list(und.to_arrow_refs())
+    @ray.remote(num_cpus=1)
+    def name_partial(t: pa.Table) -> dict:
+        out: dict[int, str] = {}
+        for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+            out.update(
+                zip(
+                    (int(x) for x in t[col_h].to_pylist()),
+                    t[col_s].to_pylist(),
+                )
+            )
+        return out
+
+    names = {}
+    for part_names in ray.get(
+        [name_partial.remote(b) for b in block_refs]
+    ):
+        names.update(part_names)
     alive = np.array(sorted(names), dtype=np.uint64)
     deg_map: dict[int, int] = {}
     for _ in range(rounds):
