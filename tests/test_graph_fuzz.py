@@ -651,3 +651,47 @@ def test_kcore_matches_bruteforce_peel(ray_session, rows, k, force_dist):
         driver_max_edges=0 if force_dist else 5_000_000,
     ).to_pandas()
     assert dict(zip(got.host, got.kcore_degree)) == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    st.integers(2, 5),
+)
+def test_cms_matches_sequential_sketch(ray_session, uids, probe_mod):
+    """Count-Min partials summed over arbitrary partitionings equal the
+    one-pass sequential sketch, and every estimate ≥ its true count."""
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.pipelines.relational import _cms_slot_matrix
+
+    # sequential sketch
+    distinct, counts = np.unique(
+        np.array(uids, dtype=np.int64), return_counts=True
+    )
+    cms = np.zeros((4, 1024), dtype=np.int64)
+    slots = _cms_slot_matrix(distinct)
+    for j in range(4):
+        np.add.at(cms[j], slots[:, j], counts)
+
+    # distributed-shaped: per-chunk partials summed
+    cms2 = np.zeros((4, 1024), dtype=np.int64)
+    for lo in range(0, len(uids), 7):
+        chunk = np.array(uids[lo : lo + 7], dtype=np.int64)
+        d2, c2 = np.unique(chunk, return_counts=True)
+        s2 = _cms_slot_matrix(d2)
+        for j in range(4):
+            np.add.at(cms2[j], s2[:, j], c2)
+    assert (cms == cms2).all()
+
+    probes = np.array(
+        sorted({u for u in uids if u % probe_mod == 0}), dtype=np.int64
+    )
+    if len(probes):
+        ps = _cms_slot_matrix(probes)
+        est = np.min(cms[np.arange(4)[None, :], ps], axis=1)
+        true = {u: uids.count(u) for u in probes.tolist()}
+        assert all(
+            e >= true[u] for u, e in zip(probes.tolist(), est.tolist())
+        )
