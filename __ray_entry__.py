@@ -1900,6 +1900,17 @@ def _q_doc_pmi(sf_dir: str):
     return pmi_topk(_table(sf_dir, "documents", columns=["text"]))
 
 
+def _q_doc_pct_rank(sf_dir: str):
+    """Per-language percentile rank of doc length in integer ppm
+    (rank()-tie semantics) — the curriculum-ordering / difficulty
+    normalization signal; two streaming combiner passes, no shuffle."""
+    from crawler_ai_ray.stages.textstats import percentile_rank_by
+
+    return percentile_rank_by(
+        _table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    )
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic ⅛ hash sample (md5(doc_id) hex prefix) — stable
     across runs/partitions/engines."""
@@ -3177,6 +3188,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_winnow": _q_doc_neardup_winnow,
         "events_cms_heavy_hitters": _q_events_cms,
         "doc_pmi_collocations": _q_doc_pmi,
+        "doc_pct_rank": _q_doc_pct_rank,
         "doc_clf_score": _q_doc_clf_score,
         "tbl_profile_lineitem": _q_tbl_profile_lineitem,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -3398,7 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow", "doc_neardup_winnow",
         "events_cms_heavy_hitters", "doc_pmi_collocations",
         "crawl_host_triangles", "crawl_host_clustering",
-        "crawl_host_kcore",
+        "crawl_host_kcore", "doc_pct_rank",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5195,6 +5207,17 @@ def oracle_sql() -> dict[str, str]:
                                  AND h.i BETWEEN w.j AND w.j + 3)
             SELECT DISTINCT doc_id, i AS pos, fp AS fp_md5
             FROM cand WHERE rn = 1""",
+        "doc_pct_rank": """
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN cnt = 1 THEN 0
+                        ELSE ((rnk - 1) * 1000000) // (cnt - 1)
+                   END::BIGINT AS pct_rank_ppm
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents)""",
         "doc_pmi_collocations": """
             WITH dt AS (
               SELECT DISTINCT doc_id, term FROM (

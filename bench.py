@@ -248,6 +248,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_pmi_collocations",
         "crawl_host_triangles",
         "crawl_host_kcore",
+        "doc_pct_rank",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -2137,3 +2137,109 @@ def pmi_topk(
         )
     ]
     return pairs.append_column("lift_ppm", pa.array(lifts, pa.int64()))
+
+
+def percentile_rank_by(
+    ds,
+    value_col: str = "n_chars",
+    by: str = "lang",
+    id_col: str = "doc_id",
+):
+    """→ (doc_id, by, value_col, pct_rank_ppm): each row's integer-ppm
+    percentile rank of ``value_col`` WITHIN its ``by`` group —
+    ``((rank − 1) · 1e6) // (n − 1)`` with SQL ``rank()`` tie semantics
+    (ties share the minimum rank; single-row groups are 0) — the
+    curriculum-ordering / per-language difficulty normalization signal.
+
+    Scale shape: pass 1 collapses to (by, value, count) combiner
+    partials per batch (cardinality bounded by the VALUE DOMAIN — for
+    unbounded/continuous values use the DDSketch quantile path
+    instead); the driver cumsums each group's sorted histogram into a
+    rank map (domain-sized, broadcast once); pass 2 assigns by
+    ``searchsorted`` — two streaming passes, no shuffle."""
+    import ray
+
+    ds = ds.materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.table({"g": batch[by], "v": batch[value_col]})
+            .group_by(["g", "v"])
+            .aggregate([("v", "count")])
+        )
+        return pa.table(
+            {
+                "g": agg["g"],
+                "v": pc.cast(agg["v"], pa.int64()),
+                "n": pc.cast(agg["v_count"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    ranks: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    if parts:
+        agg = (
+            pa.concat_tables(parts)
+            .group_by(["g", "v"])
+            .aggregate([("n", "sum")])
+        )
+        gs = np.array(agg["g"].to_pylist())
+        vs = agg["v"].to_numpy(zero_copy_only=False)
+        ns = agg["n_sum"].to_numpy(zero_copy_only=False)
+        for g in np.unique(gs):
+            m = gs == g
+            order = np.argsort(vs[m])
+            v_sorted = vs[m][order]
+            n_sorted = ns[m][order].astype(np.int64)
+            # rank(v) = 1 + count of strictly smaller rows
+            below = np.concatenate([[0], np.cumsum(n_sorted)[:-1]])
+            ranks[str(g)] = (v_sorted, below + 1, int(n_sorted.sum()))
+    r_ref = ray.put(ranks)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rk = ray.get(r_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    by: pa.array([], pa.string()),
+                    value_col: pa.array([], pa.int64()),
+                    "pct_rank_ppm": pa.array([], pa.int64()),
+                }
+            )
+        gs = batch[by].to_pylist()
+        vs = batch[value_col].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(gs), dtype=np.int64)
+        for g in set(gs):
+            v_sorted, rnk, total = rk[g]
+            m = np.array([x == g for x in gs])
+            if total > 1:
+                r = rnk[np.searchsorted(v_sorted, vs[m])]
+                out[m] = ((r - 1) * 1_000_000) // (total - 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                by: batch[by],
+                value_col: pa.array(
+                    vs.astype(np.int64), pa.int64()
+                ),
+                "pct_rank_ppm": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -2421,3 +2421,38 @@ def test_knn_bruteforce_tie_breaks_by_vec_id(ray_session):
         .sort_values("rank", ignore_index=True)
     )
     assert out.vec_id.tolist() == list(range(10))
+
+
+def test_percentile_rank_hand_and_partition_invariant(ray_session):
+    """rank()-tie semantics: ties share the min rank; single-row group
+    → 0; exact integer ppm; partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import percentile_rank_by
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "lang": pa.array(["en", "en", "en", "en", "de", "fr"]),
+            "n_chars": pa.array([10, 20, 20, 40, 7, 9], pa.int64()),
+        }
+    )
+    got = (
+        percentile_rank_by(ray.data.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .pct_rank_ppm
+    )
+    # en ranks: 10→1, 20→2 (tie), 20→2, 40→4 of n=4 → ppm over (n-1)=3
+    assert got[1] == 0
+    assert got[2] == got[3] == (1 * 1_000_000) // 3
+    assert got[4] == 1_000_000
+    assert got[5] == 0 and got[6] == 0  # single-row groups
+    again = (
+        percentile_rank_by(ray.data.from_arrow(docs).repartition(6))
+        .to_pandas()
+        .set_index("doc_id")
+        .pct_rank_ppm
+    )
+    assert again.sort_index().equals(got.sort_index())
