@@ -3392,7 +3392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features", "mm_audio_features", "mm_video_frames",
         # new in round 3 (TPC-H remainder) — never driver-checked yet.
         # ROUND-4 REORDER PLAN (precomputed at r03 close): after the r03
-        # driver run the cumulative-checked set is 144/174; move the 30
+        # driver run the cumulative-checked set is 144/179; move the 35
         # remaining never-checked entries to the front — the 6 deferred
         # cheap variants above (doc_sample, events_dau_hll,
         # emb_knn_ivf_exhaustive, jobs_user_friendly, jobs_user_summary,
