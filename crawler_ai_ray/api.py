@@ -311,3 +311,54 @@ def export_jsonl(
     with open(done, "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def dedup(
+    docs_path: str,
+    out_dir: str,
+    method: str = "exact",
+    num_buckets: int = 64,
+) -> dict:
+    """Run one deduplication operator over a documents parquet and
+    write its result as partitioned parquet under ``out_dir`` — the
+    ``ray job submit`` surface of the dedup family (the `queries()`
+    entries expose the same kernels to the driver gate).
+
+    Methods: ``exact`` (md5 keep-first decisions), ``minhash`` /
+    ``simhash`` / ``winnow`` (near-dup candidate pairs), ``segments``
+    (CCNet segment-cleaned corpus), ``spans`` (Lee-et-al duplicated-
+    span-removed corpus).  Returns {method, rows, out_dir}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    from .stages import dedup as dd
+    from .stages.textstats import winnow_fingerprints  # noqa: F401
+
+    if method == "exact":
+        res = dd.exact_dedup(ds)
+    elif method == "minhash":
+        res = dd.minhash_lsh_pairs(ds)
+    elif method == "simhash":
+        res = dd.simhash_neardup_pairs(ds)
+    elif method == "winnow":
+        res = dd.winnow_neardup_pairs(ds, num_buckets=num_buckets)
+    elif method == "segments":
+        res = dd.segment_dedup(ds, num_buckets=num_buckets)
+    elif method == "spans":
+        res = dd.dup_span_removal(ds, num_buckets=num_buckets)
+    else:
+        raise ValueError(f"unknown dedup method: {method}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(res, pa.Table):  # adaptive driver-local finishes
+        pq.write_table(res, os.path.join(out_dir, "part-00000.parquet"))
+        rows = res.num_rows
+    else:
+        res = res.materialize()
+        rows = res.count()
+        res.write_parquet(out_dir)
+    return {"method": method, "rows": int(rows), "out_dir": out_dir}

@@ -62,6 +62,18 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--buckets", type=int, default=64)
     cu.add_argument("--threshold", type=float, default=0.8)
 
+    dd = sub.add_parser(
+        "dedup", help="run a dedup operator over a documents parquet"
+    )
+    dd.add_argument("--docs", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument(
+        "--method", default="exact",
+        choices=["exact", "minhash", "simhash", "winnow",
+                 "segments", "spans"],
+    )
+    dd.add_argument("--buckets", type=int, default=64)
+
     ex = sub.add_parser(
         "export-jsonl", help="export a parquet corpus as sharded JSONL"
     )
@@ -99,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
                 obey_robots=args.obey_robots,
             )
             print(json.dumps(totals))
+        elif args.cmd == "dedup":
+            from .api import dedup
+
+            print(json.dumps(dedup(
+                args.docs, args.out,
+                method=args.method, num_buckets=args.buckets,
+            )))
         elif args.cmd == "export-jsonl":
             from .api import export_jsonl
 

@@ -134,3 +134,39 @@ def test_export_jsonl_roundtrip(tmp_path):
 
     # resume: a finished export is a no-op returning the manifest
     assert export_jsonl(src, out, resume=True) == manifest
+
+
+def test_dedup_entry_methods(ray_session, tmp_path):
+    """api.dedup: every method writes parquet and its rows agree with
+    the corresponding queries() kernel semantics (spans rebuild equals
+    dup_span_removal run directly)."""
+    import duckdb
+
+    from crawler_ai_ray.api import dedup
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    summary = dedup(src, str(tmp_path / "exact"), method="exact")
+    assert summary["rows"] == 500
+
+    summary = dedup(src, str(tmp_path / "spans"), method="spans")
+    assert summary["rows"] == 500
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import dup_span_removal
+
+    got = duckdb.sql(
+        f"SELECT * FROM read_parquet('{tmp_path}/spans/*.parquet') "
+        "ORDER BY doc_id"
+    ).df()
+    want = (
+        dup_span_removal(
+            ray.data.read_parquet(src, columns=["doc_id", "text"])
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.clean_text.tolist() == want.clean_text.tolist()
+
+    pairs = dedup(src, str(tmp_path / "winnow"), method="winnow")
+    assert pairs["rows"] > 0
