@@ -3277,140 +3277,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     way)."""
     q = _all_queries()
     first = [
-        # --- round 3 front-load -------------------------------------------
+        # --- round 4 front-load -------------------------------------------
         # The driver records exactly the FIRST 50 entries per round.  After
-        # r01+r02, 100 of 150 entries are driver-green except 6 stale rows
-        # (5 no_oracle from r01 that have oracles now + 1 r01 hash-FAIL
-        # fixed at __ray_entry__.py jobs_summary_by_company) and 50 entries
-        # the driver has never seen.  Order: 6 stale first, then the 44
-        # highest-value never-checked; the 6 deferred (variants of
-        # already-green operators) sit at positions 51-56 for round 4.
-        "jobs_summary_by_company",      # r01 hash-FAIL, ::BIGINT fix landed
-        "crawl_loop",                   # sim-golden oracle landed r02
-        "doc_neardup_minhash",          # est-jaccard SQL oracle landed r02
-        "doc_neardup_simhash",          # pigeonhole all-pairs oracle r02
-        "doc_fingerprint_rolling",      # oracle landed r02
-        "crawl_metrics",                # stays rows-only (wall-clock lineage)
-        # never-checked: crawl operators
-        "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
-        "crawl_subdomain_candidates", "crawl_pii_redact",
-        # never-checked: multimodal family
-        "mm_image_features", "mm_image_phash", "mm_image_neardup",
-        "mm_audio_features", "mm_audio_fp", "mm_audio_neardup",
-        "mm_video_frames", "mm_video_keyframes",
-        # never-checked: curation chain (flagship training-data path)
-        "doc_curate", "doc_curate_output", "doc_curate_funnel",
-        "doc_pack_blocks", "doc_decontaminate", "doc_neardup_clusters",
-        "doc_dedup_incremental", "doc_repetition",
-        "doc_distinctive_terms", "doc_top_terms",
-        "doc_sample_stratified", "doc_top_quality_per_lang", "doc_commonness",
-        # never-checked: relational/TPC-H kernels
-        "tpch_q1_pricing", "top_customers", "supplier_by_region",
-        "lineitem_part_revenue", "tbl_profile_lineitem",
-        # never-checked: events family
-        "events_hourly", "events_sessionize", "events_asof_join",
-        "events_range_join", "events_hopping", "events_funnel",
-        "events_no_purchase_users", "events_daily_active",
-        "events_top_user_per_day", "events_session_quantiles",
-        # never-checked: embeddings
-        "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
-        # --- positions 51-56: deferred to round 4 (cheap variants of
-        # operators that will be green above) ------------------------------
-        "doc_sample", "events_dau_hll", "emb_knn_ivf_exhaustive",
-        "jobs_user_friendly", "jobs_user_summary",
-        "crawl_job_location_counts",
-        # --- driver-green in r01/r02; order below only affects re-checks --
-        "tpch_q13_custdist",
-        "tpch_q4_priority",
-        "tpch_q15_top_supplier",
-        "tpch_q22_inactive",
-        "events_rollup",
-        "events_running_total",
-        "doc_cooccurrence",
-        "events_value_sketch",
-        "emb_knn_pq",
-        "events_pivot",
-        "events_hourly_dense",
-        "part_min_price_per_brand",
-        "doc_split_leakage_safe",
-        "doc_bpe_train",
-        "doc_bpe_tokenize",
-        "doc_langid_confusion",
-        "events_anomaly",
-        "crawl_sitemap_coverage",
-        "crawl_frontier_depth",
-        "events_transitions",
-        "doc_nb_train",
-        "doc_nb_classify",
-        "tpch_q16_supplier_variety",
-        "tpch_q6_forecast",
-        "tpch_q14_promo",
-        "crawl_recrawl_priority",
-        "events_retention",
-        "crawl_anchor_texts",
-        "tpch_q18_big_orders",
-        "crawl_budget_allocation",
-        "crawl_trap_hosts",
-        "doc_sample_weighted",
-        "doc_dsir_score",
-        "doc_clf_score", "crawl_snapshot_diff",
-        "doc_dup_spans", "doc_length_quantiles",
-        "emb_semantic_dedup", "emb_semantic_dedup_global",
-        "crawl_host_pagerank", "crawl_host_components",
-        "crawl_host_degrees", "crawl_page_quality",
-        "crawl_host_reputation",
-        "doc_segment_dedup", "doc_search_tfidf", "doc_search_bm25",
-        "tpch_q3_unshipped", "tpch_q5_region_volume",
-        "doc_mix_weights", "events_daily_active", "events_dau_hll",
-        "doc_top_quality_per_lang", "doc_commonness",
-        "events_no_purchase_users", "events_funnel",
-        "tbl_profile_lineitem", "events_top_user_per_day",
-        "events_session_quantiles", "mm_video_keyframes",
-        "mm_image_phash", "mm_image_neardup",
-        "mm_audio_fp", "mm_audio_neardup",
-        "doc_curate", "doc_curate_output", "doc_curate_funnel",
-        "doc_pack_blocks", "doc_decontaminate",
-        "crawl_fetch_results", "crawl_fetch_errors", "crawl_head_check",
-        "crawl_subdomain_candidates",
-        # got a real oracle this round (were no_oracle in r01)
-        "crawl_loop", "doc_neardup_minhash", "doc_neardup_simhash",
-        "doc_fingerprint_rolling",
-        # red in r01 (hash), fixed this round
-        "jobs_summary_by_company",
-        # new this round (training-data ops)
-        "crawl_pii_redact", "doc_sample_stratified", "doc_dedup_incremental",
-        "doc_repetition", "doc_distinctive_terms",
-        "doc_top_terms", "doc_sample", "doc_neardup_clusters",
-        "events_hopping", "emb_knn_ivf_exhaustive",
-        "jobs_user_friendly", "jobs_user_summary",
-        "crawl_job_location_counts",
-        # absent from the r01 driver subset
-        "emb_knn_ivf", "emb_neardup_cosine", "emb_neardup_lsh",
-        "events_hourly", "events_sessionize", "events_asof_join",
-        "events_range_join", "tpch_q1_pricing", "top_customers",
-        "supplier_by_region", "lineitem_part_revenue",
-        "mm_image_features", "mm_audio_features", "mm_video_frames",
-        # new in round 3 (TPC-H remainder) — never driver-checked yet.
-        # ROUND-4 REORDER PLAN (precomputed at r03 close): after the r03
-        # driver run the cumulative-checked set is 144/179; move the 35
-        # remaining never-checked entries to the front — the 6 deferred
-        # cheap variants above (doc_sample, events_dau_hll,
-        # emb_knn_ivf_exhaustive, jobs_user_friendly, jobs_user_summary,
-        # crawl_job_location_counts) plus everything from here down —
-        # then fill the ~20 spare slots with re-checks of the oldest
-        # r01 rows.
+        # r01-r03 the cumulative driver-checked set is 144/179; the 35
+        # entries below are the never-checked remainder (round-3 late wave:
+        # TPC-H Q2/Q7-Q12/Q17/Q19-Q21, hash-embed/logreg/winnowing/CMS/
+        # graph-kernel families, plus 6 deferred cheap variants).  Positions
+        # 36-50 re-check the 15 oldest r01-only rows (2 corpus versions
+        # old); the remaining r01-only rows follow in case the driver
+        # checks more than 50.
+        # never driver-checked (35): TPC-H remainder
         "tpch_q2_min_cost", "tpch_q7_volume", "tpch_q8_mktshare",
         "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_stock",
         "tpch_q12_late", "tpch_q17_small_qty", "tpch_q19_disc_revenue",
         "tpch_q20_promo_suppliers", "tpch_q21_waiting",
-        "doc_bigram_fluency", "crawl_host_hits",
-        "emb_knn_graph", "emb_knn_graph_ivf",
-        "doc_dup_spans_removed", "doc_embed_hash", "doc_text_knn_graph",
+        # never driver-checked: training-data / text ops
+        "doc_bigram_fluency", "doc_embed_hash", "doc_text_knn_graph",
         "doc_text_semantic_dedup", "doc_logreg_train", "doc_logreg_classify",
         "doc_fingerprint_winnow", "doc_neardup_winnow",
-        "events_cms_heavy_hitters", "doc_pmi_collocations",
-        "crawl_host_triangles", "crawl_host_clustering",
-        "crawl_host_kcore", "doc_pct_rank",
+        "doc_pmi_collocations", "doc_pct_rank", "doc_dup_spans_removed",
+        "doc_sample",
+        # never driver-checked: embeddings / sketches / graph / variants
+        "emb_knn_graph", "emb_knn_graph_ivf", "emb_knn_ivf_exhaustive",
+        "events_cms_heavy_hitters", "events_dau_hll", "crawl_host_hits",
+        "crawl_host_triangles", "crawl_host_clustering", "crawl_host_kcore",
+        "crawl_job_location_counts", "jobs_user_friendly",
+        "jobs_user_summary",
+        # r01-only re-checks (oldest first; corpus 2 versions newer now)
+        "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
+        "crawl_emails", "crawl_phones_vn", "crawl_out_links",
+        "crawl_career_confidence", "crawl_career_strict",
+        "crawl_job_url_flags", "crawl_pagination_candidates", "crawl_jobs",
+        "crawl_job_type_counts", "jobs_enriched", "jobs_quality_hist",
+        "jobs_top10_quality", "crawl_career_top3_per_host",
+        "crawl_contacts_by_host", "crawl_contact_records",
+        "crawl_career_anchors", "crawl_footer_contacts", "crawl_page_meta",
+        "crawl_page_structure", "crawl_nav_links",
+        "crawl_detection_confidence", "crawl_container_jobs",
+        "crawl_link_scores", "crawl_element_check", "crawl_job_fallback",
+        "crawl_sitemap_jobs", "crawl_api_jobs", "crawl_contacts_enriched",
+        "crawl_career_merge", "jobs_normalized", "jobs_validated",
+        "jobs_dedup_exact", "jobs_dedup_fuzzy", "doc_token_stats",
+        "doc_quality", "doc_langid", "doc_fingerprint_md5",
+        "doc_stats_by_lang", "doc_exact_dedup", "doc_neardup_ngram",
+        "emb_knn_bruteforce",
     ]
     out = {k: q[k] for k in first}
     out.update((k, v) for k, v in q.items() if k not in out)

@@ -419,6 +419,27 @@ def run_full() -> dict:
     t0 = time.time()
     qsec = bench_queries(SF_DIR)
     query_secs = {k: v for k, v in qsec.items() if not k.endswith("_rows")}
+    # The driver tail-captures only ~2 KB of stdout (BENCH_r03 had
+    # parsed: null because the full 87-query dict outgrew it).  Keep the
+    # stdout line compact: headline numbers + the 5 slowest queries; the
+    # complete per-query dict goes to stderr and BENCH_DETAIL.json.
+    detail = {
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "fetch_extract": fe,
+        "crawl": cr,
+        "queries": query_secs,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+    slowest = dict(
+        sorted(query_secs.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     return {
         "metric": "fetch+extract throughput (urls/sec) at sf0.1",
         "value": fe["urls_per_sec"],
@@ -426,14 +447,16 @@ def run_full() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "fetch_extract_urls_per_sec": fe["urls_per_sec"],
-        "fetch_extract_wall_sec": fe["wall_sec"],
-        "fetch_extract_urls": fe["urls"],
-        "crawl_fetched": cr["fetched"],
-        "crawl_rounds": cr["rounds"],
-        "frontier_round_latency_sec": cr["round_latency_sec"],
         "crawl_fetched_per_sec": cr["fetched_per_sec"],
+        "frontier_round_latency_sec": cr["round_latency_sec"],
+        "queries_total": len(query_secs),
         "queries_wall_sec": round(time.time() - t0, 3),
-        "queries": query_secs,
+        "queries_mean_sec": round(
+            sum(query_secs.values()) / max(len(query_secs), 1), 3
+        ),
+        "doc_neardup_minhash_sec": query_secs.get("doc_neardup_minhash"),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
     }
 
 
