@@ -1939,6 +1939,50 @@ def dup_span_removal(
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
 
+def _winnow_bucket_pairs(group: pa.Table, max_df: int) -> pa.Table:
+    """One fp-hash bucket's (doc_id, fp_h) rows → candidate doc pairs
+    per fingerprint run (DF-capped).  Module-level for the duplicate-row
+    unit test.  Starts with a global (fp_h, doc_id) re-dedup:
+    ``distinct_rows`` dedups only within its batch, and Ray's dynamic
+    block splitting can spread one doc's rows for the same fingerprint
+    across blocks — a surviving duplicate would inflate ``shared`` and
+    emit doc_a == doc_b self-pairs.  The per-fp group here IS global
+    (fp_h → one bucket), so the dedup is exact."""
+    h = group["fp_h"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, h))
+    h, doc = h[order], doc[order]
+    if len(h):
+        uniq = np.empty(len(h), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (h[1:] != h[:-1]) | (doc[1:] != doc[:-1])
+        h, doc = h[uniq], doc[uniq]
+    if len(h):
+        new_run = np.empty(len(h), dtype=bool)
+        new_run[0] = True
+        np.not_equal(h[1:], h[:-1], out=new_run[1:])
+        starts = np.flatnonzero(new_run)
+    else:
+        starts = np.zeros(0, np.int64)
+    a_ids: list[int] = []
+    b_ids: list[int] = []
+    bounds = list(starts) + [len(h)]
+    for si in range(len(bounds) - 1):
+        i, j = bounds[si], bounds[si + 1]
+        if j - i <= max_df:
+            ds_run = doc[i:j]
+            for x in range(len(ds_run)):
+                for y in range(x + 1, len(ds_run)):
+                    a_ids.append(int(ds_run[x]))
+                    b_ids.append(int(ds_run[y]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_ids, pa.int64()),
+            "doc_b": pa.array(b_ids, pa.int64()),
+        }
+    )
+
+
 def winnow_neardup_pairs(
     ds,
     k: int = 5,
@@ -1994,34 +2038,7 @@ def winnow_neardup_pairs(
         )
 
     def bucket_to_pairs(group: pa.Table) -> pa.Table:
-        h = group["fp_h"].to_numpy(zero_copy_only=False)
-        doc = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, h))
-        h, doc = h[order], doc[order]
-        if len(h):
-            new_run = np.empty(len(h), dtype=bool)
-            new_run[0] = True
-            np.not_equal(h[1:], h[:-1], out=new_run[1:])
-            starts = np.flatnonzero(new_run)
-        else:
-            starts = np.zeros(0, np.int64)
-        a_ids: list[int] = []
-        b_ids: list[int] = []
-        bounds = list(starts) + [len(h)]
-        for si in range(len(bounds) - 1):
-            i, j = bounds[si], bounds[si + 1]
-            if j - i <= max_df:
-                ds_run = doc[i:j]
-                for x in range(len(ds_run)):
-                    for y in range(x + 1, len(ds_run)):
-                        a_ids.append(int(ds_run[x]))
-                        b_ids.append(int(ds_run[y]))
-        return pa.table(
-            {
-                "doc_a": pa.array(a_ids, pa.int64()),
-                "doc_b": pa.array(b_ids, pa.int64()),
-            }
-        )
+        return _winnow_bucket_pairs(group, max_df)
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -219,10 +219,15 @@ def hash_embed_batch(
     if dim > 64:
         raise ValueError("dim must be ≤ 64 (signs come from one u64 hash)")
     if batch.num_rows == 0:
+        # same fixed_size_list[dim] schema as the non-empty branch — a
+        # list<int64> here would make blocks of one dataset carry
+        # incompatible schemas (the typed-empty-block rule)
         return pa.table(
             {
                 id_col: pa.array([], pa.int64()),
-                "embedding": pa.array([], pa.list_(pa.int64())),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), dim
+                ),
             }
         )
     flat, parent = _tokens(batch, text_col)

@@ -749,6 +749,22 @@ def knn_pq_rerank(
 # kNN graph (all-pairs top-k neighbors)
 # ---------------------------------------------------------------------------
 
+def _half_away_micros(raw: np.ndarray) -> np.ndarray:
+    """Quantize an already-×1e6 float array to int64 with HALF-AWAY-
+    FROM-ZERO ties — DuckDB ``round()``'s convention.  ``np.rint`` is
+    half-to-EVEN: a cosine landing exactly on an x.5 micro boundary
+    would quantize differently engine-vs-oracle and flip rank ties at
+    the k cut.  Consumes ``raw`` in place (it is always a fresh matmul
+    scratch), so the hot loop's fresh-allocation count matches the old
+    rint path (slow-page-backing rule)."""
+    sgn = np.sign(raw)
+    np.abs(raw, out=raw)
+    raw += 0.5
+    np.floor(raw, out=raw)
+    raw *= sgn
+    return raw.astype(np.int64)
+
+
 def _knn_graph_rows(
     q_ids: np.ndarray,
     q_mat: np.ndarray,
@@ -787,7 +803,7 @@ def _knn_graph_rows(
         nb_s = np.empty_like(nb_v)
         for lo in range(0, nq, scratch_rows):
             hi = min(lo + scratch_rows, nq)
-            sims = np.rint((q_mat[lo:hi] @ mat.T) * 1e6).astype(np.int64)
+            sims = _half_away_micros((q_mat[lo:hi] @ mat.T) * 1e6)
             sims[q_ids[lo:hi, None] == ids[None, :]] = sentinel  # self
             kk = min(k, sims.shape[1])
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
@@ -852,11 +868,18 @@ def knn_graph(
     this as the oracle baseline."""
     import ray
 
-    def norm_block(batch: pa.Table) -> pa.Table:
+    def norm_block(batch: pa.Table):
+        # Empty blocks (schema-less at sf0.1+, or typed zero-row) yield
+        # NOTHING: a zero-row block can't know the embedding dim, and a
+        # dim-1 placeholder fixed_size_list schema would conflict with
+        # the real dim at concat/unify time.  Generator UDF ⇒ Ray just
+        # drops the block.
+        if batch.num_rows == 0:
+            return
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(list_col_to_matrix(batch[emb_col]))
         dim = mat.shape[1] if mat.size else 1
-        return pa.table(
+        yield pa.table(
             {
                 "ids": pa.array(ids, pa.int64()),
                 "vec": pa.FixedSizeListArray.from_arrays(

@@ -2170,11 +2170,12 @@ def percentile_rank_by(
                     "n": pa.array([], pa.int64()),
                 }
             )
-        agg = (
-            pa.table({"g": batch[by], "v": batch[value_col]})
-            .group_by(["g", "v"])
-            .aggregate([("v", "count")])
-        )
+        t = pa.table({"g": batch[by], "v": batch[value_col]})
+        # null-group rows are outside the output domain (a None in the
+        # driver's np.unique over an object array crashes; mirrored by
+        # the oracle's implicit WHERE by IS NOT NULL)
+        t = t.filter(pc.is_valid(t["g"]))
+        agg = t.group_by(["g", "v"]).aggregate([("v", "count")])
         return pa.table(
             {
                 "g": agg["g"],
@@ -2222,13 +2223,26 @@ def percentile_rank_by(
                     "pct_rank_ppm": pa.array([], pa.int64()),
                 }
             )
-        gs = batch[by].to_pylist()
+        garr = batch[by]
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        valid = pc.is_valid(garr).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            garr = batch[by]
+            if isinstance(garr, pa.ChunkedArray):
+                garr = garr.combine_chunks()
+        # factorize once (C++ dictionary-encode), then one vectorized
+        # mask per DISTINCT group — not a Python equality scan per row
+        enc = garr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        groups = enc.dictionary.to_pylist()
         vs = batch[value_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(gs), dtype=np.int64)
-        for g in set(gs):
+        out = np.zeros(len(codes), dtype=np.int64)
+        for gi, g in enumerate(groups):
             v_sorted, rnk, total = rk[g]
-            m = np.array([x == g for x in gs])
             if total > 1:
+                m = codes == gi
                 r = rnk[np.searchsorted(v_sorted, vs[m])]
                 out[m] = ((r - 1) * 1_000_000) // (total - 1)
         return pa.table(

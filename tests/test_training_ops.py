@@ -1906,9 +1906,11 @@ def test_knn_graph_exact_tiers_and_naive(ray_session):
     assert a.equals(b)
     assert len(a) == n * 3
 
+    from crawler_ai_ray.stages.simsearch import _half_away_micros
+
     m = mat.astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
-    sims = np.rint((m @ m.T) * 1e6).astype(np.int64)
+    sims = _half_away_micros((m @ m.T) * 1e6)
     for q in range(n):
         s = sims[q].copy()
         s[q] = -(2**62)
@@ -2456,3 +2458,137 @@ def test_percentile_rank_hand_and_partition_invariant(ray_session):
         .pct_rank_ppm
     )
     assert again.sort_index().equals(got.sort_index())
+
+
+# --- round-4 ADVICE fixes -------------------------------------------------
+
+def test_half_away_micros_matches_duckdb_round(duck):
+    """The knn-graph quantizer must share DuckDB round()'s
+    half-AWAY-from-zero tie convention (np.rint is half-to-even)."""
+    import numpy as np
+
+    from crawler_ai_ray.stages.simsearch import _half_away_micros
+
+    vals = np.array(
+        [2.5, -2.5, 0.5, -0.5, 3.5, -3.5, 2.4999999, -2.4999999, 0.0, 7.0]
+    )
+    got = _half_away_micros(vals.copy())
+    want = [
+        duck.sql(f"SELECT CAST(round({v!r}) AS BIGINT)").fetchone()[0]
+        for v in vals
+    ]
+    assert got.tolist() == want
+    # and the odd-side .5 boundaries are exactly where np.rint disagrees
+    # (±3.5 round to the even 4, which IS away from zero)
+    assert (np.rint(vals).astype(np.int64) != got).sum() == 4
+
+
+def test_knn_graph_skips_empty_blocks(ray_session):
+    """Typed zero-row blocks (and schema-less empties at sf0.1+) must
+    not poison the normalized-block schema with a dim-1 placeholder —
+    both tiers must match the no-empty-blocks result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import knn_graph
+
+    rng = np.random.default_rng(3)
+    n, d = 12, 4
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float64()), d
+            ),
+        }
+    )
+    empty = tbl.slice(0, 0)
+    want = (
+        knn_graph(ray.data.from_arrow(tbl), k=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    for dmax in (20_000, 0):  # driver-local tier, then distributed tier
+        got = (
+            knn_graph(
+                ray.data.from_arrow([empty, tbl, empty]),
+                k=2,
+                driver_max_vecs=dmax,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        assert got.equals(want)
+
+
+def test_winnow_bucket_pairs_dedups_cross_block_duplicates():
+    """distinct_rows dedups (doc_id, fp_h) only per batch; the bucket
+    sweep must re-dedup globally or duplicated rows inflate `shared`
+    and emit self-pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.dedup import _winnow_bucket_pairs
+
+    group = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+            "fp_h": pa.array(
+                np.array([7, 7, 7, 7, 8, 8], np.uint64), pa.uint64()
+            ),
+        }
+    )
+    pairs = _winnow_bucket_pairs(group, max_df=50)
+    got = sorted(
+        zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist())
+    )
+    # fp 7 → docs {1,2} → (1,2) once; fp 8 → docs {2,3} → (2,3) once
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_hash_embed_empty_batch_schema_unifies():
+    """The empty branch must emit the same fixed_size_list[dim] schema
+    as the non-empty branch (typed-empty-block rule)."""
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.importance import hash_embed_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["hello world"], pa.string()),
+        }
+    )
+    full = hash_embed_batch(tbl, dim=8)
+    empty = hash_embed_batch(tbl.slice(0, 0), dim=8)
+    assert empty.schema == full.schema
+    assert pa.concat_tables([full, empty]).num_rows == 1
+
+
+def test_percentile_rank_null_group_rows_excluded(ray_session):
+    """Null group values are outside the output domain (they crashed
+    the driver histogram before) and must not perturb real groups."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import percentile_rank_by
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "en", None, "en"], pa.string()),
+            "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    out = (
+        percentile_rank_by(ray.data.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .pct_rank_ppm
+    )
+    assert sorted(out.index) == [1, 2, 4]
+    assert out[1] == 0
+    assert out[2] == 500_000
+    assert out[4] == 1_000_000
