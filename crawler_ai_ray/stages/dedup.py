@@ -629,6 +629,90 @@ def minhash_lsh_pairs(ds, n: int = 3, threshold: float = 0.8, text_col: str = "t
     return minhash_pairs_from_sigs(sigs, threshold=threshold)
 
 
+# A (band, band_hash) run of k identical docs is a k² triu sweep in ONE
+# task — at 100 TB a boilerplate page class makes k huge.  Above this
+# run length the sweep collapses identical-signature classes: star
+# edges (min-doc canonical → member, est 1.0) inside each class plus a
+# verified triu over the class REPRESENTATIVES.  Pair-set CLOSURE (the
+# union-find clusters) is provably unchanged — est(u,v) depends only on
+# (sig_u, sig_v), so every ≥τ cross-class pair maps to an emitted
+# rep-rep edge and every member reaches its rep via the star — but the
+# emitted pair LIST shrinks (no full cliques), so the cap sits above
+# any oracle-compared corpus and a dedicated fuzz test pins the
+# degenerate path.
+_MAX_CLIQUE_RUN = 256
+
+
+def _run_pairs(
+    run_did: np.ndarray, run_mat: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One (band, band_hash) run (rows sorted by doc_id) → verified
+    (doc_a, doc_b, est_jaccard) arrays.  Full triu clique up to
+    ``_MAX_CLIQUE_RUN`` rows; identical-sig class collapse above."""
+    r = len(run_did)
+    if r <= _MAX_CLIQUE_RUN:
+        x, y = np.triu_indices(r, k=1)
+        keep = run_did[x] != run_did[y]
+        x, y = x[keep], y[keep]
+        if not x.size:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.float64),
+            )
+        est = (run_mat[x] == run_mat[y]).mean(axis=1)
+        hit = est >= threshold
+        return run_did[x[hit]], run_did[y[hit]], est[hit]
+    # degenerate run: O(r log r) class grouping instead of O(r²) pairs
+    uniq, inv = np.unique(run_mat, axis=0, return_inverse=True)
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    j_parts: list[np.ndarray] = []
+    order = np.lexsort((run_did, inv))
+    inv_s, did_s = inv[order], run_did[order]
+    new = np.empty(r, dtype=bool)
+    new[0] = True
+    np.not_equal(inv_s[1:], inv_s[:-1], out=new[1:])
+    starts = np.append(np.flatnonzero(new), r)
+    rep_did = np.empty(len(uniq), dtype=np.int64)
+    for ci, (p, q) in enumerate(zip(starts[:-1], starts[1:])):
+        members = np.unique(did_s[p:q])
+        rep_did[inv_s[p]] = members[0]
+        if len(members) > 1:
+            a_parts.append(np.full(len(members) - 1, members[0], np.int64))
+            b_parts.append(members[1:].astype(np.int64))
+            j_parts.append(np.ones(len(members) - 1, np.float64))
+    # verified sweep over class representatives (recurses: if even the
+    # DISTINCT-sig count is oversized the collapse has already done all
+    # it can — fall through to the triu branch on the reps)
+    ro = np.argsort(rep_did)
+    rd, rm = rep_did[ro], uniq[ro]
+    if len(rd) > 1:
+        if len(rd) <= _MAX_CLIQUE_RUN:
+            ra, rb, rj = _run_pairs(rd, rm, threshold)
+        else:
+            x, y = np.triu_indices(len(rd), k=1)
+            keep = rd[x] != rd[y]
+            x, y = x[keep], y[keep]
+            est = (rm[x] == rm[y]).mean(axis=1) if x.size else np.zeros(0)
+            hit = est >= threshold
+            ra, rb, rj = rd[x[hit]], rd[y[hit]], est[hit]
+        a_parts.append(ra)
+        b_parts.append(rb)
+        j_parts.append(rj)
+    if not a_parts:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.float64),
+        )
+    return (
+        np.concatenate(a_parts),
+        np.concatenate(b_parts),
+        np.concatenate(j_parts),
+    )
+
+
 def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     """(band, band_hash, doc_id, sig) rows → verified near-dup pairs.
     Pure table→table: runs inside a shuffle-bucket group task on the
@@ -664,16 +748,11 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     for i, j in zip(starts[:-1], starts[1:]):
         if j - i < 2:
             continue
-        x, y = np.triu_indices(j - i, k=1)
-        keep = did[i + x] != did[i + y]
-        x, y = x[keep], y[keep]
-        if not x.size:
-            continue
-        est = (mat[i + x] == mat[i + y]).mean(axis=1)
-        hit = est >= threshold
-        a_out.append(did[i + x[hit]])
-        b_out.append(did[i + y[hit]])
-        j_out.append(est[hit])
+        a, b, e = _run_pairs(did[i:j], mat[i:j], threshold)
+        if len(a):
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(e)
     if not a_out:
         return empty
     return pa.table(
@@ -744,16 +823,11 @@ def _pairs_from_sig_matrix(
     for i, j in zip(starts[:-1], starts[1:]):
         if j - i < 2:
             continue
-        x, y = np.triu_indices(j - i, k=1)
-        keep = dids[i + x] != dids[i + y]
-        x, y = x[keep], y[keep]
-        if not x.size:
-            continue
-        est = (mat[idx[i + x]] == mat[idx[i + y]]).mean(axis=1)
-        hit = est >= threshold
-        a_out.append(dids[i + x[hit]])
-        b_out.append(dids[i + y[hit]])
-        j_out.append(est[hit])
+        a, b, e = _run_pairs(dids[i:j], mat[idx[i:j]], threshold)
+        if len(a):
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(e)
     if not a_out:
         return empty
     return pa.table(
@@ -970,6 +1044,39 @@ def hash64_neardup_pairs(
             ):
                 j += 1
             run = rows[i:j]
+            if len(run) > _MAX_CLIQUE_RUN:
+                # degenerate band bucket (boilerplate class): collapse
+                # identical 64-bit hashes — star edges at distance 0
+                # inside each class, pairwise sweep over class
+                # representatives only.  Same closure argument as
+                # `_run_pairs`: hamming(u, v) depends only on the two
+                # hash VALUES, so clusters are unchanged while the
+                # emitted pair list drops the k² cliques.
+                classes: dict[int, list[int]] = {}
+                for _b, _v, doc, sh in run:
+                    classes.setdefault(sh, []).append(doc)
+                reps = []
+                for sh, docs_c in classes.items():
+                    docs_c = sorted(set(docs_c))
+                    reps.append((docs_c[0], sh))
+                    for other in docs_c[1:]:
+                        a_out.append(docs_c[0])
+                        b_out.append(other)
+                        d_out.append(0)
+                reps.sort()
+                for x in range(len(reps)):
+                    for y in range(x + 1, len(reps)):
+                        if reps[x][0] == reps[y][0]:
+                            continue
+                        d = bin(
+                            int(np.uint64(reps[x][1]) ^ np.uint64(reps[y][1]))
+                        ).count("1")
+                        if d <= max_hamming:
+                            a_out.append(reps[x][0])
+                            b_out.append(reps[y][0])
+                            d_out.append(d)
+                i = j
+                continue
             for x in range(len(run)):
                 for y in range(x + 1, len(run)):
                     if run[x][2] == run[y][2]:

@@ -2592,3 +2592,100 @@ def test_percentile_rank_null_group_rows_excluded(ray_session):
     assert out[1] == 0
     assert out[2] == 500_000
     assert out[4] == 1_000_000
+
+
+def test_lsh_degenerate_bucket_collapse_minhash(ray_session):
+    """10k identical docs (one boilerplate class): both minhash tiers
+    must finish in O(k) star edges — not a k² clique sweep — with the
+    pair CLOSURE (clusters) unchanged."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        _MAX_CLIQUE_RUN,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_local,
+        pair_labels,
+    )
+
+    n = 10_000
+    boiler = "the same boilerplate footer text on every page of the site"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(
+                [boiler] * (n - 2)
+                + ["a completely different document body entirely here",
+                   "another unrelated singleton document text goes here"],
+                pa.string(),
+            ),
+        }
+    )
+    assert n - 2 > _MAX_CLIQUE_RUN  # the degenerate path must engage
+    t0 = time.time()
+    local = minhash_lsh_pairs_local(tbl)
+    local_wall = time.time() - t0
+    # star: one (0, other) edge per duplicate after cross-band dedup
+    assert local.num_rows == n - 3
+    a = np.asarray(local["doc_a"].to_pylist())
+    b = np.asarray(local["doc_b"].to_pylist())
+    assert (a == 0).all() and sorted(b.tolist()) == list(range(1, n - 2))
+    assert (np.asarray(local["est_jaccard"].to_pylist()) == 1.0).all()
+    # O(k): the k² sweep would do ~8e8 128-wide row compares; the
+    # collapsed path is a sort + (n-1) edges — generous wall bound
+    assert local_wall < 30
+
+    # distributed path agrees (forced past the whole-query local tier)
+    dist = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl).repartition(8)
+    ).to_pandas()
+    lk, lv = pair_labels(
+        minhash_lsh_pairs(ray.data.from_arrow(tbl).repartition(8))
+    )
+    assert len(dist) == n - 3
+    assert set(dist.doc_a) == {0}
+    # closure: every duplicate labels to canonical 0; singletons absent
+    lab = dict(zip(lk.tolist(), lv.tolist()))
+    assert all(lab[i] == 0 for i in range(n - 2))
+    assert (n - 2) not in lab and (n - 1) not in lab
+
+
+def test_hamming_degenerate_bucket_collapse(ray_session):
+    """Identical 64-bit hashes collapse to distance-0 stars above the
+    run cap; near (but distinct) hashes still pair via the reps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        _MAX_CLIQUE_RUN,
+        hash64_neardup_pairs,
+    )
+
+    n = 2_000
+    assert n > _MAX_CLIQUE_RUN
+    base = np.uint64(0x0123456789ABCDEF)
+    hashes = [int(base)] * n + [int(base ^ np.uint64(1))]  # one at d=1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n + 1), pa.int64()),
+            "simhash": pa.array(
+                [np.uint64(h).astype(np.int64).item() for h in hashes],
+                pa.int64(),
+            ),
+        }
+    )
+    got = (
+        hash64_neardup_pairs(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    # star: (0, 1..n-1) at d=0; rep pair (0, n) at d=1
+    assert len(got) == n
+    assert (got.doc_a == 0).all()
+    star = got[got.doc_b < n]
+    assert (star.hamming == 0).all() and len(star) == n - 1
+    assert got[got.doc_b == n].hamming.iloc[0] == 1
