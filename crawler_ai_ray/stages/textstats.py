@@ -900,7 +900,26 @@ def mix_weights(ds, target_ppm: dict[str, int] | None = None,
     )
 
 
-def doc_commonness(ds, text_col: str = "text"):
+def _term_h64_arr(terms: list) -> np.ndarray:
+    """64-bit blake2b per term (little-endian), vocab-sized loop —
+    shared by both `doc_commonness` tiers."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                "little",
+            )
+            for t in terms
+        ],
+        dtype=np.uint64,
+    )
+
+
+def doc_commonness(
+    ds, text_col: str = "text", vocab_broadcast_max: int = 2_000_000
+):
     """documents → (doc_id, n_tokens, commonness_ppm): mean corpus
     unigram frequency of each document's token positions, in ppm —
     the integer-exact cousin of a unigram-LM perplexity filter (CCNet,
@@ -910,31 +929,26 @@ def doc_commonness(ds, text_col: str = "text"):
     verbatim by the oracle, so no float log ever enters the compare
     (a float NLL would hash-mismatch on cross-library ln()).
 
-    Scale shape: two streaming passes over TF rows, no shuffle.
+    Scale shape: two streaming passes over TF rows.
     1. per-batch (term-hash u64, count) partials (terms never leave as
-       strings) reduce driver-side into the sorted vocab-count state —
-       the declared boundary is vocab size (~12 B/term: 10⁹ terms ≈
-       12 GB plasma; beyond that, bucket the TF⋈count join like
-       `distinctive_terms` instead of broadcasting).
-    2. the count vector broadcasts via ``ray.put``; each batch maps
-       its TF rows through ``searchsorted`` and emits per-doc integer
-       sums.  A term-hash collision merges two counts — the oracle
-       compares term STRINGS, so the gate would catch one.
+       strings).  Below ``vocab_broadcast_max`` partial rows they
+       reduce driver-side into the sorted vocab-count state and
+       broadcast via ``ray.put``; ABOVE it the whole query switches to
+       `_commonness_bucketed` — counts merge and join the TF rows
+       inside term-hash buckets (the `distinctive_terms` treatment),
+       so no vocab-sized state ever lands on the driver.  The two
+       tiers are bit-equal (integer sums; forced-path agreement test).
+    2. each batch maps its TF rows through ``searchsorted`` and emits
+       per-doc integer sums.  A term-hash collision merges two counts
+       — the oracle compares term STRINGS, so the gate would catch
+       one.
     Tokenization: lowercased ``[a-z]+`` runs (same as the TF/DF
     machinery — ``_tf_rows_batch``)."""
-    import hashlib
-
     import ray
-
-    def _th(term: str) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(term.encode(), digest_size=8).digest(), "little"
-        )
 
     def count_partial(batch: pa.Table) -> pa.Table:
         tf = _tf_rows_batch(batch, num_buckets=1)
-        terms = tf["term"].to_pylist()
-        hh = np.array([_th(t) for t in terms], dtype=np.uint64)
+        hh = _term_h64_arr(tf["term"].to_pylist())
         t = pa.table(
             {
                 "h": pa.array(hh, pa.uint64()),
@@ -944,15 +958,13 @@ def doc_commonness(ds, text_col: str = "text"):
         agg = t.group_by("h").aggregate([("c", "sum")])
         return pa.table({"h": agg["h"], "c": agg["c_sum"]})
 
-    parts = [
-        t
-        for t in ray.get(
-            ds.map_batches(
-                count_partial, batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).materialize()
+    # block-metadata count — free after materialize()
+    if partials.count() > vocab_broadcast_max:
+        return _commonness_bucketed(ds, partials, text_col)
+    parts = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table(
             {
@@ -980,8 +992,7 @@ def doc_commonness(ds, text_col: str = "text"):
                     "commonness_ppm": pa.array([], pa.int64()),
                 }
             )
-        terms = tf["term"].to_pylist()
-        hh = np.array([_th(t) for t in terms], dtype=np.uint64)
+        hh = _term_h64_arr(tf["term"].to_pylist())
         cnt = c[np.searchsorted(k, hh)]
         tfv = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table(
@@ -1005,6 +1016,135 @@ def doc_commonness(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _commonness_bucketed(ds, partials, text_col: str, num_buckets: int = 64):
+    """Above-threshold tier of `doc_commonness` — the unigram count
+    state never lands on the driver (the r03 VERDICT's declared vocab
+    boundary, closed).  Shape:
+      * count (h, c) partials and TF (doc_id, h, tf) rows union-tag
+        into ``h % B`` buckets; a term's counts and its TF rows meet in
+        exactly one bucket, so the in-bucket searchsorted attach is
+        exact and pre-aggregates (doc, Σ tf·cnt, Σ tf) before any doc
+        exchange;
+      * per-doc rollup inside ``doc_id % B`` buckets;
+      * the only driver state is the total-token SCALAR
+        (``partials.sum``).
+    Integer sums ⇒ bit-equal to the broadcast tier under any
+    partitioning (forced-path agreement test)."""
+    total = int(partials.sum("c") or 0)
+    nb = num_buckets
+
+    def _empty_tagged() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.uint64()),
+                "v": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_tagged()
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.full(len(h), -1, np.int64), pa.int64()
+                ),
+                "h": batch["h"],
+                "v": pc.cast(batch["c"], pa.int64()),
+                "bucket": pa.array(
+                    (h % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        tf = _tf_rows_batch(batch, num_buckets=1)
+        if tf.num_rows == 0:
+            return _empty_tagged()
+        hh = _term_h64_arr(tf["term"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": pc.cast(tf["doc_id"], pa.int64()),
+                "h": pa.array(hh, pa.uint64()),
+                "v": pc.cast(tf["tf"], pa.int64()),
+                "bucket": pa.array(
+                    (hh % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    unioned = partials.map_batches(
+        tag_counts, batch_format="pyarrow"
+    ).union(ds.map_batches(tag_tf, batch_format="pyarrow"))
+
+    def join_group(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_cnt = doc < 0
+        ch, cv = h[is_cnt], v[is_cnt]
+        o = np.argsort(ch, kind="stable")
+        ch, cv = ch[o], cv[o]
+        new = np.empty(len(ch), dtype=bool)
+        if len(ch):
+            new[0] = True
+            np.not_equal(ch[1:], ch[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        keys = ch[starts]
+        sums = (
+            np.add.reduceat(cv, starts)
+            if len(starts)
+            else np.zeros(0, np.int64)
+        )
+        td, th, tv = doc[~is_cnt], h[~is_cnt], v[~is_cnt]
+        cnt = sums[np.searchsorted(keys, th)] if len(td) else tv
+        t = pa.table(
+            {
+                "doc_id": pa.array(td, pa.int64()),
+                "s": pa.array(tv * cnt, pa.int64()),
+                "n": pa.array(tv, pa.int64()),
+            }
+        )
+        agg = t.group_by("doc_id").aggregate([("s", "sum"), ("n", "sum")])
+        dids = agg["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "s": agg["s_sum"],
+                "n": agg["n_sum"],
+                "dbucket": pa.array(
+                    (dids % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rollup(group: pa.Table) -> pa.Table:
+        agg = group.group_by("doc_id").aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        s = agg["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "commonness_ppm": pa.array(
+                    ((s // n) * 1_000_000) // total, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        unioned.groupby("bucket")
+        .map_groups(join_group, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(rollup, batch_format="pyarrow")
+    )
 
 
 _BG_GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -1057,7 +1197,9 @@ def _bigram_rows(batch: pa.Table, text_col: str):
     return doc_idx[1:][m], hprev, hpair
 
 
-def bigram_fluency(ds, text_col: str = "text"):
+def bigram_fluency(
+    ds, text_col: str = "text", vocab_broadcast_max: int = 2_000_000
+):
     """documents → (doc_id, n_pairs, fluency_ppm): mean corpus bigram
     conditional probability over each document's adjacent token pairs,
     in integer ppm — the bigram-LM fluency filter (CCNet / Gopher
@@ -1069,12 +1211,15 @@ def bigram_fluency(ds, text_col: str = "text"):
     oracle, so no float log/exp enters the compare.
 
     Scale shape (``doc_commonness`` doctrine, one n-gram order up):
-    two streaming passes, no shuffle.  Pass 1 reduces per-batch
-    (pair-hash, prev-hash, count) partials driver-side into the
-    bigram-count state — the declared boundary is bigram-vocab size
-    (~24 B/pair; beyond plasma budget, bucket the count merge and the
-    score join like ``distinctive_terms``).  Pass 2 broadcasts the two
-    sorted count vectors and scores each batch map-side.  A 64-bit
+    two streaming passes.  Pass 1 reduces per-batch (pair-hash,
+    prev-hash, count) partials; below ``vocab_broadcast_max`` partial
+    rows they merge driver-side into the bigram-count state and
+    broadcast as two sorted count vectors; ABOVE it the whole query
+    switches to `_bigram_fluency_bucketed` — counts merge inside
+    pair-hash buckets, prev totals inside prev-hash buckets, and the
+    per-occurrence score join rides the same buckets, so no
+    bigram-vocab-sized state ever lands on the driver.  The tiers are
+    bit-equal (integer sums; forced-path agreement test).  A 64-bit
     pair-hash collision merges two counts — the oracle compares pair
     STRINGS, so the gate would catch one."""
     import ray
@@ -1107,15 +1252,12 @@ def bigram_fluency(ds, text_col: str = "text"):
             "fluency_ppm": pa.array([], pa.int64()),
         }
     )
-    parts = [
-        t
-        for t in ray.get(
-            ds.map_batches(
-                count_partial, batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() > vocab_broadcast_max:
+        return _bigram_fluency_bucketed(ds, partials, text_col)
+    parts = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not parts:
         return empty
     agg = (
@@ -1165,6 +1307,256 @@ def bigram_fluency(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bigram_fluency_bucketed(ds, partials, text_col: str, num_buckets: int = 64):
+    """Above-threshold tier of `bigram_fluency` — the bigram count
+    state never lands on the driver (the r03 VERDICT's declared vocab
+    boundary, closed).  Four bounded exchanges of skinny hash rows:
+      1. (hp, hprev, c) partials merge into FINAL pair counts inside
+         ``hp % B`` buckets (a pair lives in one bucket → exact);
+      2. prev totals Σ c_pair inside ``hprev % B`` buckets;
+      3. per-doc occurrence rows (doc, hp, hprev, m) attach c_pair in
+         ``hp % B`` buckets, then c_prev in ``hprev % B`` buckets —
+         per-occurrence score ``(10⁶·c_pair) // c_prev`` identical to
+         the broadcast tier — pre-aggregating (doc, Σ m·ppm, Σ m)
+         before the doc exchange;
+      4. per-doc rollup inside ``doc_id % B`` buckets.
+    Integer sums ⇒ bit-equal to the broadcast tier (forced-path
+    agreement test)."""
+    nb = num_buckets
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "fluency_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if partials.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    # stage 1: final pair counts (hp → hprev, c_pair)
+    def bucket_hp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        h = batch["hp"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((h % nb).astype(np.int32), pa.int32())
+        )
+
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        agg = group.group_by("hp").aggregate(
+            [("c", "sum"), ("hprev", "min")]
+        )
+        return pa.table(
+            {
+                "hp": agg["hp"],
+                "hprev": agg["hprev_min"],
+                "c": pc.cast(agg["c_sum"], pa.int64()),
+            }
+        )
+
+    pairc = (
+        partials.map_batches(bucket_hp, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # stage 2: prev totals (hprev → c_prev)
+    def bucket_hprev(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        h = batch["hprev"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((h % nb).astype(np.int32), pa.int32())
+        )
+
+    def merge_prev(group: pa.Table) -> pa.Table:
+        agg = group.group_by("hprev").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "hprev": agg["hprev"],
+                "c": pc.cast(agg["c_sum"], pa.int64()),
+            }
+        )
+
+    prevc = (
+        pairc.map_batches(bucket_hprev, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_prev, batch_format="pyarrow")
+    )
+
+    # stage 3a: occurrence rows ⋈ c_pair in hp buckets
+    def _empty_j1() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "hp": pa.array([], pa.uint64()),
+                "hx": pa.array([], pa.uint64()),
+                "v": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        di, hprev, hpair = _bigram_rows(batch, text_col)
+        if len(hpair) == 0:
+            return _empty_j1()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[di]
+        order = np.lexsort((doc_ids, hpair))
+        d_s, hp_s, hx_s = doc_ids[order], hpair[order], hprev[order]
+        new = np.empty(len(hp_s), dtype=bool)
+        new[0] = True
+        new[1:] = (hp_s[1:] != hp_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, len(hp_s)))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts], pa.int64()),
+                "hp": pa.array(hp_s[starts], pa.uint64()),
+                "hx": pa.array(hx_s[starts], pa.uint64()),
+                "v": pa.array(m.astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (hp_s[starts] % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def tag_pairc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_j1()
+        h = batch["hp"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "hp": batch["hp"],
+                "hx": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+                "v": batch["c"],
+                "bucket": pa.array(
+                    (h % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def join_cpair(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        hp = group["hp"].to_numpy(zero_copy_only=False)
+        hx = group["hx"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_cnt = doc < 0
+        keys, cv = hp[is_cnt], v[is_cnt]
+        o = np.argsort(keys, kind="stable")
+        keys, cv = keys[o], cv[o]
+        od, ohx, om = doc[~is_cnt], hx[~is_cnt], v[~is_cnt]
+        cp = cv[np.searchsorted(keys, hp[~is_cnt])] if len(od) else om
+        return pa.table(
+            {
+                "doc_id": pa.array(od, pa.int64()),
+                "hx": pa.array(ohx, pa.uint64()),
+                "m": pa.array(om, pa.int64()),
+                "cp": pa.array(cp, pa.int64()),
+                "bucket": pa.array(
+                    (ohx % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    occ_cp = (
+        ds.map_batches(occ_rows, batch_format="pyarrow")
+        .union(pairc.map_batches(tag_pairc, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_cpair, batch_format="pyarrow")
+    )
+
+    # stage 3b: ⋈ c_prev in hprev buckets → per-doc partials
+    def _empty_j2() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "hx": pa.array([], pa.uint64()),
+                "m": pa.array([], pa.int64()),
+                "cp": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def tag_prevc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_j2()
+        h = batch["hprev"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "hx": batch["hprev"],
+                "m": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cp": batch["c"],
+                "bucket": pa.array(
+                    (h % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def join_cprev(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        hx = group["hx"].to_numpy(zero_copy_only=False)
+        m = group["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = group["cp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_cnt = doc < 0
+        keys, cv = hx[is_cnt], cp[is_cnt]
+        o = np.argsort(keys, kind="stable")
+        keys, cv = keys[o], cv[o]
+        od, om, ocp = doc[~is_cnt], m[~is_cnt], cp[~is_cnt]
+        if len(od):
+            cprev = cv[np.searchsorted(keys, hx[~is_cnt])]
+            pmic = (1_000_000 * ocp) // cprev
+        else:
+            pmic = om
+        t = pa.table(
+            {
+                "doc_id": pa.array(od, pa.int64()),
+                "s": pa.array(om * pmic, pa.int64()),
+                "n": pa.array(om, pa.int64()),
+            }
+        )
+        agg = t.group_by("doc_id").aggregate([("s", "sum"), ("n", "sum")])
+        dids = agg["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "s": agg["s_sum"],
+                "n": agg["n_sum"],
+                "dbucket": pa.array(
+                    (dids % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rollup(group: pa.Table) -> pa.Table:
+        agg = group.group_by("doc_id").aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        s = agg["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_pairs": pa.array(n, pa.int64()),
+                "fluency_ppm": pa.array(s // n, pa.int64()),
+            }
+        )
+
+    return (
+        occ_cp.union(prevc.map_batches(tag_prevc, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_cprev, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(rollup, batch_format="pyarrow")
+    )
 
 
 # --- linear-classifier inference (fasttext-style quality filter) -----------
@@ -1770,10 +2162,19 @@ def nb_train(ds, text_col: str = "text", lang_col: str = "lang"):
     mirrors SQL).  Training a count-based model is a pure aggregation,
     so it distributes as ONE combiner pass: per-batch (lang, term)
     counts + per-lang doc counts; the driver merge holds the
-    vocab-bounded state (the `doc_commonness` boundary) and derives
-    weights for the FULL lang × vocab grid (absent pairs get the
-    +1-smoothed floor weight) →
+    vocab-bounded state and derives weights for the FULL lang × vocab
+    grid (absent pairs get the +1-smoothed floor weight) →
     (lang, term, weight_micros) + (lang, '', prior row).
+
+    Boundary note: here the vocab-sized state IS the return value (the
+    trained model the caller broadcasts into `nb_classify`), so unlike
+    `doc_commonness`/`bigram_fluency` — whose above-threshold tiers
+    (`_commonness_bucketed`, `_bigram_fluency_bucketed`) keep all count
+    state in term-hash buckets — a driver-free variant would have to
+    change the API to return a sparse (lang, term, weight) Dataset and
+    re-express classify as the same bucketed score join.  The count
+    MERGE would follow those tiers verbatim; per-lang totals and V are
+    scalars.
 
     Returns ``(model_table, model_state)`` where ``model_state`` =
     (langs, vocab, W, priors) ready for `nb_classify`'s broadcast."""

@@ -2689,3 +2689,83 @@ def test_hamming_degenerate_bucket_collapse(ray_session):
     star = got[got.doc_b < n]
     assert (star.hamming == 0).all() and len(star) == n - 1
     assert got[got.doc_b == n].hamming.iloc[0] == 1
+
+
+def test_commonness_bucketed_tier_agreement(ray_session):
+    """Forced past the vocab-broadcast threshold, the bucketed tier
+    (counts merged + joined inside term-hash buckets, no driver vocab
+    state) must be bit-equal to the broadcast tier."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import doc_commonness
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(
+        [f"tok{i}" for i in range(40)] + ["common", "words", "here"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+        for _ in range(250)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(250), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    a = (
+        doc_commonness(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        doc_commonness(ds, vocab_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(a) == 250
+    assert a.equals(b)
+
+
+def test_bigram_fluency_bucketed_tier_agreement(ray_session):
+    """Forced past the threshold, the bucketed bigram tier (pair counts
+    in hp buckets, prev totals in hprev buckets, occurrence score join
+    riding the same buckets) must be bit-equal to the broadcast tier."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import bigram_fluency
+
+    rng = np.random.default_rng(13)
+    vocab = np.array(
+        ["alpha", "beta", "gamma", "delta", "common", "words",
+         "page", "site", "text", "body"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+        for _ in range(300)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(6)
+    a = (
+        bigram_fluency(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        bigram_fluency(ds, vocab_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # docs with ≥1 [a-z]+ bigram are the domain; ≥ most of the corpus
+    assert len(a) > 250
+    assert a.equals(b)
