@@ -2769,3 +2769,99 @@ def test_bigram_fluency_bucketed_tier_agreement(ray_session):
     # docs with ≥1 [a-z]+ bigram are the domain; ≥ most of the corpus
     assert len(a) > 250
     assert a.equals(b)
+
+
+def test_dup_span_stats_hot_key_path_agreement(ray_session):
+    """Planted skew: one 5-gram in 50% of docs.  The probe must find
+    it, and the hot path (map-side attach, no bucket shuffle for the
+    hot posting list) must match the pure-bucketed path exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        _probe_hot_u64,
+        dup_ngram_rows_batch,
+        dup_span_stats,
+    )
+
+    planted = "zz aa bb cc dd"
+    texts = []
+    for i in range(400):
+        filler = " ".join(f"u{i}x{j}" for j in range(5))
+        texts.append(
+            f"{planted} {filler}" if i % 2 == 0 else
+            f"v{i}a v{i}b v{i}c v{i}d v{i}e {filler}"
+        )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(400), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(4)
+    rows = ds.map_batches(
+        lambda b: dup_ngram_rows_batch(b, n=5), batch_format="pyarrow"
+    )
+    assert len(_probe_hot_u64(rows, "ngram_h")) == 1  # the planted key
+
+    hot_path = (
+        dup_span_stats(ds)  # default hot_frac=0.02 → planted is hot
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    cold_path = (
+        dup_span_stats(ds, hot_frac=2.0)  # hot path disabled
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert hot_path.equals(cold_path)
+    # each doc has 6 positions; planted docs have exactly 1 duplicated
+    planted_rows = hot_path[hot_path.doc_id % 2 == 0]
+    assert (planted_rows.n_positions == 6).all()
+    assert (planted_rows.n_dup_positions == 1).all()
+    assert (hot_path[hot_path.doc_id % 2 == 1].n_dup_positions == 0).all()
+
+
+def test_segment_dedup_hot_key_path_agreement(ray_session):
+    """Planted skew: one 20-word segment opens 50% of docs.  The hot
+    path (per-batch partial mins + map-side drops) must match the
+    bucket-shuffle path exactly, keeping only the first occurrence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import segment_dedup
+
+    seg_a = " ".join(f"p{j}" for j in range(20))
+    texts = []
+    for i in range(400):
+        tail = " ".join(f"u{i}w{j}" for j in range(20))
+        head = seg_a if i % 2 == 0 else " ".join(
+            f"q{i}w{j}" for j in range(20)
+        )
+        texts.append(f"{head} {tail}")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(400), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(4)
+    hot_path = (
+        segment_dedup(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    cold_path = (
+        segment_dedup(ds, hot_frac=2.0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert hot_path.equals(cold_path)
+    planted = hot_path[hot_path.doc_id % 2 == 0]
+    # doc 0 keeps the shared segment; every other planted doc drops it
+    assert planted[planted.doc_id == 0].n_dropped.iloc[0] == 0
+    assert (planted[planted.doc_id > 0].n_dropped == 1).all()
+    assert (hot_path[hot_path.doc_id % 2 == 1].n_dropped == 0).all()
+    assert (hot_path.n_segments == 2).all()
