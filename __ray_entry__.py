@@ -1494,10 +1494,30 @@ def _q_crawl_loop(sf_dir: str):
 
 def _q_crawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage/metrics of the crawl run (SURVEY
-    §1.2 metrics table; rows-only — wall_ms is wall-clock)."""
+    §1.2 metrics table), restricted to its DETERMINISTIC columns —
+    urls_in / fetched / errors summed over skew-split sub-tasks — which
+    the independent sequential simulator reconstructs exactly
+    (``oracle/goldens._build_sim_metrics``: urls_in of round r = queue
+    length at end of r-1 + one persistent state row per host).
+    wall_ms / bytes / input_files remain unchecked wall-clock lineage
+    on the full ``read_crawl_metrics`` table."""
+    import pyarrow as pa
+
     from crawler_ai_ray.pipelines.crawl import read_crawl_metrics
 
-    return read_crawl_metrics(_ensure_crawl(sf_dir))
+    m = read_crawl_metrics(_ensure_crawl(sf_dir))
+    agg = m.group_by(["round", "bucket"]).aggregate(
+        [("urls_in", "sum"), ("fetched", "sum"), ("errors", "sum")]
+    )
+    return pa.table(
+        {
+            "round": agg["round"],
+            "bucket": agg["bucket"],
+            "urls_in": agg["urls_in_sum"],
+            "fetched": agg["fetched_sum"],
+            "errors": agg["errors_sum"],
+        }
+    )
 
 
 # --- documents ------------------------------------------------------------
@@ -3303,6 +3323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_triangles", "crawl_host_clustering", "crawl_host_kcore",
         "crawl_job_location_counts", "jobs_user_friendly",
         "jobs_user_summary",
+        # newly ORACLED this round (was rows-only wall-clock lineage):
+        # deterministic urls_in/fetched/errors vs the sim reconstruction
+        "crawl_metrics",
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -3674,6 +3697,7 @@ def oracle_sql() -> dict[str, str]:
 
     gdir = ensure_oracle_goldens("/root/testdata/sf0.01")
     sim_crawl = os.path.join(gdir, "sim_crawl.parquet")
+    sim_metrics = os.path.join(gdir, "sim_metrics.parquet")
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
@@ -5561,6 +5585,14 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        # deterministic manifest-lineage columns vs the simulator's
+        # reconstruction (queue evolution + per-host state rows);
+        # wall_ms/bytes stay unchecked (wall-clock lineage)
+        "crawl_metrics": f"""
+            SELECT round::BIGINT AS round, bucket::BIGINT AS bucket,
+                   urls_in::BIGINT AS urls_in,
+                   fetched::BIGINT AS fetched, errors::BIGINT AS errors
+            FROM read_parquet('{sim_metrics}')""",
         "crawl_frontier_depth": f"""
             SELECT round, success, count(*)::BIGINT AS n_pages
             FROM read_parquet('{sim_crawl}')

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g11"
+GOLDEN_VERSION = "g12"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -57,6 +57,65 @@ def _build_sim_crawl(corpus: str, out_path: str) -> None:
 
     res = simulate_crawl(corpus)
     pq.write_table(pa.Table.from_pylist(res.fetch_log), out_path)
+
+
+def _build_sim_metrics(
+    corpus: str, out_path: str, n_buckets: int = 32
+) -> None:
+    """Per-(round, bucket) expected crawl-metrics rows, reconstructed
+    from the INDEPENDENT sequential simulator — the deterministic
+    columns of the engine's round-manifest lineage (VERDICT r03 item 3;
+    wall_ms / bytes / input_files stay unchecked wall-clock lineage):
+
+    * ``urls_in`` of round r = the bucket's q rows at the END of round
+      r-1 (simulator queue lengths; round 0 reads the one seed q row
+      per host) + one persistent s (state) row per seeded host —
+      exactly what ``_process_bucket`` counts after its kind-q/s read;
+    * ``fetched`` / ``errors`` = success/failure attempts per round
+      aggregated over the bucket's hosts (simulator fetch log).
+
+    Buckets use the engine's ``shard_for_host`` — a pure shared
+    function like ``candidate_links``; the orchestration being checked
+    (waves, queue evolution, manifest accounting) is written twice."""
+    from ..state.seen import shard_for_host
+    from .sim import simulate_crawl
+
+    res = simulate_crawl(corpus)
+    hosts = sorted(res.host_stats)
+    hb = {h: shard_for_host(h, n_buckets) for h in hosts}
+    s_count: dict[int, int] = {}
+    for h in hosts:
+        s_count[hb[h]] = s_count.get(hb[h], 0) + 1
+    qlen: dict[tuple[str, int], int] = {
+        (r["host"], r["round"]): r["qlen"] for r in res.queue_log
+    }
+    fetched: dict[tuple[int, int], int] = {}
+    errors: dict[tuple[int, int], int] = {}
+    for e in res.fetch_log:
+        key = (e["round"], hb[e["host"]])
+        if e["success"]:
+            fetched[key] = fetched.get(key, 0) + 1
+        else:
+            errors[key] = errors.get(key, 0) + 1
+    rows = []
+    for rnd in range(res.rounds):
+        urls_in: dict[int, int] = dict(s_count)
+        for h in hosts:
+            q_prev = 1 if rnd == 0 else qlen[(h, rnd - 1)]
+            urls_in[hb[h]] += q_prev
+        for b in sorted(urls_in):
+            if urls_in[b] == 0:
+                continue
+            rows.append(
+                {
+                    "round": rnd,
+                    "bucket": b,
+                    "urls_in": urls_in[b],
+                    "fetched": fetched.get((rnd, b), 0),
+                    "errors": errors.get((rnd, b), 0),
+                }
+            )
+    pq.write_table(pa.Table.from_pylist(rows), out_path)
 
 
 def _build_doc_goldens(sf_dir: str, gdir: str) -> None:
@@ -457,6 +516,7 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
+    _build_sim_metrics(corpus, os.path.join(tmp, "sim_metrics.parquet"))
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
         _build_bpe_goldens(sf_dir, tmp)

@@ -48,6 +48,11 @@ class SimResult:
     seen: set[str] = field(default_factory=set)
     host_stats: dict[str, dict] = field(default_factory=dict)
     rounds: int = 0
+    # (host, round) → queue length AFTER the round — the independent
+    # reconstruction of the engine's per-bucket q-row counts that the
+    # crawl_metrics golden aggregates (urls_in of round r = q rows at
+    # end of r-1 plus one persistent s row per host)
+    queue_log: list[dict] = field(default_factory=list)
 
 
 def load_page_facts(corpus: str) -> dict[str, dict]:
@@ -140,6 +145,10 @@ def simulate_crawl(
         for sim in sims:
             if sim.run_round(rnd, pages, res.fetch_log):
                 any_left = True
+        for sim in sims:
+            res.queue_log.append(
+                {"host": sim.host, "round": rnd, "qlen": len(sim.queue)}
+            )
         res.rounds = rnd + 1
         if not any_left:
             break
