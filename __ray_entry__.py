@@ -2620,6 +2620,35 @@ def _q_emb_semantic_dedup_global(sf_dir: str):
     )
 
 
+def _q_emb_cluster_profile(sf_dir: str):
+    """Per-IVF-cell population + cohesion (mean member-to-centroid
+    cosine, integer micros) — the index-balance / SemDeDup-cell-quality
+    diagnostic.  Sequential same-math golden (the kmeans
+    partition-invariance argument; sims quantized half-away like the
+    knn-graph oracles)."""
+    from crawler_ai_ray.stages.simsearch import cluster_profile
+
+    return cluster_profile(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        nlist=8,
+        iters=3,
+    )
+
+
+def _q_emb_centroid_outliers(sf_dir: str):
+    """The 50 vectors farthest from their assigned centroid (sim asc,
+    id asc) — the noise/outlier prune shortlist; per-batch tie-stable
+    bottom-k + one driver merge of blocks×k rows."""
+    from crawler_ai_ray.stages.simsearch import centroid_outliers
+
+    return centroid_outliers(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        nlist=8,
+        iters=3,
+        k=50,
+    )
+
+
 def _q_emb_neardup(sf_dir: str):
     import pyarrow.parquet as pq
     import numpy as np
@@ -3230,6 +3259,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "emb_semantic_dedup_global": _q_emb_semantic_dedup_global,
+        "emb_cluster_profile": _q_emb_cluster_profile,
+        "emb_centroid_outliers": _q_emb_centroid_outliers,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -3323,6 +3354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_triangles", "crawl_host_clustering", "crawl_host_kcore",
         "crawl_job_location_counts", "jobs_user_friendly",
         "jobs_user_summary",
+        # NEW this round (never checked): IVF diagnostics
+        "emb_cluster_profile", "emb_centroid_outliers",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -5675,6 +5708,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_semantic_dedup": f"""
             SELECT vec_id, cluster, canonical_id, is_canonical
             FROM read_parquet('{os.path.join(gdir, "emb_semantic.parquet")}')""",
+        "emb_cluster_profile": f"""
+            SELECT cluster, n_vecs, sum_sim_micros, mean_sim_micros
+            FROM read_parquet('{os.path.join(gdir, "emb_profile.parquet")}')""",
+        "emb_centroid_outliers": f"""
+            SELECT rank, vec_id, cluster, sim_micros
+            FROM read_parquet('{os.path.join(gdir, "emb_outliers.parquet")}')""",
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g12"
+GOLDEN_VERSION = "g13"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -424,6 +424,53 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "emb_semantic.parquet"),
+    )
+
+    # --- emb_cluster_profile / emb_centroid_outliers goldens ---------
+    # sequential same-math run (valid by the integer-micro-sum k-means
+    # partition-invariance argument); sims quantized with the shared
+    # pure `_half_away_micros` (DuckDB round() tie convention)
+    from ..stages.simsearch import _half_away_micros
+
+    cent = train(nlist=8, iters=3)
+    sims = matn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    own = _half_away_micros(
+        np.take_along_axis(sims, cl[:, None], axis=1).ravel() * 1e6
+    )
+    n_tot = np.bincount(cl, minlength=len(cent)).astype(np.int64)
+    s_tot = np.bincount(cl, weights=own, minlength=len(cent)).astype(
+        np.int64
+    )
+    keep = n_tot > 0
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(
+                    np.flatnonzero(keep).astype(np.int32), pa.int32()
+                ),
+                "n_vecs": pa.array(n_tot[keep], pa.int64()),
+                "sum_sim_micros": pa.array(s_tot[keep], pa.int64()),
+                "mean_sim_micros": pa.array(
+                    s_tot[keep] // n_tot[keep], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(gdir, "emb_profile.parquet"),
+    )
+    cut = np.lexsort((ids, own))[:50]
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(cut) + 1, dtype=np.int64), pa.int64()
+                ),
+                "vec_id": pa.array(ids[cut], pa.int64()),
+                "cluster": pa.array(cl[cut].astype(np.int32), pa.int32()),
+                "sim_micros": pa.array(own[cut], pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "emb_outliers.parquet"),
     )
 
 

@@ -986,3 +986,152 @@ def knn_graph_ivf(
         .groupby("cluster")
         .map_groups(cell_graph, batch_format="pyarrow")
     )
+
+
+def cluster_profile(ds, nlist: int = 8, iters: int = 3,
+                    emb_col: str = "embedding"):
+    """embeddings → (cluster, n_vecs, sum_sim_micros, mean_sim_micros):
+    per-IVF-cell population and cohesion — the index-balance / curation
+    diagnostic (cell imbalance is the IVF failure mode; low-cohesion
+    cells are where SemDeDup's within-cluster prune is least reliable).
+
+    Math: assignment by argmax over `kmeans_train` centroids (integer
+    micro-sum training ⇒ centroids bit-identical under any
+    partitioning), each member's cosine to its own centroid quantized
+    `_half_away_micros`, per-cluster INTEGER sums; mean = sum // n.
+    One streaming pass; per-batch partials are nlist-sized, the driver
+    merge is nlist rows — bounded by the index size, not the corpus.
+    Oracle: the sequential same-math golden (`oracle/goldens.py`
+    emb_profile), valid by the k-means partition-invariance argument."""
+    import ray
+
+    from .dedup import list_col_to_matrix
+
+    centroids = kmeans_train(ds, nlist=nlist, iters=iters, emb_col=emb_col)
+    c_ref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        c = ray.get(c_ref)
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))
+        sims = mat @ c.T
+        cl = np.argmax(sims, axis=1)
+        own = _half_away_micros(
+            np.take_along_axis(sims, cl[:, None], axis=1).ravel() * 1e6
+        )
+        n = np.bincount(cl, minlength=len(c)).astype(np.int64)
+        s = np.bincount(cl, weights=own, minlength=len(c)).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.flatnonzero(keep).astype(np.int32), pa.int32()
+                ),
+                "n": pa.array(n[keep], pa.int64()),
+                "s": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_tot = np.zeros(len(centroids), dtype=np.int64)
+    s_tot = np.zeros(len(centroids), dtype=np.int64)
+    for t in parts:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        n_tot[cl] += t["n"].to_numpy(zero_copy_only=False)
+        s_tot[cl] += t["s"].to_numpy(zero_copy_only=False)
+    keep = n_tot > 0
+    cl = np.flatnonzero(keep).astype(np.int32)
+    return pa.table(
+        {
+            "cluster": pa.array(cl, pa.int32()),
+            "n_vecs": pa.array(n_tot[keep], pa.int64()),
+            "sum_sim_micros": pa.array(s_tot[keep], pa.int64()),
+            "mean_sim_micros": pa.array(
+                s_tot[keep] // n_tot[keep], pa.int64()
+            ),
+        }
+    )
+
+
+def centroid_outliers(ds, nlist: int = 8, iters: int = 3, k: int = 50,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """embeddings → the ``k`` vectors FARTHEST from their assigned
+    centroid: (rank, vec_id, cluster, sim_micros), ordered
+    (sim_micros asc, vec_id asc) — the prune shortlist of
+    noise/outlier candidates (SemDeDup keeps LOW-cosine members as the
+    "diverse" set; data-pruning work scores exactly this margin).
+
+    Per-batch local bottom-k by the SAME (sim, id) lexicographic key
+    (tie-stable — the knn_graph argpartition lesson), then one driver
+    merge of ≤ blocks×k rows (the `top_customers` targeted-cut
+    pattern).  Integer micros end-to-end ⇒ partition-invariant and
+    sequential-golden-checkable."""
+    import ray
+
+    from .dedup import list_col_to_matrix
+
+    centroids = kmeans_train(ds, nlist=nlist, iters=iters, emb_col=emb_col)
+    c_ref = ray.put(centroids)
+
+    def empty_part() -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int32()),
+                "sim_micros": pa.array([], pa.int64()),
+            }
+        )
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_part()
+        c = ray.get(c_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))
+        sims = mat @ c.T
+        cl = np.argmax(sims, axis=1)
+        own = _half_away_micros(
+            np.take_along_axis(sims, cl[:, None], axis=1).ravel() * 1e6
+        )
+        cut = np.lexsort((ids, own))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[cut], pa.int64()),
+                "cluster": pa.array(cl[cut].astype(np.int32), pa.int32()),
+                "sim_micros": pa.array(own[cut], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(bottomk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        t = empty_part()
+        return t.add_column(0, "rank", pa.array([], pa.int64()))
+    allp = pa.concat_tables(parts)
+    ids = allp["vec_id"].to_numpy(zero_copy_only=False)
+    own = allp["sim_micros"].to_numpy(zero_copy_only=False)
+    cut = np.lexsort((ids, own))[:k]
+    out = allp.take(pa.array(cut, pa.int64()))
+    return out.add_column(
+        0,
+        "rank",
+        pa.array(np.arange(1, len(cut) + 1, dtype=np.int64), pa.int64()),
+    )

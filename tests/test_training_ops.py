@@ -2865,3 +2865,50 @@ def test_segment_dedup_hot_key_path_agreement(ray_session):
     assert (planted[planted.doc_id > 0].n_dropped == 1).all()
     assert (hot_path[hot_path.doc_id % 2 == 1].n_dropped == 0).all()
     assert (hot_path.n_segments == 2).all()
+
+
+def test_cluster_profile_and_outliers_partition_invariant(ray_session):
+    """The IVF diagnostics are integer-exact: identical output under
+    different partitionings, internally consistent, tie-stable cut."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import (
+        centroid_outliers,
+        cluster_profile,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 120, 8
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float64()), d
+            ),
+        }
+    )
+    a = cluster_profile(ray.data.from_arrow(tbl).repartition(3), nlist=4)
+    b = cluster_profile(ray.data.from_arrow(tbl).repartition(7), nlist=4)
+    assert a.equals(b)
+    assert sum(a["n_vecs"].to_pylist()) == n
+    assert all(
+        s // c == m
+        for s, c, m in zip(
+            a["sum_sim_micros"].to_pylist(),
+            a["n_vecs"].to_pylist(),
+            a["mean_sim_micros"].to_pylist(),
+        )
+    )
+    oa = centroid_outliers(
+        ray.data.from_arrow(tbl).repartition(3), nlist=4, k=15
+    )
+    ob = centroid_outliers(
+        ray.data.from_arrow(tbl).repartition(7), nlist=4, k=15
+    )
+    assert oa.equals(ob)
+    sims = oa["sim_micros"].to_pylist()
+    assert sims == sorted(sims)  # farthest-first ordering
+    assert oa["rank"].to_pylist() == list(range(1, 16))
