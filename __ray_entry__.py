@@ -167,6 +167,53 @@ def _q_crawl_host_pagerank(sf_dir: str):
     return pagerank_hosts(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_host_ppr(sf_dir: str):
+    """Personalized PageRank from the career-page seed hosts
+    (Haveliwala, WWW 2002): teleport mass lands only on hosts with ≥1
+    career-listing page, so rank measures link-proximity to confirmed
+    career content — the focused-crawl frontier-prioritization signal.
+    Seeds: per-batch distinct career hosts (combiner) → driver union
+    (seed-set-sized, never vertex-sized); edges reuse the same
+    extraction pass.  All three PPR tiers are bit-identical
+    (forced-path test); the oracle unrolls the integer recurrence in
+    SQL with a seeds⋈hosts CTE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.stages.linkgraph import (
+        host_edges,
+        personalized_pagerank_hosts,
+    )
+
+    ext = (
+        _extracted(sf_dir)
+        .select_columns(["host", "out_links", "is_career_listing"])
+        .materialize()
+    )
+
+    def seed_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.string())})
+        t = batch.filter(
+            pc.equal(batch["is_career_listing"], True)
+        )
+        return pa.table({"host": pc.unique(t["host"].combine_chunks())})
+
+    seeds = sorted(
+        {
+            h
+            for t in ray.get(
+                ext.map_batches(
+                    seed_part, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            for h in t["host"].to_pylist()
+        }
+    )
+    return personalized_pagerank_hosts(host_edges(ext), seeds)
+
+
 def _q_crawl_host_hits(sf_dir: str):
     """Host-graph HITS hubs-and-authorities (integer half-step
     fixed-point, 3 iterations, divide-only renormalization) over the
@@ -3133,6 +3180,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phones_vn": _q_crawl_phones,
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
+        "crawl_host_ppr": _q_crawl_host_ppr,
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_triangles": _q_crawl_host_triangles,
         "crawl_host_clustering": _q_crawl_host_clustering,
@@ -3354,8 +3402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_triangles", "crawl_host_clustering", "crawl_host_kcore",
         "crawl_job_location_counts", "jobs_user_friendly",
         "jobs_user_summary",
-        # NEW this round (never checked): IVF diagnostics
-        "emb_cluster_profile", "emb_centroid_outliers",
+        # NEW this round (never checked): IVF diagnostics + seeded PPR
+        "emb_cluster_profile", "emb_centroid_outliers", "crawl_host_ppr",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -3442,6 +3490,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = h.host)"""
     pagerank_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # personalized PageRank: same integer recurrence, teleport base
+    # only on career-seed hosts (seeds ∩ graph), 0 elsewhere
+    ppr_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        outdeg AS (SELECT src, count(*)::BIGINT c FROM edges GROUP BY 1),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS (
+          SELECT DISTINCT lower(regexp_extract(url, '{_HOST_RX}', 1))
+                   AS host
+          FROM read_parquet('{golden}') WHERE is_career_listing),
+        sg AS (SELECT h.host FROM hosts h JOIN seeds s ON s.host = h.host),
+        base AS (
+          SELECT h.host,
+                 (CASE WHEN sg.host IS NOT NULL
+                       THEN (150000 * (SELECT count(*) FROM hosts))
+                            // (SELECT greatest(count(*), 1) FROM sg)
+                       ELSE 0 END)::BIGINT AS b
+          FROM hosts h LEFT JOIN sg ON sg.host = h.host),
+        r0 AS (SELECT host, 1000000::BIGINT AS rank FROM hosts)"""
+    for _i in range(1, 6):
+        ppr_sql += f""",
+        r{_i} AS (
+          SELECT b.host,
+                 (b.b + (85 * COALESCE(s.inb, 0)) // 100)::BIGINT AS rank
+          FROM base b LEFT JOIN (
+            SELECT e.dst AS host, sum(r.rank // o.c)::BIGINT AS inb
+            FROM edges e
+            JOIN r{_i - 1} r ON r.host = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1) s ON s.host = b.host)"""
+    ppr_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
 
 
     triangles_sql = f"""
@@ -4139,6 +4227,7 @@ def oracle_sql() -> dict[str, str]:
                      AS top_texts
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
+        "crawl_host_ppr": ppr_sql,
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,
         "crawl_host_clustering": clustering_sql,

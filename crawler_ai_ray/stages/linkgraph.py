@@ -260,11 +260,36 @@ def _collect_verts(edges):
     return hosts_arr.take(pa.array(order)).to_pylist(), hh_u[order]
 
 
+def _seed_base_vec(
+    keys: np.ndarray, seed_h: np.ndarray, unit: int
+) -> np.ndarray:
+    """Personalized-PageRank teleport vector over a sorted vertex-hash
+    array: in-graph seeds get ``unit · n_hosts // n_seeds`` (total
+    teleport mass preserved vs the uniform case), everyone else 0.
+    ``n_seeds`` counts seeds PRESENT in the vertex set — mirrored by
+    the oracle's seeds⋈hosts join."""
+    if not len(keys):
+        return np.zeros(0, np.int64)
+    if not len(seed_h):
+        return np.zeros(len(keys), np.int64)
+    pos = np.searchsorted(seed_h, keys)
+    is_seed = (pos < len(seed_h)) & (
+        seed_h[np.minimum(pos, len(seed_h) - 1)] == keys
+    )
+    n_seeds = int(is_seed.sum())
+    return np.where(
+        is_seed, (unit * len(keys)) // max(n_seeds, 1), 0
+    ).astype(np.int64)
+
+
 def _pagerank_local(et: pa.Table, iters: int, damping_pct: int,
-                    scale: int) -> pa.Table:
+                    scale: int, seed_h: np.ndarray | None = None) -> pa.Table:
     """Driver-local integer PageRank over one Arrow edge table —
     bit-identical to the distributed loop (same searchsorted vertex
-    index, same ``//`` truncations, order-free integer sums)."""
+    index, same ``//`` truncations, order-free integer sums).  With
+    ``seed_h`` the base term is the personalized teleport VECTOR
+    (`_seed_base_vec`) instead of the uniform scalar — the update line
+    is unchanged (numpy broadcasting)."""
     hh = np.concatenate(
         [
             et["src_h"].to_numpy(zero_copy_only=False),
@@ -275,7 +300,8 @@ def _pagerank_local(et: pa.Table, iters: int, damping_pct: int,
     keys, first = np.unique(hh, return_index=True)
     hosts = [names[i] for i in first]
     ranks = np.full(len(keys), scale, dtype=np.int64)
-    base = scale * (100 - damping_pct) // 100
+    unit = scale * (100 - damping_pct) // 100
+    base = unit if seed_h is None else _seed_base_vec(keys, seed_h, unit)
     if et.num_rows:
         src_idx = np.searchsorted(
             keys, et["src_h"].to_numpy(zero_copy_only=False)
@@ -300,7 +326,7 @@ def _pagerank_local(et: pa.Table, iters: int, damping_pct: int,
             ranks = base + (damping_pct * inbound) // 100
     else:
         for _ in range(iters):
-            ranks = np.full(len(keys), base, dtype=np.int64)
+            ranks = np.zeros(len(keys), dtype=np.int64) + base
     return pa.table(
         {
             "host": pa.array(hosts, pa.string()),
@@ -431,8 +457,43 @@ def _pr_contrib_sharded(edges_b: pa.Table, state_b: pa.Table, n: int):
     return out
 
 
+def _pr_shard_counts(state_b: pa.Table, seed_h: np.ndarray) -> tuple:
+    """(n_vertices, n_in-graph-seeds) of one state shard — the tiny
+    pre-count round that gives the sharded PPR tier its GLOBAL
+    n_hosts/n_seeds scalars without any vertex-sized driver state."""
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    if not len(keys) or not len(seed_h):
+        return len(keys), 0
+    pos = np.searchsorted(seed_h, keys)
+    hit = (pos < len(seed_h)) & (
+        seed_h[np.minimum(pos, len(seed_h) - 1)] == keys
+    )
+    return len(keys), int(hit.sum())
+
+
+def _pr_shard_base(
+    state_b: pa.Table, seed_h: np.ndarray, unit: int,
+    n_hosts: int, n_seeds: int,
+) -> np.ndarray:
+    """Per-shard personalized teleport column, aligned with the shard's
+    (order-stable) vertex rows; the seed set is the only broadcast —
+    input-sized, never vertex-sized."""
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    if not len(keys):
+        return np.zeros(0, np.int64)
+    if not len(seed_h):
+        return np.zeros(len(keys), np.int64)
+    pos = np.searchsorted(seed_h, keys)
+    is_seed = (pos < len(seed_h)) & (
+        seed_h[np.minimum(pos, len(seed_h) - 1)] == keys
+    )
+    return np.where(
+        is_seed, (unit * n_hosts) // max(n_seeds, 1), 0
+    ).astype(np.int64)
+
+
 def _pr_apply_sharded(
-    state_b: pa.Table, base: int, damping_pct: int, *parts: pa.Table
+    state_b: pa.Table, base, damping_pct: int, *parts: pa.Table
 ) -> pa.Table:
     live = [t for t in parts if t.num_rows]
     keys = state_b["h"].to_numpy(zero_copy_only=False)
@@ -460,7 +521,7 @@ def _pr_apply_sharded(
 
 def _pr_distributed_sharded(
     edge_block_refs, iters: int, damping_pct: int, scale: int,
-    n_buckets: int = 32,
+    n_buckets: int = 32, seed_h: np.ndarray | None = None,
 ) -> pa.Table:
     """Fully bucket-sharded PageRank iteration — NO vertex-sized driver
     or broadcast structure (the scale path past the documented
@@ -495,7 +556,26 @@ def _pr_distributed_sharded(
         init_s.remote(scale, *[f[n_buckets + k] for f in flats])
         for k in range(n_buckets)
     ]
-    base = scale * (100 - damping_pct) // 100
+    unit = scale * (100 - damping_pct) // 100
+    if seed_h is None:
+        base_refs = [unit] * n_buckets
+    else:
+        # personalized teleport: one tiny count round for the GLOBAL
+        # n_hosts/n_seeds scalars, then a per-shard base column aligned
+        # with the (order-stable) shard rows — the only broadcast is
+        # the seed set itself
+        counts_t = ray.remote(num_cpus=1)(_pr_shard_counts)
+        base_t = ray.remote(num_cpus=1)(_pr_shard_base)
+        s_ref = ray.put(seed_h)
+        cnt = ray.get(
+            [counts_t.remote(state_refs[k], s_ref) for k in range(n_buckets)]
+        )
+        n_hosts = sum(c[0] for c in cnt)
+        n_seeds = sum(c[1] for c in cnt)
+        base_refs = [
+            base_t.remote(state_refs[k], s_ref, unit, n_hosts, n_seeds)
+            for k in range(n_buckets)
+        ]
     for _ in range(iters):
         grids = [
             contrib.options(num_returns=n_buckets).remote(
@@ -505,7 +585,8 @@ def _pr_distributed_sharded(
         ]
         state_refs = [
             apply_s.remote(
-                state_refs[k], base, damping_pct, *[g[k] for g in grids]
+                state_refs[k], base_refs[k], damping_pct,
+                *[g[k] for g in grids]
             )
             for k in range(n_buckets)
         ]
@@ -531,6 +612,7 @@ def pagerank_hosts(
     num_buckets: int = 64,
     driver_max_edges: int = 5_000_000,
     shard_min_edges: int = 500_000_000,
+    seed_hosts=None,
 ):
     """distinct host edges (from ``host_edges``) → (host, rank_micros).
 
@@ -547,14 +629,30 @@ def pagerank_hosts(
     ``ray.put`` per iteration — fine to ~10^8 hosts); past
     ``shard_min_edges`` the fully bucket-sharded
     ``_pr_distributed_sharded`` path, which holds NO vertex-sized
-    state anywhere (10^9-host framing)."""
+    state anywhere (10^9-host framing).
+
+    ``seed_hosts`` switches every tier to PERSONALIZED PageRank
+    (topic-sensitive teleport): the base term becomes
+    ``unit·n_hosts // n_seeds`` on in-graph seeds and 0 elsewhere —
+    the update line is unchanged, so the three tiers stay
+    bit-identical (forced-path PPR test)."""
     import ray
 
+    seed_h = None
+    if seed_hosts is not None:
+        seed_h = np.sort(
+            np.unique(
+                np.array(
+                    [_h64(s) for s in set(seed_hosts)], dtype=np.uint64
+                )
+            )
+        )
     edges = edges.materialize()  # iterated over `iters` times
     n_edges = edges.count()
     if n_edges > shard_min_edges:
         return _pr_distributed_sharded(
-            list(edges.to_arrow_refs()), iters, damping_pct, scale
+            list(edges.to_arrow_refs()), iters, damping_pct, scale,
+            seed_h=seed_h,
         )
     # adaptive: below the edge threshold the whole iteration loop runs
     # driver-local (identical integer math — pinned by a forced-path
@@ -575,14 +673,15 @@ def pagerank_hosts(
                 }
             )
         )
-        return _pagerank_local(et, iters, damping_pct, scale)
+        return _pagerank_local(et, iters, damping_pct, scale, seed_h)
     merge_task = ray.remote(num_cpus=1)(_merge_parts)
     # the skinny vertex state: sorted u64 keys + int64 ranks (driver/
     # plasma-sized by design — see module docstring for the boundary);
     # collected via per-batch distinct pairs, NOT a groupby shuffle
     hosts, keys = _collect_verts(edges)
     ranks = np.full(len(keys), scale, dtype=np.int64)
-    base = scale * (100 - damping_pct) // 100
+    unit = scale * (100 - damping_pct) // 100
+    base = unit if seed_h is None else _seed_base_vec(keys, seed_h, unit)
 
     @ray.remote(num_cpus=1)
     def contrib(batch: pa.Table, k: np.ndarray, r: np.ndarray) -> pa.Table:
@@ -652,6 +751,20 @@ def pagerank_hosts(
             "rank_micros": pa.array(ranks, pa.int64()),
         }
     )
+
+
+def personalized_pagerank_hosts(edges, seed_hosts, **kw):
+    """Personalized / topic-sensitive PageRank (Haveliwala, WWW 2002)
+    over the host graph: the teleport mass lands ONLY on the seed set
+    (e.g. hosts with confirmed career pages), so rank measures
+    link-proximity to the seeds — the focused-crawl frontier signal
+    and the seed-expansion step of a topical corpus curator.
+
+    Thin wrapper: `pagerank_hosts(seed_hosts=...)` — all three
+    bit-identical tiers (driver-local / broadcast-loop / fully
+    sharded) handle the per-vertex teleport base; the DuckDB oracle
+    unrolls the same integer recurrence with a seeds⋈hosts CTE."""
+    return pagerank_hosts(edges, seed_hosts=seed_hosts, **kw)
 
 
 def _hits_norm_div(raw: np.ndarray, scale: int) -> int:

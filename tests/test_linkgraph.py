@@ -644,3 +644,68 @@ def test_kcore_hand_computed_and_tiers(ray_session):
         .sort_values("host", ignore_index=True)
     )
     assert dist.equals(loc)
+
+
+def test_personalized_pagerank_tiers_and_hand_math(ray_session):
+    """PPR: teleport mass only on in-graph seeds; the three tiers are
+    bit-identical; out-of-graph seeds don't count toward n_seeds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        _h64,
+        pagerank_hosts,
+        personalized_pagerank_hosts,
+    )
+
+    src = ["a.com", "b.com", "c.com", "d.com"]
+    dst = ["b.com", "c.com", "a.com", "a.com"]
+    sh = np.array([_h64(s) for s in src], np.uint64)
+    dh = np.array([_h64(d) for d in dst], np.uint64)
+    et = pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "src_h": pa.array(sh, pa.uint64()),
+            "dst_h": pa.array(dh, pa.uint64()),
+            "outdeg": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(et)
+    seeds = ["c.com", "zz-not-in-graph.com"]
+    local = (
+        personalized_pagerank_hosts(ds, seeds, iters=2)
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    # n_hosts=4, in-graph seeds={c} -> base_c = 150000*4//1 = 600000
+    # r1: a = 0 + 85*(1e6 + 1e6)//100 = 1_700_000 (from c and d)
+    #     b = 0 + 85*1e6//100 = 850_000; c = 600000 + 850_000 = 1_450_000
+    #     d = 0
+    # r2: a = 85*1_450_000//100 = 1_232_500; b = 85*1_700_000//100
+    #     c = 600000 + 85*850_000//100 = 1_322_500; d = 0
+    assert local["a.com"] == 1_232_500
+    assert local["b.com"] == 1_445_000
+    assert local["c.com"] == 1_322_500
+    assert local["d.com"] == 0
+
+    bcast = (
+        personalized_pagerank_hosts(ds, seeds, iters=2, driver_max_edges=0)
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    shard = (
+        personalized_pagerank_hosts(ds, seeds, iters=2, shard_min_edges=0)
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    assert local.sort_index().equals(bcast.sort_index())
+    assert local.sort_index().equals(shard.sort_index())
+    # uniform pagerank untouched by the seed plumbing
+    u1 = pagerank_hosts(ds, iters=2).to_pandas()
+    u2 = pagerank_hosts(ds, iters=2, shard_min_edges=0).to_pandas()
+    assert (
+        u1.sort_values("host", ignore_index=True)
+        .equals(u2.sort_values("host", ignore_index=True))
+    )
