@@ -1617,6 +1617,34 @@ def _q_doc_nb_classify(sf_dir: str):
     return nb_classify(ds, state)
 
 
+def _q_doc_nb_model_sparse(sf_dir: str):
+    """Driver-state-free NB training tier: (lang, term) counts merge
+    and derive weights inside term-hash buckets (no vocab-sized driver
+    state — the `nb_train` docstring's declared boundary, closed).
+    Output = the OBSERVED-pair sparse model + prior rows."""
+    from crawler_ai_ray.stages.textstats import nb_train_sparse
+
+    model_ds, _ = nb_train_sparse(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+    return model_ds
+
+
+def _q_doc_nb_classify_bucketed(sf_dir: str):
+    """Sparse-model NB apply: model rows and doc TF rows meet in
+    term-hash buckets (floor-delta integer identity with the dense
+    grid), roll up in doc-id buckets — bit-equal predictions to
+    `doc_nb_classify` with zero vocab-sized broadcast."""
+    from crawler_ai_ray.stages.textstats import (
+        nb_classify_bucketed,
+        nb_train_sparse,
+    )
+
+    ds = _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model_ds, scalars = nb_train_sparse(ds)
+    return nb_classify_bucketed(ds, model_ds, scalars)
+
+
 def _q_doc_langid_confusion(sf_dir: str):
     """Language-ID evaluation: labeled-vs-predicted confusion counts —
     the standard classifier-eval rollup over the langid stage.  The
@@ -3255,6 +3283,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap_coverage": _q_crawl_sitemap_coverage,
         "doc_nb_train": _q_doc_nb_train,
         "doc_nb_classify": _q_doc_nb_classify,
+        "doc_nb_model_sparse": _q_doc_nb_model_sparse,
+        "doc_nb_classify_bucketed": _q_doc_nb_classify_bucketed,
         "crawl_frontier_depth": _q_crawl_frontier_depth,
         "events_transitions": _rel("events_transitions"),
         "doc_sample": _q_doc_sample,
@@ -3404,6 +3434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jobs_user_summary",
         # NEW this round (never checked): IVF diagnostics + seeded PPR
         "emb_cluster_profile", "emb_centroid_outliers", "crawl_host_ppr",
+        # NEW this round: driver-state-free NB tier (sparse model +
+        # bucketed classify; bit-equal to the dense path)
+        "doc_nb_model_sparse", "doc_nb_classify_bucketed",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -4195,7 +4228,7 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY revenue_cents DESC, c_custkey ASC
     LIMIT 10"""
 
-    return {
+    sql = {
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
             f"SELECT url, text_crawldata FROM read_parquet('{golden}')"
@@ -4692,6 +4725,31 @@ def oracle_sql() -> dict[str, str]:
               FROM scores)
             SELECT d.doc_id, d.lang, r.cand AS pred_nb
             FROM r JOIN documents d USING (doc_id) WHERE rk = 1""",
+        # sparse tier: the OBSERVED (lang, term) pairs of the dense
+        # grid (inner JOIN c instead of the CROSS-JOIN grid) + priors
+        "doc_nb_model_sparse": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            c AS (SELECT lang, term, count(*)::BIGINT AS c
+                  FROM tok GROUP BY 1, 2),
+            nl AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            dl AS (SELECT lang, count(*)::BIGINT AS nd
+                   FROM documents GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS td FROM documents),
+            v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tok)
+            SELECT c.lang, c.term,
+                   CAST(FLOOR(ln((c.c + 1)::DOUBLE / (nl.n + v.v))
+                              * 1000000 + 0.5) AS BIGINT)
+                     AS weight_micros
+            FROM c JOIN nl USING (lang) CROSS JOIN v
+            UNION ALL
+            SELECT dl.lang, '' AS term,
+                   CAST(FLOOR(ln(dl.nd::DOUBLE / tot.td) * 1000000 + 0.5)
+                        AS BIGINT)
+            FROM dl CROSS JOIN tot""",
         "events_anomaly": """
             WITH b AS (
               SELECT min(date_trunc('hour', ts)) AS lo,
@@ -6104,3 +6162,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.has_r = 1
             GROUP BY 1, 2""",
     }
+    # the bucketed classify is bit-equal to the dense path by integer
+    # identity (floor-delta decomposition) — one oracle serves both
+    sql["doc_nb_classify_bucketed"] = sql["doc_nb_classify"]
+    return sql

@@ -2358,6 +2358,508 @@ def nb_classify(ds, model_state, text_col: str = "text"):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def nb_train_sparse(
+    ds,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    num_buckets: int = 64,
+):
+    """Driver-state-free tier of `nb_train` (closes that docstring's
+    declared vocab boundary): the (lang, term) count state merges
+    inside term-hash buckets — the `_commonness_bucketed` treatment —
+    and the weights are DERIVED in those same buckets, so the only
+    driver state is per-lang scalars (token totals, doc counts,
+    priors, absent-pair floors) plus the global distinct-term count V
+    (summed from per-bucket distincts; a term lives in exactly one
+    bucket, so the sum is exact).
+
+    Returns ``(model_ds, scalars)``:
+      * ``model_ds`` — Dataset of (lang, term, weight_micros) for the
+        OBSERVED (lang, term) pairs plus per-lang prior rows
+        (term = ''): the sparse complement of `nb_train`'s dense
+        lang × vocab grid (absent pairs are implied by the floor);
+      * ``scalars = (langs, priors, floors)`` — ``floors[i]`` is the
+        +1-smoothed absent-pair weight
+        ``floor(ln(1/(n_i+V))·1e6+0.5)``, the dense grid's fill value,
+        which `nb_classify_bucketed` re-adds for in-vocab terms unseen
+        in lang i.  ``langs`` is sorted (the dense tie order).
+    Weight math is `math.log` per merged row — the same libm call the
+    dense tier makes — so observed-pair weights and downstream scores
+    are bit-equal (path-agreement test)."""
+    import math
+
+    import ray
+
+    nb = num_buckets
+
+    def _empty_partial() -> pa.Table:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less empty blocks (CLAUDE.md)
+            return _empty_partial()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        langs_col = batch[lang_col]
+        if isinstance(langs_col, pa.ChunkedArray):
+            langs_col = langs_col.combine_chunks()
+        t = pa.table(
+            {
+                "lang": langs_col.take(parent.filter(keep)),
+                "term": flat.filter(keep),
+            }
+        )
+        agg = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        th = _term_h64_arr(agg["term"].to_pylist())
+        dl = (
+            pa.table({"lang": batch[lang_col]})
+            .group_by("lang")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": pa.concat_arrays(
+                    [
+                        agg["lang"].combine_chunks(),
+                        dl["lang"].combine_chunks(),
+                    ]
+                ),
+                "term": pa.concat_arrays(
+                    [
+                        agg["term"].combine_chunks(),
+                        pa.array([None] * dl.num_rows, pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pc.cast(
+                            agg["count_all"], pa.int64()
+                        ).combine_chunks(),
+                        pc.cast(
+                            dl["count_all"], pa.int64()
+                        ).combine_chunks(),
+                    ]
+                ),
+                "bucket": pa.array(
+                    np.concatenate(
+                        [
+                            (th % nb).astype(np.int32),
+                            np.full(dl.num_rows, -1, np.int32),
+                        ]
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        """One bucket's complete partials → unique (lang, term, n_sum)
+        rows.  Term buckets also emit one (NULL, NULL, V_bucket)
+        distinct-count row (complete here — nowhere else is a bucket's
+        term set whole); bucket -1 holds the per-lang doc counts."""
+        agg = group.group_by(["lang", "term"]).aggregate([("n", "sum")])
+        out = pa.table(
+            {
+                "lang": agg["lang"],
+                "term": agg["term"],
+                "n": pc.cast(agg["n_sum"], pa.int64()),
+            }
+        )
+        if group["bucket"][0].as_py() >= 0:
+            v_bucket = pc.count_distinct(agg["term"]).as_py()
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "lang": pa.array([None], pa.string()),
+                            "term": pa.array([None], pa.string()),
+                            "n": pa.array([v_bucket], pa.int64()),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # scalar reduce: additive (lang, kind) partials only — L-sized
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lang_null = pc.is_null(batch["lang"]).to_numpy(
+            zero_copy_only=False
+        )
+        term_null = pc.is_null(batch["term"]).to_numpy(
+            zero_copy_only=False
+        )
+        # kind 0 = token count (term rows), 1 = doc count (lang-only
+        # rows), 2 = distinct-vocab partial (all-null rows)
+        kind = np.where(lang_null, 2, np.where(term_null, 1, 0))
+        t = pa.table(
+            {
+                "lang": pc.fill_null(batch["lang"], ""),
+                "kind": pa.array(kind.astype(np.int32), pa.int32()),
+                "n": batch["n"],
+            }
+        )
+        agg = t.group_by(["lang", "kind"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "kind": agg["kind"],
+                "n": pc.cast(agg["n_sum"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            merged.map_batches(
+                summarize, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tok_totals: dict[str, int] = {}
+    doc_counts: dict[str, int] = {}
+    v_total = 0
+    if parts:
+        s = (
+            pa.concat_tables(parts)
+            .group_by(["lang", "kind"])
+            .aggregate([("n", "sum")])
+        )
+        for lg, kd, n in zip(
+            s["lang"].to_pylist(),
+            s["kind"].to_pylist(),
+            s["n_sum"].to_pylist(),
+        ):
+            if kd == 2:
+                v_total += n
+            elif kd == 1:
+                doc_counts[lg] = n
+            else:
+                tok_totals[lg] = n
+
+    langs = sorted(doc_counts)
+    total_docs = sum(doc_counts.values())
+    denoms = {
+        lg: tok_totals.get(lg, 0) + v_total for lg in langs
+    }
+    floors = [
+        (
+            math.floor(math.log(1.0 / denoms[lg]) * 1e6 + 0.5)
+            if denoms[lg] > 0
+            else 0
+        )
+        for lg in langs
+    ]
+    priors = [
+        math.floor(math.log(doc_counts[lg] / total_docs) * 1e6 + 0.5)
+        for lg in langs
+    ]
+
+    def weights(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("term", pa.string()),
+                ("weight_micros", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        keep = pc.and_(
+            pc.is_valid(batch["lang"]), pc.is_valid(batch["term"])
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        w = [
+            math.floor(
+                math.log((n + 1.0) / denoms[lg]) * 1e6 + 0.5
+            )
+            for lg, n in zip(
+                t["lang"].to_pylist(), t["n"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "term": t["term"],
+                "weight_micros": pa.array(w, pa.int64()),
+            }
+        )
+
+    prior_tbl = pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "term": pa.array([""] * len(langs), pa.string()),
+            "weight_micros": pa.array(priors, pa.int64()),
+        }
+    )
+    model_ds = merged.map_batches(
+        weights, batch_format="pyarrow"
+    ).union(ray.data.from_arrow(prior_tbl))
+    return model_ds, (langs, priors, floors)
+
+
+def nb_classify_bucketed(
+    ds,
+    model_ds,
+    scalars,
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """→ (doc_id, lang, pred_nb) bit-equal to `nb_classify` without
+    the vocab-sized broadcast: for in-vocab terms,
+    ``Σ tf·W[L,t] = floor_L·(Σ tf) + Σ tf·(W[L,t] − floor_L)`` is an
+    exact integer identity with the dense grid (absent pairs carry the
+    floor), so sparse model rows and doc TF rows meet in term-hash
+    buckets, pre-aggregate per (doc, lang-index), and roll up in
+    doc-id buckets where the L-scalar priors/floors finish the argmax
+    (ties → earlier lang in sorted order — the dense rule)."""
+    import ray
+
+    langs, priors, floors = scalars
+    lcount = len(langs)
+    lpos = {lg: i for i, lg in enumerate(langs)}
+    floors_np = np.array(floors, dtype=np.int64)
+    priors_np = np.array(priors, dtype=np.int64)
+    langs_np = np.array(langs, dtype=object)
+    nb = num_buckets
+
+    def _empty_tagged() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.uint64()),
+                "li": pa.array([], pa.int32()),
+                "v": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def tag_model(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_tagged()
+        t = batch.filter(pc.not_equal(batch["term"], ""))
+        if t.num_rows == 0:
+            return _empty_tagged()
+        h = _term_h64_arr(t["term"].to_pylist())
+        li = np.array(
+            [lpos[lg] for lg in t["lang"].to_pylist()], dtype=np.int32
+        )
+        w = t["weight_micros"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.full(len(h), -1, np.int64), pa.int64()
+                ),
+                "h": pa.array(h, pa.uint64()),
+                "li": pa.array(li, pa.int32()),
+                "v": pa.array(w - floors_np[li], pa.int64()),
+                "lang": pa.array([None] * len(h), pa.string()),
+                "bucket": pa.array(
+                    (h % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        tf = _tf_rows_batch(batch, num_buckets=1)
+        if tf.num_rows == 0:
+            return _empty_tagged()
+        h = _term_h64_arr(tf["term"].to_pylist())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ids)
+        doc_langs = np.array(
+            batch["lang"].to_pylist(), dtype=object
+        )[order]
+        td = tf["doc_id"].to_numpy(zero_copy_only=False)
+        lang_of = doc_langs[np.searchsorted(ids[order], td)]
+        return pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "h": pa.array(h, pa.uint64()),
+                "li": pa.array(
+                    np.full(len(h), -1, np.int32), pa.int32()
+                ),
+                "v": tf["tf"],
+                "lang": pa.array(lang_of.tolist(), pa.string()),
+                "bucket": pa.array(
+                    (h % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        li = group["li"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_model = doc < 0
+        mh, mli, mv = h[is_model], li[is_model], v[is_model]
+        o = np.argsort(mh, kind="stable")
+        mh, mli, mv = mh[o], mli[o], mv[o]
+        td, th, tv = doc[~is_model], h[~is_model], v[~is_model]
+        tlang = np.array(
+            group["lang"].to_pylist(), dtype=object
+        )[~is_model]
+        lo = np.searchsorted(mh, th, "left")
+        hi = np.searchsorted(mh, th, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(th), dtype=np.int64), cnt)
+        idx = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        inv = cnt > 0  # in-vocab TF rows (term observed in ANY lang)
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([td[rep], td[inv]]), pa.int64()
+                ),
+                "lang": pa.array(
+                    np.concatenate([tlang[rep], tlang[inv]]).tolist(),
+                    pa.string(),
+                ),
+                "li": pa.array(
+                    np.concatenate(
+                        [mli[idx], np.full(int(inv.sum()), -2, np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "s": pa.array(
+                    np.concatenate([tv[rep] * mv[idx], tv[inv]]),
+                    pa.int64(),
+                ),
+            }
+        )
+        agg = t.group_by(["doc_id", "lang", "li"]).aggregate(
+            [("s", "sum")]
+        )
+        dids = agg["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "lang": agg["lang"],
+                "li": agg["li"],
+                "s": pc.cast(agg["s_sum"], pa.int64()),
+                "dbucket": pa.array(
+                    (dids % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "li": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.int64()),
+                    "dbucket": pa.array([], pa.int32()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": batch["lang"],
+                "li": pa.array(
+                    np.full(len(ids), -3, np.int32), pa.int32()
+                ),
+                "s": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "dbucket": pa.array(
+                    (ids % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rollup(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_id", "lang", "li"]).aggregate(
+            [("s", "sum")]
+        )
+        dids = agg["doc_id"].to_numpy(zero_copy_only=False)
+        lis = agg["li"].to_numpy(zero_copy_only=False)
+        ss = agg["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        udocs, dcode = np.unique(dids, return_inverse=True)
+        n = len(udocs)
+        scores = np.tile(priors_np, (n, 1))
+        inv_rows = lis == -2
+        if inv_rows.any():
+            inv_tot = np.zeros(n, np.int64)
+            np.add.at(inv_tot, dcode[inv_rows], ss[inv_rows])
+            scores += inv_tot[:, None] * floors_np[None, :]
+        part = lis >= 0
+        if part.any():
+            np.add.at(
+                scores, (dcode[part], lis[part]), ss[part]
+            )
+        best = np.argmax(scores, axis=1)
+        # lang per doc: any row carries it (functionally dependent)
+        lang_by_doc = np.empty(n, dtype=object)
+        lang_by_doc[dcode] = np.array(
+            agg["lang"].to_pylist(), dtype=object
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(udocs, pa.int64()),
+                "lang": pa.array(lang_by_doc.tolist(), pa.string()),
+                "pred_nb": pa.array(
+                    langs_np[best].tolist(), pa.string()
+                ),
+            }
+        )
+
+    unioned = model_ds.map_batches(
+        tag_model, batch_format="pyarrow"
+    ).union(ds.map_batches(tag_tf, batch_format="pyarrow"))
+    stage1 = unioned.groupby("bucket").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+    return (
+        stage1.union(ds.map_batches(anchors, batch_format="pyarrow"))
+        .groupby("dbucket")
+        .map_groups(rollup, batch_format="pyarrow")
+    )
+
+
 # --- winnowing fingerprints (MOSS, Schleimer et al. 2003) -----------------
 
 _WORD_RE_PY = re.compile(r"[a-z]+")

@@ -2912,3 +2912,111 @@ def test_cluster_profile_and_outliers_partition_invariant(ray_session):
     sims = oa["sim_micros"].to_pylist()
     assert sims == sorted(sims)  # farthest-first ordering
     assert oa["rank"].to_pylist() == list(range(1, 16))
+
+
+def test_nb_sparse_bucketed_path_agreement(ray_session):
+    """The driver-state-free NB tier (sparse bucket-derived model +
+    bucketed classify) must be bit-equal to the dense broadcast path:
+    observed-pair weights match the dense grid entries, scalars match,
+    and predictions agree on a random multi-lang corpus — including
+    docs with zero tokens and docs with zero in-vocab evidence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import (
+        nb_classify,
+        nb_classify_bucketed,
+        nb_train,
+        nb_train_sparse,
+    )
+
+    rng = np.random.default_rng(17)
+    vocabs = {
+        "en": np.array(["alpha", "beta", "cat", "dog", "house"]),
+        "gr": np.array(["gamma", "delta", "ouzo", "pita"]),
+        "vn": np.array(["pho", "banh", "hanoi"]),
+    }
+    ids, texts, langs = [], [], []
+    i = 0
+    for lg, vb in vocabs.items():
+        for _ in range(60):
+            n = int(rng.integers(0, 12))  # 0 → tokenless doc
+            # only en docs borrow (from gr): vn × foreign pairs stay
+            # ABSENT, exercising the floor fill on both paths
+            mix = lg == "en" and rng.random() < 0.3
+            pool = (
+                np.concatenate([vocabs["en"], vocabs["gr"]])
+                if mix
+                else vb
+            )
+            texts.append(" ".join(rng.choice(pool, size=n)))
+            langs.append(lg)
+            ids.append(i)
+            i += 1
+    # punctuation-only doc: tokenizes to nothing
+    ids.append(i), texts.append("!!! 123 ???"), langs.append("en")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(7)
+
+    dense_tbl, state = nb_train(ds)
+    d_langs, d_vocab, W, d_priors = state
+    model_ds, scalars = nb_train_sparse(ds)
+    s_langs, s_priors, s_floors = scalars
+    assert s_langs == d_langs
+    assert list(s_priors) == [int(p) for p in d_priors]
+    # floors equal the dense grid's absent-pair fill value per lang
+    dense = dense_tbl.to_pandas()
+    sparse = (
+        model_ds.to_pandas()
+        .sort_values(["lang", "term"], ignore_index=True)
+    )
+    dense_map = {
+        (r.lang, r.term): r.weight_micros for r in dense.itertuples()
+    }
+    for r in sparse.itertuples():
+        assert dense_map[(r.lang, r.term)] == r.weight_micros
+    # every sparse term row is an OBSERVED pair: strictly above floor
+    fl = dict(zip(s_langs, s_floors))
+    for r in sparse.itertuples():
+        if r.term:
+            assert r.weight_micros >= fl[r.lang]
+    # absent-pair floor check: a dense grid entry not in the sparse
+    # set must equal the floor
+    sparse_keys = {
+        (r.lang, r.term) for r in sparse.itertuples() if r.term
+    }
+    absent = [
+        (lg, tm, wm)
+        for (lg, tm), wm in dense_map.items()
+        if tm and (lg, tm) not in sparse_keys
+    ]
+    assert absent, "test corpus should have absent (lang, term) pairs"
+    for lg, tm, wm in absent:
+        assert wm == fl[lg]
+
+    a = (
+        nb_classify(ds, state)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        nb_classify_bucketed(ds, model_ds, scalars)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(b) == len(ids)
+    assert a.equals(b)
+    # partition invariance of the bucketed path
+    c = (
+        nb_classify_bucketed(ds.repartition(3), model_ds, scalars)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(c)
