@@ -113,6 +113,73 @@ def _q_crawl_text_crawldata(sf_dir: str):
     return _text_extracted(sf_dir).select_columns(["url", "text_crawldata"])
 
 
+def _deboiler_base(sf_dir: str):
+    """(url, host, text_crawldata) — the crawler-flavoured text with a
+    vectorized host column (these URLs are ``scheme://host/...``, so
+    split('/')[2] IS the netloc — the ``crawl_snapshot_diff`` idiom)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("host", pa.string()),
+                    ("text_crawldata", pa.string()),
+                ]
+            ).empty_table()
+        host = pc.list_element(pc.split_pattern(batch["url"], "/"), 2)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": pc.cast(host, pa.string()),
+                "text_crawldata": batch["text_crawldata"],
+            }
+        )
+
+    return (
+        _text_extracted(sf_dir)
+        .select_columns(["url", "text_crawldata"])
+        .map_batches(add_host, batch_format="pyarrow")
+    )
+
+
+def _q_crawl_host_boilerplate(sf_dir: str):
+    """Per-host template profile: how much of a host's crawled text is
+    within-host boilerplate (a segment repeated on ≥3 of its pages) —
+    the template-detection signal a webtext curator reads before
+    deciding extraction rules.  DF reduce is an associative partial-sum
+    bucket shuffle of hashes only; text never shuffles."""
+    from crawler_ai_ray.stages.dedup import boilerplate_stats
+
+    t = boilerplate_stats(
+        _deboiler_base(sf_dir),
+        group_col="host",
+        id_col="url",
+        text_col="text_crawldata",
+    )
+    return t.rename_columns(
+        ["host"] + t.column_names[1:]
+    )
+
+
+def _q_crawl_text_deboiler(sf_dir: str):
+    """Host-boilerplate removal over the crawler-flavoured text
+    (CCNet-style repeated-window drop scoped WITHIN each host): every
+    occurrence of a segment seen on ≥3 of the host's pages is removed
+    and the survivors rejoined in order — the de-templating pass a
+    100 TB webtext pipeline runs between extraction and dedup."""
+    from crawler_ai_ray.stages.dedup import boilerplate_removal
+
+    return boilerplate_removal(
+        _deboiler_base(sf_dir),
+        group_col="host",
+        id_col="url",
+        text_col="text_crawldata",
+    )
+
+
 def _q_crawl_classify(sf_dir: str):
     return _extracted(sf_dir).select_columns(
         ["url", "priority", "is_career_listing", "career_score", "is_job_url"]
@@ -3203,6 +3270,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # crawl / extraction (SURVEY §2.2-2.3, §3)
         "crawl_text_jobdetail": _q_crawl_text,
         "crawl_text_crawldata": _q_crawl_text_crawldata,
+        "crawl_host_boilerplate": _q_crawl_host_boilerplate,
+        "crawl_text_deboiler": _q_crawl_text_deboiler,
         "crawl_classify": _q_crawl_classify,
         "crawl_emails": _q_crawl_emails,
         "crawl_phones_vn": _q_crawl_phones,
@@ -3437,6 +3506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW this round: driver-state-free NB tier (sparse model +
         # bucketed classify; bit-equal to the dense path)
         "doc_nb_model_sparse", "doc_nb_classify_bucketed",
+        # NEW this round: within-host boilerplate (template) removal
+        "crawl_host_boilerplate", "crawl_text_deboiler",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -4228,11 +4299,61 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY revenue_cents DESC, c_custkey ASC
     LIMIT 10"""
 
+    # within-host boilerplate oracle: the segment unit, DF rule and text
+    # rebuild re-derived ENTIRELY in SQL from the golden text (the engine
+    # shuffles only 64-bit hashes; the oracle compares segment STRINGS,
+    # so a hash collision or bucket-count bug breaks the hash gate)
+    boiler_cte = f"""
+        WITH pages AS (
+          SELECT url, lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                 COALESCE(text_crawldata, '') AS text
+          FROM read_parquet('{golden}')),
+        words AS (SELECT url, host, string_split(text, ' ') AS w
+                  FROM pages),
+        segidx AS (SELECT url, host, w, unnest(range(0, len(w), 10)) AS s
+                   FROM words),
+        segs AS MATERIALIZED (
+          SELECT url, host, (s // 10)::INT AS seg_idx,
+                 array_to_string(w[s+1:s+10], ' ') AS seg
+          FROM segidx),
+        df AS MATERIALIZED (
+          SELECT host, seg, count(DISTINCT url)::BIGINT AS df
+          FROM segs GROUP BY 1, 2),
+        boiler AS MATERIALIZED (SELECT host, seg FROM df WHERE df >= 3)"""
+
     sql = {
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
             f"SELECT url, text_crawldata FROM read_parquet('{golden}')"
         ),
+        "crawl_host_boilerplate": boiler_cte + """,
+            occ AS (
+              SELECT s.host, count(*)::BIGINT AS n_segments,
+                     sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_dropped
+              FROM segs s
+              LEFT JOIN boiler b ON b.host = s.host AND b.seg = s.seg
+              GROUP BY 1),
+            gd AS (
+              SELECT host, count(*)::BIGINT AS n_distinct_segments,
+                     sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_boiler_segments
+              FROM df GROUP BY 1),
+            np_ AS (SELECT host, count(*)::BIGINT AS n_pages
+                    FROM pages GROUP BY 1)
+            SELECT p.host, p.n_pages, o.n_segments, g.n_distinct_segments,
+                   g.n_boiler_segments, o.n_dropped
+            FROM np_ p JOIN occ o USING (host) JOIN gd g USING (host)""",
+        "crawl_text_deboiler": boiler_cte + """
+            SELECT s.url, s.host,
+                   COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                            FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+                   count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_dropped
+            FROM segs s
+            LEFT JOIN boiler b ON b.host = s.host AND b.seg = s.seg
+            GROUP BY s.url, s.host""",
         "crawl_classify": (
             "SELECT url, priority, is_career_listing, career_score, is_job_url "
             f"FROM read_parquet('{golden}')"

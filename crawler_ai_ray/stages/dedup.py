@@ -38,6 +38,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "md5_batch",
@@ -62,6 +63,9 @@ __all__ = [
     "segment_dedup",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "boilerplate_keys",
+    "boilerplate_removal",
+    "boilerplate_stats",
 ]
 
 
@@ -2463,4 +2467,379 @@ def winnow_neardup_pairs(
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(combine_pairs, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-group boilerplate removal (host-template text)
+# ---------------------------------------------------------------------------
+
+_BOILER_ROW_SCHEMA = pa.schema(
+    [
+        ("group_h", pa.uint64()),
+        ("key_h", pa.uint64()),
+        ("n", pa.int64()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+
+def _boiler_segs(text: str, seg_words: int) -> list[str]:
+    """Non-overlapping ``seg_words``-word windows of ``text.split(' ')``
+    — the ``segment_rows_batch`` unit, reproduced exactly by SQL
+    ``string_split`` + ``range(0, len(w), W)`` (empty text → one empty
+    segment on both sides)."""
+    words = (text or "").split(" ")
+    return [
+        " ".join(words[s : s + seg_words])
+        for s in range(0, len(words), seg_words)
+    ]
+
+
+def _boiler_finish(group: pa.Table, min_df: int) -> pa.Table:
+    """Exact per-key document frequency from associative partials (a
+    page's rows are emitted once, so ``sum(n)`` IS count-distinct-url),
+    then per-group rollup.  Emits a union table: ``kind 0`` = one row
+    per boilerplate key (df ≥ min_df), ``kind 1`` = one row per group
+    carrying its distinct-segment count in ``n``."""
+    agg = group.group_by(["group_h", "key_h"]).aggregate([("n", "sum")])
+    gh = agg["group_h"].to_numpy(zero_copy_only=False)
+    kh = agg["key_h"].to_numpy(zero_copy_only=False)
+    df = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hot = df >= min_df
+    g_u, g_cnt = np.unique(gh, return_counts=True)
+    return pa.table(
+        {
+            "group_h": pa.array(
+                np.concatenate([gh[hot], g_u]), pa.uint64()
+            ),
+            "key_h": pa.array(
+                np.concatenate(
+                    [kh[hot], np.zeros(len(g_u), dtype=np.uint64)]
+                ),
+                pa.uint64(),
+            ),
+            "n": pa.array(
+                np.concatenate([df[hot], g_cnt.astype(np.int64)]),
+                pa.int64(),
+            ),
+            "kind": pa.array(
+                np.concatenate(
+                    [
+                        np.zeros(int(hot.sum()), dtype=np.int8),
+                        np.ones(len(g_u), dtype=np.int8),
+                    ]
+                ),
+                pa.int8(),
+            ),
+        }
+    )
+
+
+def boilerplate_keys(
+    ds,
+    group_col: str = "host",
+    text_col: str = "text",
+    seg_words: int = 10,
+    min_df: int = 3,
+    num_buckets: int = 512,
+    driver_max_rows: int = 2_000_000,
+):
+    """(group, text) rows → (sorted u64 boilerplate-key array, per-group
+    stats table (group_h, n_distinct_segments, n_boiler_segments)).
+
+    CCNet-flavoured template detection (arXiv:1911.00359 dedups repeated
+    paragraphs; here the repetition scope is WITHIN a group — a host's
+    nav/footer template): a segment (fixed ``seg_words``-word window) is
+    boilerplate in its group when it occurs in ≥ ``min_df`` distinct
+    pages of that group.
+
+    Scale shape — page text never shuffles:
+    1. one streaming pass emits skinny per-page DISTINCT segment rows
+       (group_h, key_h = h64(group + '\\n' + seg), n=1), pre-summed per
+       batch (a page's rows live in one batch, so partial ``sum(n)`` is
+       exactly count-distinct-url — the DF reduce is associative and
+       needs no distinct shuffle);
+    2. DF + per-group rollup finish inside ``key_h % num_buckets``
+       groups (a key's partials all land in one bucket), or driver-local
+       below ``driver_max_rows`` partial rows (same ``_boiler_finish``
+       kernel — the adaptive tiny-input rule).
+    The returned key set is boilerplate-sized (df ≥ min_df segments
+    only).  Hash collisions can only FALSELY drop a segment
+    (P ≈ n²/2⁶⁵); the DuckDB oracle compares segment STRINGS, so the
+    correctness gate would catch one.
+    """
+    import ray
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _BOILER_ROW_SCHEMA.empty_table()
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        gh_l: list[int] = []
+        kh_l: list[int] = []
+        for g, t in zip(groups, texts):
+            gh = _seg_h64(g or "")
+            for seg in set(_boiler_segs(t, seg_words)):
+                gh_l.append(gh)
+                kh_l.append(_seg_h64((g or "") + "\n" + seg))
+        kh = np.array(kh_l, dtype=np.uint64)
+        t_ = pa.table(
+            {
+                "group_h": pa.array(
+                    np.array(gh_l, dtype=np.uint64), pa.uint64()
+                ),
+                "key_h": pa.array(kh, pa.uint64()),
+            }
+        )
+        agg = t_.group_by(["group_h", "key_h"]).aggregate(
+            [([], "count_all")]
+        )
+        kh2 = agg["key_h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "group_h": agg["group_h"],
+                "key_h": agg["key_h"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+                "bucket": pa.array(
+                    (kh2 % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    pre = ds.map_batches(rows, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_max_rows:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        merged = (
+            _boiler_finish(pa.concat_tables(blocks), min_df)
+            if blocks
+            else _boiler_finish(_BOILER_ROW_SCHEMA.empty_table(), min_df)
+        )
+        parts = [merged]
+    else:
+        out = (
+            pre.groupby("bucket")
+            .map_groups(
+                lambda g: _boiler_finish(g, min_df),
+                batch_format="pyarrow",
+            )
+        )
+        parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if parts:
+        cat = pa.concat_tables(parts)
+    else:
+        cat = _boiler_finish(_BOILER_ROW_SCHEMA.empty_table(), min_df)
+    kind = cat["kind"].to_numpy(zero_copy_only=False)
+    keys = np.sort(
+        cat["key_h"].to_numpy(zero_copy_only=False)[kind == 0]
+    )
+    bgh = cat["group_h"].to_numpy(zero_copy_only=False)
+    # per-group distinct counts (kind 1 partials sum exactly: a key's
+    # rows live in one bucket) and boilerplate counts (kind 0 rows)
+    s_gh = bgh[kind == 1]
+    s_n = cat["n"].to_numpy(zero_copy_only=False)[kind == 1]
+    g_u = np.unique(s_gh)
+    dist = np.zeros(len(g_u), dtype=np.int64)
+    np.add.at(dist, np.searchsorted(g_u, s_gh), s_n)
+    nboil = np.zeros(len(g_u), dtype=np.int64)
+    b_gh = bgh[kind == 0]
+    if len(b_gh):
+        np.add.at(nboil, np.searchsorted(g_u, b_gh), 1)
+    stats = pa.table(
+        {
+            "group_h": pa.array(g_u, pa.uint64()),
+            "n_distinct_segments": pa.array(dist, pa.int64()),
+            "n_boiler_segments": pa.array(nboil, pa.int64()),
+        }
+    )
+    return keys, stats
+
+
+def _boiler_rebuild_row(
+    g: str, t: str, seg_words: int, dk: np.ndarray
+) -> tuple[str, int, int]:
+    segs = _boiler_segs(t, seg_words)
+    kh = np.array(
+        [_seg_h64((g or "") + "\n" + s) for s in segs], dtype=np.uint64
+    )
+    if len(dk):
+        idx = np.searchsorted(dk, kh)
+        hit = (idx < len(dk)) & (dk[np.minimum(idx, len(dk) - 1)] == kh)
+    else:
+        hit = np.zeros(len(segs), dtype=bool)
+    clean = " ".join(s for s, d in zip(segs, hit) if not d)
+    return clean, len(segs), int(hit.sum())
+
+
+def boilerplate_removal(
+    ds,
+    group_col: str = "host",
+    id_col: str = "url",
+    text_col: str = "text",
+    seg_words: int = 10,
+    min_df: int = 3,
+    num_buckets: int = 512,
+    driver_max_rows: int = 2_000_000,
+):
+    """(id, group, text) → (id, group, clean_text, n_segments,
+    n_dropped): every occurrence of a within-group boilerplate segment
+    (see ``boilerplate_keys``) removed, survivors rejoined in order.
+
+    The boilerplate-key set broadcasts once via ``ray.put`` (8 B per
+    boilerplate segment — template-sized, NOT corpus-sized; a corpus
+    whose template set outgrows plasma would instead bucket-join the
+    keys against an id-bucketed rebuild pass, the ``segment_dedup``
+    alternative)."""
+    import ray
+
+    keys, _ = boilerplate_keys(
+        ds, group_col, text_col, seg_words, min_df, num_buckets,
+        driver_max_rows,
+    )
+    k_ref = ray.put(keys)
+    out_schema = pa.schema(
+        [
+            (id_col, pa.string()),
+            (group_col, pa.string()),
+            ("clean_text", pa.string()),
+            ("n_segments", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        dk = ray.get(k_ref)
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        clean: list[str] = []
+        nseg: list[int] = []
+        ndrop: list[int] = []
+        for g, t in zip(groups, texts):
+            c, ns, nd = _boiler_rebuild_row(g, t, seg_words, dk)
+            clean.append(c)
+            nseg.append(ns)
+            ndrop.append(nd)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.string()),
+                group_col: pa.array(groups, pa.string()),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "n_dropped": pa.array(ndrop, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def boilerplate_stats(
+    ds,
+    group_col: str = "host",
+    id_col: str = "url",
+    text_col: str = "text",
+    seg_words: int = 10,
+    min_df: int = 3,
+    num_buckets: int = 512,
+    driver_max_rows: int = 2_000_000,
+) -> pa.Table:
+    """Per-group boilerplate profile: (group, n_pages, n_segments,
+    n_distinct_segments, n_boiler_segments, n_dropped).  One extra
+    streaming pass over the text emits per-batch per-group partials
+    (group-sized — the combiner rule); the driver merges ≤ groups ×
+    blocks rows with one Arrow hash-agg."""
+    import ray
+
+    keys, gstats = boilerplate_keys(
+        ds, group_col, text_col, seg_words, min_df, num_buckets,
+        driver_max_rows,
+    )
+    k_ref = ray.put(keys)
+    part_schema = pa.schema(
+        [
+            ("group", pa.string()),
+            ("group_h", pa.uint64()),
+            ("n_pages", pa.int64()),
+            ("n_segments", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        dk = ray.get(k_ref)
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for g, t in zip(groups, texts):
+            _, ns, nd = _boiler_rebuild_row(g, t, seg_words, dk)
+            a = acc.setdefault(g or "", [0, 0, 0])
+            a[0] += 1
+            a[1] += ns
+            a[2] += nd
+        gs = sorted(acc)
+        return pa.table(
+            {
+                "group": pa.array(gs, pa.string()),
+                "group_h": pa.array(
+                    np.array([_seg_h64(g) for g in gs], dtype=np.uint64),
+                    pa.uint64(),
+                ),
+                "n_pages": pa.array([acc[g][0] for g in gs], pa.int64()),
+                "n_segments": pa.array(
+                    [acc[g][1] for g in gs], pa.int64()
+                ),
+                "n_dropped": pa.array(
+                    [acc[g][2] for g in gs], pa.int64()
+                ),
+            },
+            schema=part_schema,
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        cat = part_schema.empty_table()
+    else:
+        cat = pa.concat_tables(parts)
+    agg = cat.group_by(["group", "group_h"]).aggregate(
+        [("n_pages", "sum"), ("n_segments", "sum"), ("n_dropped", "sum")]
+    )
+    # join the bucket-derived distinct/boiler counts by group hash
+    g_u = gstats["group_h"].to_numpy(zero_copy_only=False)
+    agh = agg["group_h"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(g_u, agh) if len(g_u) else np.zeros(0, np.int64)
+    found = (
+        (idx < len(g_u)) & (g_u[np.minimum(idx, max(len(g_u) - 1, 0))] == agh)
+        if len(g_u)
+        else np.zeros(len(agh), dtype=bool)
+    )
+    dist = np.zeros(len(agh), dtype=np.int64)
+    nboil = np.zeros(len(agh), dtype=np.int64)
+    if len(g_u):
+        dist[found] = gstats["n_distinct_segments"].to_numpy(
+            zero_copy_only=False
+        )[idx[found]]
+        nboil[found] = gstats["n_boiler_segments"].to_numpy(
+            zero_copy_only=False
+        )[idx[found]]
+    return pa.table(
+        {
+            "group": agg["group"],
+            "n_pages": pc.cast(agg["n_pages_sum"], pa.int64()),
+            "n_segments": pc.cast(agg["n_segments_sum"], pa.int64()),
+            "n_distinct_segments": pa.array(dist, pa.int64()),
+            "n_boiler_segments": pa.array(nboil, pa.int64()),
+            "n_dropped": pc.cast(agg["n_dropped_sum"], pa.int64()),
+        }
     )

@@ -3020,3 +3020,92 @@ def test_nb_sparse_bucketed_path_agreement(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(c)
+
+
+def test_boilerplate_removal_planted_and_paths(ray_session):
+    """Within-group (host-template) boilerplate: planted template caught,
+    naive-reference agreement, and the forced bucketed path
+    (driver_max_rows=0) is bit-identical to the adaptive local one."""
+    import collections
+
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        _boiler_segs,
+        boilerplate_removal,
+        boilerplate_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for h in range(6):
+        host = f"h{h}.example"
+        tmpl = " ".join(rng.choice(vocab, 20))  # two aligned 10-word segs
+        n_pages = int(rng.integers(4, 9))
+        for p in range(n_pages):
+            body = " ".join(rng.choice(vocab, int(rng.integers(0, 35))))
+            text = f"{tmpl} {body}" if p != 0 else body  # template on n-1
+            rows.append(
+                {"url": f"http://{host}/p{p}", "host": host, "text": text}
+            )
+    ds = ray.data.from_items(rows)
+
+    got = (
+        boilerplate_removal(ds, "host", "url", "text")
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    # naive reference
+    df = collections.Counter()
+    for r in rows:
+        for s in set(_boiler_segs(r["text"], 10)):
+            df[(r["host"], s)] += 1
+    boiler = {k for k, v in df.items() if v >= 3}
+    assert boiler, "planted template must be boilerplate"
+    for r in rows:
+        segs = _boiler_segs(r["text"], 10)
+        kept = " ".join(s for s in segs if (r["host"], s) not in boiler)
+        row = got[got.url == r["url"]].iloc[0]
+        assert row["clean_text"] == kept
+        assert row["n_segments"] == len(segs)
+        assert row["n_dropped"] == sum(
+            (r["host"], s) in boiler for s in segs
+        )
+
+    # forced bucketed path ≡ adaptive local path (removal + stats)
+    forced = (
+        boilerplate_removal(
+            ds.repartition(5), "host", "url", "text",
+            num_buckets=16, driver_max_rows=0,
+        )
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got.equals(forced)
+    st = (
+        boilerplate_stats(ds, "host", "url", "text")
+        .to_pandas()
+        .sort_values("group", ignore_index=True)
+    )
+    st_forced = (
+        boilerplate_stats(
+            ds.repartition(5), "host", "url", "text",
+            num_buckets=16, driver_max_rows=0,
+        )
+        .to_pandas()
+        .sort_values("group", ignore_index=True)
+    )
+    assert st.equals(st_forced)
+    # stats cross-check against the removal output + naive DF table
+    for g, sub in got.groupby(got.url.str.split("/").str[2]):
+        row = st[st.group == g].iloc[0]
+        assert row["n_pages"] == len(sub)
+        assert row["n_segments"] == sub["n_segments"].sum()
+        assert row["n_dropped"] == sub["n_dropped"].sum()
+        assert row["n_boiler_segments"] == sum(
+            1 for (hh, _) in boiler if hh == g
+        )
+        assert row["n_distinct_segments"] == sum(
+            1 for (hh, _) in df if hh == g
+        )
