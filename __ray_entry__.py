@@ -281,6 +281,19 @@ def _q_crawl_host_ppr(sf_dir: str):
     return personalized_pagerank_hosts(host_edges(ext), seeds)
 
 
+def _q_crawl_host_communities(sf_dir: str):
+    """Host communities by deterministic synchronous label propagation
+    (Raghavan et al. 2007) on the undirected distinct host graph, 4
+    iterations, ties → lexicographically smallest label — the
+    site-cluster signal a corpus curator uses to diversify sampling or
+    cap per-community quotas.  The oracle unrolls the identical
+    recurrence as 4 QUALIFY-style CTEs over host STRINGS, so the
+    engine's string-rank integer labels are verified end-to-end."""
+    from crawler_ai_ray.stages.linkgraph import host_edges, lpa_communities
+
+    return lpa_communities(host_edges(_link_pages(sf_dir)))
+
+
 def _q_crawl_host_hits(sf_dir: str):
     """Host-graph HITS hubs-and-authorities (integer half-step
     fixed-point, 3 iterations, divide-only renormalization) over the
@@ -3279,6 +3292,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_ppr": _q_crawl_host_ppr,
         "crawl_host_hits": _q_crawl_host_hits,
+        "crawl_host_communities": _q_crawl_host_communities,
         "crawl_host_triangles": _q_crawl_host_triangles,
         "crawl_host_clustering": _q_crawl_host_clustering,
         "crawl_host_kcore": _q_crawl_host_kcore,
@@ -3506,8 +3520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW this round: driver-state-free NB tier (sparse model +
         # bucketed classify; bit-equal to the dense path)
         "doc_nb_model_sparse", "doc_nb_classify_bucketed",
-        # NEW this round: within-host boilerplate (template) removal
+        # NEW this round: within-host boilerplate (template) removal +
+        # LPA host communities
         "crawl_host_boilerplate", "crawl_text_deboiler",
+        "crawl_host_communities",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -3635,6 +3651,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1) s ON s.host = b.host)"""
     ppr_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
 
+    # LPA-communities oracle: unroll the SAME 4 synchronous
+    # mode-of-neighbor-labels iterations over host STRINGS (ties →
+    # smallest label = the engine's string-rank tie-break), then join
+    # community sizes.
+    lpa_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (
+          SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+          FROM ed),
+        nb AS MATERIALIZED (
+          SELECT a v, b u FROM und UNION ALL SELECT b, a FROM und),
+        hosts AS (SELECT DISTINCT v AS host FROM nb),
+        l0 AS (SELECT host, host AS label FROM hosts)"""
+    for _i in range(1, 5):
+        lpa_sql += f""",
+        l{_i} AS MATERIALIZED (
+          SELECT v AS host, label FROM (
+            SELECT n.v, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY n.v
+                                      ORDER BY count(*) DESC, l.label)
+                     AS rn
+            FROM nb n JOIN l{_i - 1} l ON l.host = n.u
+            GROUP BY n.v, l.label) WHERE rn = 1)"""
+    lpa_sql += """,
+        sz AS (SELECT label, count(*)::BIGINT AS s FROM l4 GROUP BY 1)
+        SELECT l4.host, l4.label AS community, sz.s AS community_size
+        FROM l4 JOIN sz ON sz.label = l4.label"""
 
     triangles_sql = f"""
         WITH e0 AS (
@@ -4413,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
                          2000)::BIGINT AS budget
             FROM pr""",
         "crawl_host_components": components_sql,
+        "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,
         # snapshot diff: both snapshots re-derived in SQL from the

@@ -50,6 +50,7 @@ __all__ = [
     "pagerank_hosts",
     "connected_components",
     "host_degrees",
+    "lpa_communities",
 ]
 
 
@@ -2117,5 +2118,252 @@ def host_kcore(
             "kcore_degree": pa.array(
                 np.array([final[h] for h in hs], dtype=np.int64), pa.int64()
             ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+def _collect_verts_und(und):
+    """distinct (host, h64) pairs from an undirected-distinct edge
+    dataset (lo/hi columns) — the ``_collect_verts`` combiner for the
+    canonicalized edge shape.  Vertex-state-sized by the module's
+    declared boundary."""
+    import ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
+        t = pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch["lo"].combine_chunks(),
+                        batch["hi"].combine_chunks(),
+                    ]
+                ),
+                "h": pa.concat_arrays(
+                    [
+                        batch["lo_h"].combine_chunks(),
+                        batch["hi_h"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        return t.group_by(["host", "h"]).aggregate([])
+
+    parts = [
+        t
+        for t in ray.get(
+            und.map_batches(pairs, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return [], np.zeros(0, dtype=np.uint64)
+    cat = pa.concat_tables(parts)
+    hh = cat["h"].to_numpy(zero_copy_only=False)
+    _, first = np.unique(hh, return_index=True)
+    hosts_arr = cat["host"].take(pa.array(np.sort(first)))
+    hh_u = hh[np.sort(first)]
+    order = np.argsort(hh_u)
+    return hosts_arr.take(pa.array(order)).to_pylist(), hh_u[order]
+
+
+def _lpa_mode(
+    v: np.ndarray, lbl: np.ndarray, cnt: np.ndarray, labels: np.ndarray
+) -> np.ndarray:
+    """One synchronous LPA step from aggregated neighbor-label counts:
+    per vertex v take the label with max count, ties → SMALLEST label
+    (label ints are string ranks, so the tie-break is lexicographic —
+    mirrored by the oracle's ``ORDER BY c DESC, label`` QUALIFY)."""
+    if not len(v):
+        return labels.copy()
+    order = np.lexsort((lbl, -cnt, v))
+    vs = v[order]
+    first = np.empty(len(vs), dtype=bool)
+    first[0] = True
+    first[1:] = vs[1:] != vs[:-1]
+    new = labels.copy()
+    new[vs[first]] = lbl[order][first]
+    return new
+
+
+def _lpa_pair_counts(
+    v: np.ndarray, lbl: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(v, label) pair histogram via one packed-u64 ``np.unique`` —
+    valid while vertex ids fit 32 bits (the tiers that hold an id array
+    at all are bounded far below that)."""
+    key = (v.astype(np.uint64) << np.uint64(32)) | lbl.astype(np.uint64)
+    uk, cnt = np.unique(key, return_counts=True)
+    return (
+        (uk >> np.uint64(32)).astype(np.int64),
+        (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        cnt.astype(np.int64),
+    )
+
+
+def lpa_communities(
+    edges,
+    iters: int = 4,
+    num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
+):
+    """distinct host edges (from ``host_edges``) → (host, community,
+    community_size): deterministic synchronous label propagation
+    (Raghavan et al. 2007, arXiv:0709.2938) on the UNDIRECTED distinct
+    host graph.  Labels start as each host's own name; every iteration
+    each host adopts the most frequent label among its neighbors, ties
+    broken by the lexicographically smallest label; ``iters`` is fixed
+    so the DuckDB oracle unrolls the identical recurrence and must
+    match exactly (labels are host strings on both sides — internally
+    string-rank ints, externally the community's name host).
+
+    Two adaptive tiers sharing the same integer kernels (forced-path
+    test pins them bit-identical): ≤ ``driver_max_edges`` undirected
+    edges runs driver-local; above it the broadcast loop — per-block
+    ``ray.remote`` neighbor-label count partials (the crawl-round
+    plain-task dispatch rule: no per-iteration Dataset job), tree/
+    driver-merged, labels re-broadcast per iteration.  Vertex-sized
+    (keys, labels) driver state is the module's declared boundary
+    (~10⁸ hosts); the fully sharded extension would bucket labels by
+    vertex hash and exchange per-bucket count messages exactly like
+    ``_pr_distributed_sharded`` / ``_cc_msgs``."""
+    import ray
+
+    und, und_refs, n_und = _und_distinct(edges, num_buckets)
+    hosts, keys = _collect_verts_und(und)
+    n = len(keys)
+    if n == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "community": pa.array([], pa.string()),
+                "community_size": pa.array([], pa.int64()),
+            }
+        )
+    # label domain = string ranks, so "min label" == "min host string"
+    srt = np.argsort(np.array(hosts))
+    rank = np.empty(n, dtype=np.int64)
+    rank[srt] = np.arange(n, dtype=np.int64)
+    sorted_hosts = [hosts[i] for i in srt]
+    labels = rank.copy()
+
+    if n_und <= driver_max_edges:
+        blocks = [t for t in ray.get(und_refs) if t.num_rows]
+        if blocks:
+            cat = pa.concat_tables(blocks)
+            lo = np.searchsorted(
+                keys, cat["lo_h"].to_numpy(zero_copy_only=False)
+            )
+            hi = np.searchsorted(
+                keys, cat["hi_h"].to_numpy(zero_copy_only=False)
+            )
+            v = np.concatenate([lo, hi])
+            u = np.concatenate([hi, lo])
+        else:
+            v = u = np.zeros(0, dtype=np.int64)
+        for _ in range(iters):
+            vv, ll, cc = _lpa_pair_counts(v, labels[u])
+            labels = _lpa_mode(vv, ll, cc, labels)
+    else:
+        k_ref = ray.put(keys)
+
+        @ray.remote(num_cpus=1)
+        def nb_index(block: pa.Table) -> pa.Table:
+            k = ray.get(k_ref)
+            lo = np.searchsorted(
+                k, block["lo_h"].to_numpy(zero_copy_only=False)
+            )
+            hi = np.searchsorted(
+                k, block["hi_h"].to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "v": pa.array(
+                        np.concatenate([lo, hi]).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "u": pa.array(
+                        np.concatenate([hi, lo]).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        @ray.remote(num_cpus=1)
+        def contrib(nb: pa.Table, lab: np.ndarray) -> pa.Table:
+            if not nb.num_rows:
+                return pa.table(
+                    {
+                        "v": pa.array([], pa.int64()),
+                        "lbl": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            v = nb["v"].to_numpy(zero_copy_only=False)
+            u = nb["u"].to_numpy(zero_copy_only=False)
+            vv, ll, cc = _lpa_pair_counts(v, lab[u])
+            return pa.table(
+                {
+                    "v": pa.array(vv, pa.int64()),
+                    "lbl": pa.array(ll, pa.int64()),
+                    "c": pa.array(cc, pa.int64()),
+                }
+            )
+
+        @ray.remote(num_cpus=1)
+        def merge(*tables: pa.Table) -> pa.Table:
+            live = [t for t in tables if t.num_rows]
+            if not live:
+                return tables[0]
+            agg = pa.concat_tables(live).group_by(["v", "lbl"]).aggregate(
+                [("c", "sum")]
+            )
+            return pa.table(
+                {"v": agg["v"], "lbl": agg["lbl"], "c": agg["c_sum"]}
+            )
+
+        nb_refs = [nb_index.remote(b) for b in und_refs]
+        for _ in range(iters):
+            l_ref = ray.put(labels)
+            part_refs = [contrib.remote(nb, l_ref) for nb in nb_refs]
+            if len(part_refs) * max(n, 1) <= 5_000_000:
+                live = [t for t in ray.get(part_refs) if t.num_rows]
+                merged = (
+                    ray.get(merge.remote(*live)) if len(live) > 1
+                    else (live[0] if live else None)
+                )
+            else:
+                while len(part_refs) > 1:
+                    part_refs = [
+                        merge.remote(*part_refs[i : i + _FAN])
+                        for i in range(0, len(part_refs), _FAN)
+                    ]
+                merged = ray.get(part_refs[0]) if part_refs else None
+            if merged is not None and merged.num_rows:
+                labels = _lpa_mode(
+                    merged["v"].to_numpy(zero_copy_only=False),
+                    merged["lbl"].to_numpy(zero_copy_only=False),
+                    merged["c"].to_numpy(zero_copy_only=False),
+                    labels,
+                )
+
+    sizes = np.bincount(labels, minlength=n).astype(np.int64)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "community": pa.array(
+                [sorted_hosts[int(l)] for l in labels], pa.string()
+            ),
+            "community_size": pa.array(sizes[labels], pa.int64()),
         }
     )

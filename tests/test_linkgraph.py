@@ -709,3 +709,64 @@ def test_personalized_pagerank_tiers_and_hand_math(ray_session):
         u1.sort_values("host", ignore_index=True)
         .equals(u2.sort_values("host", ignore_index=True))
     )
+
+
+def test_lpa_communities_reference_and_paths(ray_session):
+    """Deterministic synchronous LPA: planted two-clique graph matches a
+    sequential mode-with-min-tie-break reference, and the forced
+    broadcast-loop tier (driver_max_edges=0) is bit-identical to the
+    driver-local one."""
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, lpa_communities
+
+    rng = np.random.default_rng(5)
+    hosts = [f"h{i:02d}.net" for i in range(16)]
+    edges = set()
+    for grp in (range(0, 8), range(8, 16)):
+        g = list(grp)
+        for a in g:
+            for b in g:
+                if a != b and rng.random() < 0.55:
+                    edges.add((hosts[a], hosts[b]))
+    edges.add((hosts[3], hosts[11]))  # one bridge
+    rows = [
+        {"host": s, "out_links": [f"http://{d}/x"]} for s, d in edges
+    ]
+    e = host_edges(ray.data.from_items(rows))
+    got = (
+        lpa_communities(e)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+
+    # sequential reference over the undirected distinct graph
+    nbrs = collections.defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    lab = {h: h for h in nbrs}
+    for _ in range(4):
+        lab = {
+            v: sorted(
+                collections.Counter(lab[u] for u in nbrs[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0][0]
+            for v in nbrs
+        }
+    sizes = collections.Counter(lab.values())
+    assert len(got) == len(nbrs)
+    for _, r in got.iterrows():
+        assert r["community"] == lab[r["host"]]
+        assert r["community_size"] == sizes[lab[r["host"]]]
+    assert got.community.nunique() >= 2  # the cliques stay separate
+
+    forced = (
+        lpa_communities(e, driver_max_edges=0)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert got.equals(forced)
