@@ -249,6 +249,15 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_triangles",
         "crawl_host_kcore",
         "doc_pct_rank",
+        # round 4: IVF diagnostics, seeded PPR, sparse-NB tier, host
+        # boilerplate removal, LPA communities
+        "emb_cluster_profile",
+        "emb_centroid_outliers",
+        "crawl_host_ppr",
+        "doc_nb_classify_bucketed",
+        "crawl_host_boilerplate",
+        "crawl_text_deboiler",
+        "crawl_host_communities",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
