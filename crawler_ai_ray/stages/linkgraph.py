@@ -2216,6 +2216,7 @@ def lpa_communities(
     iters: int = 4,
     num_buckets: int = 64,
     driver_max_edges: int = 5_000_000,
+    shard_min_edges: int = 500_000_000,
 ):
     """distinct host edges (from ``host_edges``) → (host, community,
     community_size): deterministic synchronous label propagation
@@ -2227,19 +2228,21 @@ def lpa_communities(
     match exactly (labels are host strings on both sides — internally
     string-rank ints, externally the community's name host).
 
-    Two adaptive tiers sharing the same integer kernels (forced-path
-    test pins them bit-identical): ≤ ``driver_max_edges`` undirected
-    edges runs driver-local; above it the broadcast loop — per-block
-    ``ray.remote`` neighbor-label count partials (the crawl-round
-    plain-task dispatch rule: no per-iteration Dataset job), tree/
-    driver-merged, labels re-broadcast per iteration.  Vertex-sized
-    (keys, labels) driver state is the module's declared boundary
-    (~10⁸ hosts); the fully sharded extension would bucket labels by
-    vertex hash and exchange per-bucket count messages exactly like
-    ``_pr_distributed_sharded`` / ``_cc_msgs``."""
+    Three adaptive tiers sharing the same mode/tie-break semantics
+    (forced-path tests pin them identical): ≤ ``driver_max_edges``
+    undirected edges runs driver-local; above it the broadcast loop —
+    per-block ``ray.remote`` neighbor-label count partials (the
+    crawl-round plain-task dispatch rule: no per-iteration Dataset
+    job), tree/driver-merged, vertex-sized (keys, labels) driver state
+    (the module's declared ~10⁸-host boundary); past
+    ``shard_min_edges`` the fully sharded ``_lpa_distributed_sharded``
+    tier, which holds NO vertex-sized state anywhere (10⁹-host
+    framing)."""
     import ray
 
     und, und_refs, n_und = _und_distinct(edges, num_buckets)
+    if n_und > shard_min_edges:
+        return _lpa_distributed_sharded(und_refs, iters)
     hosts, keys = _collect_verts_und(und)
     n = len(keys)
     if n == 0:
@@ -2367,3 +2370,281 @@ def lpa_communities(
             "community_size": pa.array(sizes[labels], pa.int64()),
         }
     )
+
+
+def _lpa_scatter(block: pa.Table, n: int):
+    """One und block → per-bucket state for the sharded LPA tier:
+    both-direction (src, dst, dst_b) edge rows bucketed by hash(src)
+    (a message reads L(src) bucket-locally and routes to the dst's
+    bucket), plus the block's distinct src hosts per bucket (label
+    init)."""
+    lo = np.asarray(block["lo"].to_pylist(), dtype=object)
+    hi = np.asarray(block["hi"].to_pylist(), dtype=object)
+    lo_h = block["lo_h"].to_numpy(zero_copy_only=False)
+    hi_h = block["hi_h"].to_numpy(zero_copy_only=False)
+    src = np.concatenate([lo, hi])
+    dst = np.concatenate([hi, lo])
+    src_b = (np.concatenate([lo_h, hi_h]) % np.uint64(n)).astype(np.int64)
+    dst_b = (np.concatenate([hi_h, lo_h]) % np.uint64(n)).astype(np.int64)
+    edge_bs, vert_bs = [], []
+    for k in range(n):
+        m = src_b == k
+        edge_bs.append(
+            pa.table(
+                {
+                    "src": pa.array(src[m].astype(str), pa.string()),
+                    "dst": pa.array(dst[m].astype(str), pa.string()),
+                    "dst_b": pa.array(dst_b[m], pa.int64()),
+                }
+            )
+        )
+        vert_bs.append(
+            pa.table(
+                {
+                    "host": pa.array(
+                        np.unique(src[m]).astype(str), pa.string()
+                    )
+                }
+            )
+        )
+    return (*edge_bs, *vert_bs)
+
+
+def _lpa_init_labels(*vert_tables: pa.Table) -> pa.Table:
+    """One bucket's distinct vertices across blocks → L(v) = v."""
+    live = [t for t in vert_tables if t.num_rows]
+    if not live:
+        return pa.table(
+            {"host": pa.array([], pa.string()),
+             "label": pa.array([], pa.string())}
+        )
+    hosts = np.unique(
+        np.asarray(pa.concat_tables(live)["host"].to_pylist(), dtype=object)
+    )
+    return pa.table(
+        {
+            "host": pa.array(hosts.astype(str), pa.string()),
+            "label": pa.array(hosts.astype(str), pa.string()),
+        }
+    )
+
+
+def _lpa_mode_str(
+    host: np.ndarray, label: np.ndarray, c: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mode-with-min-string-tie-break over aggregated (host, label, c)
+    rows → (hosts sorted asc, winning label per host).  String order is
+    preserved by factorizing through ``np.unique``."""
+    uh, hcode = np.unique(host, return_inverse=True)
+    ul, lcode = np.unique(label, return_inverse=True)
+    order = np.lexsort((lcode, -c, hcode))
+    hs = hcode[order]
+    first = np.empty(len(hs), dtype=bool)
+    first[0] = True
+    first[1:] = hs[1:] != hs[:-1]
+    sel = order[first]
+    return uh, ul[lcode[sel]]
+
+
+def _lpa_msgs(labels_b: pa.Table, n: int, *edge_tables: pa.Table):
+    """Send side of one synchronous LPA step: per edge (src → dst) emit
+    L(src) toward dst, pre-counted per (dst, label) and routed to the
+    dst's bucket."""
+    out = [
+        pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "label": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        for _ in range(n)
+    ]
+    live = [t for t in edge_tables if t.num_rows]
+    if not live or labels_b.num_rows == 0:
+        return out
+    e = pa.concat_tables(live)
+    src = np.asarray(e["src"].to_pylist(), dtype=object)
+    lab = _cc_lab_of(labels_b, src)
+    t = pa.table(
+        {
+            "host": e["dst"],
+            "label": pa.array(lab.astype(str), pa.string()),
+            "dst_b": e["dst_b"],
+        }
+    )
+    agg = t.group_by(["host", "label", "dst_b"]).aggregate(
+        [([], "count_all")]
+    )
+    db = agg["dst_b"].to_numpy(zero_copy_only=False)
+    for k in np.unique(db):
+        m = pa.array(db == k)
+        sub = agg.filter(m)
+        out[int(k)] = pa.table(
+            {
+                "host": sub["host"],
+                "label": sub["label"],
+                "c": pc.cast(sub["count_all"], pa.int64()),
+            }
+        )
+    return out
+
+
+def _lpa_apply(labels_b: pa.Table, *msg_tables: pa.Table) -> pa.Table:
+    """Receive side: merge (host, label) counts, per host adopt the
+    most frequent label, ties → smallest label string."""
+    live = [t for t in msg_tables if t.num_rows]
+    if not live or labels_b.num_rows == 0:
+        return labels_b
+    msgs = pa.concat_tables(live)
+    agg = msgs.group_by(["host", "label"]).aggregate([("c", "sum")])
+    hosts, win = _lpa_mode_str(
+        np.asarray(agg["host"].to_pylist(), dtype=object),
+        np.asarray(agg["label"].to_pylist(), dtype=object),
+        agg["c_sum"].to_numpy(zero_copy_only=False),
+    )
+    # every vertex has ≥1 neighbor (it came from an edge), so the
+    # incoming message set covers the whole bucket
+    return pa.table(
+        {
+            "host": pa.array(hosts.astype(str), pa.string()),
+            "label": pa.array(win.astype(str), pa.string()),
+        }
+    )
+
+
+def _lpa_size_parts(labels_b: pa.Table, n: int):
+    """Community-size reduce, send side: per-bucket (label, partial
+    count) routed to the label's owner bucket."""
+    out = [
+        pa.table(
+            {"label": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        for _ in range(n)
+    ]
+    if labels_b.num_rows == 0:
+        return out
+    labs, cnt = np.unique(
+        np.asarray(labels_b["label"].to_pylist(), dtype=object),
+        return_counts=True,
+    )
+    lb = np.array([_h64(x) % n for x in labs], dtype=np.int64)
+    for k in np.unique(lb):
+        m = lb == k
+        out[int(k)] = pa.table(
+            {
+                "label": pa.array(labs[m].astype(str), pa.string()),
+                "c": pa.array(cnt[m].astype(np.int64), pa.int64()),
+            }
+        )
+    return out
+
+
+def _lpa_size_merge(*parts: pa.Table) -> pa.Table:
+    """Community-size reduce, owner side: total size per label."""
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return pa.table(
+            {"label": pa.array([], pa.string()),
+             "size": pa.array([], pa.int64())}
+        )
+    agg = pa.concat_tables(live).group_by("label").aggregate([("c", "sum")])
+    return pa.table(
+        {"label": agg["label"], "size": pc.cast(agg["c_sum"], pa.int64())}
+    )
+
+
+def _lpa_finish(labels_b: pa.Table, *size_tables: pa.Table) -> pa.Table:
+    """Join community sizes onto one bucket's final labels."""
+    if labels_b.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "community": pa.array([], pa.string()),
+                "community_size": pa.array([], pa.int64()),
+            }
+        )
+    live = [t for t in size_tables if t.num_rows]
+    sz = pa.concat_tables(live)
+    ks = np.asarray(sz["label"].to_pylist(), dtype=object)
+    vs = sz["size"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ks)
+    ks, vs = ks[order], vs[order]
+    ls = np.asarray(labels_b["label"].to_pylist(), dtype=object)
+    pos = np.searchsorted(ks, ls)
+    return pa.table(
+        {
+            "host": labels_b["host"],
+            "community": labels_b["label"],
+            "community_size": pa.array(
+                vs[pos].astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _lpa_distributed_sharded(und_refs, iters: int, n_buckets: int = 32):
+    """Fully sharded LPA tier: labels and edges live bucket-sharded in
+    the object store — NO vertex-sized driver or broadcast structure
+    anywhere (the 10⁹-host framing, mirroring
+    ``_cc_distributed_labels``).  Each iteration is one bucketed
+    exchange of pre-counted (dst, label) messages between plain Ray
+    tasks over a fixed bucket list; community sizes reduce through
+    label-hash owner buckets at the end.  At test/bench scale the
+    result concats driver-side; a 100 TB deployment writes each bucket
+    straight to hash-partitioned parquet."""
+    import ray
+
+    scatter = ray.remote(num_cpus=1)(_lpa_scatter)
+    init_t = ray.remote(num_cpus=1)(_lpa_init_labels)
+    msgs_t = ray.remote(num_cpus=1)(_lpa_msgs)
+    apply_t = ray.remote(num_cpus=1)(_lpa_apply)
+    sparts_t = ray.remote(num_cpus=1)(_lpa_size_parts)
+    smerge_t = ray.remote(num_cpus=1)(_lpa_size_merge)
+    finish_t = ray.remote(num_cpus=1)(_lpa_finish)
+
+    grids = [
+        scatter.options(num_returns=2 * n_buckets).remote(b, n_buckets)
+        for b in und_refs
+    ]
+    edge_refs = [[g[k] for g in grids] for k in range(n_buckets)]
+    label_refs = [
+        init_t.remote(*[g[n_buckets + k] for g in grids])
+        for k in range(n_buckets)
+    ]
+    for _ in range(iters):
+        msg_grid = [
+            msgs_t.options(num_returns=n_buckets).remote(
+                label_refs[k], n_buckets, *edge_refs[k]
+            )
+            for k in range(n_buckets)
+        ]
+        label_refs = [
+            apply_t.remote(label_refs[k], *[row[k] for row in msg_grid])
+            for k in range(n_buckets)
+        ]
+    size_grid = [
+        sparts_t.options(num_returns=n_buckets).remote(
+            label_refs[k], n_buckets
+        )
+        for k in range(n_buckets)
+    ]
+    size_refs = [
+        smerge_t.remote(*[row[k] for row in size_grid])
+        for k in range(n_buckets)
+    ]
+    outs = [
+        finish_t.remote(label_refs[k], *size_refs)
+        for k in range(n_buckets)
+    ]
+    parts = [t for t in ray.get(outs) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "community": pa.array([], pa.string()),
+                "community_size": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by([("host", "ascending")])

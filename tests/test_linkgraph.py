@@ -770,3 +770,9 @@ def test_lpa_communities_reference_and_paths(ray_session):
         .sort_values("host", ignore_index=True)
     )
     assert got.equals(forced)
+    sharded = (
+        lpa_communities(e, shard_min_edges=0)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert got.equals(sharded)
