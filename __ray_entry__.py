@@ -180,6 +180,19 @@ def _q_crawl_text_deboiler(sf_dir: str):
     )
 
 
+def _q_crawl_curate(sf_dir: str):
+    """Crawl-corpus curation chain (the webtext pass between crawler
+    and document curator): within-host boilerplate removal → quality
+    rule cascade on the CLEAN text (short / low_alpha / digit_heavy,
+    integer-exact) → exact dedup keeping the min-url copy → per-page
+    keep/drop decision with reason and dup_of.  One streaming text
+    pass + one fp-bucket decision exchange; the oracle rebuilds the
+    whole chain in SQL from golden segment strings."""
+    from crawler_ai_ray.pipelines.curate import curate_pages
+
+    return curate_pages(_deboiler_base(sf_dir))
+
+
 def _q_crawl_classify(sf_dir: str):
     return _extracted(sf_dir).select_columns(
         ["url", "priority", "is_career_listing", "career_score", "is_job_url"]
@@ -3285,6 +3298,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_text_crawldata": _q_crawl_text_crawldata,
         "crawl_host_boilerplate": _q_crawl_host_boilerplate,
         "crawl_text_deboiler": _q_crawl_text_deboiler,
+        "crawl_curate": _q_crawl_curate,
         "crawl_classify": _q_crawl_classify,
         "crawl_emails": _q_crawl_emails,
         "crawl_phones_vn": _q_crawl_phones,
@@ -3523,7 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW this round: within-host boilerplate (template) removal +
         # LPA host communities
         "crawl_host_boilerplate", "crawl_text_deboiler",
-        "crawl_host_communities",
+        "crawl_host_communities", "crawl_curate",
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
@@ -4404,6 +4418,45 @@ def oracle_sql() -> dict[str, str]:
             FROM segs s
             LEFT JOIN boiler b ON b.host = s.host AND b.seg = s.seg
             GROUP BY s.url, s.host""",
+        # curation chain: the SAME clean-text rebuild, then the quality
+        # cascade (order: short → low_alpha → digit_heavy), then exact
+        # dedup among passers keeping the min url per md5(clean)
+        "crawl_curate": boiler_cte + """,
+            clean AS MATERIALIZED (
+              SELECT s.url, s.host,
+                     COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                              FILTER (WHERE b.seg IS NULL), '') AS ct
+              FROM segs s
+              LEFT JOIN boiler b ON b.host = s.host AND b.seg = s.seg
+              GROUP BY s.url, s.host),
+            c AS (
+              SELECT url, host, ct,
+                     length(ct)::BIGINT AS n_chars,
+                     len(regexp_extract_all(ct, '\\S+'))::BIGINT
+                       AS n_tokens,
+                     len(regexp_extract_all(ct, '[A-Za-z]'))::BIGINT
+                       AS n_alpha,
+                     len(regexp_extract_all(ct, '[0-9]'))::BIGINT
+                       AS n_digit
+              FROM clean),
+            r AS (
+              SELECT url, host, ct, n_tokens,
+                     CASE WHEN n_tokens < 20 THEN 'short'
+                          WHEN 2 * n_alpha < n_chars THEN 'low_alpha'
+                          WHEN 10 * n_digit > n_chars THEN 'digit_heavy'
+                     END AS fail
+              FROM c),
+            p AS (
+              SELECT url, min(url) OVER (PARTITION BY md5(ct)) AS canon
+              FROM r WHERE fail IS NULL)
+            SELECT r.url, r.host, r.n_tokens,
+                   (r.fail IS NULL AND p.canon = r.url) AS keep,
+                   CASE WHEN r.fail IS NOT NULL THEN r.fail
+                        WHEN p.canon <> r.url THEN 'dup'
+                        ELSE 'kept' END AS reason,
+                   CASE WHEN r.fail IS NULL AND p.canon <> r.url
+                        THEN p.canon ELSE '' END AS dup_of
+            FROM r LEFT JOIN p ON p.url = r.url""",
         "crawl_classify": (
             "SELECT url, priority, is_career_listing, career_score, is_job_url "
             f"FROM read_parquet('{golden}')"

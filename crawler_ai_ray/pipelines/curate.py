@@ -70,6 +70,7 @@ from ..stages.dedup import (
 )
 from ..stages.textstats import (
     ALPHA_RE,
+    DIGIT_RE,
     PII_EMAIL_RE,
     PII_PHONE_RE,
     WS_TOKEN_RE,
@@ -78,7 +79,7 @@ from ..stages.textstats import (
 )
 
 __all__ = ["stage1_batch", "curate_decisions", "curate_output",
-           "curate_funnel"]
+           "curate_funnel", "curate_pages"]
 
 # quality thresholds (shared verbatim with the oracle SQL)
 MIN_CHARS = 100
@@ -291,4 +292,169 @@ def curate_funnel(decisions_ds) -> pa.Table:
                 "n_kept",
             )
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-side curation: deboiler → quality rules → exact dedup → decision
+# ---------------------------------------------------------------------------
+
+_PAGE_METRIC_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_alpha", pa.int64()),
+        ("n_digit", pa.int64()),
+        ("fph", pa.uint64()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+_PAGE_DECISION_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("keep", pa.bool_()),
+        ("reason", pa.string()),
+        ("dup_of", pa.string()),
+    ]
+)
+
+
+def curate_pages(
+    text_ds,
+    group_col: str = "host",
+    id_col: str = "url",
+    text_col: str = "text_crawldata",
+    seg_words: int = 10,
+    min_df: int = 3,
+    min_tokens: int = 20,
+    num_buckets: int = 64,
+):
+    """Crawl-corpus curation chain: within-host boilerplate removal →
+    quality-rule cascade on the CLEAN text → exact dedup (keep the
+    min-url copy) → per-page keep/drop decision with reason — the
+    extraction-to-training-set pass a webtext pipeline runs between the
+    crawler and the document-level curator (``curate_decisions``).
+
+    Rules, applied in order (all integer-exact, mirrored by the SQL
+    oracle): ``short`` (tokens < min_tokens), ``low_alpha``
+    (2·n_alpha < n_chars), ``digit_heavy`` (10·n_digit > n_chars),
+    ``dup`` (identical clean text, non-canonical copy; canonical =
+    lexicographically smallest url), else ``kept``.
+
+    Scale shape: ONE streaming pass over the text computes the clean
+    rebuild + Arrow-kernel quality counts + a 64-bit content hash —
+    text is read once and never shuffles; decisions assemble inside
+    ``fph % num_buckets`` groups (an fp's rows all land in one bucket,
+    so the dup canonical is exact).  The boilerplate key set broadcasts
+    once (template-sized — the ``boilerplate_removal`` boundary)."""
+    import hashlib
+
+    import ray
+
+    from ..stages.dedup import _boiler_rebuild_row, boilerplate_keys
+
+    keys, _ = boilerplate_keys(
+        text_ds, group_col, text_col, seg_words, min_df
+    )
+    k_ref = ray.put(keys)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAGE_METRIC_SCHEMA.empty_table()
+        dk = ray.get(k_ref)
+        urls = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        clean: list[str] = []
+        fph = np.empty(len(urls), dtype=np.uint64)
+        for i, (g, t) in enumerate(zip(groups, texts)):
+            c, _, _ = _boiler_rebuild_row(g, t, seg_words, dk)
+            clean.append(c)
+            fph[i] = np.uint64(
+                int.from_bytes(
+                    hashlib.md5(c.encode("utf-8")).digest()[:8], "little"
+                )
+            )
+        ct = pa.array(clean, pa.string())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(groups, pa.string()),
+                "n_chars": pc.cast(pc.utf8_length(ct), pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(ct, WS_TOKEN_RE), pa.int64()
+                ),
+                "n_alpha": pc.cast(
+                    pc.count_substring_regex(ct, ALPHA_RE), pa.int64()
+                ),
+                "n_digit": pc.cast(
+                    pc.count_substring_regex(ct, DIGIT_RE), pa.int64()
+                ),
+                "fph": pa.array(fph, pa.uint64()),
+                "bucket": pa.array(
+                    (fph % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            },
+            schema=_PAGE_METRIC_SCHEMA,
+        )
+
+    def decide(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _PAGE_DECISION_SCHEMA.empty_table()
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
+        n_chars = group["n_chars"].to_numpy(zero_copy_only=False)
+        n_tok = group["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = group["n_alpha"].to_numpy(zero_copy_only=False)
+        n_digit = group["n_digit"].to_numpy(zero_copy_only=False)
+        fph = group["fph"].to_numpy(zero_copy_only=False)
+        short = n_tok < min_tokens
+        low_alpha = ~short & (2 * n_alpha < n_chars)
+        digit_heavy = ~short & ~low_alpha & (10 * n_digit > n_chars)
+        passer = ~(short | low_alpha | digit_heavy)
+        dup_of = np.full(len(urls), "", dtype=object)
+        is_dup = np.zeros(len(urls), dtype=bool)
+        if passer.any():
+            pi = np.flatnonzero(passer)
+            uu, ucode = np.unique(urls[pi], return_inverse=True)
+            order = np.lexsort((ucode, fph[pi]))
+            fps = fph[pi][order]
+            first = np.empty(len(fps), dtype=bool)
+            first[0] = True
+            first[1:] = fps[1:] != fps[:-1]
+            canon_per_fp = urls[pi][order][first]
+            grp = np.cumsum(first) - 1
+            canon = np.empty(len(fps), dtype=object)
+            canon[:] = canon_per_fp[grp]
+            rows = pi[order]
+            dup_rows = rows[~first]
+            is_dup[dup_rows] = True
+            dup_of[dup_rows] = canon[~first]
+        reason = np.full(len(urls), "kept", dtype=object)
+        reason[is_dup] = "dup"
+        reason[digit_heavy] = "digit_heavy"
+        reason[low_alpha] = "low_alpha"
+        reason[short] = "short"
+        keep = passer & ~is_dup
+        return pa.table(
+            {
+                "url": pa.array(urls.astype(str), pa.string()),
+                "host": group["host"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "keep": pa.array(keep),
+                "reason": pa.array(reason.astype(str), pa.string()),
+                "dup_of": pa.array(dup_of.astype(str), pa.string()),
+            },
+            schema=_PAGE_DECISION_SCHEMA,
+        )
+
+    return (
+        text_ds.map_batches(metrics, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(decide, batch_format="pyarrow")
     )

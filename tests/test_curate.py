@@ -185,3 +185,63 @@ def test_curate_resume_skips_finished_stages(ray_session, tmp_path):
     for f, m in dec_file_mtimes.items():
         assert os.path.getmtime(os.path.join(out, "decisions", f)) == m
     assert json.load(open(os.path.join(out, "funnel.json"))) == f1
+
+
+def test_curate_pages_planted_rules_and_partition_invariance(ray_session):
+    """Crawl-side curation chain: each rule fires on its planted page
+    (dup detected only AFTER the host template is removed), and the
+    decision set is invariant to input partitioning / bucket count."""
+    import ray.data
+
+    from crawler_ai_ray.pipelines.curate import curate_pages
+
+    tmpl = " ".join(f"t{i}" for i in range(10))  # one aligned 10-word seg
+
+    def body(tag: str) -> str:  # 40 distinct all-alpha filler words
+        return " ".join(
+            f"{tag}{a}{b}word" for a in "abcdefgh" for b in "abcde"
+        )
+
+    rows = [
+        {"url": "http://a.com/p0", "host": "a.com",
+         "text_crawldata": f"{tmpl} {body('a')}"},
+        {"url": "http://a.com/p1", "host": "a.com",
+         "text_crawldata": f"{tmpl} {body('b')}"},
+        # p2/p3 identical only after the template is stripped
+        {"url": "http://a.com/p2", "host": "a.com",
+         "text_crawldata": f"{tmpl} {body('c')}"},
+        # p3 carries the template TWICE, so its RAW text differs from
+        # p2 and the dup is only visible after boilerplate removal
+        {"url": "http://a.com/p3", "host": "a.com",
+         "text_crawldata": f"{tmpl} {tmpl} {body('c')}"},
+        {"url": "http://a.com/p4", "host": "a.com",
+         "text_crawldata": "too short"},
+        {"url": "http://a.com/p5", "host": "a.com",
+         "text_crawldata": " ".join(str(i) for i in range(40))},
+        # digit-heavy but alpha-majority: >10% digits, ≥50% alpha chars
+        {"url": "http://a.com/p6", "host": "a.com",
+         "text_crawldata": " ".join(f"abcdefgh{i}{i}" for i in range(30))},
+    ]
+    ds = ray.data.from_items(rows)
+    got = (
+        curate_pages(ds)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+        .set_index("url")
+    )
+    assert bool(got.loc["http://a.com/p0", "keep"])
+    assert got.loc["http://a.com/p2", "reason"] == "kept"
+    assert got.loc["http://a.com/p3", "reason"] == "dup"
+    assert got.loc["http://a.com/p3", "dup_of"] == "http://a.com/p2"
+    assert got.loc["http://a.com/p4", "reason"] == "short"
+    assert got.loc["http://a.com/p5", "reason"] == "low_alpha"
+    assert got.loc["http://a.com/p6", "reason"] == "digit_heavy"
+    assert not bool(got.loc["http://a.com/p6", "keep"])
+
+    again = (
+        curate_pages(ds.repartition(4), num_buckets=8)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+        .set_index("url")
+    )
+    assert got.equals(again)
