@@ -138,10 +138,16 @@ def _deboiler_base(sf_dir: str):
             }
         )
 
+    # materialized: every consumer (boilerplate_keys, then the rebuild /
+    # metrics pass) streams the SAME extraction output instead of
+    # re-parsing the HTML per pass — the curate_decisions stage-1
+    # checkpoint pattern (a cluster deployment writes this projection
+    # as hash-partitioned parquet once per snapshot)
     return (
         _text_extracted(sf_dir)
         .select_columns(["url", "text_crawldata"])
         .map_batches(add_host, batch_format="pyarrow")
+        .materialize()
     )
 
 
@@ -254,23 +260,24 @@ def _q_crawl_host_ppr(sf_dir: str):
     career content — the focused-crawl frontier-prioritization signal.
     Seeds: per-batch distinct career hosts (combiner) → driver union
     (seed-set-sized, never vertex-sized); edges reuse the same
-    extraction pass.  All three PPR tiers are bit-identical
-    (forced-path test); the oracle unrolls the integer recurrence in
-    SQL with a seeds⋈hosts CTE."""
+    extraction pass — the links+career projection
+    (``extract_links_career``: identical link/flag semantics, skips
+    text assembly and the contacts regexes).  All three PPR tiers are
+    bit-identical (forced-path test); the oracle unrolls the integer
+    recurrence in SQL with a seeds⋈hosts CTE."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
+    from crawler_ai_ray.stages.extract import extract_links_career
     from crawler_ai_ray.stages.linkgraph import (
         host_edges,
         personalized_pagerank_hosts,
     )
 
-    ext = (
-        _extracted(sf_dir)
-        .select_columns(["host", "out_links", "is_career_listing"])
-        .materialize()
-    )
+    ext = extract_links_career(
+        _pages(sf_dir, columns=["url", "html"])
+    ).materialize()
 
     def seed_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -258,6 +258,7 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_boilerplate",
         "crawl_text_deboiler",
         "crawl_host_communities",
+        "crawl_curate",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -191,6 +191,47 @@ def extract_links(pages_ds):
     return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
 
 
+LINKS_CAREER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("out_links", pa.list_(pa.string())),
+        ("is_career_listing", pa.bool_()),
+    ]
+)
+
+
+def extract_links_career_batch(batch: pa.Table) -> pa.Table:
+    """Link projection + the M10 career-listing flag (which reads only
+    (url, raw html) — ``classify.is_career_listing_page``'s own
+    signature), for the seeded-PPR consumer: identical link + flag
+    semantics to the full extraction, still skips text assembly and
+    the contacts regexes (the expensive parts)."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    cols: dict[str, list] = {
+        "url": [], "host": [], "out_links": [], "is_career_listing": []
+    }
+    for url, html_b in zip(urls, htmls):
+        html = _decode(html_b)
+        facts = parse_page(html)
+        cols["url"].append(url)
+        cols["host"].append(classify.host_of(url))
+        cols["out_links"].append(_out_links(facts, _join_anchors(facts, url)))
+        cols["is_career_listing"].append(
+            classify.is_career_listing_page(url, html)
+        )
+    return pa.Table.from_pydict(cols, schema=LINKS_CAREER_SCHEMA)
+
+
+def extract_links_career(pages_ds):
+    """pages → link + career-flag projection (see
+    extract_links_career_batch)."""
+    return pages_ds.map_batches(
+        extract_links_career_batch, batch_format="pyarrow"
+    )
+
+
 TEXT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),

@@ -776,3 +776,30 @@ def test_lpa_communities_reference_and_paths(ray_session):
         .sort_values("host", ignore_index=True)
     )
     assert got.equals(sharded)
+
+
+def test_extract_links_career_matches_full_extraction(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import (
+        extract_links_career,
+        extract_pages,
+    )
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    full = (
+        extract_pages(pages)
+        .select_columns(["url", "host", "out_links", "is_career_listing"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    lite = (
+        extract_links_career(pages.select_columns(["url", "html"]))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert full.equals(lite)
