@@ -346,6 +346,22 @@ def _q_crawl_host_triangles(sf_dir: str):
     return host_triangles(host_edges(_link_pages(sf_dir)))
 
 
+def _q_crawl_host_linkpred(sf_dir: str):
+    """Top-100 predicted (missing) host links by neighborhood Jaccard
+    over common neighbors (Liben-Nowell & Kleinberg predictors) — the
+    crawl-seeding / mirror-discovery signal.  Wedges fire only at
+    apexes with degree ≤ 64 (both sides — the hub cap that bounds the
+    pair explosion); integer-exact jaccard_ppm; adaptive driver kernel
+    ≤5M distinct edges, apex/pair-bucketed distributed tier above with
+    per-bucket local top-k and a driver-side Arrow final cut."""
+    from crawler_ai_ray.stages.linkgraph import (
+        host_edges,
+        host_link_prediction,
+    )
+
+    return host_link_prediction(host_edges(_link_pages(sf_dir)))
+
+
 def _q_crawl_host_clustering(sf_dir: str):
     """Local clustering coefficient per host (2·tri·1e6 // deg·(deg−1),
     exact integer ppm over the undirected graph, domain deg ≥ 2) — the
@@ -2592,6 +2608,46 @@ def _q_doc_neardup_ngram(sf_dir: str):
     )
 
 
+def _q_doc_neardup_contain(sf_dir: str):
+    """Asymmetric containment pairs: a short doc embedded in a longer
+    one (quote / partial mirror) that symmetric Jaccard misses — same
+    inverted-index plan as doc_neardup_ngram, score = shared/min."""
+    from crawler_ai_ray.stages.dedup import ngram_pairs_containment
+
+    return ngram_pairs_containment(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3,
+        threshold=0.9,
+        max_df=50,
+    )
+
+
+def _q_doc_membership_bloom(sf_dir: str):
+    """Bloom-filter seen-set: probe the odd-doc_id half of the corpus
+    against a 64 Kib filter built from the even half; exact_dup ground
+    truth makes false positives measurable (the bitmap is deliberately
+    small at this scale so the fp path is exercised)."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.stages.dedup import bloom_membership
+
+    def half(parity: int):
+        def fn(batch):
+            keep = pc.equal(
+                pc.bit_wise_and(batch["doc_id"], 1), parity
+            )
+            return batch.filter(keep)
+
+        return fn
+
+    docs = _table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bloom_membership(
+        docs.map_batches(half(0), batch_format="pyarrow"),
+        docs.map_batches(half(1), batch_format="pyarrow"),
+        m_bits=1 << 16,
+    )
+
+
 # adaptive whole-query split for the minhash family: below this many
 # documents the input is a couple of MB and the real compute ~0.2 s,
 # so the Ray pipeline's fixed shuffle/startup constants (~1-2 s, and
@@ -3315,6 +3371,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_communities": _q_crawl_host_communities,
         "crawl_host_triangles": _q_crawl_host_triangles,
+        "crawl_host_linkpred": _q_crawl_host_linkpred,
         "crawl_host_clustering": _q_crawl_host_clustering,
         "crawl_host_kcore": _q_crawl_host_kcore,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
@@ -3376,6 +3433,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_neardup_ngram": _q_doc_neardup_ngram,
+        "doc_neardup_contain": _q_doc_neardup_contain,
+        "doc_membership_bloom": _q_doc_membership_bloom,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_cooccurrence": _q_doc_cooccurrence,
@@ -3548,6 +3607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly ORACLED this round (was rows-only wall-clock lineage):
         # deterministic urls_in/fetched/errors vs the sim reconstruction
         "crawl_metrics",
+        # NEW this round: containment near-dup, Bloom seen-set sketch,
+        # host link prediction
+        "doc_neardup_contain", "doc_membership_bloom",
+        "crawl_host_linkpred",
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -3729,6 +3792,42 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri)
         SELECT h AS host, count(*)::BIGINT AS n_triangles
         FROM m GROUP BY 1"""
+
+    # link prediction: common-neighbor wedges at apexes with degree ≤
+    # 64 (the engine's hub cap, applied identically here), existing
+    # edges excluded, integer jaccard_ppm, full-tie-break top-100
+    linkpred_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        und AS (
+          SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+          FROM ed),
+        nb AS (SELECT a v, b w FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT v, count(*)::BIGINT d FROM nb GROUP BY 1),
+        ap AS (SELECT nb.v, nb.w FROM nb
+               JOIN deg ON deg.v = nb.v WHERE deg.d <= 64),
+        wedge AS (
+          SELECT n1.w a, n2.w b FROM ap n1
+          JOIN ap n2 ON n1.v = n2.v AND n1.w < n2.w),
+        cnt AS (SELECT a, b, count(*)::BIGINT cn FROM wedge GROUP BY 1, 2),
+        cand AS (
+          SELECT cnt.a, cnt.b, cnt.cn, da.d da, db.d db
+          FROM cnt
+          JOIN deg da ON da.v = cnt.a
+          JOIN deg db ON db.v = cnt.b
+          WHERE NOT EXISTS (
+            SELECT 1 FROM und u WHERE u.a = cnt.a AND u.b = cnt.b))
+        SELECT a AS host_a, b AS host_b, cn AS common_neighbors,
+               cn * 1000000 // (da + db - cn) AS jaccard_ppm
+        FROM cand
+        ORDER BY jaccard_ppm DESC, common_neighbors DESC, host_a, host_b
+        LIMIT 100"""
 
 
     clustering_sql = f"""
@@ -4494,6 +4593,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_ppr": ppr_sql,
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,
+        "crawl_host_linkpred": linkpred_sql,
         "crawl_host_clustering": clustering_sql,
         "crawl_host_kcore": kcore_sql,
         "crawl_trap_hosts": f"""
@@ -5024,6 +5124,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
         "doc_neardup_ngram": neardup_ngram,
+        # containment shares neardup_ngram's inverted-index plan; only
+        # the final single-division score differs (shared / min size)
+        "doc_neardup_contain": """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      FROM toks, unnest(generate_series(1, len(t)-2)) AS s(i)
+      WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) sz FROM ng GROUP BY 1),
+    df AS (SELECT ngram, count(*) c FROM ng GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+      FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      JOIN df ON df.ngram = a.ngram AND df.c <= 50
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared,
+           shared / least(sa.sz, sb.sz)::DOUBLE AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared / least(sa.sz, sb.sz)::DOUBLE >= 0.9""",
+        # Bloom membership: every bit position recomputed in SQL from
+        # the md5 words (md5_number_upper = digest[0:8] LE,
+        # md5_number_lower = digest[8:16] LE — the engine's
+        # _bloom_positions exactly); in_bloom ⇔ all 4 probe positions
+        # appear in the reference position set
+        "doc_membership_bloom": """
+    WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    rpos AS (
+      SELECT DISTINCT p FROM ref, unnest([
+        CAST((md5_number_upper(text) & 4294967295) % 65536 AS BIGINT),
+        CAST((md5_number_upper(text) >> 32) % 65536 AS BIGINT),
+        CAST((md5_number_lower(text) & 4294967295) % 65536 AS BIGINT),
+        CAST((md5_number_lower(text) >> 32) % 65536 AS BIGINT)
+      ]) AS u(p)),
+    pp AS (
+      SELECT doc_id, text,
+        CAST((md5_number_upper(text) & 4294967295) % 65536 AS BIGINT) p0,
+        CAST((md5_number_upper(text) >> 32) % 65536 AS BIGINT) p1,
+        CAST((md5_number_lower(text) & 4294967295) % 65536 AS BIGINT) p2,
+        CAST((md5_number_lower(text) >> 32) % 65536 AS BIGINT) p3
+      FROM probe),
+    flags AS (
+      SELECT doc_id,
+        (p0 IN (SELECT p FROM rpos) AND p1 IN (SELECT p FROM rpos)
+         AND p2 IN (SELECT p FROM rpos) AND p3 IN (SELECT p FROM rpos))
+          AS in_bloom,
+        EXISTS (SELECT 1 FROM ref r WHERE r.text = pp.text) AS exact_dup
+      FROM pp)
+    SELECT doc_id, in_bloom, exact_dup,
+           (in_bloom AND NOT exact_dup) AS false_positive
+    FROM flags""",
         "doc_length_quantiles": """
             WITH ranked AS (
               SELECT lang, n_chars,

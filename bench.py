@@ -259,6 +259,11 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_text_deboiler",
         "crawl_host_communities",
         "crawl_curate",
+        # round 4 third wave: containment near-dup, Bloom seen-set,
+        # host link prediction
+        "doc_neardup_contain",
+        "doc_membership_bloom",
+        "crawl_host_linkpred",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -45,6 +45,8 @@ __all__ = [
     "exact_dedup",
     "ngram_rows_batch",
     "ngram_pairs_jaccard",
+    "ngram_pairs_containment",
+    "bloom_membership",
     "minhash_sig_batch",
     "minhash_lsh_pairs",
     "minhash_pairs_from_sigs",
@@ -174,6 +176,191 @@ def incremental_dedup(ds_existing, ds_incoming):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership (constant-memory seen-set sketch)
+# ---------------------------------------------------------------------------
+
+_BLOOM_DT = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+
+def _bloom_md5_u64s(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """md5(text) as two u64s: (upper = digest[0:8] LE, lower =
+    digest[8:16] LE) — DuckDB ``md5_number_upper`` / ``md5_number_lower``
+    semantics, so the oracle recomputes every bit position in SQL."""
+    up = np.empty(len(texts), np.uint64)
+    lo = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5((t or "").encode("utf-8")).digest()
+        up[i] = int.from_bytes(d[:8], "little")
+        lo[i] = int.from_bytes(d[8:], "little")
+    return up, lo
+
+
+def _bloom_positions(up: np.ndarray, lo: np.ndarray, m: int) -> np.ndarray:
+    """k=4 bit positions per doc from the md5 halves: the four 32-bit
+    words of the digest, each mod m — (n, 4) int64."""
+    mask = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    mm = np.uint64(m)
+    return np.stack(
+        [
+            ((up & mask) % mm).astype(np.int64),
+            ((up >> s32) % mm).astype(np.int64),
+            ((lo & mask) % mm).astype(np.int64),
+            ((lo >> s32) % mm).astype(np.int64),
+        ],
+        axis=1,
+    )
+
+
+def bloom_membership(
+    ds_ref,
+    ds_probe,
+    m_bits: int = 1 << 20,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Probe docs against a Bloom filter built from a reference corpus
+    → (doc_id, in_bloom, exact_dup, false_positive) per probe doc.
+
+    The constant-memory seen-set for incremental ingestion: an exact
+    content-hash seen set costs O(corpus) state, the Bloom costs
+    ``m_bits`` REGARDLESS of corpus size (Bloom 1970; k = 4 hash
+    functions = the four 32-bit md5 words, deterministic and
+    SQL-recomputable via ``md5_number_upper/lower``).
+
+    Scale shape: the build is one streaming pass emitting one
+    m/8-byte partial bitmap PER BLOCK (128 KiB at the default m —
+    sketch-sized, NOT corpus-sized), OR-merged driver-side and
+    broadcast once via ``ray.put``; the probe pass reads it zero-copy
+    per task.  The ``exact_dup`` ground-truth column (what makes
+    ``false_positive`` measurable) is the only shuffle: 16-byte md5
+    keys — never text — exchange through md5-derived buckets and each
+    bucket runs a vectorized structured-searchsorted membership.
+    At 100 TB you'd drop the exact column and keep the zero-shuffle
+    sketch path; it is included because false-positive accounting IS
+    the operator's acceptance test.  Generalizes the reference's
+    seen-URL set (SURVEY §2 ST1/J5) to constant memory.  SQL twin:
+    ``oracle_sql()['doc_membership_bloom']``."""
+    import ray
+
+    m = int(m_bits)
+    nbytes = (m + 7) // 8
+
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        if batch.num_rows:
+            up, lo = _bloom_md5_u64s(batch[text_col].to_pylist())
+            pos = _bloom_positions(up, lo, m).ravel()
+            np.bitwise_or.at(
+                bm,
+                pos >> 3,
+                (np.uint8(1) << (pos & 7).astype(np.uint8)),
+            )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = ray.get(
+        ds_ref.map_batches(
+            ref_partial, batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    merged = np.zeros(nbytes, np.uint8)
+    for t in parts:
+        for raw in t["bm"].to_pylist():
+            merged |= np.frombuffer(raw, np.uint8)
+    bloom_ref = ray.put(merged)
+
+    def ref_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            up = np.empty(0, np.uint64)
+            lo = np.empty(0, np.uint64)
+        else:
+            up, lo = _bloom_md5_u64s(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "up": pa.array(up, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+                "in_bloom": pa.array(np.zeros(n, bool), pa.bool_()),
+                "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (up % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "up": pa.array([], pa.uint64()),
+                    "lo": pa.array([], pa.uint64()),
+                    "in_bloom": pa.array([], pa.bool_()),
+                    "kind": pa.array([], pa.int8()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        bm = ray.get(bloom_ref)
+        up, lo = _bloom_md5_u64s(batch[text_col].to_pylist())
+        pos = _bloom_positions(up, lo, m)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+        hit = bits.all(axis=1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[id_col], pa.int64()),
+                "up": pa.array(up, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+                "in_bloom": pa.array(hit, pa.bool_()),
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (up % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        up = group["up"].to_numpy(zero_copy_only=False)
+        lo = group["lo"].to_numpy(zero_copy_only=False)
+        rmask = kind == 0
+        pmask = ~rmask
+        rkeys = np.empty(int(rmask.sum()), dtype=_BLOOM_DT)
+        rkeys["a"], rkeys["b"] = up[rmask], lo[rmask]
+        rkeys = np.sort(rkeys)
+        pkeys = np.empty(int(pmask.sum()), dtype=_BLOOM_DT)
+        pkeys["a"], pkeys["b"] = up[pmask], lo[pmask]
+        exact = np.zeros(len(pkeys), bool)
+        if len(rkeys) and len(pkeys):
+            idx = np.searchsorted(rkeys, pkeys)
+            ok = idx < len(rkeys)
+            exact[ok] = (
+                rkeys[np.minimum(idx[ok], len(rkeys) - 1)] == pkeys[ok]
+            )
+        in_bloom = group["in_bloom"].to_numpy(zero_copy_only=False)[pmask]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    group["doc_id"].to_numpy(zero_copy_only=False)[pmask],
+                    pa.int64(),
+                ),
+                "in_bloom": pa.array(in_bloom, pa.bool_()),
+                "exact_dup": pa.array(exact, pa.bool_()),
+                "false_positive": pa.array(in_bloom & ~exact, pa.bool_()),
+            }
+        )
+
+    tagged = ds_ref.map_batches(ref_rows, batch_format="pyarrow").union(
+        ds_probe.map_batches(probe_rows, batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -282,18 +469,15 @@ def _pairs_from_group(group: pa.Table) -> pa.Table:
     )
 
 
-def ngram_pairs_jaccard(
+def _ngram_shared_counts(
     ds,
     n: int = 3,
-    threshold: float = 0.8,
     max_df: int = 50,
     text_col: str = "text",
 ):
-    """documents → near-dup pairs (doc_a, doc_b, shared, jaccard ≥ τ).
-
-    Plan: ngram rows → groupby(ngram) postings → df-cap → pair emission
-    → groupby(pair) shared-count → jaccard filter.  Equivalent SQL in
-    ``__ray_entry__.oracle_sql()['doc_neardup_ngram']``."""
+    """documents → per-pair shared-n-gram counts (doc_a, doc_b, shared,
+    size_a, size_b) — the inverted-index core shared by the Jaccard and
+    containment near-dup operators (only the final score differs)."""
     import ray.data
     import pyarrow.compute as pc
 
@@ -404,11 +588,28 @@ def ngram_pairs_jaccard(
             }
         )
 
-    shared = (
+    return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(combine_pairs, batch_format="pyarrow")
     )
+
+
+def ngram_pairs_jaccard(
+    ds,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+    text_col: str = "text",
+):
+    """documents → near-dup pairs (doc_a, doc_b, shared, jaccard ≥ τ).
+
+    Plan: ngram rows → groupby(ngram) postings → df-cap → pair emission
+    → groupby(pair) shared-count → jaccard filter.  Equivalent SQL in
+    ``__ray_entry__.oracle_sql()['doc_neardup_ngram']``."""
+    import pyarrow.compute as pc
+
+    shared = _ngram_shared_counts(ds, n=n, max_df=max_df, text_col=text_col)
 
     def finish(batch: pa.Table) -> pa.Table:
         union = pc.subtract(
@@ -421,6 +622,42 @@ def ngram_pairs_jaccard(
         batch = batch.append_column("jaccard", j)
         return batch.filter(pc.greater_equal(j, threshold)).select(
             ["doc_a", "doc_b", "shared", "jaccard"]
+        )
+
+    return shared.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_pairs_containment(
+    ds,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int = 50,
+    text_col: str = "text",
+):
+    """documents → containment pairs (doc_a, doc_b, shared,
+    containment ≥ τ): ASYMMETRIC near-dup detection — containment =
+    shared / min(|A|, |B|) flags a short doc embedded in a longer one
+    (quotes, partial mirrors, article + wrapper pages) that symmetric
+    Jaccard misses because the union is dominated by the longer side
+    (Broder 1997's containment coefficient, max over both directions).
+
+    Shares the full inverted-index plan with ``ngram_pairs_jaccard``
+    (ngram rows → hash-bucket postings → df-cap → pair emission →
+    pair-bucket shared counts); only the final single-division score
+    differs.  SQL twin in ``oracle_sql()['doc_neardup_contain']``."""
+    import pyarrow.compute as pc
+
+    shared = _ngram_shared_counts(ds, n=n, max_df=max_df, text_col=text_col)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        smaller = pc.min_element_wise(batch["size_a"], batch["size_b"])
+        c = pc.divide(
+            pc.cast(batch["shared"], pa.float64()),
+            pc.cast(smaller, pa.float64()),
+        )
+        batch = batch.append_column("containment", c)
+        return batch.filter(pc.greater_equal(c, threshold)).select(
+            ["doc_a", "doc_b", "shared", "containment"]
         )
 
     return shared.map_batches(finish, batch_format="pyarrow")

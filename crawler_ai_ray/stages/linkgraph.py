@@ -1960,6 +1960,308 @@ def host_triangles(edges, num_buckets: int = 64,
     )
 
 
+# --- link prediction (common neighbors / neighborhood Jaccard) -------------
+
+def _linkpred_scores(
+    keys: np.ndarray,
+    cn: np.ndarray,
+    ekeys: np.ndarray,
+    verts: np.ndarray,
+    deg: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(candidate pair keys, common-neighbor counts, sorted edge keys)
+    → (non-edge keys, cn, jaccard_ppm).  Shared by both tiers."""
+    if len(ekeys) and len(keys):
+        idx = np.searchsorted(ekeys, keys)
+        ok = idx < len(ekeys)
+        is_edge = np.zeros(len(keys), dtype=bool)
+        is_edge[ok] = ekeys[np.minimum(idx[ok], len(ekeys) - 1)] == keys[ok]
+        keys, cn = keys[~is_edge], cn[~is_edge]
+    da = deg[np.searchsorted(verts, keys["a"])]
+    db = deg[np.searchsorted(verts, keys["b"])]
+    jppm = (cn * 1_000_000) // (da + db - cn)
+    return keys, cn, jppm
+
+
+def _linkpred_wedge_pairs(
+    src: np.ndarray, dst: np.ndarray, srank: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """apex-grouped directed rows (src=apex vertex idx, dst=neighbor
+    idx) → string-canonical co-neighbor pairs (a_idx, b_idx)."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    starts = np.flatnonzero(np.diff(s, prepend=np.int64(-1)))
+    counts = np.diff(np.append(starts, len(s)))
+    pa_l: list[np.ndarray] = []
+    pb_l: list[np.ndarray] = []
+    for st, c in zip(starts.tolist(), counts.tolist()):
+        if c < 2:
+            continue
+        nb = d[st : st + c]
+        ii, jj = np.triu_indices(c, k=1)
+        x, y = nb[ii], nb[jj]
+        sw = srank[x] > srank[y]
+        pa_l.append(np.where(sw, y, x))
+        pb_l.append(np.where(sw, x, y))
+    if not pa_l:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(pa_l), np.concatenate(pb_l)
+
+
+_LINKPRED_EMPTY = {
+    "host_a": pa.string(),
+    "host_b": pa.string(),
+    "common_neighbors": pa.int64(),
+    "jaccard_ppm": pa.int64(),
+}
+
+
+def host_link_prediction(
+    edges,
+    max_apex_degree: int = 64,
+    k: int = 100,
+    num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
+):
+    """distinct host edges → top-k predicted (missing) host links:
+    (host_a, host_b, common_neighbors, jaccard_ppm) for NON-adjacent
+    host pairs, scored by neighborhood Jaccard
+    ``cn·1e6 // (deg_a + deg_b − cn)`` (integer-exact), ranked
+    (jaccard_ppm desc, common_neighbors desc, host_a, host_b) — the
+    "which hosts should link but don't" signal used for crawl seeding
+    and mirror discovery (Liben-Nowell & Kleinberg 2003 common-
+    neighbors/Jaccard predictors).
+
+    Wedge generation only fires at apexes with degree ≤
+    ``max_apex_degree`` (on BOTH the engine and the SQL side): hub
+    apexes contribute Σdeg² wedges of near-zero predictive value —
+    the standard production cap that keeps the pair explosion bounded.
+
+    Scale shape (mirrors ``host_triangles``): undirected distinct
+    edges come from pair-hash buckets; ≤ ``driver_max_edges`` runs the
+    exact kernel driver-local; above the gate, wedges generate inside
+    apex-hash buckets, common-neighbor counting + the existing-edge
+    anti-join run inside pair-hash buckets, each bucket emits only its
+    LOCAL top-k, and the driver merges ≤ buckets·k rows with one Arrow
+    sort (degree/rank vectors are the same vertex-sized broadcast
+    boundary the triangle kernel declares).  Pairs are canonicalized
+    by host STRING rank so DuckDB's ``least/greatest`` oracle matches
+    exactly; SQL twin in ``oracle_sql()['crawl_host_linkpred']``."""
+    import ray
+
+    und, block_refs, n_edges = _und_distinct(edges, num_buckets)
+    empty = pa.table(
+        {c: pa.array([], t) for c, t in _LINKPRED_EMPTY.items()}
+    )
+    if not n_edges:
+        return empty
+    cap = int(max_apex_degree)
+
+    if n_edges <= driver_max_edges:
+        blocks = [b for b in ray.get(block_refs) if b.num_rows]
+        t = pa.concat_tables(blocks)
+        names: dict[int, str] = {}
+        for blk in blocks:
+            for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+                names.update(
+                    zip(
+                        (int(x) for x in blk[col_h].to_pylist()),
+                        blk[col_s].to_pylist(),
+                    )
+                )
+        lo = t["lo_h"].to_numpy(zero_copy_only=False)
+        hi = t["hi_h"].to_numpy(zero_copy_only=False)
+        verts, inv = np.unique(
+            np.concatenate([lo, hi]), return_inverse=True
+        )
+        deg = np.bincount(inv, minlength=len(verts)).astype(np.int64)
+        namearr = np.array([names[int(v)] for v in verts])
+        srank = np.empty(len(verts), dtype=np.int64)
+        srank[np.argsort(namearr)] = np.arange(len(verts))
+        li, hi_i = inv[: len(lo)], inv[len(lo) :]
+        src = np.concatenate([li, hi_i])
+        dst = np.concatenate([hi_i, li])
+        keep = deg[src] <= cap
+        A, B = _linkpred_wedge_pairs(src[keep], dst[keep], srank)
+        if not len(A):
+            return empty
+        keys, cn = np.unique(
+            _pairs(verts[A], verts[B]), return_counts=True
+        )
+        # und rows are string-canonical (lo < hi) already
+        ekeys = np.sort(_pairs(verts[li], verts[hi_i]))
+        keys, cn, jppm = _linkpred_scores(
+            keys, cn.astype(np.int64), ekeys, verts, deg
+        )
+        ia = np.searchsorted(verts, keys["a"])
+        ib = np.searchsorted(verts, keys["b"])
+        order = np.lexsort((srank[ib], srank[ia], -cn, -jppm))[:k]
+        return pa.table(
+            {
+                "host_a": pa.array(namearr[ia[order]], pa.string()),
+                "host_b": pa.array(namearr[ib[order]], pa.string()),
+                "common_neighbors": pa.array(cn[order], pa.int64()),
+                "jaccard_ppm": pa.array(jppm[order], pa.int64()),
+            }
+        )
+
+    # ---- distributed tier: vertex-sized broadcast boundary (names /
+    # degree / string-rank — the same declaration host_triangles makes;
+    # the sharded-PageRank routing is the documented extension) ----
+    names = {}
+    deg0: dict[int, int] = {}
+
+    @ray.remote(num_cpus=1)
+    def vert_partial(tb: pa.Table):
+        out_n: dict[int, str] = {}
+        out_d: dict[int, int] = {}
+        for col_h, col_s in (("lo_h", "lo"), ("hi_h", "hi")):
+            hs = tb[col_h].to_pylist()
+            ss = tb[col_s].to_pylist()
+            for h, s in zip(hs, ss):
+                out_n[int(h)] = s
+                out_d[int(h)] = out_d.get(int(h), 0) + 1
+        return out_n, out_d
+
+    for out_n, out_d in ray.get(
+        [vert_partial.remote(b) for b in block_refs]
+    ):
+        names.update(out_n)
+        for h, c in out_d.items():
+            deg0[h] = deg0.get(h, 0) + c
+
+    verts = np.array(sorted(deg0), dtype=np.uint64)
+    deg = np.array([deg0[int(v)] for v in verts], dtype=np.int64)
+    namearr = np.array([names[int(v)] for v in verts])
+    srank = np.empty(len(verts), dtype=np.int64)
+    srank[np.argsort(namearr)] = np.arange(len(verts))
+    state_ref = ray.put((verts, deg, srank))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        vs, dg, _ = ray.get(state_ref)
+        lo_h = batch["lo_h"].to_numpy(zero_copy_only=False)
+        hi_h = batch["hi_h"].to_numpy(zero_copy_only=False)
+        apex = np.concatenate([lo_h, hi_h])
+        nbr = np.concatenate([hi_h, lo_h])
+        keep = dg[np.searchsorted(vs, apex)] <= cap
+        apex, nbr = apex[keep], nbr[keep]
+        return pa.table(
+            {
+                "apex_h": pa.array(apex, pa.uint64()),
+                "nbr_h": pa.array(nbr, pa.uint64()),
+                "abucket": pa.array(
+                    (apex % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        vs, _, sr = ray.get(state_ref)
+        ah = group["apex_h"].to_numpy(zero_copy_only=False)
+        nh = group["nbr_h"].to_numpy(zero_copy_only=False)
+        src = np.searchsorted(vs, ah)
+        dst = np.searchsorted(vs, nh)
+        A, B = _linkpred_wedge_pairs(src, dst, sr)
+        wa, wb = vs[A], vs[B]
+        pb = (
+            (wa ^ (wb >> np.uint64(7))) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "wa": pa.array(wa, pa.uint64()),
+                "wb": pa.array(wb, pa.uint64()),
+                "kind": pa.array(np.zeros(len(wa), np.int8), pa.int8()),
+                "pbucket": pa.array(pb, pa.int32()),
+            }
+        )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch["lo_h"].to_numpy(zero_copy_only=False)
+        b = batch["hi_h"].to_numpy(zero_copy_only=False)
+        pb = (
+            (a ^ (b >> np.uint64(7))) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "wa": pa.array(a, pa.uint64()),
+                "wb": pa.array(b, pa.uint64()),
+                "kind": pa.array(np.ones(len(a), np.int8), pa.int8()),
+                "pbucket": pa.array(pb, pa.int32()),
+            }
+        )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        vs, dg, sr = ray.get(state_ref)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        wa = group["wa"].to_numpy(zero_copy_only=False)
+        wb = group["wb"].to_numpy(zero_copy_only=False)
+        em = kind == 1
+        ek = np.sort(_pairs(wa[em], wb[em]))
+        wm = ~em
+        if not wm.any():
+            return pa.table(
+                {
+                    "a_h": pa.array([], pa.uint64()),
+                    "b_h": pa.array([], pa.uint64()),
+                    "common_neighbors": pa.array([], pa.int64()),
+                    "jaccard_ppm": pa.array([], pa.int64()),
+                }
+            )
+        keys, cn = np.unique(_pairs(wa[wm], wb[wm]), return_counts=True)
+        keys, cn, jppm = _linkpred_scores(
+            keys, cn.astype(np.int64), ek, vs, dg
+        )
+        ia = np.searchsorted(vs, keys["a"])
+        ib = np.searchsorted(vs, keys["b"])
+        order = np.lexsort((sr[ib], sr[ia], -cn, -jppm))[:k]
+        return pa.table(
+            {
+                "a_h": pa.array(keys["a"][order], pa.uint64()),
+                "b_h": pa.array(keys["b"][order], pa.uint64()),
+                "common_neighbors": pa.array(cn[order], pa.int64()),
+                "jaccard_ppm": pa.array(jppm[order], pa.int64()),
+            }
+        )
+
+    both = und.map_batches(both_dirs, batch_format="pyarrow")
+    wedge_ds = both.groupby("abucket").map_groups(
+        wedges, batch_format="pyarrow"
+    ).select_columns(["wa", "wb", "kind", "pbucket"])
+    ekey_ds = und.map_batches(edge_keys, batch_format="pyarrow")
+    parts = [
+        t
+        for t in ray.get(
+            wedge_ds.union(ekey_ds)
+            .groupby("pbucket")
+            .map_groups(score_bucket, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    # driver holds ≤ num_buckets·k rows — Arrow-side final cut, no Ray
+    # sort (the tiny-candidate-set rule)
+    allp = pa.concat_tables(parts)
+    a_h = allp["a_h"].to_numpy(zero_copy_only=False)
+    b_h = allp["b_h"].to_numpy(zero_copy_only=False)
+    cn = allp["common_neighbors"].to_numpy(zero_copy_only=False)
+    jppm = allp["jaccard_ppm"].to_numpy(zero_copy_only=False)
+    ia = np.searchsorted(verts, a_h)
+    ib = np.searchsorted(verts, b_h)
+    order = np.lexsort((srank[ib], srank[ia], -cn, -jppm))[:k]
+    return pa.table(
+        {
+            "host_a": pa.array(namearr[ia[order]], pa.string()),
+            "host_b": pa.array(namearr[ib[order]], pa.string()),
+            "common_neighbors": pa.array(cn[order], pa.int64()),
+            "jaccard_ppm": pa.array(jppm[order], pa.int64()),
+        }
+    )
+
+
 def host_kcore(
     edges,
     k: int = 2,

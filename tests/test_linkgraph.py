@@ -803,3 +803,118 @@ def test_extract_links_career_matches_full_extraction(ray_session):
         .sort_values("url", ignore_index=True)
     )
     assert full.equals(lite)
+
+
+def test_host_linkpred_hand_computed_and_tiers(ray_session):
+    """Star a–hub, b–hub, c–hub plus edge a–b: candidates are (a,c)
+    and (b,c) via the hub apex; (a,b) is an existing edge and must be
+    excluded; wedges at a/b only produce existing-edge pairs.  Hub cap
+    below the hub's degree kills every candidate.  Distributed tier
+    bit-equal."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        host_edges,
+        host_link_prediction,
+    )
+
+    tbl = pa.table(
+        {
+            "host": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+            "out_links": pa.array(
+                [
+                    ["https://hub.com/1", "https://b.com/1"],
+                    ["https://hub.com/2"],
+                    ["https://hub.com/3"],
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    got = host_link_prediction(
+        host_edges(ray.data.from_arrow(tbl))
+    ).to_pandas()
+    # deg: a=2 (hub,b), b=2, c=1, hub=3
+    assert got.values.tolist() == [
+        ["a.com", "c.com", 1, 500_000],
+        ["b.com", "c.com", 1, 500_000],
+    ]
+    dist = host_link_prediction(
+        host_edges(ray.data.from_arrow(tbl).repartition(3)),
+        driver_max_edges=0,
+    ).to_pandas()
+    assert dist.equals(got)
+    capped = host_link_prediction(
+        host_edges(ray.data.from_arrow(tbl)), max_apex_degree=2
+    ).to_pandas()
+    assert len(capped) == 0
+
+
+def test_host_linkpred_fuzz_vs_bruteforce(ray_session):
+    """Random graph with a super-hub above the apex cap: both tiers
+    match an independent Python brute force (including the cap's
+    effect on common-neighbor counts)."""
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        host_edges,
+        host_link_prediction,
+    )
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{i:02d}.com" for i in range(18)]
+    links: dict[str, list[str]] = {h: [] for h in hosts}
+    und: set[tuple[str, str]] = set()
+    for _ in range(40):
+        u, v = rng.choice(len(hosts), size=2, replace=False)
+        a, b = hosts[int(u)], hosts[int(v)]
+        links[a].append(f"https://{b}/x")
+        und.add((min(a, b), max(a, b)))
+    hub = "zhub.com"
+    links[hub] = []
+    for h in hosts[:10]:  # hub degree 10 > cap 6
+        links[hub].append(f"https://{h}/y")
+        und.add((min(hub, h), max(hub, h)))
+    tbl = pa.table(
+        {
+            "host": pa.array(list(links), pa.string()),
+            "out_links": pa.array(
+                list(links.values()), pa.list_(pa.string())
+            ),
+        }
+    )
+
+    cap, k = 6, 30
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {h: len(s) for h, s in adj.items()}
+    cn: dict[tuple[str, str], int] = {}
+    for apex, nbrs in adj.items():
+        if deg[apex] > cap:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p in und:
+                    continue
+                cn[p] = cn.get(p, 0) + 1
+    want = sorted(
+        (
+            (a, b, c, c * 1_000_000 // (deg[a] + deg[b] - c))
+            for (a, b), c in cn.items()
+        ),
+        key=lambda r: (-r[3], -r[2], r[0], r[1]),
+    )[:k]
+
+    for dme in (5_000_000, 0):  # driver-local and forced-distributed
+        got = host_link_prediction(
+            host_edges(ray.data.from_arrow(tbl)),
+            max_apex_degree=cap,
+            k=k,
+            driver_max_edges=dme,
+        ).to_pandas()
+        assert [tuple(r) for r in got.values.tolist()] == want, dme

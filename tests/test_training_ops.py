@@ -3109,3 +3109,129 @@ def test_boilerplate_removal_planted_and_paths(ray_session):
         assert row["n_distinct_segments"] == sum(
             1 for (hh, _) in df if hh == g
         )
+
+
+# --- containment near-dup ---------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_containment_vs_duckdb(docs_ds, duck):
+    from crawler_ai_ray.stages.dedup import ngram_pairs_containment
+
+    eng = ngram_pairs_containment(
+        docs_ds, n=3, threshold=0.9, max_df=50
+    ).to_pandas()
+    ora = duck.sql("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t
+                    FROM documents),
+      ng AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] ngram
+             FROM toks, unnest(generate_series(1, len(t)-2)) s(i)
+             WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) sz FROM ng GROUP BY 1),
+      df AS (SELECT ngram, count(*) c FROM ng GROUP BY 1),
+      pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+                FROM ng a JOIN ng b ON a.ngram=b.ngram AND a.doc_id<b.doc_id
+                JOIN df ON df.ngram=a.ngram AND df.c<=50 GROUP BY 1,2)
+      SELECT doc_a, doc_b, shared,
+             shared/least(sa.sz, sb.sz)::DOUBLE containment
+      FROM pairs JOIN sizes sa ON sa.doc_id=doc_a
+                 JOIN sizes sb ON sb.doc_id=doc_b
+      WHERE shared/least(sa.sz, sb.sz)::DOUBLE >= 0.9""").df()
+    assert_frames_equal(eng, ora)
+
+
+def test_ngram_containment_catches_what_jaccard_misses(ray_session):
+    """A short doc fully embedded in a long one: containment = 1.0 but
+    Jaccard far below 0.8 — the asymmetric case the operator exists
+    for."""
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        ngram_pairs_containment,
+        ngram_pairs_jaccard,
+    )
+
+    long_toks = [f"w{i}" for i in range(30)]
+    short_toks = long_toks[5:16]  # 11 tokens → 9 3-grams, all in long
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [" ".join(long_toks), " ".join(short_toks)], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cont = ngram_pairs_containment(ds, n=3, threshold=0.9).to_pandas()
+    assert cont.values.tolist() == [[1, 2, 9, 1.0]]
+    jac = ngram_pairs_jaccard(ds, n=3, threshold=0.8).to_pandas()
+    assert len(jac) == 0
+
+
+# --- Bloom-filter membership ------------------------------------------------
+
+def test_bloom_membership_planted_and_bruteforce(ray_session):
+    """No false negatives ever (the Bloom guarantee); with a
+    deliberately tiny bitmap the in_bloom column matches a brute-force
+    bitmap recomputation and false_positive == in_bloom & ~exact."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import bloom_membership
+
+    ref_texts = [f"ref document number {i} body" for i in range(40)]
+    probe_texts = (
+        ref_texts[:7]  # exact dups → must be in_bloom
+        + [f"novel probe {i} content" for i in range(60)]
+    )
+    ref = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000, 1040), pa.int64()),
+                "text": pa.array(ref_texts, pa.string()),
+            }
+        )
+    )
+    probe = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(probe_texts)), pa.int64()),
+                "text": pa.array(probe_texts, pa.string()),
+            }
+        )
+    )
+    m = 512  # tiny on purpose: 40 docs × 4 bits ≈ 27% fill → real fps
+    got = (
+        bloom_membership(ref, probe, m_bits=m)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(probe_texts)
+
+    def positions(t: str) -> list[int]:
+        d = hashlib.md5(t.encode()).digest()
+        up = int.from_bytes(d[:8], "little")
+        lo = int.from_bytes(d[8:], "little")
+        return [
+            (up & 0xFFFFFFFF) % m,
+            (up >> 32) % m,
+            (lo & 0xFFFFFFFF) % m,
+            (lo >> 32) % m,
+        ]
+
+    bits = np.zeros(m, bool)
+    for t in ref_texts:
+        bits[positions(t)] = True
+    ref_set = set(ref_texts)
+    want_in = [all(bits[positions(t)]) for t in probe_texts]
+    want_exact = [t in ref_set for t in probe_texts]
+    assert got.in_bloom.tolist() == want_in
+    assert got.exact_dup.tolist() == want_exact
+    assert (
+        got.false_positive == (got.in_bloom & ~got.exact_dup)
+    ).all()
+    # the Bloom guarantee: every exact dup is flagged present
+    assert got[got.exact_dup].in_bloom.all()
+    # the tiny bitmap actually exercised the fp path
+    assert got.false_positive.any()
