@@ -37,6 +37,26 @@ def _corpus(sf_dir: str) -> str:
     return _CORPUS_CACHE[key]
 
 
+_PROJ_CACHE: dict[tuple, Any] = {}
+
+
+def _shared(*key, build):
+    """Process-level cache of MATERIALIZED shared projections — the
+    extract-once-per-snapshot checkpoint a cluster deployment writes as
+    hash-partitioned parquet between the crawler and every downstream
+    analysis.  One driver process (the external driver, ``bench.py``,
+    ``tools/check_queries.py``) runs MANY queries over the same corpus
+    snapshot; without the checkpoint each query re-parses the HTML
+    (measured ~25 s of repeated parse across the 18 crawl queries at
+    sf0.1).  Keyed by the resolved corpus path, which embeds
+    ``CORPUS_VERSION`` — distinct corpora never collide.  Entries are
+    materialized Datasets (blocks live in plasma, streamed zero-copy by
+    each consumer) or driver-small key tables."""
+    if key not in _PROJ_CACHE:
+        _PROJ_CACHE[key] = build()
+    return _PROJ_CACHE[key]
+
+
 def _read_parallel(path: str, columns=None):
     """read_parquet with real read-task parallelism.  A single-file
     ``read_parquet`` decodes on ONE task (override_num_blocks only
@@ -96,13 +116,63 @@ def _extracted(sf_dir: str):
     return extract_pages(_pages(sf_dir, columns=["url", "html", "lang"]))
 
 
+def _text_base(sf_dir: str):
+    """Materialized shared text projection (url, host, text,
+    text_crawldata) — the per-snapshot extraction checkpoint (see
+    ``_shared``).  Host is vectorized from the URL (these URLs are
+    ``scheme://host/...``, so split('/')[2] IS the netloc — the
+    ``crawl_snapshot_diff`` idiom); every text consumer selects the
+    columns it needs from the cached blocks."""
+
+    def build():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from crawler_ai_ray.stages.extract import extract_text
+
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("text", pa.string()),
+                ("text_crawldata", pa.string()),
+            ]
+        )
+
+        def add_host(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return schema.empty_table()
+            host = pc.cast(
+                pc.list_element(pc.split_pattern(batch["url"], "/"), 2),
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "host": host,
+                    "text": batch["text"],
+                    "text_crawldata": batch["text_crawldata"],
+                },
+                schema=schema,
+            )
+
+        return (
+            extract_text(_pages(sf_dir, columns=["url", "html"]))
+            .map_batches(add_host, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return _shared("text_base", _corpus(sf_dir), build=build)
+
+
 def _text_extracted(sf_dir: str):
     """Text-only extraction projection (same parse + byte-identical
     text columns as `_extracted`, ~1.6× cheaper — skips contacts/
-    links/classification the text consumers drop)."""
-    from crawler_ai_ray.stages.extract import extract_text
-
-    return extract_text(_pages(sf_dir, columns=["url", "html"]))
+    links/classification the text consumers drop).  Streams the
+    ``_text_base`` checkpoint."""
+    return _text_base(sf_dir).select_columns(
+        ["url", "text", "text_crawldata"]
+    )
 
 
 def _q_crawl_text(sf_dir: str):
@@ -114,41 +184,31 @@ def _q_crawl_text_crawldata(sf_dir: str):
 
 
 def _deboiler_base(sf_dir: str):
-    """(url, host, text_crawldata) — the crawler-flavoured text with a
-    vectorized host column (these URLs are ``scheme://host/...``, so
-    split('/')[2] IS the netloc — the ``crawl_snapshot_diff`` idiom)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    """(url, host, text_crawldata) — the crawler-flavoured text with
+    its host column, streamed from the ``_text_base`` checkpoint (each
+    consumer pass re-reads the materialized blocks, never re-parses)."""
+    return _text_base(sf_dir).select_columns(
+        ["url", "host", "text_crawldata"]
+    )
 
-    def add_host(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("host", pa.string()),
-                    ("text_crawldata", pa.string()),
-                ]
-            ).empty_table()
-        host = pc.list_element(pc.split_pattern(batch["url"], "/"), 2)
-        return pa.table(
-            {
-                "url": batch["url"],
-                "host": pc.cast(host, pa.string()),
-                "text_crawldata": batch["text_crawldata"],
-            }
+
+def _boiler_keys(sf_dir: str):
+    """(boilerplate key array, per-group stats) for the deboiler-family
+    queries — computed once per corpus (all three queries share the
+    exact same key pass over the same checkpoint; see ``_shared``)."""
+
+    def build():
+        from crawler_ai_ray.stages.dedup import boilerplate_keys
+
+        return boilerplate_keys(
+            _deboiler_base(sf_dir),
+            group_col="host",
+            text_col="text_crawldata",
+            seg_words=10,
+            min_df=3,
         )
 
-    # materialized: every consumer (boilerplate_keys, then the rebuild /
-    # metrics pass) streams the SAME extraction output instead of
-    # re-parsing the HTML per pass — the curate_decisions stage-1
-    # checkpoint pattern (a cluster deployment writes this projection
-    # as hash-partitioned parquet once per snapshot)
-    return (
-        _text_extracted(sf_dir)
-        .select_columns(["url", "text_crawldata"])
-        .map_batches(add_host, batch_format="pyarrow")
-        .materialize()
-    )
+    return _shared("boiler_keys", _corpus(sf_dir), build=build)
 
 
 def _q_crawl_host_boilerplate(sf_dir: str):
@@ -164,6 +224,7 @@ def _q_crawl_host_boilerplate(sf_dir: str):
         group_col="host",
         id_col="url",
         text_col="text_crawldata",
+        keys_gstats=_boiler_keys(sf_dir),
     )
     return t.rename_columns(
         ["host"] + t.column_names[1:]
@@ -183,6 +244,7 @@ def _q_crawl_text_deboiler(sf_dir: str):
         group_col="host",
         id_col="url",
         text_col="text_crawldata",
+        keys_gstats=_boiler_keys(sf_dir),
     )
 
 
@@ -196,7 +258,9 @@ def _q_crawl_curate(sf_dir: str):
     whole chain in SQL from golden segment strings."""
     from crawler_ai_ray.pipelines.curate import curate_pages
 
-    return curate_pages(_deboiler_base(sf_dir))
+    return curate_pages(
+        _deboiler_base(sf_dir), keys_gstats=_boiler_keys(sf_dir)
+    )
 
 
 def _q_crawl_classify(sf_dir: str):
@@ -248,9 +312,9 @@ def _q_crawl_host_pagerank(sf_dir: str):
     distinct host→host out-link edges — the link-centrality signal a
     frontier prioritizer / corpus curator consumes (Common Crawl ships
     the host-level equivalent with every snapshot)."""
-    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+    from crawler_ai_ray.stages.linkgraph import pagerank_hosts
 
-    return pagerank_hosts(host_edges(_link_pages(sf_dir)))
+    return pagerank_hosts(_host_edges(sf_dir))
 
 
 def _q_crawl_host_ppr(sf_dir: str):
@@ -309,9 +373,9 @@ def _q_crawl_host_communities(sf_dir: str):
     cap per-community quotas.  The oracle unrolls the identical
     recurrence as 4 QUALIFY-style CTEs over host STRINGS, so the
     engine's string-rank integer labels are verified end-to-end."""
-    from crawler_ai_ray.stages.linkgraph import host_edges, lpa_communities
+    from crawler_ai_ray.stages.linkgraph import lpa_communities
 
-    return lpa_communities(host_edges(_link_pages(sf_dir)))
+    return lpa_communities(_host_edges(sf_dir))
 
 
 def _q_crawl_host_hits(sf_dir: str):
@@ -319,9 +383,9 @@ def _q_crawl_host_hits(sf_dir: str):
     fixed-point, 3 iterations, divide-only renormalization) over the
     distinct host→host out-link edges — the directory-page vs
     destination-page centrality split a seed-list curator consumes."""
-    from crawler_ai_ray.stages.linkgraph import hits_hosts, host_edges
+    from crawler_ai_ray.stages.linkgraph import hits_hosts
 
-    return hits_hosts(host_edges(_link_pages(sf_dir)))
+    return hits_hosts(_host_edges(sf_dir))
 
 
 def _q_events_cms(sf_dir: str):
@@ -341,9 +405,9 @@ def _q_crawl_host_triangles(sf_dir: str):
     apex; hub wedges bounded), exact two-u64 structured searchsorted
     membership; adaptive driver kernel ≤5M distinct edges, wedge/pair-
     bucketed distributed tier above (forced-path pinned)."""
-    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+    from crawler_ai_ray.stages.linkgraph import host_triangles
 
-    return host_triangles(host_edges(_link_pages(sf_dir)))
+    return host_triangles(_host_edges(sf_dir))
 
 
 def _q_crawl_host_linkpred(sf_dir: str):
@@ -354,21 +418,18 @@ def _q_crawl_host_linkpred(sf_dir: str):
     pair explosion); integer-exact jaccard_ppm; adaptive driver kernel
     ≤5M distinct edges, apex/pair-bucketed distributed tier above with
     per-bucket local top-k and a driver-side Arrow final cut."""
-    from crawler_ai_ray.stages.linkgraph import (
-        host_edges,
-        host_link_prediction,
-    )
+    from crawler_ai_ray.stages.linkgraph import host_link_prediction
 
-    return host_link_prediction(host_edges(_link_pages(sf_dir)))
+    return host_link_prediction(_host_edges(sf_dir))
 
 
 def _q_crawl_host_clustering(sf_dir: str):
     """Local clustering coefficient per host (2·tri·1e6 // deg·(deg−1),
     exact integer ppm over the undirected graph, domain deg ≥ 2) — the
     community-density profile on top of the triangle kernel."""
-    from crawler_ai_ray.stages.linkgraph import host_edges, host_triangles
+    from crawler_ai_ray.stages.linkgraph import host_triangles
 
-    return host_triangles(host_edges(_link_pages(sf_dir)), clustering=True)
+    return host_triangles(_host_edges(sf_dir), clustering=True)
 
 
 def _q_crawl_host_kcore(sf_dir: str):
@@ -376,9 +437,9 @@ def _q_crawl_host_kcore(sf_dir: str):
     peels, fixpoint-stable): survivors + their in-subgraph degree —
     the periphery/link-farm filter beside triangles.  The oracle
     unrolls the same 8 peels (the HITS trick)."""
-    from crawler_ai_ray.stages.linkgraph import host_edges, host_kcore
+    from crawler_ai_ray.stages.linkgraph import host_kcore
 
-    return host_kcore(host_edges(_link_pages(sf_dir)), k=2, rounds=8)
+    return host_kcore(_host_edges(sf_dir), k=2, rounds=8)
 
 
 def _q_crawl_budget_allocation(
@@ -397,9 +458,9 @@ def _q_crawl_budget_allocation(
     import numpy as np
     import pyarrow as pa
 
-    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+    from crawler_ai_ray.stages.linkgraph import pagerank_hosts
 
-    pr = pagerank_hosts(host_edges(_link_pages(sf_dir)))
+    pr = pagerank_hosts(_host_edges(sf_dir))
     r = pr["rank_micros"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = max(int(r.sum()), 1)
     budget = np.minimum(base + (r * pool) // total, cap)
@@ -426,6 +487,21 @@ def _link_pages(sf_dir: str):
     return extract_links(_pages(sf_dir, columns=["url", "html"]))
 
 
+def _host_edges(sf_dir: str):
+    """Distinct (src, dst, src_h, dst_h, outdeg) host edges — the
+    per-snapshot host link graph every graph kernel consumes (Common
+    Crawl ships exactly this artifact with each snapshot).  Built once
+    per corpus via ``_shared``: ten graph queries otherwise re-parse
+    the HTML to rebuild the identical edge table."""
+
+    def build():
+        from crawler_ai_ray.stages.linkgraph import host_edges
+
+        return host_edges(_link_pages(sf_dir)).materialize()
+
+    return _shared("host_edges", _corpus(sf_dir), build=build)
+
+
 def _q_crawl_anchor_texts(sf_dir: str):
     """Inbound anchor-text corpus per target host (n_links,
     n_src_hosts, sorted-distinct-text digest) — the Common-Crawl-style
@@ -448,12 +524,9 @@ def _q_crawl_host_components(sf_dir: str):
     (spanning-forest sparsification; component label = lexicographic
     min host) — the dedup/partitioning signal that groups mirrors and
     site families before curation."""
-    from crawler_ai_ray.stages.linkgraph import (
-        connected_components,
-        host_edges,
-    )
+    from crawler_ai_ray.stages.linkgraph import connected_components
 
-    return connected_components(host_edges(_link_pages(sf_dir)))
+    return connected_components(_host_edges(sf_dir))
 
 
 def _q_crawl_page_quality(sf_dir: str):
@@ -750,9 +823,9 @@ def _q_crawl_host_reputation(sf_dir: str):
     import pyarrow.compute as pc
     import ray
 
-    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+    from crawler_ai_ray.stages.linkgraph import pagerank_hosts
 
-    ranks = pagerank_hosts(host_edges(_link_pages(sf_dir)))
+    ranks = pagerank_hosts(_host_edges(sf_dir))
 
     ex = _extracted(sf_dir).select_columns(
         ["host", "is_career_listing", "n_tokens"]
@@ -815,9 +888,9 @@ def _q_crawl_host_degrees(sf_dir: str):
     """Per-host in/out degree over the distinct host link graph — the
     first-look centrality/skew profile (combiner pass + one
     vertex-bucketed shuffle)."""
-    from crawler_ai_ray.stages.linkgraph import host_degrees, host_edges
+    from crawler_ai_ray.stages.linkgraph import host_degrees
 
-    return host_degrees(host_edges(_link_pages(sf_dir)))
+    return host_degrees(_host_edges(sf_dir))
 
 
 def _q_crawl_career_confidence(sf_dir: str):
@@ -2151,7 +2224,7 @@ def _q_crawl_pii_redact(sf_dir: str):
     from crawler_ai_ray.stages.textstats import pii_redact_batch
 
     return (
-        _extracted(sf_dir)
+        _text_extracted(sf_dir)
         .select_columns(["url", "text"])
         .map_batches(pii_redact_batch, batch_format="pyarrow")
     )

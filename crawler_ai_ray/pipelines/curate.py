@@ -333,6 +333,7 @@ def curate_pages(
     min_df: int = 3,
     min_tokens: int = 20,
     num_buckets: int = 64,
+    keys_gstats=None,
 ):
     """Crawl-corpus curation chain: within-host boilerplate removal →
     quality-rule cascade on the CLEAN text → exact dedup (keep the
@@ -358,7 +359,7 @@ def curate_pages(
 
     from ..stages.dedup import _boiler_rebuild_row, boilerplate_keys
 
-    keys, _ = boilerplate_keys(
+    keys, _ = keys_gstats if keys_gstats is not None else boilerplate_keys(
         text_ds, group_col, text_col, seg_words, min_df
     )
     k_ref = ray.put(keys)

@@ -2918,6 +2918,7 @@ def boilerplate_removal(
     min_df: int = 3,
     num_buckets: int = 512,
     driver_max_rows: int = 2_000_000,
+    keys_gstats=None,
 ):
     """(id, group, text) → (id, group, clean_text, n_segments,
     n_dropped): every occurrence of a within-group boilerplate segment
@@ -2927,10 +2928,12 @@ def boilerplate_removal(
     boilerplate segment — template-sized, NOT corpus-sized; a corpus
     whose template set outgrows plasma would instead bucket-join the
     keys against an id-bucketed rebuild pass, the ``segment_dedup``
-    alternative)."""
+    alternative).  ``keys_gstats`` accepts a precomputed
+    ``boilerplate_keys(...)`` result (the per-snapshot shared key pass
+    — same args) so co-resident queries don't repeat it."""
     import ray
 
-    keys, _ = boilerplate_keys(
+    keys, _ = keys_gstats if keys_gstats is not None else boilerplate_keys(
         ds, group_col, text_col, seg_words, min_df, num_buckets,
         driver_max_rows,
     )
@@ -2983,17 +2986,24 @@ def boilerplate_stats(
     min_df: int = 3,
     num_buckets: int = 512,
     driver_max_rows: int = 2_000_000,
+    keys_gstats=None,
 ) -> pa.Table:
     """Per-group boilerplate profile: (group, n_pages, n_segments,
     n_distinct_segments, n_boiler_segments, n_dropped).  One extra
     streaming pass over the text emits per-batch per-group partials
     (group-sized — the combiner rule); the driver merges ≤ groups ×
-    blocks rows with one Arrow hash-agg."""
+    blocks rows with one Arrow hash-agg.  ``keys_gstats`` accepts a
+    precomputed ``boilerplate_keys(...)`` result (same args) so
+    co-resident queries share one key pass."""
     import ray
 
-    keys, gstats = boilerplate_keys(
-        ds, group_col, text_col, seg_words, min_df, num_buckets,
-        driver_max_rows,
+    keys, gstats = (
+        keys_gstats
+        if keys_gstats is not None
+        else boilerplate_keys(
+            ds, group_col, text_col, seg_words, min_df, num_buckets,
+            driver_max_rows,
+        )
     )
     k_ref = ray.put(keys)
     part_schema = pa.schema(

@@ -86,3 +86,34 @@ def test_text_projection_equivalent_to_full_extraction():
         .sort_values("url", ignore_index=True)
     )
     assert slim.equals(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shared_projection_cache_keyed_by_corpus():
+    """__ray_entry__'s _shared checkpoint cache must (a) return the
+    SAME materialized object for repeat calls over one corpus (the
+    extract-once-per-snapshot contract) and (b) never collide across
+    corpora (key embeds the resolved corpus path / CORPUS_VERSION)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    a1 = m._text_base("/root/testdata/sf0.001")
+    a2 = m._text_base("/root/testdata/sf0.001")
+    assert a1 is a2
+    # cached blocks match a fresh (uncached) build byte-for-byte
+    key = ("text_base", m._corpus("/root/testdata/sf0.001"))
+    fresh_cache = dict(m._PROJ_CACHE)
+    del m._PROJ_CACHE[key]
+    b = m._text_base("/root/testdata/sf0.001")
+    assert b is not a1
+    pa1 = a1.to_pandas().sort_values("url", ignore_index=True)
+    pb = b.to_pandas().sort_values("url", ignore_index=True)
+    assert pa1.equals(pb)
+    m._PROJ_CACHE.clear()
+    m._PROJ_CACHE.update(fresh_cache)
+
+    e1 = m._host_edges("/root/testdata/sf0.001")
+    e2 = m._host_edges("/root/testdata/sf0.001")
+    assert e1 is e2
