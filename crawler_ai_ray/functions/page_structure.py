@@ -40,6 +40,7 @@ from .job_urls import validate_job_urls
 __all__ = [
     "quick_scan_job_urls",
     "embedded_job_count",
+    "embedded_job_counts_vec",
     "detect_page_type",
     "analyze_page_structure",
     "find_job_listing_redirect",
@@ -60,22 +61,35 @@ _JOB_LINK_PATTERNS = [
 ]
 
 # job_extraction_service.py:752-758
-_EMBEDDED_JOB_RXS = [
-    re.compile(p, re.IGNORECASE | re.DOTALL)
-    for p in [
-        r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
-        r"Specialist|Assistant|Designer)).*?(?:Apply|View|See|Learn|"
-        r"Details)",
-        r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
-        r"Specialist|Assistant|Designer)).*?(?:Fulltime|Part-time|"
-        r"Contract|Only|Remote)",
-        r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
-        r"Specialist|Assistant|Designer))[^.\n]*?See Details",
-        r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
-        r"Specialist|Assistant|Designer))[^.\n]*?(?:Singapore|Remote|"
-        r"Fully Remote)",
-    ]
+_EMBEDDED_JOB_PATTERNS = [
+    r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
+    r"Specialist|Assistant|Designer)).*?(?:Apply|View|See|Learn|"
+    r"Details)",
+    r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
+    r"Specialist|Assistant|Designer)).*?(?:Fulltime|Part-time|"
+    r"Contract|Only|Remote)",
+    r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
+    r"Specialist|Assistant|Designer))[^.\n]*?See Details",
+    r"([A-Z][a-zA-Z\s]+(?:Developer|Engineer|Manager|Analyst|"
+    r"Specialist|Assistant|Designer))[^.\n]*?(?:Singapore|Remote|"
+    r"Fully Remote)",
 ]
+_EMBEDDED_JOB_RXS = [
+    re.compile(p, re.IGNORECASE | re.DOTALL) for p in _EMBEDDED_JOB_PATTERNS
+]
+
+# RE2 (pyarrow.compute) twins of the embedded-job patterns — the reference
+# patterns backtrack quadratically on long alpha/space runs (~30 ms/page on
+# the synthetic corpus); the twins run in linear time, count-identically
+# (semantics + engine-gap handling documented in functions/re2twin.py).
+from .re2twin import (  # noqa: F401  (re-exported for tests)
+    PYWS_RE2_CLASS,
+    RE2_FALLBACK_CLASS,
+    RE2_FALLBACK_RX as _RE2_FALLBACK_RX,
+    re2_twin,
+)
+
+_EMBEDDED_JOB_RE2 = [re2_twin(p) for p in _EMBEDDED_JOB_PATTERNS]
 
 # STEP-1 main-career-page url patterns
 _MAIN_CAREER_PATTERNS = [
@@ -148,6 +162,26 @@ def embedded_job_count(page_text: str) -> int:
     return sum(len(rx.findall(page_text or "")) for rx in _EMBEDDED_JOB_RXS)
 
 
+def embedded_job_counts_vec(texts: list[str]) -> "np.ndarray":
+    """Vectorized ``embedded_job_count`` over a batch of page texts: RE2
+    via pyarrow.compute (linear-time, ~240× the backtracking engine on the
+    synthetic corpus), with a Python-engine fallback for rows holding the
+    two codepoints where the engines' fold tables diverge (U+0130/U+0131).
+    Count-identical to the scalar path — pinned by tests/test_re2_twins.py
+    on corpus pages and an adversarial hazard-char fuzz grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = pa.array([t or "" for t in texts], pa.string())
+    counts = np.zeros(len(texts), np.int64)
+    for p in _EMBEDDED_JOB_RE2:
+        counts += np.asarray(pc.count_substring_regex(arr, p), dtype=np.int64)
+    hazard = np.asarray(pc.match_substring_regex(arr, RE2_FALLBACK_CLASS))
+    for i in np.flatnonzero(hazard):
+        counts[i] = embedded_job_count(texts[i])
+    return counts
+
+
 def detect_page_type(url: str, hrefs: list[str]) -> str:
     """individual_urls / embedded_jobs / unknown (page-local)."""
     url_lower = url.lower()
@@ -167,13 +201,15 @@ def detect_page_type(url: str, hrefs: list[str]) -> str:
 
 
 def analyze_page_structure(
-    url: str, hrefs: list[str], page_text: str
+    url: str, hrefs: list[str], page_text: str, n_embedded: int | None = None
 ) -> dict:
     """M36 (:719-808): individual-URL count (quick scan + M16
     validation), embedded-job regex count, page type and recommended
-    strategy."""
+    strategy.  ``n_embedded`` lets batch callers pass the vectorized
+    RE2 count (count-identical; see ``embedded_job_counts_vec``)."""
     individual = validate_job_urls(quick_scan_job_urls(url, hrefs), url)
-    n_embedded = embedded_job_count(page_text)
+    if n_embedded is None:
+        n_embedded = embedded_job_count(page_text)
     has_ind, has_emb = bool(individual), n_embedded > 0
     if has_ind and not has_emb:
         page_type, strategy = "individual_jobs", "individual_urls"
@@ -319,15 +355,22 @@ def page_structure_batch(batch: pa.Table) -> pa.Table:
             "listing_redirect",
         )
     }
-    for u, h in zip(urls, htmls):
+    texts: list[str] = []
+    facts_list = []
+    for h in htmls:
         html = h.decode("utf-8", errors="ignore") if isinstance(
             h, (bytes, bytearray)
         ) else (h or "")
         facts = parse_page(html)
-        hrefs = [href for href, _ in facts.anchors]
+        facts_list.append(facts)
         # reference uses soup.get_text() = every text node (:746)
-        page_text = "".join(facts.all_pieces)
-        a = analyze_page_structure(u, hrefs, page_text)
+        texts.append("".join(facts.all_pieces))
+    n_embedded_vec = embedded_job_counts_vec(texts)
+    for u, facts, page_text, n_emb in zip(
+        urls, facts_list, texts, n_embedded_vec
+    ):
+        hrefs = [href for href, _ in facts.anchors]
+        a = analyze_page_structure(u, hrefs, page_text, int(n_emb))
         for k in (
             "page_type", "has_individual_urls", "has_embedded_jobs",
             "job_count", "recommended_strategy", "individual_urls_found",
