@@ -252,6 +252,74 @@ _CARD_PATTERNS = tuple(
 _TITLE_SUFFIX_RE = re.compile(r"(Singapore Only|Fully Remote|See Details|See)$")
 _COM_PREFIX_RE = re.compile(r"^com\s*")
 
+# --- linear fast paths for the two quadratic card patterns ----------------
+# Patterns 18 and 23 backtrack quadratically (together 98 % of the cascade's
+# ~170 ms/page on the synthetic corpus); the rest are literal-anchored and
+# cheap.  Both fast paths are match-identical to the Python engine — pinned
+# by tests/test_re2_twins.py differentials.
+_P18_IDX, _P23_IDX = 18, 23
+assert _CARD_PATTERNS[_P18_IDX].pattern.startswith(r"([A-Z][a-zA-Z\s]+")
+assert _CARD_PATTERNS[_P23_IDX].pattern.startswith(r"([A-Z][^-\n]*")
+
+# Pattern 18 almost never matches (~3 % of pages): prefilter with its RE2
+# twin (linear; engine gaps handled per functions/re2twin.py) and run the
+# Python engine only on pages with a real match or a fold-gap codepoint.
+from .re2twin import RE2_FALLBACK_RX as _RE2_FALLBACK_RX
+from .re2twin import re2_twin as _re2_twin
+
+_P18_RE2 = _re2_twin(_CARD_PATTERNS[_P18_IDX].pattern)
+
+# Pattern 23 — ([A-Z][^-\n]*(?:Developer|…|Intern)) — matches often, so a
+# prefilter doesn't help; instead simulate it exactly in linear time.  A
+# match cannot cross '-' or '\n' (neither [A-Z] nor [^-\n]* nor the literal
+# alternatives accept them), so every match lies inside one maximal
+# '-'/'\n'-free segment.  Within a segment, leftmost-first start = the
+# FIRST letter i, and the greedy star picks the RIGHTMOST alternation
+# occurrence starting at q ≥ i+1 (alternatives are prefix-free, so at most
+# one word matches per q, overlap-tolerant right scan finds it); the match
+# consumes through that word, after which no alternation start remains —
+# hence at most ONE match per segment.
+_P23_SEG_RX = re.compile(r"[^-\n]+")
+_P23_LETTER_RX = re.compile(r"[A-Z]", re.IGNORECASE)
+_P23_ALT_RX = re.compile(
+    r"Developer|Engineer|Manager|Analyst|Specialist|Marketing|Test|"
+    r"Freelancer|Assistant|Intern",
+    re.IGNORECASE,
+)
+
+
+def _p23_matches(page_text: str) -> list[str]:
+    """Exact linear-time simulation of _CARD_PATTERNS[23].finditer:
+    returns group(0) (== group(1)) strings in match order."""
+    out: list[str] = []
+    for seg_m in _P23_SEG_RX.finditer(page_text):
+        seg = seg_m.group()
+        first = _P23_LETTER_RX.search(seg)
+        if first is None:
+            continue
+        i = first.start()
+        last = None
+        m = _P23_ALT_RX.search(seg, i + 1)
+        while m:
+            last = m
+            m = _P23_ALT_RX.search(seg, m.start() + 1)
+        if last is not None:
+            out.append(seg[i:last.end()])
+    return out
+
+
+def _p18_prefilter_hit(page_text: str) -> bool:
+    """True when the Python engine COULD match pattern 18 on this text
+    (RE2 twin match, or a fold-gap codepoint forcing the Python path)."""
+    if _RE2_FALLBACK_RX.search(page_text):
+        return True
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.match_substring_regex(pa.array([page_text]), _P18_RE2)[
+        0
+    ].as_py()
+
 
 def _clean_card_title(title: str) -> str:
     t = _TITLE_SUFFIX_RE.sub("", title).strip()
@@ -259,21 +327,39 @@ def _clean_card_title(title: str) -> str:
     return WS_RE.sub(" ", t).strip()
 
 
-def extract_jobs_from_cards(page_text: str) -> list[dict]:
+def extract_jobs_from_cards(page_text: str, fast: bool = True) -> list[dict]:
     """M25: pattern cascade over the page's visible text; per-title dedup
-    on the cleaned title; location inferred from the raw match."""
+    on the cleaned title; location inferred from the raw match.
+
+    ``fast=True`` (default) routes the two quadratic patterns through
+    their linear twins (match-identical — see module comments above);
+    ``fast=False`` is the byte-for-byte reference cascade the
+    differential tests compare against."""
     jobs: list[dict] = []
     seen: set[str] = set()
-    for pat in _CARD_PATTERNS:
-        for m in pat.finditer(page_text):
-            title = m.group(1).strip() if m.groups() else m.group(0).strip()
+    for idx, pat in enumerate(_CARD_PATTERNS):
+        if fast and idx == _P23_IDX:
+            pairs = [(s, s) for s in _p23_matches(page_text)]
+        else:
+            if fast and idx == _P18_IDX and not _p18_prefilter_hit(
+                page_text
+            ):
+                continue
+            pairs = [
+                (
+                    m.group(1) if m.groups() else m.group(0),
+                    m.group(0),
+                )
+                for m in pat.finditer(page_text)
+            ]
+        for title_src, raw in pairs:
+            title = title_src.strip()
             if not title:
                 continue
             clean = _clean_card_title(title)
             if not clean or clean in seen or not is_job_title(clean):
                 continue
             seen.add(clean)
-            raw = m.group(0)
             location = ""
             if "Singapore Only" in raw:
                 location = "Singapore Only"

@@ -125,6 +125,76 @@ def test_vec_counts_match_on_synthetic_corpus_pages(unit_corpus):
     assert ref.sum() > 0
 
 
+@pytest.mark.parametrize("seed", [3, 41])
+def test_card_p23_linear_sim_matches_finditer_fuzz(seed):
+    """The linear simulation of card pattern 23 ((first letter, rightmost
+    alt-start) per '-'/'\\n'-free segment) ≡ the backtracking engine —
+    including overlap traps ('AnalysTest' hides a 'Test' start inside an
+    'Analyst' occurrence that finditer's non-overlap scan skips but the
+    greedy star can still reach) and fold-gap codepoints."""
+    from crawler_ai_ray.functions.jobs import (
+        _CARD_PATTERNS,
+        _P23_IDX,
+        _p23_matches,
+    )
+
+    rx = _CARD_PATTERNS[_P23_IDX]
+    rng = random.Random(seed)
+    alpha = list("Aa Zz-\n.xy") + [
+        "Developer", "Engineer", "Test", "Intern", "AnalysTest",
+        "analystest", "ManagerIntern", "İ", "ı", "ſ", "K", " ",
+    ]
+    n_matches = 0
+    for _ in range(2500):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        ref = [m.group(0) for m in rx.finditer(s)]
+        n_matches += len(ref)
+        assert ref == _p23_matches(s), repr(s)
+    assert n_matches > 1000
+
+
+def test_cards_fast_path_equals_reference_cascade(unit_corpus):
+    """extract_jobs_from_cards(fast=True) ≡ fast=False on every career
+    page of the unit corpus and on targeted constructions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.functions import classify
+    from crawler_ai_ray.functions.htmltext import parse_page
+    from crawler_ai_ray.functions.jobs import extract_jobs_from_cards
+
+    pages = pq.read_table(
+        os.path.join(unit_corpus, "pages.parquet"), columns=["url", "html"]
+    )
+    n_career = n_jobs = 0
+    for u, h in zip(
+        pages["url"].to_pylist(), pages["html"].to_pylist()
+    ):
+        html = (
+            h.decode("utf-8", errors="ignore")
+            if isinstance(h, (bytes, bytearray))
+            else (h or "")
+        )
+        if not classify.is_career_listing_page(u, html):
+            continue
+        n_career += 1
+        text = "".join(parse_page(html).text_pieces)
+        ref = extract_jobs_from_cards(text, fast=False)
+        assert extract_jobs_from_cards(text, fast=True) == ref
+        n_jobs += len(ref)
+    assert n_career > 5 and n_jobs > 0
+    for s in (
+        "Java Developer Apply now Singapore Only See Details",
+        "İ Senior Engineer Remote Apply",
+        "AnalysTest engineer\nBD Manager - foo",
+        "",
+    ):
+        assert extract_jobs_from_cards(s, fast=True) == (
+            extract_jobs_from_cards(s, fast=False)
+        )
+
+
 def test_patterns_did_not_drift():
     """The RE2 twins derive from the same pattern strings the Python
     engine compiles — a drift in one side breaks count identity."""
