@@ -317,52 +317,81 @@ def _q_crawl_host_pagerank(sf_dir: str):
     return pagerank_hosts(_host_edges(sf_dir))
 
 
+def _career_seed_hosts(sf_dir: str):
+    """Sorted distinct hosts with ≥1 career-listing page — the seed
+    list the focused-crawl signals (PPR teleport set, BFS sources)
+    share.  Per-batch distinct career hosts (a combiner) → driver
+    union: seed-set-sized state, never vertex-sized.  One streaming
+    links+career pass (``extract_links_career``: identical link/flag
+    semantics to `extract_pages`, skips text assembly and the contacts
+    regexes), cached per corpus via ``_shared``."""
+
+    def build():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        from crawler_ai_ray.stages.extract import extract_links_career
+
+        def seed_part(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"host": pa.array([], pa.string())})
+            t = batch.filter(
+                pc.equal(batch["is_career_listing"], True)
+            )
+            return pa.table(
+                {"host": pc.unique(t["host"].combine_chunks())}
+            )
+
+        return sorted(
+            {
+                h
+                for t in ray.get(
+                    extract_links_career(
+                        _pages(sf_dir, columns=["url", "html"])
+                    )
+                    .map_batches(seed_part, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                for h in t["host"].to_pylist()
+            }
+        )
+
+    return _shared("career_seeds", _corpus(sf_dir), build=build)
+
+
 def _q_crawl_host_ppr(sf_dir: str):
     """Personalized PageRank from the career-page seed hosts
     (Haveliwala, WWW 2002): teleport mass lands only on hosts with ≥1
     career-listing page, so rank measures link-proximity to confirmed
     career content — the focused-crawl frontier-prioritization signal.
-    Seeds: per-batch distinct career hosts (combiner) → driver union
-    (seed-set-sized, never vertex-sized); edges reuse the same
-    extraction pass — the links+career projection
-    (``extract_links_career``: identical link/flag semantics, skips
-    text assembly and the contacts regexes).  All three PPR tiers are
-    bit-identical (forced-path test); the oracle unrolls the integer
-    recurrence in SQL with a seeds⋈hosts CTE."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray
+    Seeds from the shared career-seed combiner (`_career_seed_hosts`);
+    edges from the shared per-snapshot host-edge checkpoint (identical
+    link semantics — the projections are column-equality-pinned).  All
+    three PPR tiers are bit-identical (forced-path test); the oracle
+    unrolls the integer recurrence in SQL with a seeds⋈hosts CTE."""
+    from crawler_ai_ray.stages.linkgraph import personalized_pagerank_hosts
 
-    from crawler_ai_ray.stages.extract import extract_links_career
-    from crawler_ai_ray.stages.linkgraph import (
-        host_edges,
-        personalized_pagerank_hosts,
+    return personalized_pagerank_hosts(
+        _host_edges(sf_dir), _career_seed_hosts(sf_dir)
     )
 
-    ext = extract_links_career(
-        _pages(sf_dir, columns=["url", "html"])
-    ).materialize()
 
-    def seed_part(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"host": pa.array([], pa.string())})
-        t = batch.filter(
-            pc.equal(batch["is_career_listing"], True)
-        )
-        return pa.table({"host": pc.unique(t["host"].combine_chunks())})
+def _q_crawl_host_bfs(sf_dir: str):
+    """Min-hop distance from the career-page seed hosts over directed
+    host→host links, capped at 8 hops (host, dist) — the crawl-depth /
+    seed-proximity budget signal of a focused crawler and the
+    hops-from-trusted-seeds feature of link-spam filters (TrustRank's
+    propagation skeleton with min-hop in place of damped mass).
+    Synchronous integer min-relaxation, three bit-identical tiers
+    (driver-local / broadcast rounds / fully sharded — forced-path
+    test); the oracle unrolls the identical capped recurrence as 8
+    vertex-sized CTEs."""
+    from crawler_ai_ray.stages.linkgraph import bfs_hosts
 
-    seeds = sorted(
-        {
-            h
-            for t in ray.get(
-                ext.map_batches(
-                    seed_part, batch_format="pyarrow"
-                ).to_arrow_refs()
-            )
-            for h in t["host"].to_pylist()
-        }
+    return bfs_hosts(
+        _host_edges(sf_dir), _career_seed_hosts(sf_dir), max_hops=8
     )
-    return personalized_pagerank_hosts(host_edges(ext), seeds)
 
 
 def _q_crawl_host_communities(sf_dir: str):
@@ -3441,6 +3470,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_ppr": _q_crawl_host_ppr,
+        "crawl_host_bfs": _q_crawl_host_bfs,
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_communities": _q_crawl_host_communities,
         "crawl_host_triangles": _q_crawl_host_triangles,
@@ -3684,6 +3714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host link prediction
         "doc_neardup_contain", "doc_membership_bloom",
         "crawl_host_linkpred",
+        # NEW: min-hop BFS distance from the career seeds
+        "crawl_host_bfs",
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -3807,6 +3839,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = b.host)"""
     ppr_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # BFS oracle: unroll the SAME 8 capped min-relaxation rounds the
+    # engine runs (dist₀ = 0 on in-graph career seeds, 9 = unreached
+    # sentinel; each round min's in least(dist+1, 9) over in-edges),
+    # then keep dist ≤ 8.  All integers — order-free, bit-exact.
+    bfs_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS (
+          SELECT DISTINCT lower(regexp_extract(url, '{_HOST_RX}', 1))
+                   AS host
+          FROM read_parquet('{golden}') WHERE is_career_listing),
+        d0 AS MATERIALIZED (
+          SELECT h.host,
+                 (CASE WHEN s.host IS NOT NULL THEN 0 ELSE 9 END)::BIGINT
+                   AS dist
+          FROM hosts h LEFT JOIN seeds s ON s.host = h.host)"""
+    for _i in range(1, 9):
+        bfs_sql += f""",
+        d{_i} AS MATERIALIZED (
+          SELECT d.host,
+                 least(d.dist, COALESCE(m.c, 9))::BIGINT AS dist
+          FROM d{_i - 1} d LEFT JOIN (
+            SELECT e.dst AS host,
+                   min(least(p.dist + 1, 9))::BIGINT AS c
+            FROM edges e
+            JOIN d{_i - 1} p ON p.host = e.src
+            GROUP BY 1) m ON m.host = d.host)"""
+    bfs_sql += "\n        SELECT host, dist FROM d8 WHERE dist <= 8"
 
     # LPA-communities oracle: unroll the SAME 4 synchronous
     # mode-of-neighbor-labels iterations over host STRINGS (ties →
@@ -4664,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_ppr": ppr_sql,
+        "crawl_host_bfs": bfs_sql,
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,
         "crawl_host_linkpred": linkpred_sql,

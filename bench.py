@@ -264,6 +264,8 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_neardup_contain",
         "doc_membership_bloom",
         "crawl_host_linkpred",
+        # round 4 fourth wave: seed-proximity BFS
+        "crawl_host_bfs",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -48,6 +48,7 @@ __all__ = [
     "host_edges",
     "host_verts",
     "pagerank_hosts",
+    "bfs_hosts",
     "connected_components",
     "host_degrees",
     "lpa_communities",
@@ -766,6 +767,346 @@ def personalized_pagerank_hosts(edges, seed_hosts, **kw):
     sharded) handle the per-vertex teleport base; the DuckDB oracle
     unrolls the same integer recurrence with a seeds⋈hosts CTE."""
     return pagerank_hosts(edges, seed_hosts=seed_hosts, **kw)
+
+
+def _bfs_seed_h(seed_hosts) -> np.ndarray:
+    """sorted unique u64 hashes of the seed host strings."""
+    return np.sort(
+        np.unique(
+            np.array([_h64(s) for s in set(seed_hosts)], dtype=np.uint64)
+        )
+    )
+
+
+def _bfs_init_dist(
+    keys: np.ndarray, seed_h: np.ndarray, inf: int
+) -> np.ndarray:
+    """dist₀ over a sorted vertex-hash array: 0 on in-graph seeds,
+    ``inf`` (= max_hops+1, the oracle's sentinel) elsewhere."""
+    if not len(keys):
+        return np.zeros(0, np.int64)
+    dist = np.full(len(keys), inf, dtype=np.int64)
+    if len(seed_h):
+        pos = np.searchsorted(seed_h, keys)
+        is_seed = (pos < len(seed_h)) & (
+            seed_h[np.minimum(pos, len(seed_h) - 1)] == keys
+        )
+        dist[is_seed] = 0
+    return dist
+
+
+def _bfs_local(
+    et: pa.Table, seed_h: np.ndarray, max_hops: int
+) -> pa.Table:
+    """Driver-local multi-source BFS over one Arrow edge table —
+    bit-identical to the distributed tiers (same searchsorted vertex
+    index, same capped ``min(dist+1, inf)`` relaxation, min is
+    order-free).  ``max_hops`` synchronous rounds of
+    ``dist[dst] = min(dist[dst], min_{src→dst} min(dist[src]+1, inf))``
+    — exactly the recurrence the DuckDB oracle unrolls."""
+    inf = max_hops + 1
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    dist = _bfs_init_dist(keys, seed_h, inf)
+    if et.num_rows:
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        # segment-min by destination: one stable argsort up front, an
+        # int64 minimum.reduceat per round (the PageRank layout with
+        # min in place of sum)
+        order = np.argsort(dst_idx, kind="stable")
+        sorted_dst = dst_idx[order]
+        starts = np.flatnonzero(
+            np.diff(sorted_dst, prepend=np.int64(-1))
+        )
+        seg_vert = sorted_dst[starts]
+        for _ in range(max_hops):
+            c = np.minimum(dist[src_idx] + 1, inf)
+            newmin = np.full(len(keys), inf, dtype=np.int64)
+            newmin[seg_vert] = np.minimum.reduceat(c[order], starts)
+            nxt = np.minimum(dist, newmin)
+            if np.array_equal(nxt, dist):
+                break  # min-relaxation fixpoint — further rounds no-op
+            dist = nxt
+    keep = dist <= max_hops
+    return pa.table(
+        {
+            "host": pa.array(
+                [h for h, k in zip(hosts, keep) if k], pa.string()
+            ),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
+
+
+def _merge_parts_min(*tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return tables[0]
+    agg = pa.concat_tables(live).group_by("dst_h").aggregate(
+        [("part", "min")]
+    )
+    return pa.table({"dst_h": agg["dst_h"], "part": agg["part_min"]})
+
+
+def _bfs_seed_state(state_b: pa.Table, seed_h: np.ndarray, inf: int):
+    """rewrite one state shard's rank column as dist₀ (0 on seeds,
+    ``inf`` elsewhere) — the only broadcast is the seed set itself."""
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "host": state_b["host"],
+            "h": state_b["h"],
+            "rank": pa.array(
+                _bfs_init_dist(keys, seed_h, inf), pa.int64()
+            ),
+        }
+    )
+
+
+def _bfs_contrib_sharded(
+    edges_b: pa.Table, state_b: pa.Table, n: int, inf: int
+):
+    """this src bucket's capped dist+1 candidates, pre-min'd by dst_h
+    and routed by the destination's bucket."""
+    empty = pa.table(
+        {"dst_h": pa.array([], pa.uint64()), "part": pa.array([], pa.int64())}
+    )
+    out = [empty] * n
+    if not edges_b.num_rows:
+        return out
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    dist = state_b["rank"].to_numpy(zero_copy_only=False)
+    sh = edges_b["src_h"].to_numpy(zero_copy_only=False)
+    c = np.minimum(dist[np.searchsorted(keys, sh)] + 1, inf)
+    db = edges_b["dst_b"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {"dst_h": edges_b["dst_h"], "part": pa.array(c, pa.int64())}
+    )
+    for k in np.unique(db):
+        agg = (
+            t.filter(pa.array(db == k))
+            .group_by("dst_h")
+            .aggregate([("part", "min")])
+        )
+        out[int(k)] = pa.table(
+            {"dst_h": agg["dst_h"], "part": agg["part_min"]}
+        )
+    return out
+
+
+def _bfs_apply_sharded(state_b: pa.Table, *parts: pa.Table) -> pa.Table:
+    live = [t for t in parts if t.num_rows]
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    dist = state_b["rank"].to_numpy(zero_copy_only=False).copy()
+    if live and len(keys):
+        merged = (
+            pa.concat_tables(live)
+            .group_by("dst_h")
+            .aggregate([("part", "min")])
+        )
+        idx = np.searchsorted(
+            keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        dist[idx] = np.minimum(
+            dist[idx], merged["part_min"].to_numpy(zero_copy_only=False)
+        )
+    return pa.table(
+        {
+            "host": state_b["host"],
+            "h": state_b["h"],
+            "rank": pa.array(dist, pa.int64()),
+        }
+    )
+
+
+def _bfs_distributed_sharded(
+    edge_block_refs, seed_h: np.ndarray, max_hops: int,
+    n_buckets: int = 32,
+) -> pa.Table:
+    """Fully bucket-sharded synchronous BFS — NO vertex-sized driver or
+    broadcast structure (the ``_pr_distributed_sharded`` layout with
+    min-relaxation messages in place of rank sums).  Vertex state
+    (host, h, dist) shards by ``h % B``; each round is one routed
+    exchange of per-dst-bucket min candidates.  Fixed ``max_hops``
+    rounds (min-relaxation is a fixpoint, extra rounds are no-ops), so
+    the result is bit-identical to the other tiers."""
+    import ray
+
+    scatter = ray.remote(num_cpus=1)(_pr_scatter)
+    gath_e = ray.remote(num_cpus=1)(_pr_gather_edges)
+    init_s = ray.remote(num_cpus=1)(_pr_init_state)
+    seed_s = ray.remote(num_cpus=1)(_bfs_seed_state)
+    contrib = ray.remote(num_cpus=1)(_bfs_contrib_sharded)
+    apply_s = ray.remote(num_cpus=1)(_bfs_apply_sharded)
+
+    inf = max_hops + 1
+    flats = [
+        scatter.options(num_returns=2 * n_buckets).remote(b, n_buckets)
+        for b in edge_block_refs
+    ]
+    edge_refs = [
+        gath_e.remote(*[f[k] for f in flats]) for k in range(n_buckets)
+    ]
+    s_ref = ray.put(seed_h)
+    state_refs = [
+        seed_s.remote(
+            init_s.remote(inf, *[f[n_buckets + k] for f in flats]),
+            s_ref, inf,
+        )
+        for k in range(n_buckets)
+    ]
+    for _ in range(max_hops):
+        grids = [
+            contrib.options(num_returns=n_buckets).remote(
+                edge_refs[k], state_refs[k], n_buckets, inf
+            )
+            for k in range(n_buckets)
+        ]
+        state_refs = [
+            apply_s.remote(state_refs[k], *[g[k] for g in grids])
+            for k in range(n_buckets)
+        ]
+    parts = [t for t in ray.get(state_refs) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    out = out.filter(pc.less_equal(out["rank"], inf - 1))
+    return pa.table({"host": out["host"], "dist": out["rank"]})
+
+
+def bfs_hosts(
+    edges,
+    seed_hosts,
+    max_hops: int = 8,
+    num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
+    shard_min_edges: int = 500_000_000,
+):
+    """distinct host edges (from ``host_edges``) + seed host list →
+    (host, dist): the minimum number of directed link hops from any
+    in-graph seed, capped at ``max_hops`` (unreached hosts are
+    dropped) — the frontier-depth / seed-proximity signal a focused
+    crawler budgets by (crawl depth from confirmed career hosts) and
+    the "hops from trusted seeds" feature of link-spam filters
+    (BadRank/TrustRank-style propagation, Gyöngyi et al. VLDB 2004,
+    with min-hop in place of damped mass).
+
+    Synchronous Bellman-Ford-style min-relaxation, ``max_hops``
+    rounds: ``dist₀ = 0`` on seeds present in the vertex universe
+    (hosts with ≥1 edge), ``inf = max_hops+1`` elsewhere;
+    ``dist = min(dist, min_{src→dst} min(dist[src]+1, inf))``.  All
+    integers — exact under any message order, so the DuckDB oracle
+    unrolls the identical recurrence and must match bit-for-bit.
+
+    Three adaptive tiers, all bit-identical (forced-path test):
+    ≤ ``driver_max_edges`` driver-local numpy (`_bfs_local`); above it
+    a broadcast loop (vertex-sized (keys, dist) via ``ray.put`` per
+    round over the once-materialized edge blocks — the
+    `pagerank_hosts` mid-tier with min in place of sum); past
+    ``shard_min_edges`` the fully bucket-sharded
+    `_bfs_distributed_sharded` path with no vertex-sized state
+    anywhere (10⁹-host framing)."""
+    import ray
+
+    seed_h = _bfs_seed_h(seed_hosts)
+    edges = edges.materialize()  # iterated over `max_hops` times
+    n_edges = edges.count()
+    if n_edges > shard_min_edges:
+        return _bfs_distributed_sharded(
+            list(edges.to_arrow_refs()), seed_h, max_hops
+        )
+    if n_edges <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "src_h": pa.array([], pa.uint64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return _bfs_local(et, seed_h, max_hops)
+    inf = max_hops + 1
+    merge_task = ray.remote(num_cpus=1)(_merge_parts_min)
+    hosts, keys = _collect_verts(edges)
+    dist = _bfs_init_dist(keys, seed_h, inf)
+
+    @ray.remote(num_cpus=1)
+    def contrib(batch: pa.Table, k: np.ndarray, d: np.ndarray) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "dst_h": pa.array([], pa.uint64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        sh = batch["src_h"].to_numpy(zero_copy_only=False)
+        c = np.minimum(d[np.searchsorted(k, sh)] + 1, inf)
+        t = pa.table(
+            {"dst_h": batch["dst_h"], "part": pa.array(c, pa.int64())}
+        )
+        agg = t.group_by("dst_h").aggregate([("part", "min")])
+        return pa.table({"dst_h": agg["dst_h"], "part": agg["part_min"]})
+
+    edge_block_refs = list(edges.to_arrow_refs())
+    for _ in range(max_hops):
+        k_ref = ray.put(keys)
+        d_ref = ray.put(dist)
+        part_refs = [
+            contrib.remote(b, k_ref, d_ref) for b in edge_block_refs
+        ]
+        if len(part_refs) * max(len(keys), 1) <= 5_000_000:
+            live = [t for t in ray.get(part_refs) if t.num_rows]
+            merged = _merge_parts_min(*live) if live else None
+        else:
+            while len(part_refs) > 1:
+                part_refs = [
+                    merge_task.remote(*part_refs[i : i + _FAN])
+                    for i in range(0, len(part_refs), _FAN)
+                ]
+            merged = ray.get(part_refs[0]) if part_refs else None
+        if merged is not None and merged.num_rows:
+            idx = np.searchsorted(
+                keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+            )
+            nxt = dist.copy()
+            nxt[idx] = np.minimum(
+                nxt[idx], merged["part"].to_numpy(zero_copy_only=False)
+            )
+            if np.array_equal(nxt, dist):
+                break  # fixpoint
+            dist = nxt
+    keep = dist <= max_hops
+    return pa.table(
+        {
+            "host": pa.array(
+                [h for h, k in zip(hosts, keep) if k], pa.string()
+            ),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
 
 
 def _hits_norm_div(raw: np.ndarray, scale: int) -> int:

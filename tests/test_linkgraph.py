@@ -918,3 +918,94 @@ def test_host_linkpred_fuzz_vs_bruteforce(ray_session):
             driver_max_edges=dme,
         ).to_pandas()
         assert [tuple(r) for r in got.values.tolist()] == want, dme
+
+
+def test_bfs_hand_computed_and_tiers(ray_session):
+    """Multi-source min-hop BFS on the tiny graph (a→b, a→c, b→c,
+    c→a): seed {b} ⇒ b=0, c=1, a=2; hop cap drops unreached; seeds
+    absent from the vertex universe are ignored.  All three tiers
+    bit-equal."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import bfs_hosts, host_edges
+
+    edges = host_edges(ray.data.from_arrow(_tiny_extracted()))
+    got = (
+        bfs_hosts(edges, ["b.com", "not-in-graph.com"], max_hops=8)
+        .to_pandas()
+        .set_index("host")["dist"]
+    )
+    assert dict(got) == {"b.com": 0, "c.com": 1, "a.com": 2}
+
+    # hop cap: max_hops=1 keeps only b (0) and c (1)
+    capped = (
+        bfs_hosts(edges, ["b.com"], max_hops=1)
+        .to_pandas()
+        .set_index("host")["dist"]
+    )
+    assert dict(capped) == {"b.com": 0, "c.com": 1}
+
+    # no in-graph seed ⇒ empty result (every dist stays at the sentinel)
+    assert bfs_hosts(edges, ["zz.example"]).to_pandas().empty
+
+    # forced tiers: broadcast loop (driver_max_edges=0) and the fully
+    # bucket-sharded path (shard_min_edges=0) — bit-equal to local
+    base = (
+        bfs_hosts(edges, ["b.com"], max_hops=8)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    bcast = (
+        bfs_hosts(edges, ["b.com"], max_hops=8, driver_max_edges=0)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert base.equals(bcast)
+    shard = (
+        bfs_hosts(
+            edges, ["b.com"], max_hops=8,
+            driver_max_edges=0, shard_min_edges=0,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert base.equals(shard)
+
+
+def test_bfs_partition_invariant_on_corpus(ray_session):
+    """BFS over the sf0.001 corpus host graph is exact under
+    repartitioning/bucketing, and distances grow monotonically from a
+    real seed set (integer min-relaxation ⇒ bit-equality, not approx)."""
+    import ray.data
+
+    from crawler_ai_ray.stages.extract import extract_pages
+    from crawler_ai_ray.stages.linkgraph import bfs_hosts, host_edges
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(SF)
+    pages = ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html", "lang"]
+    )
+    ex = extract_pages(pages).select_columns(["host", "out_links"])
+    seeds = sorted(
+        {h for h in ex.to_pandas()["host"] if h}
+    )[:3]
+
+    a = (
+        bfs_hosts(host_edges(ex, num_buckets=64), seeds, max_hops=4)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    b = (
+        bfs_hosts(
+            host_edges(ex.repartition(5), num_buckets=16),
+            seeds, max_hops=4, driver_max_edges=0,
+        )
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) >= 3
+    got = dict(zip(a.host, a.dist))
+    assert all(got[s] == 0 for s in seeds if s in got)
+    assert a.dist.max() <= 4 and a.dist.min() == 0
