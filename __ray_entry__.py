@@ -2339,6 +2339,45 @@ def _q_doc_neardup_clusters(sf_dir: str):
     )
 
 
+def _q_doc_neardup_keep_best(sf_dir: str):
+    """Quality-aware keep-one near-dup dedup: MinHash-LSH clusters as
+    in `doc_neardup_clusters`, but each cluster keeps its BEST document
+    (most whitespace tokens, then most chars, ties → smallest doc_id)
+    instead of the smallest id — the canonical-selection rule a
+    production corpus pipeline uses so dedup never throws away the
+    longest copy (RefinedWeb-style ordering).  All-integer keys ⇒ the
+    oracle's row_number() cut matches bit-for-bit."""
+    from crawler_ai_ray.stages.dedup import (
+        minhash_cluster_labels,
+        minhash_cluster_labels_local,
+        neardup_keep_best,
+        neardup_keep_best_local,
+    )
+    from crawler_ai_ray.stages.textstats import quality_batch
+
+    key_cols = ["doc_id", "n_tokens_ws", "n_chars_text"]
+    if _docs_num_rows(sf_dir) <= _MINHASH_LOCAL_MAX:
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        labels = minhash_cluster_labels_local(tab, n=3, threshold=0.8)
+        keys = quality_batch(tab).select(key_cols)
+        return neardup_keep_best_local(labels, keys)
+    labels = minhash_cluster_labels(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]),
+        _table(sf_dir, "documents", columns=["doc_id"]),
+        n=3,
+        threshold=0.8,
+    )
+    keys = _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).select_columns(key_cols)
+    return neardup_keep_best(labels, keys)
+
+
 def _q_doc_split_leakage_safe(sf_dir: str):
     """Dedup-aware train/val/test split: the split key is the near-dup
     CLUSTER canonical, not the document — every near-duplicate of a
@@ -3561,6 +3600,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "crawl_pii_redact": _q_crawl_pii_redact,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        "doc_neardup_keep_best": _q_doc_neardup_keep_best,
         "doc_split_leakage_safe": _q_doc_split_leakage_safe,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_spans_removed": _q_doc_dup_spans_removed,
@@ -3714,8 +3754,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host link prediction
         "doc_neardup_contain", "doc_membership_bloom",
         "crawl_host_linkpred",
-        # NEW: min-hop BFS distance from the career seeds
-        "crawl_host_bfs",
+        # NEW: min-hop BFS distance from the career seeds; quality-
+        # aware keep-best near-dup canonical selection
+        "crawl_host_bfs", "doc_neardup_keep_best",
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -6201,6 +6242,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id,
                    (min(lbl) = doc) AS is_canonical
             FROM reach GROUP BY doc""",
+        "doc_neardup_keep_best": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id, sig, bandkeys
+              FROM read_parquet('{minhash_g}')),
+            pr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE list_has_any(a.bandkeys, b.bandkeys)
+                AND len(list_filter(range(1, 129),
+                                    i -> a.sig[i] = b.sig[i])) / 128.0
+                    >= 0.8),
+            e AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+            reach(doc, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.doc),
+            canon AS (
+              SELECT doc AS doc_id, min(lbl)::BIGINT AS canonical_id
+              FROM reach GROUP BY doc),
+            qk AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT
+                       AS n_tok,
+                     length(text)::BIGINT AS n_ch
+              FROM documents),
+            j AS (
+              SELECT c.doc_id, c.canonical_id, q.n_tok, q.n_ch
+              FROM canon c JOIN qk q USING (doc_id)),
+            k AS (
+              SELECT canonical_id, doc_id AS keep_id FROM (
+                SELECT canonical_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY canonical_id
+                         ORDER BY n_tok DESC, n_ch DESC, doc_id) AS rn
+                FROM j) WHERE rn = 1)
+            SELECT j.doc_id, j.canonical_id, k.keep_id,
+                   (j.doc_id = k.keep_id) AS kept
+            FROM j JOIN k USING (canonical_id)""",
         "doc_split_leakage_safe": f"""
             WITH RECURSIVE s AS (
               SELECT doc_id, sig, bandkeys

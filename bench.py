@@ -264,8 +264,9 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_neardup_contain",
         "doc_membership_bloom",
         "crawl_host_linkpred",
-        # round 4 fourth wave: seed-proximity BFS
+        # round 4 fourth wave: seed-proximity BFS, keep-best dedup
         "crawl_host_bfs",
+        "doc_neardup_keep_best",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -3090,3 +3090,128 @@ def boilerplate_stats(
             "n_dropped": pc.cast(agg["n_dropped_sum"], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware near-dup canonical selection (keep BEST, not first)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_tag(joined: pa.Table) -> pa.Table:
+    """(doc_id, canonical_id, n_tokens_ws, n_chars_text) rows of one
+    canonical bucket → + (keep_id, kept): per cluster, keep the doc
+    with the most whitespace tokens, then the most chars, ties → the
+    smallest doc_id.  All-integer lexicographic argmax — deterministic
+    under any row order, identical to the oracle's row_number() cut."""
+    if not joined.num_rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "canonical_id": pa.array([], pa.int64()),
+                "keep_id": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.bool_()),
+            }
+        )
+    doc = joined["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    canon = (
+        joined["canonical_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ntok = (
+        joined["n_tokens_ws"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nch = (
+        joined["n_chars_text"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # one lexsort: within canonical, best-first
+    order = np.lexsort((doc, -nch, -ntok, canon))
+    c_sorted = canon[order]
+    starts = np.flatnonzero(np.diff(c_sorted, prepend=c_sorted[0] - 1))
+    keep_sorted = np.repeat(
+        doc[order][starts], np.diff(np.append(starts, len(c_sorted)))
+    )
+    keep = np.empty(len(doc), dtype=np.int64)
+    keep[order] = keep_sorted
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "canonical_id": pa.array(canon, pa.int64()),
+            "keep_id": pa.array(keep, pa.int64()),
+            "kept": pa.array(keep == doc, pa.bool_()),
+        }
+    )
+
+
+def neardup_keep_best_local(
+    labels: pa.Table, keys: pa.Table
+) -> pa.Table:
+    """Driver-local tier: join (doc_id → canonical_id) labels with the
+    integer quality keys and tag each cluster's best doc — the
+    small-input branch of the adaptive split (`minhash_lsh_pairs_local`
+    pattern)."""
+    lid = labels["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kid = keys["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    korder = np.argsort(kid)
+    pos = np.searchsorted(kid[korder], lid)
+    pos = np.clip(pos, 0, max(len(kid) - 1, 0))
+    hit = (len(kid) > 0) & (kid[korder][pos] == lid)
+    sel = korder[pos[hit]] if len(kid) else np.zeros(0, np.int64)
+    joined = pa.table(
+        {
+            "doc_id": pa.array(lid[hit], pa.int64()),
+            "canonical_id": labels["canonical_id"].filter(pa.array(hit)),
+            "n_tokens_ws": keys["n_tokens_ws"].take(pa.array(sel)),
+            "n_chars_text": keys["n_chars_text"].take(pa.array(sel)),
+        }
+    )
+    return _keep_best_tag(joined)
+
+
+def neardup_keep_best(labels_ds, keys_ds, num_buckets: int = 64):
+    """Near-dup cluster labels (doc_id, canonical_id[, is_canonical])
+    + integer quality keys (doc_id, n_tokens_ws, n_chars_text) →
+    (doc_id, canonical_id, keep_id, kept): QUALITY-AWARE keep-one
+    dedup — instead of electing the smallest doc_id, each cluster
+    keeps its best document (most tokens, then most chars, ties →
+    smallest id), the canonical-selection rule production corpus
+    pipelines use so dedup never discards the longest copy of a page
+    (cf. the dedup stage ordering in Penedo et al., RefinedWeb 2023).
+
+    Scale shape: two skinny integer shuffles, text never moves —
+    (1) `hash_bucket_join` on doc_id attaches the keys to the labels
+    (md5-bucket co-location, hot-key salting available); (2) rows
+    re-bucket by ``canonical_id % num_buckets`` (a cluster lives in
+    exactly one bucket) and each bucket tags its clusters with one
+    all-integer lexsort pass (`_keep_best_tag`)."""
+    import pyarrow as pa  # noqa: F811 — local alias for map fns
+
+    from ..pipelines.relational import hash_bucket_join
+
+    joined = hash_bucket_join(
+        labels_ds, keys_ds, on="doc_id", num_buckets=num_buckets
+    ).select_columns(
+        ["doc_id", "canonical_id", "n_tokens_ws", "n_chars_text"]
+    )
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch.append_column(
+                "cbucket", pa.array([], pa.int32())
+            )
+        cb = (
+            batch["canonical_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            % num_buckets
+        ).astype(np.int32)
+        return batch.append_column("cbucket", pa.array(cb, pa.int32()))
+
+    return (
+        joined.map_batches(add_cbucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(
+            lambda g: _keep_best_tag(g.drop_columns(["cbucket"])),
+            batch_format="pyarrow",
+        )
+    )

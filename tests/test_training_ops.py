@@ -3235,3 +3235,77 @@ def test_bloom_membership_planted_and_bruteforce(ray_session):
     assert got[got.exact_dup].in_bloom.all()
     # the tiny bitmap actually exercised the fp path
     assert got.false_positive.any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keep_best_path_agreement_and_semantics(docs_ds):
+    """Quality-aware keep-one: distributed tier ≡ driver-local tier
+    bit-for-bit, the kept doc per cluster is the (max tokens, max
+    chars, min id) lexicographic argmax, and singleton clusters keep
+    themselves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        minhash_cluster_labels_local,
+        neardup_keep_best,
+        neardup_keep_best_local,
+    )
+    from crawler_ai_ray.stages.textstats import quality_batch
+
+    tab = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    labels = minhash_cluster_labels_local(tab, n=3, threshold=0.8)
+    keys = quality_batch(tab).select(
+        ["doc_id", "n_tokens_ws", "n_chars_text"]
+    )
+    loc = (
+        neardup_keep_best_local(labels, keys)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    dist = (
+        neardup_keep_best(
+            ray.data.from_arrow(labels).repartition(5),
+            ray.data.from_arrow(keys).repartition(3),
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )[loc.columns.tolist()]
+    assert dist.equals(loc)
+
+    # semantics vs a pandas reference argmax
+    df = loc.merge(keys.to_pandas(), on="doc_id")
+    for cid, grp in df.groupby("canonical_id"):
+        g = grp.sort_values(
+            ["n_tokens_ws", "n_chars_text", "doc_id"],
+            ascending=[False, False, True],
+        )
+        want = int(g.doc_id.iloc[0])
+        assert (grp.keep_id == want).all()
+        assert set(grp.loc[grp.kept, "doc_id"]) == {want}
+    # every cluster keeps exactly one doc
+    assert loc.groupby("canonical_id").kept.sum().eq(1).all()
+    assert len(loc) == tab.num_rows
+
+    # hand case: longer doc wins even with a larger id
+    labels2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "canonical_id": pa.array([1, 1, 3], pa.int64()),
+        }
+    )
+    keys2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "n_tokens_ws": pa.array([5, 9, 4], pa.int64()),
+            "n_chars_text": pa.array([50, 90, 40], pa.int64()),
+        }
+    )
+    out = neardup_keep_best_local(labels2, keys2).to_pandas()
+    assert dict(zip(out.doc_id, out.keep_id)) == {1: 2, 2: 2, 3: 3}
+    assert dict(zip(out.doc_id, out.kept)) == {1: False, 2: True, 3: True}
