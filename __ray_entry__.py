@@ -3757,6 +3757,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW: min-hop BFS distance from the career seeds; quality-
         # aware keep-best near-dup canonical selection
         "crawl_host_bfs", "doc_neardup_keep_best",
+        # --- round 5 front-load staging -----------------------------------
+        # The 15 "NEW this round" entries above (positions 36-50) fill the
+        # driver's 50-row window exactly; operators added AFTER the round-4
+        # driver snapshot land at positions 51+ and must be moved into the
+        # front window at round-5 open, ahead of these r01 re-checks.
+        # Round-4-late list (keep current): crawl_host_hyperball.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
