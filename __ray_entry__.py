@@ -471,6 +471,22 @@ def _q_crawl_host_kcore(sf_dir: str):
     return host_kcore(_host_edges(sf_dir), k=2, rounds=8)
 
 
+def _q_crawl_host_hyperball(sf_dir: str):
+    """HyperBall harmonic centrality (Boldi & Vigna 2013) over the
+    directed host graph, 8 radius rounds — the host-centrality ranking
+    Common Crawl ships with every snapshot and the spam-resistant
+    PageRank alternative for seed curation.  One 64-register HLL
+    in-ball counter per host, md5 register hashes
+    (``md5_number_lower`` semantics) and a fixed-parenthesization
+    IEEE estimate, so the oracle unrolls the identical 8 register
+    max-merge + estimate rounds in SQL and matches bit-for-bit; the
+    linear-counting branch is a shared 64-entry literal spec table
+    (no libm on either side)."""
+    from crawler_ai_ray.stages.linkgraph import harmonic_hosts
+
+    return harmonic_hosts(_host_edges(sf_dir), max_t=8)
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -2626,6 +2642,35 @@ def _q_doc_mix_weights(sf_dir: str):
     )
 
 
+def _q_doc_temp_mix_plan(sf_dir: str):
+    """Temperature-scaled (T=0.5) multilingual mix plan (UniMax /
+    CC-style √share sampling, Chung et al. 2023): per-language token
+    totals → sqrt_milli / target_ppm / doc-keep rate_ppm for a
+    half-corpus token budget.  IEEE sqrt is correctly rounded, so the
+    oracle rebuilds every integer bit-for-bit; one streaming combiner
+    pass, no shuffle."""
+    from crawler_ai_ray.stages.textstats import temperature_mix_plan
+
+    return temperature_mix_plan(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        budget_ppm=500_000,
+    )
+
+
+def _q_doc_temp_mix_sample(sf_dir: str):
+    """Deterministic realization of the T=0.5 mix: keep a doc iff
+    ``md5₆₄ₗₒ(str(doc_id)) % 10⁶ < rate_ppm[lang]`` — the kept
+    manifest (doc_id, lang, n_tokens, draw_ppm), reproducible across
+    partitions and engines (``md5_number_lower`` in SQL).  Plan
+    combiner + one streaming filter pass; text never shuffles."""
+    from crawler_ai_ray.stages.textstats import temperature_mix_sample
+
+    return temperature_mix_sample(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        budget_ppm=500_000,
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -3516,6 +3561,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_linkpred": _q_crawl_host_linkpred,
         "crawl_host_clustering": _q_crawl_host_clustering,
         "crawl_host_kcore": _q_crawl_host_kcore,
+        "crawl_host_hyperball": _q_crawl_host_hyperball,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3608,6 +3654,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_tfidf": _q_doc_search_tfidf,
         "doc_search_bm25": _q_doc_search_bm25,
         "doc_mix_weights": _q_doc_mix_weights,
+        "doc_temp_mix_plan": _q_doc_temp_mix_plan,
+        "doc_temp_mix_sample": _q_doc_temp_mix_sample,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
         "doc_bigram_fluency": _q_doc_bigram_fluency,
@@ -3762,7 +3810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver's 50-row window exactly; operators added AFTER the round-4
         # driver snapshot land at positions 51+ and must be moved into the
         # front window at round-5 open, ahead of these r01 re-checks.
-        # Round-4-late list (keep current): crawl_host_hyperball.
+        # Round-4-late list (keep current): crawl_host_hyperball,
+        # doc_temp_mix_plan, doc_temp_mix_sample.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -3958,6 +4007,92 @@ def oracle_sql() -> dict[str, str]:
         sz AS (SELECT label, count(*)::BIGINT AS s FROM l4 GROUP BY 1)
         SELECT l4.host, l4.label AS community, sz.s AS community_size
         FROM l4 JOIN sz ON sz.label = l4.label"""
+
+    # HyperBall harmonic-centrality oracle: rebuild every 64-register
+    # HLL counter from md5_number_lower(host) (≡ the engine's md5
+    # digest[8:] LE register hash), unroll the SAME 8 register
+    # max-merge rounds, and re-derive each round's integer estimate
+    # with the engine's exact expression — int64 counts combined in ONE
+    # fixed parenthesization using only IEEE-exact double ops (convert,
+    # +, ×, ÷), and the linear-counting branch as the shared literal
+    # 64-entry spec table (`linkgraph._HB_LC`) — so the match is
+    # bit-for-bit, registers to micros.
+    from crawler_ai_ray.stages.linkgraph import _HB_LC
+
+    _hb_lc_case = (
+        "CASE z "
+        + " ".join(
+            f"WHEN {z} THEN {v}"
+            for z, v in zip(range(1, 65), _HB_LC.tolist())
+        )
+        + " END"
+    )
+
+    def _hb_est_cte(name: str, regsrc: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+          SELECT host,
+                 CASE WHEN raw <= 160.0 AND z > 0 THEN {_hb_lc_case}
+                      ELSE CAST(floor(least(raw, 4611686018427387904.0))
+                                AS BIGINT) END AS est
+          FROM (
+            SELECT host,
+                   (0.7213::DOUBLE/(1.0::DOUBLE+1.079::DOUBLE/64.0::DOUBLE))
+                     * 4096.0
+                     / (((( n0::DOUBLE * 576460752303423488.0
+                          + n1::DOUBLE * 288230376151711744.0)
+                          + n2::DOUBLE * 144115188075855872.0)
+                          + tail::DOUBLE) / 576460752303423488.0) AS raw,
+                   n0 AS z
+            FROM (
+              SELECT host,
+                     sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                     sum(CASE WHEN reg = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                     sum(CASE WHEN reg = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+                     sum(CASE WHEN reg >= 3
+                              THEN (1::BIGINT << (59 - reg))
+                              ELSE 0 END)::BIGINT AS tail
+              FROM {regsrc} GROUP BY host)))"""
+
+    hyperball_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        ed AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS (SELECT src AS host FROM ed UNION SELECT dst FROM ed),
+        hv AS (SELECT host, md5_number_lower(host) AS hh FROM hosts),
+        jj AS (SELECT unnest(generate_series(0, 63)) AS j),
+        regs0 AS MATERIALIZED (
+          SELECT hv.host, jj.j,
+                 CASE WHEN jj.j = CAST(hv.hh % 64 AS BIGINT)
+                      THEN CASE WHEN hv.hh // 64 = 0 THEN 59
+                                ELSE 59 - length(bin(hv.hh // 64)) END
+                      ELSE 0 END AS reg
+          FROM hv CROSS JOIN jj),{_hb_est_cte("hbest0", "regs0")}"""
+    for _t in range(1, 9):
+        hyperball_sql += f""",
+        regs{_t} AS MATERIALIZED (
+          SELECT host, j, max(reg)::BIGINT AS reg FROM (
+            SELECT e.dst AS host, r.j, r.reg
+            FROM ed e JOIN regs{_t - 1} r ON r.host = e.src
+            UNION ALL SELECT host, j, reg FROM regs{_t - 1}
+          ) GROUP BY 1, 2),{_hb_est_cte(f"hbest{_t}", f"regs{_t}")}"""
+    _hb_inc = " + ".join(
+        f"greatest(e{_t}.est - e{_t - 1}.est, 0) * 1000000 // {_t}"
+        for _t in range(1, 9)
+    )
+    _hb_joins = " ".join(
+        f"JOIN hbest{_t} e{_t} ON e{_t}.host = h.host"
+        for _t in range(0, 9)
+    )
+    hyperball_sql += f"""
+        SELECT h.host, e8.est AS ball_est,
+               ({_hb_inc})::BIGINT AS harmonic_micros
+        FROM hosts h {_hb_joins}"""
 
     triangles_sql = f"""
         WITH e0 AS (
@@ -4786,6 +4921,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_linkpred": linkpred_sql,
         "crawl_host_clustering": clustering_sql,
         "crawl_host_kcore": kcore_sql,
+        "crawl_host_hyperball": hyperball_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
@@ -5782,6 +5918,57 @@ def oracle_sql() -> dict[str, str]:
                    (((1000000 // nl) * t) // n_tokens)::BIGINT
                      AS weight_micros
             FROM s, tot""",
+        # T=0.5 temperature mix: sqrt is IEEE correctly-rounded, so
+        # floor(sqrt(n)·1000) matches numpy bit-for-bit; everything
+        # after is integer (HUGEINT boundary past ~10^13 corpus tokens,
+        # same note as doc_mix_weights)
+        "doc_temp_mix_plan": """
+            WITH s AS (
+              SELECT lang, count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY 1),
+            q AS (
+              SELECT lang, n_docs, n_tokens,
+                     CAST(floor(sqrt(n_tokens::DOUBLE) * 1000.0)
+                          AS BIGINT) AS sqrt_milli
+              FROM s),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS t,
+                           sum(sqrt_milli)::BIGINT AS ss FROM q)
+            SELECT lang, n_docs, n_tokens, sqrt_milli,
+                   (sqrt_milli * 1000000 // ss)::BIGINT AS target_ppm,
+                   least(1000000,
+                         ((t * 500000 // 1000000) * sqrt_milli // ss)
+                           * 1000000 // n_tokens)::BIGINT AS rate_ppm
+            FROM q, tot""",
+        "doc_temp_mix_sample": """
+            WITH s AS (
+              SELECT lang,
+                     sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY 1),
+            q AS (
+              SELECT lang, n_tokens,
+                     CAST(floor(sqrt(n_tokens::DOUBLE) * 1000.0)
+                          AS BIGINT) AS sqrt_milli
+              FROM s),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS t,
+                           sum(sqrt_milli)::BIGINT AS ss FROM q),
+            r AS (
+              SELECT lang,
+                     least(1000000,
+                           ((t * 500000 // 1000000) * sqrt_milli // ss)
+                             * 1000000 // n_tokens)::BIGINT AS rate_ppm
+              FROM q, tot)
+            SELECT d.doc_id,
+                   d.lang,
+                   len(regexp_extract_all(d.text, '\\S+'))::BIGINT
+                     AS n_tokens,
+                   CAST(md5_number_lower(d.doc_id::VARCHAR) % 1000000
+                        AS BIGINT) AS draw_ppm
+            FROM documents d JOIN r ON r.lang = d.lang
+            WHERE md5_number_lower(d.doc_id::VARCHAR) % 1000000
+                  < r.rate_ppm""",
         "doc_segment_dedup": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -267,6 +267,10 @@ def bench_queries(sf_dir: str) -> dict:
         # round 4 fourth wave: seed-proximity BFS, keep-best dedup
         "crawl_host_bfs",
         "doc_neardup_keep_best",
+        # round 4 fifth wave: HyperBall harmonic centrality +
+        # temperature-mix realization
+        "crawl_host_hyperball",
+        "doc_temp_mix_sample",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -52,6 +52,7 @@ __all__ = [
     "connected_components",
     "host_degrees",
     "lpa_communities",
+    "harmonic_hosts",
 ]
 
 
@@ -3291,3 +3292,510 @@ def _lpa_distributed_sharded(und_refs, iters: int, n_buckets: int = 32):
             }
         )
     return pa.concat_tables(parts).sort_by([("host", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation of
+# Geometric Centralities with HyperBall", 2013 — the algorithm behind the
+# host-level harmonic-centrality ranking Common Crawl ships with every
+# snapshot)
+# ---------------------------------------------------------------------------
+
+_HB_P = 6                 # 2^6 = 64 registers/counter; rel. err ≈ 1.04/√64
+_HB_M = 1 << _HB_P
+_HB_SCALE = 1_000_000     # harmonic increments in integer micros
+_HB_RMAX = 64 - _HB_P + 1  # = 59: max register rank (w == 0 case)
+
+# Linear-counting estimates as a literal SPEC TABLE: entry z-1 is
+# floor(m·ln(m/z)) for z = 1..64 zero registers.  ln is the one libm
+# call in the HLL estimate, and DuckDB's ln disagrees with numpy's in
+# the last ulp on 17 of these 64 inputs — so the operator DEFINES the
+# small-range estimate as this table and the SQL oracle embeds the
+# same 64 integers (a pinned test re-derives the table from np.log).
+_HB_LC = np.array(
+    [266, 221, 195, 177, 163, 151, 141, 133, 125, 118, 112, 107, 102,
+     97, 92, 88, 84, 81, 77, 74, 71, 68, 65, 62, 60, 57, 55, 52, 50,
+     48, 46, 44, 42, 40, 38, 36, 35, 33, 31, 30, 28, 26, 25, 23, 22,
+     21, 19, 18, 17, 15, 14, 13, 12, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1,
+     0],
+    dtype=np.int64,
+)
+# Σ 2^-reg is accumulated in UNITS OF 2^-59 so the hot tail is exact
+# int64: registers 0/1/2 are counted separately (their unit weights
+# 2^59/2^58/2^57 would overflow a 64-term int64 sum) and re-attached
+# as exact float64 products; registers ≥ 3 sum to ≤ 64·2^56 < 2^63.
+_HB_TAIL = np.zeros(_HB_RMAX + 1, np.int64)
+_HB_TAIL[3:] = np.int64(1) << (59 - np.arange(3, _HB_RMAX + 1))
+_HB_U59 = np.float64(576460752303423488.0)   # 2^59 (exact double)
+_HB_U58 = np.float64(288230376151711744.0)   # 2^58
+_HB_U57 = np.float64(144115188075855872.0)   # 2^57
+_HB_ALPHA_M2 = (
+    np.float64(0.7213) / (np.float64(1.0) + np.float64(1.079) / np.float64(64.0))
+) * np.float64(4096.0)
+_HB_EST_CAP = np.float64(4611686018427387904.0)  # 2^62: int64-safe floor
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of uint64 values — branchless binary
+    reduction, no float round-trip (a float64 mantissa cannot represent
+    all 64-bit values, so ``log2``-based widths would be wrong near
+    powers of two)."""
+    n = np.zeros(w.shape, np.int64)
+    v = w.astype(np.uint64, copy=True)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        n[big] += s
+        v[big] >>= np.uint64(s)
+    return n + (v > 0)
+
+
+def _hb_md5h(hosts) -> np.ndarray:
+    """host strings → u64 HLL hashes: md5 digest bytes [8:16]
+    little-endian — exactly DuckDB's ``md5_number_lower(host)``, so the
+    SQL oracle can rebuild every register from the host string (the
+    `importance.hash_embed` hash convention; blake2b keeps the ROUTING
+    role, md5 only feeds register values)."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(h.encode("utf-8")).digest()[8:], "little"
+            )
+            for h in hosts
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _hb_singleton_regs(keys: np.ndarray) -> np.ndarray:
+    """u64 md5 vertex hashes (``_hb_md5h``) → ``[V, m]`` uint8
+    registers of the singleton ``{v}`` HLL counters: register index =
+    low ``p`` bits, rank = leading-zero count of the remaining ``64-p``
+    bits + 1 (the ``relational._hll_registers`` convention at p=6; in
+    SQL: ``j = h % 64``, ``reg = 59 - length(bin(h // 64))``)."""
+    regs = np.zeros((len(keys), _HB_M), np.uint8)
+    if not len(keys):
+        return regs
+    idx = (keys & np.uint64(_HB_M - 1)).astype(np.int64)
+    w = keys >> np.uint64(_HB_P)
+    nbits = 64 - _HB_P
+    rank = np.where(w == 0, nbits + 1, nbits - _bitlen_u64(w) + 1)
+    regs[np.arange(len(keys)), idx] = rank.astype(np.uint8)
+    return regs
+
+
+def _hb_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise integer HLL estimate, BIT-REPRODUCIBLE IN SQL: the
+    register sum Σ2^-reg is assembled from three exact int64 counts
+    (reg∈{0,1,2}) plus the exact int64 tail Σ_{reg≥3}2^(59-reg), then
+    combined in ONE fixed parenthesization using only IEEE-exact ops
+    (int→double conversion, +, ×, ÷ — no exp2/pow), so DuckDB's double
+    arithmetic reproduces every bit; the linear-counting branch reads
+    the literal ``_HB_LC`` spec table instead of calling ln.  Capped at
+    2^62 before the floor so the int64 cast is defined even for the
+    degenerate all-rank-59 row."""
+    if not len(regs):
+        return np.zeros(0, np.int64)
+    n0 = (regs == 0).sum(axis=1, dtype=np.int64)
+    n1 = (regs == 1).sum(axis=1, dtype=np.int64)
+    n2 = (regs == 2).sum(axis=1, dtype=np.int64)
+    tail = _HB_TAIL[regs].sum(axis=1, dtype=np.int64)
+    s = (
+        (n0.astype(np.float64) * _HB_U59 + n1.astype(np.float64) * _HB_U58)
+        + n2.astype(np.float64) * _HB_U57
+    ) + tail.astype(np.float64)
+    raw = _HB_ALPHA_M2 / (s / _HB_U59)
+    raw_i = np.floor(np.minimum(raw, _HB_EST_CAP)).astype(np.int64)
+    small = (raw <= np.float64(160.0)) & (n0 > 0)
+    return np.where(small, _HB_LC[np.maximum(n0, 1) - 1], raw_i)
+
+
+def _hb_harm_inc(
+    est: np.ndarray, est_prev: np.ndarray, t: int
+) -> np.ndarray:
+    """Harmonic-centrality increment at radius ``t`` in integer micros:
+    ``max(|B(v,t)| − |B(v,t−1)|, 0) · 10⁶ // t`` over the INTEGER
+    estimates — associative int64 adds, so every tier and the oracle
+    agree exactly.  The clamp at 0 absorbs the rare estimate DIP when a
+    row crosses the linear-counting threshold (balls only grow; a
+    negative diff is sketch noise) and keeps both sides of the floor
+    division non-negative, where numpy ``//`` (floor) and DuckDB ``//``
+    (truncate) coincide."""
+    return np.maximum(est - est_prev, 0) * _HB_SCALE // t
+
+
+def _hb_regs_to_arrow(mat: np.ndarray) -> pa.Array:
+    """[n, m] uint8 register matrix → fixed_size_binary(m) column
+    (zero-copy-ish: one contiguous buffer, no per-row Python bytes)."""
+    return pa.Array.from_buffers(
+        pa.binary(_HB_M),
+        len(mat),
+        [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
+def _hb_regs_from_arrow(col) -> np.ndarray:
+    """fixed_size_binary(m) column → [n, m] uint8 view (zero-copy)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not len(a):
+        return np.zeros((0, _HB_M), np.uint8)
+    return np.frombuffer(
+        a.buffers()[1], np.uint8,
+        count=len(a) * _HB_M, offset=a.offset * _HB_M,
+    ).reshape(len(a), _HB_M)
+
+
+def _hb_empty() -> pa.Table:
+    return pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "ball_est": pa.array([], pa.int64()),
+            "harmonic_micros": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
+    """Driver-local HyperBall over one Arrow edge table.  Counter
+    update is the BFS segment layout with register max in place of
+    integer min: one stable dst argsort up front, per round a single
+    ``np.take`` into a REUSED gather buffer (slow-fresh-page rule) and
+    one ``np.maximum.reduceat`` per-destination segment merge."""
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    regs = _hb_singleton_regs(_hb_md5h(hosts))
+    est = _hb_estimate_rows(regs)
+    harm = np.zeros(len(keys), np.int64)
+    if et.num_rows and len(keys):
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(dst_idx, kind="stable")
+        src_sorted = src_idx[order]
+        sorted_dst = dst_idx[order]
+        starts = np.flatnonzero(
+            np.diff(sorted_dst, prepend=np.int64(-1))
+        )
+        seg_vert = sorted_dst[starts]
+        gath = np.empty((len(src_sorted), _HB_M), np.uint8)  # reused
+        for t in range(1, max_t + 1):
+            np.take(regs, src_sorted, axis=0, out=gath)
+            seg = np.maximum.reduceat(gath, starts, axis=0)
+            nxt = regs.copy()
+            nxt[seg_vert] = np.maximum(nxt[seg_vert], seg)
+            if np.array_equal(nxt, regs):
+                break  # ball fixpoint — every later increment is 0
+            regs = nxt
+            est_new = _hb_estimate_rows(regs)
+            harm += _hb_harm_inc(est_new, est, t)
+            est = est_new
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "ball_est": pa.array(est, pa.int64()),
+            "harmonic_micros": pa.array(harm, pa.int64()),
+        }
+    )
+
+
+def _hb_block_contrib(
+    batch: pa.Table, keys: np.ndarray, regs: np.ndarray
+) -> pa.Table:
+    """One edge block's per-destination register-max partial (the
+    broadcast mid-tier combiner): (dst_h, regs) with one row per
+    distinct dst in the block."""
+    if not batch.num_rows:
+        return pa.table(
+            {
+                "dst_h": pa.array([], pa.uint64()),
+                "regs": pa.array([], pa.binary(_HB_M)),
+            }
+        )
+    si = np.searchsorted(
+        keys, batch["src_h"].to_numpy(zero_copy_only=False)
+    )
+    dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dh, kind="stable")
+    g = regs[si[order]]
+    sorted_dst = dh[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], sorted_dst[1:] != sorted_dst[:-1]])
+    )
+    seg = np.maximum.reduceat(g, starts, axis=0)
+    return pa.table(
+        {
+            "dst_h": pa.array(sorted_dst[starts], pa.uint64()),
+            "regs": _hb_regs_to_arrow(seg),
+        }
+    )
+
+
+def _hb_merge_partials(tables) -> tuple:
+    """partial (dst_h, regs) tables → (sorted unique dst_h, max regs)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return np.zeros(0, np.uint64), np.zeros((0, _HB_M), np.uint8)
+    dh = np.concatenate(
+        [t["dst_h"].to_numpy(zero_copy_only=False) for t in live]
+    )
+    mats = np.concatenate([_hb_regs_from_arrow(t["regs"]) for t in live])
+    order = np.argsort(dh, kind="stable")
+    sd = dh[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], sd[1:] != sd[:-1]])
+    )
+    return sd[starts], np.maximum.reduceat(mats[order], starts, axis=0)
+
+
+def _hb_state_empty() -> pa.Table:
+    return pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "h": pa.array([], pa.uint64()),
+            "regs": pa.array([], pa.binary(_HB_M)),
+            "est": pa.array([], pa.int64()),
+            "harm": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _hb_init_state(*slices: pa.Table) -> pa.Table:
+    """unique-merge one bucket's (host, h) pairs → h-sorted state shard
+    with the singleton registers, their radius-0 estimate, and harm=0.
+    The md5 register hashes are computed HERE, per shard, from the
+    shard's own host strings — never a vertex-sized driver pass."""
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        return _hb_state_empty()
+    cat = pa.concat_tables(live)
+    hh = cat["h"].to_numpy(zero_copy_only=False)
+    keys, first = np.unique(hh, return_index=True)
+    hosts = cat["host"].take(pa.array(first)).to_pylist()
+    regs = _hb_singleton_regs(_hb_md5h(hosts))
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "h": pa.array(keys, pa.uint64()),
+            "regs": _hb_regs_to_arrow(regs),
+            "est": pa.array(_hb_estimate_rows(regs), pa.int64()),
+            "harm": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+        }
+    )
+
+
+def _hb_contrib_sharded(edges_b: pa.Table, state_b: pa.Table, n: int):
+    """this src bucket's per-destination register-max partials, routed
+    by the destination's bucket (the ``_pr_contrib_sharded`` layout
+    with register max in place of rank sums)."""
+    empty = pa.table(
+        {
+            "dst_h": pa.array([], pa.uint64()),
+            "regs": pa.array([], pa.binary(_HB_M)),
+        }
+    )
+    out = [empty] * n
+    if not edges_b.num_rows:
+        return out
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    regs = _hb_regs_from_arrow(state_b["regs"])
+    si = np.searchsorted(
+        keys, edges_b["src_h"].to_numpy(zero_copy_only=False)
+    )
+    dh = edges_b["dst_h"].to_numpy(zero_copy_only=False)
+    db = edges_b["dst_b"].to_numpy(zero_copy_only=False)
+    for k in np.unique(db):
+        m = db == k
+        d = dh[m]
+        order = np.argsort(d, kind="stable")
+        g = regs[si[m][order]]
+        sd = d[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sd[1:] != sd[:-1]])
+        )
+        out[int(k)] = pa.table(
+            {
+                "dst_h": pa.array(sd[starts], pa.uint64()),
+                "regs": _hb_regs_to_arrow(
+                    np.maximum.reduceat(g, starts, axis=0)
+                ),
+            }
+        )
+    return out
+
+
+def _hb_apply_sharded(state_b: pa.Table, t: int, *parts: pa.Table):
+    """merge inbound register partials into one state shard, then
+    recompute the shard's estimates and add the radius-``t`` harmonic
+    increments — registers only grow (max), so after the global
+    fixpoint every further round adds exactly 0 and the fixed-round
+    schedule stays bit-identical to the early-breaking tiers."""
+    keys = state_b["h"].to_numpy(zero_copy_only=False)
+    regs = _hb_regs_from_arrow(state_b["regs"]).copy()
+    dh, mats = _hb_merge_partials(list(parts))
+    if len(dh) and len(keys):
+        idx = np.searchsorted(keys, dh)
+        regs[idx] = np.maximum(regs[idx], mats)
+    est_prev = state_b["est"].to_numpy(zero_copy_only=False)
+    est = _hb_estimate_rows(regs)
+    harm = state_b["harm"].to_numpy(zero_copy_only=False) + _hb_harm_inc(
+        est, est_prev, t
+    )
+    return pa.table(
+        {
+            "host": state_b["host"],
+            "h": state_b["h"],
+            "regs": _hb_regs_to_arrow(regs),
+            "est": pa.array(est, pa.int64()),
+            "harm": pa.array(harm, pa.int64()),
+        }
+    )
+
+
+def _hb_distributed_sharded(
+    edge_block_refs, max_t: int, n_buckets: int = 32
+) -> pa.Table:
+    """Fully bucket-sharded HyperBall — NO vertex-sized driver or
+    broadcast structure; this is the out-of-core framing of the paper
+    itself (Boldi & Vigna run HyperBall with the counter array on
+    disk).  Vertex state (host, h, 64-byte registers, est, harm)
+    shards by ``h % B``; each round is one routed exchange of
+    per-dst-bucket register-max partials.  Fixed ``max_t`` rounds
+    (register max is a fixpoint — extra rounds add 0), bit-identical
+    to the other tiers (forced-path test)."""
+    import ray
+
+    scatter = ray.remote(num_cpus=1)(_pr_scatter)
+    gath_e = ray.remote(num_cpus=1)(_pr_gather_edges)
+    init_s = ray.remote(num_cpus=1)(_hb_init_state)
+    contrib = ray.remote(num_cpus=1)(_hb_contrib_sharded)
+    apply_s = ray.remote(num_cpus=1)(_hb_apply_sharded)
+
+    flats = [
+        scatter.options(num_returns=2 * n_buckets).remote(b, n_buckets)
+        for b in edge_block_refs
+    ]
+    edge_refs = [
+        gath_e.remote(*[f[k] for f in flats]) for k in range(n_buckets)
+    ]
+    state_refs = [
+        init_s.remote(*[f[n_buckets + k] for f in flats])
+        for k in range(n_buckets)
+    ]
+    for t in range(1, max_t + 1):
+        grids = [
+            contrib.options(num_returns=n_buckets).remote(
+                edge_refs[k], state_refs[k], n_buckets
+            )
+            for k in range(n_buckets)
+        ]
+        state_refs = [
+            apply_s.remote(state_refs[k], t, *[g[k] for g in grids])
+            for k in range(n_buckets)
+        ]
+    parts = [t for t in ray.get(state_refs) if t.num_rows]
+    if not parts:
+        return _hb_empty()
+    out = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "host": out["host"],
+            "ball_est": out["est"],
+            "harmonic_micros": out["harm"],
+        }
+    )
+
+
+def harmonic_hosts(
+    edges,
+    max_t: int = 8,
+    driver_max_edges: int = 5_000_000,
+    shard_min_edges: int = 500_000_000,
+) -> pa.Table:
+    """distinct host edges (from ``host_edges``) →
+    (host, ball_est, harmonic_micros): HyperBall harmonic centrality
+    (Boldi & Vigna 2013) — the host-level centrality ranking Common
+    Crawl publishes with every snapshot, and the spam-resistant
+    alternative to PageRank for seed-list curation.
+
+    One 64-register HLL counter per host tracks the IN-ball
+    ``B(v,t) = {u : d(u→v) ≤ t}``; each synchronous round max-merges
+    every counter into its out-neighbors' and adds the harmonic
+    increment ``max(|B(v,t)|−|B(v,t−1)|, 0)·10⁶ // t`` (integer
+    micros).  Everything after the md5 register hash is either exact
+    int64 or the fixed-parenthesization IEEE float path of
+    ``_hb_estimate_rows``, so the DuckDB oracle unrolls the identical
+    ``max_t`` rounds from the host strings and matches bit-for-bit.
+
+    Three adaptive tiers, bit-identical (forced-path test):
+    ≤ ``driver_max_edges`` driver-local (segment-layout reduceat);
+    above it the broadcast loop (the PageRank layout — (keys, regs)
+    via ``ray.put`` per round, 64 B/host ⇒ fine to ~10⁷–10⁸ hosts);
+    past ``shard_min_edges`` the fully sharded tier holding no
+    vertex-sized state anywhere (the paper's own out-of-core
+    framing)."""
+    import ray
+
+    edges = edges.materialize()  # iterated over max_t times
+    n_edges = edges.count()
+    if n_edges > shard_min_edges:
+        return _hb_distributed_sharded(
+            list(edges.to_arrow_refs()), max_t
+        )
+    if n_edges <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "src_h": pa.array([], pa.uint64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return _hb_local(et, max_t)
+
+    contrib = ray.remote(num_cpus=1)(_hb_block_contrib)
+    hosts, keys = _collect_verts(edges)
+    regs = _hb_singleton_regs(_hb_md5h(hosts))
+    est = _hb_estimate_rows(regs)
+    harm = np.zeros(len(keys), np.int64)
+    edge_block_refs = list(edges.to_arrow_refs())
+    k_ref = ray.put(keys)
+    for t in range(1, max_t + 1):
+        r_ref = ray.put(regs)
+        parts = ray.get(
+            [contrib.remote(b, k_ref, r_ref) for b in edge_block_refs]
+        )
+        dh, mats = _hb_merge_partials(parts)
+        nxt = regs.copy()
+        if len(dh):
+            idx = np.searchsorted(keys, dh)
+            nxt[idx] = np.maximum(nxt[idx], mats)
+        if np.array_equal(nxt, regs):
+            break  # register fixpoint — every later increment is 0
+        regs = nxt
+        est_new = _hb_estimate_rows(regs)
+        harm += _hb_harm_inc(est_new, est, t)
+        est = est_new
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "ball_est": pa.array(est, pa.int64()),
+            "harmonic_micros": pa.array(harm, pa.int64()),
+        }
+    )

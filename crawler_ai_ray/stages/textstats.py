@@ -900,6 +900,187 @@ def mix_weights(ds, target_ppm: dict[str, int] | None = None,
     )
 
 
+def _lang_token_totals(ds, text_col: str):
+    """shared per-language (n_docs, n_tokens) combiner of the mix
+    family: each batch collapses to ≤|langs| rows (Arrow group_by +
+    the RE2 token counter), partials reduce driver-side — languages
+    are a tiny domain, so no Ray shuffle at all.  → lang-sorted
+    (langs, toks, docs) python lists."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": pc.cast(
+                    _count(batch[text_col], WS_TOKEN_RE), pa.int64()
+                ),
+                "n_docs": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by("lang").aggregate(
+            [("n_tokens", "sum"), ("n_docs", "sum")]
+        )
+        return agg.rename_columns(["lang", "n_tokens", "n_docs"])
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return [], [], []
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("lang")
+        .aggregate([("n_tokens", "sum"), ("n_docs", "sum")])
+    )
+    langs = agg["lang"].to_pylist()
+    order = np.argsort(np.array(langs, dtype=object))
+    toks = agg["n_tokens_sum"].to_pylist()
+    docs = agg["n_docs_sum"].to_pylist()
+    return (
+        [langs[i] for i in order],
+        [toks[i] for i in order],
+        [docs[i] for i in order],
+    )
+
+
+def _temp_mix_rates(langs, toks, budget_ppm: int):
+    """temperature-T=0.5 plan rows: per language
+    ``sqrt_milli = floor(√n_tokens · 1000)`` (IEEE sqrt is correctly
+    rounded, so DuckDB reproduces it bit-for-bit — the reason the
+    temperature is FIXED at 0.5: any other exponent needs libm pow),
+    ``target_ppm = sqrt_milli·10⁶ // Σsqrt_milli`` and the doc-keep
+    rate ``rate_ppm = min(10⁶, target_tokens·10⁶ // n_tokens)`` where
+    ``target_tokens = (total·budget_ppm // 10⁶)·sqrt_milli // Σ``.
+    Python big-ints driver-side (the SQL mirror needs HUGEINT past
+    ~10¹³ corpus tokens, same boundary as ``mix_weights``)."""
+    total = sum(toks)
+    sq = [
+        int(np.floor(np.sqrt(np.float64(t)) * np.float64(1000.0)))
+        for t in toks
+    ]
+    ssum = sum(sq)
+    budget_tokens = total * budget_ppm // 1_000_000
+    tgt = [
+        sq[i] * 1_000_000 // ssum if ssum else 0 for i in range(len(sq))
+    ]
+    rate = [
+        min(
+            1_000_000,
+            (budget_tokens * sq[i] // ssum) * 1_000_000 // toks[i],
+        )
+        if ssum and toks[i]
+        else 0
+        for i in range(len(sq))
+    ]
+    return sq, tgt, rate
+
+
+def temperature_mix_plan(
+    ds, budget_ppm: int = 500_000, text_col: str = "text"
+) -> pa.Table:
+    """documents → (lang, n_docs, n_tokens, sqrt_milli, target_ppm,
+    rate_ppm): the temperature-scaled multilingual mix plan (UniMax /
+    CC-style T=0.5 sampling — Chung et al. 2023; weight ∝ √share, so
+    head languages are down-sampled and the tail is boosted without
+    the uniform mix's tiny-language over-repetition).  ``budget_ppm``
+    is the output token budget as a fraction of the corpus.  All
+    outputs integer and bit-reproducible in SQL (see
+    ``_temp_mix_rates``)."""
+    langs, toks, docs = _lang_token_totals(ds, text_col)
+    if not langs:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "sqrt_milli": pa.array([], pa.int64()),
+                "target_ppm": pa.array([], pa.int64()),
+                "rate_ppm": pa.array([], pa.int64()),
+            }
+        )
+    sq, tgt, rate = _temp_mix_rates(langs, toks, budget_ppm)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(docs, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "sqrt_milli": pa.array(sq, pa.int64()),
+            "target_ppm": pa.array(tgt, pa.int64()),
+            "rate_ppm": pa.array(rate, pa.int64()),
+        }
+    )
+
+
+def temperature_mix_sample(
+    ds, budget_ppm: int = 500_000, text_col: str = "text"
+):
+    """Deterministically REALIZE the T=0.5 mix: keep a doc iff its
+    md5 draw ``md5₆₄ₗₒ(str(doc_id)) % 10⁶`` falls under its
+    language's ``rate_ppm`` — reproducible across runs, partitions
+    and engines (``md5_number_lower(doc_id::VARCHAR) % 1000000`` in
+    SQL).  → streaming Dataset (doc_id, lang, n_tokens, draw_ppm) of
+    the kept manifest.
+
+    Shape: pass 1 is the ≤|langs| combiner of the plan; the rate map
+    (langs-sized) rides the filter closure; pass 2 streams — text is
+    never shuffled and nothing vertex- or corpus-sized lands on the
+    driver."""
+    import hashlib
+
+    langs, toks, _docs = _lang_token_totals(ds, text_col)
+    rates = (
+        dict(zip(langs, _temp_mix_rates(langs, toks, budget_ppm)[2]))
+        if langs
+        else {}
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "draw_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        draw = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                )
+                % 1_000_000
+                for i in ids.tolist()
+            ],
+            dtype=np.int64,
+        )
+        lang = batch["lang"].to_pylist()
+        lim = np.array([rates.get(lg, 0) for lg in lang], np.int64)
+        m = draw < lim
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": batch["lang"],
+                "n_tokens": pc.cast(
+                    _count(batch[text_col], WS_TOKEN_RE), pa.int64()
+                ),
+                "draw_ppm": pa.array(draw, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(m)) if not m.all() else t
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _term_h64_arr(terms: list) -> np.ndarray:
     """64-bit blake2b per term (little-endian), vocab-sized loop —
     shared by both `doc_commonness` tiers."""

@@ -3309,3 +3309,78 @@ def test_keep_best_path_agreement_and_semantics(docs_ds):
     out = neardup_keep_best_local(labels2, keys2).to_pandas()
     assert dict(zip(out.doc_id, out.keep_id)) == {1: 2, 2: 2, 3: 3}
     assert dict(zip(out.doc_id, out.kept)) == {1: False, 2: True, 3: True}
+
+
+def test_temperature_mix_hand_computed_and_realized(ray_session):
+    """T=0.5 mix plan on a skewed 2-lang corpus: √share targets sit
+    between uniform and proportional; the sample pass realizes exactly
+    the docs whose md5 draw clears the language rate (engine-code-free
+    recompute), and the whole family is partition-invariant."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import (
+        temperature_mix_plan,
+        temperature_mix_sample,
+    )
+
+    rows = []
+    for i in range(40):  # en: 40 docs × 8 tokens = 320
+        rows.append((i, "en", "a b c d e f g h"))
+    for i in range(40, 50):  # vi: 10 docs × 2 tokens = 20
+        rows.append((i, "vi", "x y"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    plan = temperature_mix_plan(ds, budget_ppm=500_000).to_pandas()
+    p = plan.set_index("lang")
+
+    # hand math: sqrt_milli = floor(sqrt(tokens)*1000)
+    sq_en = math.floor(math.sqrt(320.0) * 1000)
+    sq_vi = math.floor(math.sqrt(20.0) * 1000)
+    ss = sq_en + sq_vi
+    assert p.loc["en", "sqrt_milli"] == sq_en
+    assert p.loc["vi", "sqrt_milli"] == sq_vi
+    assert p.loc["en", "target_ppm"] == sq_en * 1_000_000 // ss
+    budget = 340 * 500_000 // 1_000_000
+    r_en = min(1_000_000, (budget * sq_en // ss) * 1_000_000 // 320)
+    r_vi = min(1_000_000, (budget * sq_vi // ss) * 1_000_000 // 20)
+    assert p.loc["en", "rate_ppm"] == r_en
+    assert p.loc["vi", "rate_ppm"] == r_vi
+    # temperature flattens: en's target share < its 320/340 token
+    # share, vi's > its 20/340 share
+    assert p.loc["en", "target_ppm"] < 320 * 1_000_000 // 340
+    assert p.loc["vi", "target_ppm"] > 20 * 1_000_000 // 340
+
+    got = (
+        temperature_mix_sample(ds, budget_ppm=500_000)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    rates = {"en": r_en, "vi": r_vi}
+    want = sorted(
+        i
+        for i, lg, _ in rows
+        if int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:], "little"
+        )
+        % 1_000_000
+        < rates[lg]
+    )
+    assert got.doc_id.tolist() == want
+    assert (got.draw_ppm < got.lang.map(rates)).all()
+
+    # partition invariance
+    again = (
+        temperature_mix_sample(ds.repartition(7), budget_ppm=500_000)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.equals(again)
