@@ -2671,6 +2671,26 @@ def _q_doc_temp_mix_sample(sf_dir: str):
     )
 
 
+def _q_doc_source_cap(sf_dir: str):
+    """Per-source over-representation cap (RefinedWeb/Dolma-style
+    domain budget): admit docs per source in deterministic
+    (md5 draw, doc_id) order until the source's running token total
+    passes 3 % of the corpus → kept manifest with running totals
+    (the corpus has 20 ~5 % sources, so the cap BINDS on every one —
+    the sweep provably drops rows at test scale).
+    Skinny-manifest pass + 64-bucket crc32(source) sweep (sources
+    co-located, Arrow sort + numpy segment prefix-sum inside); the
+    oracle is one window cumsum over the identical order."""
+    from crawler_ai_ray.stages.textstats import source_cap
+
+    return source_cap(
+        _table(
+            sf_dir, "documents", columns=["doc_id", "text", "source"]
+        ),
+        cap_ppm=30_000,
+    )
+
+
 def _q_doc_curate(sf_dir: str):
     """End-to-end curation manifest: langid → quality → repetition →
     exact dedup → MinHash near-dup dedup, one decision row per doc
@@ -3656,6 +3676,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weights": _q_doc_mix_weights,
         "doc_temp_mix_plan": _q_doc_temp_mix_plan,
         "doc_temp_mix_sample": _q_doc_temp_mix_sample,
+        "doc_source_cap": _q_doc_source_cap,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
         "doc_bigram_fluency": _q_doc_bigram_fluency,
@@ -3811,7 +3832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver snapshot land at positions 51+ and must be moved into the
         # front window at round-5 open, ahead of these r01 re-checks.
         # Round-4-late list (keep current): crawl_host_hyperball,
-        # doc_temp_mix_plan, doc_temp_mix_sample.
+        # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5969,6 +5990,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON r.lang = d.lang
             WHERE md5_number_lower(d.doc_id::VARCHAR) % 1000000
                   < r.rate_ppm""",
+        # per-source cap: one window cumsum over the engine's exact
+        # admission order (md5 draw, doc_id) — all integers
+        "doc_source_cap": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT
+                       AS n_tokens,
+                     md5_number_lower(doc_id::VARCHAR) AS rnk
+              FROM documents),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM d),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY rnk, doc_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+              FROM d)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c, tot WHERE cum_tokens <= t * 30000 // 1000000""",
         "doc_segment_dedup": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word,

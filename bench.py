@@ -271,6 +271,7 @@ def bench_queries(sf_dir: str) -> dict:
         # temperature-mix realization
         "crawl_host_hyperball",
         "doc_temp_mix_sample",
+        "doc_source_cap",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

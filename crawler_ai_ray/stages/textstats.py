@@ -1081,6 +1081,126 @@ def temperature_mix_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def source_cap(
+    ds, cap_ppm: int = 300_000, num_buckets: int = 64,
+    text_col: str = "text",
+):
+    """documents → the kept manifest (doc_id, source, n_tokens,
+    cum_tokens) after capping every source's contribution at
+    ``cap_ppm`` of the corpus's total tokens — the over-representation
+    limit every web-corpus recipe applies so no single domain/dump
+    dominates the mix (RefinedWeb/Dolma-style per-source budgets).
+
+    Deterministic priority INSIDE a source: docs are admitted in
+    ``(md5₆₄ₗₒ(str(doc_id)), doc_id)`` order until the source's
+    running token total would pass the cap — a reproducible uniform
+    draw, so the kept set is stable across runs, partitions and
+    engines (the SQL oracle is one window cumsum over the same
+    order).
+
+    Shape: one streaming text pass builds the skinny manifest
+    (doc_id, source, n_tokens, rnk, bucket = crc32(source) % B) —
+    text never moves again; the total-token scalar reduces from the
+    manifest; the cap sweep is a ``groupby(bucket).map_groups`` over
+    B ≈ 64 groups (all rows of a source co-located, Arrow sort +
+    numpy segment prefix-sum inside — never a groupby on the
+    high-cardinality source itself)."""
+    import zlib
+
+    import hashlib
+
+    import ray
+
+    def manifest(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rnk = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                )
+                for i in ids.tolist()
+            ],
+            dtype=np.uint64,
+        )
+        src = batch["source"].to_pylist()
+        bk = np.array(
+            [zlib.crc32(s.encode("utf-8")) % num_buckets for s in src],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": batch["source"],
+                "n_tokens": pc.cast(
+                    _count(batch[text_col], WS_TOKEN_RE), pa.int64()
+                ),
+                "rnk": pa.array(rnk, pa.uint64()),
+                "bucket": pa.array(bk, pa.int64()),
+            }
+        )
+
+    man = ds.map_batches(manifest, batch_format="pyarrow").materialize()
+    total = sum(
+        pc.sum(t["n_tokens"]).as_py() or 0
+        for t in ray.get(man.to_arrow_refs())
+        if t.num_rows
+    )
+    cap = total * cap_ppm // 1_000_000
+
+    def sweep(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by(
+            [
+                ("source", "ascending"),
+                ("rnk", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        )
+        cs = np.cumsum(n)
+        base = np.zeros(len(n), dtype=np.int64)
+        base[starts[1:]] = cs[starts[1:] - 1]
+        cum = cs - np.maximum.accumulate(base)
+        keep = cum <= cap
+        out = pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "n_tokens": g["n_tokens"],
+                "cum_tokens": pa.array(cum, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep)) if not keep.all() else out
+
+    return man.groupby("bucket").map_groups(
+        sweep, batch_format="pyarrow"
+    )
+
+
 def _term_h64_arr(terms: list) -> np.ndarray:
     """64-bit blake2b per term (little-endian), vocab-sized loop —
     shared by both `doc_commonness` tiers."""

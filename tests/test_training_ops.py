@@ -3384,3 +3384,57 @@ def test_temperature_mix_hand_computed_and_realized(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert got.equals(again)
+
+
+def test_source_cap_hand_computed_and_invariant(ray_session):
+    """Per-source token cap: a planted whale source is cut to the
+    budget in (md5 draw, doc_id) admission order (engine-code-free
+    recompute), small sources pass untouched, and the kept manifest
+    is partition- and bucket-count-invariant."""
+    import hashlib
+
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import source_cap
+
+    rows = []
+    for i in range(30):  # whale: 30 docs × 10 tokens = 300
+        rows.append((i, "whale", "t " * 9 + "t"))
+    for i in range(30, 40):  # minnow: 10 docs × 2 tokens = 20
+        rows.append((i, "minnow", "a b"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # total 320 tokens, cap 50% = 160 ⇒ whale keeps 16 docs, minnow all
+    got = (
+        source_cap(ds, cap_ppm=500_000)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    def draw(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:], "little"
+        )
+
+    whale_order = sorted(range(30), key=lambda i: (draw(i), i))
+    want_whale = sorted(whale_order[:16])
+    assert got[got.source == "whale"].doc_id.tolist() == want_whale
+    assert got[got.source == "minnow"].doc_id.tolist() == list(
+        range(30, 40)
+    )
+    # running totals: whale rows end exactly at the cap
+    assert got[got.source == "whale"].cum_tokens.max() == 160
+    assert got[got.source == "minnow"].cum_tokens.max() == 20
+
+    again = (
+        source_cap(ds.repartition(7), cap_ppm=500_000, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.equals(again)
