@@ -472,10 +472,12 @@ def _q_crawl_host_kcore(sf_dir: str):
 
 
 def _q_crawl_host_hyperball(sf_dir: str):
-    """HyperBall harmonic centrality (Boldi & Vigna 2013) over the
-    directed host graph, 8 radius rounds — the host-centrality ranking
-    Common Crawl ships with every snapshot and the spam-resistant
-    PageRank alternative for seed curation.  One 64-register HLL
+    """HyperBall geometric centralities (Boldi & Vigna 2013) over the
+    directed host graph, 8 radius rounds — harmonic (the
+    host-centrality ranking Common Crawl ships with every snapshot and
+    the spam-resistant PageRank alternative for seed curation) plus
+    closeness/Lin off the same counters (sum_dist, closeness_micros,
+    lin_index).  One 64-register HLL
     in-ball counter per host, md5 register hashes
     (``md5_number_lower`` semantics) and a fixed-parenthesization
     IEEE estimate, so the oracle unrolls the identical 8 register
@@ -4106,14 +4108,26 @@ def oracle_sql() -> dict[str, str]:
         f"greatest(e{_t}.est - e{_t - 1}.est, 0) * 1000000 // {_t}"
         for _t in range(1, 9)
     )
+    _hb_sd = " + ".join(
+        f"{_t} * greatest(e{_t}.est - e{_t - 1}.est, 0)"
+        for _t in range(1, 9)
+    )
     _hb_joins = " ".join(
         f"JOIN hbest{_t} e{_t} ON e{_t}.host = h.host"
         for _t in range(0, 9)
     )
-    hyperball_sql += f"""
-        SELECT h.host, e8.est AS ball_est,
-               ({_hb_inc})::BIGINT AS harmonic_micros
-        FROM hosts h {_hb_joins}"""
+    hyperball_sql += f""",
+        fin AS (
+          SELECT h.host, e8.est AS ball_est,
+                 ({_hb_inc})::BIGINT AS harmonic_micros,
+                 ({_hb_sd})::BIGINT AS sum_dist
+          FROM hosts h {_hb_joins})
+        SELECT host, ball_est, harmonic_micros, sum_dist,
+               (ball_est * 1000000 // greatest(sum_dist, 1))::BIGINT
+                 AS closeness_micros,
+               (ball_est * ball_est // greatest(sum_dist, 1))::BIGINT
+                 AS lin_index
+        FROM fin"""
 
     triangles_sql = f"""
         WITH e0 AS (

@@ -3411,18 +3411,42 @@ def _hb_estimate_rows(regs: np.ndarray) -> np.ndarray:
     return np.where(small, _HB_LC[np.maximum(n0, 1) - 1], raw_i)
 
 
-def _hb_harm_inc(
+def _hb_incs(
     est: np.ndarray, est_prev: np.ndarray, t: int
-) -> np.ndarray:
-    """Harmonic-centrality increment at radius ``t`` in integer micros:
-    ``max(|B(v,t)| − |B(v,t−1)|, 0) · 10⁶ // t`` over the INTEGER
-    estimates — associative int64 adds, so every tier and the oracle
-    agree exactly.  The clamp at 0 absorbs the rare estimate DIP when a
-    row crosses the linear-counting threshold (balls only grow; a
-    negative diff is sketch noise) and keeps both sides of the floor
-    division non-negative, where numpy ``//`` (floor) and DuckDB ``//``
-    (truncate) coincide."""
-    return np.maximum(est - est_prev, 0) * _HB_SCALE // t
+) -> tuple:
+    """Radius-``t`` centrality increments over the INTEGER estimates,
+    from the clamped ball growth ``Δ⁺ = max(|B(v,t)|−|B(v,t−1)|, 0)``:
+    harmonic ``Δ⁺·10⁶ // t`` (integer micros) and sum-of-distances
+    ``t·Δ⁺`` (for closeness/Lin) — associative int64 adds, so every
+    tier and the oracle agree exactly.  The clamp at 0 absorbs the
+    rare estimate DIP when a row crosses the linear-counting threshold
+    (balls only grow; a negative diff is sketch noise) and keeps both
+    sides of the floor division non-negative, where numpy ``//``
+    (floor) and DuckDB ``//`` (truncate) coincide."""
+    dpos = np.maximum(est - est_prev, 0)
+    return dpos * _HB_SCALE // t, t * dpos
+
+
+def _hb_finish(
+    host_col, est: np.ndarray, harm: np.ndarray, sd: np.ndarray
+) -> pa.Table:
+    """assemble the public HyperBall output: harmonic micros plus the
+    closeness family off the same counters — ``closeness_micros =
+    |B|·10⁶ // max(Σdist, 1)`` and Lin's index ``|B|² // max(Σdist,
+    1)`` (both int64-safe: |B| ≤ hosts ≤ ~10⁹)."""
+    denom = np.maximum(sd, 1)
+    return pa.table(
+        {
+            "host": host_col,
+            "ball_est": pa.array(est, pa.int64()),
+            "harmonic_micros": pa.array(harm, pa.int64()),
+            "sum_dist": pa.array(sd, pa.int64()),
+            "closeness_micros": pa.array(
+                est * _HB_SCALE // denom, pa.int64()
+            ),
+            "lin_index": pa.array(est * est // denom, pa.int64()),
+        }
+    )
 
 
 def _hb_regs_to_arrow(mat: np.ndarray) -> pa.Array:
@@ -3447,13 +3471,8 @@ def _hb_regs_from_arrow(col) -> np.ndarray:
 
 
 def _hb_empty() -> pa.Table:
-    return pa.table(
-        {
-            "host": pa.array([], pa.string()),
-            "ball_est": pa.array([], pa.int64()),
-            "harmonic_micros": pa.array([], pa.int64()),
-        }
-    )
+    z = np.zeros(0, np.int64)
+    return _hb_finish(pa.array([], pa.string()), z, z, z)
 
 
 def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
@@ -3474,6 +3493,7 @@ def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
     regs = _hb_singleton_regs(_hb_md5h(hosts))
     est = _hb_estimate_rows(regs)
     harm = np.zeros(len(keys), np.int64)
+    sd = np.zeros(len(keys), np.int64)
     if et.num_rows and len(keys):
         src_idx = np.searchsorted(
             keys, et["src_h"].to_numpy(zero_copy_only=False)
@@ -3498,15 +3518,11 @@ def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
                 break  # ball fixpoint — every later increment is 0
             regs = nxt
             est_new = _hb_estimate_rows(regs)
-            harm += _hb_harm_inc(est_new, est, t)
+            hi, si = _hb_incs(est_new, est, t)
+            harm += hi
+            sd += si
             est = est_new
-    return pa.table(
-        {
-            "host": pa.array(hosts, pa.string()),
-            "ball_est": pa.array(est, pa.int64()),
-            "harmonic_micros": pa.array(harm, pa.int64()),
-        }
-    )
+    return _hb_finish(pa.array(hosts, pa.string()), est, harm, sd)
 
 
 def _hb_block_contrib(
@@ -3566,6 +3582,7 @@ def _hb_state_empty() -> pa.Table:
             "regs": pa.array([], pa.binary(_HB_M)),
             "est": pa.array([], pa.int64()),
             "harm": pa.array([], pa.int64()),
+            "sd": pa.array([], pa.int64()),
         }
     )
 
@@ -3590,6 +3607,7 @@ def _hb_init_state(*slices: pa.Table) -> pa.Table:
             "regs": _hb_regs_to_arrow(regs),
             "est": pa.array(_hb_estimate_rows(regs), pa.int64()),
             "harm": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "sd": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
         }
     )
 
@@ -3648,9 +3666,9 @@ def _hb_apply_sharded(state_b: pa.Table, t: int, *parts: pa.Table):
         regs[idx] = np.maximum(regs[idx], mats)
     est_prev = state_b["est"].to_numpy(zero_copy_only=False)
     est = _hb_estimate_rows(regs)
-    harm = state_b["harm"].to_numpy(zero_copy_only=False) + _hb_harm_inc(
-        est, est_prev, t
-    )
+    hi, si = _hb_incs(est, est_prev, t)
+    harm = state_b["harm"].to_numpy(zero_copy_only=False) + hi
+    sd = state_b["sd"].to_numpy(zero_copy_only=False) + si
     return pa.table(
         {
             "host": state_b["host"],
@@ -3658,6 +3676,7 @@ def _hb_apply_sharded(state_b: pa.Table, t: int, *parts: pa.Table):
             "regs": _hb_regs_to_arrow(regs),
             "est": pa.array(est, pa.int64()),
             "harm": pa.array(harm, pa.int64()),
+            "sd": pa.array(sd, pa.int64()),
         }
     )
 
@@ -3707,12 +3726,11 @@ def _hb_distributed_sharded(
     if not parts:
         return _hb_empty()
     out = pa.concat_tables(parts)
-    return pa.table(
-        {
-            "host": out["host"],
-            "ball_est": out["est"],
-            "harmonic_micros": out["harm"],
-        }
+    return _hb_finish(
+        out["host"],
+        out["est"].to_numpy(zero_copy_only=False),
+        out["harm"].to_numpy(zero_copy_only=False),
+        out["sd"].to_numpy(zero_copy_only=False),
     )
 
 
@@ -3722,11 +3740,13 @@ def harmonic_hosts(
     driver_max_edges: int = 5_000_000,
     shard_min_edges: int = 500_000_000,
 ) -> pa.Table:
-    """distinct host edges (from ``host_edges``) →
-    (host, ball_est, harmonic_micros): HyperBall harmonic centrality
-    (Boldi & Vigna 2013) — the host-level centrality ranking Common
-    Crawl publishes with every snapshot, and the spam-resistant
-    alternative to PageRank for seed-list curation.
+    """distinct host edges (from ``host_edges``) → (host, ball_est,
+    harmonic_micros, sum_dist, closeness_micros, lin_index): HyperBall
+    geometric centralities (Boldi & Vigna 2013) — harmonic (the
+    host-level ranking Common Crawl publishes with every snapshot, and
+    the spam-resistant alternative to PageRank for seed-list curation)
+    plus the closeness family off the same counters (``Σdist``,
+    ``|B|·10⁶ // Σdist``, Lin's ``|B|² // Σdist``).
 
     One 64-register HLL counter per host tracks the IN-ball
     ``B(v,t) = {u : d(u→v) ≤ t}``; each synchronous round max-merges
@@ -3774,6 +3794,7 @@ def harmonic_hosts(
     regs = _hb_singleton_regs(_hb_md5h(hosts))
     est = _hb_estimate_rows(regs)
     harm = np.zeros(len(keys), np.int64)
+    sd = np.zeros(len(keys), np.int64)
     edge_block_refs = list(edges.to_arrow_refs())
     k_ref = ray.put(keys)
     for t in range(1, max_t + 1):
@@ -3790,12 +3811,8 @@ def harmonic_hosts(
             break  # register fixpoint — every later increment is 0
         regs = nxt
         est_new = _hb_estimate_rows(regs)
-        harm += _hb_harm_inc(est_new, est, t)
+        hi, si = _hb_incs(est_new, est, t)
+        harm += hi
+        sd += si
         est = est_new
-    return pa.table(
-        {
-            "host": pa.array(hosts, pa.string()),
-            "ball_est": pa.array(est, pa.int64()),
-            "harmonic_micros": pa.array(harm, pa.int64()),
-        }
-    )
+    return _hb_finish(pa.array(hosts, pa.string()), est, harm, sd)

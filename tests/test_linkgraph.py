@@ -1047,6 +1047,7 @@ def _hb_brute(edges_list, max_t=8):
     regs = {v: sing(v) for v in verts}
     e = {v: est(regs[v]) for v in verts}
     harm = {v: 0 for v in verts}
+    sd = {v: 0 for v in verts}
     for t in range(1, max_t + 1):
         nxt = dict(regs)
         for s_, d_ in edges_list:
@@ -1056,9 +1057,20 @@ def _hb_brute(edges_list, max_t=8):
         regs = nxt
         for v in verts:
             en = est(regs[v])
-            harm[v] += max(en - e[v], 0) * 1_000_000 // t
+            dpos = max(en - e[v], 0)
+            harm[v] += dpos * 1_000_000 // t
+            sd[v] += t * dpos
             e[v] = en
-    return {v: (e[v], harm[v]) for v in verts}
+    return {
+        v: (
+            e[v],
+            harm[v],
+            sd[v],
+            e[v] * 1_000_000 // max(sd[v], 1),
+            e[v] * e[v] // max(sd[v], 1),
+        )
+        for v in verts
+    }
 
 
 def _hb_rand_extracted(seed=7, n_hosts=60, n_edges=220):
@@ -1106,8 +1118,14 @@ def test_hyperball_bruteforce_and_tiers(ray_session):
     edges = host_edges(ray.data.from_arrow(ext))
     got = harmonic_hosts(edges, max_t=8).to_pandas()
     eng = {
-        h: (b, m)
-        for h, b, m in zip(got.host, got.ball_est, got.harmonic_micros)
+        r.host: (
+            r.ball_est,
+            r.harmonic_micros,
+            r.sum_dist,
+            r.closeness_micros,
+            r.lin_index,
+        )
+        for r in got.itertuples()
     }
     ref = _hb_brute(edges_list, max_t=8)
     assert eng == ref
