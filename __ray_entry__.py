@@ -377,6 +377,23 @@ def _q_crawl_host_ppr(sf_dir: str):
     )
 
 
+def _q_crawl_host_trustrank(sf_dir: str):
+    """TrustRank + relative spam mass (Gyöngyi et al., VLDB 2004/2006):
+    global integer PageRank and a career-seed-teleport trust rank over
+    the same host edges, joined into the fraction of each host's rank
+    NOT explainable by trust flow — ``max(rank−trust,0)·10⁶ // rank``.
+    THE link-spam demotion signal a web-scale frontier applies before
+    spending fetch budget.  Both vectors reuse the three bit-identical
+    PageRank tiers; the oracle unrolls BOTH integer recurrences (g1..g5
+    global, t1..t5 seeded) in one WITH chain and recomputes the clamped
+    integer spam-mass division."""
+    from crawler_ai_ray.stages.linkgraph import trustrank_hosts
+
+    return trustrank_hosts(
+        _host_edges(sf_dir), _career_seed_hosts(sf_dir)
+    )
+
+
 def _q_crawl_host_bfs(sf_dir: str):
     """Min-hop distance from the career-page seed hosts over directed
     host→host links, capped at 8 hops (host, dist) — the crawl-depth /
@@ -3576,6 +3593,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_out_links": _q_crawl_links,
         "crawl_host_pagerank": _q_crawl_host_pagerank,
         "crawl_host_ppr": _q_crawl_host_ppr,
+        "crawl_host_trustrank": _q_crawl_host_trustrank,
         "crawl_host_bfs": _q_crawl_host_bfs,
         "crawl_host_hits": _q_crawl_host_hits,
         "crawl_host_communities": _q_crawl_host_communities,
@@ -3834,7 +3852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver snapshot land at positions 51+ and must be moved into the
         # front window at round-5 open, ahead of these r01 re-checks.
         # Round-4-late list (keep current): crawl_host_hyperball,
-        # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap.
+        # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
+        # crawl_host_trustrank.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -3958,6 +3977,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = b.host)"""
     ppr_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # TrustRank + spam mass: BOTH integer recurrences (global g1..g5,
+    # seed-teleport t1..t5) unrolled in one WITH chain over the shared
+    # edges/outdeg/hosts/seeds CTEs, then the clamped integer division
+    # — numerator ≥ 0, so numpy floor-// and DuckDB truncate-// agree.
+    trustrank_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        outdeg AS (SELECT src, count(*)::BIGINT c FROM edges GROUP BY 1),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS (
+          SELECT DISTINCT lower(regexp_extract(url, '{_HOST_RX}', 1))
+                   AS host
+          FROM read_parquet('{golden}') WHERE is_career_listing),
+        sg AS (SELECT h.host FROM hosts h JOIN seeds s ON s.host = h.host),
+        tbase AS (
+          SELECT h.host,
+                 (CASE WHEN sg.host IS NOT NULL
+                       THEN (150000 * (SELECT count(*) FROM hosts))
+                            // (SELECT greatest(count(*), 1) FROM sg)
+                       ELSE 0 END)::BIGINT AS b
+          FROM hosts h LEFT JOIN sg ON sg.host = h.host),
+        g0 AS (SELECT host, 1000000::BIGINT AS rank FROM hosts),
+        t0 AS (SELECT host, 1000000::BIGINT AS rank FROM hosts)"""
+    for _i in range(1, 6):
+        trustrank_sql += f""",
+        g{_i} AS (
+          SELECT h.host,
+                 (150000 + (85 * COALESCE(s.inb, 0)) // 100)::BIGINT
+                   AS rank
+          FROM hosts h LEFT JOIN (
+            SELECT e.dst AS host, sum(r.rank // o.c)::BIGINT AS inb
+            FROM edges e
+            JOIN g{_i - 1} r ON r.host = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1) s ON s.host = h.host),
+        t{_i} AS (
+          SELECT b.host,
+                 (b.b + (85 * COALESCE(s.inb, 0)) // 100)::BIGINT AS rank
+          FROM tbase b LEFT JOIN (
+            SELECT e.dst AS host, sum(r.rank // o.c)::BIGINT AS inb
+            FROM edges e
+            JOIN t{_i - 1} r ON r.host = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1) s ON s.host = b.host)"""
+    trustrank_sql += """
+        SELECT g.host, g.rank AS rank_micros, t.rank AS trust_micros,
+               (greatest(g.rank - t.rank, 0) * 1000000 // g.rank)::BIGINT
+                 AS spam_mass_micros
+        FROM g5 g JOIN t5 t ON t.host = g.host"""
 
     # BFS oracle: unroll the SAME 8 capped min-relaxation rounds the
     # engine runs (dist₀ = 0 on in-graph career seeds, 9 = unreached
@@ -4950,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
         "crawl_host_ppr": ppr_sql,
+        "crawl_host_trustrank": trustrank_sql,
         "crawl_host_bfs": bfs_sql,
         "crawl_host_hits": hits_sql,
         "crawl_host_triangles": triangles_sql,

@@ -770,6 +770,58 @@ def personalized_pagerank_hosts(edges, seed_hosts, **kw):
     return pagerank_hosts(edges, seed_hosts=seed_hosts, **kw)
 
 
+def trustrank_hosts(edges, seed_hosts, **kw) -> pa.Table:
+    """TrustRank + relative spam mass over the host graph →
+    (host, rank_micros, trust_micros, spam_mass_micros).
+
+    TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) is
+    PageRank with the teleport mass restricted to a trusted seed set —
+    identical recurrence to :func:`personalized_pagerank_hosts`, so
+    both rank vectors reuse the three bit-identical integer tiers.
+    The NEW signal is the relative spam-mass estimate (Gyöngyi,
+    Berkhin, Garcia-Molina & Pedersen, VLDB 2006 "Link Spam Detection
+    Based on Mass Estimation"): the fraction of a host's global
+    PageRank NOT explainable by trust flowing from the seeds,
+    ``spam_mass_micros = max(rank − trust, 0)·10⁶ // rank`` — near 10⁶
+    for link-farm hosts whose rank comes from untrusted regions, near
+    0 for hosts reachable from the trusted core.  The seeded teleport
+    base is ``unit·n_hosts // n_seeds`` (total teleport mass equal to
+    the global run's), so the two vectors are directly comparable.
+
+    All arithmetic is int64 (clamped numerator keeps numpy floor-``//``
+    and DuckDB truncate-``//`` coincident; ``rank ≥ base > 0`` for
+    every vertex of a non-empty graph, so the division is total).
+    Scale: two fixed-point runs over the same once-materialized edge
+    blocks; the final alignment is a sort of the two vertex tables —
+    the same driver-side vertex-state boundary every tier above
+    already accepts (fully sharded past ``shard_min_edges``)."""
+    pr = pagerank_hosts(edges, **kw).sort_by([("host", "ascending")])
+    tr = pagerank_hosts(edges, seed_hosts=seed_hosts, **kw).sort_by(
+        [("host", "ascending")]
+    )
+    rank = pr["rank_micros"].to_numpy(zero_copy_only=False)
+    trust = tr["rank_micros"].to_numpy(zero_copy_only=False)
+    if not len(rank):
+        z = pa.array([], pa.int64())
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "rank_micros": z,
+                "trust_micros": z,
+                "spam_mass_micros": z,
+            }
+        )
+    spam = np.maximum(rank - trust, 0) * 1_000_000 // rank
+    return pa.table(
+        {
+            "host": pr["host"],
+            "rank_micros": pr["rank_micros"],
+            "trust_micros": tr["rank_micros"],
+            "spam_mass_micros": pa.array(spam, pa.int64()),
+        }
+    )
+
+
 def _bfs_seed_h(seed_hosts) -> np.ndarray:
     """sorted unique u64 hashes of the seed host strings."""
     return np.sort(

@@ -711,6 +711,71 @@ def test_personalized_pagerank_tiers_and_hand_math(ray_session):
     )
 
 
+def test_trustrank_spam_mass_hand_math_and_tiers(ray_session):
+    """TrustRank + spam mass: trust equals the PPR hand numbers, rank
+    equals global PageRank, and spam_mass is the clamped integer
+    division — near-10⁶ for hosts unreachable from the seed, 0 where
+    trust ≥ rank.  Forced sharded tier is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        _h64,
+        pagerank_hosts,
+        trustrank_hosts,
+    )
+
+    src = ["a.com", "b.com", "c.com", "d.com"]
+    dst = ["b.com", "c.com", "a.com", "a.com"]
+    sh = np.array([_h64(s) for s in src], np.uint64)
+    dh = np.array([_h64(d) for d in dst], np.uint64)
+    et = pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "src_h": pa.array(sh, pa.uint64()),
+            "dst_h": pa.array(dh, pa.uint64()),
+            "outdeg": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(et)
+    seeds = ["c.com", "zz-not-in-graph.com"]
+    out = trustrank_hosts(ds, seeds, iters=2).to_pandas().set_index("host")
+    # trust == the PPR hand numbers from the test above; rank == global
+    pr = (
+        pagerank_hosts(ds, iters=2)
+        .to_pandas()
+        .set_index("host")["rank_micros"]
+    )
+    assert out["trust_micros"].to_dict() == {
+        "a.com": 1_232_500, "b.com": 1_445_000,
+        "c.com": 1_322_500, "d.com": 0,
+    }
+    assert (
+        out["rank_micros"].sort_index() == pr.sort_index()
+    ).all()
+    for h in out.index:
+        r, t = int(out.loc[h, "rank_micros"]), int(out.loc[h, "trust_micros"])
+        assert out.loc[h, "spam_mass_micros"] == max(r - t, 0) * 10**6 // r
+    # d.com receives no trust at all -> full spam mass
+    assert out.loc["d.com", "spam_mass_micros"] == 1_000_000
+    # forced sharded tier bit-identical
+    shard = (
+        trustrank_hosts(ds, seeds, iters=2, shard_min_edges=0)
+        .to_pandas()
+        .set_index("host")
+    )
+    assert out.sort_index().equals(shard.sort_index())
+    # empty graph -> typed empty
+    empty = trustrank_hosts(
+        ray.data.from_arrow(et.slice(0, 0)), seeds, iters=2
+    )
+    assert empty.num_rows == 0 and empty.column_names == [
+        "host", "rank_micros", "trust_micros", "spam_mass_micros",
+    ]
+
+
 def test_lpa_communities_reference_and_paths(ray_session):
     """Deterministic synchronous LPA: planted two-clique graph matches a
     sequential mode-with-min-tie-break reference, and the forced
