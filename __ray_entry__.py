@@ -501,9 +501,40 @@ def _q_crawl_host_hyperball(sf_dir: str):
     max-merge + estimate rounds in SQL and matches bit-for-bit; the
     linear-counting branch is a shared 64-entry literal spec table
     (no libm on either side)."""
-    from crawler_ai_ray.stages.linkgraph import harmonic_hosts
+    return _hyperball_shared(sf_dir)[0]
 
-    return harmonic_hosts(_host_edges(sf_dir), max_t=8)
+
+def _hyperball_shared(sf_dir: str):
+    """One HyperBall pass per corpus snapshot (the `_shared`
+    checkpoint pattern): the per-host centrality table AND the
+    per-radius neighbourhood-function sums ride the same 8 rounds, so
+    running both queries costs one pass."""
+
+    def build():
+        from crawler_ai_ray.stages.linkgraph import harmonic_hosts
+
+        nf: list = []
+        tbl = harmonic_hosts(_host_edges(sf_dir), max_t=8, nf_out=nf)
+        return tbl, nf
+
+    return _shared("hyperball", _corpus(sf_dir), build=build)
+
+
+def _q_crawl_host_neighborhood(sf_dir: str):
+    """Neighbourhood function + 90 %-effective-diameter of the host
+    graph (Palmer et al. KDD 2002 ANF; Boldi & Vigna 2013 §6): N(t) =
+    Σ_v |B(v,t)| summed off the SAME HyperBall register rounds as
+    `crawl_host_hyperball` (shared single pass), per-radius growth,
+    N(t)/N(8) in integer micros, and the linearly interpolated radius
+    where N first reaches 90 % of its max — the crawl-depth budget a
+    frontier operator reads off a snapshot (how many expansion hops
+    cover the reachable web).  All derived math is unbounded-int
+    exact; the oracle recomputes each N(t) as `sum(est)` over the
+    identical unrolled register CTEs and the same integer
+    interpolation."""
+    from crawler_ai_ray.stages.linkgraph import _nf_table
+
+    return _nf_table(_hyperball_shared(sf_dir)[1])
 
 
 def _q_crawl_budget_allocation(
@@ -3602,6 +3633,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_clustering": _q_crawl_host_clustering,
         "crawl_host_kcore": _q_crawl_host_kcore,
         "crawl_host_hyperball": _q_crawl_host_hyperball,
+        "crawl_host_neighborhood": _q_crawl_host_neighborhood,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3853,7 +3885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # front window at round-5 open, ahead of these r01 re-checks.
         # Round-4-late list (keep current): crawl_host_hyperball,
         # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
-        # crawl_host_trustrank.
+        # crawl_host_trustrank, crawl_host_neighborhood.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4192,6 +4224,9 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN hbest{_t} e{_t} ON e{_t}.host = h.host"
         for _t in range(0, 9)
     )
+    # the CTE prefix (register rounds + per-radius estimates) is shared
+    # with the neighbourhood-function oracle below
+    hyperball_prefix = hyperball_sql
     hyperball_sql += f""",
         fin AS (
           SELECT h.host, e8.est AS ball_est,
@@ -4204,6 +4239,38 @@ def oracle_sql() -> dict[str, str]:
                (ball_est * ball_est // greatest(sum_dist, 1))::BIGINT
                  AS lin_index
         FROM fin"""
+
+    # neighbourhood function N(t) = sum(est) over the SAME unrolled
+    # register CTEs; the 90%-effective-diameter interpolation is the
+    # identical positive-integer // the engine runs (HUGEINT
+    # intermediates guard the ·10⁶ products, results cast ::BIGINT).
+    _nf_rows = " UNION ALL ".join(
+        f"SELECT {_t}::BIGINT AS t,"
+        f" (SELECT COALESCE(sum(est), 0)::BIGINT FROM hbest{_t}) AS nf"
+        for _t in range(0, 9)
+    )
+    neighborhood_sql = hyperball_prefix + f""",
+        nft AS MATERIALIZED ({_nf_rows}),
+        nfm AS (SELECT nf AS nfmax FROM nft WHERE t = 8),
+        mint AS (
+          SELECT COALESCE(min(t), 0) AS tm
+          FROM nft, nfm WHERE 10 * nf >= 9 * nfmax),
+        eff AS (
+          SELECT (CASE WHEN m.tm = 0 THEN 0
+                  ELSE (m.tm - 1) * 1000000
+                       + ((9::HUGEINT * x.nfmax - 10 * p.nf) * 1000000)
+                         // (10 * (c.nf - p.nf))
+                  END)::BIGINT AS eff_diam_micros
+          FROM mint m, nfm x
+          LEFT JOIN nft c ON c.t = (SELECT tm FROM mint)
+          LEFT JOIN nft p ON p.t = (SELECT tm FROM mint) - 1)
+        SELECT n.t, n.nf,
+               (n.nf - COALESCE(p.nf, n.nf))::BIGINT AS growth,
+               (n.nf::HUGEINT * 1000000
+                  // greatest(x.nfmax, 1))::BIGINT AS ratio_micros,
+               e.eff_diam_micros
+        FROM nft n
+        LEFT JOIN nft p ON p.t = n.t - 1, nfm x, eff e"""
 
     triangles_sql = f"""
         WITH e0 AS (
@@ -5034,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_clustering": clustering_sql,
         "crawl_host_kcore": kcore_sql,
         "crawl_host_hyperball": hyperball_sql,
+        "crawl_host_neighborhood": neighborhood_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

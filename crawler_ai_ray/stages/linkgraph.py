@@ -3527,7 +3527,66 @@ def _hb_empty() -> pa.Table:
     return _hb_finish(pa.array([], pa.string()), z, z, z)
 
 
-def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
+def _hb_sum_est(state_b: pa.Table) -> int:
+    """one shard's Σ est — the per-bucket partial of the global
+    neighbourhood function N(t) (9 scalars per run; never
+    vertex-sized)."""
+    if not state_b.num_rows:
+        return 0
+    return int(
+        state_b["est"].to_numpy(zero_copy_only=False).sum()
+    )
+
+
+def _nf_fill(nf_out: list, max_t: int) -> None:
+    """pad an early-broken per-radius sum series to ``max_t+1`` entries
+    — registers are a fixpoint after the break, so N(t) is constant."""
+    while len(nf_out) < max_t + 1:
+        nf_out.append(nf_out[-1] if nf_out else 0)
+
+
+def _nf_table(nf) -> pa.Table:
+    """per-radius ball-size sums → the public neighbourhood-function
+    table (t, nf, growth, ratio_micros, eff_diam_micros): N(t) =
+    Σ_v |B(v,t)| (= estimated reachable pairs within distance t), its
+    per-radius growth, the N(t)/N(max) ratio in integer micros, and
+    the interpolated 90 %-effective-diameter (Palmer et al., KDD 2002
+    ANF; Boldi & Vigna 2013 §6) in micros — ``tm`` is the smallest t
+    with 10·N(t) ≥ 9·N(max) and the fractional part interpolates
+    linearly inside round tm.  All Python-int arithmetic (N(t) can
+    reach n², so ·10⁶ intermediates are computed unbounded and only
+    the results are int64); positive // positive, so numpy/DuckDB
+    floor-vs-truncate agree."""
+    nf = [int(x) for x in nf]
+    nfmax = nf[-1] if nf else 0
+    target = 9 * nfmax
+    tm = next(
+        (t for t, v in enumerate(nf) if 10 * v >= target), 0
+    )
+    if tm == 0:
+        eff = 0
+    else:
+        eff = (tm - 1) * 10**6 + (target - 10 * nf[tm - 1]) * 10**6 // (
+            10 * (nf[tm] - nf[tm - 1])
+        )
+    denom = max(nfmax, 1)
+    return pa.table(
+        {
+            "t": pa.array(range(len(nf)), pa.int64()),
+            "nf": pa.array(nf, pa.int64()),
+            "growth": pa.array(
+                [0] + [nf[i] - nf[i - 1] for i in range(1, len(nf))],
+                pa.int64(),
+            ),
+            "ratio_micros": pa.array(
+                [v * 10**6 // denom for v in nf], pa.int64()
+            ),
+            "eff_diam_micros": pa.array([eff] * len(nf), pa.int64()),
+        }
+    )
+
+
+def _hb_local(et: pa.Table, max_t: int, nf_out: list = None) -> pa.Table:
     """Driver-local HyperBall over one Arrow edge table.  Counter
     update is the BFS segment layout with register max in place of
     integer min: one stable dst argsort up front, per round a single
@@ -3546,6 +3605,8 @@ def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
     est = _hb_estimate_rows(regs)
     harm = np.zeros(len(keys), np.int64)
     sd = np.zeros(len(keys), np.int64)
+    if nf_out is not None:
+        nf_out.append(int(est.sum()))
     if et.num_rows and len(keys):
         src_idx = np.searchsorted(
             keys, et["src_h"].to_numpy(zero_copy_only=False)
@@ -3574,6 +3635,10 @@ def _hb_local(et: pa.Table, max_t: int) -> pa.Table:
             harm += hi
             sd += si
             est = est_new
+            if nf_out is not None:
+                nf_out.append(int(est.sum()))
+    if nf_out is not None:
+        _nf_fill(nf_out, max_t)
     return _hb_finish(pa.array(hosts, pa.string()), est, harm, sd)
 
 
@@ -3734,7 +3799,7 @@ def _hb_apply_sharded(state_b: pa.Table, t: int, *parts: pa.Table):
 
 
 def _hb_distributed_sharded(
-    edge_block_refs, max_t: int, n_buckets: int = 32
+    edge_block_refs, max_t: int, n_buckets: int = 32, nf_out: list = None
 ) -> pa.Table:
     """Fully bucket-sharded HyperBall — NO vertex-sized driver or
     broadcast structure; this is the out-of-core framing of the paper
@@ -3763,6 +3828,13 @@ def _hb_distributed_sharded(
         init_s.remote(*[f[n_buckets + k] for f in flats])
         for k in range(n_buckets)
     ]
+    sum_est = ray.remote(num_cpus=1)(_hb_sum_est)
+    # per-round N(t) partials: one scalar per bucket per round, fetched
+    # once at the end — never vertex-sized, never a per-round barrier
+    nf_grid = (
+        [[sum_est.remote(s) for s in state_refs]] if nf_out is not None
+        else None
+    )
     for t in range(1, max_t + 1):
         grids = [
             contrib.options(num_returns=n_buckets).remote(
@@ -3774,6 +3846,10 @@ def _hb_distributed_sharded(
             apply_s.remote(state_refs[k], t, *[g[k] for g in grids])
             for k in range(n_buckets)
         ]
+        if nf_grid is not None:
+            nf_grid.append([sum_est.remote(s) for s in state_refs])
+    if nf_grid is not None:
+        nf_out.extend(sum(ray.get(row)) for row in nf_grid)
     parts = [t for t in ray.get(state_refs) if t.num_rows]
     if not parts:
         return _hb_empty()
@@ -3791,6 +3867,7 @@ def harmonic_hosts(
     max_t: int = 8,
     driver_max_edges: int = 5_000_000,
     shard_min_edges: int = 500_000_000,
+    nf_out: list = None,
 ) -> pa.Table:
     """distinct host edges (from ``host_edges``) → (host, ball_est,
     harmonic_micros, sum_dist, closeness_micros, lin_index): HyperBall
@@ -3822,7 +3899,7 @@ def harmonic_hosts(
     n_edges = edges.count()
     if n_edges > shard_min_edges:
         return _hb_distributed_sharded(
-            list(edges.to_arrow_refs()), max_t
+            list(edges.to_arrow_refs()), max_t, nf_out=nf_out
         )
     if n_edges <= driver_max_edges:
         blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
@@ -3839,7 +3916,7 @@ def harmonic_hosts(
                 }
             )
         )
-        return _hb_local(et, max_t)
+        return _hb_local(et, max_t, nf_out=nf_out)
 
     contrib = ray.remote(num_cpus=1)(_hb_block_contrib)
     hosts, keys = _collect_verts(edges)
@@ -3847,6 +3924,8 @@ def harmonic_hosts(
     est = _hb_estimate_rows(regs)
     harm = np.zeros(len(keys), np.int64)
     sd = np.zeros(len(keys), np.int64)
+    if nf_out is not None:
+        nf_out.append(int(est.sum()))
     edge_block_refs = list(edges.to_arrow_refs())
     k_ref = ray.put(keys)
     for t in range(1, max_t + 1):
@@ -3867,4 +3946,30 @@ def harmonic_hosts(
         harm += hi
         sd += si
         est = est_new
+        if nf_out is not None:
+            nf_out.append(int(est.sum()))
+    if nf_out is not None:
+        _nf_fill(nf_out, max_t)
     return _hb_finish(pa.array(hosts, pa.string()), est, harm, sd)
+
+
+def neighborhood_function(edges, max_t: int = 8, **kw) -> pa.Table:
+    """distinct host edges → (t, nf, growth, ratio_micros,
+    eff_diam_micros), one row per radius 0..max_t: the graph's
+    NEIGHBOURHOOD FUNCTION ``N(t) = Σ_v |B(v,t)|`` off the same
+    HyperBall HLL counters as :func:`harmonic_hosts` (Palmer, Gibbons
+    & Faloutsos, KDD 2002 "ANF"; Boldi & Vigna 2013 §6) plus the
+    interpolated 90 %-effective-diameter — the connectivity /
+    small-world profile a crawl operator reads off every snapshot
+    (how many hops of frontier expansion reach 90 % of all reachable
+    host pairs → the crawl-depth budget).
+
+    Same three adaptive tiers (the per-radius sums ride along:
+    driver-local/broadcast add one int64 reduction per round; the
+    fully sharded tier emits one scalar per bucket per round, fetched
+    in one batch at the end).  All derived math is unbounded-int
+    exact (see ``_nf_table``); the oracle recomputes N(t) as
+    ``sum(est)`` over the identical unrolled register CTEs."""
+    nf: list = []
+    harmonic_hosts(edges, max_t=max_t, nf_out=nf, **kw)
+    return _nf_table(nf)

@@ -1225,6 +1225,85 @@ def test_hyperball_bruteforce_and_tiers(ray_session):
     assert sum(errs) / len(errs) < 0.25
 
 
+def test_neighborhood_function_tiers_and_math(ray_session):
+    """Neighbourhood function off the HyperBall counters: all three
+    tiers agree exactly, N(8) equals the per-host ball_est sum, N is
+    nondecreasing, and growth/ratio/eff-diameter match a pure-python
+    recomputation from the nf series.  Early fixpoint still yields
+    max_t+1 rows (fill-forward)."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        harmonic_hosts,
+        host_edges,
+        neighborhood_function,
+    )
+
+    ext, edges_list = _hb_rand_extracted()
+    edges = host_edges(ray.data.from_arrow(ext))
+    out = neighborhood_function(edges, max_t=8).to_pandas()
+    assert list(out.columns) == [
+        "t", "nf", "growth", "ratio_micros", "eff_diam_micros",
+    ]
+    assert len(out) == 9 and list(out.t) == list(range(9))
+    nf = [int(v) for v in out.nf]
+    assert nf == sorted(nf)  # balls only grow
+    # N(8) == Σ ball_est of the per-host output
+    per_host = harmonic_hosts(edges, max_t=8).to_pandas()
+    assert nf[8] == int(per_host.ball_est.sum())
+    # derived columns recomputed independently
+    nfmax = nf[-1]
+    assert list(out.growth) == [0] + [
+        nf[i] - nf[i - 1] for i in range(1, 9)
+    ]
+    assert list(out.ratio_micros) == [
+        v * 10**6 // max(nfmax, 1) for v in nf
+    ]
+    target = 9 * nfmax
+    tm = next(t for t, v in enumerate(nf) if 10 * v >= target)
+    want_eff = (
+        0 if tm == 0
+        else (tm - 1) * 10**6
+        + (target - 10 * nf[tm - 1]) * 10**6 // (10 * (nf[tm] - nf[tm - 1]))
+    )
+    assert set(out.eff_diam_micros) == {want_eff}
+    assert 0 <= want_eff <= 8 * 10**6
+    # forced tiers bit-identical
+    bcast = neighborhood_function(
+        edges, max_t=8, driver_max_edges=0
+    ).to_pandas()
+    shard = neighborhood_function(
+        edges, max_t=8, driver_max_edges=0, shard_min_edges=0
+    ).to_pandas()
+    assert out.equals(bcast) and out.equals(shard)
+    # tiny 2-chain fixpoints after 2 rounds -> still 9 rows, constant
+    # tail (fill-forward past the register fixpoint)
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.linkgraph import _h64
+
+    src, dst = ["a.com", "b.com"], ["b.com", "c.com"]
+    et = pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "src_h": pa.array(
+                np.array([_h64(s) for s in src], np.uint64), pa.uint64()
+            ),
+            "dst_h": pa.array(
+                np.array([_h64(d) for d in dst], np.uint64), pa.uint64()
+            ),
+            "outdeg": pa.array([1, 1], pa.int64()),
+        }
+    )
+    chain = neighborhood_function(
+        ray.data.from_arrow(et), max_t=8
+    ).to_pandas()
+    assert len(chain) == 9
+    assert chain.nf.iloc[2:].nunique() == 1  # fixpoint reached at t=2
+
+
 def test_hyperball_lc_table_is_floor_log(ray_session):
     """The literal linear-counting spec table is floor(m·ln(m/z)) —
     the table exists only because DuckDB's and numpy's ln disagree in
