@@ -537,6 +537,32 @@ def _q_crawl_host_neighborhood(sf_dir: str):
     return _nf_table(_hyperball_shared(sf_dir)[1])
 
 
+def _q_crawl_host_reciprocity(sf_dir: str):
+    """Directed link reciprocity of the host graph (Newman et al.
+    2002; Garlaschelli & Loffredo 2004): edges whose reverse edge also
+    exists, as exact counts + integer micros — the symmetry statistic
+    of a web-graph profile (host graphs are strongly asymmetric; a
+    reciprocity spike marks link schemes).  Partitioning-invariant by
+    construction (symmetric pair-bucket routing, direction-mask sums);
+    the oracle is a self-join + distinct-pair count."""
+    from crawler_ai_ray.stages.linkgraph import reciprocity_hosts
+
+    return reciprocity_hosts(_host_edges(sf_dir))
+
+
+def _q_crawl_host_assortativity(sf_dir: str):
+    """Out-in degree assortativity of the host graph (Newman, PRL
+    2002): Pearson correlation of (outdeg(src), indeg(dst)) over the
+    directed edges, from six exact integer moment sums + one
+    fixed-parenthesization IEEE expression (bit-equal floats) — the
+    web graph's characteristic disassortativity, tracked per snapshot
+    as structural drift / link-farm signal.  The oracle recomputes the
+    moments with SQL sums and the identical float expression."""
+    from crawler_ai_ray.stages.linkgraph import assortativity_hosts
+
+    return assortativity_hosts(_host_edges(sf_dir))
+
+
 def _q_crawl_budget_allocation(
     sf_dir: str, pool: int = 100_000, base: int = 10, cap: int = 2_000
 ):
@@ -3634,6 +3660,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_kcore": _q_crawl_host_kcore,
         "crawl_host_hyperball": _q_crawl_host_hyperball,
         "crawl_host_neighborhood": _q_crawl_host_neighborhood,
+        "crawl_host_reciprocity": _q_crawl_host_reciprocity,
+        "crawl_host_assortativity": _q_crawl_host_assortativity,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3885,7 +3913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # front window at round-5 open, ahead of these r01 re-checks.
         # Round-4-late list (keep current): crawl_host_hyperball,
         # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
-        # crawl_host_trustrank, crawl_host_neighborhood.
+        # crawl_host_trustrank, crawl_host_neighborhood,
+        # crawl_host_reciprocity, crawl_host_assortativity.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4271,6 +4300,68 @@ def oracle_sql() -> dict[str, str]:
                e.eff_diam_micros
         FROM nft n
         LEFT JOIN nft p ON p.t = n.t - 1, nfm x, eff e"""
+
+    # reciprocity: self-join for reverse-edge existence + distinct
+    # unordered-pair count; all counts exact ints.
+    reciprocity_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        m AS (SELECT count(*)::BIGINT c FROM edges),
+        rc AS (
+          SELECT count(*)::BIGINT c FROM edges e
+          JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+        pr AS (
+          SELECT count(*)::BIGINT c FROM (
+            SELECT DISTINCT least(src, dst), greatest(src, dst)
+            FROM edges))
+        SELECT m.c AS edges, pr.c AS pairs,
+               (rc.c // 2)::BIGINT AS reciprocal_pairs,
+               rc.c AS reciprocal_edges,
+               (rc.c * 1000000 // greatest(m.c, 1))::BIGINT
+                 AS reciprocity_micros
+        FROM m, rc, pr"""
+
+    # assortativity: six exact integer moment sums over the
+    # (outdeg(src), indeg(dst)) edge pairs, then the identical
+    # fixed-parenthesization IEEE Pearson expression.
+    assortativity_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        odeg AS (SELECT src, count(*)::BIGINT c FROM edges GROUP BY 1),
+        ideg AS (SELECT dst, count(*)::BIGINT c FROM edges GROUP BY 1),
+        xy AS (
+          SELECT o.c AS x, i.c AS y
+          FROM edges e
+          JOIN odeg o ON o.src = e.src
+          JOIN ideg i ON i.dst = e.dst),
+        mom AS (
+          SELECT count(*)::BIGINT AS m,
+                 COALESCE(sum(x), 0)::BIGINT AS sx,
+                 COALESCE(sum(y), 0)::BIGINT AS sy,
+                 COALESCE(sum(x * y), 0)::BIGINT AS sxy,
+                 COALESCE(sum(x * x), 0)::BIGINT AS sxx,
+                 COALESCE(sum(y * y), 0)::BIGINT AS syy
+          FROM xy)
+        SELECT m, sx, sy, sxy, sxx, syy,
+               (CASE WHEN (m::HUGEINT * sxx - sx::HUGEINT * sx) > 0
+                      AND (m::HUGEINT * syy - sy::HUGEINT * sy) > 0
+                THEN (m::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                     / sqrt((m::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                            * (m::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)
+                ELSE 0.0 END)::DOUBLE AS assortativity
+        FROM mom"""
 
     triangles_sql = f"""
         WITH e0 AS (
@@ -5102,6 +5193,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_kcore": kcore_sql,
         "crawl_host_hyperball": hyperball_sql,
         "crawl_host_neighborhood": neighborhood_sql,
+        "crawl_host_reciprocity": reciprocity_sql,
+        "crawl_host_assortativity": assortativity_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

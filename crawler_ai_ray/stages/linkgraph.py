@@ -3973,3 +3973,286 @@ def neighborhood_function(edges, max_t: int = 8, **kw) -> pa.Table:
     nf: list = []
     harmonic_hosts(edges, max_t=max_t, nf_out=nf, **kw)
     return _nf_table(nf)
+
+
+# ---------------------------------------------------------------------------
+# link-symmetry structure: reciprocity + degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def _recip_kernel(
+    a: np.ndarray, b: np.ndarray, dirm: np.ndarray
+) -> tuple:
+    """(min-hash, max-hash, direction-mask) edge rows → exact
+    (edges, pairs, reciprocal_pairs).  Each DISTINCT directed edge
+    contributes exactly one row globally, so per-pair dirm sums land
+    in {1, 2, 3} and 3 ⇔ both directions present."""
+    if not len(a):
+        return 0, 0, 0
+    order = np.lexsort((b, a))
+    aa, bb = a[order], b[order]
+    starts = np.flatnonzero(
+        np.concatenate(
+            [[True], (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
+        )
+    )
+    seg = np.add.reduceat(dirm[order], starts)
+    return len(a), len(starts), int((seg == 3).sum())
+
+
+def _recip_cols(batch: pa.Table) -> tuple:
+    sh = batch["src_h"].to_numpy(zero_copy_only=False)
+    dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+    return (
+        np.minimum(sh, dh),
+        np.maximum(sh, dh),
+        np.where(sh < dh, 1, 2).astype(np.int64),
+    )
+
+
+def _recip_partial(batch: pa.Table, n_buckets: int):
+    """route one edge block's pair rows by the SYMMETRIC bucket key
+    ``(a ^ b) % B`` so both directions of a pair meet in one bucket."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.uint64()),
+            "b": pa.array([], pa.uint64()),
+            "dirm": pa.array([], pa.int64()),
+        }
+    )
+    out = [empty] * n_buckets
+    if not batch.num_rows:
+        return out
+    a, b, dirm = _recip_cols(batch)
+    bk = ((a ^ b) % np.uint64(n_buckets)).astype(np.int64)
+    for k in np.unique(bk):
+        m = bk == k
+        out[int(k)] = pa.table(
+            {
+                "a": pa.array(a[m], pa.uint64()),
+                "b": pa.array(b[m], pa.uint64()),
+                "dirm": pa.array(dirm[m], pa.int64()),
+            }
+        )
+    return out
+
+
+def _recip_reduce(*parts: pa.Table) -> pa.Table:
+    """one bucket's scalar partial (edges, pairs, reciprocal_pairs)."""
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return pa.table(
+            {
+                "edges": pa.array([0], pa.int64()),
+                "pairs": pa.array([0], pa.int64()),
+                "recip_pairs": pa.array([0], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(live)
+    m, p, r = _recip_kernel(
+        cat["a"].to_numpy(zero_copy_only=False),
+        cat["b"].to_numpy(zero_copy_only=False),
+        cat["dirm"].to_numpy(zero_copy_only=False),
+    )
+    return pa.table(
+        {
+            "edges": pa.array([m], pa.int64()),
+            "pairs": pa.array([p], pa.int64()),
+            "recip_pairs": pa.array([r], pa.int64()),
+        }
+    )
+
+
+def _recip_finish(m: int, p: int, r: int) -> pa.Table:
+    return pa.table(
+        {
+            "edges": pa.array([m], pa.int64()),
+            "pairs": pa.array([p], pa.int64()),
+            "reciprocal_pairs": pa.array([r], pa.int64()),
+            "reciprocal_edges": pa.array([2 * r], pa.int64()),
+            "reciprocity_micros": pa.array(
+                [2 * r * 10**6 // max(m, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def reciprocity_hosts(
+    edges,
+    driver_max_edges: int = 5_000_000,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """distinct host edges → one row (edges, pairs, reciprocal_pairs,
+    reciprocal_edges, reciprocity_micros): link reciprocity r = |{(u,v)
+    : (v,u) also present}| / |E| in integer micros — the
+    directed-graph symmetry statistic (Newman, Forrest & Balthrop
+    2002; Garlaschelli & Loffredo 2004) a web-graph profile reports
+    next to degree stats: host graphs are strongly asymmetric
+    (reciprocity ≪ 1), and a spike is a link-scheme signal.
+
+    Exact and partitioning-invariant: every distinct directed edge
+    contributes one (min-hash, max-hash, direction) row; rows route by
+    the symmetric bucket key ``(a ^ b) % B`` so a pair's two directions
+    always meet, and a per-pair direction-mask sum of 3 marks
+    reciprocation.  Adaptive: ≤ ``driver_max_edges`` runs the same
+    kernel driver-local; above, one routed exchange of pair partials +
+    per-bucket scalar reduces (never pair-set-sized driver state)."""
+    import ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return _recip_finish(0, 0, 0)
+        a, b, dirm = _recip_cols(pa.concat_tables(blocks))
+        return _recip_finish(*_recip_kernel(a, b, dirm))
+    part = ray.remote(num_cpus=1)(_recip_partial)
+    reduce_b = ray.remote(num_cpus=1)(_recip_reduce)
+    grids = [
+        part.options(num_returns=n_buckets).remote(b, n_buckets)
+        for b in edges.to_arrow_refs()
+    ]
+    outs = ray.get(
+        [
+            reduce_b.remote(*[g[k] for g in grids])
+            for k in range(n_buckets)
+        ]
+    )
+    m = sum(int(t["edges"][0].as_py()) for t in outs)
+    p = sum(int(t["pairs"][0].as_py()) for t in outs)
+    r = sum(int(t["recip_pairs"][0].as_py()) for t in outs)
+    return _recip_finish(m, p, r)
+
+
+def _indeg_partial(batch: pa.Table) -> pa.Table:
+    """one edge block's (dst_h, cnt) in-degree partial."""
+    if not batch.num_rows:
+        return pa.table(
+            {
+                "dst_h": pa.array([], pa.uint64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    agg = batch.select(["dst_h"]).group_by("dst_h").aggregate(
+        [("dst_h", "count")]
+    )
+    return pa.table(
+        {
+            "dst_h": agg["dst_h"],
+            "cnt": agg["dst_h_count"].cast(pa.int64()),
+        }
+    )
+
+
+def _assort_moments(
+    batch: pa.Table, keys: np.ndarray, indeg: np.ndarray
+) -> tuple:
+    """one edge block's exact integer moment partials over (x, y) =
+    (outdeg(src), indeg(dst)) per edge: (m, Σx, Σy, Σxy, Σx², Σy²) as
+    Python ints (per-element products fit int64 for degrees < 2³¹;
+    cross-block accumulation is unbounded-int)."""
+    if not batch.num_rows:
+        return 0, 0, 0, 0, 0, 0
+    x = batch["outdeg"].to_numpy(zero_copy_only=False)
+    y = indeg[
+        np.searchsorted(
+            keys, batch["dst_h"].to_numpy(zero_copy_only=False)
+        )
+    ]
+    return (
+        len(x),
+        int(x.sum()),
+        int(y.sum()),
+        int((x * y).sum()),
+        int((x * x).sum()),
+        int((y * y).sum()),
+    )
+
+
+def _assort_finish(mom: tuple) -> pa.Table:
+    """exact integer moments → the one-row public table; the Pearson
+    value is the single fixed-parenthesization IEEE expression
+    ``num / sqrt(dx·dy)`` over exact-int inputs (the bit-equal-floats
+    convention of `crawl_detection_confidence`), 0.0 on degenerate
+    variance."""
+    import math
+
+    m, sx, sy, sxy, sxx, syy = (int(v) for v in mom)
+    num = m * sxy - sx * sy
+    dx = m * sxx - sx * sx
+    dy = m * syy - sy * sy
+    r = (
+        float(num) / math.sqrt(float(dx) * float(dy))
+        if dx > 0 and dy > 0
+        else 0.0
+    )
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "syy": pa.array([syy], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def assortativity_hosts(
+    edges, driver_max_edges: int = 5_000_000
+) -> pa.Table:
+    """distinct host edges → one row (m, sx, sy, sxy, sxx, syy,
+    assortativity): out-in DEGREE ASSORTATIVITY (Newman, PRL 2002) —
+    the Pearson correlation of (outdeg(src), indeg(dst)) over the
+    directed edges.  The web graph is famously DISassortative
+    (hubs link to low-degree hosts, r < 0); a crawl operator tracks it
+    per snapshot as a structural drift / link-farm indicator (farms
+    are assortative cliques).
+
+    Everything that can disagree across partitionings is exact int:
+    the six moment sums are per-block int64 partials accumulated as
+    unbounded Python ints; only the final Pearson is one
+    fixed-parenthesization IEEE expression, so the oracle matches
+    bit-for-bit.  Scale: in-degrees are per-block Arrow count
+    partials merged to a (keys, counts) broadcast — the PageRank
+    broadcast-tier boundary (~10⁸ hosts); moment tasks then stream
+    the edge blocks once."""
+    import ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    blocks_refs = list(edges.to_arrow_refs())
+    if n_edges <= driver_max_edges:
+        blocks = [t for t in ray.get(blocks_refs) if t.num_rows]
+        if not blocks:
+            return _assort_finish((0, 0, 0, 0, 0, 0))
+        cat = pa.concat_tables(blocks)
+        part = _indeg_partial(cat)
+        keys = part["dst_h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        keys = keys[order]
+        indeg = part["cnt"].to_numpy(zero_copy_only=False)[order]
+        return _assort_finish(_assort_moments(cat, keys, indeg))
+    ind_t = ray.remote(num_cpus=1)(_indeg_partial)
+    mom_t = ray.remote(num_cpus=1)(_assort_moments)
+    parts = [
+        t
+        for t in ray.get([ind_t.remote(b) for b in blocks_refs])
+        if t.num_rows
+    ]
+    if not parts:
+        return _assort_finish((0, 0, 0, 0, 0, 0))
+    cat = pa.concat_tables(parts)
+    agg = cat.group_by("dst_h").aggregate([("cnt", "sum")])
+    keys = agg["dst_h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys = keys[order]
+    indeg = agg["cnt_sum"].to_numpy(zero_copy_only=False)[order]
+    k_ref, i_ref = ray.put(keys), ray.put(indeg)
+    moms = ray.get(
+        [mom_t.remote(b, k_ref, i_ref) for b in blocks_refs]
+    )
+    tot = tuple(sum(int(m[i]) for m in moms) for i in range(6))
+    return _assort_finish(tot)

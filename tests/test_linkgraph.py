@@ -1304,6 +1304,125 @@ def test_neighborhood_function_tiers_and_math(ray_session):
     assert chain.nf.iloc[2:].nunique() == 1  # fixpoint reached at t=2
 
 
+def test_reciprocity_bruteforce_and_paths(ray_session):
+    """Reciprocity on a random directed graph equals a set-based brute
+    force, the forced bucketed path is bit-identical, and a fully
+    symmetric graph scores 10⁶ micros."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import _h64, reciprocity_hosts
+
+    rng = np.random.default_rng(11)
+    hosts = [f"r{i:02d}.net" for i in range(20)]
+    eset = set()
+    while len(eset) < 70:
+        i, j = rng.integers(0, 20, 2)
+        if i != j:
+            eset.add((hosts[i], hosts[j]))
+    src = [e[0] for e in eset]
+    dst = [e[1] for e in eset]
+
+    def mk(s, d):
+        sh = np.array([_h64(x) for x in s], np.uint64)
+        dh = np.array([_h64(x) for x in d], np.uint64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(s, pa.string()),
+                    "dst": pa.array(d, pa.string()),
+                    "src_h": pa.array(sh, pa.uint64()),
+                    "dst_h": pa.array(dh, pa.uint64()),
+                    "outdeg": pa.array([1] * len(s), pa.int64()),
+                }
+            )
+        ).repartition(7)
+
+    got = reciprocity_hosts(mk(src, dst)).to_pandas().iloc[0]
+    recip_edges = sum((d, s) in eset for s, d in eset)
+    pairs = len({(min(s, d), max(s, d)) for s, d in eset})
+    assert got["edges"] == len(eset)
+    assert got["pairs"] == pairs
+    assert got["reciprocal_edges"] == recip_edges
+    assert got["reciprocal_pairs"] == recip_edges // 2
+    assert (
+        got["reciprocity_micros"] == recip_edges * 10**6 // len(eset)
+    )
+    forced = (
+        reciprocity_hosts(mk(src, dst), driver_max_edges=0, n_buckets=8)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert (forced == got).all()
+    # symmetric closure -> reciprocity exactly 1.0
+    sym = sorted(eset | {(d, s) for s, d in eset})
+    full = reciprocity_hosts(
+        mk([e[0] for e in sym], [e[1] for e in sym])
+    ).to_pandas().iloc[0]
+    assert full["reciprocity_micros"] == 10**6
+    assert full["reciprocal_edges"] == full["edges"]
+
+
+def test_assortativity_bruteforce_and_paths(ray_session):
+    """Degree assortativity equals an exact numpy Pearson over
+    (outdeg(src), indeg(dst)) bit-for-bit, the forced distributed path
+    agrees, and a star graph is degenerate (x constant -> 0.0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        _h64,
+        assortativity_hosts,
+        host_edges,
+    )
+
+    ext, edges_list = _hb_rand_extracted()
+    edges = host_edges(ray.data.from_arrow(ext))
+    got = assortativity_hosts(edges).to_pandas().iloc[0]
+    odeg, ideg = {}, {}
+    for s, d in edges_list:
+        odeg[s] = odeg.get(s, 0) + 1
+        ideg[d] = ideg.get(d, 0) + 1
+    x = [odeg[s] for s, d in edges_list]
+    y = [ideg[d] for s, d in edges_list]
+    m = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+    assert [got[c] for c in ["m", "sx", "sy", "sxy", "sxx", "syy"]] == [
+        m, sx, sy, sxy, sxx, syy,
+    ]
+    import math
+
+    want = float(m * sxy - sx * sy) / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+    assert got["assortativity"] == want  # bit-equal
+    forced = (
+        assortativity_hosts(edges, driver_max_edges=0).to_pandas().iloc[0]
+    )
+    assert (forced == got).all()
+    # star: every edge has x == n-1 (constant) -> dx == 0 -> 0.0
+    hubs = ["hub.net"] + [f"leaf{i}.net" for i in range(5)]
+    sh = np.array([_h64("hub.net")] * 5, np.uint64)
+    dh = np.array([_h64(h) for h in hubs[1:]], np.uint64)
+    star = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["hub.net"] * 5, pa.string()),
+                "dst": pa.array(hubs[1:], pa.string()),
+                "src_h": pa.array(sh, pa.uint64()),
+                "dst_h": pa.array(dh, pa.uint64()),
+                "outdeg": pa.array([5] * 5, pa.int64()),
+            }
+        )
+    )
+    sg = assortativity_hosts(star).to_pandas().iloc[0]
+    assert sg["assortativity"] == 0.0
+
+
 def test_hyperball_lc_table_is_floor_log(ray_session):
     """The literal linear-counting spec table is floor(m·ln(m/z)) —
     the table exists only because DuckDB's and numpy's ln disagree in
