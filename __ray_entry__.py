@@ -537,6 +537,31 @@ def _q_crawl_host_neighborhood(sf_dir: str):
     return _nf_table(_hyperball_shared(sf_dir)[1])
 
 
+def _q_crawl_url_surt(sf_dir: str):
+    """SURT canonical URL keys (IA webarchive-commons; the key of
+    Common Crawl's per-snapshot CDX index): host labels reversed +
+    comma-joined, default port and one leading www. stripped, query
+    params sorted — so a registered domain's URLs sort contiguously
+    and crawl-store lookups are prefix scans.  Stateless map_batches
+    over the column-pruned url read; every canonicalization step is a
+    string op the DuckDB oracle mirrors exactly."""
+    from crawler_ai_ray.stages.cdx import surt_table
+
+    return surt_table(_pages(sf_dir, columns=["url"]))
+
+
+def _q_crawl_cdx_domains(sf_dir: str):
+    """CDX per-registered-domain rollup (PSL-less last-two-labels
+    prefix): page volume + distinct-host fanout per domain_key — the
+    quota/coverage scan a crawl-store operator runs over the SURT
+    index.  Host-cardinality-bounded partials + one Arrow hash-agg
+    finish; oracle is a two-level GROUP BY over the same
+    canonicalization."""
+    from crawler_ai_ray.stages.cdx import cdx_domains
+
+    return cdx_domains(_pages(sf_dir, columns=["url"]))
+
+
 def _q_crawl_host_reciprocity(sf_dir: str):
     """Directed link reciprocity of the host graph (Newman et al.
     2002; Garlaschelli & Loffredo 2004): edges whose reverse edge also
@@ -3662,6 +3687,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_neighborhood": _q_crawl_host_neighborhood,
         "crawl_host_reciprocity": _q_crawl_host_reciprocity,
         "crawl_host_assortativity": _q_crawl_host_assortativity,
+        "crawl_url_surt": _q_crawl_url_surt,
+        "crawl_cdx_domains": _q_crawl_cdx_domains,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3914,7 +3941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Round-4-late list (keep current): crawl_host_hyperball,
         # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
         # crawl_host_trustrank, crawl_host_neighborhood,
-        # crawl_host_reciprocity, crawl_host_assortativity.
+        # crawl_host_reciprocity, crawl_host_assortativity,
+        # crawl_url_surt, crawl_cdx_domains.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4326,6 +4354,64 @@ def oracle_sql() -> dict[str, str]:
                (rc.c * 1000000 // greatest(m.c, 1))::BIGINT
                  AS reciprocity_micros
         FROM m, rc, pr"""
+
+    # SURT canonicalization: every step is a string op both sides
+    # implement identically (lower/strip-port/strip-www/label-reverse/
+    # param-sort are all bytewise on the ASCII corpus).
+    _pages_pq = os.path.join(corpus, "pages.parquet")
+    _surt_base = f"""
+        WITH u AS (SELECT url FROM read_parquet('{_pages_pq}')),
+        p1 AS (
+          SELECT url,
+                 lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+                   AS hp,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+([^#]*)', 1)
+                   AS pq
+          FROM u),
+        p2 AS (
+          SELECT url,
+                 CASE WHEN h2 LIKE 'www.%' THEN substr(h2, 5)
+                      ELSE h2 END AS host,
+                 pq
+          FROM (SELECT url,
+                       regexp_replace(hp, ':(80|443)$', '') AS h2, pq
+                FROM p1)),
+        p3 AS (
+          SELECT url, host,
+                 array_to_string(
+                   list_reverse(string_split(host, '.')), ',') AS rev,
+                 CASE WHEN pq = '' OR pq LIKE '?%' THEN '/'
+                      WHEN strpos(pq, '?') > 0
+                        THEN substr(pq, 1, strpos(pq, '?') - 1)
+                      ELSE pq END AS path,
+                 CASE WHEN pq LIKE '?%' THEN substr(pq, 2)
+                      WHEN strpos(pq, '?') > 0
+                        THEN substr(pq, strpos(pq, '?') + 1)
+                      ELSE '' END AS query
+          FROM p2),
+        surted AS (
+          SELECT url, host,
+                 rev || ')' || path ||
+                   CASE WHEN query <> ''
+                        THEN '?' || array_to_string(
+                          list_sort(string_split(query, '&')), '&')
+                        ELSE '' END AS surt,
+                 CASE WHEN len(string_split(host, '.')) >= 2
+                      THEN string_split(host, '.')[-1] || ','
+                           || string_split(host, '.')[-2]
+                      ELSE host END AS domain_key
+          FROM p3)"""
+    surt_sql = (
+        _surt_base + "\n        SELECT url, host, surt, domain_key"
+        " FROM surted"
+    )
+    cdx_domains_sql = (
+        _surt_base
+        + """
+        SELECT domain_key, count(*)::BIGINT AS pages,
+               count(DISTINCT host)::BIGINT AS hosts
+        FROM surted GROUP BY 1"""
+    )
 
     # assortativity: six exact integer moment sums over the
     # (outdeg(src), indeg(dst)) edge pairs, then the identical
@@ -5195,6 +5281,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_neighborhood": neighborhood_sql,
         "crawl_host_reciprocity": reciprocity_sql,
         "crawl_host_assortativity": assortativity_sql,
+        "crawl_url_surt": surt_sql,
+        "crawl_cdx_domains": cdx_domains_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
