@@ -537,6 +537,20 @@ def _q_crawl_host_neighborhood(sf_dir: str):
     return _nf_table(_hyperball_shared(sf_dir)[1])
 
 
+def _q_crawl_host_opic(sf_dir: str):
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobéna, WWW 2003; Apache Nutch's default scoring) over the host
+    graph, 5 synchronous integer rounds: cash splits over out-links,
+    dangling cash recycles uniformly through the virtual page, history
+    accumulates — importance = history + cash, the damping-free
+    frontier-prioritization signal computable WHILE the crawl runs.
+    All int64 order-free sums; the oracle unrolls the identical cash/
+    dangling/history recurrence per round."""
+    from crawler_ai_ray.stages.linkgraph import opic_hosts
+
+    return opic_hosts(_host_edges(sf_dir))
+
+
 def _q_crawl_url_surt(sf_dir: str):
     """SURT canonical URL keys (IA webarchive-commons; the key of
     Common Crawl's per-snapshot CDX index): host labels reversed +
@@ -3689,6 +3703,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_assortativity": _q_crawl_host_assortativity,
         "crawl_url_surt": _q_crawl_url_surt,
         "crawl_cdx_domains": _q_crawl_cdx_domains,
+        "crawl_host_opic": _q_crawl_host_opic,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3942,7 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
         # crawl_host_trustrank, crawl_host_neighborhood,
         # crawl_host_reciprocity, crawl_host_assortativity,
-        # crawl_url_surt, crawl_cdx_domains.
+        # crawl_url_surt, crawl_cdx_domains, crawl_host_opic.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4354,6 +4369,48 @@ def oracle_sql() -> dict[str, str]:
                (rc.c * 1000000 // greatest(m.c, 1))::BIGINT
                  AS reciprocity_micros
         FROM m, rc, pr"""
+
+    # OPIC: unroll the identical 5 synchronous integer rounds — per
+    # round one dangling-cash sum, one history add, one cash exchange
+    # (cash // outdeg per edge + virtual // n uniform recycle).
+    opic_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        outdeg AS (SELECT src, count(*)::BIGINT c FROM edges GROUP BY 1),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        c0 AS (SELECT host, 1000000::BIGINT AS cash FROM hosts),
+        h0 AS (SELECT host, 0::BIGINT AS hist FROM hosts)"""
+    for _i in range(1, 6):
+        opic_sql += f""",
+        dang{_i} AS (
+          SELECT COALESCE(sum(c.cash), 0)::BIGINT AS v
+          FROM c{_i - 1} c LEFT JOIN outdeg o ON o.src = c.host
+          WHERE o.src IS NULL),
+        h{_i} AS (
+          SELECT p.host, (p.hist + c.cash)::BIGINT AS hist
+          FROM h{_i - 1} p JOIN c{_i - 1} c ON c.host = p.host),
+        c{_i} AS (
+          SELECT hh.host,
+                 (COALESCE(s.inb, 0)
+                  + (SELECT v FROM dang{_i})
+                    // (SELECT count(*) FROM hosts))::BIGINT AS cash
+          FROM hosts hh LEFT JOIN (
+            SELECT e.dst AS host, sum(c.cash // o.c)::BIGINT AS inb
+            FROM edges e
+            JOIN c{_i - 1} c ON c.host = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1) s ON s.host = hh.host)"""
+    opic_sql += """
+        SELECT h.host, h.hist AS hist_micros, c.cash AS cash_micros,
+               (h.hist + c.cash)::BIGINT AS opic_micros
+        FROM h5 h JOIN c5 c ON c.host = h.host"""
 
     # SURT canonicalization: every step is a string op both sides
     # implement identically (lower/strip-port/strip-www/label-reverse/
@@ -5283,6 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_assortativity": assortativity_sql,
         "crawl_url_surt": surt_sql,
         "crawl_cdx_domains": cdx_domains_sql,
+        "crawl_host_opic": opic_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

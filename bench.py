@@ -272,6 +272,14 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_hyperball",
         "doc_temp_mix_sample",
         "doc_source_cap",
+        # round 4 sixth wave: anti-spam + graph-structure + CDX keys
+        "crawl_host_trustrank",
+        "crawl_host_neighborhood",
+        "crawl_host_reciprocity",
+        "crawl_host_assortativity",
+        "crawl_url_surt",
+        "crawl_cdx_domains",
+        "crawl_host_opic",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -4256,3 +4256,167 @@ def assortativity_hosts(
     )
     tot = tuple(sum(int(m[i]) for m in moms) for i in range(6))
     return _assort_finish(tot)
+
+
+# ---------------------------------------------------------------------------
+# OPIC — On-line Page Importance Computation (crawler-native ranking)
+# ---------------------------------------------------------------------------
+
+
+def _opic_finish(hosts, hist: np.ndarray, cash: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "host": hosts,
+            "hist_micros": pa.array(hist, pa.int64()),
+            "cash_micros": pa.array(cash, pa.int64()),
+            "opic_micros": pa.array(hist + cash, pa.int64()),
+        }
+    )
+
+
+def _opic_src_mask(keys: np.ndarray, src_blocks) -> np.ndarray:
+    """True where a vertex appears as a src (has out-edges); dangling
+    cash (the rest) routes through the virtual page each round."""
+    present = np.zeros(len(keys), bool)
+    for sh in src_blocks:
+        if len(sh):
+            present[np.searchsorted(keys, sh)] = True
+    return present
+
+
+def opic_hosts(
+    edges,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    driver_max_edges: int = 5_000_000,
+) -> pa.Table:
+    """distinct host edges → (host, hist_micros, cash_micros,
+    opic_micros): OPIC, On-line Page Importance Computation
+    (Abiteboul, Preda & Cobéna, WWW 2003) — THE crawler-native
+    importance estimate (Apache Nutch's default scoring): every host
+    starts with equal CASH; each synchronous round a host's cash is
+    split over its out-links (``cash // outdeg`` per edge, the same
+    integer share as the PageRank kernel), dangling hosts bank their
+    cash with the paper's VIRTUAL page which redistributes it
+    uniformly (``virtual // n`` each), and HISTORY accumulates the
+    cash each host has held.  Importance = history + current cash —
+    unlike PageRank it needs no damping and is computable on-line
+    while the crawl runs, which is why frontier schedulers use it.
+
+    Deterministic integer variant: all sums are int64 and order-free
+    (integer-division dust from the per-edge and virtual splits is
+    dropped, both sides identically), so the DuckDB oracle unrolls the
+    identical ``iters`` rounds — cash, dangling sum, and history CTEs
+    — and matches bit-for-bit.  Two adaptive tiers (forced-path test):
+    ≤ ``driver_max_edges`` driver-local; above it the PageRank
+    broadcast-loop layout (per-block ``cash[src] // outdeg`` partials,
+    tree-merged; the (keys, cash, hist) vectors are the module's
+    declared vertex-state boundary — the fully sharded extension
+    follows ``_pr_distributed_sharded``'s layout)."""
+    import ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return _opic_finish(
+                pa.array([], pa.string()),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+            )
+        et = pa.concat_tables(blocks)
+        hh = np.concatenate(
+            [
+                et["src_h"].to_numpy(zero_copy_only=False),
+                et["dst_h"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.uint64, copy=False)
+        names = et["src"].to_pylist() + et["dst"].to_pylist()
+        keys, first = np.unique(hh, return_index=True)
+        hosts = [names[i] for i in first]
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        deg_e = et["outdeg"].to_numpy(zero_copy_only=False)
+        present = np.zeros(len(keys), bool)
+        present[src_idx] = True
+        n = len(keys)
+        cash = np.full(n, scale, np.int64)
+        hist = np.zeros(n, np.int64)
+        for _ in range(iters):
+            share = cash[src_idx] // deg_e
+            inflow = np.zeros(n, np.int64)
+            np.add.at(inflow, dst_idx, share)
+            virtual = int(cash[~present].sum())
+            hist += cash
+            cash = inflow + virtual // n
+        return _opic_finish(pa.array(hosts, pa.string()), hist, cash)
+
+    # broadcast tier: the PageRank loop layout — per-block
+    # cash[src]//outdeg partials (the `contrib` kernel shape), merged
+    # driver-side; virtual cash is one masked sum over the vector.
+    hosts, keys = _collect_verts(edges)
+    n = len(keys)
+    edge_block_refs = list(edges.to_arrow_refs())
+
+    def srcs_of(batch: pa.Table) -> np.ndarray:
+        if not batch.num_rows:
+            return np.zeros(0, np.uint64)
+        return np.unique(
+            batch["src_h"].to_numpy(zero_copy_only=False)
+        )
+
+    src_task = ray.remote(num_cpus=1)(srcs_of)
+    present = _opic_src_mask(
+        keys, ray.get([src_task.remote(b) for b in edge_block_refs])
+    )
+
+    @ray.remote(num_cpus=1)
+    def contrib(batch: pa.Table, k: np.ndarray, c: np.ndarray) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "dst_h": pa.array([], pa.uint64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        sh = batch["src_h"].to_numpy(zero_copy_only=False)
+        dh = batch["dst_h"].to_numpy(zero_copy_only=False)
+        deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+        share = c[np.searchsorted(k, sh)] // deg
+        t = pa.table(
+            {
+                "dst_h": pa.array(dh, pa.uint64()),
+                "part": pa.array(share, pa.int64()),
+            }
+        )
+        agg = t.group_by("dst_h").aggregate([("part", "sum")])
+        return pa.table({"dst_h": agg["dst_h"], "part": agg["part_sum"]})
+
+    cash = np.full(n, scale, np.int64)
+    hist = np.zeros(n, np.int64)
+    k_ref = ray.put(keys)
+    for _ in range(iters):
+        c_ref = ray.put(cash)
+        parts = [
+            t
+            for t in ray.get(
+                [contrib.remote(b, k_ref, c_ref) for b in edge_block_refs]
+            )
+            if t.num_rows
+        ]
+        inflow = np.zeros(n, np.int64)
+        if parts:
+            merged = _merge_parts(*parts)
+            idx = np.searchsorted(
+                keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+            )
+            inflow[idx] = merged["part"].to_numpy(zero_copy_only=False)
+        virtual = int(cash[~present].sum())
+        hist += cash
+        cash = inflow + virtual // max(n, 1)
+    return _opic_finish(pa.array(hosts, pa.string()), hist, cash)

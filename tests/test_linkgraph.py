@@ -1304,6 +1304,72 @@ def test_neighborhood_function_tiers_and_math(ray_session):
     assert chain.nf.iloc[2:].nunique() == 1  # fixpoint reached at t=2
 
 
+def test_opic_bruteforce_and_paths(ray_session):
+    """OPIC equals an engine-code-free sequential dict reference
+    bit-for-bit on a random graph WITH dangling hosts (virtual-page
+    recycling exercised), mass accounting holds, and the forced
+    broadcast tier is identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import _h64, opic_hosts
+
+    rng = np.random.default_rng(23)
+    hosts = [f"o{i:02d}.net" for i in range(18)]
+    eset = set()
+    while len(eset) < 40:
+        i, j = rng.integers(0, 15, 2)  # hosts 15-17 only ever dsts
+        j2 = int(rng.integers(0, 18))
+        if i != j2:
+            eset.add((hosts[i], hosts[j2]))
+    edges_list = sorted(eset)
+    odeg = {}
+    for s, d in edges_list:
+        odeg[s] = odeg.get(s, 0) + 1
+    verts = sorted({v for e in edges_list for v in e})
+    assert any(v not in odeg for v in verts)  # dangling present
+    # sequential reference
+    n = len(verts)
+    cash = {v: 10**6 for v in verts}
+    hist = {v: 0 for v in verts}
+    for _ in range(5):
+        inflow = {v: 0 for v in verts}
+        for s, d in edges_list:
+            inflow[d] += cash[s] // odeg[s]
+        virtual = sum(cash[v] for v in verts if v not in odeg)
+        for v in verts:
+            hist[v] += cash[v]
+            cash[v] = inflow[v] + virtual // n
+    src = [e[0] for e in edges_list]
+    dst = [e[1] for e in edges_list]
+    et = pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "src_h": pa.array(
+                np.array([_h64(s) for s in src], np.uint64), pa.uint64()
+            ),
+            "dst_h": pa.array(
+                np.array([_h64(d) for d in dst], np.uint64), pa.uint64()
+            ),
+            "outdeg": pa.array([odeg[s] for s in src], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(et).repartition(6)
+    got = opic_hosts(ds).to_pandas().set_index("host")
+    for v in verts:
+        assert got.loc[v, "hist_micros"] == hist[v], v
+        assert got.loc[v, "cash_micros"] == cash[v], v
+        assert got.loc[v, "opic_micros"] == hist[v] + cash[v]
+    # conservation up to integer-division dust: total cash never grows
+    assert got["cash_micros"].sum() <= n * 10**6
+    forced = (
+        opic_hosts(ds, driver_max_edges=0).to_pandas().set_index("host")
+    )
+    assert got.sort_index().equals(forced.sort_index())
+
+
 def test_reciprocity_bruteforce_and_paths(ray_session):
     """Reciprocity on a random directed graph equals a set-based brute
     force, the forced bucketed path is bit-identical, and a fully
