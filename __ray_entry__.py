@@ -537,6 +537,26 @@ def _q_crawl_host_neighborhood(sf_dir: str):
     return _nf_table(_hyperball_shared(sf_dir)[1])
 
 
+def _q_crawl_mirror_hosts(sf_dir: str):
+    """Cross-host content-overlap (mirror / replicated-collection)
+    candidates — Bharat & Broder WWW 1999; Cho, Shivakumar &
+    Garcia-Molina VLDB 2000: host pairs sharing ≥2 distinct 10-word
+    text windows (the boilerplate family's SQL-reproducible segment
+    unit, keyed host-level and compared ACROSS hosts, DF-capped at 64
+    hosts/segment — the hot-key rule), with exact integer Jaccard +
+    containment over per-host distinct segment totals.  The
+    collapse-mirrors-before-fetching signal of a web-scale frontier.
+    Text never shuffles; the oracle re-derives segments as strings."""
+    from crawler_ai_ray.stages.dedup import mirror_host_pairs
+
+    return mirror_host_pairs(
+        _deboiler_base(sf_dir),
+        group_col="host",
+        text_col="text_crawldata",
+        seg_words=10,
+    )
+
+
 def _q_crawl_host_opic(sf_dir: str):
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
     Cobéna, WWW 2003; Apache Nutch's default scoring) over the host
@@ -3704,6 +3724,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_surt": _q_crawl_url_surt,
         "crawl_cdx_domains": _q_crawl_cdx_domains,
         "crawl_host_opic": _q_crawl_host_opic,
+        "crawl_mirror_hosts": _q_crawl_mirror_hosts,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
@@ -3957,7 +3978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_temp_mix_plan, doc_temp_mix_sample, doc_source_cap,
         # crawl_host_trustrank, crawl_host_neighborhood,
         # crawl_host_reciprocity, crawl_host_assortativity,
-        # crawl_url_surt, crawl_cdx_domains, crawl_host_opic.
+        # crawl_url_surt, crawl_cdx_domains, crawl_host_opic,
+        # crawl_mirror_hosts.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5227,6 +5249,43 @@ def oracle_sql() -> dict[str, str]:
           FROM segs GROUP BY 1, 2),
         boiler AS MATERIALIZED (SELECT host, seg FROM df WHERE df >= 3)"""
 
+    # cross-host mirror candidates: the same segment unit re-derived as
+    # STRINGS, keyed host-level; DF cap and pair/coefficient math
+    # mirror stages/dedup.mirror_host_pairs exactly (all integers).
+    mirror_sql = f"""
+        WITH pages AS (
+          SELECT url, lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                 COALESCE(text_crawldata, '') AS text
+          FROM read_parquet('{golden}')),
+        words AS (SELECT url, host, string_split(text, ' ') AS w
+                  FROM pages),
+        segidx AS (SELECT url, host, w, unnest(range(0, len(w), 10)) AS s
+                   FROM words),
+        segs AS (
+          SELECT host, array_to_string(w[s+1:s+10], ' ') AS seg
+          FROM segidx),
+        hseg AS MATERIALIZED (SELECT DISTINCT host, seg FROM segs),
+        hn AS (SELECT host, count(*)::BIGINT AS n FROM hseg GROUP BY 1),
+        segdf AS (SELECT seg, count(*)::BIGINT AS dfh
+                  FROM hseg GROUP BY 1),
+        pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 count(*)::BIGINT AS shared
+          FROM hseg a
+          JOIN hseg b ON b.seg = a.seg AND a.host < b.host
+          JOIN segdf d ON d.seg = a.seg AND d.dfh BETWEEN 2 AND 64
+          GROUP BY 1, 2)
+        SELECT p.host_a, p.host_b, p.shared,
+               na.n AS a_segments, nb.n AS b_segments,
+               (p.shared * 1000000 // (na.n + nb.n - p.shared))::BIGINT
+                 AS jaccard_micros,
+               (p.shared * 1000000 // least(na.n, nb.n))::BIGINT
+                 AS containment_micros
+        FROM pairs p
+        JOIN hn na ON na.host = p.host_a
+        JOIN hn nb ON nb.host = p.host_b
+        WHERE p.shared >= 2"""
+
     sql = {
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
@@ -5341,6 +5400,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_url_surt": surt_sql,
         "crawl_cdx_domains": cdx_domains_sql,
         "crawl_host_opic": opic_sql,
+        "crawl_mirror_hosts": mirror_sql,
         "crawl_trap_hosts": f"""
             WITH u AS (
               SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,

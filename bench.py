@@ -280,6 +280,7 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_url_surt",
         "crawl_cdx_domains",
         "crawl_host_opic",
+        "crawl_mirror_hosts",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -2711,6 +2711,253 @@ def winnow_neardup_pairs(
 # within-group boilerplate removal (host-template text)
 # ---------------------------------------------------------------------------
 
+def _mirror_metrics(
+    a: list, b: list, shared: np.ndarray, n_by_host: dict
+) -> pa.Table:
+    """pair counts + per-host distinct-segment totals → the public
+    mirror-candidate table (all-integer overlap coefficients)."""
+    na = np.array([n_by_host[x] for x in a], np.int64)
+    nb = np.array([n_by_host[x] for x in b], np.int64)
+    sh = shared.astype(np.int64)
+    return pa.table(
+        {
+            "host_a": pa.array(a, pa.string()),
+            "host_b": pa.array(b, pa.string()),
+            "shared": pa.array(sh, pa.int64()),
+            "a_segments": pa.array(na, pa.int64()),
+            "b_segments": pa.array(nb, pa.int64()),
+            "jaccard_micros": pa.array(
+                sh * 1_000_000 // (na + nb - sh), pa.int64()
+            ),
+            "containment_micros": pa.array(
+                sh * 1_000_000 // np.minimum(na, nb), pa.int64()
+            ),
+        }
+    )
+
+
+def _mirror_empty() -> pa.Table:
+    return _mirror_metrics([], [], np.zeros(0, np.int64), {})
+
+
+def _mirror_kernel(
+    hosts: np.ndarray, segh: np.ndarray, max_df_hosts: int,
+    min_shared: int,
+) -> pa.Table:
+    """global distinct (host, seg_h) rows → mirror-pair table.  One
+    lexsort by (seg_h, host); per-segment runs of 2..max_df_hosts
+    hosts emit their pairs (runs are tiny by the cap, so the per-run
+    loop is bounded); pair counts accumulate in a dict keyed by the
+    host-string pair."""
+    order = np.lexsort((hosts, segh))
+    hh, ss = hosts[order], segh[order]
+    keep = np.empty(len(ss), bool)
+    if len(ss):
+        keep[0] = True
+        keep[1:] = (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])
+    hh, ss = hh[keep], ss[keep]
+    uh, cnt = np.unique(hh, return_counts=True)
+    n_by_host = dict(zip(uh.tolist(), cnt.tolist()))
+    if not len(ss):
+        return _mirror_empty()
+    starts = np.flatnonzero(
+        np.concatenate([[True], ss[1:] != ss[:-1]])
+    )
+    bounds = list(starts) + [len(ss)]
+    pair_n: dict = {}
+    for si in range(len(bounds) - 1):
+        i, j = bounds[si], bounds[si + 1]
+        if 2 <= j - i <= max_df_hosts:
+            run = hh[i:j]
+            for x in range(len(run)):
+                for y in range(x + 1, len(run)):
+                    key = (run[x], run[y])
+                    pair_n[key] = pair_n.get(key, 0) + 1
+    a, b, sh = [], [], []
+    for (ha, hb), n in pair_n.items():
+        if n >= min_shared:
+            a.append(ha)
+            b.append(hb)
+            sh.append(n)
+    return _mirror_metrics(a, b, np.array(sh, np.int64), n_by_host)
+
+
+def mirror_host_pairs(
+    ds,
+    group_col: str = "host",
+    text_col: str = "text",
+    seg_words: int = 10,
+    max_df_hosts: int = 64,
+    min_shared: int = 2,
+    num_buckets: int = 512,
+    driver_max_rows: int = 2_000_000,
+):
+    """(host, text) pages → (host_a, host_b, shared, a_segments,
+    b_segments, jaccard_micros, containment_micros): CROSS-host
+    content-overlap candidates — mirror / replicated-collection
+    detection (Bharat & Broder, WWW 1999 "A comparison of techniques
+    to find mirrored hosts"; Cho, Shivakumar & Garcia-Molina, VLDB
+    2000 "Finding replicated web collections").  A crawl operator
+    reads this to collapse mirrors before spending fetch budget and
+    to pick one canonical host per replica group.
+
+    Unit: the SAME non-overlapping ``seg_words``-word window as the
+    within-host boilerplate family (`_boiler_segs` — SQL-reproducible
+    via string_split + range), but keyed host-level and compared
+    ACROSS hosts: ``shared`` = distinct segments present on both
+    hosts, among segments on 2..``max_df_hosts`` hosts (the DF cap is
+    the hot-key rule — a web-wide boilerplate segment would emit k²
+    pairs; the oracle applies the identical cap).  Overlap
+    coefficients are exact integer micros over per-host distinct
+    segment totals (Jaccard and containment).
+
+    Scale shape: text never shuffles — one streaming pass emits
+    per-page-distinct (host, seg_h) 64-bit rows; pair sweep inside
+    ``seg_h % num_buckets`` groups (a segment's rows meet in exactly
+    one bucket), per-bucket Arrow pre-agg of pair counts and per-host
+    partial totals; the driver merges pair partials (bounded by the
+    DF cap) and host totals (host-sized — the module's declared
+    vertex boundary).  Adaptive: ≤ ``driver_max_rows`` distinct rows
+    finish driver-local with the same kernel (forced-path test)."""
+    import ray
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "seg_h": pa.array([], pa.uint64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        hosts: list[str] = []
+        segs: list[str] = []
+        for h, txt in zip(
+            batch[group_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for s in set(_boiler_segs(txt or "", seg_words)):
+                hosts.append(h)
+                segs.append(s)
+        sh = np.array([_seg_h64(s) for s in segs], dtype=np.uint64)
+        t = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "seg_h": pa.array(sh, pa.uint64()),
+                "bucket": pa.array(
+                    (sh % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+        return t.group_by(["host", "seg_h", "bucket"]).aggregate([])
+
+    pre = ds.map_batches(rows, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_max_rows:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return _mirror_empty()
+        cat = pa.concat_tables(blocks)
+        return _mirror_kernel(
+            np.array(cat["host"].to_pylist(), dtype=object),
+            cat["seg_h"].to_numpy(zero_copy_only=False),
+            max_df_hosts,
+            min_shared,
+        )
+
+    def bucket_sweep(group: pa.Table) -> pa.Table:
+        """one seg-hash bucket: global per-segment host runs → pair
+        partial rows (kind 0) + per-host distinct-segment partials
+        (kind 1)."""
+        hosts = np.array(group["host"].to_pylist(), dtype=object)
+        segh = group["seg_h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hosts, segh))
+        hh, ss = hosts[order], segh[order]
+        keep = np.empty(len(ss), bool)
+        if len(ss):
+            keep[0] = True
+            keep[1:] = (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])
+        hh, ss = hh[keep], ss[keep]
+        uh, cnt = np.unique(hh, return_counts=True)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ss[1:] != ss[:-1]])
+        ) if len(ss) else np.zeros(0, np.int64)
+        bounds = list(starts) + [len(ss)]
+        pair_n: dict = {}
+        for si in range(len(bounds) - 1):
+            i, j = bounds[si], bounds[si + 1]
+            if 2 <= j - i <= max_df_hosts:
+                run = hh[i:j]
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        key = (run[x], run[y])
+                        pair_n[key] = pair_n.get(key, 0) + 1
+        pa_, pb_, pn_ = [], [], []
+        for (ha, hb), n in pair_n.items():
+            pa_.append(ha)
+            pb_.append(hb)
+            pn_.append(n)
+        return pa.table(
+            {
+                "a": pa.array(
+                    pa_ + uh.tolist(), pa.string()
+                ),
+                "b": pa.array(
+                    pb_ + [""] * len(uh), pa.string()
+                ),
+                "n": pa.array(
+                    pn_ + cnt.astype(np.int64).tolist(), pa.int64()
+                ),
+                "kind": pa.array(
+                    [0] * len(pa_) + [1] * len(uh), pa.int8()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            pre.groupby("bucket")
+            .map_groups(bucket_sweep, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return _mirror_empty()
+    cat = pa.concat_tables(parts)
+    kind = cat["kind"].to_numpy(zero_copy_only=False)
+    hosts_t = cat.filter(pa.array(kind == 1)).group_by("a").aggregate(
+        [("n", "sum")]
+    )
+    n_by_host = dict(
+        zip(
+            hosts_t["a"].to_pylist(),
+            (int(v) for v in hosts_t["n_sum"].to_pylist()),
+        )
+    )
+    pairs_t = (
+        cat.filter(pa.array(kind == 0))
+        .group_by(["a", "b"])
+        .aggregate([("n", "sum")])
+    )
+    sh = pairs_t["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = sh >= min_shared
+    return _mirror_metrics(
+        [
+            h
+            for h, k in zip(pairs_t["a"].to_pylist(), ok)
+            if k
+        ],
+        [
+            h
+            for h, k in zip(pairs_t["b"].to_pylist(), ok)
+            if k
+        ],
+        sh[ok],
+        n_by_host,
+    )
+
+
 _BOILER_ROW_SCHEMA = pa.schema(
     [
         ("group_h", pa.uint64()),
