@@ -313,6 +313,71 @@ def export_jsonl(
     return manifest
 
 
+def graph(
+    pages_path: str,
+    out_dir: str,
+    method: str = "pagerank",
+    seeds: list[str] | None = None,
+) -> dict:
+    """Run one host-graph kernel over a crawled pages parquet
+    (url, html) and write its result as parquet under ``out_dir`` —
+    the ``ray job submit`` surface of the link-graph family (the
+    `queries()` entries expose the same kernels to the driver gate).
+
+    Methods: ``pagerank``, ``ppr``*, ``trustrank``*, ``opic``,
+    ``hits``, ``components``, ``degrees``, ``bfs``*, ``communities``,
+    ``triangles``, ``kcore``, ``linkpred``, ``hyperball``,
+    ``neighborhood``, ``reciprocity``, ``assortativity``
+    (* = requires ``seeds``).  Edges are built once with the link-only
+    extraction projection; every kernel is the same adaptive-tier
+    implementation the driver checks.  Returns
+    {method, rows, out_dir}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages import linkgraph as lg
+    from .stages.extract import extract_links
+
+    pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    edges = lg.host_edges(extract_links(pages))
+    needs_seeds = {"ppr", "trustrank", "bfs"}
+    if method in needs_seeds and not seeds:
+        raise ValueError(f"graph method {method!r} requires --seeds")
+    kernels = {
+        "pagerank": lambda: lg.pagerank_hosts(edges),
+        "ppr": lambda: lg.personalized_pagerank_hosts(edges, seeds),
+        "trustrank": lambda: lg.trustrank_hosts(edges, seeds),
+        "opic": lambda: lg.opic_hosts(edges),
+        "hits": lambda: lg.hits_hosts(edges),
+        "components": lambda: lg.connected_components(edges),
+        "degrees": lambda: lg.host_degrees(edges),
+        "bfs": lambda: lg.bfs_hosts(edges, seeds),
+        "communities": lambda: lg.lpa_communities(edges),
+        "triangles": lambda: lg.host_triangles(edges),
+        "kcore": lambda: lg.host_kcore(edges),
+        "linkpred": lambda: lg.host_link_prediction(edges),
+        "hyperball": lambda: lg.harmonic_hosts(edges),
+        "neighborhood": lambda: lg.neighborhood_function(edges),
+        "reciprocity": lambda: lg.reciprocity_hosts(edges),
+        "assortativity": lambda: lg.assortativity_hosts(edges),
+    }
+    if method not in kernels:
+        raise ValueError(f"unknown graph method: {method}")
+    res = kernels[method]()
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(res, pa.Table):
+        pq.write_table(res, os.path.join(out_dir, "part-00000.parquet"))
+        rows = res.num_rows
+    else:
+        res = res.materialize()
+        rows = res.count()
+        res.write_parquet(out_dir)
+    return {"method": method, "rows": int(rows), "out_dir": out_dir}
+
+
 def dedup(
     docs_path: str,
     out_dir: str,

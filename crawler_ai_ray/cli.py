@@ -74,6 +74,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--buckets", type=int, default=64)
 
+    gr = sub.add_parser(
+        "graph", help="run a host-graph kernel over a pages parquet"
+    )
+    gr.add_argument("--pages", required=True)
+    gr.add_argument("--out", required=True)
+    gr.add_argument(
+        "--method", default="pagerank",
+        choices=["pagerank", "ppr", "trustrank", "opic", "hits",
+                 "components", "degrees", "bfs", "communities",
+                 "triangles", "kcore", "linkpred", "hyperball",
+                 "neighborhood", "reciprocity", "assortativity"],
+    )
+    gr.add_argument(
+        "--seeds", default=None,
+        help="comma-separated seed hosts (ppr/trustrank/bfs)",
+    )
+
     ex = sub.add_parser(
         "export-jsonl", help="export a parquet corpus as sharded JSONL"
     )
@@ -117,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(dedup(
                 args.docs, args.out,
                 method=args.method, num_buckets=args.buckets,
+            )))
+        elif args.cmd == "graph":
+            from .api import graph
+
+            print(json.dumps(graph(
+                args.pages, args.out, method=args.method,
+                seeds=args.seeds.split(",") if args.seeds else None,
             )))
         elif args.cmd == "export-jsonl":
             from .api import export_jsonl

@@ -170,3 +170,46 @@ def test_dedup_entry_methods(ray_session, tmp_path):
 
     pairs = dedup(src, str(tmp_path / "winnow"), method="winnow")
     assert pairs["rows"] > 0
+
+
+def test_graph_entry_methods(ray_session, tmp_path):
+    """api.graph: kernels write parquet with the expected shapes; the
+    pagerank output equals the stage run directly; seed-requiring
+    methods refuse to run without seeds."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from crawler_ai_ray.api import graph
+    from crawler_ai_ray.sources.synth import ensure_corpus
+    from crawler_ai_ray.stages.extract import extract_links
+    from crawler_ai_ray.stages.linkgraph import host_edges, pagerank_hosts
+
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    pages = f"{corpus}/pages.parquet"
+    s = graph(pages, str(tmp_path / "pr"), method="pagerank")
+    assert s["rows"] > 0
+    got = (
+        pq.read_table(str(tmp_path / "pr"))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    want = (
+        pagerank_hosts(host_edges(extract_links(ds)))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert got.equals(want)
+
+    s2 = graph(
+        pages, str(tmp_path / "tr"), method="trustrank",
+        seeds=[str(want.host.iloc[0])],
+    )
+    assert s2["rows"] == s["rows"]
+    s3 = graph(pages, str(tmp_path / "nf"), method="neighborhood")
+    assert s3["rows"] == 9
+    with pytest.raises(ValueError, match="requires --seeds"):
+        graph(pages, str(tmp_path / "x"), method="bfs")
+    with pytest.raises(ValueError, match="unknown graph method"):
+        graph(pages, str(tmp_path / "y"), method="nope")
