@@ -695,3 +695,164 @@ def test_cms_matches_sequential_sketch(ray_session, uids, probe_mod):
         assert all(
             e >= true[u] for u, e in zip(probes.tolist(), est.tolist())
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_graph_pages(), st.integers(1, 3), st.booleans())
+def test_opic_matches_dict_reference(ray_session, rows, iters, force):
+    """OPIC (cash exchange + virtual-page recycle + history) vs a
+    sequential dict reference; forced broadcast tier included."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, opic_hosts
+
+    es = sorted(_edges_ref(rows))
+    if not es:
+        return
+    hosts = sorted({a for a, _ in es} | {b for _, b in es})
+    outdeg = {}
+    for a, _ in es:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(hosts)
+    cash = {h: 1_000_000 for h in hosts}
+    hist = {h: 0 for h in hosts}
+    for _ in range(iters):
+        inflow = {h: 0 for h in hosts}
+        for a, b in es:
+            inflow[b] += cash[a] // outdeg[a]
+        virtual = sum(cash[h] for h in hosts if h not in outdeg)
+        for h in hosts:
+            hist[h] += cash[h]
+            cash[h] = inflow[h] + virtual // n
+
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = opic_hosts(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4),
+        iters=iters,
+        driver_max_edges=0 if force else 5_000_000,
+    ).to_pydict()
+    assert dict(zip(got["host"], got["hist_micros"])) == hist
+    assert dict(zip(got["host"], got["cash_micros"])) == cash
+
+
+@settings(max_examples=10, deadline=None)
+@given(_graph_pages(), st.integers(0, 11))
+def test_trustrank_matches_dict_reference(ray_session, rows, seed_i):
+    """TrustRank/spam-mass: trust equals the PPR dict recurrence,
+    spam mass is the clamped division, out-of-graph seeds ignored."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, trustrank_hosts
+
+    es = sorted(_edges_ref(rows))
+    if not es:
+        return
+    hosts = sorted({a for a, _ in es} | {b for _, b in es})
+    outdeg = {}
+    for a, _ in es:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    seeds = [_HOSTS[seed_i], "zz-out-of-graph.net"]
+    sg = [h for h in hosts if h in seeds]
+    n = len(hosts)
+
+    def run(base):
+        rank = {h: 1_000_000 for h in hosts}
+        for _ in range(5):
+            inbound = {h: 0 for h in hosts}
+            for a, b in es:
+                inbound[b] += rank[a] // outdeg[a]
+            rank = {
+                h: base[h] + (85 * inbound[h]) // 100 for h in hosts
+            }
+        return rank
+
+    g = run({h: 150_000 for h in hosts})
+    tb = {
+        h: (150_000 * n) // max(len(sg), 1) if h in sg else 0
+        for h in hosts
+    }
+    t = run(tb)
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    got = trustrank_hosts(
+        host_edges(ray.data.from_arrow(tbl), num_buckets=4), seeds
+    ).to_pydict()
+    for i, h in enumerate(got["host"]):
+        assert got["rank_micros"][i] == g[h]
+        assert got["trust_micros"][i] == t[h]
+        assert (
+            got["spam_mass_micros"][i]
+            == max(g[h] - t[h], 0) * 10**6 // g[h]
+        )
+
+
+@settings(max_examples=12, deadline=None)
+@given(_graph_pages(), st.booleans())
+def test_reciprocity_assortativity_match_reference(
+    ray_session, rows, force
+):
+    import math
+
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        assortativity_hosts,
+        host_edges,
+        reciprocity_hosts,
+    )
+
+    es = sorted(_edges_ref(rows))
+    if not es:
+        return
+    tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "out_links": pa.array(
+                [r[1] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+    edges = host_edges(ray.data.from_arrow(tbl), num_buckets=4)
+    kw = {"driver_max_edges": 0} if force else {}
+    r = reciprocity_hosts(edges, **kw).to_pydict()
+    recip = sum((b, a) in set(es) for a, b in es)
+    pairs = len({(min(a, b), max(a, b)) for a, b in es})
+    assert r["edges"][0] == len(es)
+    assert r["pairs"][0] == pairs
+    assert r["reciprocal_edges"][0] == recip
+    assert r["reciprocity_micros"][0] == recip * 10**6 // len(es)
+
+    a_ = assortativity_hosts(edges, **kw).to_pydict()
+    odeg, ideg = {}, {}
+    for s, d in es:
+        odeg[s] = odeg.get(s, 0) + 1
+        ideg[d] = ideg.get(d, 0) + 1
+    x = [odeg[s] for s, _ in es]
+    y = [ideg[d] for _, d in es]
+    m = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(p * q for p, q in zip(x, y))
+    sxx, syy = sum(p * p for p in x), sum(q * q for q in y)
+    assert [a_[c][0] for c in ["m", "sx", "sy", "sxy", "sxx", "syy"]] == [
+        m, sx, sy, sxy, sxx, syy,
+    ]
+    dx, dy = m * sxx - sx * sx, m * syy - sy * sy
+    want = (
+        float(m * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        if dx > 0 and dy > 0
+        else 0.0
+    )
+    assert a_["assortativity"][0] == want
