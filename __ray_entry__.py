@@ -709,6 +709,38 @@ def _q_crawl_host_components(sf_dir: str):
     return connected_components(_host_edges(sf_dir))
 
 
+def _q_crawl_host_salsa(sf_dir: str):
+    """SALSA hub/authority scores (Lempel & Moran 2001) via the
+    closed form — bipartite connected components + degree sums, no
+    power iteration; the TKC-resistant alternative to HITS.  Scores
+    are exact integer micros, oracled by a recursive min-label CTE
+    over the same bipartite support graph."""
+    from crawler_ai_ray.stages.linkgraph import salsa_hosts
+
+    return salsa_hosts(_host_edges(sf_dir))
+
+
+def _q_crawl_community_modularity(sf_dir: str):
+    """Newman modularity decomposition of the LPA host communities —
+    the partition-quality score read before using communities for
+    sampling quotas.  Integer micros per community (one floor division
+    per term); the oracle unrolls the identical LPA recurrence and
+    recomputes the same terms bit-exactly."""
+    from crawler_ai_ray.stages.linkgraph import community_modularity
+
+    return community_modularity(_host_edges(sf_dir))
+
+
+def _q_crawl_host_bowtie(sf_dir: str):
+    """Broder et al. (2000) bowtie decomposition of the directed host
+    graph around the max-degree pivot: CORE / IN / OUT / OTHER with
+    radius-8 capped fw/bw BFS distances (9 = unreached sentinel) —
+    the crawl-reachability macro-structure map."""
+    from crawler_ai_ray.stages.linkgraph import host_bowtie
+
+    return host_bowtie(_host_edges(sf_dir))
+
+
 def _q_crawl_page_quality(sf_dir: str):
     """Training-data quality signals over CRAWLED page text (the
     extraction output feeding the curation chain, not the documents
@@ -1954,6 +1986,20 @@ def _q_doc_quality(sf_dir: str):
     )
 
 
+def _q_doc_readability(sf_dir: str):
+    """LIX/RIX readability per document (Björnsson's language-agnostic
+    index — the corpus-quality filter that works where English
+    syllable counters break).  RE2-counted words / long words /
+    sentence terminators, integer-micros scores — the oracle's
+    ``regexp_extract_all`` is the same RE2, so counts and scores match
+    bit-exactly."""
+    from crawler_ai_ray.stages.textstats import readability_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        readability_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_langid(sf_dir: str):
     from crawler_ai_ray.stages.textstats import langid_batch
 
@@ -3081,6 +3127,20 @@ def _q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_pca_cov(sf_dir: str):
+    """Exact sample covariance matrix of the embedding column (upper
+    triangle, exploded (i, j, n, cov_pico)) — the PCA/whitening
+    precursor of embedding-space curation.  One streaming combiner
+    pass of dim²-sized integer partials; Python-int driver reduce
+    (no overflow at any corpus size); DuckDB recomputes the identical
+    HUGEINT expression bit-for-bit."""
+    from crawler_ai_ray.stages.simsearch import embedding_covariance
+
+    return embedding_covariance(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     from crawler_ai_ray.stages.simsearch import ivf_assign, kmeans_train, knn_ivf
 
@@ -3728,6 +3788,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "crawl_host_components": _q_crawl_host_components,
+        "crawl_host_salsa": _q_crawl_host_salsa,
+        "crawl_community_modularity": _q_crawl_community_modularity,
+        "crawl_host_bowtie": _q_crawl_host_bowtie,
+        "doc_readability": _q_doc_readability,
+        "emb_pca_cov": _q_emb_pca_cov,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_page_quality": _q_crawl_page_quality,
@@ -3979,7 +4044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_host_trustrank, crawl_host_neighborhood,
         # crawl_host_reciprocity, crawl_host_assortativity,
         # crawl_url_surt, crawl_cdx_domains, crawl_host_opic,
-        # crawl_mirror_hosts.
+        # crawl_mirror_hosts, crawl_host_salsa,
+        # crawl_community_modularity, crawl_host_bowtie,
+        # doc_readability, emb_pca_cov.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4228,10 +4295,147 @@ def oracle_sql() -> dict[str, str]:
                      AS rn
             FROM nb n JOIN l{_i - 1} l ON l.host = n.u
             GROUP BY n.v, l.label) WHERE rn = 1)"""
-    lpa_sql += """,
+    lpa_cte = lpa_sql  # CTE chain through l4 — shared with modularity
+    lpa_sql = lpa_cte + """,
         sz AS (SELECT label, count(*)::BIGINT AS s FROM l4 GROUP BY 1)
         SELECT l4.host, l4.label AS community, sz.s AS community_size
         FROM l4 JOIN sz ON sz.label = l4.label"""
+
+    # modularity oracle: the SAME unrolled LPA labels, the SAME
+    # undirected-distinct edge set, and the engine's exact integer
+    # terms (m_in·1e6 // m  −  d_sum²·1e6 // 4m², HUGEINT — positive
+    # operands, so DuckDB's truncating // equals Python's floor).
+    modularity_sql = lpa_cte + """,
+        mm AS (SELECT count(*)::BIGINT AS m FROM und),
+        edge_lab AS (
+          SELECT la.label AS ca, lb.label AS cb
+          FROM und u JOIN l4 la ON la.host = u.a
+                     JOIN l4 lb ON lb.host = u.b),
+        min_c AS (SELECT ca AS community, count(*)::BIGINT AS m_in
+                  FROM edge_lab WHERE ca = cb GROUP BY 1),
+        dsum AS (SELECT community, count(*)::BIGINT AS d_sum FROM (
+            SELECT ca AS community FROM edge_lab
+            UNION ALL SELECT cb FROM edge_lab) GROUP BY 1),
+        nh AS (SELECT label AS community, count(*)::BIGINT AS n_hosts
+               FROM l4 GROUP BY 1)
+        SELECT nh.community, nh.n_hosts,
+               COALESCE(mi.m_in, 0)::BIGINT AS m_in,
+               COALESCE(ds.d_sum, 0)::BIGINT AS d_sum,
+               ((COALESCE(mi.m_in, 0)::HUGEINT * 1000000) // mm.m
+                - (COALESCE(ds.d_sum, 0)::HUGEINT
+                   * COALESCE(ds.d_sum, 0) * 1000000)
+                  // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_micros
+        FROM nh
+        LEFT JOIN min_c mi ON mi.community = nh.community
+        LEFT JOIN dsum ds ON ds.community = nh.community
+        CROSS JOIN mm"""
+
+    # SALSA oracle: recursive min-label components of the bipartite
+    # support graph ('h:'·src / 'a:'·dst nodes), then the closed-form
+    # score — |C∩side|·deg·1e6 // (|side|·Σ_C deg), positive-integer
+    # floor division on both sides.
+    salsa_sql = f"""
+        WITH RECURSIVE e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        bip AS (SELECT 'h:' || src AS a, 'a:' || dst AS b FROM edges),
+        undb AS (SELECT a, b FROM bip UNION SELECT b, a FROM bip),
+        reach AS (
+          SELECT a AS node, a AS r FROM undb
+          UNION
+          SELECT reach.node, undb.b FROM reach
+          JOIN undb ON undb.a = reach.r),
+        comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+        outd AS (SELECT src AS host, count(*)::BIGINT AS d
+                 FROM edges GROUP BY 1),
+        ind AS (SELECT dst AS host, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1),
+        degs AS (
+          SELECT substr(node, 3) AS host,
+                 CASE WHEN node LIKE 'h:%' THEN 'hub' ELSE 'auth' END
+                   AS side,
+                 c,
+                 CASE WHEN node LIKE 'h:%'
+                      THEN (SELECT d FROM outd o
+                            WHERE o.host = substr(node, 3))
+                      ELSE (SELECT d FROM ind i
+                            WHERE i.host = substr(node, 3)) END AS degree
+          FROM comp),
+        csum AS (SELECT side, c, count(*)::BIGINT AS comp_size,
+                        sum(degree)::BIGINT AS dsum
+                 FROM degs GROUP BY 1, 2),
+        tot AS (SELECT side, count(*)::BIGINT AS t FROM degs GROUP BY 1)
+        SELECT d.host, d.side, d.degree, cs.comp_size,
+               ((cs.comp_size::HUGEINT * d.degree * 1000000)
+                // (t.t::HUGEINT * cs.dsum))::BIGINT AS score_micros
+        FROM degs d
+        JOIN csum cs ON cs.side = d.side AND cs.c = d.c
+        JOIN tot t ON t.side = d.side"""
+
+    # bowtie oracle: deterministic pivot (max in+out degree, tie →
+    # smallest host), then the SAME two unrolled 8-round capped BFS
+    # recurrences as bfs_sql — forward over edges, backward over
+    # swapped edges — and the region CASE.
+    bowtie_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        outd AS (SELECT src AS host, count(*)::BIGINT AS d
+                 FROM edges GROUP BY 1),
+        ind AS (SELECT dst AS host, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1),
+        pv AS (
+          SELECT h.host
+          FROM hosts h
+          LEFT JOIN outd o ON o.host = h.host
+          LEFT JOIN ind i ON i.host = h.host
+          ORDER BY COALESCE(o.d, 0) + COALESCE(i.d, 0) DESC, h.host
+          LIMIT 1),
+        f0 AS MATERIALIZED (
+          SELECT h.host,
+                 (CASE WHEN h.host = (SELECT host FROM pv)
+                       THEN 0 ELSE 9 END)::BIGINT AS dist
+          FROM hosts h),
+        b0 AS MATERIALIZED (SELECT host, dist FROM f0)"""
+    for _i in range(1, 9):
+        bowtie_sql += f""",
+        f{_i} AS MATERIALIZED (
+          SELECT d.host,
+                 least(d.dist, COALESCE(m.c, 9))::BIGINT AS dist
+          FROM f{_i - 1} d LEFT JOIN (
+            SELECT e.dst AS host,
+                   min(least(p.dist + 1, 9))::BIGINT AS c
+            FROM edges e
+            JOIN f{_i - 1} p ON p.host = e.src
+            GROUP BY 1) m ON m.host = d.host),
+        b{_i} AS MATERIALIZED (
+          SELECT d.host,
+                 least(d.dist, COALESCE(m.c, 9))::BIGINT AS dist
+          FROM b{_i - 1} d LEFT JOIN (
+            SELECT e.src AS host,
+                   min(least(p.dist + 1, 9))::BIGINT AS c
+            FROM edges e
+            JOIN b{_i - 1} p ON p.host = e.dst
+            GROUP BY 1) m ON m.host = d.host)"""
+    bowtie_sql += """
+        SELECT f8.host, f8.dist AS fw_dist, b8.dist AS bw_dist,
+               CASE WHEN f8.dist <= 8 AND b8.dist <= 8 THEN 'CORE'
+                    WHEN b8.dist <= 8 THEN 'IN'
+                    WHEN f8.dist <= 8 THEN 'OUT'
+                    ELSE 'OTHER' END AS region
+        FROM f8 JOIN b8 ON b8.host = f8.host"""
 
     # HyperBall harmonic-centrality oracle: rebuild every 64-register
     # HLL counter from md5_number_lower(host) (≡ the engine's md5
@@ -5051,6 +5255,53 @@ def oracle_sql() -> dict[str, str]:
       n_chars_text / GREATEST(n_tokens_ws,1)::DOUBLE AS mean_word_len
     FROM c"""
 
+    # readability: regexp_extract_all is the same RE2 as the engine's
+    # count_substring_regex; scores are positive-integer floor
+    # divisions (micros) — bit-exact.  (Plain string: {7,} braces.)
+    readability = """
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT
+          AS n_words,
+        len(regexp_extract_all(text, '[A-Za-z0-9]{7,}'))::BIGINT
+          AS n_long_words,
+        len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+          AS n_sentences
+      FROM documents)
+    SELECT doc_id, n_words, n_long_words, n_sentences,
+      (CASE WHEN n_words > 0
+            THEN (n_words * 1000000) // GREATEST(n_sentences, 1)
+                 + (n_long_words * 100000000) // n_words
+            ELSE 0 END)::BIGINT AS lix_micros,
+      ((n_long_words * 1000000) // GREATEST(n_sentences, 1))::BIGINT
+        AS rix_micros
+    FROM c"""
+
+    # embedding covariance: the engine's exact integer identity in
+    # HUGEINT — q = round(x·1e6) (DuckDB round = half away from zero
+    # = the engine's _half_away_micros), cov_pico = (n·Σqᵢqⱼ −
+    # Σqᵢ·Σqⱼ) // n² (DuckDB // truncates toward zero; the engine
+    # truncates explicitly).
+    pca_cov = """
+    WITH q AS (
+      SELECT vec_id, i - 1 AS i,
+             round(e::DOUBLE * 1000000)::BIGINT AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM q),
+    s AS (SELECT i, sum(q)::HUGEINT AS sx FROM q GROUP BY i),
+    x AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS sxy
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT x.i::BIGINT AS i, x.j::BIGINT AS j, nn.n AS n,
+           ((nn.n::HUGEINT * x.sxy - sa.sx * sb.sx)
+             // (nn.n::HUGEINT * nn.n))::BIGINT AS cov_pico
+    FROM x
+    CROSS JOIN nn
+    JOIN s sa ON sa.i = x.i
+    JOIN s sb ON sb.i = x.j"""
+
     # curation chain CTEs (pipelines/curate.py): stage-1 keep rules are
     # integer-exact; near-dup clustering re-derives the pair graph from
     # the minhash golden restricted to stage-1 survivors (sf0.01 golden,
@@ -5428,6 +5679,11 @@ def oracle_sql() -> dict[str, str]:
                          2000)::BIGINT AS budget
             FROM pr""",
         "crawl_host_components": components_sql,
+        "crawl_host_salsa": salsa_sql,
+        "crawl_community_modularity": modularity_sql,
+        "crawl_host_bowtie": bowtie_sql,
+        "doc_readability": readability,
+        "emb_pca_cov": pca_cov,
         "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,

@@ -281,6 +281,13 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_cdx_domains",
         "crawl_host_opic",
         "crawl_mirror_hosts",
+        # round 4 seventh wave: SALSA closed form, partition modularity,
+        # bowtie macro-structure, readability, embedding covariance
+        "crawl_host_salsa",
+        "crawl_community_modularity",
+        "crawl_host_bowtie",
+        "doc_readability",
+        "emb_pca_cov",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -1678,6 +1678,13 @@ def connected_components(
         if refs
         else pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
     )
+    if "a" not in final.column_names:
+        # Ray collapses zero-row map outputs to SCHEMA-LESS empty
+        # blocks (the repo's typed-empty rule): an edge-less graph
+        # reaches here with a 0-column table
+        final = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
 
     # driver-side labeling of the vertex-sized final forest
     parent: dict = {}
@@ -4420,3 +4427,301 @@ def opic_hosts(
         hist += cash
         cash = inflow + virtual // max(n, 1)
     return _opic_finish(pa.array(hosts, pa.string()), hist, cash)
+
+
+# ---------------------------------------------------------------------------
+# SALSA (closed form), modularity, bowtie
+# ---------------------------------------------------------------------------
+
+def salsa_hosts(edges, num_buckets: int = 64) -> pa.Table:
+    """distinct host edges → (host, side, degree, comp_size,
+    score_micros): SALSA hub/authority scores (Lempel & Moran, ACM
+    TOIT 2001 — the Stochastic Approach for Link-Structure Analysis,
+    the link-analysis ranker TREC/social-graph recommenders use in
+    place of HITS because it resists tightly-knit-community spam).
+
+    Uses the paper's CLOSED FORM instead of power iteration: within a
+    connected component C of the bipartite support graph (hub node
+    ``h:x`` per distinct out-linking host, authority node ``a:y`` per
+    distinct in-linked host, one undirected edge per directed link),
+    the authority chain's stationary weight of ``a`` is
+    ``indeg(a) / Σ_{a'∈C} indeg(a')``, and components are weighted by
+    their share of authority nodes — so
+
+        auth_score(a)  = |C∩A| · indeg(a)  · 1e6 // (|A| · Σ_{C∩A} indeg)
+        hub_score(h)   = |C∩H| · outdeg(h) · 1e6 // (|H| · Σ_{C∩H} outdeg)
+
+    All-integer (one floor division, positive operands — Python and
+    DuckDB agree), so the oracle recomputes the identical closed form
+    from a recursive min-label CTE over the same bipartite edges.
+
+    Scale shape: SALSA = connected components + degree sums — the
+    bipartite CC rides ``connected_components``'s spanning-forest
+    sparsification (corpus-sized edges touched once; the distributed
+    labeler past ``driver_label_max``), degrees ride the
+    ``host_degrees`` combiner pass; the per-component reduction and
+    final assembly are vertex-sized — the module's declared boundary
+    (same as `connected_components`).  The reference has no graph
+    kernels; this extends the engine's centrality family beside
+    HITS/PageRank (SURVEY §2 extensions)."""
+    import ray
+
+    edges = edges.materialize()  # consumed twice: bipartite CC + degrees
+
+    def bip(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "src": pc.binary_join_element_wise(
+                    "h:", batch["src"].cast(pa.string()), ""
+                ),
+                "dst": pc.binary_join_element_wise(
+                    "a:", batch["dst"].cast(pa.string()), ""
+                ),
+            }
+        )
+
+    comp = connected_components(
+        edges.map_batches(bip, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    )
+    deg_blocks = [
+        t
+        for t in ray.get(host_degrees(edges, num_buckets).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not deg_blocks or not comp.num_rows:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "side": pa.array([], pa.string()),
+                "degree": pa.array([], pa.int64()),
+                "comp_size": pa.array([], pa.int64()),
+                "score_micros": pa.array([], pa.int64()),
+            }
+        )
+    deg = pa.concat_tables(deg_blocks)
+    dhosts = np.asarray(deg["host"].to_pylist())
+    dsort = np.argsort(dhosts)
+    dhosts = dhosts[dsort]
+    outdeg = deg["out_degree"].to_numpy(zero_copy_only=False)[dsort]
+    indeg = deg["in_degree"].to_numpy(zero_copy_only=False)[dsort]
+
+    nodes = np.asarray(comp["host"].to_pylist())
+    labels = np.asarray(comp["component"].to_pylist())
+    out_parts = []
+    for prefix, side, dvec in (("h:", "hub", outdeg), ("a:", "auth", indeg)):
+        mask = np.char.startswith(nodes, prefix)
+        side_hosts = np.asarray([s[2:] for s in nodes[mask]])
+        side_labels = labels[mask]
+        d = dvec[np.searchsorted(dhosts, side_hosts)]
+        # per-component size + degree sum (component-count-sized)
+        uniq, inv = np.unique(side_labels, return_inverse=True)
+        csize = np.bincount(inv).astype(np.int64)
+        csum = np.zeros(len(uniq), np.int64)
+        np.add.at(csum, inv, d)
+        tot = np.int64(len(side_hosts))
+        score = (csize[inv] * d * 1_000_000) // (tot * csum[inv])
+        out_parts.append(
+            pa.table(
+                {
+                    "host": pa.array(side_hosts, pa.string()),
+                    "side": pa.array([side] * len(side_hosts), pa.string()),
+                    "degree": pa.array(d, pa.int64()),
+                    "comp_size": pa.array(csize[inv], pa.int64()),
+                    "score_micros": pa.array(score, pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(out_parts)
+
+
+def community_modularity(
+    edges, iters: int = 4, num_buckets: int = 64
+) -> pa.Table:
+    """distinct host edges → (community, n_hosts, m_in, d_sum,
+    q_micros): Newman-Girvan modularity decomposition of the LPA
+    partition (`lpa_communities`) over the undirected distinct host
+    graph — the partition-quality score a curator reads before using
+    communities for sampling quotas (Q near 0 = the partition is no
+    better than random; ~0.3+ = real community structure).
+
+        Q = Σ_c [ m_in(c)/m  −  (d_sum(c) / 2m)² ]
+
+    per-community, all-integer with the repo convention (micros, one
+    floor division per term, positive operands — Python and DuckDB
+    agree):  ``q_micros = m_in·1e6 // m  −  d_sum²·1e6 // (4m²)``,
+    where m = undirected distinct edge count, m_in(c) = edges with
+    both endpoints labeled c, d_sum(c) = Σ degrees of c's hosts
+    (endpoint incidences).  The oracle unrolls the identical LPA
+    recurrence (the `crawl_host_communities` CTEs) and recomputes the
+    same integer terms, so the match is bit-exact.
+
+    Scale shape: labels come from `lpa_communities` (its three
+    declared tiers); the edge tagging is ONE pass over the
+    undirected-distinct blocks with the (sorted hosts, label codes)
+    pair broadcast via ``ray.put`` — the PageRank broadcast-loop
+    boundary — and per-block COMMUNITY-COUNT-sized partials
+    tree-merged driver-side; the final per-community arithmetic runs
+    on Python ints (exact at any m)."""
+    import ray
+
+    labels = lpa_communities(edges, iters=iters, num_buckets=num_buckets)
+    if not labels.num_rows:
+        return pa.table(
+            {
+                "community": pa.array([], pa.string()),
+                "n_hosts": pa.array([], pa.int64()),
+                "m_in": pa.array([], pa.int64()),
+                "d_sum": pa.array([], pa.int64()),
+                "q_micros": pa.array([], pa.int64()),
+            }
+        )
+    und, und_refs, n_und = _und_distinct(edges, num_buckets)
+    hosts = np.asarray(labels["host"].to_pylist())
+    comm = np.asarray(labels["community"].to_pylist())
+    order = np.argsort(hosts)
+    hosts_s = hosts[order]
+    uniq, codes_s = np.unique(comm[order], return_inverse=True)
+    state_ref = ray.put((hosts_s, codes_s.astype(np.int64), len(uniq)))
+
+    @ray.remote(num_cpus=1)
+    def part(block: pa.Table) -> tuple:
+        hs, codes, k = ray.get(state_ref)
+        if not block.num_rows:
+            return (np.zeros(k, np.int64), np.zeros(k, np.int64), 0)
+        lo = np.asarray(block["lo"].to_pylist())
+        hi = np.asarray(block["hi"].to_pylist())
+        ca = codes[np.searchsorted(hs, lo)]
+        cb = codes[np.searchsorted(hs, hi)]
+        m_in = np.bincount(ca[ca == cb], minlength=k).astype(np.int64)
+        d = (
+            np.bincount(ca, minlength=k) + np.bincount(cb, minlength=k)
+        ).astype(np.int64)
+        return (m_in, d, block.num_rows)
+
+    parts = ray.get([part.remote(b) for b in und_refs])
+    k = len(uniq)
+    m_in = np.zeros(k, np.int64)
+    d_sum = np.zeros(k, np.int64)
+    m = 0
+    for mi, dd, nb in parts:
+        m_in += mi
+        d_sum += dd
+        m += nb
+    n_hosts = np.bincount(codes_s, minlength=k).astype(np.int64)
+    if m == 0:
+        q = [0] * k
+    else:
+        # Python ints: d_sum²·1e6 is exact at any scale
+        q = [
+            (int(mi) * 1_000_000) // m
+            - (int(dd) * int(dd) * 1_000_000) // (4 * m * m)
+            for mi, dd in zip(m_in, d_sum)
+        ]
+    return pa.table(
+        {
+            "community": pa.array(uniq, pa.string()),
+            "n_hosts": pa.array(n_hosts, pa.int64()),
+            "m_in": pa.array(m_in, pa.int64()),
+            "d_sum": pa.array(d_sum, pa.int64()),
+            "q_micros": pa.array(q, pa.int64()),
+        }
+    )
+
+
+def host_bowtie(edges, max_hops: int = 8, num_buckets: int = 64) -> pa.Table:
+    """distinct host edges → (host, fw_dist, bw_dist, region): the
+    Broder et al. (WWW9 2000) BOWTIE decomposition of the directed
+    host graph around a deterministic pivot — the macro-structure map
+    (SCC core / IN / OUT) a crawl planner reads to know how much of
+    the web its seeds can reach and from where it can be reached.
+
+    Pivot = the host maximizing in_degree + out_degree, ties → the
+    lexicographically smallest host (SQL-reproducible: ``ORDER BY
+    deg DESC, host LIMIT 1``).  Two capped multi-source BFS runs
+    (`bfs_hosts`, ``max_hops`` synchronous min-relaxation rounds):
+    forward on the edges, backward on the swapped edges.  Regions —
+    CORE = fw- AND bw-reachable within the cap (the pivot's radius-
+    capped SCC), IN = bw-only (reaches the core), OUT = fw-only
+    (reached from the core), OTHER = neither (tendrils + tubes +
+    disconnected).  Unreached distances carry the ``max_hops+1``
+    sentinel (9), never NULL — all integers, so the oracle unrolls the
+    identical two BFS recurrences plus the same pivot pick and
+    matches bit-for-bit.
+
+    Scale shape: degrees ride the `host_degrees` combiner pass (the
+    pivot argmax is per-block top-1 partials — O(blocks) driver rows);
+    each BFS has `bfs_hosts`' three tiers; the final region CASE is a
+    vertex-sized assembly, the module's declared boundary."""
+    import ray
+
+    edges = edges.materialize()
+    deg_parts = []
+    for t in ray.get(host_degrees(edges, num_buckets).to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        tot = pc.add(t["out_degree"], t["in_degree"])
+        # per-block top-1 partial: max tot, tie → min host
+        tt = tot.to_numpy(zero_copy_only=False)
+        hs = np.asarray(t["host"].to_pylist())
+        best = np.lexsort((hs, -tt))[0]
+        deg_parts.append((int(tt[best]), str(hs[best])))
+    if not deg_parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "fw_dist": pa.array([], pa.int64()),
+                "bw_dist": pa.array([], pa.int64()),
+                "region": pa.array([], pa.string()),
+            }
+        )
+    pivot = min(deg_parts, key=lambda p: (-p[0], p[1]))[1]
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["dst"],
+                "dst": batch["src"],
+                "src_h": batch["dst_h"],
+                "dst_h": batch["src_h"],
+                "outdeg": batch["outdeg"],
+            }
+        )
+
+    fw = bfs_hosts(edges, [pivot], max_hops=max_hops)
+    bw = bfs_hosts(
+        edges.map_batches(swap, batch_format="pyarrow"),
+        [pivot],
+        max_hops=max_hops,
+    )
+    inf = max_hops + 1
+    verts, _ = _collect_verts(edges)
+    verts_np = np.asarray(sorted(verts))
+    fw_d = np.full(len(verts_np), inf, np.int64)
+    bw_d = np.full(len(verts_np), inf, np.int64)
+    for tbl, vec in ((fw, fw_d), (bw, bw_d)):
+        if tbl.num_rows:
+            idx = np.searchsorted(
+                verts_np, np.asarray(tbl["host"].to_pylist())
+            )
+            vec[idx] = tbl["dist"].to_numpy(zero_copy_only=False)
+    fr = fw_d <= max_hops
+    br = bw_d <= max_hops
+    region = np.where(
+        fr & br, "CORE", np.where(br, "IN", np.where(fr, "OUT", "OTHER"))
+    )
+    return pa.table(
+        {
+            "host": pa.array(verts_np, pa.string()),
+            "fw_dist": pa.array(fw_d, pa.int64()),
+            "bw_dist": pa.array(bw_d, pa.int64()),
+            "region": pa.array(region, pa.string()),
+        }
+    )

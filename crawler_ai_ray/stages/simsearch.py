@@ -1135,3 +1135,118 @@ def centroid_outliers(ds, nlist: int = 8, iters: int = 3, k: int = 50,
         "rank",
         pa.array(np.arange(1, len(cut) + 1, dtype=np.int64), pa.int64()),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: streaming covariance of the embedding column
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(
+    ds, emb_col: str = "embedding"
+) -> pa.Table:
+    """→ (i, j, n, cov_pico) for 0 ≤ i ≤ j < dim: the exact sample
+    covariance matrix of the embedding column — the PCA / whitening
+    precursor every embedding-space curation report starts from
+    (which axes carry the variance; is the space collapsed).
+
+    INTEGER-EXACT streaming: each batch quantizes its vectors to
+    micros (``round(x·1e6)`` half-away-from-zero — DuckDB ``round()``)
+    and emits dim²-SIZED partials (Σqᵢqⱼ upper triangle, Σqᵢ, count) —
+    never row-sized; the driver reduce runs on PYTHON INTS (no int64
+    overflow at any corpus size) and finishes with the textbook
+    identity, truncated toward zero like DuckDB's integer division:
+
+        cov_pico(i,j) = trunc((n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / n²)   [micros²]
+
+    so a DuckDB oracle that unnests the list column and computes the
+    same HUGEINT expression matches bit-for-bit.  One streaming pass,
+    no shuffle; per-batch partial int64 sums are safe while
+    batch_rows·1e12 < 2⁶³ (4096-row batches: ample)."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int32()),
+                    "j": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                }
+            )
+        mat = list_col_to_matrix(batch[emb_col]).astype(np.float64)
+        q = _half_away_micros(mat * 1e6)
+        dim = q.shape[1]
+        iu, ju = np.triu_indices(dim)
+        sxy = (q.T @ q)[iu, ju]
+        sx = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int32), pa.int32()),
+                "j": pa.array(ju.astype(np.int32), pa.int32()),
+                "n": pa.array(
+                    np.full(len(iu), batch.num_rows, np.int64), pa.int64()
+                ),
+                "sx": pa.array(
+                    np.where(iu == ju, sx[iu], 0).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sxy": pa.array(sxy.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int32()),
+                "j": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+                "cov_pico": pa.array([], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    agg = (
+        cat.group_by(["i", "j"])
+        .aggregate([("sxy", "sum"), ("sx", "sum"), ("n", "max")])
+    )
+    # n arrives replicated per (i,j) within a partial; total n = sum of
+    # per-batch counts — recompute from the diagonal's n column
+    import pyarrow.compute as pc
+
+    nagg = (
+        cat.filter(pc.and_(pc.equal(cat["i"], 0), pc.equal(cat["j"], 0)))
+        .group_by(["i"])
+        .aggregate([("n", "sum")])
+    )
+    n = int(nagg["n_sum"][0].as_py())
+    ii = agg["i"].to_numpy(zero_copy_only=False)
+    jj = agg["j"].to_numpy(zero_copy_only=False)
+    sxy = agg["sxy_sum"].to_pylist()
+    # Σqᵢ per axis from the diagonal rows
+    diag = {
+        int(i): int(s)
+        for i, j, s in zip(ii, jj, agg["sx_sum"].to_pylist())
+        if i == j
+    }
+    cov = []
+    for i, j, s in zip(ii, jj, sxy):
+        num = n * int(s) - diag[int(i)] * diag[int(j)]
+        den = n * n
+        c = abs(num) // den
+        cov.append(-c if num < 0 else c)
+    return pa.table(
+        {
+            "i": pa.array(ii.astype(np.int64), pa.int64()),
+            "j": pa.array(jj.astype(np.int64), pa.int64()),
+            "n": pa.array(np.full(len(ii), n, np.int64), pa.int64()),
+            "cov_pico": pa.array(cov, pa.int64()),
+        }
+    )

@@ -3461,3 +3461,56 @@ def percentile_rank_by(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --- readability (LIX / RIX) ----------------------------------------------
+
+_READ_WORD_RE = r"[A-Za-z0-9]+"
+_READ_LONG_RE = r"[A-Za-z0-9]{7,}"
+_READ_SENT_RE = r"[.!?]+"
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """→ (doc_id, n_words, n_long_words, n_sentences, lix_micros,
+    rix_micros): LIX readability (Björnsson 1968 — the language-
+    agnostic index corpus-quality filters use where English-only
+    syllable counters break) and Anderson's RIX variant.
+
+        LIX = words/sentences + 100·longwords/words     (long = ≥7 chars)
+        RIX = longwords/sentences
+
+    All counts are non-overlapping RE2 matches (``[A-Za-z0-9]+`` word
+    runs — a maximal run of ≥7 matches ``{7,}`` exactly once, greedy;
+    ``[.!?]+`` terminator runs), vectorized via
+    ``pc.count_substring_regex``; DuckDB's ``regexp_extract_all`` is
+    the same RE2, so the oracle's counts agree exactly.  Scores are
+    the repo's integer-micros convention: one floor division per term
+    over positive integers (``sentences`` floored at 1), so the match
+    is bit-exact."""
+    t = batch[text_col]
+    words = pc.cast(_count(t, _READ_WORD_RE), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    longw = pc.cast(_count(t, _READ_LONG_RE), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    sents = pc.cast(_count(t, _READ_SENT_RE), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    s1 = np.maximum(sents, 1)
+    lix = np.where(
+        words > 0,
+        (words * 1_000_000) // s1 + (longw * 100_000_000) // np.maximum(words, 1),
+        0,
+    )
+    rix = (longw * 1_000_000) // s1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words, pa.int64()),
+            "n_long_words": pa.array(longw, pa.int64()),
+            "n_sentences": pa.array(sents, pa.int64()),
+            "lix_micros": pa.array(lix, pa.int64()),
+            "rix_micros": pa.array(rix, pa.int64()),
+        }
+    )

@@ -1,0 +1,347 @@
+"""Wave-7 operators: SALSA (closed form), community modularity,
+bowtie decomposition, LIX/RIX readability, embedding covariance.
+
+Each engine kernel is differentially tested against an independent
+naive reference (pure-Python BFS/union-find/`re` counting, numpy
+covariance) on randomized inputs — the repo's oracle-golden pattern.
+"""
+from __future__ import annotations
+
+import random
+import re
+from collections import defaultdict, deque
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _graph_tbl(hosts, pairs):
+    links = {h: [] for h in hosts}
+    for s, d in pairs:
+        links[s].append(f"https://{d}/p")
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "out_links": pa.array(
+                [links[h] for h in hosts], pa.list_(pa.string())
+            ),
+        }
+    )
+
+
+def _rand_pairs(hosts, n, seed):
+    rng = random.Random(seed)
+    pairs = set()
+    for _ in range(n):
+        s, d = rng.sample(hosts, 2)
+        pairs.add((s, d))
+    return pairs
+
+
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_salsa_matches_naive_closed_form(ray_session, seed):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, salsa_hosts
+
+    hosts = [f"x{i}.com" for i in range(28)]
+    pairs = _rand_pairs(hosts, 55, seed)
+    got = salsa_hosts(
+        host_edges(ray.data.from_arrow(_graph_tbl(hosts, pairs)))
+    )
+
+    indeg, outdeg = defaultdict(int), defaultdict(int)
+    for s, d in pairs:
+        outdeg[s] += 1
+        indeg[d] += 1
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in pairs:
+        ra, rb = find("h:" + s), find("a:" + d)
+        if ra != rb:
+            parent[rb] = ra
+    comp = defaultdict(list)
+    for n in parent:
+        comp[find(n)].append(n)
+    want = {}
+    for side, prefix, deg in (("hub", "h:", outdeg), ("auth", "a:", indeg)):
+        side_nodes = [n for n in parent if n.startswith(prefix)]
+        tot = len(side_nodes)
+        for cnodes in comp.values():
+            cn = [n for n in cnodes if n.startswith(prefix)]
+            if not cn:
+                continue
+            csum = sum(deg[n[2:]] for n in cn)
+            for n in cn:
+                h = n[2:]
+                want[(h, side)] = (
+                    deg[h],
+                    len(cn),
+                    (len(cn) * deg[h] * 1_000_000) // (tot * csum),
+                )
+    gd = {
+        (h, s): (d, c, m)
+        for h, s, d, c, m in zip(
+            got["host"].to_pylist(),
+            got["side"].to_pylist(),
+            got["degree"].to_pylist(),
+            got["comp_size"].to_pylist(),
+            got["score_micros"].to_pylist(),
+        )
+    }
+    assert gd == want
+    # per-side stationary mass sums to ~1 (floor-division dust only)
+    for side in ("hub", "auth"):
+        tot_mass = sum(v[2] for k, v in gd.items() if k[1] == side)
+        n_side = sum(1 for k in gd if k[1] == side)
+        assert 1_000_000 - n_side <= tot_mass <= 1_000_000
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_modularity_matches_naive(ray_session, seed):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        community_modularity,
+        host_edges,
+        lpa_communities,
+    )
+
+    rng = random.Random(seed)
+    hosts = [f"x{i}.com" for i in range(36)]
+    pairs = set()
+    for grp in (hosts[:16], hosts[16:]):
+        for _ in range(90):
+            s, d = rng.sample(grp, 2)
+            pairs.add((s, d))
+    for _ in range(6):
+        s, d = rng.sample(hosts, 2)
+        pairs.add((s, d))
+    edges = host_edges(ray.data.from_arrow(_graph_tbl(hosts, pairs)))
+    labels = lpa_communities(edges)
+    got = community_modularity(edges)
+
+    lab = dict(
+        zip(labels["host"].to_pylist(), labels["community"].to_pylist())
+    )
+    und = {(min(s, d), max(s, d)) for s, d in pairs}
+    m = len(und)
+    m_in, dsum, nh = defaultdict(int), defaultdict(int), defaultdict(int)
+    for a, b in und:
+        if lab[a] == lab[b]:
+            m_in[lab[a]] += 1
+        dsum[lab[a]] += 1
+        dsum[lab[b]] += 1
+    for c in lab.values():
+        nh[c] += 1
+    want = {
+        c: (
+            nh[c],
+            m_in[c],
+            dsum[c],
+            (m_in[c] * 1_000_000) // m
+            - (dsum[c] * dsum[c] * 1_000_000) // (4 * m * m),
+        )
+        for c in nh
+    }
+    gd = {
+        c: (n, mi, ds, q)
+        for c, n, mi, ds, q in zip(
+            got["community"].to_pylist(),
+            got["n_hosts"].to_pylist(),
+            got["m_in"].to_pylist(),
+            got["d_sum"].to_pylist(),
+            got["q_micros"].to_pylist(),
+        )
+    }
+    assert gd == want
+    # the planted two-cluster graph has real structure
+    assert sum(q for *_, q in gd.values()) > 200_000
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_bowtie_matches_naive_bfs(ray_session, seed):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_bowtie, host_edges
+
+    rng = random.Random(seed)
+    hosts = [f"x{i:02d}.com" for i in range(32)]
+    core = hosts[:7]
+    pairs = set()
+    for i in range(7):
+        pairs.add((core[i], core[(i + 1) % 7]))
+    for h in hosts[7:14]:
+        pairs.add((h, rng.choice(core)))
+    for h in hosts[14:21]:
+        pairs.add((rng.choice(core), h))
+    for _ in range(6):
+        s, d = rng.sample(hosts[21:], 2)
+        pairs.add((s, d))
+    got = host_bowtie(
+        host_edges(ray.data.from_arrow(_graph_tbl(hosts, pairs)))
+    )
+
+    indeg, outdeg = defaultdict(int), defaultdict(int)
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    verts = set()
+    for s, d in pairs:
+        outdeg[s] += 1
+        indeg[d] += 1
+        fwd[s].append(d)
+        bwd[d].append(s)
+        verts |= {s, d}
+    pivot = min(verts, key=lambda h: (-(indeg[h] + outdeg[h]), h))
+
+    def bfs(adj, s, cap=8):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= cap:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    f, b = bfs(fwd, pivot), bfs(bwd, pivot)
+    want = {}
+    for h in verts:
+        fd, bd = f.get(h, 9), b.get(h, 9)
+        reg = (
+            "CORE"
+            if fd <= 8 and bd <= 8
+            else ("IN" if bd <= 8 else ("OUT" if fd <= 8 else "OTHER"))
+        )
+        want[h] = (fd, bd, reg)
+    gd = {
+        h: (fd, bd, r)
+        for h, fd, bd, r in zip(
+            got["host"].to_pylist(),
+            got["fw_dist"].to_pylist(),
+            got["bw_dist"].to_pylist(),
+            got["region"].to_pylist(),
+        )
+    }
+    assert gd == want
+    assert {r for *_, r in gd.values()} >= {"CORE", "IN", "OUT"}
+
+
+def test_readability_matches_naive_re():
+    from crawler_ai_ray.stages.textstats import readability_batch
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. It runs! Why?",
+        "Internationalization considerations require extraordinary "
+        "documentation... Seriously?!",
+        "",
+        "no terminators here just words and somelongwordhere",
+        "a. b. c. d!",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = readability_batch(batch)
+    for i, t in enumerate(texts):
+        words = len(re.findall(r"[A-Za-z0-9]+", t))
+        longw = len(re.findall(r"[A-Za-z0-9]{7,}", t))
+        sents = len(re.findall(r"[.!?]+", t))
+        s1 = max(sents, 1)
+        lix = (
+            (words * 1_000_000) // s1 + (longw * 100_000_000) // words
+            if words
+            else 0
+        )
+        rix = (longw * 1_000_000) // s1
+        assert got["n_words"][i].as_py() == words
+        assert got["n_long_words"][i].as_py() == longw
+        assert got["n_sentences"][i].as_py() == sents
+        assert got["lix_micros"][i].as_py() == lix
+        assert got["rix_micros"][i].as_py() == rix
+
+
+def test_embedding_covariance_exact_and_partition_invariant(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import embedding_covariance
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 8
+    mat = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_covariance(ray.data.from_arrow(tbl))
+    got2 = embedding_covariance(
+        ray.data.from_arrow(tbl).repartition(7)
+    )
+    assert got.sort_by([("i", "ascending"), ("j", "ascending")]).equals(
+        got2.sort_by([("i", "ascending"), ("j", "ascending")])
+    )
+
+    # naive exact integer recompute (the oracle's arithmetic)
+    x = mat.astype(np.float64) * 1e6
+    q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    gd = {
+        (i, j): c
+        for i, j, c in zip(
+            got["i"].to_pylist(),
+            got["j"].to_pylist(),
+            got["cov_pico"].to_pylist(),
+        )
+    }
+    assert len(gd) == dim * (dim + 1) // 2
+    for i in range(dim):
+        for j in range(i, dim):
+            num = int(n) * int(np.dot(q[:, i], q[:, j])) - int(
+                q[:, i].sum()
+            ) * int(q[:, j].sum())
+            c = abs(num) // (n * n)
+            want = -c if num < 0 else c
+            assert gd[(i, j)] == want
+    # float sanity: matches numpy population covariance to micro scale
+    C = np.cov(mat.astype(np.float64), rowvar=False, bias=True)
+    for i in range(dim):
+        assert abs(gd[(i, i)] / 1e12 - C[i, i]) < 2e-6
+
+
+def test_wave7_empty_graph(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        community_modularity,
+        host_bowtie,
+        host_edges,
+        salsa_hosts,
+    )
+
+    tbl = pa.table(
+        {
+            "host": pa.array(["solo.com"], pa.string()),
+            "out_links": pa.array([[]], pa.list_(pa.string())),
+        }
+    )
+    edges = host_edges(ray.data.from_arrow(tbl))
+    assert salsa_hosts(edges).num_rows == 0
+    assert community_modularity(edges).num_rows == 0
+    assert host_bowtie(edges).num_rows == 0
