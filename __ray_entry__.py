@@ -2000,6 +2000,19 @@ def _q_doc_readability(sf_dir: str):
     )
 
 
+def _q_doc_rake_keywords(sf_dir: str):
+    """Per-document RAKE keyword phrases (Rose et al. 2010): top-5
+    candidate phrases by degree/frequency word scores — unsupervised
+    topic labels for a corpus profile.  Integer micros scoring over a
+    shared-RE2 canonicalization; the oracle replays the identical
+    two-pass stopword-delimiter replace and phrase extraction."""
+    from crawler_ai_ray.stages.textstats import rake_keywords_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        rake_keywords_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_langid(sf_dir: str):
     from crawler_ai_ray.stages.textstats import langid_batch
 
@@ -3141,6 +3154,20 @@ def _q_emb_pca_cov(sf_dir: str):
     )
 
 
+def _q_emb_pca_power(sf_dir: str):
+    """Top principal component of the embedding space by integer power
+    iteration over the exact covariance (24 unrolled rounds — the
+    oracle runs the identical integer recurrence, so agreement never
+    depends on spectrum convergence).  Corpus-sized work = the one
+    covariance streaming pass; the iteration is a dim×dim driver
+    solve."""
+    from crawler_ai_ray.stages.simsearch import pca_top_component
+
+    return pca_top_component(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     from crawler_ai_ray.stages.simsearch import ivf_assign, kmeans_train, knn_ivf
 
@@ -3793,6 +3820,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_bowtie": _q_crawl_host_bowtie,
         "doc_readability": _q_doc_readability,
         "emb_pca_cov": _q_emb_pca_cov,
+        "emb_pca_power": _q_emb_pca_power,
+        "doc_rake_keywords": _q_doc_rake_keywords,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_page_quality": _q_crawl_page_quality,
@@ -4046,7 +4075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_url_surt, crawl_cdx_domains, crawl_host_opic,
         # crawl_mirror_hosts, crawl_host_salsa,
         # crawl_community_modularity, crawl_host_bowtie,
-        # doc_readability, emb_pca_cov.
+        # doc_readability, emb_pca_cov, emb_pca_power,
+        # doc_rake_keywords.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5302,6 +5332,107 @@ def oracle_sql() -> dict[str, str]:
     JOIN s sa ON sa.i = x.i
     JOIN s sb ON sb.i = x.j"""
 
+    # RAKE: identical two-pass stopword-delimiter canonicalization
+    # (RE2 'g' replace consumes the trailing space — the second pass
+    # catches the alternating stopwords of a run, exactly like the
+    # engine's `_rake_canon`), then integer degree/frequency scores.
+    from crawler_ai_ray.stages.textstats import _RAKE_STOPS
+
+    rake = f"""
+    WITH canon AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g')
+                || ' ',
+            ' ({_RAKE_STOPS}) ', ' | ', 'g'),
+          ' ({_RAKE_STOPS}) ', ' | ', 'g') AS s
+      FROM documents),
+    ph AS (
+      SELECT doc_id, phrase,
+             len(string_split(phrase, ' '))::BIGINT AS plen
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(s, '[a-z]+( [a-z]+)*'))
+                     AS phrase
+            FROM canon)),
+    wd AS (
+      SELECT doc_id, unnest(string_split(phrase, ' ')) AS w, plen
+      FROM ph),
+    ws AS (
+      SELECT doc_id, w,
+             ((sum(plen) * 1000000) // count(*))::BIGINT AS wscore
+      FROM wd GROUP BY 1, 2),
+    pd AS (SELECT DISTINCT doc_id, phrase FROM ph),
+    pw AS (
+      SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+      FROM pd),
+    ps AS (
+      SELECT pw.doc_id, pw.phrase,
+             sum(ws.wscore)::BIGINT AS score_micros
+      FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.w = pw.w
+      GROUP BY 1, 2)
+    SELECT doc_id, rank, phrase, score_micros FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micros DESC, phrase)::BIGINT AS rank
+      FROM ps)
+    WHERE rank <= 5"""
+
+    # PCA power iteration: the covariance CTEs + 24 unrolled integer
+    # rounds — w = C·v in HUGEINT, renormalize by trunc(w·1e6/max|w|)
+    # with DuckDB's native trunc-toward-zero //, exactly the engine's
+    # Python-int recurrence.  Bit-exact regardless of eigengap.
+    pca_power = """
+    WITH q AS (
+      SELECT vec_id, i - 1 AS i,
+             round(e::DOUBLE * 1000000)::BIGINT AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM q),
+    s AS (SELECT i, sum(q)::HUGEINT AS sx FROM q GROUP BY i),
+    x AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS sxy
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2),
+    cv AS MATERIALIZED (
+      SELECT x.i, x.j,
+             ((nn.n::HUGEINT * x.sxy - sa.sx * sb.sx)
+               // (nn.n::HUGEINT * nn.n))::HUGEINT AS v
+      FROM x
+      CROSS JOIN nn
+      JOIN s sa ON sa.i = x.i
+      JOIN s sb ON sb.i = x.j),
+    cs AS MATERIALIZED (
+      SELECT i, j, v FROM cv
+      UNION ALL
+      SELECT j, i, v FROM cv WHERE i <> j),
+    v0 AS (SELECT DISTINCT i, 1000000::HUGEINT AS x FROM cs)"""
+    for _i in range(1, 25):
+        pca_power += f""",
+    w{_i} AS MATERIALIZED (
+      SELECT cs.i AS i, sum(cs.v * p.x)::HUGEINT AS w
+      FROM cs JOIN v{_i - 1} p ON p.i = cs.j GROUP BY 1),
+    m{_i} AS (SELECT greatest(max(abs(w)), 1)::HUGEINT AS mx
+              FROM w{_i}),
+    v{_i} AS MATERIALIZED (
+      SELECT i, (CASE WHEN w >= 0 THEN (w * 1000000) // mx
+                      ELSE -((-w * 1000000) // mx) END)::HUGEINT AS x
+      FROM w{_i} CROSS JOIN m{_i})"""
+    pca_power += """,
+    ray_num AS (
+      SELECT sum(va.x * cs.v * vb.x)::HUGEINT AS num
+      FROM cs JOIN v24 va ON va.i = cs.i
+              JOIN v24 vb ON vb.i = cs.j),
+    ray_den AS (
+      SELECT greatest(sum(x * x), 1)::HUGEINT AS den FROM v24),
+    eig AS (
+      SELECT (CASE WHEN num >= 0 THEN num // den
+                   ELSE -((-num) // den) END)::BIGINT AS e
+      FROM ray_num CROSS JOIN ray_den)
+    SELECT v24.i::BIGINT AS i, v24.x::BIGINT AS loading_micros,
+           eig.e AS eigval_pico, nn.n AS n
+    FROM v24 CROSS JOIN eig CROSS JOIN nn"""
+
     # curation chain CTEs (pipelines/curate.py): stage-1 keep rules are
     # integer-exact; near-dup clustering re-derives the pair graph from
     # the minhash golden restricted to stage-1 survivors (sf0.01 golden,
@@ -5684,6 +5815,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_bowtie": bowtie_sql,
         "doc_readability": readability,
         "emb_pca_cov": pca_cov,
+        "emb_pca_power": pca_power,
+        "doc_rake_keywords": rake,
         "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,

@@ -288,6 +288,9 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_bowtie",
         "doc_readability",
         "emb_pca_cov",
+        # round 4 eighth wave: PCA power iteration, RAKE keywords
+        "emb_pca_power",
+        "doc_rake_keywords",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -1250,3 +1250,68 @@ def embedding_covariance(
             "cov_pico": pa.array(cov, pa.int64()),
         }
     )
+
+
+def pca_top_component(
+    ds, emb_col: str = "embedding", iters: int = 24
+) -> pa.Table:
+    """→ (i, loading_micros, eigval_pico, n): the TOP PRINCIPAL
+    COMPONENT of the embedding column — dominant eigenvector of the
+    exact integer covariance from `embedding_covariance`, by ``iters``
+    rounds of INTEGER power iteration (the anisotropy / collapsed-
+    space diagnostic an embedding-curation report leads with, and the
+    projection axis for 1-D curriculum binning).
+
+    Determinism without convergence assumptions: v₀ = 1e6 on every
+    axis; each round w = C·v on PYTHON INTS (no overflow at any dim),
+    then renormalize ``v = trunc(w·1e6 / max|w|)`` with DuckDB's
+    trunc-toward-zero (`x>=0 → (x·1e6)//mx`, else `-((-x·1e6)//mx)`).
+    The oracle unrolls the IDENTICAL rounds in HUGEINT, so engine and
+    SQL agree bit-for-bit even when the spectrum is degenerate and the
+    iteration hasn't converged — the comparison never depends on
+    eigengap.  ``eigval_pico`` is the integer Rayleigh quotient
+    trunc(vᵀCv / max(vᵀv, 1)) (covariance units ×1e-12).
+
+    Scale shape: all corpus-sized work is the `embedding_covariance`
+    streaming pass; the iteration is a dim×dim driver solve (dim ≤
+    few-thousand — model-embedding sized, never corpus-sized)."""
+    cov = embedding_covariance(ds, emb_col=emb_col)
+    if not cov.num_rows:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "loading_micros": pa.array([], pa.int64()),
+                "eigval_pico": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    ii = cov["i"].to_pylist()
+    jj = cov["j"].to_pylist()
+    vv = cov["cov_pico"].to_pylist()
+    n = int(cov["n"][0].as_py())
+    dim = max(jj) + 1
+    C = [[0] * dim for _ in range(dim)]
+    for i, j, c in zip(ii, jj, vv):
+        C[i][j] = c
+        C[j][i] = c
+    v = [1_000_000] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max((abs(x) for x in w), default=0) or 1
+        v = [
+            (x * 1_000_000) // mx if x >= 0 else -((-x * 1_000_000) // mx)
+            for x in w
+        ]
+    num = sum(
+        v[i] * C[i][j] * v[j] for i in range(dim) for j in range(dim)
+    )
+    den = max(sum(x * x for x in v), 1)
+    eig = num // den if num >= 0 else -((-num) // den)
+    return pa.table(
+        {
+            "i": pa.array(list(range(dim)), pa.int64()),
+            "loading_micros": pa.array(v, pa.int64()),
+            "eigval_pico": pa.array([eig] * dim, pa.int64()),
+            "n": pa.array([n] * dim, pa.int64()),
+        }
+    )

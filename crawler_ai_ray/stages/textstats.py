@@ -3514,3 +3514,86 @@ def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "rix_micros": pa.array(rix, pa.int64()),
         }
     )
+
+
+# --- RAKE keyword extraction ----------------------------------------------
+
+# RAKE delimiter stopwords = the quality-score stopword list (shared
+# with QUALITY_STOPWORD_RE so engine and oracle agree on one literal).
+_RAKE_STOPS = (
+    "the|a|an|and|or|but|of|to|in|on|at|for|with|is|are|was|were"
+)
+_RAKE_STOP_RE = re.compile(r" (" + _RAKE_STOPS + r") ")
+_RAKE_NONWORD_RE = re.compile(r"[^a-z]+")
+_RAKE_PHRASE_RE = re.compile(r"[a-z]+( [a-z]+)*")
+
+
+def _rake_canon(text: str) -> str:
+    """lower → non-letter runs to single spaces → pad → stopwords to
+    ``|`` delimiters in TWO passes (RE2 global replace consumes the
+    trailing space, so adjacent stopwords need the second pass —
+    each pass replaces every other stopword in a run).  The oracle
+    runs the identical two ``regexp_replace(…, 'g')`` passes."""
+    s = " " + _RAKE_NONWORD_RE.sub(" ", text.lower()) + " "
+    s = _RAKE_STOP_RE.sub(" | ", s)
+    s = _RAKE_STOP_RE.sub(" | ", s)
+    return s
+
+
+def rake_keywords_batch(
+    batch: pa.Table, top_k: int = 5, text_col: str = "text"
+) -> pa.Table:
+    """→ (doc_id, rank, phrase, score_micros): per-document RAKE
+    keywords (Rose et al. 2010, "Automatic Keyword Extraction from
+    Individual Documents") — the unsupervised phrase labeler a corpus
+    report uses for topic profiling without a model.
+
+    Candidate phrases = maximal word runs between stopword/punctuation
+    delimiters; word score = degree·1e6 // freq over the DOC's phrase
+    occurrences (degree = Σ phrase lengths containing the word, freq =
+    occurrence count); phrase score = Σ word score_micros over the
+    phrase's words (repeats counted); top_k DISTINCT phrases per doc,
+    ties → lexicographically smallest phrase.  All counts and the one
+    floor division are integers, and tokenization is shared-RE2
+    canonicalization (`_rake_canon`), so a DuckDB oracle reproduces
+    every score bit-exactly.
+
+    Scale shape: embarrassingly parallel per-doc map (state = three
+    module-level compiled regexes); output is ≤ top_k rows/doc."""
+    ids, ranks, phrases, scores = [], [], [], []
+    for doc_id, text in zip(
+        batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
+    ):
+        s = _rake_canon(text or "")
+        plist = [m.group(0) for m in _RAKE_PHRASE_RE.finditer(s)]
+        if not plist:
+            continue
+        freq: dict = {}
+        deg: dict = {}
+        split_cache: dict = {}
+        for p in plist:
+            ws = split_cache.setdefault(p, p.split(" "))
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ws)
+        wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+        pscore: dict = {}
+        for p in plist:
+            if p not in pscore:
+                pscore[p] = sum(wscore[w] for w in split_cache[p])
+        top = sorted(pscore.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :top_k
+        ]
+        for r, (p, sc) in enumerate(top, start=1):
+            ids.append(doc_id)
+            ranks.append(r)
+            phrases.append(p)
+            scores.append(sc)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "phrase": pa.array(phrases, pa.string()),
+            "score_micros": pa.array(scores, pa.int64()),
+        }
+    )

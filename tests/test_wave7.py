@@ -345,3 +345,99 @@ def test_wave7_empty_graph(ray_session):
     assert salsa_hosts(edges).num_rows == 0
     assert community_modularity(edges).num_rows == 0
     assert host_bowtie(edges).num_rows == 0
+
+
+def test_pca_top_component_matches_numpy_and_partitioning(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import pca_top_component
+
+    rng = np.random.default_rng(9)
+    n, dim = 400, 6
+    # well-separated spectrum: one dominant axis + noise
+    base = rng.normal(size=(n, 1)) @ np.array([[3.0, 1.5, 0.5, 0, 0, 0]])
+    mat = (base + rng.normal(scale=0.1, size=(n, dim))).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = pca_top_component(ray.data.from_arrow(tbl))
+    got2 = pca_top_component(ray.data.from_arrow(tbl).repartition(5))
+    assert got.equals(got2)  # partition-invariant integer math
+
+    v = np.array(got["loading_micros"].to_pylist(), np.float64)
+    v /= np.linalg.norm(v)
+    C = np.cov(mat.astype(np.float64), rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    assert abs(abs(np.dot(v, top)) - 1.0) < 1e-4  # same direction
+    eig = got["eigval_pico"][0].as_py() / 1e12
+    assert abs(eig - w[-1]) / w[-1] < 1e-3  # Rayleigh quotient
+
+
+def test_rake_keywords_hand_computed():
+    from crawler_ai_ray.stages.textstats import rake_keywords_batch
+
+    # classic RAKE behavior: multi-word phrases outrank single words
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "Deep learning models and deep learning systems. "
+                    "The models work!",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = rake_keywords_batch(batch)
+    rows = list(
+        zip(
+            got["doc_id"].to_pylist(),
+            got["rank"].to_pylist(),
+            got["phrase"].to_pylist(),
+            got["score_micros"].to_pylist(),
+        )
+    )
+    assert all(d == 1 for d, *_ in rows)  # empty doc 2 emits nothing
+    # phrases: "deep learning models", "deep learning systems",
+    # "models work".  freq: deep 2, learning 2, models 2, systems 1,
+    # work 1. deg: deep 6, learning 6, models 5, systems 3, work 2.
+    ws = {
+        "deep": 3_000_000,
+        "learning": 3_000_000,
+        "models": 2_500_000,
+        "systems": 3_000_000,
+        "work": 2_000_000,
+    }
+    want = {
+        "deep learning models": ws["deep"] + ws["learning"] + ws["models"],
+        "deep learning systems": ws["deep"]
+        + ws["learning"]
+        + ws["systems"],
+        "models work": ws["models"] + ws["work"],
+    }
+    got_scores = {p: s for _, _, p, s in rows}
+    assert got_scores == want
+    # rank 1 = highest score (systems: 9M beats models: 8.5M)
+    assert rows[0][2] == "deep learning systems"
+
+
+def test_rake_adjacent_stopword_runs():
+    from crawler_ai_ray.stages.textstats import _rake_canon
+
+    # runs of 1-4 stopwords all collapse to delimiters (two-pass rule)
+    s = _rake_canon("alpha the beta the and gamma the and of delta")
+    phrases = [p for p in s.split("|") if p.strip()]
+    assert [p.strip() for p in phrases] == [
+        "alpha",
+        "beta",
+        "gamma",
+        "delta",
+    ]
