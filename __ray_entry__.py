@@ -741,6 +741,21 @@ def _q_crawl_host_bowtie(sf_dir: str):
     return host_bowtie(_host_edges(sf_dir))
 
 
+def _q_crawl_robots_audit(sf_dir: str):
+    """Pre-flight robots audit: which page URLs the per-host
+    robots.txt disallow prefixes WOULD block if enforcement were on
+    (the reference ships `ROBOTSTXT_OBEY = False`; the engine's gate
+    mirrors it behind a flag) — the driver-checkable face of the
+    politeness/robots state.  hostcfg is a broadcast dimension table;
+    path extraction is one shared regex on both sides."""
+    from crawler_ai_ray.state.politeness import robots_audit
+
+    return robots_audit(
+        _pages(sf_dir, columns=["url"]),
+        os.path.join(_corpus(sf_dir), "hostcfg.parquet"),
+    )
+
+
 def _q_crawl_page_quality(sf_dir: str):
     """Training-data quality signals over CRAWLED page text (the
     extraction output feeding the curation chain, not the documents
@@ -3822,6 +3837,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca_cov": _q_emb_pca_cov,
         "emb_pca_power": _q_emb_pca_power,
         "doc_rake_keywords": _q_doc_rake_keywords,
+        "crawl_robots_audit": _q_crawl_robots_audit,
         "crawl_host_degrees": _q_crawl_host_degrees,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_page_quality": _q_crawl_page_quality,
@@ -4076,7 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_mirror_hosts, crawl_host_salsa,
         # crawl_community_modularity, crawl_host_bowtie,
         # doc_readability, emb_pca_cov, emb_pca_power,
-        # doc_rake_keywords.
+        # doc_rake_keywords, crawl_robots_audit.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4959,6 +4975,24 @@ def oracle_sql() -> dict[str, str]:
           JOIN und ON und.a = reach.r)
         SELECT host, min(r) AS component FROM reach GROUP BY host"""
 
+    hostcfg = os.path.join(corpus, "hostcfg.parquet")
+    robots_audit_sql = f"""
+        WITH pg AS (
+          SELECT url,
+                 lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                 COALESCE(NULLIF(regexp_extract(url,
+                   '^[a-z]+://[^/]+(/[^?#]*)', 1), ''), '/') AS path
+          FROM read_parquet('{golden}')),
+        cfg AS (SELECT host, robots_disallow
+                FROM read_parquet('{hostcfg}')
+                WHERE len(robots_disallow) > 0)
+        SELECT pg.url, pg.host, pg.path,
+               (COALESCE(len(list_filter(cfg.robots_disallow,
+                   d -> starts_with(pg.path, d))), 0) > 0) AS blocked,
+               COALESCE(list_filter(cfg.robots_disallow,
+                   d -> starts_with(pg.path, d))[1], '') AS rule
+        FROM pg LEFT JOIN cfg ON cfg.host = pg.host"""
+
     degrees_sql = f"""
         WITH e0 AS (
           SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
@@ -5817,6 +5851,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca_cov": pca_cov,
         "emb_pca_power": pca_power,
         "doc_rake_keywords": rake,
+        "crawl_robots_audit": robots_audit_sql,
         "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,

@@ -291,6 +291,7 @@ def bench_queries(sf_dir: str) -> dict:
         # round 4 eighth wave: PCA power iteration, RAKE keywords
         "emb_pca_power",
         "doc_rake_keywords",
+        "crawl_robots_audit",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -17,6 +17,8 @@ never enter the URL-seen set either (FIXTURES.md F6).
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from urllib.parse import urlparse
 
@@ -76,3 +78,75 @@ def load_host_policies(hostcfg_path: str) -> dict[str, HostPolicy]:
             max_pages=row.get("max_pages") or 50,
         )
     return out
+
+
+_PATH_RX = re.compile(r"^[a-z]+://[^/]+(/[^?#]*)")
+
+
+def robots_audit(pages, hostcfg_path: str):
+    """pages (url) → (url, host, path, blocked, rule): which URLs the
+    per-host robots.txt disallow rules WOULD block if `obey_robots`
+    were on (the reference ships it off, `settings.py:9`; the engine
+    gates behind the same flag) — the pre-flight audit a crawl
+    operator runs before enabling enforcement, and the driver-checkable
+    face of the politeness/robots state (`robots_allowed` above).
+
+    ``rule`` = the FIRST matching disallow prefix in stored list order
+    ('' when allowed) — the same first-match the gate uses; the path
+    is extracted with one shared regex (scheme://authority(/path
+    before ?#)), '' → '/', so the DuckDB oracle (`regexp_extract` +
+    `starts_with` inside `list_filter`) reproduces every row exactly.
+
+    Scale shape: hostcfg is a DIMENSION table (config-sized, like the
+    TPC-H broadcast sides) — loaded once, `ray.put` once, read per
+    task; the pages stream maps embarrassingly parallel."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+
+    pol = load_host_policies(hostcfg_path)
+    dis = {
+        h: p.robots_disallow for h, p in pol.items() if p.robots_disallow
+    }
+    dis_ref = ray.put(dis)
+
+    from ..functions.classify import host_of
+
+    def audit(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "blocked": pa.array([], pa.bool_()),
+                    "rule": pa.array([], pa.string()),
+                }
+            )
+        d = ray.get(dis_ref)
+        urls = batch["url"].to_pylist()
+        hosts, paths, blocked, rules = [], [], [], []
+        for u in urls:
+            h = host_of(u)
+            m = _PATH_RX.match(u)
+            path = (m.group(1) if m else "") or "/"
+            rule = ""
+            for pref in d.get(h, ()):
+                if path.startswith(pref):
+                    rule = pref
+                    break
+            hosts.append(h)
+            paths.append(path)
+            rules.append(rule)
+            blocked.append(bool(rule))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "blocked": pa.array(blocked, pa.bool_()),
+                "rule": pa.array(rules, pa.string()),
+            }
+        )
+
+    return pages.map_batches(audit, batch_format="pyarrow")

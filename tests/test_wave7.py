@@ -441,3 +441,79 @@ def test_rake_adjacent_stopword_runs():
         "gamma",
         "delta",
     ]
+
+
+def test_robots_audit_path_parity_and_gate_agreement(ray_session):
+    """The audit's shared path regex must agree with the gate's
+    urlparse on corpus-shaped and adversarial URLs, and the audit's
+    blocked column must equal `robots_allowed` with obey_robots on."""
+    from urllib.parse import urlparse
+
+    import ray.data
+
+    from crawler_ai_ray.state.politeness import (
+        _PATH_RX,
+        CrawlPolicy,
+        HostPolicy,
+        robots_audit,
+    )
+
+    urls = [
+        "https://a.com/products/x?page=2",
+        "https://a.com/blog/post#frag",
+        "https://a.com",
+        "https://a.com/",
+        "https://a.com/careers",
+        "http://b.com/products/deep/path.html?a=1#b",
+        "https://c.com/?onlyquery=1",
+    ]
+    for u in urls:
+        m = _PATH_RX.match(u)
+        assert ((m.group(1) if m else "") or "/") == (
+            urlparse(u).path or "/"
+        )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    cfg = pa.table(
+        {
+            "host": pa.array(["a.com", "b.com"], pa.string()),
+            "crawl_delay_s": pa.array([0.0, 0.0], pa.float64()),
+            "robots_disallow": pa.array(
+                [["/products/", "/blog/"], ["/products/"]],
+                pa.list_(pa.string()),
+            ),
+            "max_pages": pa.array([50, 50], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        cfgp = os.path.join(td, "hostcfg.parquet")
+        pq.write_table(cfg, cfgp)
+        pages = ray.data.from_arrow(
+            pa.table({"url": pa.array(urls, pa.string())})
+        )
+        got = robots_audit(pages, cfgp)
+        blocks = [t for t in got.to_arrow_refs()]
+        import ray as _ray
+
+        tab = pa.concat_tables(
+            [t for t in _ray.get(blocks) if t.num_rows]
+        )
+        pol = CrawlPolicy(obey_robots=True)
+        pol.hosts = {
+            "a.com": HostPolicy(
+                robots_disallow=("/products/", "/blog/")
+            ),
+            "b.com": HostPolicy(robots_disallow=("/products/",)),
+        }
+        gd = dict(zip(tab["url"].to_pylist(), tab["blocked"].to_pylist()))
+        for u in urls:
+            host = urlparse(u).netloc.lower()
+            assert gd[u] == (not pol.robots_allowed(host, u)), u
+        assert gd["https://a.com/products/x?page=2"] is True
+        assert gd["https://a.com/careers"] is False
+        rules = dict(zip(tab["url"].to_pylist(), tab["rule"].to_pylist()))
+        assert rules["https://a.com/blog/post#frag"] == "/blog/"
+        assert rules["https://c.com/?onlyquery=1"] == ""
