@@ -313,6 +313,127 @@ def export_jsonl(
     return manifest
 
 
+def export_parquet_partitioned(
+    docs_path: str,
+    out_dir: str,
+    *,
+    key_col: str = "doc_id",
+    num_partitions: int = 32,
+    columns: list[str] | None = None,
+    resume: bool = False,
+) -> dict:
+    """Export a Parquet corpus as HASH-PARTITIONED Parquet with
+    PER-PARTITION resume — the brief's "resumable output" contract at
+    partition granularity (the JSONL sink's ``export.done`` is
+    all-or-nothing; a 100 TB export needs to skip FINISHED partitions
+    after a mid-run failure, not restart).
+
+    Layout: ``out_dir/part-{pid:05d}.parquet`` + ``part-{pid:05d}.done``
+    (row count JSON), pid = ``blake2b(key) % num_partitions`` (the
+    repo's process-stable hash rule — never ``hash()``).  Each
+    partition file is written to a tmp name and ``os.rename``d before
+    its marker lands (atomic on one filesystem), so a crash leaves
+    either nothing or a complete partition — never a torn file with a
+    marker.
+
+    ``resume=True`` lists existing markers FIRST and filters those
+    partitions out BEFORE the shuffle — finished partitions cost one
+    vectorized hash per row, not a write.  One pass + one
+    ``num_partitions``-group bucket shuffle (the minimum for a sink
+    that must co-locate each partition in one writer).
+
+    Returns ``{"rows", "partitions", "skipped", "out_dir"}``."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from .sources.pqread import read_parquet_rowgroups
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_pids = set()
+    if resume:
+        for f in glob.glob(os.path.join(out_dir, "part-*.done")):
+            done_pids.add(int(os.path.basename(f)[5:10]))
+
+    def _pid(keys) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(k).encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                % num_partitions
+                for k in keys
+            ],
+            dtype=np.int32,
+        )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch.add_column(
+                0, "pid", pa.array([], pa.int32())
+            )
+        pid = _pid(batch[key_col].to_pylist())
+        keep = ~np.isin(pid, list(done_pids)) if done_pids else None
+        out = batch.add_column(0, "pid", pa.array(pid, pa.int32()))
+        return out.filter(pa.array(keep)) if keep is not None else out
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int32()),
+                    "rows": pa.array([], pa.int64()),
+                }
+            )
+        pid = int(group["pid"][0].as_py())
+        body = group.drop_columns(["pid"]).sort_by(
+            [(key_col, "ascending")]
+        )
+        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pqt.write_table(body, tmp)
+        os.rename(tmp, final)
+        with open(
+            os.path.join(out_dir, f"part-{pid:05d}.done"), "w"
+        ) as f:
+            json.dump({"pid": pid, "rows": body.num_rows}, f)
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    ds = read_parquet_rowgroups(docs_path, columns=columns)
+    manifest = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(write_partition, batch_format="pyarrow")
+    )
+    import ray
+
+    parts = [
+        t for t in ray.get(manifest.to_arrow_refs()) if t.num_rows
+    ]
+    written = pa.concat_tables(parts) if parts else None
+    rows = int(written["rows"].to_pandas().sum()) if written else 0
+    n_written = written.num_rows if written else 0
+    return {
+        "rows": rows,
+        "partitions": n_written,
+        "skipped": len(done_pids),
+        "out_dir": out_dir,
+    }
+
+
 def graph(
     pages_path: str,
     out_dir: str,
@@ -327,7 +448,8 @@ def graph(
     Methods: ``pagerank``, ``ppr``*, ``trustrank``*, ``opic``,
     ``hits``, ``components``, ``degrees``, ``bfs``*, ``communities``,
     ``triangles``, ``kcore``, ``linkpred``, ``hyperball``,
-    ``neighborhood``, ``reciprocity``, ``assortativity``
+    ``neighborhood``, ``reciprocity``, ``assortativity``,
+    ``salsa``, ``modularity``, ``bowtie``
     (* = requires ``seeds``).  Edges are built once with the link-only
     extraction projection; every kernel is the same adaptive-tier
     implementation the driver checks.  Returns
@@ -363,6 +485,9 @@ def graph(
         "neighborhood": lambda: lg.neighborhood_function(edges),
         "reciprocity": lambda: lg.reciprocity_hosts(edges),
         "assortativity": lambda: lg.assortativity_hosts(edges),
+        "salsa": lambda: lg.salsa_hosts(edges),
+        "modularity": lambda: lg.community_modularity(edges),
+        "bowtie": lambda: lg.host_bowtie(edges),
     }
     if method not in kernels:
         raise ValueError(f"unknown graph method: {method}")

@@ -10,6 +10,8 @@
     python -m crawler_ai_ray.cli curate  --docs FILE --out DIR
         [--buckets N] [--threshold T]
     python -m crawler_ai_ray.cli export-jsonl --docs FILE --out DIR
+    python -m crawler_ai_ray.cli export-parquet --docs FILE --out DIR \\
+        --key doc_id --partitions 32 --resume
         [--columns a,b,c] [--resume]
 
 Owns its Ray session (guarded init) — library code never calls
@@ -84,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=["pagerank", "ppr", "trustrank", "opic", "hits",
                  "components", "degrees", "bfs", "communities",
                  "triangles", "kcore", "linkpred", "hyperball",
-                 "neighborhood", "reciprocity", "assortativity"],
+                 "neighborhood", "reciprocity", "assortativity",
+                 "salsa", "modularity", "bowtie"],
     )
     gr.add_argument(
         "--seeds", default=None,
@@ -99,6 +102,19 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--columns", default=None,
                     help="comma-separated column subset")
     ex.add_argument("--resume", action="store_true")
+
+    xp = sub.add_parser(
+        "export-parquet",
+        help="export a parquet corpus as hash-partitioned parquet "
+             "with per-partition resume markers",
+    )
+    xp.add_argument("--docs", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--key", default="doc_id")
+    xp.add_argument("--partitions", type=int, default=32)
+    xp.add_argument("--columns", default=None,
+                    help="comma-separated column subset")
+    xp.add_argument("--resume", action="store_true")
 
     args = p.parse_args(argv)
     _init_ray()
@@ -141,6 +157,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(graph(
                 args.pages, args.out, method=args.method,
                 seeds=args.seeds.split(",") if args.seeds else None,
+            )))
+        elif args.cmd == "export-parquet":
+            from .api import export_parquet_partitioned
+
+            print(json.dumps(export_parquet_partitioned(
+                args.docs,
+                args.out,
+                key_col=args.key,
+                num_partitions=args.partitions,
+                columns=args.columns.split(",") if args.columns else None,
+                resume=args.resume,
             )))
         elif args.cmd == "export-jsonl":
             from .api import export_jsonl

@@ -209,7 +209,76 @@ def test_graph_entry_methods(ray_session, tmp_path):
     assert s2["rows"] == s["rows"]
     s3 = graph(pages, str(tmp_path / "nf"), method="neighborhood")
     assert s3["rows"] == 9
+    s4 = graph(pages, str(tmp_path / "salsa"), method="salsa")
+    assert s4["rows"] > 0
+    s5 = graph(pages, str(tmp_path / "bt"), method="bowtie")
+    bt = pq.read_table(str(tmp_path / "bt"))
+    assert s5["rows"] == bt.num_rows and set(
+        bt.column_names
+    ) == {"host", "fw_dist", "bw_dist", "region"}
     with pytest.raises(ValueError, match="requires --seeds"):
         graph(pages, str(tmp_path / "x"), method="bfs")
     with pytest.raises(ValueError, match="unknown graph method"):
         graph(pages, str(tmp_path / "y"), method="nope")
+
+
+def test_export_parquet_partitioned_resume(ray_session, tmp_path):
+    """Partition-granular resumable parquet sink: full export equals
+    the source; deleting some partitions + markers and resuming
+    rewrites ONLY the missing ones; finished partitions are skipped."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ai_ray.api import export_parquet_partitioned
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    docs = f"{corpus}/pages.parquet"
+    out = str(tmp_path / "export")
+    m1 = export_parquet_partitioned(
+        docs, out, key_col="url", num_partitions=8,
+        columns=["url", "lang"],
+    )
+    src_rows = pq.ParquetFile(docs).metadata.num_rows
+    assert m1["rows"] == src_rows and m1["skipped"] == 0
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    dones = sorted(glob.glob(os.path.join(out, "part-*.done")))
+    assert len(files) == len(dones) == m1["partitions"] > 1
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == src_rows
+    # markers record exact per-partition rows
+    for d in dones:
+        rec = json.load(open(d))
+        f = d.replace(".done", ".parquet")
+        assert pq.ParquetFile(f).metadata.num_rows == rec["rows"]
+
+    # simulate a partial failure: drop two partitions
+    killed = files[:2]
+    before = {
+        f: os.path.getmtime(f) for f in files[2:]
+    }
+    for f in killed:
+        os.remove(f)
+        os.remove(f.replace(".parquet", ".done"))
+    m2 = export_parquet_partitioned(
+        docs, out, key_col="url", num_partitions=8,
+        columns=["url", "lang"], resume=True,
+    )
+    assert m2["partitions"] == 2
+    assert m2["skipped"] == len(files) - 2
+    # untouched partitions were not rewritten
+    for f, ts in before.items():
+        assert os.path.getmtime(f) == ts
+    files2 = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert files2 == files
+    total2 = sum(pq.ParquetFile(f).metadata.num_rows for f in files2)
+    assert total2 == src_rows
+    # full resume over a complete export is a pure no-op
+    m3 = export_parquet_partitioned(
+        docs, out, key_col="url", num_partitions=8,
+        columns=["url", "lang"], resume=True,
+    )
+    assert m3["partitions"] == 0 and m3["skipped"] == 8
