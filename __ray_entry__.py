@@ -3183,6 +3183,19 @@ def _q_emb_pca_power(sf_dir: str):
     )
 
 
+def _q_emb_pca_project(sf_dir: str):
+    """Curriculum projection: every vector's exact integer dot with
+    the top principal component (pico units, no division) + its
+    equal-split rank bin over the (proj, id) order — the 1-D
+    difficulty/anisotropy ordering signal.  The oracle re-runs the
+    unrolled power iteration and the same row_number bin rule."""
+    from crawler_ai_ray.stages.simsearch import pca_project
+
+    return pca_project(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     from crawler_ai_ray.stages.simsearch import ivf_assign, kmeans_train, knn_ivf
 
@@ -3836,6 +3849,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": _q_doc_readability,
         "emb_pca_cov": _q_emb_pca_cov,
         "emb_pca_power": _q_emb_pca_power,
+        "emb_pca_project": _q_emb_pca_project,
         "doc_rake_keywords": _q_doc_rake_keywords,
         "crawl_robots_audit": _q_crawl_robots_audit,
         "crawl_host_degrees": _q_crawl_host_degrees,
@@ -4092,7 +4106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_mirror_hosts, crawl_host_salsa,
         # crawl_community_modularity, crawl_host_bowtie,
         # doc_readability, emb_pca_cov, emb_pca_power,
-        # doc_rake_keywords, crawl_robots_audit.
+        # doc_rake_keywords, crawl_robots_audit, emb_pca_project.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5467,6 +5481,20 @@ def oracle_sql() -> dict[str, str]:
            eig.e AS eigval_pico, nn.n AS n
     FROM v24 CROSS JOIN eig CROSS JOIN nn"""
 
+    # PCA projection: the SAME unrolled power-iteration CTEs, then an
+    # exact integer dot per vector and the explicit equal-split bin
+    # rule ((rank0*n_bins)//N + 1 over (proj, vec_id) order — NOT
+    # ntile, whose remainder rule differs).
+    pca_project_sql = pca_power.rsplit("SELECT v24.i::BIGINT", 1)[0] + """,
+    pr AS (
+      SELECT q.vec_id, sum(q.q * v24.x)::BIGINT AS proj_pico
+      FROM q JOIN v24 ON v24.i = q.i GROUP BY 1),
+    nr AS (SELECT count(*)::BIGINT AS n FROM pr)
+    SELECT vec_id, proj_pico,
+           (((row_number() OVER (ORDER BY proj_pico, vec_id) - 1) * 10)
+             // nr.n + 1)::BIGINT AS bin
+    FROM pr CROSS JOIN nr"""
+
     # curation chain CTEs (pipelines/curate.py): stage-1 keep rules are
     # integer-exact; near-dup clustering re-derives the pair graph from
     # the minhash golden restricted to stage-1 survivors (sf0.01 golden,
@@ -5851,6 +5879,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca_cov": pca_cov,
         "emb_pca_power": pca_power,
         "doc_rake_keywords": rake,
+        "emb_pca_project": pca_project_sql,
         "crawl_robots_audit": robots_audit_sql,
         "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,

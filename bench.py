@@ -292,6 +292,7 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_pca_power",
         "doc_rake_keywords",
         "crawl_robots_audit",
+        "emb_pca_project",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -1315,3 +1315,89 @@ def pca_top_component(
             "n": pa.array([n] * dim, pa.int64()),
         }
     )
+
+
+def pca_project(
+    ds, emb_col: str = "embedding", id_col: str = "vec_id",
+    iters: int = 24, n_bins: int = 10,
+) -> pa.Table:
+    """→ (vec_id, proj_pico, bin): every vector's 1-D projection onto
+    the top principal component (`pca_top_component`) plus its
+    curriculum bin — the classic difficulty/anisotropy ordering signal
+    (sort the corpus along the dominant axis, train easy→hard or
+    sample per-bin).
+
+    proj_pico = Σᵢ qᵢ·vᵢ exactly (q = round(x·1e6), v = the component's
+    integer loadings — pico units, one exact integer sum, no division);
+    bin = ``rank₀·n_bins // N + 1`` over the (proj_pico, vec_id)
+    lexicographic order — an explicit equal-split rule both the engine
+    and SQL (`row_number` window) reproduce bit-for-bit (NOT `ntile`,
+    whose remainder rule differs).
+
+    Scale shape: the component solve is the covariance pass; the
+    projection is a second embarrassingly-parallel streaming pass with
+    the dim-sized loading vector broadcast; the bin rank is the one
+    global sort a curriculum ordering inherently needs (Ray sort over
+    (proj, id)) — here sized ≤ N×16B rows, computed driver-side below
+    the module's usual gate."""
+    import ray
+
+    comp = pca_top_component(ds, emb_col=emb_col, iters=iters)
+    if not comp.num_rows:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "proj_pico": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+            }
+        )
+    v = np.array(comp["loading_micros"].to_pylist(), np.int64)
+    v_ref = ray.put(v)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "proj_pico": pa.array([], pa.int64()),
+                }
+            )
+        load = ray.get(v_ref)
+        mat = list_col_to_matrix(batch[emb_col]).astype(np.float64)
+        q = _half_away_micros(mat * 1e6)
+        # int64 dot: |q|≤~2e6 · |v|≤1e6 · dim≤4096 < 2^63 — exact
+        proj = q @ load
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "proj_pico": pa.array(proj, pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(project, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cat = pa.concat_tables(parts)
+    ids = cat["vec_id"].to_numpy(zero_copy_only=False)
+    pj = cat["proj_pico"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, pj))
+    n = len(ids)
+    rank0 = np.empty(n, np.int64)
+    rank0[order] = np.arange(n, dtype=np.int64)
+    bins = (rank0 * n_bins) // n + 1
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "proj_pico": pa.array(pj, pa.int64()),
+            "bin": pa.array(bins, pa.int64()),
+        }
+    )

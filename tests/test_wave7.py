@@ -517,3 +517,48 @@ def test_robots_audit_path_parity_and_gate_agreement(ray_session):
         rules = dict(zip(tab["url"].to_pylist(), tab["rule"].to_pylist()))
         assert rules["https://a.com/blog/post#frag"] == "/blog/"
         assert rules["https://c.com/?onlyquery=1"] == ""
+
+
+def test_pca_project_bins_and_exactness(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.simsearch import (
+        pca_project,
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(21)
+    n, dim = 250, 5
+    mat = rng.normal(scale=0.4, size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = pca_project(ds).sort_by([("vec_id", "ascending")])
+    got2 = pca_project(ds.repartition(6)).sort_by(
+        [("vec_id", "ascending")]
+    )
+    assert got.equals(got2)
+
+    comp = pca_top_component(ds)
+    v = np.array(comp["loading_micros"].to_pylist(), np.int64)
+    x = mat.astype(np.float64) * 1e6
+    q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    want_proj = q @ v
+    assert got["proj_pico"].to_numpy(zero_copy_only=False).tolist() == \
+        want_proj.tolist()
+    # equal-split bins over (proj, id): 250 rows → 10 bins of 25
+    import collections
+
+    counts = collections.Counter(got["bin"].to_pylist())
+    assert all(counts[b] == 25 for b in range(1, 11))
+    # bin order follows projection order
+    pj = got["proj_pico"].to_numpy(zero_copy_only=False)
+    bn = got["bin"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((got["vec_id"].to_numpy(zero_copy_only=False), pj))
+    assert (np.diff(bn[order]) >= 0).all()
