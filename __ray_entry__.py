@@ -2755,6 +2755,19 @@ def _q_doc_bigram_fluency(sf_dir: str):
     )
 
 
+def _q_doc_fluency_buckets(sf_dir: str):
+    """CCNet head/middle/tail per-language perplexity terciles over
+    the integer bigram-LM fluency signal (Wenzek et al. 2020) — the
+    quality split CCNet ships every Common Crawl dump in.  Equal-split
+    rank rule within language; the oracle wraps the fluency SQL and
+    replays the same row_number rule."""
+    from crawler_ai_ray.stages.textstats import fluency_buckets
+
+    return fluency_buckets(
+        _table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
 def _q_doc_clf_score(sf_dir: str):
     """Linear bag-of-words classifier inference (the fasttext-style
     quality filter of GPT-3/CCNet/DSIR pipelines): per-doc integer
@@ -3947,6 +3960,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
         "doc_bigram_fluency": _q_doc_bigram_fluency,
+        "doc_fluency_buckets": _q_doc_fluency_buckets,
         "doc_dsir_score": _q_doc_dsir_score,
         "doc_embed_hash": _q_doc_embed_hash,
         "doc_text_knn_graph": _q_doc_text_knn_graph,
@@ -4106,7 +4120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_mirror_hosts, crawl_host_salsa,
         # crawl_community_modularity, crawl_host_bowtie,
         # doc_readability, emb_pca_cov, emb_pca_power,
-        # doc_rake_keywords, crawl_robots_audit, emb_pca_project.
+        # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
+        # doc_fluency_buckets.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5730,6 +5745,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN hn nb ON nb.host = p.host_b
         WHERE p.shared >= 2"""
 
+    bigram_fluency_sql = """
+            WITH lt AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, z[1] AS prev, z[2] AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_zip(l[:-1], l[2:])) AS z
+                    FROM lt)
+              WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+            cp AS (SELECT prev, tok, count(*)::BIGINT AS n
+                   FROM pairs GROUP BY 1, 2),
+            pre AS (SELECT prev, sum(n)::BIGINT AS n
+                    FROM cp GROUP BY 1),
+            p AS (SELECT pairs.doc_id,
+                         (1000000 * cp.n) // pre.n AS pmic
+                  FROM pairs
+                  JOIN cp USING (prev, tok)
+                  JOIN pre USING (prev))
+            SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                   (sum(pmic) // count(*))::BIGINT AS fluency_ppm
+            FROM p GROUP BY 1"""
+
+    # CCNet head/middle/tail: the fluency SQL as a subquery + the
+    # engine's explicit per-language equal-split rank rule
+    fluency_buckets_sql = f"""
+        WITH base AS ({bigram_fluency_sql}),
+        bl AS (SELECT b.doc_id, d.lang, b.n_pairs, b.fluency_ppm
+               FROM base b JOIN documents d USING (doc_id)),
+        r AS (SELECT *,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY fluency_ppm DESC, doc_id) - 1 AS r0,
+                     count(*) OVER (PARTITION BY lang) AS ng
+              FROM bl)
+        SELECT doc_id, lang, n_pairs, fluency_ppm,
+               CASE (r0 * 3) // ng WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM r"""
+
     sql = {
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
@@ -6745,29 +6801,8 @@ def oracle_sql() -> dict[str, str]:
         # bigram fluency: pair/prefix counts over pair STRINGS (vs the
         # engine's folded token hashes — a collision would be caught);
         # identical integer divisions ((1e6·c_pair)//c_prev, Σ//n)
-        "doc_bigram_fluency": """
-            WITH lt AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(text), '[a-z]+') AS l
-              FROM documents),
-            pairs AS (
-              SELECT doc_id, z[1] AS prev, z[2] AS tok
-              FROM (SELECT doc_id,
-                           unnest(list_zip(l[:-1], l[2:])) AS z
-                    FROM lt)
-              WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
-            cp AS (SELECT prev, tok, count(*)::BIGINT AS n
-                   FROM pairs GROUP BY 1, 2),
-            pre AS (SELECT prev, sum(n)::BIGINT AS n
-                    FROM cp GROUP BY 1),
-            p AS (SELECT pairs.doc_id,
-                         (1000000 * cp.n) // pre.n AS pmic
-                  FROM pairs
-                  JOIN cp USING (prev, tok)
-                  JOIN pre USING (prev))
-            SELECT doc_id, count(*)::BIGINT AS n_pairs,
-                   (sum(pmic) // count(*))::BIGINT AS fluency_ppm
-            FROM p GROUP BY 1""",
+        "doc_bigram_fluency": bigram_fluency_sql,
+        "doc_fluency_buckets": fluency_buckets_sql,
         # DSIR: feature ids recomputed via md5_number_lower (==
         # little-endian of md5 digest bytes 8..16, the engine's
         # md5_feature), weights as add-one-smoothed probability

@@ -293,6 +293,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_rake_keywords",
         "crawl_robots_audit",
         "emb_pca_project",
+        "doc_fluency_buckets",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

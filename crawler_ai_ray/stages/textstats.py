@@ -3597,3 +3597,94 @@ def rake_keywords_batch(
             "score_micros": pa.array(scores, pa.int64()),
         }
     )
+
+
+def fluency_buckets(ds, text_col: str = "text", lang_col: str = "lang"):
+    """→ (doc_id, lang, n_pairs, fluency_ppm, bucket): CCNet's
+    per-language perplexity terciles (Wenzek et al. 2020, CCNet §4.3 —
+    "head/middle/tail" quality buckets, the split its pipeline ships
+    every Common Crawl dump in) over the integer bigram-LM fluency
+    signal (`bigram_fluency`; HIGH fluency = LOW perplexity = head).
+
+    bucket = equal-split rank rule within each language: rank₀ over
+    (fluency_ppm DESC, doc_id ASC), ``(rank₀·3) // n_lang`` → head /
+    middle / tail — the explicit integer rule a SQL ``row_number``
+    window reproduces bit-for-bit (the repo's no-ntile convention).
+
+    Scale shape: the fluency passes are `bigram_fluency`'s two
+    streaming tiers; the tercile rank is the per-language sort a
+    CCNet-style split inherently needs — here the doc-sized
+    (id, lang, score) triple ranks driver-side like `pca_project`'s
+    bin step (a Ray sort-by-(lang, score) + per-partition offsets is
+    the above-gate extension)."""
+    import ray
+
+    flu_parts = [
+        t
+        for t in ray.get(bigram_fluency(ds, text_col).to_arrow_refs())
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "fluency_ppm": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string()),
+        }
+    )
+    if not flu_parts:
+        return empty
+    flu = pa.concat_tables(flu_parts)
+
+    def lang_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                }
+            )
+        return batch.select(["doc_id", lang_col]).rename_columns(
+            ["doc_id", "lang"]
+        )
+
+    lang_parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(lang_rows, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    lt = pa.concat_tables(lang_parts)
+    lids = lt["doc_id"].to_numpy(zero_copy_only=False)
+    lorder = np.argsort(lids)
+    langs_sorted = np.asarray(lt["lang"].to_pylist())[lorder]
+    lids_sorted = lids[lorder]
+
+    ids = flu["doc_id"].to_numpy(zero_copy_only=False)
+    score = flu["fluency_ppm"].to_numpy(zero_copy_only=False)
+    npairs = flu["n_pairs"].to_numpy(zero_copy_only=False)
+    lang = langs_sorted[np.searchsorted(lids_sorted, ids)]
+
+    uniq, code = np.unique(lang, return_inverse=True)
+    # rank within language by (fluency DESC, doc_id ASC)
+    order = np.lexsort((ids, -score, code))
+    n = len(ids)
+    ng = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+    start = np.zeros(len(uniq), np.int64)
+    np.cumsum(ng[:-1], out=start[1:])
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n, dtype=np.int64)
+    rank0 = pos - start[code[np.arange(n)]]
+    tier = (rank0 * 3) // ng[code]
+    names = np.array(["head", "middle", "tail"])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(lang, pa.string()),
+            "n_pairs": pa.array(npairs, pa.int64()),
+            "fluency_ppm": pa.array(score, pa.int64()),
+            "bucket": pa.array(names[tier], pa.string()),
+        }
+    )

@@ -562,3 +562,63 @@ def test_pca_project_bins_and_exactness(ray_session):
     bn = got["bin"].to_numpy(zero_copy_only=False)
     order = np.lexsort((got["vec_id"].to_numpy(zero_copy_only=False), pj))
     assert (np.diff(bn[order]) >= 0).all()
+
+
+def test_fluency_buckets_per_lang_terciles(ray_session):
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import (
+        bigram_fluency,
+        fluency_buckets,
+    )
+
+    rng = random.Random(31)
+    words_en = ["the", "cat", "sat", "mat", "dog", "ran", "fast"]
+    words_vi = ["xin", "chao", "ban", "toi", "la", "nguoi"]
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "vi"
+        ws = words_en if lang == "en" else words_vi
+        rows.append(
+            (i, " ".join(rng.choice(ws) for _ in range(30)), lang)
+        )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = fluency_buckets(ds)
+
+    # naive: recompute buckets from the fluency kernel's own output
+    import ray as _ray
+
+    flu = pa.concat_tables(
+        [t for t in _ray.get(bigram_fluency(ds).to_arrow_refs()) if t.num_rows]
+    )
+    fl = dict(
+        zip(flu["doc_id"].to_pylist(), flu["fluency_ppm"].to_pylist())
+    )
+    lang_of = {r[0]: r[2] for r in rows}
+    want = {}
+    for lang in ("en", "vi"):
+        docs = sorted(
+            (d for d in fl if lang_of[d] == lang),
+            key=lambda d: (-fl[d], d),
+        )
+        for r0, d in enumerate(docs):
+            want[d] = ["head", "middle", "tail"][(r0 * 3) // len(docs)]
+    gd = dict(zip(got["doc_id"].to_pylist(), got["bucket"].to_pylist()))
+    assert gd == want
+    # terciles are balanced per language (30 docs → 10/10/10)
+    from collections import Counter
+
+    for lang in ("en", "vi"):
+        c = Counter(
+            b
+            for d, b in gd.items()
+            if lang_of[d] == lang
+        )
+        assert c == {"head": 10, "middle": 10, "tail": 10}
