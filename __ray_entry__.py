@@ -756,6 +756,17 @@ def _q_crawl_robots_audit(sf_dir: str):
     )
 
 
+def _q_crawl_host_betweenness(sf_dir: str):
+    """Sampled betweenness centrality (Brandes 2001 / Brandes-Pich
+    pivots): dependency accumulation from the top-4-degree sources
+    with integer-quantized per-edge credit — the bridge/chokepoint
+    signal beside degree and PageRank.  Two bit-identical tiers; the
+    oracle unrolls all dist/sigma/delta rounds per source."""
+    from crawler_ai_ray.stages.linkgraph import betweenness_hosts
+
+    return betweenness_hosts(_host_edges(sf_dir))
+
+
 def _q_crawl_page_quality(sf_dir: str):
     """Training-data quality signals over CRAWLED page text (the
     extraction output feeding the curation chain, not the documents
@@ -3859,6 +3870,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_salsa": _q_crawl_host_salsa,
         "crawl_community_modularity": _q_crawl_community_modularity,
         "crawl_host_bowtie": _q_crawl_host_bowtie,
+        "crawl_host_betweenness": _q_crawl_host_betweenness,
         "doc_readability": _q_doc_readability,
         "emb_pca_cov": _q_emb_pca_cov,
         "emb_pca_power": _q_emb_pca_power,
@@ -4121,7 +4133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_community_modularity, crawl_host_bowtie,
         # doc_readability, emb_pca_cov, emb_pca_power,
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
-        # doc_fluency_buckets.
+        # doc_fluency_buckets, crawl_host_betweenness.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4339,6 +4351,120 @@ def oracle_sql() -> dict[str, str]:
             JOIN d{_i - 1} p ON p.host = e.src
             GROUP BY 1) m ON m.host = d.host)"""
     bfs_sql += "\n        SELECT host, dist FROM d8 WHERE dist <= 8"
+
+    # Sampled-betweenness oracle: per deterministic source (top-4
+    # in+out degree, ties -> smallest host), unroll the SAME capped
+    # BFS dist rounds, the SAME per-level sigma path-count sums, and
+    # the SAME integer-quantized backward dependency rounds
+    # ((sigma_v*(1e6+delta_w)) // sigma_w per edge, HUGEINT) the
+    # engine runs — bit-exact, order-free.  Each source materializes
+    # its shortest-path-DAG edge list (tw = tv+1) once, so every
+    # sigma/delta round is two joins, not five.
+    bc_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS MATERIALIZED (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        outd AS (SELECT src AS host, count(*)::BIGINT AS d
+                 FROM edges GROUP BY 1),
+        ind AS (SELECT dst AS host, count(*)::BIGINT AS d
+                FROM edges GROUP BY 1),
+        srcs AS MATERIALIZED (
+          SELECT h.host, row_number() OVER (
+                   ORDER BY COALESCE(o.d, 0) + COALESCE(i.d, 0) DESC,
+                            h.host) AS rk
+          FROM hosts h
+          LEFT JOIN outd o ON o.host = h.host
+          LEFT JOIN ind i ON i.host = h.host)"""
+    for _k in range(4):
+        bc_sql += f""",
+        s{_k}d0 AS (
+          SELECT h.host,
+                 (CASE WHEN h.host = (SELECT host FROM srcs
+                                      WHERE rk = {_k + 1})
+                       THEN 0 ELSE 9 END)::BIGINT AS dist
+          FROM hosts h)"""
+        for _t in range(1, 9):
+            bc_sql += f""",
+        s{_k}d{_t} AS MATERIALIZED (
+          SELECT d.host,
+                 least(d.dist, COALESCE(m.c, 9))::BIGINT AS dist
+          FROM s{_k}d{_t - 1} d LEFT JOIN (
+            SELECT e.dst AS host,
+                   min(least(p.dist + 1, 9))::BIGINT AS c
+            FROM edges e
+            JOIN s{_k}d{_t - 1} p ON p.host = e.src
+            GROUP BY 1) m ON m.host = d.host)"""
+        # the source's shortest-path DAG: only tw = tv+1 edges matter
+        bc_sql += f""",
+        s{_k}lv AS MATERIALIZED (
+          SELECT e.src, e.dst, dv.dist AS tv
+          FROM edges e
+          JOIN s{_k}d8 dv ON dv.host = e.src
+          JOIN s{_k}d8 dw ON dw.host = e.dst
+          WHERE dv.dist < 9 AND dw.dist = dv.dist + 1),
+        s{_k}g0 AS (
+          SELECT h.host,
+                 (CASE WHEN h.host = (SELECT host FROM srcs
+                                      WHERE rk = {_k + 1})
+                       THEN 1 ELSE 0 END)::BIGINT AS sig
+          FROM hosts h)"""
+        for _t in range(1, 9):
+            bc_sql += f""",
+        s{_k}g{_t} AS MATERIALIZED (
+          SELECT g.host,
+                 (CASE WHEN dd.dist = {_t} THEN COALESCE(m.c, 0)
+                       ELSE g.sig END)::BIGINT AS sig
+          FROM s{_k}g{_t - 1} g
+          JOIN s{_k}d8 dd ON dd.host = g.host
+          LEFT JOIN (
+            SELECT l.dst AS host, sum(p.sig)::BIGINT AS c
+            FROM s{_k}lv l
+            JOIN s{_k}g{_t - 1} p ON p.host = l.src
+            WHERE l.tv = {_t - 1}
+            GROUP BY 1) m ON m.host = g.host)"""
+        bc_sql += f""",
+        s{_k}ld AS MATERIALIZED (
+          SELECT l.src, l.dst, l.tv, gv.sig AS sv, gw.sig AS sw
+          FROM s{_k}lv l
+          JOIN s{_k}g8 gv ON gv.host = l.src
+          JOIN s{_k}g8 gw ON gw.host = l.dst),
+        s{_k}e8 AS (SELECT host, 0::HUGEINT AS del FROM hosts)"""
+        for _t in range(7, -1, -1):
+            bc_sql += f""",
+        s{_k}e{_t} AS MATERIALIZED (
+          SELECT p.host,
+                 (CASE WHEN dd.dist = {_t} THEN COALESCE(m.c, 0)
+                       ELSE p.del END)::HUGEINT AS del
+          FROM s{_k}e{_t + 1} p
+          JOIN s{_k}d8 dd ON dd.host = p.host
+          LEFT JOIN (
+            SELECT l.src AS host,
+                   sum((l.sv::HUGEINT * (1000000 + ew.del))
+                       // l.sw)::HUGEINT AS c
+            FROM s{_k}ld l
+            JOIN s{_k}e{_t + 1} ew ON ew.host = l.dst
+            WHERE l.tv = {_t}
+            GROUP BY 1) m ON m.host = p.host)"""
+    bc_sql += """
+        SELECT host, sum(del)::BIGINT AS bc_micros FROM ("""
+    bc_sql += " UNION ALL ".join(
+        f"""
+          SELECT e.host,
+                 (CASE WHEN e.host = (SELECT host FROM srcs
+                                      WHERE rk = {_k + 1})
+                       THEN 0 ELSE e.del END) AS del
+          FROM s{_k}e0 e"""
+        for _k in range(4)
+    )
+    bc_sql += """
+        ) GROUP BY 1 HAVING sum(del) <> 0"""
 
     # LPA-communities oracle: unroll the SAME 4 synchronous
     # mode-of-neighbor-labels iterations over host STRINGS (ties →
@@ -5931,6 +6057,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_salsa": salsa_sql,
         "crawl_community_modularity": modularity_sql,
         "crawl_host_bowtie": bowtie_sql,
+        "crawl_host_betweenness": bc_sql,
         "doc_readability": readability,
         "emb_pca_cov": pca_cov,
         "emb_pca_power": pca_power,

@@ -294,6 +294,7 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_robots_audit",
         "emb_pca_project",
         "doc_fluency_buckets",
+        "crawl_host_betweenness",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

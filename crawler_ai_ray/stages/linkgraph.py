@@ -4725,3 +4725,277 @@ def host_bowtie(edges, max_hops: int = 8, num_buckets: int = 64) -> pa.Table:
             "region": pa.array(region, pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled betweenness centrality (Brandes)
+# ---------------------------------------------------------------------------
+
+def _betweenness_local(
+    et: pa.Table, src_list: list, max_hops: int
+) -> dict:
+    """One Brandes accumulation per source over an Arrow edge table —
+    the integer-quantized recurrence (see `betweenness_hosts`), numpy
+    per level.  Returns {host: bc_micros}."""
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    idx_of = {h: i for i, h in enumerate(hosts)}
+    n = len(keys)
+    bc = np.zeros(n, dtype=object)  # Python ints — no overflow
+    if not et.num_rows:
+        return {}
+    src_idx = np.searchsorted(keys, et["src_h"].to_numpy(zero_copy_only=False))
+    dst_idx = np.searchsorted(keys, et["dst_h"].to_numpy(zero_copy_only=False))
+    inf = max_hops + 1
+    for s in src_list:
+        if s not in idx_of:
+            continue
+        si = idx_of[s]
+        dist = np.full(n, inf, np.int64)
+        dist[si] = 0
+        for _ in range(max_hops):
+            c = np.minimum(dist[src_idx] + 1, inf)
+            nxt = dist.copy()
+            np.minimum.at(nxt, dst_idx, c)
+            if np.array_equal(nxt, dist):
+                break
+            dist = nxt
+        sigma = np.zeros(n, np.int64)
+        sigma[si] = 1
+        for t in range(1, max_hops + 1):
+            on = (dist[src_idx] == t - 1) & (dist[dst_idx] == t)
+            if not on.any():
+                continue
+            add = np.zeros(n, np.int64)
+            np.add.at(add, dst_idx[on], sigma[src_idx[on]])
+            sigma = sigma + add
+        delta = np.zeros(n, dtype=object)
+        for t in range(max_hops - 1, -1, -1):
+            on = (dist[src_idx] == t) & (dist[dst_idx] == t + 1)
+            if not on.any():
+                continue
+            sv = sigma[src_idx[on]].astype(object)
+            sw = sigma[dst_idx[on]].astype(object)
+            dw = delta[dst_idx[on]]
+            terms = (sv * (1_000_000 + dw)) // sw
+            upd = np.zeros(n, dtype=object)
+            np.add.at(upd, src_idx[on], terms)
+            delta = delta + upd
+        delta[si] = 0  # the source takes no credit for its own paths
+        bc = bc + delta
+    return {
+        h: int(bc[i]) for i, h in enumerate(hosts) if int(bc[i]) != 0
+    }
+
+
+def betweenness_hosts(
+    edges,
+    n_sources: int = 4,
+    max_hops: int = 8,
+    num_buckets: int = 64,
+    driver_max_edges: int = 5_000_000,
+) -> pa.Table:
+    """distinct host edges → (host, bc_micros): SAMPLED BETWEENNESS
+    centrality (Brandes 2001 via the pivot sampling of Bader et al. /
+    Brandes-Pich 2007) — the bridge/chokepoint signal a crawl planner
+    reads to find hosts whose removal disconnects discovery paths
+    (link hubs that are NOT high-degree).
+
+    Sources = the ``n_sources`` highest in+out-degree hosts (ties →
+    smallest host; SQL-reproducible pick).  Per source: capped-BFS
+    levels (``max_hops`` rounds, the `bfs_hosts` recurrence), forward
+    path counts σ by level (integer sums), then the backward
+    dependency accumulation INTEGER-QUANTIZED per edge —
+
+        δ(v) += (σ(v) · (10⁶ + δ(w))) // σ(w)   for v→w one level down
+
+    — each edge term one floor division of nonneg ints (Python and
+    DuckDB agree), summed order-free, so the oracle unrolls the
+    identical per-level recurrences (dist, σ, δ per source) and
+    matches bit-for-bit; bc_micros = Σ_sources δ (exact Python-int
+    accumulation; source excluded from its own credit).  Hosts with
+    zero betweenness are dropped (leaf-heavy output stays small).
+
+    Scale shape: degrees ride the `host_degrees` combiner (per-block
+    top-k partials pick the sources driver-side); the per-source
+    passes run driver-local under ``driver_max_edges``, and above it
+    each σ/δ round is the `bfs_hosts` broadcast-contrib shape (per-
+    block segment sums by dst/src with the level vectors ``ray.put``
+    — the module's declared vertex-state mid-tier; the fully sharded
+    extension follows `_bfs_distributed_sharded`'s layout)."""
+    import ray
+
+    edges = edges.materialize()
+    deg_parts = []
+    for t in ray.get(host_degrees(edges, num_buckets).to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        tot = pc.add(t["out_degree"], t["in_degree"]).to_numpy(
+            zero_copy_only=False
+        )
+        hs = np.asarray(t["host"].to_pylist())
+        take = np.lexsort((hs, -tot))[:n_sources]
+        deg_parts.extend(
+            (int(tot[i]), str(hs[i])) for i in take
+        )
+    if not deg_parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "bc_micros": pa.array([], pa.int64()),
+            }
+        )
+    deg_parts.sort(key=lambda p: (-p[0], p[1]))
+    sources = [h for _, h in deg_parts[:n_sources]]
+
+    n_edges = edges.count()
+    if n_edges > driver_max_edges:
+        # broadcast mid-tier: same recurrences, per-block remote
+        # segment-sum contribs per level (the bfs_hosts loop shape)
+        return _betweenness_broadcast(edges, sources, max_hops)
+    blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "bc_micros": pa.array([], pa.int64()),
+            }
+        )
+    bc = _betweenness_local(pa.concat_tables(blocks), sources, max_hops)
+    hs = sorted(bc)
+    return pa.table(
+        {
+            "host": pa.array(hs, pa.string()),
+            "bc_micros": pa.array([bc[h] for h in hs], pa.int64()),
+        }
+    )
+
+
+def _betweenness_broadcast(edges, sources, max_hops: int) -> pa.Table:
+    """Mid-tier: vertex-sized (dist, σ, δ) vectors broadcast per
+    level, per-block contrib tasks — bit-identical recurrences to
+    `_betweenness_local` (integer ops, order-free sums)."""
+    import ray
+
+    hosts, keys = _collect_verts(edges)
+    idx_of = {h: i for i, h in enumerate(hosts)}
+    n = len(keys)
+    edge_block_refs = list(edges.to_arrow_refs())
+    inf = max_hops + 1
+    bc = np.zeros(n, dtype=object)
+
+    @ray.remote(num_cpus=1)
+    def dist_contrib(block, k, d):
+        if not block.num_rows:
+            return None
+        sh = block["src_h"].to_numpy(zero_copy_only=False)
+        dh = block["dst_h"].to_numpy(zero_copy_only=False)
+        c = np.minimum(d[np.searchsorted(k, sh)] + 1, inf)
+        di = np.searchsorted(k, dh)
+        out = np.full(len(k), inf, np.int64)
+        np.minimum.at(out, di, c)
+        return out
+
+    @ray.remote(num_cpus=1)
+    def sigma_contrib(block, k, d, sg, t):
+        if not block.num_rows:
+            return None
+        si = np.searchsorted(k, block["src_h"].to_numpy(zero_copy_only=False))
+        di = np.searchsorted(k, block["dst_h"].to_numpy(zero_copy_only=False))
+        on = (d[si] == t - 1) & (d[di] == t)
+        if not on.any():
+            return None
+        add = np.zeros(len(k), np.int64)
+        np.add.at(add, di[on], sg[si[on]])
+        return add
+
+    @ray.remote(num_cpus=1)
+    def delta_contrib(block, k, d, sg, dl, t):
+        if not block.num_rows:
+            return None
+        si = np.searchsorted(k, block["src_h"].to_numpy(zero_copy_only=False))
+        di = np.searchsorted(k, block["dst_h"].to_numpy(zero_copy_only=False))
+        on = (d[si] == t) & (d[di] == t + 1)
+        if not on.any():
+            return None
+        sv = sg[si[on]].astype(object)
+        sw = sg[di[on]].astype(object)
+        dw = dl[di[on]]
+        terms = (sv * (1_000_000 + dw)) // sw
+        upd = np.zeros(len(k), dtype=object)
+        np.add.at(upd, si[on], terms)
+        return upd
+
+    k_ref = ray.put(keys)
+    for s in sources:
+        if s not in idx_of:
+            continue
+        si = idx_of[s]
+        dist = np.full(n, inf, np.int64)
+        dist[si] = 0
+        for _ in range(max_hops):
+            d_ref = ray.put(dist)
+            parts = [
+                p
+                for p in ray.get(
+                    [dist_contrib.remote(b, k_ref, d_ref) for b in edge_block_refs]
+                )
+                if p is not None
+            ]
+            nxt = dist.copy()
+            for p in parts:
+                np.minimum(nxt, p, out=nxt)
+            if np.array_equal(nxt, dist):
+                break
+            dist = nxt
+        sigma = np.zeros(n, np.int64)
+        sigma[si] = 1
+        d_ref = ray.put(dist)
+        for t in range(1, max_hops + 1):
+            s_ref = ray.put(sigma)
+            parts = [
+                p
+                for p in ray.get(
+                    [
+                        sigma_contrib.remote(b, k_ref, d_ref, s_ref, t)
+                        for b in edge_block_refs
+                    ]
+                )
+                if p is not None
+            ]
+            for p in parts:
+                sigma = sigma + p
+        delta = np.zeros(n, dtype=object)
+        s_ref = ray.put(sigma)
+        for t in range(max_hops - 1, -1, -1):
+            dl_ref = ray.put(delta)
+            parts = [
+                p
+                for p in ray.get(
+                    [
+                        delta_contrib.remote(
+                            b, k_ref, d_ref, s_ref, dl_ref, t
+                        )
+                        for b in edge_block_refs
+                    ]
+                )
+                if p is not None
+            ]
+            for p in parts:
+                delta = delta + p
+        delta[si] = 0
+        bc = bc + delta
+    keep = [i for i in range(n) if int(bc[i]) != 0]
+    return pa.table(
+        {
+            "host": pa.array([hosts[i] for i in keep], pa.string()),
+            "bc_micros": pa.array([int(bc[i]) for i in keep], pa.int64()),
+        }
+    )

@@ -622,3 +622,75 @@ def test_fluency_buckets_per_lang_terciles(ray_session):
             if lang_of[d] == lang
         )
         assert c == {"head": 10, "middle": 10, "tail": 10}
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_betweenness_matches_naive_brandes(ray_session, seed):
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import (
+        betweenness_hosts,
+        host_edges,
+    )
+
+    rng = random.Random(seed)
+    hosts = [f"x{i:02d}.com" for i in range(36)]
+    pairs = _rand_pairs(hosts, 100, seed)
+    edges = host_edges(ray.data.from_arrow(_graph_tbl(hosts, pairs)))
+    got = betweenness_hosts(edges)
+    got_bcast = betweenness_hosts(edges, driver_max_edges=0)
+    assert got.sort_by([("host", "ascending")]).equals(
+        got_bcast.sort_by([("host", "ascending")])
+    )
+
+    # independent naive Brandes with the same integer quantization
+    indeg, outdeg = defaultdict(int), defaultdict(int)
+    adj, radj = defaultdict(list), defaultdict(list)
+    verts = set()
+    for s, d in pairs:
+        outdeg[s] += 1
+        indeg[d] += 1
+        adj[s].append(d)
+        radj[d].append(s)
+        verts |= {s, d}
+    srcs = sorted(verts, key=lambda h: (-(indeg[h] + outdeg[h]), h))[:4]
+    bc = defaultdict(int)
+    cap = 8
+    for s in srcs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= cap:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        bylevel = defaultdict(list)
+        for v, dv in dist.items():
+            bylevel[dv].append(v)
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        for t in range(1, max(bylevel) + 1):
+            for v in bylevel[t]:
+                sigma[v] = sum(
+                    sigma[u]
+                    for u in radj[v]
+                    if dist.get(u, 99) == t - 1
+                )
+        delta = defaultdict(int)
+        for t in range(max(bylevel) - 1, -1, -1):
+            for v in bylevel[t]:
+                delta[v] = sum(
+                    (sigma[v] * (1_000_000 + delta[w])) // sigma[w]
+                    for w in adj[v]
+                    if dist.get(w, 99) == t + 1
+                )
+        delta[s] = 0
+        for v, x in delta.items():
+            if x:
+                bc[v] += x
+    gd = dict(zip(got["host"].to_pylist(), got["bc_micros"].to_pylist()))
+    assert gd == dict(bc)
+    assert len(gd) > 5  # random graphs have real intermediaries
