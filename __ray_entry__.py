@@ -1966,6 +1966,43 @@ def _q_crawl_loop(sf_dir: str):
     )
 
 
+def _q_crawl_round_fairness(sf_dir: str):
+    """Jain's fairness index (Jain, Chiu & Hawe 1984) of the per-bucket
+    fetch allocation, per crawl round — the skew-balance scorecard of
+    the host-hash partitioning (J = 1 means every bucket task fetched
+    the same share; J → 1/n means one hot bucket did all the work).
+    J_micros = S²·1e6 // (n · max(Q, 1)) over the DETERMINISTIC
+    metrics columns (S = Σ fetched, Q = Σ fetched²) — one floor
+    division, oracled against the sim-reconstructed metrics table."""
+    import pyarrow as pa
+
+    from crawler_ai_ray.pipelines.crawl import read_crawl_metrics
+
+    m = read_crawl_metrics(_ensure_crawl(sf_dir))
+    agg = m.group_by(["round", "bucket"]).aggregate([("fetched", "sum")])
+    rounds = agg["round"].to_numpy(zero_copy_only=False)
+    fetched = agg["fetched_sum"].to_numpy(zero_copy_only=False)
+    uniq = sorted(set(rounds.tolist()))
+    out_r, out_n, out_s, out_j = [], [], [], []
+    for r in uniq:
+        x = fetched[rounds == r].astype(object)
+        n = len(x)
+        S = int(x.sum())
+        Q = int((x * x).sum())
+        out_r.append(int(r))
+        out_n.append(n)
+        out_s.append(S)
+        out_j.append((S * S * 1_000_000) // (n * max(Q, 1)))
+    return pa.table(
+        {
+            "round": pa.array(out_r, pa.int64()),
+            "n_buckets": pa.array(out_n, pa.int64()),
+            "fetched": pa.array(out_s, pa.int64()),
+            "jain_micros": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
 def _q_crawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage/metrics of the crawl run (SURVEY
     §1.2 metrics table), restricted to its DETERMINISTIC columns —
@@ -3920,6 +3957,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
         "crawl_metrics": _q_crawl_metrics,
+        "crawl_round_fairness": _q_crawl_round_fairness,
         # fetch outcome taxonomy (S1/S2)
         "crawl_fetch_results": _q_crawl_fetch_results,
         "crawl_fetch_errors": _q_crawl_fetch_errors,
@@ -4133,7 +4171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_community_modularity, crawl_host_bowtie,
         # doc_readability, emb_pca_cov, emb_pca_power,
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
-        # doc_fluency_buckets, crawl_host_betweenness.
+        # doc_fluency_buckets, crawl_host_betweenness,
+        # crawl_round_fairness.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -7686,6 +7725,17 @@ def oracle_sql() -> dict[str, str]:
                    urls_in::BIGINT AS urls_in,
                    fetched::BIGINT AS fetched, errors::BIGINT AS errors
             FROM read_parquet('{sim_metrics}')""",
+        "crawl_round_fairness": f"""
+            WITH b AS (
+              SELECT round::BIGINT AS round, fetched::BIGINT AS f
+              FROM read_parquet('{sim_metrics}'))
+            SELECT round, count(*)::BIGINT AS n_buckets,
+                   sum(f)::BIGINT AS fetched,
+                   ((sum(f)::HUGEINT * sum(f) * 1000000)
+                     // (count(*)::HUGEINT
+                         * greatest(sum(f * f), 1)))::BIGINT
+                     AS jain_micros
+            FROM b GROUP BY 1""",
         "crawl_frontier_depth": f"""
             SELECT round, success, count(*)::BIGINT AS n_pages
             FROM read_parquet('{sim_crawl}')

@@ -295,6 +295,7 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_pca_project",
         "doc_fluency_buckets",
         "crawl_host_betweenness",
+        "crawl_round_fairness",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
