@@ -5571,7 +5571,10 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
         regexp_replace(
           regexp_replace(
-            ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g')
+            ' ' || regexp_replace(
+                     regexp_replace(lower(text), '[^a-z\s]+', ' | ',
+                                    'g'),
+                     '\s+', ' ', 'g')
                 || ' ',
             ' ({_RAKE_STOPS}) ', ' | ', 'g'),
           ' ({_RAKE_STOPS}) ', ' | ', 'g') AS s

@@ -3524,17 +3524,21 @@ _RAKE_STOPS = (
     "the|a|an|and|or|but|of|to|in|on|at|for|with|is|are|was|were"
 )
 _RAKE_STOP_RE = re.compile(r" (" + _RAKE_STOPS + r") ")
-_RAKE_NONWORD_RE = re.compile(r"[^a-z]+")
+_RAKE_PUNCT_RE = re.compile(r"[^a-z\s]+")
+_RAKE_WS_RE = re.compile(r"\s+")
 _RAKE_PHRASE_RE = re.compile(r"[a-z]+( [a-z]+)*")
 
 
 def _rake_canon(text: str) -> str:
-    """lower → non-letter runs to single spaces → pad → stopwords to
-    ``|`` delimiters in TWO passes (RE2 global replace consumes the
-    trailing space, so adjacent stopwords need the second pass —
-    each pass replaces every other stopword in a run).  The oracle
-    runs the identical two ``regexp_replace(…, 'g')`` passes."""
-    s = " " + _RAKE_NONWORD_RE.sub(" ", text.lower()) + " "
+    """lower → punctuation/digit runs to ``|`` DELIMITERS (Rose et
+    al.'s rule: phrase candidates break at punctuation, not just
+    stopwords) → whitespace runs to single spaces → pad → stopwords to
+    ``|`` in TWO passes (RE2 global replace consumes the trailing
+    space, so adjacent stopwords need the second pass — each pass
+    replaces every other stopword in a run).  The oracle runs the
+    identical four ``regexp_replace(…, 'g')`` passes."""
+    s = _RAKE_PUNCT_RE.sub(" | ", text.lower())
+    s = " " + _RAKE_WS_RE.sub(" ", s) + " "
     s = _RAKE_STOP_RE.sub(" | ", s)
     s = _RAKE_STOP_RE.sub(" | ", s)
     return s

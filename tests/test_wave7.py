@@ -694,3 +694,96 @@ def test_betweenness_matches_naive_brandes(ray_session, seed):
     gd = dict(zip(got["host"].to_pylist(), got["bc_micros"].to_pylist()))
     assert gd == dict(bc)
     assert len(gd) > 5  # random graphs have real intermediaries
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_rake_fuzz_vs_naive(seed):
+    """Randomized texts (stopword runs, punctuation, digits) against an
+    independent pure-Python RAKE built from string ops."""
+    from crawler_ai_ray.stages.textstats import rake_keywords_batch
+
+    stops = (
+        "the a an and or but of to in on at for with is are was were"
+    ).split()
+    content = ["data", "engine", "rays", "crawl", "parquet", "shuffle",
+               "vector", "hash", "batch", "actor"]
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(40):
+        toks = []
+        for _ in range(rng.randint(0, 50)):
+            r = rng.random()
+            if r < 0.35:
+                toks.append(rng.choice(stops))
+            elif r < 0.45:
+                toks.append(rng.choice("!?.,;:0123456789"))
+            else:
+                toks.append(rng.choice(content))
+        texts.append(" ".join(toks))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = rake_keywords_batch(batch)
+    gd = defaultdict(dict)
+    for d, r, p, sc in zip(
+        got["doc_id"].to_pylist(),
+        got["rank"].to_pylist(),
+        got["phrase"].to_pylist(),
+        got["score_micros"].to_pylist(),
+    ):
+        gd[d][p] = (r, sc)
+
+    stopset = set(stops)
+    for i, t in enumerate(texts):
+        # independent phrase builder: token walk, no regex
+        words = re.findall(r"[a-z]+", t.lower())
+        # reconstruct delimiter structure: split original on non-alpha
+        # AND stopwords
+        phrases, cur = [], []
+        for tok in re.split(r"[^a-z]+", t.lower()):
+            if not tok:
+                continue
+            # walk tokens; stopwords break phrases
+            pass
+        # simpler: mark each alnum run; walk runs in order with their
+        # separators — any non-letter gap breaks a phrase
+        runs = [
+            (m.group(0), m.start(), m.end())
+            for m in re.finditer(r"[a-z]+", t.lower())
+        ]
+        cur = []
+        prev_end = None
+        for w, st, en in runs:
+            gap_break = (
+                prev_end is not None
+                and t.lower()[prev_end:st].strip(" ") != ""
+            )
+            if gap_break or w in stopset:
+                if cur:
+                    phrases.append(cur)
+                cur = [] if w in stopset else [w]
+            else:
+                cur.append(w)
+            prev_end = en
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            assert i not in gd
+            continue
+        freq, deg = defaultdict(int), defaultdict(int)
+        for ph in phrases:
+            for w in ph:
+                freq[w] += 1
+                deg[w] += len(ph)
+        ws = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+        pscore = {}
+        for ph in phrases:
+            key = " ".join(ph)
+            if key not in pscore:
+                pscore[key] = sum(ws[w] for w in ph)
+        top = sorted(pscore.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want = {p: (r + 1, sc) for r, (p, sc) in enumerate(top)}
+        assert gd.get(i, {}) == want, (i, t, gd.get(i), want)
