@@ -2003,6 +2003,86 @@ def _q_crawl_round_fairness(sf_dir: str):
     )
 
 
+def _q_crawl_host_langmix(sf_dir: str):
+    """Per-host language-mix profile from the page-level lang column:
+    (host, n_pages, n_langs, top_lang, top_share_ppm) — the
+    multilingual-host detector feeding per-language crawl budgeting
+    and the temperature-mix planner upstream.  One combiner pass of
+    (host, lang) count partials; host-bounded driver finish (the
+    `host_degrees` boundary); top lang tie → lexicographically
+    smallest."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.functions.classify import host_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        hosts = [host_of(u) for u in batch["url"].to_pylist()]
+        t = pa.table({"host": pa.array(hosts, pa.string()), "lang": batch["lang"]})
+        agg = t.group_by(["host", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "host": agg["host"],
+                "lang": agg["lang"],
+                "n": pa.compute.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _pages(sf_dir, columns=["url", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_pages": pa.array([], pa.int64()),
+                "n_langs": pa.array([], pa.int64()),
+                "top_lang": pa.array([], pa.string()),
+                "top_share_ppm": pa.array([], pa.int64()),
+            }
+        )
+    import numpy as np
+
+    c = (
+        pa.concat_tables(parts)
+        .group_by(["host", "lang"])
+        .aggregate([("n", "sum")])
+    )
+    hosts = np.asarray(c["host"].to_pylist())
+    langs = np.asarray(c["lang"].to_pylist())
+    n = c["n_sum"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((langs, -n, hosts))
+    h_s, l_s, n_s = hosts[order], langs[order], n[order]
+    uniq, start = np.unique(h_s, return_index=True)
+    n_pages = np.add.reduceat(n_s, start)
+    counts = np.diff(np.append(start, len(h_s)))
+    return pa.table(
+        {
+            "host": pa.array(uniq, pa.string()),
+            "n_pages": pa.array(n_pages, pa.int64()),
+            "n_langs": pa.array(counts.astype(np.int64), pa.int64()),
+            "top_lang": pa.array(l_s[start], pa.string()),
+            "top_share_ppm": pa.array(
+                (n_s[start] * 1_000_000) // n_pages, pa.int64()
+            ),
+        }
+    )
+
+
 def _q_crawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage/metrics of the crawl run (SURVEY
     §1.2 metrics table), restricted to its DETERMINISTIC columns —
@@ -3958,6 +4038,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_loop": _q_crawl_loop,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
+        "crawl_host_langmix": _q_crawl_host_langmix,
         # fetch outcome taxonomy (S1/S2)
         "crawl_fetch_results": _q_crawl_fetch_results,
         "crawl_fetch_errors": _q_crawl_fetch_errors,
@@ -4172,7 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_readability, emb_pca_cov, emb_pca_power,
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
         # doc_fluency_buckets, crawl_host_betweenness,
-        # crawl_round_fairness.
+        # crawl_round_fairness, crawl_host_langmix.
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5170,6 +5251,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, min(r) AS component FROM reach GROUP BY host"""
 
     hostcfg = os.path.join(corpus, "hostcfg.parquet")
+    pages_pq = os.path.join(corpus, "pages.parquet")
+    langmix_sql = f"""
+        WITH p AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS host,
+                 lang
+          FROM read_parquet('{pages_pq}')),
+        c AS (SELECT host, lang, count(*)::BIGINT AS n
+              FROM p GROUP BY 1, 2),
+        t AS (SELECT host, sum(n)::BIGINT AS n_pages,
+                     count(*)::BIGINT AS n_langs
+              FROM c GROUP BY 1),
+        top AS (SELECT host, lang, n, row_number() OVER (
+                  PARTITION BY host ORDER BY n DESC, lang) AS rn
+                FROM c)
+        SELECT t.host, t.n_pages, t.n_langs, top.lang AS top_lang,
+               ((top.n * 1000000) // t.n_pages)::BIGINT
+                 AS top_share_ppm
+        FROM t JOIN top ON top.host = t.host AND top.rn = 1"""
+
     robots_audit_sql = f"""
         WITH pg AS (
           SELECT url,
@@ -6106,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rake_keywords": rake,
         "emb_pca_project": pca_project_sql,
         "crawl_robots_audit": robots_audit_sql,
+        "crawl_host_langmix": langmix_sql,
         "crawl_host_communities": lpa_sql,
         "crawl_host_degrees": degrees_sql,
         "crawl_page_quality": crawl_quality_sql,

@@ -296,6 +296,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_fluency_buckets",
         "crawl_host_betweenness",
         "crawl_round_fairness",
+        "crawl_host_langmix",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
