@@ -307,6 +307,12 @@ def bench_queries(sf_dir: str) -> dict:
     # few workers, so the first full-fanout query still paid the spawn.
     warm = qs["doc_token_stats"](sf_dir)
     warm.count() if hasattr(warm, "count") else len(warm)
+    # Pre-run the shared crawl-loop cache: the crawl loop's own latency
+    # is measured by bench_crawl above; without this, whichever
+    # metrics-consuming query runs first (crawl_round_fairness) absorbs
+    # the full loop run into its timing and double-counts it (measured
+    # 18 s attributed to a 0.1 s fairness aggregate).
+    entrymod._ensure_crawl(sf_dir)
     out = {}
     for name in picks:
         t0 = time.time()
