@@ -2883,6 +2883,21 @@ def _q_doc_bigram_fluency(sf_dir: str):
     )
 
 
+def _q_doc_trigram_backoff(sf_dir: str):
+    """Stupid-Backoff trigram-LM fluency (Brants et al., EMNLP 2007) +
+    backoff share per doc, integer ppm.  The LM trains on the
+    ``doc_id % 5 != 0`` slice and scores every doc (CCNet
+    train-on-reference shape) so held-out docs exercise the full
+    backoff chain.  Counts broadcast below a vocab threshold; above
+    it every count join rides key-hash buckets (no vocab-sized driver
+    state) — tiers bit-equal, forced-path pinned."""
+    from crawler_ai_ray.stages.textstats import trigram_backoff_fluency
+
+    return trigram_backoff_fluency(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_fluency_buckets(sf_dir: str):
     """CCNet head/middle/tail per-language perplexity terciles over
     the integer bigram-LM fluency signal (Wenzek et al. 2020) — the
@@ -4091,6 +4106,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_commonness": _q_doc_commonness,
         "doc_bigram_fluency": _q_doc_bigram_fluency,
+        "doc_trigram_backoff": _q_doc_trigram_backoff,
         "doc_fluency_buckets": _q_doc_fluency_buckets,
         "doc_dsir_score": _q_doc_dsir_score,
         "doc_embed_hash": _q_doc_embed_hash,
@@ -4253,7 +4269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_readability, emb_pca_cov, emb_pca_power,
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
         # doc_fluency_buckets, crawl_host_betweenness,
-        # crawl_round_fairness, crawl_host_langmix.
+        # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
+        # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -7072,6 +7089,68 @@ def oracle_sql() -> dict[str, str]:
         # engine's folded token hashes — a collision would be caught);
         # identical integer divisions ((1e6·c_pair)//c_prev, Σ//n)
         "doc_bigram_fluency": bigram_fluency_sql,
+        # trigram Stupid-Backoff: counts over n-gram STRINGS from the
+        # doc_id%5!=0 train slice (vs the engine's folded hashes — a
+        # collision would be caught); the CASE mirrors the engine's
+        # seen-trigram / seen-bigram / unigram branch rule and every
+        # branch is the identical integer division (α=0.4 exact as
+        # 400000// and 160000//)
+        "doc_trigram_backoff": """
+            WITH lt AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents),
+            tok AS MATERIALIZED (
+              SELECT doc_id, unnest(l) AS w FROM lt
+              WHERE doc_id % 5 != 0),
+            ntr AS (SELECT count(*)::BIGINT AS n FROM tok),
+            c1 AS MATERIALIZED (
+              SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            c2 AS MATERIALIZED (
+              SELECT p, w, count(*)::BIGINT AS n
+              FROM (SELECT z[1] AS p, z[2] AS w
+                    FROM (SELECT unnest(list_zip(l[:-1], l[2:])) AS z
+                          FROM lt WHERE doc_id % 5 != 0)
+                    WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL)
+              GROUP BY 1, 2),
+            c3 AS MATERIALIZED (
+              SELECT q, p, w, count(*)::BIGINT AS n
+              FROM (SELECT z[1] AS q, z[2] AS p, z[3] AS w
+                    FROM (SELECT unnest(list_zip(l[:-2], l[2:-1], l[3:]))
+                            AS z
+                          FROM lt WHERE doc_id % 5 != 0)
+                    WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+                      AND z[3] IS NOT NULL)
+              GROUP BY 1, 2, 3),
+            occ AS MATERIALIZED (
+              SELECT doc_id, z[1] AS q, z[2] AS p, z[3] AS w
+              FROM (SELECT doc_id,
+                           unnest(list_zip(l[:-2], l[2:-1], l[3:])) AS z
+                    FROM lt)
+              WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+                AND z[3] IS NOT NULL),
+            sc AS (
+              SELECT occ.doc_id,
+                     CASE
+                       WHEN c3.n IS NOT NULL
+                         THEN (1000000 * c3.n) // c2x.n
+                       WHEN c2w.n IS NOT NULL
+                         THEN (400000 * c2w.n) // c1p.n
+                       ELSE (160000 * COALESCE(c1w.n, 0))
+                              // (SELECT n FROM ntr)
+                     END AS s,
+                     CASE WHEN c3.n IS NULL THEN 1 ELSE 0 END AS b
+              FROM occ
+              LEFT JOIN c3 ON c3.q = occ.q AND c3.p = occ.p
+                          AND c3.w = occ.w
+              LEFT JOIN c2 c2x ON c2x.p = occ.q AND c2x.w = occ.p
+              LEFT JOIN c2 c2w ON c2w.p = occ.p AND c2w.w = occ.w
+              LEFT JOIN c1 c1p ON c1p.w = occ.p
+              LEFT JOIN c1 c1w ON c1w.w = occ.w)
+            SELECT doc_id, count(*)::BIGINT AS n_tri,
+                   (sum(s) // count(*))::BIGINT AS fluency3_ppm,
+                   ((sum(b) * 1000000) // count(*))::BIGINT AS backoff_ppm
+            FROM sc GROUP BY 1""",
         "doc_fluency_buckets": fluency_buckets_sql,
         # DSIR: feature ids recomputed via md5_number_lower (==
         # little-endian of md5 digest bytes 8..16, the engine's

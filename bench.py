@@ -297,6 +297,8 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_betweenness",
         "crawl_round_fairness",
         "crawl_host_langmix",
+        # round 4 ninth wave: trigram Stupid-Backoff LM
+        "doc_trigram_backoff",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -1451,14 +1451,13 @@ def _commonness_bucketed(ds, partials, text_col: str, num_buckets: int = 64):
 _BG_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _bigram_rows(batch: pa.Table, text_col: str):
-    """vectorized ordered-bigram extraction: lowercased ``[a-z]+`` runs
-    per doc (the corpus tokenization), consecutive-pair rows →
-    (local doc index, prev-token u64 hash, pair u64 hash).  Token
+def _token_hash_rows(batch: pa.Table, text_col: str):
+    """vectorized tokenization + hashing shared by the n-gram-LM rows:
+    lowercased ``[a-z]+`` runs per doc (the corpus tokenization) →
+    (local doc index, token u64 hash) in document order.  Token
     hashing is blake2b over the batch's UNIQUE terms (dictionary-
     encoded — the only per-string loop is vocab-sized, the per-token
-    path is a numpy gather); the pair key folds the two token hashes
-    (``h_prev·φ ⊕ h_tok``), never materializing pair strings."""
+    path is a numpy gather)."""
     import hashlib
 
     low = pc.utf8_lower(pc.cast(batch[text_col], pa.string()))
@@ -1475,8 +1474,7 @@ def _bigram_rows(batch: pa.Table, text_col: str):
     toks = flat.filter(keep)
     doc_idx = doc_idx[keep_np]
     if len(doc_idx) == 0:
-        z = np.zeros(0, np.uint64)
-        return np.zeros(0, np.int64), z, z
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     d = toks.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     hdict = np.array(
@@ -1491,7 +1489,17 @@ def _bigram_rows(batch: pa.Table, text_col: str):
         ],
         dtype=np.uint64,
     )
-    htok = hdict[codes]
+    return doc_idx, hdict[codes]
+
+
+def _bigram_rows(batch: pa.Table, text_col: str):
+    """consecutive-pair rows → (local doc index, prev-token u64 hash,
+    pair u64 hash); the pair key folds the two token hashes
+    (``h_prev·φ ⊕ h_tok``), never materializing pair strings."""
+    doc_idx, htok = _token_hash_rows(batch, text_col)
+    if len(doc_idx) == 0:
+        z = np.zeros(0, np.uint64)
+        return np.zeros(0, np.int64), z, z
     m = doc_idx[1:] == doc_idx[:-1]
     hprev = htok[:-1][m]
     hpair = hprev * _BG_GOLD ^ htok[1:][m]
@@ -1857,6 +1865,471 @@ def _bigram_fluency_bucketed(ds, partials, text_col: str, num_buckets: int = 64)
         .map_groups(join_cprev, batch_format="pyarrow")
         .groupby("dbucket")
         .map_groups(rollup, batch_format="pyarrow")
+    )
+
+
+# --- trigram Stupid-Backoff LM (Brants et al., EMNLP 2007) -----------------
+
+_TRIGRAM_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tri", pa.int64()),
+        ("fluency3_ppm", pa.int64()),
+        ("backoff_ppm", pa.int64()),
+    ]
+)
+
+
+def _trigram_rows(batch: pa.Table, text_col: str):
+    """consecutive-triple rows → (local doc index, h3, h2ctx, h2,
+    h1ctx, h1): every hash a trigram-LM score probe needs —
+    h3 = fold(q,p,w), h2ctx = fold(q,p) (the trigram denominator),
+    h2 = fold(p,w) (the backoff bigram), h1ctx = h(p), h1 = h(w).
+    Same fold as the bigram LM, one order up; no n-gram strings are
+    ever materialized."""
+    doc_idx, htok = _token_hash_rows(batch, text_col)
+    if len(doc_idx) < 3:
+        z = np.zeros(0, np.uint64)
+        return np.zeros(0, np.int64), z, z, z, z, z
+    m = (doc_idx[2:] == doc_idx[1:-1]) & (doc_idx[1:-1] == doc_idx[:-2])
+    hq = htok[:-2][m]
+    hp = htok[1:-1][m]
+    hw = htok[2:][m]
+    h2ctx = hq * _BG_GOLD ^ hp
+    h2 = hp * _BG_GOLD ^ hw
+    h3 = h2ctx * _BG_GOLD ^ hw
+    return doc_idx[2:][m], h3, h2ctx, h2, hp, hw
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """count of each probe key in the sorted (keys, vals) state; keys
+    absent from the state count 0 (this is what makes held-out scoring
+    — and hence backoff — possible)."""
+    if len(keys) == 0 or len(probe) == 0:
+        return np.zeros(len(probe), np.int64)
+    idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    return np.where(keys[idx] == probe, vals[idx], 0)
+
+
+def _backoff_scores(c3, c2ctx, c2, c1ctx, c1, n_train: int):
+    """per-occurrence Stupid-Backoff score in integer ppm (α = 0.4):
+    (10⁶·c3)//c2ctx when the trigram was seen in training, else
+    (4·10⁵·c2)//c1ctx when the bigram was, else (16·10⁴·c1)//N —
+    every branch one exact integer division, so any summation order
+    and the SQL oracle agree bit-for-bit."""
+    tri = (1_000_000 * c3) // np.maximum(c2ctx, 1)
+    bi = (400_000 * c2) // np.maximum(c1ctx, 1)
+    uni = (160_000 * c1) // max(n_train, 1)
+    s = np.where(c3 > 0, tri, np.where(c2 > 0, bi, uni))
+    boff = (c3 == 0).astype(np.int64)
+    return s, boff
+
+
+def _trigram_doc_rollup(doc_ids, s, boff) -> pa.Table:
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "b": pa.array(boff, pa.int64()),
+            "one": pa.array(np.ones(len(s), np.int64), pa.int64()),
+        }
+    )
+    g = t.group_by("doc_id").aggregate(
+        [("s", "sum"), ("b", "sum"), ("one", "sum")]
+    )
+    sv = g["s_sum"].to_numpy(zero_copy_only=False)
+    bv = g["b_sum"].to_numpy(zero_copy_only=False)
+    nv = g["one_sum"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "n_tri": pa.array(nv, pa.int64()),
+            "fluency3_ppm": pa.array(sv // nv, pa.int64()),
+            "backoff_ppm": pa.array((bv * 1_000_000) // nv, pa.int64()),
+        },
+        schema=_TRIGRAM_OUT_SCHEMA,
+    )
+
+
+def trigram_backoff_fluency(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 5,
+    vocab_broadcast_max: int = 2_000_000,
+):
+    """documents → (doc_id, n_tri, fluency3_ppm, backoff_ppm): mean
+    Stupid-Backoff trigram score (Brants, Popat, Xu, Och & Dean,
+    EMNLP 2007 — "Large Language Models in Machine Translation") of
+    each document's adjacent token triples, plus the share of triples
+    that fell back past the trigram (both integer ppm).  The LM trains
+    on the held-out-complement slice ``doc_id % train_mod != 0`` and
+    scores EVERY document (the CCNet train-on-reference/score-corpus
+    shape, arXiv:1911.00359) — held-out docs exercise the whole
+    backoff chain instead of the degenerate everything-seen case.
+
+    Scale shape (`bigram_fluency` doctrine, one order up): pass 1
+    reduces (order, key-hash, count) partials over the TRAIN slice;
+    below ``vocab_broadcast_max`` partial rows the merged counts
+    broadcast as sorted vectors; above it the whole query switches to
+    `_trigram_backoff_bucketed` — counts merge and every probe joins
+    inside key-hash buckets, so no n-gram-vocab-sized state ever lands
+    on the driver.  Tiers are bit-equal (integer sums; forced-path
+    agreement test).  A 64-bit fold collision merges two counts — the
+    oracle compares n-gram STRINGS, so the gate would catch one."""
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ordr": pa.array([], pa.int32()),
+                "key": pa.array([], pa.uint64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        train = batch.filter(pa.array(ids % train_mod != 0))
+        if train.num_rows == 0:
+            return empty
+        di, htok = _token_hash_rows(train, text_col)
+        if len(htok) == 0:
+            return empty
+        m2 = di[1:] == di[:-1]
+        h2 = (htok[:-1] * _BG_GOLD ^ htok[1:])[m2]
+        m3 = (di[2:] == di[1:-1]) & (di[1:-1] == di[:-2])
+        h3 = (
+            (htok[:-2] * _BG_GOLD ^ htok[1:-1])[m3] * _BG_GOLD
+            ^ htok[2:][m3]
+        )
+        ordr = np.concatenate(
+            [
+                np.full(len(htok), 1, np.int32),
+                np.full(len(h2), 2, np.int32),
+                np.full(len(h3), 3, np.int32),
+            ]
+        )
+        key = np.concatenate([htok, h2, h3])
+        t = pa.table(
+            {
+                "ordr": pa.array(ordr, pa.int32()),
+                "key": pa.array(key, pa.uint64()),
+                "c": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+        agg = t.group_by(["ordr", "key"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "ordr": agg["ordr"],
+                "key": agg["key"],
+                "c": pc.cast(agg["c_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() > vocab_broadcast_max:
+        return _trigram_backoff_bucketed(
+            ds, partials, text_col=text_col, id_col=id_col
+        )
+    parts = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        import ray.data
+
+        return ray.data.from_arrow(_TRIGRAM_OUT_SCHEMA.empty_table())
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["ordr", "key"])
+        .aggregate([("c", "sum")])
+    )
+    state = {}
+    ordv = agg["ordr"].to_numpy(zero_copy_only=False)
+    keyv = agg["key"].to_numpy(zero_copy_only=False)
+    cv = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for o in (1, 2, 3):
+        sel = ordv == o
+        k, v = keyv[sel], cv[sel]
+        srt = np.argsort(k)
+        state[o] = (k[srt], v[srt])
+    n_train = int(state[1][1].sum())
+    ref = ray.put((state[1], state[2], state[3], n_train))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return _TRIGRAM_OUT_SCHEMA.empty_table()
+        (k1, v1), (k2, v2), (k3, v3), n_tok = ray.get(ref)
+        di, h3, h2ctx, h2, h1ctx, h1 = _trigram_rows(batch, text_col)
+        if len(h3) == 0:
+            return _TRIGRAM_OUT_SCHEMA.empty_table()
+        s, boff = _backoff_scores(
+            _sorted_lookup(k3, v3, h3),
+            _sorted_lookup(k2, v2, h2ctx),
+            _sorted_lookup(k2, v2, h2),
+            _sorted_lookup(k1, v1, h1ctx),
+            _sorted_lookup(k1, v1, h1),
+            n_tok,
+        )
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[di]
+        return _trigram_doc_rollup(doc_ids, s, boff)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _trigram_backoff_bucketed(
+    ds,
+    partials,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Above-threshold tier of `trigram_backoff_fluency` — no
+    n-gram-vocab-sized state on the driver (the closed vocab
+    boundary).  Skinny-row exchanges only:
+      1. (ordr, key, c) partials merge to final counts inside
+         ``key % B`` buckets (a key lives in one bucket → exact);
+      2. occurrence rows (doc, h3, h2ctx, h2, h1ctx, h1, m) attach
+         each of the five counts through five successive key-hash
+         bucket joins (`_attach_counts_bucketed` — union + in-bucket
+         sorted probe, absent key → 0, exactly the broadcast
+         `_sorted_lookup` rule);
+      3. per-occurrence score = `_backoff_scores` (shared fn), per-doc
+         rollup inside ``doc_id % B`` buckets.
+    Integer sums ⇒ bit-equal to the broadcast tier (forced-path
+    agreement test).  N (train token total) is the one driver scalar —
+    O(1) state."""
+    import ray
+    import ray.data
+
+    nb = num_buckets
+    if partials.count() == 0:
+        return ray.data.from_arrow(_TRIGRAM_OUT_SCHEMA.empty_table())
+
+    def bucket_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return pa.table(
+                {
+                    "ordr": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.uint64()),
+                    "c": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        h = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((h % nb).astype(np.int32), pa.int32())
+        )
+
+    def merge_counts(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["ordr", "key"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "ordr": agg["ordr"],
+                "key": agg["key"],
+                "c": pc.cast(agg["c_sum"], pa.int64()),
+            }
+        )
+
+    counts = (
+        partials.map_batches(bucket_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pyarrow")
+        .materialize()
+    )
+    # N: train token total — one tiny reduce over the unigram rows
+    n_train = 0
+    for t in ray.get(counts.to_arrow_refs()):
+        if t.num_rows and "ordr" in t.column_names:
+            sel = t.filter(pc.equal(t["ordr"], 1))
+            n_train += int(pc.sum(sel["c"]).as_py() or 0)
+
+    occ_cols = {
+        "doc_id": pa.int64(),
+        "h3": pa.uint64(),
+        "h2ctx": pa.uint64(),
+        "h2": pa.uint64(),
+        "h1ctx": pa.uint64(),
+        "h1": pa.uint64(),
+        "m": pa.int64(),
+    }
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        cols = dict(occ_cols)
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return pa.table(
+                {k: pa.array([], t) for k, t in cols.items()}
+            )
+        di, h3, h2ctx, h2, h1ctx, h1 = _trigram_rows(batch, text_col)
+        if len(h3) == 0:
+            return pa.table(
+                {k: pa.array([], t) for k, t in cols.items()}
+            )
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[di]
+        # multiplicity-compress repeated (doc, trigram) occurrences —
+        # identical h3 ⇒ identical probe tuple, so m rides along
+        order = np.lexsort((doc_ids, h3))
+        d_s = doc_ids[order]
+        arrs = [h3[order], h2ctx[order], h2[order], h1ctx[order], h1[order]]
+        new = np.empty(len(d_s), dtype=bool)
+        new[0] = True
+        new[1:] = (arrs[0][1:] != arrs[0][:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts], pa.int64()),
+                "h3": pa.array(arrs[0][starts], pa.uint64()),
+                "h2ctx": pa.array(arrs[1][starts], pa.uint64()),
+                "h2": pa.array(arrs[2][starts], pa.uint64()),
+                "h1ctx": pa.array(arrs[3][starts], pa.uint64()),
+                "h1": pa.array(arrs[4][starts], pa.uint64()),
+                "m": pa.array(m, pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow")
+    cols = dict(occ_cols)
+    for probe, out_col, ordr in (
+        ("h3", "c3", 3),
+        ("h2ctx", "c2ctx", 2),
+        ("h2", "c2", 2),
+        ("h1ctx", "c1ctx", 1),
+        ("h1", "c1", 1),
+    ):
+        occ = _attach_counts_bucketed(
+            occ,
+            counts.filter(expr=f"ordr == {ordr}"),
+            cols,
+            probe,
+            out_col,
+            nb,
+        )
+        cols = cols | {out_col: pa.int64()}
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c3" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "dbucket": pa.array([], pa.int32()),
+                }
+            )
+        g = {
+            k: batch[k].to_numpy(zero_copy_only=False).astype(np.int64)
+            for k in ("c3", "c2ctx", "c2", "c1ctx", "c1", "m")
+        }
+        s, boff = _backoff_scores(
+            g["c3"], g["c2ctx"], g["c2"], g["c1ctx"], g["c1"], n_train
+        )
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "s": pa.array(g["m"] * s, pa.int64()),
+                "b": pa.array(g["m"] * boff, pa.int64()),
+                "n": pa.array(g["m"], pa.int64()),
+                "dbucket": pa.array(
+                    (dids % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rollup(group: pa.Table) -> pa.Table:
+        agg = group.group_by("doc_id").aggregate(
+            [("s", "sum"), ("b", "sum"), ("n", "sum")]
+        )
+        sv = agg["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = agg["b_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_tri": pa.array(nv, pa.int64()),
+                "fluency3_ppm": pa.array(sv // nv, pa.int64()),
+                "backoff_ppm": pa.array(
+                    (bv * 1_000_000) // nv, pa.int64()
+                ),
+            },
+            schema=_TRIGRAM_OUT_SCHEMA,
+        )
+
+    return (
+        occ.map_batches(score_rows, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(rollup, batch_format="pyarrow")
+    )
+
+
+def _attach_counts_bucketed(
+    occ_ds, counts_ds, occ_cols: dict, probe_col: str, out_col: str, nb: int
+):
+    """generic in-bucket count attach: every occ row gains
+    ``out_col`` = the count of its ``probe_col`` key in ``counts_ds``
+    ((ordr, key, c) rows), 0 when absent — a broadcast-free hash join
+    where both sides exchange only skinny u64/int64 rows.  The probe
+    key lives in exactly one ``key % nb`` bucket, so the in-bucket
+    sorted lookup is globally exact.  ``occ_cols`` is the STATIC occ
+    schema (never probes a lazy Dataset for it)."""
+    union_names = list(occ_cols) + [out_col, "__tag", "bucket"]
+
+    def empty_union() -> pa.Table:
+        arrs = {k: pa.array([], t) for k, t in occ_cols.items()}
+        arrs[out_col] = pa.array([], pa.int64())
+        arrs["__tag"] = pa.array([], pa.int8())
+        arrs["bucket"] = pa.array([], pa.int32())
+        return pa.table({k: arrs[k] for k in union_names})
+
+    def prep_occ(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or probe_col not in batch.column_names:
+            return empty_union()
+        n = batch.num_rows
+        h = batch[probe_col].to_numpy(zero_copy_only=False)
+        arrs = {k: batch[k] for k in occ_cols}
+        arrs[out_col] = pa.array(np.zeros(n, np.int64), pa.int64())
+        arrs["__tag"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        arrs["bucket"] = pa.array((h % nb).astype(np.int32), pa.int32())
+        return pa.table({k: arrs[k] for k in union_names})
+
+    def prep_cnt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return empty_union()
+        n = batch.num_rows
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        arrs = {}
+        for k, t in occ_cols.items():
+            if k == probe_col:
+                arrs[k] = batch["key"]
+            elif t == pa.uint64():
+                arrs[k] = pa.array(np.zeros(n, np.uint64), pa.uint64())
+            else:
+                arrs[k] = pa.array(np.zeros(n, np.int64), t)
+        arrs[out_col] = pc.cast(batch["c"], pa.int64())
+        arrs["__tag"] = pa.array(np.ones(n, np.int8), pa.int8())
+        arrs["bucket"] = pa.array((key % nb).astype(np.int32), pa.int32())
+        return pa.table({k: arrs[k] for k in union_names})
+
+    def join(group: pa.Table) -> pa.Table:
+        tag = group["__tag"].to_numpy(zero_copy_only=False)
+        probe = group[probe_col].to_numpy(zero_copy_only=False)
+        val = group[out_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_cnt = tag == 1
+        keys, cv = probe[is_cnt], val[is_cnt]
+        srt = np.argsort(keys, kind="stable")
+        attached = _sorted_lookup(keys[srt], cv[srt], probe[~is_cnt])
+        occ = group.filter(pa.array(~is_cnt))
+        cols = {k: occ[k] for k in occ_cols}
+        cols[out_col] = pa.array(attached, pa.int64())
+        return pa.table(cols)
+
+    return (
+        occ_ds.map_batches(prep_occ, batch_format="pyarrow")
+        .union(counts_ds.map_batches(prep_cnt, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join, batch_format="pyarrow")
     )
 
 

@@ -3438,3 +3438,85 @@ def test_source_cap_hand_computed_and_invariant(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert got.equals(again)
+
+
+def test_trigram_backoff_tiers_and_reference(ray_session):
+    """Stupid-Backoff trigram LM: (a) bucketed tier forced past the
+    threshold is bit-equal to the broadcast tier; (b) both match a
+    sequential pure-Python reference that counts n-gram STRINGS on the
+    train slice (doc_id % 5 != 0) and applies the exact α=0.4 integer
+    branch rule — so hash folding, bucket joins and the held-out
+    scoring shape are all verified against independent math."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import trigram_backoff_fluency
+
+    rng = np.random.default_rng(29)
+    vocab = np.array(
+        ["alpha", "beta", "gamma", "delta", "common", "words",
+         "page", "rare", "zebra", "quark"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+        for _ in range(240)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(240), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    a = (
+        trigram_backoff_fluency(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        trigram_backoff_fluency(ds, vocab_broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
+
+    # sequential reference over n-gram strings
+    from collections import Counter
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    n_train = 0
+    for i, ws in toks.items():
+        if i % 5 == 0:
+            continue
+        n_train += len(ws)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+        c3.update(zip(ws, ws[1:], ws[2:]))
+    want = {}
+    for i, ws in toks.items():
+        if len(ws) < 3:
+            continue
+        s_sum = b_sum = n = 0
+        for q, p, w in zip(ws, ws[1:], ws[2:]):
+            n += 1
+            if c3[(q, p, w)] > 0:
+                s = (1_000_000 * c3[(q, p, w)]) // c2[(q, p)]
+            elif c2[(p, w)] > 0:
+                s = (400_000 * c2[(p, w)]) // c1[p]
+                b_sum += 1
+            else:
+                s = (160_000 * c1[w]) // max(n_train, 1)
+                b_sum += 1
+            s_sum += s
+        want[i] = (n, s_sum // n, (b_sum * 1_000_000) // n)
+    got = {
+        int(r.doc_id): (int(r.n_tri), int(r.fluency3_ppm),
+                        int(r.backoff_ppm))
+        for r in a.itertuples()
+    }
+    assert got == want
+    # held-out docs actually exercise the backoff path
+    assert any(v[2] > 0 for k, v in got.items() if k % 5 == 0)
+    assert all(v[2] == 0 for k, v in got.items() if k % 5 != 0)
