@@ -3193,6 +3193,20 @@ def _q_doc_neardup_contain(sf_dir: str):
     )
 
 
+def _q_doc_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup estimator (LBFS/FastCDC family):
+    gear rolling-hash chunks, exact corpus-wide chunk counts through a
+    chunk-hash bucket shuffle (hashes travel, text never), per-doc dup
+    bytes rollup with the adaptive driver/bucketed finish — the
+    storage-level dedup signal a web-archive store runs
+    (stages/dedup.py cdc_dedup_stats; sequential same-math golden)."""
+    from crawler_ai_ray.stages.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_membership_bloom(sf_dir: str):
     """Bloom-filter seen-set: probe the odd-doc_id half of the corpus
     against a 64 Kib filter built from the even half; exact_dup ground
@@ -3489,6 +3503,23 @@ def _q_emb_centroid_outliers(sf_dir: str):
         nlist=8,
         iters=3,
         k=50,
+    )
+
+
+def _q_emb_kcenter(sf_dir: str):
+    """Greedy k-center (Gonzalez farthest-point) coreset selection —
+    the diverse-subset / data-pruning primitive (complement of
+    SemDeDup: keep the spread).  Per-block stateful shard actors hold
+    the running max-sim-to-selected; a round broadcasts one unit
+    vector and reduces one candidate row per shard.  Half-away-micros
+    quantization + (max_sim, id) tiebreaks make selection
+    partition-invariant, so the sequential same-math golden is the
+    oracle (stages/simsearch.py kcenter_select)."""
+    from crawler_ai_ray.stages.simsearch import kcenter_select
+
+    return kcenter_select(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=16,
     )
 
 
@@ -4068,6 +4099,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_neardup_ngram": _q_doc_neardup_ngram,
         "doc_neardup_contain": _q_doc_neardup_contain,
+        "doc_cdc_dedup": _q_doc_cdc_dedup,
         "doc_membership_bloom": _q_doc_membership_bloom,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
@@ -4142,6 +4174,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup_global": _q_emb_semantic_dedup_global,
         "emb_cluster_profile": _q_emb_cluster_profile,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
+        "emb_kcenter_coreset": _q_emb_kcenter,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -4270,6 +4303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
         # doc_fluency_buckets, crawl_host_betweenness,
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
+        # emb_kcenter_coreset, doc_cdc_dedup,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -8007,6 +8041,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_outliers": f"""
             SELECT rank, vec_id, cluster, sim_micros
             FROM read_parquet('{os.path.join(gdir, "emb_outliers.parquet")}')""",
+        "emb_kcenter_coreset": f"""
+            SELECT rank, vec_id, sim_micros
+            FROM read_parquet('{os.path.join(gdir, "emb_kcenter.parquet")}')""",
+        "doc_cdc_dedup": f"""
+            SELECT doc_id, n_chunks, chunk_bytes, n_dup_chunks, dup_bytes
+            FROM read_parquet('{os.path.join(gdir, "cdc.parquet")}')""",
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -299,6 +299,10 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_host_langmix",
         # round 4 ninth wave: trigram Stupid-Backoff LM
         "doc_trigram_backoff",
+        # round 4 tenth wave: greedy k-center coreset selection + CDC
+        # storage-dedup estimator
+        "emb_kcenter_coreset",
+        "doc_cdc_dedup",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g13"
+GOLDEN_VERSION = "g15"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -473,6 +473,37 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
         os.path.join(gdir, "emb_outliers.parquet"),
     )
 
+    # --- emb_kcenter_coreset golden (k=16) ----------------------------
+    # sequential greedy Gonzalez farthest-point with the SAME integer
+    # quantization (half-away micros) and (max_sim, id) tiebreaks as
+    # `simsearch.kcenter_select` — valid as an oracle because every
+    # selection step compares int64s, so the distributed shard-actor
+    # path is bit-identical under any block partitioning.
+    max_sim = np.full(len(ids), -2_000_000, np.int64)
+    sel = int(np.argmin(ids))
+    kc_rows = [(1, int(ids[sel]), -2_000_000)]
+    vec = matn[sel]
+    for r in range(2, 17):
+        sims = _half_away_micros(matn @ vec * 1_000_000.0)
+        np.maximum(max_sim, sims, out=max_sim)
+        i = int(np.lexsort((ids, max_sim))[0])
+        if max_sim[i] >= 1_000_000:
+            break
+        kc_rows.append((r, int(ids[i]), int(max_sim[i])))
+        vec = matn[i]
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in kc_rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in kc_rows], pa.int64()),
+                "sim_micros": pa.array(
+                    [r[2] for r in kc_rows], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(gdir, "emb_kcenter.parquet"),
+    )
+
 
 def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     """mm_* goldens: the SAME pure stage callables run sequentially on
@@ -542,6 +573,63 @@ def _build_logreg_golden(sf_dir: str, gdir: str) -> None:
     )
 
 
+def _build_cdc_golden(sf_dir: str, gdir: str) -> None:
+    """Sequential same-math CDC dedup run: the SAME pure chunker
+    (`dedup.cdc_chunk_hashes`) over every doc, one global Counter of
+    chunk occurrences, per-doc dup rollup — pins the distributed
+    chunk-hash-bucket shuffle + adaptive per-doc finish of
+    `cdc_dedup_stats`.  The chunker itself is pinned by property tests
+    (reassembly, boundary locality, planted duplicate spans)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from ..stages.dedup import cdc_chunk_hashes
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    per_doc = []
+    counts: Counter = Counter()
+    for did, text in zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist()
+    ):
+        hs, lens = cdc_chunk_hashes(text or "")
+        if not len(hs):
+            continue
+        per_doc.append((did, hs, lens))
+        counts.update(hs.tolist())
+    rows = {
+        "doc_id": [],
+        "n_chunks": [],
+        "chunk_bytes": [],
+        "n_dup_chunks": [],
+        "dup_bytes": [],
+    }
+    for did, hs, lens in per_doc:
+        dup = np.array([counts[h] >= 2 for h in hs.tolist()], bool)
+        rows["doc_id"].append(did)
+        rows["n_chunks"].append(len(hs))
+        rows["chunk_bytes"].append(int(lens.sum()))
+        rows["n_dup_chunks"].append(int(dup.sum()))
+        rows["dup_bytes"].append(int(lens[dup].sum()))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "n_chunks": pa.array(rows["n_chunks"], pa.int64()),
+                "chunk_bytes": pa.array(rows["chunk_bytes"], pa.int64()),
+                "n_dup_chunks": pa.array(
+                    rows["n_dup_chunks"], pa.int64()
+                ),
+                "dup_bytes": pa.array(rows["dup_bytes"], pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "cdc.parquet"),
+    )
+
+
 def ensure_oracle_goldens(sf_dir: str) -> str:
     """Idempotently build the oracle goldens for a testdata dir; returns
     the golden directory (inside the per-tag corpus dir, so it expires
@@ -568,6 +656,7 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
         _build_doc_goldens(sf_dir, tmp)
         _build_bpe_goldens(sf_dir, tmp)
         _build_logreg_golden(sf_dir, tmp)
+        _build_cdc_golden(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "events.parquet")):
         _build_events_goldens(sf_dir, tmp)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):

@@ -68,6 +68,9 @@ __all__ = [
     "boilerplate_keys",
     "boilerplate_removal",
     "boilerplate_stats",
+    "cdc_boundaries",
+    "cdc_chunk_hashes",
+    "cdc_dedup_stats",
 ]
 
 
@@ -3462,3 +3465,263 @@ def neardup_keep_best(labels_ds, keys_ds, num_buckets: int = 64):
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup estimator
+# ---------------------------------------------------------------------------
+
+# Deterministic gear table (NEVER hash(str) — process-salted; house rule):
+# gear[b] = md5(byte) digest[:8] little-endian, fixed across processes.
+_GEAR = np.array(
+    [
+        int.from_bytes(hashlib.md5(bytes([i])).digest()[:8], "little")
+        for i in range(256)
+    ],
+    dtype=np.uint64,
+)
+
+
+def cdc_boundaries(data: np.ndarray, mask_bits: int = 8) -> np.ndarray:
+    """Gear rolling-hash chunk boundaries over a byte array — cut AFTER
+    position ``i`` when the low ``mask_bits`` bits of the gear hash are
+    zero (expected chunk length 2**mask_bits bytes).
+
+    The gear recurrence ``h = (h << 1) + gear[b]`` makes ``h``'s low m
+    bits a function of ONLY the last m bytes (older terms are shifted
+    past bit m), so the masked boundary test needs just m shifted adds:
+    ``h_low_i = Σ_{t<m} gear[b_{i-t}] << t`` — fully vectorized, no
+    per-byte Python.  No reset at cuts (rsync/Rabin-style continuous
+    rolling): every boundary decision is a pure function of the
+    preceding m bytes, the locality property CDC dedup relies on (an
+    edit can only move boundaries within one window of it).  FastCDC's
+    min/max-length normalization is the production extension; it is
+    deliberately omitted here to keep the pass branch-free."""
+    if len(data) == 0:
+        return np.zeros(0, np.int64)
+    g = _GEAR[data]
+    h = g.copy()
+    for t in range(1, mask_bits):
+        h[t:] += g[:-t] << np.uint64(t)
+    mask = np.uint64((1 << mask_bits) - 1)
+    return np.flatnonzero((h & mask) == np.uint64(0))
+
+
+def cdc_chunk_hashes(
+    text: str, mask_bits: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """text → (chunk_h int64[], chunk_len int64[]) in document order.
+    Chunk identity is md5(chunk bytes) digest[8:] little-endian viewed
+    int64 (the ``md5_number_lower`` byte convention, shared with
+    hash_embed / DSIR)."""
+    data = np.frombuffer(text.encode("utf-8"), np.uint8)
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bpos = cdc_boundaries(data, mask_bits)
+    starts = np.concatenate(([0], bpos + 1))
+    ends = np.concatenate((bpos + 1, [n]))
+    keep = starts < ends  # drop the empty tail when a cut lands on n-1
+    starts, ends = starts[keep], ends[keep]
+    raw = data.tobytes()
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(raw[s:e]).digest()[8:], "little", signed=False
+            )
+            for s, e in zip(starts.tolist(), ends.tolist())
+        ),
+        dtype=np.uint64,
+        count=len(starts),
+    ).view(np.int64)
+    return hs, (ends - starts).astype(np.int64)
+
+
+def cdc_dedup_stats(
+    ds,
+    mask_bits: int = 8,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    local_max_rows: int = 2_000_000,
+):
+    """Content-defined-chunking dedup estimator — the storage-level
+    dedup signal a web-archive / training-corpus store runs (LBFS/
+    FastCDC family): chunk every document with a gear rolling hash,
+    count identical chunks across the corpus, and report per doc how
+    much of it is duplicated elsewhere →
+    ``(doc_id, n_chunks, chunk_bytes, n_dup_chunks, dup_bytes)`` for
+    every doc with non-empty text.  An occurrence is "dup" when its
+    chunk content occurs ≥2 times corpus-wide (including twice in the
+    same doc) — exactly a dedup store's "this block is already
+    present" test.
+
+    Scale shape (100 TB framing): stage 1 is one streaming pass — per
+    batch, per doc: vectorized gear boundaries, per-chunk md5 (a loop
+    over ~1/2^mask_bits-density cut points, not bytes), then a
+    composite ``np.unique`` pre-agg so the shuffle carries one row per
+    DISTINCT (doc, chunk): (bucket, doc_id, chunk_h, occ, bytes_tot) —
+    16 bytes of hash instead of chunk text (a ~2^mask_bits× exchange
+    cut; text never shuffles).  One chunk-hash bucket shuffle computes
+    exact global chunk counts (a chunk lives in exactly one bucket —
+    md5 keys are uniform, so the exchange cannot skew) and folds them
+    into per-(bucket, doc) dup partials; the per-doc finish is
+    adaptive: driver-side Arrow hash-agg below ``local_max_rows``
+    partial rows (metadata count after materialize — free), else a
+    doc-hash-bucketed (512) groupby with in-bucket Arrow group_by
+    (never a high-cardinality Ray groupby; house rule).
+
+    Oracle: sequential same-math golden (`oracle/goldens.py`) pins the
+    distributed orchestration; the chunker itself is pinned by property
+    tests (chunks reassemble to the text, boundary locality under
+    prefix edits, planted cross-doc duplicate spans detected)."""
+    import ray
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        out_b, out_d, out_h, out_o, out_y = [], [], [], [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        for did, text in zip(ids.tolist(), texts):
+            hs, lens = cdc_chunk_hashes(text or "", mask_bits)
+            if not len(hs):
+                continue
+            uniq, inv = np.unique(hs, return_inverse=True)
+            occ = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            byt = np.bincount(
+                inv, weights=lens, minlength=len(uniq)
+            ).astype(np.int64)
+            out_b.append(
+                (uniq.view(np.uint64) % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+            )
+            out_d.append(np.full(len(uniq), did, np.int64))
+            out_h.append(uniq)
+            out_o.append(occ)
+            out_y.append(byt)
+        if not out_b:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_h": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "bytes_tot": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), pa.int32()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "chunk_h": pa.array(np.concatenate(out_h), pa.int64()),
+                "occ": pa.array(np.concatenate(out_o), pa.int64()),
+                "bytes_tot": pa.array(np.concatenate(out_y), pa.int64()),
+            }
+        )
+
+    def bucket_partials(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.int64()),
+                "chunk_bytes": pa.array([], pa.int64()),
+                "n_dup_chunks": pa.array([], pa.int64()),
+                "dup_bytes": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return empty  # schema-less empty block guard (house rule)
+        h = g["chunk_h"].to_numpy(zero_copy_only=False)
+        occ = g["occ"].to_numpy(zero_copy_only=False)
+        byt = g["bytes_tot"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(h, return_inverse=True)
+        cnt = np.bincount(inv, weights=occ, minlength=len(uniq))
+        is_dup = (cnt[inv] >= 2)
+        du, dinv = np.unique(did, return_inverse=True)
+        n_tot = np.bincount(dinv, weights=occ, minlength=len(du))
+        y_tot = np.bincount(dinv, weights=byt, minlength=len(du))
+        n_dup = np.bincount(
+            dinv, weights=occ * is_dup, minlength=len(du)
+        )
+        y_dup = np.bincount(
+            dinv, weights=byt * is_dup, minlength=len(du)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(du, pa.int64()),
+                "n_chunks": pa.array(n_tot.astype(np.int64), pa.int64()),
+                "chunk_bytes": pa.array(
+                    y_tot.astype(np.int64), pa.int64()
+                ),
+                "n_dup_chunks": pa.array(
+                    n_dup.astype(np.int64), pa.int64()
+                ),
+                "dup_bytes": pa.array(y_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .materialize()
+    )
+    n_partials = partials.count()  # block metadata — free post-materialize
+
+    def finish_local(t: pa.Table) -> pa.Table:
+        agg = t.group_by("doc_id").aggregate(
+            [
+                ("n_chunks", "sum"),
+                ("chunk_bytes", "sum"),
+                ("n_dup_chunks", "sum"),
+                ("dup_bytes", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_chunks": agg["n_chunks_sum"],
+                "chunk_bytes": agg["chunk_bytes_sum"],
+                "n_dup_chunks": agg["n_dup_chunks_sum"],
+                "dup_bytes": agg["dup_bytes_sum"],
+            }
+        )
+
+    if n_partials <= local_max_rows:
+        parts = [
+            t
+            for t in ray.get(partials.to_arrow_refs())
+            if t.num_rows and "doc_id" in t.column_names
+        ]
+        if not parts:
+            return bucket_partials(pa.table({}))
+        return finish_local(pa.concat_tables(parts))
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_bucket": pa.array([], pa.int32())}
+            )  # typed empty
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (did.view(np.uint64) % np.uint64(512)).astype(np.int32)
+        return batch.append_column("doc_bucket", pa.array(b, pa.int32()))
+
+    def finish_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return bucket_partials(pa.table({}))
+        return finish_local(g.drop_columns(["doc_bucket"]))
+
+    out = (
+        partials.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(finish_bucket, batch_format="pyarrow")
+    )
+    parts = [
+        t
+        for t in ray.get(out.to_arrow_refs())
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return bucket_partials(pa.table({}))
+    return pa.concat_tables(parts)

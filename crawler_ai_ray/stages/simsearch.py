@@ -45,6 +45,7 @@ __all__ = [
     "knn_pq_rerank",
     "knn_graph",
     "knn_graph_ivf",
+    "kcenter_select",
 ]
 
 
@@ -1399,5 +1400,152 @@ def pca_project(
             "vec_id": pa.array(ids, pa.int64()),
             "proj_pico": pa.array(pj, pa.int64()),
             "bin": pa.array(bins, pa.int64()),
+        }
+    )
+
+
+# --- greedy k-center coreset selection -------------------------------------
+
+def kcenter_select(
+    ds,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Greedy k-center (Gonzalez farthest-point traversal) coreset
+    selection over an embedding column — the data-PRUNING primitive: the
+    k selected rows are maximally spread, the classic seed set for
+    diverse subset selection / coverage-style data pruning (the
+    complement of SemDeDup: keep the spread, not drop the near-dups).
+
+    → k rows ``(rank, vec_id, sim_micros)`` in selection order, where
+    ``sim_micros`` is the candidate's max cosine similarity (half-away
+    micros) to the already-selected set at the moment it was picked —
+    a non-decreasing sequence whose tail value is the coverage radius
+    witness.  Rank 1 is the globally smallest id (the house
+    deterministic seeding convention, `kmeans_train`), with sentinel
+    ``sim_micros = -2_000_000`` (outside the valid cosine range).
+
+    Scale shape (100 TB framing): the per-point "max similarity to the
+    selected set" state lives WITH the data — one stateful shard actor
+    per materialized block (ST7 pattern: state built once in
+    ``__init__``), holding (ids, unit matrix, running int64 max-sim).
+    A round broadcasts only the newly selected unit VECTOR (dim
+    floats, via ``ray.put``); each shard does one vectorized matvec,
+    updates its running max in place, and returns a single local
+    candidate row — O(num_blocks) driver rows per round, never O(N).
+    Total work O(k·N·dim) flops + k small actor round-trips: the
+    round loop dispatches plain actor calls over a fixed shard list,
+    not a Dataset job per round (the crawl-round dispatch rule).
+
+    Determinism: similarities are quantized half-away micros BEFORE
+    the max/argmin, and the global winner is the lexicographic min of
+    ``(max_sim, id)`` across shards — integer comparisons with id
+    tiebreaks are partition-invariant, so the sequential same-math
+    golden (`oracle/goldens.py`) is a valid oracle for the distributed
+    orchestration.  Already-selected points converge to max-sim 1e6
+    (sim with themselves) and can never win again while any point has
+    max-sim < 1e6; exact-duplicate vectors of a selected point are
+    likewise covered, the degenerate-tie class the knn-graph fuzz
+    caught (tie-stable by the id tiebreak).
+    """
+    import ray
+
+    block_refs = list(ds.materialize().to_arrow_refs())
+    # one shard actor per block would deadlock when blocks > free CPUs
+    # (all seeds are ray.get in one wave) — group blocks into at most
+    # cpus-1 shards; each actor concatenates its group once in __init__.
+    n_cpu = int(ray.cluster_resources().get("CPU", 1))
+    n_shards = max(1, min(len(block_refs), n_cpu - 1 if n_cpu > 1 else 1))
+    groups = [block_refs[i::n_shards] for i in range(n_shards)]
+
+    @ray.remote(num_cpus=1)
+    class _KCenterShard:
+        def __init__(self, blocks: list):
+            from crawler_ai_ray.stages.dedup import list_col_to_matrix
+
+            ids_parts, mat_parts = [], []
+            for ref in blocks:  # refs nested in a list resolve manually
+                block = ray.get(ref)
+                if block.num_rows == 0 or id_col not in block.column_names:
+                    continue  # schema-less empty block guard (house rule)
+                ids_parts.append(
+                    block[id_col].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                )
+                mat_parts.append(
+                    _normalize(list_col_to_matrix(block[emb_col]))
+                )
+            if ids_parts:
+                self.ids = np.concatenate(ids_parts)
+                self.mat = np.concatenate(mat_parts)
+            else:
+                self.ids = np.zeros(0, np.int64)
+                self.mat = np.zeros((0, 0), np.float64)
+            self.max_sim = np.full(len(self.ids), -2_000_000, np.int64)
+
+        def seed(self):
+            """(min id, its unit vector) — or None for an empty shard."""
+            if not len(self.ids):
+                return None
+            i = int(np.argmin(self.ids))
+            return int(self.ids[i]), self.mat[i].copy()
+
+        def update_and_candidate(self, vec: np.ndarray):
+            """Fold the newly selected vector into the running max-sim,
+            return this shard's farthest candidate
+            (max_sim, id, unit_vec) — lexicographic min of
+            (max_sim, id)."""
+            if not len(self.ids):
+                return None
+            sims = _half_away_micros(self.mat @ vec * 1_000_000.0)
+            np.maximum(self.max_sim, sims, out=self.max_sim)
+            i = int(np.lexsort((self.ids, self.max_sim))[0])
+            return (
+                int(self.max_sim[i]),
+                int(self.ids[i]),
+                self.mat[i].copy(),
+            )
+
+    shards = [_KCenterShard.remote(g) for g in groups]
+    try:
+        seeds = [s for s in ray.get([a.seed.remote() for a in shards])
+                 if s is not None]
+        ranks: list[int] = []
+        ids_out: list[int] = []
+        sims_out: list[int] = []
+        if seeds:
+            seeds.sort(key=lambda s: s[0])
+            sel_id, sel_vec = seeds[0]
+            ranks.append(1)
+            ids_out.append(sel_id)
+            sims_out.append(-2_000_000)
+            for r in range(2, k + 1):
+                vec_ref = ray.put(sel_vec)
+                cands = [
+                    c
+                    for c in ray.get(
+                        [a.update_and_candidate.remote(vec_ref)
+                         for a in shards]
+                    )
+                    if c is not None
+                ]
+                cands.sort(key=lambda c: (c[0], c[1]))
+                best_sim, best_id, best_vec = cands[0]
+                if best_sim >= 1_000_000:
+                    break  # every remaining point is an exact dup of a center
+                ranks.append(r)
+                ids_out.append(best_id)
+                sims_out.append(best_sim)
+                sel_id, sel_vec = best_id, best_vec
+    finally:
+        for a in shards:
+            ray.kill(a)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(ids_out, pa.int64()),
+            "sim_micros": pa.array(sims_out, pa.int64()),
         }
     )

@@ -3520,3 +3520,217 @@ def test_trigram_backoff_tiers_and_reference(ray_session):
     # held-out docs actually exercise the backoff path
     assert any(v[2] > 0 for k, v in got.items() if k % 5 == 0)
     assert all(v[2] == 0 for k, v in got.items() if k % 5 != 0)
+
+
+def test_kcenter_select_partition_invariant_and_ties(ray_session):
+    """Greedy k-center: identical output under different block
+    partitionings, bit-equal to the sequential same-math reference
+    (the golden's validity argument), and tie-stable on a degenerate
+    grid of exact-duplicate vectors (the knn-graph fuzz class) —
+    duplicates of a selected center are covered and never re-picked,
+    and the run stops early once only exact dups remain."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import list_col_to_matrix
+    from crawler_ai_ray.stages.simsearch import (
+        _half_away_micros,
+        _normalize,
+        kcenter_select,
+    )
+
+    def sequential(tbl: pa.Table, k: int) -> list[tuple[int, int, int]]:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        matn = _normalize(list_col_to_matrix(tbl["embedding"]))
+        max_sim = np.full(len(ids), -2_000_000, np.int64)
+        sel = int(np.argmin(ids))
+        rows = [(1, int(ids[sel]), -2_000_000)]
+        vec = matn[sel]
+        for r in range(2, k + 1):
+            sims = _half_away_micros(matn @ vec * 1_000_000.0)
+            np.maximum(max_sim, sims, out=max_sim)
+            i = int(np.lexsort((ids, max_sim))[0])
+            if max_sim[i] >= 1_000_000:
+                break
+            rows.append((r, int(ids[i]), int(max_sim[i])))
+            vec = matn[i]
+        return rows
+
+    rng = np.random.default_rng(23)
+    n, d = 150, 8
+    mat = rng.normal(size=(n, d))
+    # degenerate ties: clone the first 30 rows (exact duplicates with
+    # different, higher ids)
+    mat[100:130] = mat[:30]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float64()), d
+            ),
+        }
+    )
+    a = kcenter_select(ray.data.from_arrow(tbl).repartition(3), k=12)
+    b = kcenter_select(ray.data.from_arrow(tbl).repartition(8), k=12)
+    assert a.equals(b)
+    want = sequential(tbl, 12)
+    got = list(
+        zip(
+            a["rank"].to_pylist(),
+            a["vec_id"].to_pylist(),
+            a["sim_micros"].to_pylist(),
+        )
+    )
+    assert got == want
+    # coverage witness is non-decreasing after the seed sentinel
+    sims = a["sim_micros"].to_pylist()[1:]
+    assert sims == sorted(sims)
+    assert a["vec_id"].to_pylist()[0] == 0  # deterministic min-id seed
+    # no exact duplicate of an earlier selection is ever picked
+    assert 1_000_000 not in sims
+    # degenerate corpus: 3 distinct directions cloned many times ->
+    # selection stops at 3 centers even with k=10
+    small = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    dup = np.repeat(small, 12, axis=0)
+    tiny = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(dup)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(dup.ravel(), pa.float64()), 2
+            ),
+        }
+    )
+    t = kcenter_select(ray.data.from_arrow(tiny).repartition(5), k=10)
+    assert t.num_rows == 3
+    assert t["vec_id"].to_pylist() == [0, 24, 12]  # seed, opposite, ortho
+
+
+def test_cdc_chunker_properties():
+    """Pure-chunker pins (no Ray): chunks tile the byte string exactly;
+    boundary decisions are LOCAL (a prefix edit leaves the chunk
+    sequence identical once past one gear window + one chunk); hashes
+    are content-addressed (same span -> same hash anywhere)."""
+    import numpy as np
+
+    from crawler_ai_ray.stages.dedup import (
+        cdc_boundaries,
+        cdc_chunk_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    text = "".join(
+        chr(c) for c in rng.integers(97, 123, size=5000)
+    )
+    data = np.frombuffer(text.encode(), np.uint8)
+    bpos = cdc_boundaries(data)
+    # cuts tile the string: reassembled extents cover every byte once
+    hs, lens = cdc_chunk_hashes(text)
+    assert int(lens.sum()) == len(data)
+    assert len(hs) == len(lens) >= 2  # ~5000/256 expected chunks
+    # empty text
+    h0, l0 = cdc_chunk_hashes("")
+    assert len(h0) == 0 and len(l0) == 0
+    # locality: prepend a prefix; all chunks after the first boundary
+    # beyond (edit + window) are unchanged — compare hash multisets of
+    # the common tail
+    pre = "zzz-prefix-" * 7
+    hs2, lens2 = cdc_chunk_hashes(pre + text)
+    # align from the end: identical suffix of chunk hash sequences
+    k = 0
+    while (
+        k < min(len(hs), len(hs2))
+        and hs[len(hs) - 1 - k] == hs2[len(hs2) - 1 - k]
+    ):
+        k += 1
+    # all but the first couple of chunks must survive the edit
+    assert k >= len(hs) - 2
+    # content addressing: a shared interior span hashes the same in
+    # two different docs (drop each side's junction chunk)
+    shared = text[:3000]
+    ha, _ = cdc_chunk_hashes(shared + "tailA" * 40)
+    hb, _ = cdc_chunk_hashes("headB" * 40 + shared)
+    inter = set(ha.tolist()) & set(hb.tolist())
+    assert len(inter) >= len(ha) // 3
+
+
+def test_cdc_dedup_stats_planted_and_paths(ray_session):
+    """Distributed CDC dedup vs the sequential same-math reference on a
+    planted-duplicate corpus, partition-invariant, and the forced
+    bucketed finish agrees with the driver-local finish."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import (
+        cdc_chunk_hashes,
+        cdc_dedup_stats,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def rand_text(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+    shared = rand_text(4096)
+    docs = [
+        (0, shared + rand_text(2000)),
+        (1, rand_text(1500) + shared),
+        (2, rand_text(3000)),
+        (3, ""),  # empty doc: excluded from output
+        (4, rand_text(300)),  # likely single-chunk doc
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+
+    # sequential reference (the golden's math)
+    counts = Counter()
+    per_doc = {}
+    for did, text in docs:
+        hs, lens = cdc_chunk_hashes(text)
+        if not len(hs):
+            continue
+        per_doc[did] = (hs, lens)
+        counts.update(hs.tolist())
+    want = {}
+    for did, (hs, lens) in per_doc.items():
+        dup = np.array([counts[h] >= 2 for h in hs.tolist()], bool)
+        want[did] = (
+            len(hs),
+            int(lens.sum()),
+            int(dup.sum()),
+            int(lens[dup].sum()),
+        )
+
+    def as_dict(t):
+        return {
+            d: (a, b, c, e)
+            for d, a, b, c, e in zip(
+                t["doc_id"].to_pylist(),
+                t["n_chunks"].to_pylist(),
+                t["chunk_bytes"].to_pylist(),
+                t["n_dup_chunks"].to_pylist(),
+                t["dup_bytes"].to_pylist(),
+            )
+        }
+
+    a = cdc_dedup_stats(ray.data.from_arrow(tbl).repartition(2))
+    b = cdc_dedup_stats(ray.data.from_arrow(tbl).repartition(5))
+    forced = cdc_dedup_stats(
+        ray.data.from_arrow(tbl).repartition(3), local_max_rows=0
+    )
+    assert as_dict(a) == want
+    assert as_dict(b) == want
+    assert as_dict(forced) == want  # bucketed-finish path agreement
+    assert 3 not in as_dict(a)  # empty doc excluded
+    # the planted shared span is detected as duplicated bytes on both
+    # carriers, and most of it is recovered (junction chunks differ)
+    assert want[0][3] > len(shared) // 2
+    assert want[1][3] > len(shared) // 2
+    assert want[2][3] == 0  # unique doc has no dup bytes
