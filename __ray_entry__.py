@@ -2503,6 +2503,18 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_doc_zipf_fit(sf_dir: str):
+    """Zipf-exponent OLS fit over the exact top-100 term frequencies —
+    the corpus-health diagnostic (natural text ≈ −1 on log-log).  Rides
+    the distributed top_terms pass; ln values quantized to micro ints
+    (libm ≡ DuckDB ln, verified) and every sum/division exact integer,
+    so the SQL oracle rebuilds the whole fit bit-for-bit
+    (stages/textstats.py zipf_fit)."""
+    from crawler_ai_ray.stages.textstats import zipf_fit
+
+    return zipf_fit(_table(sf_dir, "documents", columns=["text"]), k=100)
+
+
 def _q_doc_bpe_train(sf_dir: str):
     """BPE tokenizer training over the corpus: ONE distributed pass
     builds the exact word→count table (Arrow combiner, driver holds
@@ -4103,6 +4115,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_membership_bloom": _q_doc_membership_bloom,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
+        "doc_zipf_fit": _q_doc_zipf_fit,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
@@ -4303,7 +4316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_rake_keywords, crawl_robots_audit, emb_pca_project,
         # doc_fluency_buckets, crawl_host_betweenness,
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
-        # emb_kcenter_coreset, doc_cdc_dedup,
+        # emb_kcenter_coreset, doc_cdc_dedup, doc_zipf_fit,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -7681,6 +7694,42 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, count(*)::BIGINT AS n
                   FROM toks WHERE term <> '' GROUP BY 1)
             SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 100""",
+        "doc_zipf_fit": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                AS term
+              FROM documents),
+            c AS (SELECT term, count(*)::BIGINT AS n
+                  FROM toks WHERE term <> '' GROUP BY 1),
+            top AS (
+              SELECT n,
+                     row_number() OVER (ORDER BY n DESC, term ASC) AS r
+              FROM c ORDER BY n DESC, term ASC LIMIT 100),
+            m AS (
+              SELECT CAST(FLOOR(ln(r::DOUBLE)*1000000 + 0.5) AS BIGINT)
+                       AS x,
+                     CAST(FLOOR(ln(n::DOUBLE)*1000000 + 0.5) AS BIGINT)
+                       AS y
+              FROM top),
+            s AS (
+              SELECT count(*)::HUGEINT AS k, sum(x)::HUGEINT AS sx,
+                     sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,
+                     sum(x*y)::HUGEINT AS sxy
+              FROM m),
+            f AS (
+              SELECT k, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den,
+                     sx, sy
+              FROM s)
+            SELECT CAST(k AS BIGINT) AS n_terms,
+                   CAST(CASE WHEN num >= 0
+                     THEN (num*1000000 + den//2) // den
+                     ELSE -(((-num)*1000000 + den//2) // den)
+                   END AS BIGINT) AS slope_micro,
+                   CAST(CASE WHEN (sy*den - num*sx) >= 0
+                     THEN ((sy*den - num*sx) + (k*den)//2) // (k*den)
+                     ELSE -((-(sy*den - num*sx) + (k*den)//2) // (k*den))
+                   END AS BIGINT) AS intercept_micro
+            FROM f""",
         "doc_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -303,6 +303,7 @@ def bench_queries(sf_dir: str) -> dict:
         # storage-dedup estimator
         "emb_kcenter_coreset",
         "doc_cdc_dedup",
+        "doc_zipf_fit",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

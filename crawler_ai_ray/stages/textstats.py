@@ -4165,3 +4165,70 @@ def fluency_buckets(ds, text_col: str = "text", lang_col: str = "lang"):
             "bucket": pa.array(names[tier], pa.string()),
         }
     )
+
+
+# --- Zipf's-law fit over the term-frequency distribution -------------------
+
+def _div_half_away(a: int, b: int) -> int:
+    """round(a/b) with HALF-AWAY-FROM-ZERO ties, in exact integer
+    arithmetic (b > 0).  Mirrors the SQL ``(abs(a)*1 + b//2)//b`` form
+    exactly — DuckDB's ``//`` truncates toward zero, so both sides take
+    the absolute value first."""
+    if a >= 0:
+        return (a + b // 2) // b
+    return -((-a + b // 2) // b)
+
+
+def zipf_fit(ds, k: int = 100, text_col: str = "text") -> pa.Table:
+    """Least-squares fit of the Zipf exponent over the top-``k`` term
+    frequencies — the corpus-health diagnostic (natural text shows
+    slope ≈ −1 on log rank vs log frequency; spam/boilerplate-heavy or
+    truncated corpora bend away from it).
+
+    One row: ``(n_terms, slope_micro, intercept_micro)``.
+
+    Shape: rides the exact distributed `top_terms` pass (per-batch
+    Arrow combiner → term-hash bucket shuffle → driver rank of
+    ≤ buckets×k rows); the regression itself is driver-side over k
+    rows.  EXACTNESS: each ln(rank)/ln(freq) is quantized to micro
+    ints (``floor(ln·1e6 + 0.5)`` — verified bit-equal between libm
+    and DuckDB ``ln()``), all OLS sums are exact Python ints, and the
+    slope/intercept are single half-away integer divisions — so the
+    DuckDB oracle reproduces every output bit-for-bit with no
+    order-dependent float sums anywhere."""
+    import math
+
+    top = top_terms(ds, k=k, text_col=text_col)
+    freqs = top["n"].to_pylist()
+    n = len(freqs)
+    if n < 2:
+        return pa.table(
+            {
+                "n_terms": pa.array([n], pa.int64()),
+                "slope_micro": pa.array([0], pa.int64()),
+                "intercept_micro": pa.array(
+                    [
+                        math.floor(math.log(freqs[0]) * 1e6 + 0.5)
+                        if n
+                        else 0
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    xs = [math.floor(math.log(r) * 1_000_000 + 0.5) for r in range(1, n + 1)]
+    ys = [math.floor(math.log(f) * 1_000_000 + 0.5) for f in freqs]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_micro = _div_half_away(num * 1_000_000, den)
+    intercept_micro = _div_half_away(sy * den - num * sx, n * den)
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope_micro": pa.array([slope_micro], pa.int64()),
+            "intercept_micro": pa.array([intercept_micro], pa.int64()),
+        }
+    )

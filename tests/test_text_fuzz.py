@@ -65,3 +65,41 @@ def test_jobdetail_text_byte_identical(html):
 @given(_html())
 def test_crawldata_text_byte_identical(html):
     assert extract_text_crawldata(html) == oracle_text_crawldata(html)
+
+
+def test_zipf_fit_exact_law_and_edges(ray_session):
+    """zipf_fit recovers slope ≈ −1e6 (micros) on a synthetic corpus
+    whose term frequencies follow 600/r exactly, and the degenerate
+    one-term corpus returns the documented edge row."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.textstats import zipf_fit
+
+    # tokenization is [a-z]+ — term names must be purely alphabetic
+    terms = [
+        "".join(chr(ord("a") + (i // 26)) + chr(ord("a") + (i % 26)))
+        for i in range(20)
+    ]
+    words = []
+    for r, t in enumerate(terms, start=1):
+        words.extend([t] * (600 // r))
+    # split the stream across several docs/blocks
+    docs = [" ".join(words[i::7]) for i in range(7)]
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    out = zipf_fit(ray.data.from_arrow(tbl).repartition(3), k=100)
+    assert out["n_terms"].to_pylist() == [20]
+    slope = out["slope_micro"].to_pylist()[0]
+    assert -1_050_000 < slope < -950_000  # ≈ −1 in micros
+    icpt = out["intercept_micro"].to_pylist()[0]
+    assert abs(icpt - math.floor(math.log(600) * 1e6 + 0.5)) < 60_000
+    one = zipf_fit(
+        ray.data.from_arrow(
+            pa.table({"text": pa.array(["solo solo solo"], pa.string())})
+        ),
+        k=100,
+    )
+    assert one["n_terms"].to_pylist() == [1]
+    assert one["slope_micro"].to_pylist() == [0]
