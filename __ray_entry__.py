@@ -3535,6 +3535,21 @@ def _q_emb_kcenter(sf_dir: str):
     )
 
 
+def _q_emb_mmr(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-16 against the corpus's
+    own mean vector (λ=0.5) — relevance-vs-redundancy selection, the
+    retrieval-side complement of k-center.  Same shard-actor shape;
+    integer scores with (score desc, id asc) tiebreaks make it
+    partition-invariant, pinned by the sequential same-math golden
+    (stages/simsearch.py mmr_select)."""
+    from crawler_ai_ray.stages.simsearch import mmr_select
+
+    return mmr_select(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=16,
+    )
+
+
 def _q_emb_neardup(sf_dir: str):
     import pyarrow.parquet as pq
     import numpy as np
@@ -4188,6 +4203,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_profile": _q_emb_cluster_profile,
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         "emb_kcenter_coreset": _q_emb_kcenter,
+        "emb_mmr_select": _q_emb_mmr,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -4317,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_fluency_buckets, crawl_host_betweenness,
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
         # emb_kcenter_coreset, doc_cdc_dedup, doc_zipf_fit,
+        # emb_mmr_select,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -8096,6 +8113,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_cdc_dedup": f"""
             SELECT doc_id, n_chunks, chunk_bytes, n_dup_chunks, dup_bytes
             FROM read_parquet('{os.path.join(gdir, "cdc.parquet")}')""",
+        "emb_mmr_select": f"""
+            SELECT rank, vec_id, rel_micros, score_pico
+            FROM read_parquet('{os.path.join(gdir, "emb_mmr.parquet")}')""",
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -304,6 +304,7 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_kcenter_coreset",
         "doc_cdc_dedup",
         "doc_zipf_fit",
+        "emb_mmr_select",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g15"
+GOLDEN_VERSION = "g16"
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -502,6 +502,44 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "emb_kcenter.parquet"),
+    )
+
+    # --- emb_mmr_select golden (k=16, λ=0.5) ---------------------------
+    # sequential MMR with the same integer score
+    # (λ_ppm·rel − (1e6−λ_ppm)·max_sim, micros) and (score desc, id asc)
+    # tiebreaks as `simsearch.mmr_select`; relevance query = corpus
+    # mean via np.rint micro-sums (the kmeans discipline).
+    micro = np.rint(matn * 1_000_000.0).astype(np.int64)
+    qv = _normalize(((micro.sum(axis=0) / 1_000_000.0) / len(matn))[None, :])[0]
+    rel = _half_away_micros(matn @ qv * 1_000_000.0)
+    lam, lam_inv = np.int64(500_000), np.int64(500_000)
+    mmr_max = np.zeros(len(ids), np.int64)
+    mmr_taken = np.zeros(len(ids), bool)
+    mmr_rows = []
+    for r in range(1, 17):
+        score = lam * rel - lam_inv * mmr_max
+        idx = np.flatnonzero(~mmr_taken)
+        if not len(idx):
+            break
+        i = int(idx[np.lexsort((ids[idx], -score[idx]))[0]])
+        mmr_rows.append((r, int(ids[i]), int(rel[i]), int(score[i])))
+        mmr_taken[i] = True
+        sims = _half_away_micros(matn @ matn[i] * 1_000_000.0)
+        np.maximum(mmr_max, sims, out=mmr_max)
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in mmr_rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in mmr_rows], pa.int64()),
+                "rel_micros": pa.array(
+                    [r[2] for r in mmr_rows], pa.int64()
+                ),
+                "score_pico": pa.array(
+                    [r[3] for r in mmr_rows], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(gdir, "emb_mmr.parquet"),
     )
 
 

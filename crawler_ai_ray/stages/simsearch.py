@@ -46,6 +46,7 @@ __all__ = [
     "knn_graph",
     "knn_graph_ivf",
     "kcenter_select",
+    "mmr_select",
 ]
 
 
@@ -1547,5 +1548,178 @@ def kcenter_select(
             "rank": pa.array(ranks, pa.int64()),
             "vec_id": pa.array(ids_out, pa.int64()),
             "sim_micros": pa.array(sims_out, pa.int64()),
+        }
+    )
+
+
+def mmr_select(
+    ds,
+    k: int = 16,
+    lambda_ppm: int = 500_000,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Maximal-Marginal-Relevance (Carbonell-Goldstein) diverse top-k —
+    the retrieval/data-mixing selection that trades relevance against
+    redundancy: greedily pick argmax of
+    ``λ·rel(x) − (1−λ)·max_sim(x, selected)``.
+
+    The relevance query is the corpus's own normalized mean vector
+    (deterministic, no external query needed — "most central yet
+    mutually diverse" exemplars, the summarization framing), computed
+    in one streaming pass of integer micro-sums (partition-invariant,
+    the `kmeans_train` discipline).
+
+    → k rows ``(rank, vec_id, rel_micros, score_pico)`` in selection
+    order; ``score_pico = λ_ppm·rel_micros − (1e6−λ_ppm)·max_sim_micros``
+    (micros × ppm = 1e-12 scale, the `proj_pico` naming precedent).
+    The empty-set diversity penalty is 0, so rank 1 is simply argmax
+    relevance — the standard MMR convention.
+
+    Scale shape: same as `kcenter_select` — per-shard stateful actors
+    hold (ids, unit matrix, rel micros, running max-sim); a round
+    broadcasts one unit vector and reduces one candidate per shard.
+    All comparisons are int64 with (score desc, id asc) tiebreaks, so
+    the sequential same-math golden is the oracle."""
+    import ray
+
+    block_refs = list(ds.materialize().to_arrow_refs())
+    n_cpu = int(ray.cluster_resources().get("CPU", 1))
+    n_shards = max(1, min(len(block_refs), n_cpu - 1 if n_cpu > 1 else 1))
+    groups = [block_refs[i::n_shards] for i in range(n_shards)]
+
+    # pass 1: exact corpus mean via integer micro-sums
+    @ray.remote(num_cpus=1)
+    def mean_partial(*blocks):
+        from crawler_ai_ray.stages.dedup import list_col_to_matrix
+
+        s, n = None, 0
+        for block in blocks:
+            if block.num_rows == 0 or emb_col not in block.column_names:
+                continue
+            mat = _normalize(list_col_to_matrix(block[emb_col]))
+            micro = np.rint(mat * 1_000_000.0).astype(np.int64)
+            part = micro.sum(axis=0)
+            s = part if s is None else s + part
+            n += len(micro)
+        return s, n
+
+    parts = ray.get([mean_partial.remote(*g) for g in groups])
+    tot = None
+    n_tot = 0
+    for s, n in parts:
+        if s is not None:
+            tot = s if tot is None else tot + s
+            n_tot += n
+    if tot is None or n_tot == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rel_micros": pa.array([], pa.int64()),
+                "score_pico": pa.array([], pa.int64()),
+            }
+        )
+    q = _normalize(((tot / 1_000_000.0) / n_tot)[None, :])[0]
+
+    lam = np.int64(lambda_ppm)
+    lam_inv = np.int64(1_000_000 - lambda_ppm)
+
+    @ray.remote(num_cpus=1)
+    class _MMRShard:
+        def __init__(self, blocks: list, qvec: np.ndarray):
+            from crawler_ai_ray.stages.dedup import list_col_to_matrix
+
+            ids_parts, mat_parts = [], []
+            for ref in blocks:
+                block = ray.get(ref)
+                if block.num_rows == 0 or id_col not in block.column_names:
+                    continue
+                ids_parts.append(
+                    block[id_col].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                )
+                mat_parts.append(
+                    _normalize(list_col_to_matrix(block[emb_col]))
+                )
+            if ids_parts:
+                self.ids = np.concatenate(ids_parts)
+                self.mat = np.concatenate(mat_parts)
+                self.rel = _half_away_micros(
+                    self.mat @ qvec * 1_000_000.0
+                )
+            else:
+                self.ids = np.zeros(0, np.int64)
+                self.mat = np.zeros((0, 0), np.float64)
+                self.rel = np.zeros(0, np.int64)
+            # empty-set diversity penalty is 0 (MMR convention)
+            self.max_sim = np.zeros(len(self.ids), np.int64)
+            self.taken = np.zeros(len(self.ids), bool)
+
+        def candidate(self, vec):
+            """Fold the latest selection (None on round 1) into the
+            running max-sim, return (score, id, rel, unit_vec) for this
+            shard's best unselected point."""
+            if not len(self.ids):
+                return None
+            if vec is not None:
+                sims = _half_away_micros(self.mat @ vec * 1_000_000.0)
+                np.maximum(self.max_sim, sims, out=self.max_sim)
+            score = lam * self.rel - lam_inv * self.max_sim
+            # mask already-taken rows (an exact dup of a selected row
+            # still competes — MMR penalizes, never excludes, content)
+            avail = ~self.taken
+            if not avail.any():
+                return None
+            idx = np.flatnonzero(avail)
+            sub = np.lexsort((self.ids[idx], -score[idx]))[0]
+            i = int(idx[sub])
+            return (
+                int(score[i]),
+                int(self.ids[i]),
+                int(self.rel[i]),
+                self.mat[i].copy(),
+                i,
+            )
+
+        def mark_taken(self, local_i: int):
+            self.taken[local_i] = True
+
+    q_ref = ray.put(q)
+    shards = [_MMRShard.remote(g, q_ref) for g in groups]
+    ranks, ids_out, rels_out, scores_out = [], [], [], []
+    try:
+        vec = None
+        for r in range(1, k + 1):
+            vec_ref = ray.put(vec) if vec is not None else None
+            cands = ray.get(
+                [a.candidate.remote(vec_ref) for a in shards]
+            )
+            best, best_shard = None, None
+            for si, c in enumerate(cands):
+                if c is None:
+                    continue
+                key = (-c[0], c[1])
+                if best is None or key < (-best[0], best[1]):
+                    best, best_shard = c, si
+            if best is None:
+                break
+            score, bid, rel, bvec, local_i = best
+            ray.get(shards[best_shard].mark_taken.remote(local_i))
+            ranks.append(r)
+            ids_out.append(bid)
+            rels_out.append(rel)
+            scores_out.append(score)
+            vec = bvec
+    finally:
+        for a in shards:
+            ray.kill(a)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(ids_out, pa.int64()),
+            "rel_micros": pa.array(rels_out, pa.int64()),
+            "score_pico": pa.array(scores_out, pa.int64()),
         }
     )

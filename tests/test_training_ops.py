@@ -3734,3 +3734,93 @@ def test_cdc_dedup_stats_planted_and_paths(ray_session):
     assert want[0][3] > len(shared) // 2
     assert want[1][3] > len(shared) // 2
     assert want[2][3] == 0  # unique doc has no dup bytes
+
+
+def test_mmr_select_partition_invariant_and_semantics(ray_session):
+    """MMR: identical output under different partitionings, bit-equal
+    to the sequential same-math reference; rank 1 is argmax relevance
+    (empty-set penalty 0); an exact duplicate of a selected row is
+    penalized to the bottom but, unlike k-center, stays selectable."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import list_col_to_matrix
+    from crawler_ai_ray.stages.simsearch import (
+        _half_away_micros,
+        _normalize,
+        mmr_select,
+    )
+
+    def sequential(tbl: pa.Table, k: int, lam_ppm: int = 500_000):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        matn = _normalize(list_col_to_matrix(tbl["embedding"]))
+        micro = np.rint(matn * 1_000_000.0).astype(np.int64)
+        q = _normalize(
+            ((micro.sum(axis=0) / 1_000_000.0) / len(matn))[None, :]
+        )[0]
+        rel = _half_away_micros(matn @ q * 1_000_000.0)
+        lam, lam_inv = np.int64(lam_ppm), np.int64(1_000_000 - lam_ppm)
+        max_sim = np.zeros(len(ids), np.int64)
+        taken = np.zeros(len(ids), bool)
+        rows = []
+        for r in range(1, k + 1):
+            score = lam * rel - lam_inv * max_sim
+            idx = np.flatnonzero(~taken)
+            if not len(idx):
+                break
+            i = int(idx[np.lexsort((ids[idx], -score[idx]))[0]])
+            rows.append((r, int(ids[i]), int(rel[i]), int(score[i])))
+            taken[i] = True
+            sims = _half_away_micros(matn @ matn[i] * 1_000_000.0)
+            np.maximum(max_sim, sims, out=max_sim)
+        return rows
+
+    rng = np.random.default_rng(31)
+    n, d = 140, 8
+    mat = rng.normal(size=(n, d))
+    mat[120:135] = mat[:15]  # exact-duplicate tie grid
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float64()), d
+            ),
+        }
+    )
+    a = mmr_select(ray.data.from_arrow(tbl).repartition(3), k=10)
+    b = mmr_select(ray.data.from_arrow(tbl).repartition(7), k=10)
+    assert a.equals(b)
+    got = list(
+        zip(
+            a["rank"].to_pylist(),
+            a["vec_id"].to_pylist(),
+            a["rel_micros"].to_pylist(),
+            a["score_pico"].to_pylist(),
+        )
+    )
+    assert got == sequential(tbl, 10)
+    # rank 1 = argmax relevance with min-id tiebreak
+    seq1 = sequential(tbl, 1)[0]
+    assert got[0] == seq1
+    # scores non-increasing is NOT guaranteed by MMR, but selection
+    # never repeats an id
+    assert len(set(a["vec_id"].to_pylist())) == a.num_rows
+    # k exceeding the corpus: selects everything then stops
+    tiny = pa.table(
+        {
+            "vec_id": pa.array([5, 9, 2], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.array(
+                        [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+                    ).ravel(),
+                    pa.float64(),
+                ),
+                2,
+            ),
+        }
+    )
+    t = mmr_select(ray.data.from_arrow(tiny).repartition(2), k=10)
+    assert t.num_rows == 3
+    assert sorted(t["vec_id"].to_pylist()) == [2, 5, 9]
