@@ -3219,6 +3219,21 @@ def _q_doc_cdc_dedup(sf_dir: str):
     )
 
 
+def _q_doc_ngram_novelty(sf_dir: str):
+    """Per-doc 3-gram novelty in doc_id order (an n-gram is novel in
+    the min-doc_id doc containing it) — the diversity-growth /
+    source-marginal-value signal, Heaps-law counterpart of
+    doc_zipf_fit.  8-byte md5 n-gram hashes shuffle (md5_number_lower
+    semantics — the SQL oracle groups by the SAME keys), min-doc +
+    per-doc partials fold in one bucket pass
+    (stages/dedup.py ngram_novelty)."""
+    from crawler_ai_ray.stages.dedup import ngram_novelty
+
+    return ngram_novelty(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), n=3
+    )
+
+
 def _q_doc_membership_bloom(sf_dir: str):
     """Bloom-filter seen-set: probe the odd-doc_id half of the corpus
     against a 64 Kib filter built from the even half; exact_dup ground
@@ -4127,6 +4142,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_ngram": _q_doc_neardup_ngram,
         "doc_neardup_contain": _q_doc_neardup_contain,
         "doc_cdc_dedup": _q_doc_cdc_dedup,
+        "doc_ngram_novelty": _q_doc_ngram_novelty,
         "doc_membership_bloom": _q_doc_membership_bloom,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
@@ -4333,7 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_fluency_buckets, crawl_host_betweenness,
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
         # emb_kcenter_coreset, doc_cdc_dedup, doc_zipf_fit,
-        # emb_mmr_select,
+        # emb_mmr_select, doc_ngram_novelty,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -8116,6 +8132,26 @@ def oracle_sql() -> dict[str, str]:
         "emb_mmr_select": f"""
             SELECT rank, vec_id, rel_micros, score_pico
             FROM read_parquet('{os.path.join(gdir, "emb_mmr.parquet")}')""",
+        "doc_ngram_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\S+') t
+              FROM documents),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_lower(t[i] || ' ' || t[i+1] || ' '
+                                      || t[i+2]) AS h
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS s(i)
+              WHERE len(t) >= 3),
+            m AS (SELECT h, min(doc_id) AS first_doc FROM ng GROUP BY 1),
+            per AS (
+              SELECT ng.doc_id, count(*)::BIGINT AS n_ngrams,
+                     count(*) FILTER (WHERE ng.doc_id = m.first_doc)
+                       ::BIGINT AS n_novel
+              FROM ng JOIN m USING (h) GROUP BY 1)
+            SELECT doc_id, n_ngrams, n_novel,
+                   ((n_novel * 1000000) // n_ngrams)::BIGINT
+                     AS novelty_ppm
+            FROM per""",
         "emb_neardup_cosine": """
             SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -305,6 +305,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_cdc_dedup",
         "doc_zipf_fit",
         "emb_mmr_select",
+        "doc_ngram_novelty",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -71,6 +71,7 @@ __all__ = [
     "cdc_boundaries",
     "cdc_chunk_hashes",
     "cdc_dedup_stats",
+    "ngram_novelty",
 ]
 
 
@@ -3724,4 +3725,176 @@ def cdc_dedup_stats(
     ]
     if not parts:
         return bucket_partials(pa.table({}))
+    return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# per-doc n-gram novelty (first-introduction fraction)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty(
+    ds,
+    n: int = 3,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    local_max_rows: int = 2_000_000,
+):
+    """Per-doc n-gram NOVELTY — reading the corpus in doc_id order, how
+    much of each document is genuinely new: →
+    ``(doc_id, n_ngrams, n_novel, novelty_ppm)`` for every doc with ≥1
+    n-gram, where an n-gram is novel iff this doc holds the MINIMUM
+    doc_id among all docs containing it (so the same n-gram is "new"
+    exactly once corpus-wide).  The diversity-growth / curriculum
+    signal: boilerplate-heavy corpora flatten early (late docs add
+    nothing), and per-source novelty curves rank sources by marginal
+    value — the Heaps-law counterpart of `doc_zipf_fit`.
+
+    Scale shape: one streaming pass emits per-doc DISTINCT n-gram
+    hashes (md5 digest[8:] LE int64 — ``md5_number_lower`` semantics,
+    so the SQL oracle groups by the SAME keys and even a 64-bit
+    collision behaves identically on both sides); one n-gram-hash
+    bucket shuffle (8-byte hashes travel, text never) computes
+    min-doc per n-gram and folds per-(bucket, doc) novelty partials in
+    the same task; per-doc finish is adaptive (driver Arrow hash-agg
+    below ``local_max_rows``, else doc-hash-bucketed groupby — the
+    `cdc_dedup_stats` finish).  A ubiquitous n-gram skews one bucket's
+    ROW count but the in-bucket work is a linear groupby-min (never
+    quadratic), so hot keys cost bandwidth, not blowup."""
+    import ray
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        out_d, out_h = [], []
+        for did, t in zip(ids.tolist(), texts):
+            ngs = _doc_ngrams(t, n)
+            if not ngs:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[8:],
+                        "little",
+                    )
+                    for g in ngs
+                ),
+                dtype=np.uint64,
+                count=len(ngs),
+            )
+            out_d.append(np.full(len(hs), did, np.int64))
+            out_h.append(hs)
+        if not out_d:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "ng_h": pa.array([], pa.int64()),
+                }
+            )
+        hs = np.concatenate(out_h)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (hs % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "ng_h": pa.array(hs.view(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_partials(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_ngrams": pa.array([], pa.int64()),
+                "n_novel": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return empty  # schema-less empty block guard (house rule)
+        h = g["ng_h"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        # lexsort + group boundaries (np.minimum.at is a numpy slow
+        # path): within each n-gram group rows are did-ascending, so
+        # the group's first row IS its min doc
+        order = np.lexsort((did, h))
+        h_s, d_s = h[order], did[order]
+        new = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        gid = np.cumsum(new) - 1
+        first_doc = d_s[np.flatnonzero(new)]
+        novel = d_s == first_doc[gid]
+        du, dinv = np.unique(d_s, return_inverse=True)
+        n_tot = np.bincount(dinv, minlength=len(du)).astype(np.int64)
+        n_nov = np.bincount(
+            dinv, weights=novel, minlength=len(du)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(du, pa.int64()),
+                "n_ngrams": pa.array(n_tot, pa.int64()),
+                "n_novel": pa.array(n_nov, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def finish_local(t: pa.Table) -> pa.Table:
+        agg = t.group_by("doc_id").aggregate(
+            [("n_ngrams", "sum"), ("n_novel", "sum")]
+        )
+        tot = agg["n_ngrams_sum"].to_numpy(zero_copy_only=False)
+        nov = agg["n_novel_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"],
+                "n_ngrams": agg["n_ngrams_sum"],
+                "n_novel": agg["n_novel_sum"],
+                "novelty_ppm": pa.array(
+                    nov * 1_000_000 // tot, pa.int64()
+                ),
+            }
+        )
+
+    if partials.count() <= local_max_rows:
+        parts = [
+            t
+            for t in ray.get(partials.to_arrow_refs())
+            if t.num_rows and "doc_id" in t.column_names
+        ]
+        if not parts:
+            return finish_local(
+                bucket_partials(pa.table({}))
+            )
+        return finish_local(pa.concat_tables(parts))
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table({"doc_bucket": pa.array([], pa.int32())})
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (did.view(np.uint64) % np.uint64(512)).astype(np.int32)
+        return batch.append_column("doc_bucket", pa.array(b, pa.int32()))
+
+    def finish_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return finish_local(bucket_partials(pa.table({})))
+        return finish_local(g.drop_columns(["doc_bucket"]))
+
+    out = (
+        partials.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(finish_bucket, batch_format="pyarrow")
+    )
+    parts = [
+        t
+        for t in ray.get(out.to_arrow_refs())
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return finish_local(bucket_partials(pa.table({})))
     return pa.concat_tables(parts)

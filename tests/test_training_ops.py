@@ -3824,3 +3824,52 @@ def test_mmr_select_partition_invariant_and_semantics(ray_session):
     t = mmr_select(ray.data.from_arrow(tiny).repartition(2), k=10)
     assert t.num_rows == 3
     assert sorted(t["vec_id"].to_pylist()) == [2, 5, 9]
+
+
+def test_ngram_novelty_planted_and_paths(ray_session):
+    """n-gram novelty on a planted corpus: the min-doc_id holder of a
+    shared n-gram is the only doc it counts as novel for; partition-
+    invariant; the forced bucketed finish agrees with driver-local."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.dedup import ngram_novelty
+
+    docs = [
+        (10, "a b c d e"),          # 3 trigrams, all novel (first doc)
+        (20, "a b c x y z"),        # "a b c" seen in doc 10 -> 3/4 novel
+        (30, "a b"),                # < 3 tokens: excluded
+        (40, "x y z x y z x y"),    # distinct: {x y z, y z x, z x y};
+                                    # "x y z" first seen in doc 20
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    want = {
+        10: (3, 3, 1_000_000),
+        20: (4, 3, 750_000),
+        40: (3, 2, 666_666),
+    }
+
+    def as_dict(t):
+        return {
+            d: (a, b, c)
+            for d, a, b, c in zip(
+                t["doc_id"].to_pylist(),
+                t["n_ngrams"].to_pylist(),
+                t["n_novel"].to_pylist(),
+                t["novelty_ppm"].to_pylist(),
+            )
+        }
+
+    a = ngram_novelty(ray.data.from_arrow(tbl).repartition(2))
+    b = ngram_novelty(ray.data.from_arrow(tbl).repartition(4))
+    forced = ngram_novelty(
+        ray.data.from_arrow(tbl).repartition(3), local_max_rows=0
+    )
+    assert as_dict(a) == want
+    assert as_dict(b) == want
+    assert as_dict(forced) == want
