@@ -2438,6 +2438,33 @@ def _q_doc_logreg_classify(sf_dir: str):
     )
 
 
+def _q_doc_clf_calibration(sf_dir: str):
+    """Calibration of the trained logreg against the rule label it
+    distills: fixed 2e6-micro margin bands (clamped ±5) × quality rate
+    — the classifier-QA table (which score band disagrees with the
+    rule).  One streaming margin+label pass under broadcast weights,
+    per-batch (bucket,label) combiner, driver finish; every value an
+    exact integer or single division, SQL-rebuilt from the weight
+    golden (stages/importance.py clf_calibration)."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.importance import (
+        clf_calibration,
+        logreg_train,
+    )
+
+    w = logreg_train(
+        _labeled_docs(sf_dir), target=True, label_col="is_quality"
+    )
+    wt = pa.concat_tables(
+        [t for t in ray.get(w.materialize().to_arrow_refs()) if t.num_rows]
+    )
+    return clf_calibration(
+        _table(sf_dir, "documents", columns=["doc_id", "text"]), wt
+    )
+
+
 def _q_doc_fingerprint_winnow(sf_dir: str):
     """MOSS winnowing fingerprints (Schleimer et al. 2003): word-5-gram
     md5 position hashes, window-4 minimum selection (ties → rightmost),
@@ -4190,6 +4217,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_semantic_dedup": _q_doc_text_semantic_dedup,
         "doc_logreg_train": _q_doc_logreg_train,
         "doc_logreg_classify": _q_doc_logreg_classify,
+        "doc_clf_calibration": _q_doc_clf_calibration,
         "doc_fingerprint_winnow": _q_doc_fingerprint_winnow,
         "doc_neardup_winnow": _q_doc_neardup_winnow,
         "events_cms_heavy_hitters": _q_events_cms,
@@ -4349,7 +4377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_fluency_buckets, crawl_host_betweenness,
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
         # emb_kcenter_coreset, doc_cdc_dedup, doc_zipf_fit,
-        # emb_mmr_select, doc_ngram_novelty,
+        # emb_mmr_select, doc_ngram_novelty, doc_clf_calibration,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -7473,6 +7501,46 @@ def oracle_sql() -> dict[str, str]:
               FROM feats JOIN w ON w.feat = feats.f GROUP BY 1)
             SELECT doc_id, margin_micros, margin_micros > 0 AS pred
             FROM m""",
+        "doc_clf_calibration": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) tok
+              FROM documents),
+            feats AS (
+              SELECT DISTINCT doc_id,
+                     CAST(md5_number_lower(tok) % 1024 AS BIGINT) f
+              FROM toks),
+            w AS (SELECT feat, weight_micros
+                  FROM read_parquet('{logreg_g}')),
+            m AS (
+              SELECT feats.doc_id,
+                     (sum(w.weight_micros)
+                      + (SELECT weight_micros FROM w WHERE feat = 1024)
+                     )::BIGINT AS margin_micros
+              FROM feats JOIN w ON w.feat = feats.f GROUP BY 1),
+            lab AS (
+              SELECT doc_id,
+                     (len(regexp_extract_all(text,
+                        '{QUALITY_STOPWORD_RE}'))::BIGINT
+                      / GREATEST(len(regexp_extract_all(text,
+                        '\\S+'))::BIGINT, 1)::DOUBLE) >= 0.06
+                       AS is_quality
+              FROM documents),
+            b AS (
+              SELECT LEAST(GREATEST(
+                       CAST(FLOOR(m.margin_micros / 2000000.0) AS BIGINT),
+                       -5), 5) AS bucket,
+                     lab.is_quality
+              FROM m JOIN lab USING (doc_id)),
+            g AS (
+              SELECT bucket, count(*)::BIGINT AS n_docs,
+                     count(*) FILTER (WHERE is_quality)::BIGINT
+                       AS n_quality
+              FROM b GROUP BY 1)
+            SELECT bucket, n_docs, n_quality,
+                   ((n_quality * 1000000) // n_docs)::BIGINT
+                     AS quality_ppm
+            FROM g""",
         "doc_fingerprint_winnow": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t

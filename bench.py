@@ -306,6 +306,7 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_zipf_fit",
         "emb_mmr_select",
         "doc_ngram_novelty",
+        "doc_clf_calibration",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

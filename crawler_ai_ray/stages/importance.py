@@ -565,3 +565,120 @@ def label_quality_batch(
     return batch.append_column(
         "is_quality", pc.greater_equal(q["stopword_ratio"], threshold)
     )
+
+
+def clf_calibration(
+    ds,
+    weights: pa.Table,
+    width_micros: int = 2_000_000,
+    lo: int = -5,
+    hi: int = 5,
+    num_feats: int = 1024,
+    text_col: str = "text",
+):
+    """Calibration table of the TRAINED classifier against the rule
+    label it distills — the classifier-QA step every
+    model-filtered-corpus pipeline needs (does score X actually mean
+    quality-probability Y?): bucket the integer margin into fixed
+    ``width_micros`` bands clamped to [lo, hi] →
+    ``(bucket, n_docs, n_quality, quality_ppm)``.
+
+    A well-calibrated distillation shows quality_ppm rising
+    monotonically through bucket 0 (the decision boundary); a flat or
+    inverted band localizes where the classifier disagrees with the
+    rule — the margin range to route to human/LLM re-labeling.
+
+    EXACTNESS: margins are the pure-integer `logreg_margins` scores,
+    the label is the `label_quality_batch` rule (single exact
+    division ≥ threshold), bucket = FLOOR division (numpy ``//``,
+    mirrored as ``FLOOR(m / w)`` in SQL — DuckDB's integer ``//``
+    truncates, so the oracle floors in double where the quotient is
+    exactly representable), and quality_ppm is one exact integer
+    division — the whole table rebuilds in SQL from the weight
+    golden.  Shape: ONE streaming pass (margin + label per batch from
+    the broadcast weight vector), per-batch combiner to ≤ (hi−lo+1)
+    partial rows, driver finish over blocks×buckets rows.  Docs with
+    zero in-vocab features are unscored and excluded (the
+    `logreg_margins` domain)."""
+    import ray
+
+    w = np.zeros(num_feats + 1, dtype=np.int64)
+    w[weights["feat"].to_numpy(zero_copy_only=False)] = weights[
+        "weight_micros"
+    ].to_numpy(zero_copy_only=False)
+    w_ref = ray.put(w)
+    lo_i, hi_i = np.int64(lo), np.int64(hi)
+    width = np.int64(width_micros)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_quality": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return empty
+        ww = ray.get(w_ref)
+        p, f = _doc_feat_incidence(batch, num_feats, text_col)
+        if not len(p):
+            return empty
+        starts = np.flatnonzero(np.diff(p, prepend=np.int64(-1)))
+        doc_rows = p[starts]
+        margin = np.add.reduceat(ww[f], starts) + int(ww[num_feats])
+        labels = (
+            label_quality_batch(batch, text_col=text_col)["is_quality"]
+            .to_numpy(zero_copy_only=False)[doc_rows]
+        )
+        bucket = np.clip(margin // width, lo_i, hi_i)
+        # combiner: counts per (bucket, label) — ≤ 2·(hi−lo+1) rows
+        key = bucket * 2 + labels
+        uniq, cnt = np.unique(key, return_counts=True)
+        ub = uniq // 2
+        ul = (uniq % 2).astype(bool)
+        ob = np.unique(ub)
+        n_docs = np.zeros(len(ob), np.int64)
+        n_q = np.zeros(len(ob), np.int64)
+        pos = np.searchsorted(ob, ub)
+        np.add.at(n_docs, pos, cnt)
+        np.add.at(n_q, pos, cnt * ul)
+        return pa.table(
+            {
+                "bucket": pa.array(ob, pa.int64()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_quality": pa.array(n_q, pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "bucket" in t.column_names
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_quality": pa.array([], pa.int64()),
+                "quality_ppm": pa.array([], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    agg = cat.group_by("bucket").aggregate(
+        [("n_docs", "sum"), ("n_quality", "sum")]
+    )
+    agg = agg.sort_by([("bucket", "ascending")])
+    nd = agg["n_docs_sum"].to_numpy(zero_copy_only=False)
+    nq = agg["n_quality_sum"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "bucket": agg["bucket"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_quality": pa.array(nq, pa.int64()),
+            "quality_ppm": pa.array(nq * 1_000_000 // nd, pa.int64()),
+        }
+    )

@@ -3873,3 +3873,49 @@ def test_ngram_novelty_planted_and_paths(ray_session):
     assert as_dict(a) == want
     assert as_dict(b) == want
     assert as_dict(forced) == want
+
+
+def test_clf_calibration_bucket_math(ray_session):
+    """clf_calibration with hand-made weights: floor bucketing of
+    negative margins, clamping at both ends, rule-label counting, and
+    exclusion of docs with no in-vocab features."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_ai_ray.stages.importance import clf_calibration
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the and is to of",  # all stopwords -> quality True
+                    "qqq zzz www",       # no stopwords -> quality False
+                    "!!! 123",           # no [a-z]+ tokens -> unscored
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+    def weights(bias):
+        return pa.table(
+            {
+                "feat": pa.array([1024], pa.int64()),
+                "weight_micros": pa.array([bias], pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_arrow(docs).repartition(2)
+    # bias -4.1e6 -> margin -4.1e6 for every scored doc;
+    # floor(-4.1e6 / 2e6) = floor(-2.05) = -3
+    t = clf_calibration(ds, weights(-4_100_000))
+    assert t["bucket"].to_pylist() == [-3]
+    assert t["n_docs"].to_pylist() == [2]       # doc 3 unscored
+    assert t["n_quality"].to_pylist() == [1]
+    assert t["quality_ppm"].to_pylist() == [500_000]
+    # clamping: far-positive and far-negative margins pin to hi/lo
+    t = clf_calibration(ds, weights(25_000_000))
+    assert t["bucket"].to_pylist() == [5]
+    t = clf_calibration(ds, weights(-25_000_000))
+    assert t["bucket"].to_pylist() == [-5]
