@@ -917,6 +917,51 @@ def _q_crawl_frontier_depth(sf_dir: str):
     )
 
 
+def _q_crawl_freshness_lambda(sf_dir: str):
+    """Poisson change-rate estimate per host (Cho & Garcia-Molina's
+    freshness model): from the snapshot diff, the fraction of common
+    pages that changed gives ``λ = −ln(1 − changed/(common+1))`` (the
+    +1 is the standard open-interval smoothing), and the suggested
+    revisit interval is ∝ 1/λ → (host, n_common, n_changed,
+    lam_micro, revisit_milli).  Rides the SAME distributed
+    url-bucketed exchange as crawl_recrawl_priority (one extraction
+    pass + one shuffle; the λ map is a driver pass over the bounded
+    host table); ln is the verified libm≡DuckDB bit-equal class and
+    every other step is exact-integer, so the SQL oracle rebuilds all
+    values bit-for-bit."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    t = _q_crawl_recrawl_priority(sf_dir)
+    pb = t["n_pages_b"].to_numpy(zero_copy_only=False)
+    ad = t["n_added"].to_numpy(zero_copy_only=False)
+    ch = t["n_changed"].to_numpy(zero_copy_only=False)
+    common = (pb - ad).astype(np.int64)
+    lam = np.fromiter(
+        (
+            math.floor(
+                -math.log(1.0 - int(c) / (int(n) + 1)) * 1_000_000 + 0.5
+            )
+            for c, n in zip(ch, common)
+        ),
+        dtype=np.int64,
+        count=len(common),
+    )
+    return pa.table(
+        {
+            "host": t["host"],
+            "n_common": pa.array(common, pa.int64()),
+            "n_changed": pa.array(ch.astype(np.int64), pa.int64()),
+            "lam_micro": pa.array(lam, pa.int64()),
+            "revisit_milli": pa.array(
+                1_000_000_000 // (lam + 1), pa.int64()
+            ),
+        }
+    )
+
+
 def _q_crawl_recrawl_priority(sf_dir: str):
     """Change-rate-driven recrawl scheduling — the composition a real
     incremental crawler runs on top of the snapshot diff: per host,
@@ -4114,6 +4159,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_quality": _q_crawl_page_quality,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "crawl_recrawl_priority": _q_crawl_recrawl_priority,
+        "crawl_freshness_lambda": _q_crawl_freshness_lambda,
         "crawl_host_reputation": _q_crawl_host_reputation,
         "crawl_career_confidence": _q_crawl_career_confidence,
         "crawl_career_strict": _q_crawl_career_strict,
@@ -4378,6 +4424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_round_fairness, crawl_host_langmix, doc_trigram_backoff,
         # emb_kcenter_coreset, doc_cdc_dedup, doc_zipf_fit,
         # emb_mmr_select, doc_ngram_novelty, doc_clf_calibration,
+        # crawl_freshness_lambda,
         # plus any later additions this session (see git log).
         # r01-only re-checks (oldest first; corpus 2 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
@@ -6384,6 +6431,38 @@ def oracle_sql() -> dict[str, str]:
                     * 1000 // greatest(sum(in_b), 1))::BIGINT
                      AS priority_milli
             FROM j GROUP BY host""",
+        "crawl_freshness_lambda": f"""
+            WITH s AS (
+              SELECT url, text,
+                     ('0x' || substr(md5(url), 1, 8))::BIGINT % 4 AS sel
+              FROM read_parquet('{golden}')),
+            a AS (SELECT url, md5(text) AS fp FROM s WHERE sel != 3),
+            b AS (SELECT url,
+                         md5(CASE WHEN sel = 1 THEN text || ' updated'
+                                  ELSE text END) AS fp
+                  FROM s WHERE sel != 0),
+            j AS (
+              SELECT COALESCE(a.url, b.url) AS url,
+                     string_split(COALESCE(a.url, b.url), '/')[3] AS host,
+                     (a.url IS NOT NULL AND b.url IS NOT NULL)::BIGINT
+                       AS is_common,
+                     (a.url IS NOT NULL AND b.url IS NOT NULL
+                      AND a.fp != b.fp)::BIGINT AS is_changed
+              FROM a FULL OUTER JOIN b ON a.url = b.url),
+            per AS (
+              SELECT host, sum(is_common)::BIGINT AS n_common,
+                     sum(is_changed)::BIGINT AS n_changed
+              FROM j GROUP BY host),
+            lam AS (
+              SELECT host, n_common, n_changed,
+                     CAST(FLOOR(-ln(1.0 - n_changed
+                                    / (n_common + 1)::DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS lam_micro
+              FROM per)
+            SELECT host, n_common, n_changed, lam_micro,
+                   (1000000000 // (lam_micro + 1))::BIGINT
+                     AS revisit_milli
+            FROM lam""",
         "crawl_host_reputation": reputation_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "

@@ -307,6 +307,7 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_mmr_select",
         "doc_ngram_novelty",
         "doc_clf_calibration",
+        "crawl_freshness_lambda",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
