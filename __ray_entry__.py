@@ -7851,20 +7851,27 @@ def oracle_sql() -> dict[str, str]:
                        AS y
               FROM top),
             s AS (
-              SELECT count(*)::HUGEINT AS k, sum(x)::HUGEINT AS sx,
-                     sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,
-                     sum(x*y)::HUGEINT AS sxy
+              SELECT count(*)::HUGEINT AS k,
+                     COALESCE(sum(x), 0)::HUGEINT AS sx,
+                     COALESCE(sum(y), 0)::HUGEINT AS sy,
+                     COALESCE(sum(x*x), 0)::HUGEINT AS sxx,
+                     COALESCE(sum(x*y), 0)::HUGEINT AS sxy
               FROM m),
             f AS (
               SELECT k, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den,
                      sx, sy
               FROM s)
+            -- den = 0 iff k < 2 (ln-rank micros are distinct for k>=2);
+            -- mirror the Python edge row (n, 0, ln(freq) micro | 0)
+            -- from stages/textstats.py zipf_fit exactly.
             SELECT CAST(k AS BIGINT) AS n_terms,
-                   CAST(CASE WHEN num >= 0
+                   CAST(CASE WHEN den = 0 THEN 0
+                     WHEN num >= 0
                      THEN (num*1000000 + den//2) // den
                      ELSE -(((-num)*1000000 + den//2) // den)
                    END AS BIGINT) AS slope_micro,
-                   CAST(CASE WHEN (sy*den - num*sx) >= 0
+                   CAST(CASE WHEN den = 0 THEN sy
+                     WHEN (sy*den - num*sx) >= 0
                      THEN ((sy*den - num*sx) + (k*den)//2) // (k*den)
                      ELSE -((-(sy*den - num*sx) + (k*den)//2) // (k*den))
                    END AS BIGINT) AS intercept_micro

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g16"
+GOLDEN_VERSION = "g17"  # g17: kmeans/PQ/MMR micros quantize half-away (shared _half_away_micros)
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -326,7 +326,7 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
     import numpy as np
 
     from ..stages.dedup import list_col_to_matrix
-    from ..stages.simsearch import _normalize
+    from ..stages.simsearch import _half_away_micros, _normalize
 
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -342,7 +342,7 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
         cent = _normalize(raw[seed_idx].astype(np.float64))
         for _ in range(iters):
             assign = np.argmax(matn @ cent.T, axis=1)
-            micro = np.rint(matn * 1_000_000.0).astype(np.int64)
+            micro = _half_away_micros(matn * 1_000_000.0)
             sums = np.zeros((nlist, matn.shape[1]), dtype=np.int64)
             np.add.at(sums, assign, micro)
             counts = np.bincount(assign, minlength=nlist)
@@ -430,8 +430,6 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
     # sequential same-math run (valid by the integer-micro-sum k-means
     # partition-invariance argument); sims quantized with the shared
     # pure `_half_away_micros` (DuckDB round() tie convention)
-    from ..stages.simsearch import _half_away_micros
-
     cent = train(nlist=8, iters=3)
     sims = matn @ cent.T
     cl = np.argmax(sims, axis=1)
@@ -508,8 +506,9 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
     # sequential MMR with the same integer score
     # (λ_ppm·rel − (1e6−λ_ppm)·max_sim, micros) and (score desc, id asc)
     # tiebreaks as `simsearch.mmr_select`; relevance query = corpus
-    # mean via np.rint micro-sums (the kmeans discipline).
-    micro = np.rint(matn * 1_000_000.0).astype(np.int64)
+    # mean via half-away micro-sums (the kmeans discipline, DuckDB
+    # round() tie convention — shared `_half_away_micros` kernel).
+    micro = _half_away_micros(matn * 1_000_000.0)
     qv = _normalize(((micro.sum(axis=0) / 1_000_000.0) / len(matn))[None, :])[0]
     rel = _half_away_micros(matn @ qv * 1_000_000.0)
     lam, lam_inv = np.int64(500_000), np.int64(500_000)

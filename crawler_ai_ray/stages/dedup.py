@@ -369,6 +369,15 @@ def bloom_membership(
 # ---------------------------------------------------------------------------
 
 def _doc_ngrams(text: str, n: int) -> set[str]:
+    # TOKENIZATION CONVENTION (shared with every SQL oracle that uses
+    # RE2 ``\S+``): Python ``str.split()`` splits on Unicode whitespace
+    # while DuckDB/RE2 ``\S`` only treats ``[\t\n\f\r ]`` as whitespace
+    # (measured on this box: U+00A0/U+2028/U+3000/\x0b/\x1c all split
+    # Python-side only).  The two agree exactly BECAUSE the corpus
+    # contains none of those divergent characters — an invariant pinned
+    # by tests/test_corpus_invariants.py::test_no_divergent_whitespace;
+    # a corpus change that introduces them must bump CORPUS_VERSION and
+    # normalize here.
     toks = (text or "").lower().split()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 

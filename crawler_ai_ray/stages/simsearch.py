@@ -217,7 +217,7 @@ def kmeans_train(
             )
         mat = _normalize(list_col_to_matrix(block[emb_col]))
         assign = np.argmax(mat @ c.T, axis=1)
-        micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
+        micro = _half_away_micros(mat * _PQ_MICRO)
         cl, inv = np.unique(assign, return_inverse=True)
         sums = np.zeros((len(cl), mat.shape[1]), dtype=np.int64)
         np.add.at(sums, inv, micro)
@@ -490,7 +490,7 @@ def pq_train(
         if block.num_rows == 0:
             return sums, counts
         mat = _normalize(list_col_to_matrix(block[emb_col]))
-        micro = np.rint(mat * _PQ_MICRO).astype(np.int64)
+        micro = _half_away_micros(mat * _PQ_MICRO)
         for s in range(len(bks)):
             x = mat[:, s * dsub : (s + 1) * dsub]
             xm = micro[:, s * dsub : (s + 1) * dsub]
@@ -1598,7 +1598,7 @@ def mmr_select(
             if block.num_rows == 0 or emb_col not in block.column_names:
                 continue
             mat = _normalize(list_col_to_matrix(block[emb_col]))
-            micro = np.rint(mat * 1_000_000.0).astype(np.int64)
+            micro = _half_away_micros(mat * 1_000_000.0)
             part = micro.sum(axis=0)
             s = part if s is None else s + part
             n += len(micro)

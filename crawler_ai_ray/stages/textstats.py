@@ -282,6 +282,10 @@ def top_terms(ds, k: int = 100, num_buckets: int = 64,
         )
         if t.num_rows
     ]
+    if not cand:  # empty / all-blank corpus: typed empty result
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
     return (
         pa.concat_tables(cand)
         .sort_by([("n", "descending"), ("term", "ascending")])

@@ -2481,6 +2481,35 @@ def test_half_away_micros_matches_duckdb_round(duck):
     # and the odd-side .5 boundaries are exactly where np.rint disagrees
     # (±3.5 round to the even 4, which IS away from zero)
     assert (np.rint(vals).astype(np.int64) != got).sum() == 4
+    # micro-magnitude boundaries (the range kmeans/PQ/MMR micros live in:
+    # |component|·1e6 ≤ 1e6) — every representable x.5 must round away
+    micro_vals = np.array(
+        [123456.5, -123456.5, 999999.5, -999999.5, 0.5, -0.5, 2.5, -2.5]
+    )
+    got2 = _half_away_micros(micro_vals.copy())
+    want2 = [
+        duck.sql(f"SELECT CAST(round({v!r}) AS BIGINT)").fetchone()[0]
+        for v in micro_vals
+    ]
+    assert got2.tolist() == want2
+
+
+def test_kmeans_pq_mmr_micros_share_half_away_kernel():
+    """Round-4 verdict nit #1: the PQ/k-means partials and the MMR
+    corpus-mean must quantize through the SAME half-away kernel as the
+    knn-graph rank cut (np.rint half-to-even would diverge from every
+    DuckDB round() oracle at an exact x.5 micro).  Exact .5 boundaries
+    are measure-zero through the _normalize path, so this is pinned
+    structurally: no np.rint-based micro quantization may remain in
+    simsearch.py or the sequential goldens."""
+    import inspect
+
+    from crawler_ai_ray.oracle import goldens
+    from crawler_ai_ray.stages import simsearch
+
+    for mod in (simsearch, goldens):
+        src = inspect.getsource(mod)
+        assert "np.rint(" not in src, f"np.rint call left in {mod.__name__}"
 
 
 def test_knn_graph_skips_empty_blocks(ray_session):
