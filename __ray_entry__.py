@@ -841,15 +841,88 @@ def _snapshot_tagged(sf_dir: str, num_buckets: int = 64):
     return base.map_batches(snap_both, batch_format="pyarrow")
 
 
+def _churn_shared(sf_dir: str):
+    """Shared host-churn checkpoint (the round-4 verdict's Next #3):
+    ONE materialized combined pass (`snapshot_churn_tagged` — url-level
+    delta rows + per-host churn partials from the same bucketed
+    full-outer join) consumed by `crawl_snapshot_diff`,
+    `crawl_recrawl_priority` and `crawl_freshness_lambda`, exactly like
+    the `_boiler_keys` / host-edges checkpoints.  Without it the
+    url-bucketed diff exchange executed once per consumer (~2 s each at
+    sf0.1 when co-resident in one driver suite).
+
+    Returns ``(combined_ds, host_churn_table)`` — the materialized
+    combined Dataset (delta-sized, stays in plasma) and the driver-side
+    host table (host-cardinality-bounded, like the link-graph vertex
+    state)."""
+
+    def build():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        from crawler_ai_ray.stages.snapshot import snapshot_churn_tagged
+
+        combined = snapshot_churn_tagged(
+            _snapshot_tagged(sf_dir), num_buckets=64
+        ).materialize()
+        # host partials are host-sized: Ray-side kind filter, driver fold
+        parts = [
+            t
+            for t in ray.get(
+                combined.filter(expr="kind == 'h'").to_arrow_refs()
+            )
+            if t.num_rows and "host" in t.column_names
+        ]
+        if not parts:
+            host_tbl = pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_pages_b": pa.array([], pa.int64()),
+                    "n_added": pa.array([], pa.int64()),
+                    "n_removed": pa.array([], pa.int64()),
+                    "n_changed": pa.array([], pa.int64()),
+                }
+            )
+        else:
+            agg = (
+                pa.concat_tables(parts)
+                .group_by("host")
+                .aggregate(
+                    [
+                        ("n_pages_b", "sum"),
+                        ("n_added", "sum"),
+                        ("n_removed", "sum"),
+                        ("n_changed", "sum"),
+                    ]
+                )
+            )
+            host_tbl = pa.table(
+                {
+                    "host": agg["host"],
+                    "n_pages_b": pc.cast(agg["n_pages_b_sum"], pa.int64()),
+                    "n_added": pc.cast(agg["n_added_sum"], pa.int64()),
+                    "n_removed": pc.cast(agg["n_removed_sum"], pa.int64()),
+                    "n_changed": pc.cast(agg["n_changed_sum"], pa.int64()),
+                }
+            )
+        return combined, host_tbl
+
+    return _shared("host_churn", _corpus(sf_dir), build=build)
+
+
 def _q_crawl_snapshot_diff(sf_dir: str):
     """Two-crawl snapshot delta (added / removed / changed urls) — the
     incremental-recrawl primitive.  The oracle re-derives both sides in
     SQL and FULL OUTER JOINs them, so the distributed diff — fp-only
     shuffle, bucketed full-outer join, delta-only output — is what's
-    verified."""
-    from crawler_ai_ray.stages.snapshot import snapshot_diff_tagged
-
-    return snapshot_diff_tagged(_snapshot_tagged(sf_dir), num_buckets=64)
+    verified.  Rides the shared `_churn_shared` checkpoint (delta rows
+    are the ``kind='d'`` projection; equality vs the independent
+    `snapshot_diff_tagged` pass is pinned in tests/test_training_ops.py)."""
+    combined, _ = _churn_shared(sf_dir)
+    return combined.filter(expr="kind == 'd'").select_columns(
+        ["url", "status"]
+    )
 
 
 def _q_crawl_frontier_depth(sf_dir: str):
@@ -970,128 +1043,29 @@ def _q_crawl_recrawl_priority(sf_dir: str):
     with ``priority_milli = churn × 1000 // max(pages_b, 1)`` (single
     exact integer division — the repo's ratio discipline).
 
-    Reuses the SAME url-bucketed exchange as the diff: each bucket's
-    full-outer join emits per-host PARTIAL counts (a host's urls spread
-    across buckets, so partials sum driver-side — host cardinality is
-    bounded exactly as in the link-graph ops), and the B-side page
-    count rides the same pass, so the whole query is one extraction
-    pass + one shuffle."""
-    import ray
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def host_partials(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "host": pa.array([], pa.string()),
-                "n_pages_b": pa.array([], pa.int64()),
-                "n_added": pa.array([], pa.int64()),
-                "n_removed": pa.array([], pa.int64()),
-                "n_changed": pa.array([], pa.int64()),
-            }
-        )
-        if g.num_rows == 0:
-            return empty
-        mask = g["is_a"]
-        a = g.filter(mask).select(["key", "fp"]).rename_columns(
-            ["url", "fp_a"]
-        )
-        b = g.filter(pc.invert(mask)).select(["key", "fp"]).rename_columns(
-            ["url", "fp_b"]
-        )
-        j = a.join(b, keys="url", join_type="full outer")
-        host = pc.list_element(pc.split_pattern(j["url"], "/"), 2)
-        added = pc.is_null(j["fp_a"])
-        removed = pc.is_null(j["fp_b"])
-        # not_equal is NULL on outer-join rows (fp null) — Kleene
-        # False-wins + fill_null keeps the count column non-null int64
-        changed = pc.fill_null(
-            pc.and_kleene(
-                pc.and_(pc.invert(added), pc.invert(removed)),
-                pc.not_equal(j["fp_a"], j["fp_b"]),
-            ),
-            False,
-        )
-        t = pa.table(
-            {
-                "host": host,
-                # B-side pages (added ∪ kept) = fp_b non-null rows
-                "in_b": pc.cast(pc.is_valid(j["fp_b"]), pa.int64()),
-                "n_added": pc.cast(added, pa.int64()),
-                "n_removed": pc.cast(removed, pa.int64()),
-                "n_changed": pc.cast(changed, pa.int64()),
-            }
-        )
-        agg = t.group_by("host").aggregate(
-            [
-                ("in_b", "sum"),
-                ("n_added", "sum"),
-                ("n_removed", "sum"),
-                ("n_changed", "sum"),
-            ]
-        )
-        return pa.table(
-            {
-                "host": agg["host"],
-                "n_pages_b": pc.cast(agg["in_b_sum"], pa.int64()),
-                "n_added": pc.cast(agg["n_added_sum"], pa.int64()),
-                "n_removed": pc.cast(agg["n_removed_sum"], pa.int64()),
-                "n_changed": pc.cast(agg["n_changed_sum"], pa.int64()),
-            }
-        )
-
-    parts = [
-        t
-        for t in ray.get(
-            _snapshot_tagged(sf_dir)
-            .groupby("bucket")
-            .map_groups(host_partials, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    if not parts:
-        return pa.table(
-            {
-                "host": pa.array([], pa.string()),
-                "n_pages_b": pa.array([], pa.int64()),
-                "n_added": pa.array([], pa.int64()),
-                "n_removed": pa.array([], pa.int64()),
-                "n_changed": pa.array([], pa.int64()),
-                "priority_milli": pa.array([], pa.int64()),
-            }
-        )
-    agg = (
-        pa.concat_tables(parts)
-        .group_by("host")
-        .aggregate(
-            [
-                ("n_pages_b", "sum"),
-                ("n_added", "sum"),
-                ("n_removed", "sum"),
-                ("n_changed", "sum"),
-            ]
-        )
-    )
+    Rides the shared `_churn_shared` checkpoint: the per-host counts
+    come from the SAME url-bucketed exchange as the diff (a host's urls
+    spread across buckets, so the checkpoint's 'h' rows are partials
+    already summed driver-side — host cardinality is bounded exactly as
+    in the link-graph ops), so the freshness/recrawl/diff trio costs
+    one exchange per corpus snapshot."""
     import numpy as np
+    import pyarrow as pa
 
-    pb = agg["n_pages_b_sum"].to_numpy(zero_copy_only=False)
+    _, host_tbl = _churn_shared(sf_dir)
+    pb = host_tbl["n_pages_b"].to_numpy(zero_copy_only=False)
     churn = (
-        agg["n_added_sum"].to_numpy(zero_copy_only=False)
-        + agg["n_removed_sum"].to_numpy(zero_copy_only=False)
-        + agg["n_changed_sum"].to_numpy(zero_copy_only=False)
+        host_tbl["n_added"].to_numpy(zero_copy_only=False)
+        + host_tbl["n_removed"].to_numpy(zero_copy_only=False)
+        + host_tbl["n_changed"].to_numpy(zero_copy_only=False)
     )
-    prio = churn * 1000 // np.maximum(pb, 1)
-    return pa.table(
-        {
-            "host": agg["host"],
-            "n_pages_b": pc.cast(agg["n_pages_b_sum"], pa.int64()),
-            "n_added": pc.cast(agg["n_added_sum"], pa.int64()),
-            "n_removed": pc.cast(agg["n_removed_sum"], pa.int64()),
-            "n_changed": pc.cast(agg["n_changed_sum"], pa.int64()),
-            "priority_milli": pa.array(prio.astype(np.int64), pa.int64()),
-        }
+    prio = (
+        (churn * 1000 // np.maximum(pb, 1)).astype(np.int64)
+        if len(pb)
+        else np.zeros(0, np.int64)
+    )
+    return host_tbl.append_column(
+        "priority_milli", pa.array(prio, pa.int64())
     )
 
 

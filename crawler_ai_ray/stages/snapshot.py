@@ -33,7 +33,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["snapshot_diff", "snapshot_diff_tagged", "TAGGED_SCHEMA"]
+__all__ = [
+    "snapshot_diff",
+    "snapshot_diff_tagged",
+    "snapshot_churn_tagged",
+    "TAGGED_SCHEMA",
+]
 
 TAGGED_SCHEMA = pa.schema(
     [
@@ -135,4 +140,131 @@ def snapshot_diff_tagged(both, num_buckets: int = 64):
 
     return both.groupby("bucket").map_groups(
         diff_bucket, batch_format="pyarrow"
+    )
+
+
+# --- combined delta + host-churn pass (one exchange for the pair) ----------
+
+CHURN_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),       # 'd' = per-url delta, 'h' = host partial
+        ("url", pa.string()),        # 'd' rows only
+        ("status", pa.string()),     # 'd' rows only
+        ("host", pa.string()),       # 'h' rows only
+        ("n_pages_b", pa.int64()),   # 'h' rows only …
+        ("n_added", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("n_changed", pa.int64()),
+    ]
+)
+
+
+def snapshot_churn_tagged(both, num_buckets: int = 64):
+    """ONE url-bucketed exchange that serves BOTH snapshot consumers:
+    the per-url delta rows (``kind='d'``: url, status — exactly
+    `snapshot_diff_tagged`'s output) and the per-host churn partials
+    (``kind='h'``: host, n_pages_b/n_added/n_removed/n_changed — the
+    partial counts `crawl_recrawl_priority` folds driver-side).
+
+    Why combined: a lazy Dataset consumed through two branch pipelines
+    recomputes the upstream extraction per branch, and two independent
+    ``groupby('bucket')`` runs pay the all-to-all exchange twice
+    (~2 s each at sf0.1).  The full-outer join and null/equality
+    classification happen ONCE per bucket; both projections are
+    derived from the same joined frame.  A host's urls spread across
+    buckets, so 'h' rows are PARTIALS — the consumer sums them
+    (host cardinality is bounded exactly as in the link-graph ops).
+
+    Scale: text never shuffles (16-byte fps travel); output is
+    delta-sized + host-sized, the 'same' majority never leaves the
+    bucket task."""
+
+    def churn_bucket(g: pa.Table) -> pa.Table:
+        empty = CHURN_SCHEMA.empty_table()
+        if g.num_rows == 0 or "is_a" not in g.column_names:
+            return empty
+        mask = g["is_a"]
+        a = g.filter(mask).select(["key", "fp"]).rename_columns(
+            ["url", "fp_a"]
+        )
+        b = g.filter(pc.invert(mask)).select(["key", "fp"]).rename_columns(
+            ["url", "fp_b"]
+        )
+        j = a.join(b, keys="url", join_type="full outer")
+        added = pc.is_null(j["fp_a"])
+        removed = pc.is_null(j["fp_b"])
+        # not_equal is NULL on outer rows — Kleene False-wins keeps the
+        # count exact (same convention as the split implementations)
+        changed = pc.fill_null(
+            pc.and_kleene(
+                pc.and_(pc.invert(added), pc.invert(removed)),
+                pc.not_equal(j["fp_a"], j["fp_b"]),
+            ),
+            False,
+        )
+        status = pc.if_else(
+            added,
+            "added",
+            pc.if_else(
+                removed,
+                "removed",
+                pc.if_else(changed, "changed", "same"),
+            ),
+        )
+        dmask = pc.not_equal(status, "same")
+        n_d = int(pc.sum(pc.cast(dmask, pa.int64())).as_py() or 0)
+        delta = pa.table(
+            {
+                "kind": pa.array(["d"] * n_d, pa.string()),
+                "url": j["url"].filter(dmask)
+                if isinstance(j["url"], pa.ChunkedArray)
+                else pc.filter(j["url"], dmask),
+                "status": pc.filter(status, dmask),
+                "host": pa.array([None] * n_d, pa.string()),
+                "n_pages_b": pa.array([None] * n_d, pa.int64()),
+                "n_added": pa.array([None] * n_d, pa.int64()),
+                "n_removed": pa.array([None] * n_d, pa.int64()),
+                "n_changed": pa.array([None] * n_d, pa.int64()),
+            }
+        )
+        host = pc.list_element(pc.split_pattern(j["url"], "/"), 2)
+        hp = (
+            pa.table(
+                {
+                    "host": host,
+                    "n_pages_b": pc.cast(pc.is_valid(j["fp_b"]), pa.int64()),
+                    "n_added": pc.cast(added, pa.int64()),
+                    "n_removed": pc.cast(removed, pa.int64()),
+                    "n_changed": pc.cast(changed, pa.int64()),
+                }
+            )
+            .group_by("host")
+            .aggregate(
+                [
+                    ("n_pages_b", "sum"),
+                    ("n_added", "sum"),
+                    ("n_removed", "sum"),
+                    ("n_changed", "sum"),
+                ]
+            )
+        )
+        n_h = hp.num_rows
+        hrows = pa.table(
+            {
+                "kind": pa.array(["h"] * n_h, pa.string()),
+                "url": pa.array([None] * n_h, pa.string()),
+                "status": pa.array([None] * n_h, pa.string()),
+                "host": hp["host"],
+                "n_pages_b": pc.cast(hp["n_pages_b_sum"], pa.int64()),
+                "n_added": pc.cast(hp["n_added_sum"], pa.int64()),
+                "n_removed": pc.cast(hp["n_removed_sum"], pa.int64()),
+                "n_changed": pc.cast(hp["n_changed_sum"], pa.int64()),
+            }
+        )
+        return pa.concat_tables(
+            [delta.cast(CHURN_SCHEMA), hrows.cast(CHURN_SCHEMA)]
+        )
+
+    return both.groupby("bucket").map_groups(
+        churn_bucket, batch_format="pyarrow"
     )

@@ -1438,6 +1438,99 @@ def test_snapshot_diff_planted(ray_session):
     assert set(all_added["status"]) == {"added"} and len(all_added) == 3
 
 
+def test_snapshot_churn_combined_pass_agrees(ray_session):
+    """The shared churn checkpoint (one exchange serving diff +
+    recrawl + freshness) must reproduce BOTH split implementations:
+    kind='d' rows ≡ snapshot_diff_tagged's delta, and the summed
+    kind='h' partials ≡ an independent per-host fold."""
+    import zlib
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.stages.snapshot import (
+        snapshot_churn_tagged,
+        snapshot_diff_tagged,
+    )
+
+    n = 240
+    urls = [f"https://h{i % 13}.test/p{i}" for i in range(n)]
+    # sel: 0 removed, 1 changed, 2 same, 3 added
+    sel = [i % 4 for i in range(n)]
+    rows = []
+    for u, s in zip(urls, sel):
+        bk = zlib.crc32(u.encode()) % 8
+        if s != 3:
+            rows.append((bk, u, f"f{u}", True))
+        if s != 0:
+            rows.append((bk, u, f"f{u}x" if s == 1 else f"f{u}", False))
+    tagged = pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.int32()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "fp": pa.array([r[2] for r in rows], pa.string()),
+            "is_a": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    both = ray.data.from_arrow(tagged)
+    combined = snapshot_churn_tagged(both, num_buckets=8).materialize()
+
+    want_delta = (
+        snapshot_diff_tagged(ray.data.from_arrow(tagged), num_buckets=8)
+        .to_pandas()
+        .set_index("url")["status"]
+        .to_dict()
+    )
+    got_delta = (
+        combined.filter(expr="kind == 'd'")
+        .select_columns(["url", "status"])
+        .to_pandas()
+        .set_index("url")["status"]
+        .to_dict()
+    )
+    assert got_delta == want_delta and len(got_delta) == 3 * (n // 4)
+
+    # independent per-host fold from first principles
+    want_h = defaultdict(lambda: [0, 0, 0, 0])
+    for u, s in zip(urls, sel):
+        host = u.split("/")[2]
+        if s != 0:
+            want_h[host][0] += 1  # in B
+        if s == 3:
+            want_h[host][1] += 1
+        if s == 0:
+            want_h[host][2] += 1
+        if s == 1:
+            want_h[host][3] += 1
+    hp = pa.concat_tables(
+        [
+            t.filter(pc.equal(t["kind"], "h"))
+            for t in ray.get(combined.to_arrow_refs())
+            if t.num_rows
+        ]
+    )
+    agg = hp.group_by("host").aggregate(
+        [
+            ("n_pages_b", "sum"),
+            ("n_added", "sum"),
+            ("n_removed", "sum"),
+            ("n_changed", "sum"),
+        ]
+    )
+    got_h = {
+        r["host"]: [
+            r["n_pages_b_sum"],
+            r["n_added_sum"],
+            r["n_removed_sum"],
+            r["n_changed_sum"],
+        ]
+        for r in agg.to_pylist()
+    }
+    assert got_h == {k: v for k, v in want_h.items()}
+
+
 def test_snapshot_diff_partition_invariant(ray_session):
     import pyarrow as pa
     import ray
