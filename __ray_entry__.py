@@ -1985,6 +1985,48 @@ def _q_crawl_loop(sf_dir: str):
     )
 
 
+def _ensure_recrawl(sf_dir: str) -> str:
+    """Idempotent λ-scheduled refresh crawl over the first crawl's
+    checkpoints (`pipelines/crawl.py::run_recrawl`)."""
+    import json
+
+    from crawler_ai_ray.pipelines.crawl import run_recrawl
+
+    crawl_out = _ensure_crawl(sf_dir)
+    corpus = _corpus(sf_dir)
+    out_dir = f"/tmp/crawler_ai_ray_q/recrawl-{os.path.basename(corpus)}"
+    if os.path.isdir(out_dir):
+        for d in sorted(os.listdir(out_dir), reverse=True):
+            m = os.path.join(out_dir, d, "_MANIFEST.json")
+            if d.startswith("round=") and "-" not in d and os.path.exists(m):
+                with open(m) as f:
+                    if json.load(f).get("q") == 0:
+                        return out_dir
+                break
+    run_recrawl(corpus, crawl_out, out_dir, store_shards=4)
+    return out_dir
+
+
+def _q_crawl_loop_recrawl(sf_dir: str):
+    """The freshness feedback loop closed (round-4 verdict Next #4):
+    per-host Poisson change rates (λ — Cho & Garcia-Molina 2003)
+    estimated from the first crawl schedule WHEN each host re-enters
+    `_plan_bucket`'s wave plan (``due_round`` gates its budget), and
+    per-url churn status sets fetch order (changed → added → same).
+    Oracled against `oracle/sim.py::simulate_recrawl` — the sequential
+    replay of the same spec sharing only the pure rule
+    (`functions/freshness.py::host_recrawl_plan`)."""
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_recrawl(sf_dir)
+    ds = ray.data.read_parquet(crawl_output_files(out_dir))
+    return ds.filter(expr="kind == 'o'").select_columns(
+        ["url", "host", "round", "host_seq", "priority", "status", "success"]
+    )
+
+
 def _q_crawl_round_fairness(sf_dir: str):
     """Jain's fairness index (Jain, Chiu & Hawe 1984) of the per-bucket
     fetch allocation, per crawl round — the skew-balance scorecard of
@@ -4171,6 +4213,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "jobs_dedup_exact": _q_jobs_dedup_exact,
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
+        "crawl_loop_recrawl": _q_crawl_loop_recrawl,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4359,6 +4402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_freshness_lambda",
         # --- round-5 newcomers (insert new queries HERE, above the
         # re-checks, so the driver window always sees them first) ----------
+        "crawl_loop_recrawl",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -5518,6 +5562,7 @@ def oracle_sql() -> dict[str, str]:
     gdir = ensure_oracle_goldens("/root/testdata/sf0.01")
     sim_crawl = os.path.join(gdir, "sim_crawl.parquet")
     sim_metrics = os.path.join(gdir, "sim_metrics.parquet")
+    sim_recrawl = os.path.join(gdir, "sim_recrawl.parquet")
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
@@ -8103,6 +8148,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        # λ-scheduled refresh crawl vs the sequential simulator replay
+        # (shared pure rule: functions/freshness.py::host_recrawl_plan;
+        # orchestration written twice)
+        "crawl_loop_recrawl": f"""
+            SELECT url, host, round, host_seq, priority, status, success
+            FROM read_parquet('{sim_recrawl}')""",
         # deterministic manifest-lineage columns vs the simulator's
         # reconstruction (queue evolution + per-host state rows);
         # wall_ms/bytes stay unchecked (wall-clock lineage)

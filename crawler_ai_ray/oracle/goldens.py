@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g17"  # g17: kmeans/PQ/MMR micros quantize half-away (shared _half_away_micros)
+GOLDEN_VERSION = "g18"  # g17: half-away micros; g18: + sim_recrawl golden
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -57,6 +57,30 @@ def _build_sim_crawl(corpus: str, out_path: str) -> None:
 
     res = simulate_crawl(corpus)
     pq.write_table(pa.Table.from_pylist(res.fetch_log), out_path)
+
+
+def _build_sim_recrawl(corpus: str, out_path: str) -> None:
+    """λ-scheduled refresh-crawl fetch log from the sequential replay
+    (`sim.simulate_recrawl`) — the conformance golden for
+    `pipelines/crawl.py::run_recrawl` / the `crawl_loop_recrawl`
+    query."""
+    from .sim import simulate_recrawl
+
+    res = simulate_recrawl(corpus)
+    schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("url", pa.string()),
+            ("round", pa.int64()),
+            ("host_seq", pa.int64()),
+            ("priority", pa.int64()),
+            ("status", pa.string()),
+            ("success", pa.bool_()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(res.fetch_log, schema=schema), out_path
+    )
 
 
 def _build_sim_metrics(
@@ -689,6 +713,7 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     os.makedirs(tmp)
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
     _build_sim_metrics(corpus, os.path.join(tmp, "sim_metrics.parquet"))
+    _build_sim_recrawl(corpus, os.path.join(tmp, "sim_recrawl.parquet"))
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
         _build_bpe_goldens(sf_dir, tmp)

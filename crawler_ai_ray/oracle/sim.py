@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from ..functions.frontier_rules import candidate_links
 from ..state.politeness import CrawlPolicy, load_host_policies
 
-__all__ = ["simulate_crawl", "SimResult", "load_page_facts"]
+__all__ = ["simulate_crawl", "simulate_recrawl", "SimResult", "load_page_facts"]
 
 
 @dataclass
@@ -159,4 +159,86 @@ def simulate_crawl(
             "career_found": sim.career_found,
             "attempts": sim.attempts,
         }
+    return res
+
+
+# ---------------------------------------------------------------------------
+# λ-scheduled recrawl replay (conformance oracle for run_recrawl)
+# ---------------------------------------------------------------------------
+
+class _HostRecrawlSim:
+    def __init__(self, host: str, urls_in_fetch_order: list[str],
+                 policy: CrawlPolicy) -> None:
+        from ..functions.freshness import host_recrawl_plan
+
+        self.host = host
+        self.policy = policy
+        plan = host_recrawl_plan(urls_in_fetch_order)
+        self.due_round = plan["due_round"]
+        # queue entries: (priority, seq, url, status)
+        self.queue: list[tuple[int, int, str, str]] = list(plan["queue"])
+        self.attempts = 0
+
+    def run_round(self, rnd: int, log: list[dict]) -> bool:
+        if not self.queue:
+            return False
+        if self.due_round > rnd:
+            return True  # not yet eligible; queue waits
+        budget = self.policy.wave_budget(self.host)
+        self.queue.sort(key=lambda e: (-e[0], e[1]))
+        wave, self.queue = self.queue[:budget], self.queue[budget:]
+        for prio, seq, url, status in wave:
+            log.append(
+                {
+                    "host": self.host,
+                    "url": url,
+                    "round": rnd,
+                    "host_seq": self.attempts,
+                    "priority": prio,
+                    "status": status,
+                    "success": True,
+                }
+            )
+            self.attempts += 1
+        return bool(self.queue)
+
+
+def simulate_recrawl(
+    corpus: str,
+    policy: CrawlPolicy | None = None,
+    max_rounds: int = 200,
+) -> SimResult:
+    """Sequential replay of the λ-scheduled refresh crawl
+    (`pipelines/crawl.py::run_recrawl`): runs `simulate_crawl` first for
+    the first-snapshot fetch log, then per host derives the SAME
+    churn-prioritized queue + due round via the shared pure rule
+    (`functions.freshness.host_recrawl_plan`) and drains it in waves.
+    Orchestration (rounds, budgets, attempt counters) is written twice
+    on purpose — only the pure rules are shared, exactly like
+    `candidate_links` in the first-crawl sim."""
+    if policy is None:
+        policy = CrawlPolicy()
+    if not policy.hosts:
+        policy.hosts = load_host_policies(os.path.join(corpus, "hostcfg.parquet"))
+    base = simulate_crawl(corpus, policy, max_rounds=max_rounds)
+    fetched: dict[str, list[str]] = {}
+    for e in base.fetch_log:  # per-host order = host_seq order
+        if e["success"]:
+            fetched.setdefault(e["host"], []).append(e["url"])
+    sims = [
+        _HostRecrawlSim(h, urls, policy)
+        for h, urls in sorted(fetched.items())
+    ]
+    res = SimResult()
+    for rnd in range(max_rounds):
+        any_left = False
+        for sim in sims:
+            if sim.run_round(rnd, res.fetch_log):
+                any_left = True
+        res.rounds = rnd + 1
+        if not any_left:
+            break
+    for sim in sims:
+        res.host_stats[sim.host] = {"attempts": sim.attempts,
+                                    "due_round": sim.due_round}
     return res

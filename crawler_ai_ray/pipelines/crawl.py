@@ -73,7 +73,7 @@ from ..state.politeness import CrawlPolicy, load_host_policies
 from ..state.seen import SeenPool, shard_for_host
 from ..state.pagestore import PageStorePool
 
-__all__ = ["CrawlConfig", "run_crawl", "CRAWL_SCHEMA"]
+__all__ = ["CrawlConfig", "run_crawl", "run_recrawl", "CRAWL_SCHEMA"]
 
 CRAWL_SCHEMA = pa.schema(
     [
@@ -107,6 +107,11 @@ CRAWL_SCHEMA = pa.schema(
         ("emails", pa.list_(pa.string())),
         ("phones_vn", pa.list_(pa.string())),
         ("html_bytes", pa.int64()),
+        # recrawl extension (null on first-crawl rows): s-rows carry the
+        # λ-scheduled first eligible round; q/w/o rows carry the per-url
+        # churn status ('changed' | 'added' | 'same')
+        ("due_round", pa.int32()),
+        ("status", pa.string()),
     ]
 )
 
@@ -220,10 +225,22 @@ def _plan_bucket(
     starts = np.flatnonzero(new_host)
     runs = np.append(starts[1:], n) - starts
     # stateless hosts get budget 0 (their q rows are dropped — parity
-    # with the per-host formulation, which returned empty for s=None)
+    # with the per-host formulation, which returned empty for s=None);
+    # λ-scheduled hosts (recrawl: s-row ``due_round`` set) get budget 0
+    # until their due round — the freshness feedback hook: the revisit
+    # interval computed from the previous snapshot's churn decides WHEN
+    # a host re-enters the wave plan, the queue just waits
+    def _budget(h: str) -> int:
+        s = states.get(h)
+        if s is None:
+            return 0
+        due = s.get("due_round")
+        if due is not None and due > rnd:
+            return 0
+        return policy.wave_budget(h)
+
     budget_by_code = np.array(
-        [policy.wave_budget(h) if h in states else 0 for h in host_dict],
-        dtype=np.int64,
+        [_budget(h) for h in host_dict], dtype=np.int64
     )
     known_by_code = np.array(
         [h in states for h in host_dict], dtype=bool
@@ -241,11 +258,17 @@ def _plan_bucket(
     wave_pos = pos[wave_mask]
     run_hosts = [host_dict[c] for c in cs[starts]]
     wave: list[dict] = []
-    for h, u, p, seq, wp in zip(
+    statuses = (
+        wave_tbl["status"].to_pylist()
+        if "status" in wave_tbl.column_names
+        else [None] * wave_tbl.num_rows
+    )
+    for h, u, p, seq, st, wp in zip(
         wave_tbl["host"].to_pylist(),
         wave_tbl["url"].to_pylist(),
         wave_tbl["priority"].to_pylist(),
         wave_tbl["seq"].to_pylist(),
+        statuses,
         wave_pos,
     ):
         wave.append(
@@ -255,6 +278,7 @@ def _plan_bucket(
                 "url": u,
                 "priority": p,
                 "seq": seq,
+                "status": st,
                 "round": rnd,
                 "host_seq": states[h]["attempts"] + int(wp),
             }
@@ -560,6 +584,7 @@ def _process_bucket(
     n_buckets: int,
     sub: int = 0,
     n_sub: int = 1,
+    recrawl: bool = False,
 ) -> dict:
     """One bucket's round: read its q/s partition, run the full stage
     chain host-locally (plan_wave → fetch_extract → expand →
@@ -575,11 +600,18 @@ def _process_bucket(
         in_files = sorted(
             f for f in os.listdir(bdir) if f.endswith(".parquet")
         )
-        table = (
-            pads.dataset(bdir, format="parquet")
-            .to_table(filter=pc.field("kind").isin(["q", "s"]))
-            .cast(CRAWL_SCHEMA)
+        table = pads.dataset(bdir, format="parquet").to_table(
+            filter=pc.field("kind").isin(["q", "s"])
         )
+        # schema evolution: checkpoints written before a (nullable)
+        # column was added read back without it — fill with nulls so
+        # resume across engine versions keeps working
+        for f in CRAWL_SCHEMA:
+            if f.name not in table.column_names:
+                table = table.append_column(
+                    f.name, pa.nulls(table.num_rows, f.type)
+                )
+        table = table.select(CRAWL_SCHEMA.names).cast(CRAWL_SCHEMA)
     else:
         in_files = []
         table = _rows_to_table([])
@@ -610,10 +642,20 @@ def _process_bucket(
     # remainder of the queue (`rest`) passes through as an Arrow table
     wave, rest, states = _plan_bucket(table, policy, rnd)
     _fetch_extract_rows(wave, store_handles, n_store)
-    o_rows, cands = _expand_rows(wave, states, policy)
-    new_q = _seen_filter_rows(
-        cands, seen_handles, n_seen, epoch=f"{rnd}:{bucket}:{sub}"
-    )
+    if recrawl:
+        # refresh pass: re-fetch + re-extract only — the url list is
+        # fixed by the λ schedule, so no expansion and no seen-filter
+        o_rows = []
+        for r in wave:
+            o = dict(r)
+            o["kind"] = "o"
+            o_rows.append(o)
+        new_q: list[dict] = []
+    else:
+        o_rows, cands = _expand_rows(wave, states, policy)
+        new_q = _seen_filter_rows(
+            cands, seen_handles, n_seen, epoch=f"{rnd}:{bucket}:{sub}"
+        )
 
     py_rows = o_rows + new_q + list(states.values())
     py_tbl = _rows_to_table(py_rows)
@@ -855,5 +897,200 @@ def run_crawl(
     finally:
         if own_seen:
             seen.shutdown()
+        if own_store:
+            store.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# λ-scheduled recrawl (second-snapshot refresh pass)
+# ---------------------------------------------------------------------------
+
+def _recrawl_init_bucket(
+    bucket: int, crawl_out: str, out_dir: str, n_buckets: int
+) -> dict:
+    """Build one bucket's λ-scheduled initial recrawl state from the
+    FIRST crawl's checkpoints.  A host's rows live wholly in its bucket
+    (the engine's single persistent partition key), so every init task
+    reads only its own ``bucket=K`` partitions across rounds and the
+    init is embarrassingly parallel — zero exchange, exactly like a
+    crawl round.
+
+    Per host: successful o-rows in fetch (host_seq) order →
+    `functions.freshness.host_recrawl_plan` (the pure shared rule) →
+    churn-prioritized q rows + an s row carrying ``due_round``."""
+    from ..functions.freshness import host_recrawl_plan
+
+    bdirs = [
+        os.path.join(crawl_out, d, f"bucket={bucket:04d}")
+        for d in sorted(os.listdir(crawl_out))
+        if d.startswith("round=") and "-" not in d
+    ]
+    bfiles = [
+        os.path.join(bd, f)
+        for bd in bdirs
+        if os.path.isdir(bd)
+        for f in sorted(os.listdir(bd))
+        if f.endswith(".parquet")
+    ]
+    counts = {"bucket": bucket, "q": 0, "s": 0}
+    if not bfiles:
+        return counts
+    t = pads.dataset(bfiles, format="parquet").to_table(
+        columns=["kind", "host", "url", "host_seq", "success"],
+        filter=(pc.field("kind") == "o") & pc.field("success"),
+    )
+    if t.num_rows == 0:
+        return counts
+    srt = t.sort_by([("host", "ascending"), ("host_seq", "ascending")])
+    by_host: dict[str, list[str]] = {}
+    for h, u in zip(srt["host"].to_pylist(), srt["url"].to_pylist()):
+        by_host.setdefault(h, []).append(u)
+    rows: list[dict] = []
+    for h, us in by_host.items():
+        plan = host_recrawl_plan(us)
+        for prio, seq, u, status in plan["queue"]:
+            rows.append(
+                {
+                    "kind": "q",
+                    "host": h,
+                    "url": u,
+                    "priority": prio,
+                    "seq": seq,
+                    "status": status,
+                }
+            )
+            counts["q"] += 1
+        rows.append(
+            {
+                "kind": "s",
+                "host": h,
+                "crawled": 0,
+                "career_found": 0,
+                "attempts": 0,
+                "next_seq": len(plan["queue"]),
+                "due_round": plan["due_round"],
+            }
+        )
+        counts["s"] += 1
+    ddir = _bucket_dir(_round_dir(out_dir, -1), bucket)
+    os.makedirs(ddir, exist_ok=True)
+    pq.write_table(_rows_to_table(rows), os.path.join(ddir, "part-0.parquet"))
+    return counts
+
+
+def run_recrawl(
+    corpus: str,
+    crawl_out_dir: str,
+    out_dir: str,
+    policy: CrawlPolicy | None = None,
+    buckets: int = 32,
+    store_shards: int = 8,
+    max_rounds: int = 200,
+    local_round_rows: int = 64,
+    store_pool=None,
+) -> dict:
+    """Second-snapshot refresh crawl driven by the freshness signals
+    (round-4 verdict Next #4): the per-host Poisson change rate λ
+    estimated from the first crawl's pages decides WHEN each host
+    re-enters the wave plan (``due_round`` gates its budget in
+    `_plan_bucket`), and per-url churn status decides fetch ORDER
+    (changed → added → same via queue priorities).  No expansion and no
+    seen-filter — the url list is fixed by the λ schedule; fetch +
+    extraction and the bucketed round machinery (persistent host-hash
+    partitioning, per-round checkpoints + manifests, hot-bucket
+    behavior) are the first crawl's own stages with ``recrawl=True``.
+
+    Conformance: `oracle/sim.py::simulate_recrawl` replays the same
+    spec sequentially; per-host fetch sequences and round assignment
+    must match exactly (tests/test_crawl_conformance.py)."""
+    import ray
+
+    policy = policy or CrawlPolicy()
+    if not policy.hosts:
+        policy.hosts = load_host_policies(
+            os.path.join(corpus, "hostcfg.parquet")
+        )
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in os.listdir(out_dir):
+        if sub.startswith("round="):
+            shutil.rmtree(os.path.join(out_dir, sub))
+    own_store = store_pool is None
+    store = store_pool if store_pool is not None else PageStorePool(
+        os.path.join(corpus, "pages.parquet"), store_shards
+    )
+    try:
+        init_task = ray.remote(num_cpus=1)(_recrawl_init_bucket)
+        init_counts = ray.get(
+            [
+                init_task.remote(b, crawl_out_dir, out_dir, buckets)
+                for b in range(buckets)
+            ]
+        )
+        d_init = _round_dir(out_dir, -1)
+        os.makedirs(d_init, exist_ok=True)
+        in_rows = sum(c["q"] + c["s"] for c in init_counts)
+        with open(os.path.join(d_init, "_MANIFEST.json"), "w") as f:
+            json.dump({"round": -1, "rows": in_rows}, f)
+
+        bucket_task = _get_bucket_task()
+        pol_ref = ray.put(policy)
+        totals = {"fetched": 0, "errors": 0, "rounds": 0}
+        for rnd in range(max_rounds):
+            t0 = time.time()
+            prev = _round_dir(out_dir, rnd - 1)
+            out = _round_dir(out_dir, rnd)
+            os.makedirs(out, exist_ok=True)
+            if in_rows <= local_round_rows:
+                bucket_counts = [
+                    _process_bucket(
+                        k, rnd, prev, out, policy, [], 1, store.shards,
+                        store.num_shards, buckets, recrawl=True,
+                    )
+                    for k in range(buckets)
+                ]
+            else:
+                bucket_counts = ray.get(
+                    [
+                        bucket_task.remote(
+                            k, rnd, prev, out, pol_ref, [], 1,
+                            store.shards, store.num_shards, buckets, 0, 1,
+                            True,
+                        )
+                        for k in range(buckets)
+                    ]
+                )
+            counts = {
+                k: sum(c[k] for c in bucket_counts) for k in ("q", "s", "o")
+            }
+            in_rows = counts["q"] + counts["s"]
+            manifest = {
+                "round": rnd,
+                "input": prev,
+                "wall_ms": round((time.time() - t0) * 1000, 1),
+                **counts,
+                "buckets": buckets,
+                "partitions": sorted(
+                    (c for c in bucket_counts if c.get("urls_in")),
+                    key=lambda c: (c["bucket"], c.get("sub", 0)),
+                ),
+            }
+            with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+            totals["rounds"] = rnd + 1
+            if counts["q"] == 0:
+                break
+        all_o = pads.dataset(
+            crawl_output_files(out_dir), format="parquet"
+        )
+        totals["fetched"] = all_o.count_rows(
+            filter=(pc.field("kind") == "o") & pc.field("success")
+        )
+        totals["errors"] = all_o.count_rows(
+            filter=(pc.field("kind") == "o") & ~pc.field("success")
+        )
+        return totals
+    finally:
         if own_store:
             store.shutdown()

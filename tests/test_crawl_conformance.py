@@ -248,3 +248,93 @@ def test_pool_reuse_identical(unit_corpus, tmp_path):
         store.shutdown()
         seen.shutdown()
     assert fresh.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_matches_simulator(unit_corpus, tmp_path):
+    """The λ-scheduled refresh crawl (run_recrawl) must replay exactly
+    like oracle/sim.py::simulate_recrawl: identical per-host fetch
+    sequences (url, priority, churn status), identical ROUND assignment
+    (the due-round gate in _plan_bucket), and at least one host must be
+    deferred past round 0 so the freshness schedule is actually
+    exercised."""
+    from crawler_ai_ray.oracle.sim import simulate_recrawl
+    from crawler_ai_ray.pipelines.crawl import (
+        read_crawl_output,
+        run_recrawl,
+    )
+
+    policy = CrawlPolicy()
+    out_dir = str(tmp_path / "crawl")
+    _run_engine(unit_corpus, out_dir, policy)
+    rout = str(tmp_path / "recrawl")
+    totals = run_recrawl(
+        unit_corpus, out_dir, rout, policy=CrawlPolicy(), store_shards=2
+    )
+    sim = simulate_recrawl(unit_corpus, CrawlPolicy())
+
+    assert totals["fetched"] == len(sim.fetch_log) and totals["errors"] == 0
+
+    eng = read_crawl_output(
+        rout,
+        columns=[
+            "kind", "host", "url", "round", "host_seq", "priority",
+            "status", "success",
+        ],
+        filter=pc.field("kind") == "o",
+    ).to_pylist()
+
+    def key(rows):
+        out: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["host"], r["host_seq"])):
+            out.setdefault(r["host"], []).append(
+                (
+                    r["host_seq"], r["url"], r["round"], r["priority"],
+                    r["status"], bool(r["success"]),
+                )
+            )
+        return out
+
+    eng_k, sim_k = key(eng), key(sim.fetch_log)
+    assert set(eng_k) == set(sim_k)
+    for host in sim_k:
+        assert eng_k[host] == sim_k[host], f"recrawl differs for {host}"
+
+    # the schedule must be non-trivial: hosts spread over >1 due round,
+    # and within a host changed urls fetch before same-status ones
+    dues = {s["due_round"] for s in sim.host_stats.values()}
+    assert len(dues) > 1, f"degenerate λ schedule: {dues}"
+    for host, rows in sim_k.items():
+        statuses = [r[4] for r in rows]
+        if "changed" in statuses and "same" in statuses:
+            assert statuses.index("changed") < statuses.index("same")
+
+
+def test_host_recrawl_plan_edges():
+    """Pure-rule edge cases: all-removed hosts get an empty queue; a
+    zero-changed host gets λ=0 and the max due round; ordering is
+    kept-in-fetch-order then added-by-url."""
+    from crawler_ai_ray.functions.freshness import (
+        RECRAWL_MAX_DUE,
+        host_recrawl_plan,
+        url_churn_sel,
+    )
+
+    urls = [f"https://h.test/p{i}" for i in range(200)]
+    plan = host_recrawl_plan(urls)
+    sels = [url_churn_sel(u) for u in urls]
+    assert plan["n_common"] == sum(1 for s in sels if s in (1, 2))
+    assert plan["n_changed"] == sum(1 for s in sels if s == 1)
+    assert len(plan["queue"]) == sum(1 for s in sels if s != 0)
+    # seqs are 0..n-1 in construction order; added urls sorted
+    seqs = [e[1] for e in plan["queue"]]
+    assert seqs == list(range(len(seqs)))
+    added = [e[2] for e in plan["queue"] if e[3] == "added"]
+    assert added == sorted(added)
+    kept = [e[2] for e in plan["queue"] if e[3] != "added"]
+    assert kept == [u for u, s in zip(urls, sels) if s in (1, 2)]
+
+    removed_only = [u for u, s in zip(urls, sels) if s == 0]
+    p0 = host_recrawl_plan(removed_only)
+    assert p0["queue"] == [] and p0["n_changed"] == 0
+    assert p0["lam_micro"] == 0 and p0["due_round"] == RECRAWL_MAX_DUE
