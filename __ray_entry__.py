@@ -925,6 +925,20 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_crawl_dust_urls(sf_dir: str):
+    """DUST alias pairs (Bar-Yossef et al. 2007): same-host urls whose
+    canonical extracted text is byte-identical (tracking-param
+    variants) — the url-normalization signal a frontier prioritizer
+    uses to stop fetching aliases.  Rides the shared text-base
+    checkpoint; fp-bucketed pair sweep with a DF cap mirrored by the
+    oracle (`stages/dedup.py::dust_url_pairs`)."""
+    from crawler_ai_ray.stages.dedup import dust_url_pairs
+
+    return dust_url_pairs(
+        _text_base(sf_dir).select_columns(["url", "host", "text"])
+    )
+
+
 def _q_crawl_frontier_depth(sf_dir: str):
     """Crawl-depth profile: how many pages the frontier fetched at each
     round, per success flag → (round, success, n_pages) — the
@@ -2591,6 +2605,19 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_doc_c4_rules(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): per-doc line-keep /
+    sentence-count / lorem-brace flags and the final c4_keep verdict —
+    the most-cited web-text cleaning recipe, restated deterministically
+    (stages/textstats.py::c4_rules_batch).  Pure per-row pass, no
+    shuffle; full SQL oracle."""
+    from crawler_ai_ray.stages.textstats import c4_rules_batch
+
+    return _table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        c4_rules_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_zipf_fit(sf_dir: str):
     """Zipf-exponent OLS fit over the exact top-100 term frequencies —
     the corpus-health diagnostic (natural text ≈ −1 on log-log).  Rides
@@ -4214,6 +4241,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "jobs_dedup_fuzzy": _q_jobs_dedup_fuzzy,
         "crawl_loop": _q_crawl_loop,
         "crawl_loop_recrawl": _q_crawl_loop_recrawl,
+        "crawl_dust_urls": _q_crawl_dust_urls,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4237,6 +4265,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_minhash": _q_doc_neardup_minhash,
         "doc_top_terms": _q_doc_top_terms,
         "doc_zipf_fit": _q_doc_zipf_fit,
+        "doc_c4_rules": _q_doc_c4_rules,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
@@ -4402,7 +4431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_freshness_lambda",
         # --- round-5 newcomers (insert new queries HERE, above the
         # re-checks, so the driver window always sees them first) ----------
-        "crawl_loop_recrawl",
+        "crawl_loop_recrawl", "crawl_dust_urls", "doc_c4_rules",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -6205,6 +6234,22 @@ def oracle_sql() -> dict[str, str]:
         FROM r"""
 
     sql = {
+        # DUST alias pairs: identical-text url groups within host, pair
+        # explosion capped at 64 urls/group exactly like the engine
+        "crawl_dust_urls": f"""
+            WITH t AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                     md5_number_lower(text) AS fp, url
+              FROM read_parquet('{golden}')),
+            g AS (
+              SELECT host, fp, url,
+                     count(*) OVER (PARTITION BY host, fp) AS n_urls
+              FROM t)
+            SELECT a.host, a.url AS url_a, b.url AS url_b,
+                   a.n_urls::BIGINT AS n_urls
+            FROM g a JOIN g b
+              ON a.host = b.host AND a.fp = b.fp AND a.url < b.url
+            WHERE a.n_urls BETWEEN 2 AND 64""",
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
             f"SELECT url, text_crawldata FROM read_parquet('{golden}')"
@@ -7852,6 +7897,38 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, count(*)::BIGINT AS n
                   FROM toks WHERE term <> '' GROUP BY 1)
             SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 100""",
+        # C4 rules: line/sentence semantics mirror c4_rules_batch
+        # exactly — "" splits to one empty line on both sides, word
+        # count is the pinned ASCII-\S+ convention, n_sentences counts
+        # [.!?] on the ORIGINAL kept line
+        "doc_c4_rules": """
+            WITH d AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM documents),
+            l AS (SELECT doc_id, unnest(ls) AS line FROM d),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(
+                              rtrim(line, ' ' || chr(9)), '[.!?"]$')
+                           AND len(regexp_extract_all(line, '\\S+')) >= 5
+                           AND NOT contains(lower(line), 'javascript')
+                     THEN 1 ELSE 0 END AS keep,
+                     line
+              FROM l),
+            k AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                     sum(keep)::BIGINT AS n_kept_lines,
+                     COALESCE(sum(CASE WHEN keep = 1
+                       THEN len(regexp_extract_all(line, '[.!?]'))
+                       ELSE 0 END), 0)::BIGINT AS n_sentences
+              FROM f GROUP BY 1)
+            SELECT k.doc_id, k.n_lines, k.n_kept_lines, k.n_sentences,
+                   contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+                   contains(d.text, '{') AS has_brace,
+                   (k.n_sentences >= 3
+                    AND NOT contains(lower(d.text), 'lorem ipsum')
+                    AND NOT contains(d.text, '{')) AS c4_keep
+            FROM k JOIN d USING (doc_id)""",
         "doc_zipf_fit": """
             WITH toks AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

@@ -68,7 +68,11 @@ from ..oracle.extract_oracle import oracle_text_jobdetail
 
 # Bump when generation or golden semantics change (stale /tmp caches are
 # keyed by this).
-CORPUS_VERSION = "v25"  # v25: hshard column + shard-sorted pages rows
+CORPUS_VERSION = "v26"  # v26: DUST alias pages (tracking-param url variants, identical html)
+
+# DUST alias query params: none may contain a classify/career keyword
+# substring (checked by tests/test_corpus_invariants.py)
+_DUST_PARAMS = ("utm=mirror1", "ref=dup", "fbclid=x7")
 
 DEFAULT_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/crawler_ai_ray_corpus")
 
@@ -798,6 +802,26 @@ def _build_host(args: tuple[int, int]) -> tuple:
     idx, seed = args
     host = _Host(idx, seed)
     pages = _gen_host_pages(host)
+    # DUST aliases (Bar-Yossef et al., WWW 2007 "Do not crawl in the
+    # DUST"): ~1 in 8 pages (md5-selected, corpus-stable) gains one
+    # tracking-param variant serving BYTE-IDENTICAL html — the
+    # url-aliasing noise a real web corpus carries.  Aliases are
+    # UNLINKED (never enter the frontier; crawl conformance unchanged)
+    # and skip the 1:1 sitemap fixture; params avoid every
+    # classify/career keyword substring so url-derived goldens stay
+    # collision-free (the M7 host-name rule, applied to params).
+    import hashlib as _hl
+
+    aliases = []
+    for p in pages:
+        if p["url"].endswith("/sitemap.xml"):
+            continue
+        hsel = int(_hl.md5(("dust:" + p["url"]).encode()).hexdigest()[:8], 16)
+        if hsel % 8 == 0:
+            param = _DUST_PARAMS[(hsel >> 3) % len(_DUST_PARAMS)]
+            sep = "&" if "?" in p["url"] else "?"
+            aliases.append({**p, "url": p["url"] + sep + param})
+    pages.extend(aliases)
     seed_row = {"url": f"{host.base}/", "seed_order": idx, "host": host.domain}
     host_rows = [
         {

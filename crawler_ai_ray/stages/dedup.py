@@ -3907,3 +3907,162 @@ def ngram_novelty(
     if not parts:
         return finish_local(bucket_partials(pa.table({})))
     return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# DUST: different URLs with similar (here: byte-identical) text
+# ---------------------------------------------------------------------------
+
+_DUST_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("n_urls", pa.int64()),
+    ]
+)
+
+
+def _dust_kernel(
+    hosts: np.ndarray, fps: np.ndarray, urls: np.ndarray, max_group: int
+) -> pa.Table:
+    """distinct (host, fp, url) rows → alias-pair table.  One lexsort
+    by (host, fp, url); runs of 2..max_group urls emit their pairs in
+    url-sorted order (runs are bounded by the cap, so the pair loop is
+    O(cap²) per group, never corpus-quadratic)."""
+    order = np.lexsort((urls, fps, hosts))
+    hh, ff, uu = hosts[order], fps[order], urls[order]
+    n = len(uu)
+    out_h: list = []
+    out_a: list = []
+    out_b: list = []
+    out_n: list = []
+    if n:
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (ff[1:] != ff[:-1]) | (hh[1:] != hh[:-1])
+        starts = np.flatnonzero(new)
+        bounds = list(starts) + [n]
+        for si in range(len(bounds) - 1):
+            i, j = bounds[si], bounds[si + 1]
+            g = j - i
+            if 2 <= g <= max_group:
+                run = uu[i:j]
+                for x in range(g):
+                    for y in range(x + 1, g):
+                        out_h.append(hh[i])
+                        out_a.append(run[x])
+                        out_b.append(run[y])
+                        out_n.append(g)
+    return pa.table(
+        {
+            "host": pa.array(out_h, pa.string()),
+            "url_a": pa.array(out_a, pa.string()),
+            "url_b": pa.array(out_b, pa.string()),
+            "n_urls": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def dust_url_pairs(
+    ds,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+    max_group: int = 64,
+    num_buckets: int = 256,
+    driver_max_rows: int = 2_000_000,
+):
+    """DUST detection — Different URLs with Similar Text (Bar-Yossef,
+    Keidar & Schonfeld, WWW 2007 "Do not crawl in the DUST"): urls on
+    the SAME host serving byte-identical canonical text (tracking
+    params, print views, session ids) → (host, url_a, url_b, n_urls)
+    alias pairs, url_a < url_b, ``n_urls`` = alias-group size.  A
+    frontier prioritizer reads this to derive url-normalization rules
+    and stop spending fetch budget on aliases — the within-host
+    complement of `mirror_host_pairs` (cross-host replicas).
+
+    Reference parity: the reference's per-site crawler dedups by exact
+    url string only (scrapy dupefilter); content-identity aliasing is
+    the web-scale generalization its frontier would need.
+
+    Scale shape: text never shuffles — one streaming pass emits skinny
+    (host, fp, url) rows with fp = md5 digest[8:] LE int64
+    (``md5_number_lower`` semantics, so the SQL oracle groups by the
+    SAME 64-bit keys and even a collision behaves identically on both
+    sides); one fp-bucket shuffle (a (host, fp) group lands in exactly
+    one ``fp % num_buckets`` bucket); per-bucket sort + run sweep with
+    the ``max_group`` DF cap (a corpus-wide empty-text group would
+    otherwise emit k² pairs; the oracle applies the identical cap).
+    Adaptive: ≤ ``driver_max_rows`` rows finish driver-local with the
+    same kernel (forced-path agreement in tests)."""
+    import ray
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or url_col not in batch.column_names:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "fp": pa.array([], pa.uint64()),
+                    "url": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        fps = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5((t or "").encode("utf-8")).digest()[8:],
+                    "little",
+                    signed=False,
+                )
+                for t in batch[text_col].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "host": batch[host_col],
+                "fp": pa.array(fps, pa.uint64()),
+                "url": batch[url_col],
+                "bucket": pa.array(
+                    (fps % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    pre = ds.map_batches(rows, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_max_rows:
+        blocks = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return _DUST_SCHEMA.empty_table()
+        cat = pa.concat_tables(blocks)
+        return _dust_kernel(
+            np.array(cat["host"].to_pylist(), dtype=object),
+            cat["fp"].to_numpy(zero_copy_only=False),
+            np.array(cat["url"].to_pylist(), dtype=object),
+            max_group,
+        )
+
+    def bucket_sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "fp" not in g.column_names:
+            return _DUST_SCHEMA.empty_table()
+        return _dust_kernel(
+            np.array(g["host"].to_pylist(), dtype=object),
+            g["fp"].to_numpy(zero_copy_only=False),
+            np.array(g["url"].to_pylist(), dtype=object),
+            max_group,
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            pre.groupby("bucket")
+            .map_groups(bucket_sweep, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "host" in t.column_names
+    ]
+    if not parts:
+        return _DUST_SCHEMA.empty_table()
+    return pa.concat_tables(parts)

@@ -4236,3 +4236,69 @@ def zipf_fit(ds, k: int = 100, text_col: str = "text") -> pa.Table:
             "intercept_micro": pa.array([intercept_micro], pa.int64()),
         }
     )
+
+
+# --- C4 cleaning rules (Raffel et al. 2020) --------------------------------
+
+_C4_TERMINAL = (".", "!", "?", '"')
+_C4_SENT_RX = re.compile(r"[.!?]")
+
+
+def c4_rules_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc C4 cleaning signals (Raffel et al. 2020 §2.2, the
+    c4.en pipeline): → ``(doc_id, n_lines, n_kept_lines, n_sentences,
+    has_lorem, has_brace, c4_keep)``.
+
+    Deterministic restatement of the published rules:
+
+    * a LINE (``\\n`` split, exactly Python/DuckDB ``string_split``
+      semantics — ``""`` yields one empty line on both sides) is KEPT
+      iff, after stripping trailing spaces/tabs, it ends in a terminal
+      punctuation mark (``. ! ? "``), contains ≥ 5 whitespace tokens
+      (the ASCII-whitespace convention pinned by
+      tests/test_corpus_invariants.py), and does not contain
+      "javascript" (case-insensitive);
+    * ``n_sentences`` counts ``[.!?]`` occurrences over kept lines
+      (the deterministic sentence proxy, mirrored in SQL);
+    * page-level flags: "lorem ipsum" (ci) anywhere, ``{`` anywhere;
+    * ``c4_keep`` = ≥ 3 sentences and neither page flag.
+
+    Shape: one streaming ``map_batches`` pass, no shuffle — every
+    signal is a pure per-row function."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    n_lines = np.empty(len(texts), np.int64)
+    n_kept = np.empty(len(texts), np.int64)
+    n_sent = np.empty(len(texts), np.int64)
+    lorem = np.empty(len(texts), bool)
+    brace = np.empty(len(texts), bool)
+    for i, t in enumerate(texts):
+        t = t or ""
+        lines = t.split("\n")
+        nk = ns = 0
+        for line in lines:
+            stripped = line.rstrip(" \t")
+            if (
+                stripped.endswith(_C4_TERMINAL)
+                and len(line.split()) >= 5
+                and "javascript" not in line.lower()
+            ):
+                nk += 1
+                ns += len(_C4_SENT_RX.findall(line))
+        n_lines[i] = len(lines)
+        n_kept[i] = nk
+        n_sent[i] = ns
+        lorem[i] = "lorem ipsum" in t.lower()
+        brace[i] = "{" in t
+    keep = (n_sent >= 3) & ~lorem & ~brace
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_lorem": pa.array(lorem, pa.bool_()),
+            "has_brace": pa.array(brace, pa.bool_()),
+            "c4_keep": pa.array(keep, pa.bool_()),
+        }
+    )

@@ -4041,3 +4041,129 @@ def test_clf_calibration_bucket_math(ray_session):
     assert t["bucket"].to_pylist() == [5]
     t = clf_calibration(ds, weights(-25_000_000))
     assert t["bucket"].to_pylist() == [-5]
+
+
+def test_dust_url_pairs_planted_and_forced_path(ray_session):
+    """Planted alias groups: pair explosion, url ordering, the
+    max_group DF cap, and driver-local vs bucketed path agreement."""
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.dedup import dust_url_pairs
+
+    rows = []
+    # host A: a 3-url alias group (3 pairs) + a unique page
+    for u in ("https://a.test/p?x=1", "https://a.test/p", "https://a.test/p?x=2"):
+        rows.append({"url": u, "host": "a.test", "text": "same text A"})
+    rows.append({"url": "https://a.test/q", "host": "a.test", "text": "unique"})
+    # host B: same TEXT as host A's group but different host — no cross-host pairs
+    rows.append({"url": "https://b.test/p", "host": "b.test", "text": "same text A"})
+    # host B: a 2-url group
+    for u in ("https://b.test/r", "https://b.test/r?ref=x"):
+        rows.append({"url": u, "host": "b.test", "text": "same text B"})
+    # host C: an over-cap hot group (max_group=4 → dropped entirely)
+    for i in range(5):
+        rows.append({"url": f"https://c.test/h{i}", "host": "c.test", "text": ""})
+    tbl = pa.Table.from_pylist(rows)
+
+    def norm(t):
+        return sorted(
+            zip(
+                t["host"].to_pylist(), t["url_a"].to_pylist(),
+                t["url_b"].to_pylist(), t["n_urls"].to_pylist(),
+            )
+        )
+
+    local = dust_url_pairs(ray.data.from_arrow(tbl), max_group=4)
+    forced = dust_url_pairs(
+        ray.data.from_arrow(tbl), max_group=4, driver_max_rows=0
+    )
+    got = norm(local)
+    assert norm(forced) == got  # path agreement
+    a_urls = sorted(
+        ["https://a.test/p?x=1", "https://a.test/p", "https://a.test/p?x=2"]
+    )
+    want = sorted(
+        [("a.test", a_urls[x], a_urls[y], 3)
+         for x in range(3) for y in range(x + 1, 3)]
+        + [("b.test", "https://b.test/r", "https://b.test/r?ref=x", 2)]
+    )
+    assert got == want  # no cross-host pair, hot group capped away
+
+
+def test_dust_params_avoid_classifier_keywords():
+    """The synth DUST alias params must not contain any classify/career
+    keyword substring (the M7 host-name collision rule, applied to
+    query params) — otherwise alias urls would classify differently
+    than intended by accident of the param spelling."""
+    from crawler_ai_ray.functions import classify
+    from crawler_ai_ray.sources.synth import _DUST_PARAMS
+
+    kw = (
+        classify._EXCLUDE_MENU_KEYWORDS
+        + classify._CAREER_KEYWORDS
+        + classify._NAV_KEYWORDS
+        + classify._CONTENT_KEYWORDS
+    )
+    for p in _DUST_PARAMS:
+        for k in kw:
+            assert k not in p, f"param {p!r} contains keyword {k!r}"
+
+
+def test_c4_rules_matches_duckdb_oracle(ray_session):
+    """Planted + fuzz differential: c4_rules_batch vs the inline SQL
+    oracle on line-edge cases (trailing spaces/tabs, quote terminator,
+    javascript, short lines, empty text, lorem/brace flags)."""
+    import random
+
+    import pyarrow as pa
+
+    from crawler_ai_ray.stages.textstats import c4_rules_batch
+
+    texts = [
+        "",  # one empty line on both sides
+        "This is a good sentence with words.",
+        "Ends with quote five words here.\"",
+        "short line.",  # < 5 words
+        "no terminal punctuation five words here",
+        "This line has javascript in it and many words.",
+        "Trailing spaces sentence with five words.   ",
+        "Tab terminated line with five words.\t",
+        "Two good sentences here ok. Another one right here!\nAnd a third one with words?",
+        "Good line with five words. But page has lorem ipsum somewhere.",
+        "Brace page { with a sentence of five words. More text here ok. Third sentence goes here.",
+        "Multi.\nline.\ndoc with short lines.",
+    ]
+    rng = random.Random(7)
+    frags = [
+        "Good sentence with many fine words.", "tiny.", "{", "lorem ipsum",
+        "Ends in bang with five words!", "javascript line with many words here.",
+        "A question with five words maybe?", "plain words no punct here",
+        "", "   ", "Quoted ending with five words.\"",
+    ]
+    for _ in range(60):
+        texts.append("\n".join(rng.choice(frags) for _ in range(rng.randint(1, 8))))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        c4_rules_batch(tbl)
+        .sort_by([("doc_id", "ascending")])
+        .to_pydict()
+    )
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["doc_c4_rules"]
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(sql + " ORDER BY doc_id")
+        .fetch_arrow_table()
+        .to_pydict()
+    )
+    assert got == want
