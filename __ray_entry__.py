@@ -925,6 +925,215 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_crawl_politeness_audit(sf_dir: str):
+    """Politeness evidence (the north_rule token-bucket clause,
+    audited): per host, the maximum fetch attempts the engine issued in
+    any single round vs the host's wave budget
+    (``max(1, int(round_window / crawl_delay))`` when a crawl delay is
+    configured, else the default wave of 5 —
+    `state/politeness.py::CrawlPolicy.wave_budget`).  ``ok`` must be
+    TRUE for every host; the oracle recomputes the same audit over the
+    sequential simulator's fetch log + the hostcfg table.  Combiner
+    over o-rows (per-(host, round) counts), host-sized driver finish."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+    from crawler_ai_ray.state.politeness import CrawlPolicy, load_host_policies
+
+    out_dir = _ensure_crawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "host" not in batch.column_names:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "round": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = batch.group_by(["host", "round"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "host": agg["host"],
+                "round": pc.cast(agg["round"], pa.int32()),
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(crawl_output_files(out_dir))
+            .filter(expr="kind == 'o'")
+            .select_columns(["host", "round"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    policy = CrawlPolicy()
+    policy.hosts = load_host_policies(
+        os.path.join(_corpus(sf_dir), "hostcfg.parquet")
+    )
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "budget": pa.array([], pa.int64()),
+                "max_in_round": pa.array([], pa.int64()),
+                "n_active_rounds": pa.array([], pa.int64()),
+                "ok": pa.array([], pa.bool_()),
+            }
+        )
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["host", "round"])
+        .aggregate([("n", "sum")])
+        .group_by("host")
+        .aggregate([("n_sum", "max"), ("round", "count")])
+    )
+    hosts = agg["host"].to_pylist()
+    budgets = [policy.wave_budget(h) for h in hosts]
+    mx = agg["n_sum_max"].to_pylist()
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "budget": pa.array(budgets, pa.int64()),
+            "max_in_round": pc.cast(agg["n_sum_max"], pa.int64()),
+            "n_active_rounds": pc.cast(agg["round_count"], pa.int64()),
+            "ok": pa.array(
+                [m <= b for m, b in zip(mx, budgets)], pa.bool_()
+            ),
+        }
+    )
+
+
+def _q_crawl_lambda_observed(sf_dir: str):
+    """The λ estimator CLOSED over the refresh crawl's own
+    observations: per host, fetches by churn status in the recrawl and
+    the re-estimated Poisson rate
+    ``λ' = floor(−ln(1 − changed/(common+1))·1e6 + 0.5)`` over the
+    OBSERVED common pages (changed + same; added pages are new content,
+    not churn evidence) — the next crawl epoch's scheduling input.
+    Combiner over recrawl o-rows, host-sized driver finish; ln is the
+    verified libm ≡ DuckDB bit-equal class, all else exact integers."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_recrawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "host" not in batch.column_names:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "status": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        agg = batch.group_by(["host", "status"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "host": agg["host"],
+                "status": agg["status"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(crawl_output_files(out_dir))
+            .filter(expr="kind == 'o'")
+            .select_columns(["host", "status"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_fetched": pa.array([], pa.int64()),
+            "n_changed": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "lam2_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    agg = (
+        pa.concat_tables(parts)
+        .group_by(["host", "status"])
+        .aggregate([("n", "sum")])
+    )
+    hosts = agg["host"].to_pylist()
+    statuses = agg["status"].to_pylist()
+    ns = agg["n_sum"].to_pylist()
+    per: dict[str, dict[str, int]] = {}
+    for h, s, n in zip(hosts, statuses, ns):
+        per.setdefault(h, {})[s] = per.setdefault(h, {}).get(s, 0) + n
+    out_h = sorted(per)
+    fetched = [sum(per[h].values()) for h in out_h]
+    changed = [per[h].get("changed", 0) for h in out_h]
+    common = [
+        per[h].get("changed", 0) + per[h].get("same", 0) for h in out_h
+    ]
+    lam2 = [
+        math.floor(-math.log(1.0 - c / (n + 1)) * 1_000_000 + 0.5)
+        for c, n in zip(changed, common)
+    ]
+    return pa.table(
+        {
+            "host": pa.array(out_h, pa.string()),
+            "n_fetched": pa.array(fetched, pa.int64()),
+            "n_changed": pa.array(changed, pa.int64()),
+            "n_common": pa.array(common, pa.int64()),
+            "lam2_micro": pa.array(lam2, pa.int64()),
+        }
+    )
+
+
+def _q_crawl_recrawl_metrics(sf_dir: str):
+    """Per-(round, bucket) lineage of the λ-scheduled recrawl —
+    deterministic columns (urls_in / fetched / errors) vs the
+    sequential replay's reconstruction
+    (`oracle/goldens._build_sim_recrawl_metrics`): urls_in of round r =
+    queue length at end of r−1 plus one state row per host.  Verifies
+    the recrawl's manifest accounting (queue evolution under the
+    due-round gate) the same way `crawl_metrics` pins the first
+    crawl's."""
+    import pyarrow as pa
+
+    from crawler_ai_ray.pipelines.crawl import read_crawl_metrics
+
+    m = read_crawl_metrics(_ensure_recrawl(sf_dir))
+    agg = m.group_by(["round", "bucket"]).aggregate(
+        [("urls_in", "sum"), ("fetched", "sum"), ("errors", "sum")]
+    )
+    return pa.table(
+        {
+            "round": agg["round"],
+            "bucket": agg["bucket"],
+            "urls_in": agg["urls_in_sum"],
+            "fetched": agg["fetched_sum"],
+            "errors": agg["errors_sum"],
+        }
+    )
+
+
 def _q_crawl_dust_urls(sf_dir: str):
     """DUST alias pairs (Bar-Yossef et al. 2007): same-host urls whose
     canonical extracted text is byte-identical (tracking-param
@@ -4242,6 +4451,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_loop": _q_crawl_loop,
         "crawl_loop_recrawl": _q_crawl_loop_recrawl,
         "crawl_dust_urls": _q_crawl_dust_urls,
+        "crawl_politeness_audit": _q_crawl_politeness_audit,
+        "crawl_lambda_observed": _q_crawl_lambda_observed,
+        "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4432,6 +4644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 newcomers (insert new queries HERE, above the
         # re-checks, so the driver window always sees them first) ----------
         "crawl_loop_recrawl", "crawl_dust_urls", "doc_c4_rules",
+        "crawl_politeness_audit", "crawl_lambda_observed",
+        "crawl_recrawl_metrics",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4476,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
     # the driver compares at sf0.01 — the corpus path is deterministic
     corpus = _corpus("/root/testdata/sf0.01")
     golden = os.path.join(corpus, "golden.parquet")
+    hostcfg = os.path.join(corpus, "hostcfg.parquet")
     jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
     jobs_norm_golden = os.path.join(corpus, "jobs_norm_golden.parquet")
     jobs_fuzzy_golden = os.path.join(corpus, "jobs_fuzzy_golden.parquet")
@@ -5592,6 +5807,7 @@ def oracle_sql() -> dict[str, str]:
     sim_crawl = os.path.join(gdir, "sim_crawl.parquet")
     sim_metrics = os.path.join(gdir, "sim_metrics.parquet")
     sim_recrawl = os.path.join(gdir, "sim_recrawl.parquet")
+    sim_recrawl_metrics = os.path.join(gdir, "sim_recrawl_metrics.parquet")
     simhash_g = os.path.join(gdir, "simhash.parquet")
     minhash_g = os.path.join(gdir, "minhash.parquet")
     rolling_g = os.path.join(gdir, "rolling.parquet")
@@ -8225,6 +8441,55 @@ def oracle_sql() -> dict[str, str]:
         "crawl_loop": f"""
             SELECT url, host, round, host_seq, success
             FROM read_parquet('{sim_crawl}')""",
+        # politeness audit over the simulator's fetch log + hostcfg:
+        # budget = max(1, floor(5.0/delay)) when delay > 0 else 5 —
+        # the same IEEE division + truncation as CrawlPolicy.wave_budget
+        "crawl_politeness_audit": f"""
+            WITH f AS (
+              SELECT host, round, count(*)::BIGINT AS n
+              FROM read_parquet('{sim_crawl}') GROUP BY 1, 2),
+            m AS (
+              SELECT host, max(n) AS max_in_round,
+                     count(*) AS n_active_rounds
+              FROM f GROUP BY 1),
+            cfg AS (
+              SELECT host, crawl_delay_s FROM read_parquet('{hostcfg}'))
+            SELECT m.host,
+                   CASE WHEN cfg.crawl_delay_s IS NULL
+                          OR cfg.crawl_delay_s <= 0 THEN 5
+                        ELSE greatest(1, CAST(floor(5.0 / cfg.crawl_delay_s)
+                                              AS BIGINT))
+                   END AS budget,
+                   m.max_in_round::BIGINT AS max_in_round,
+                   m.n_active_rounds::BIGINT AS n_active_rounds,
+                   m.max_in_round <= (CASE WHEN cfg.crawl_delay_s IS NULL
+                          OR cfg.crawl_delay_s <= 0 THEN 5
+                        ELSE greatest(1, CAST(floor(5.0 / cfg.crawl_delay_s)
+                                              AS BIGINT)) END) AS ok
+            FROM m LEFT JOIN cfg ON m.host = cfg.host""",
+        # observed-churn λ re-estimate over the simulator's recrawl log
+        # (FLOOR(ln·1e6 + 0.5) — the verified libm≡DuckDB ln class)
+        "crawl_lambda_observed": f"""
+            WITH f AS (
+              SELECT host,
+                     count(*)::BIGINT AS n_fetched,
+                     sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_changed,
+                     sum(CASE WHEN status IN ('changed', 'same')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_common
+              FROM read_parquet('{sim_recrawl}') GROUP BY 1)
+            SELECT host, n_fetched, n_changed, n_common,
+                   CAST(FLOOR(-ln(1.0 - n_changed::DOUBLE
+                                  / (n_common + 1)) * 1000000 + 0.5)
+                        AS BIGINT) AS lam2_micro
+            FROM f""",
+        # recrawl manifest lineage vs the replay's queue-evolution
+        # reconstruction (same deterministic columns as crawl_metrics)
+        "crawl_recrawl_metrics": f"""
+            SELECT round::BIGINT AS round, bucket::BIGINT AS bucket,
+                   urls_in::BIGINT AS urls_in,
+                   fetched::BIGINT AS fetched, errors::BIGINT AS errors
+            FROM read_parquet('{sim_recrawl_metrics}')""",
         # λ-scheduled refresh crawl vs the sequential simulator replay
         # (shared pure rule: functions/freshness.py::host_recrawl_plan;
         # orchestration written twice)

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g18"  # g17: half-away micros; g18: + sim_recrawl golden
+GOLDEN_VERSION = "g19"  # g17: half-away micros; g18: sim_recrawl; g19: + recrawl metrics
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -81,6 +81,49 @@ def _build_sim_recrawl(corpus: str, out_path: str) -> None:
     pq.write_table(
         pa.Table.from_pylist(res.fetch_log, schema=schema), out_path
     )
+
+
+def _build_sim_recrawl_metrics(
+    corpus: str, out_path: str, n_buckets: int = 32
+) -> None:
+    """Deterministic recrawl-manifest lineage reconstructed from the
+    sequential replay: urls_in of round r = per-bucket queue lengths at
+    the end of round r−1 (round −1 = the λ-plan init checkpoint) plus
+    one persistent state row per host with ≥1 first-crawl success;
+    fetched = per-(round, bucket) recrawl fetch counts; errors = 0 by
+    construction (recrawl targets are prior successes)."""
+    from ..state.seen import shard_for_host
+    from .sim import simulate_recrawl
+
+    res = simulate_recrawl(corpus)
+    hosts = sorted(res.host_stats)
+    hb = {h: shard_for_host(h, n_buckets) for h in hosts}
+    s_count: dict[int, int] = {}
+    for h in hosts:
+        s_count[hb[h]] = s_count.get(hb[h], 0) + 1
+    qlen = {(r["host"], r["round"]): r["qlen"] for r in res.queue_log}
+    fetched: dict[tuple[int, int], int] = {}
+    for e in res.fetch_log:
+        key = (e["round"], hb[e["host"]])
+        fetched[key] = fetched.get(key, 0) + 1
+    rows = []
+    for rnd in range(res.rounds):
+        urls_in: dict[int, int] = dict(s_count)
+        for h in hosts:
+            urls_in[hb[h]] += qlen[(h, rnd - 1)]
+        for b in sorted(urls_in):
+            if urls_in[b] == 0:
+                continue
+            rows.append(
+                {
+                    "round": rnd,
+                    "bucket": b,
+                    "urls_in": urls_in[b],
+                    "fetched": fetched.get((rnd, b), 0),
+                    "errors": 0,
+                }
+            )
+    pq.write_table(pa.Table.from_pylist(rows), out_path)
 
 
 def _build_sim_metrics(
@@ -714,6 +757,9 @@ def ensure_oracle_goldens(sf_dir: str) -> str:
     _build_sim_crawl(corpus, os.path.join(tmp, "sim_crawl.parquet"))
     _build_sim_metrics(corpus, os.path.join(tmp, "sim_metrics.parquet"))
     _build_sim_recrawl(corpus, os.path.join(tmp, "sim_recrawl.parquet"))
+    _build_sim_recrawl_metrics(
+        corpus, os.path.join(tmp, "sim_recrawl_metrics.parquet")
+    )
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_doc_goldens(sf_dir, tmp)
         _build_bpe_goldens(sf_dir, tmp)

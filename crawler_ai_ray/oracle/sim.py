@@ -230,11 +230,21 @@ def simulate_recrawl(
         for h, urls in sorted(fetched.items())
     ]
     res = SimResult()
+    # round -1 (init checkpoint) queue lengths — the recrawl metrics
+    # reconstruction reads urls_in of round 0 from these
+    for sim in sims:
+        res.queue_log.append(
+            {"host": sim.host, "round": -1, "qlen": len(sim.queue)}
+        )
     for rnd in range(max_rounds):
         any_left = False
         for sim in sims:
             if sim.run_round(rnd, res.fetch_log):
                 any_left = True
+        for sim in sims:
+            res.queue_log.append(
+                {"host": sim.host, "round": rnd, "qlen": len(sim.queue)}
+            )
         res.rounds = rnd + 1
         if not any_left:
             break
