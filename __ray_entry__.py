@@ -1106,6 +1106,30 @@ def _q_crawl_lambda_observed(sf_dir: str):
     )
 
 
+def _q_crawl_warc_cdx(sf_dir: str):
+    """WARC archive + CDX index (ISO 28500 / the Common-Crawl delivery
+    format): pages written as per-hshard WARC/1.0 response files with a
+    DETERMINISTIC record layout — records sorted by (warc_ts, url)
+    within shard, fixed header template — so the DuckDB oracle
+    recomputes every CDX column (offset, record length, payload digest)
+    from the pages table alone without reading a byte of engine output.
+    Round-trip byte identity (read_warc ≡ pages) is pinned in tests;
+    per-shard .done markers make the archive write resumable
+    (`sources/warc.py`)."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.sources.warc import write_warc
+
+    corpus = _corpus(sf_dir)
+    out_dir = f"/tmp/crawler_ai_ray_q/warc-{os.path.basename(corpus)}"
+    cdx = write_warc(
+        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
+        out_dir,
+        resume=True,
+    )
+    return cdx
+
+
 def _q_crawl_recrawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage of the λ-scheduled recrawl —
     deterministic columns (urls_in / fetched / errors) vs the
@@ -4454,6 +4478,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit": _q_crawl_politeness_audit,
         "crawl_lambda_observed": _q_crawl_lambda_observed,
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
+        "crawl_warc_cdx": _q_crawl_warc_cdx,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4645,7 +4670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-checks, so the driver window always sees them first) ----------
         "crawl_loop_recrawl", "crawl_dust_urls", "doc_c4_rules",
         "crawl_politeness_audit", "crawl_lambda_observed",
-        "crawl_recrawl_metrics",
+        "crawl_recrawl_metrics", "crawl_warc_cdx",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4691,6 +4716,8 @@ def oracle_sql() -> dict[str, str]:
     corpus = _corpus("/root/testdata/sf0.01")
     golden = os.path.join(corpus, "golden.parquet")
     hostcfg = os.path.join(corpus, "hostcfg.parquet")
+    pages_pq = os.path.join(corpus, "pages.parquet")
+    from crawler_ai_ray.sources.warc import WARC_HEADER_CONST as _WHC
     jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
     jobs_norm_golden = os.path.join(corpus, "jobs_norm_golden.parquet")
     jobs_fuzzy_golden = os.path.join(corpus, "jobs_fuzzy_golden.parquet")
@@ -8483,6 +8510,28 @@ def oracle_sql() -> dict[str, str]:
                                   / (n_common + 1)) * 1000000 + 0.5)
                         AS BIGINT) AS lam2_micro
             FROM f""",
+        # CDX recomputed from the pages table alone: record_len =
+        # HEADER_CONST + strlen(url) [utf-8 bytes] + digits(len) + len;
+        # offset = running sum in the (warc_ts, url) shard sort order
+        "crawl_warc_cdx": f"""
+            WITH p AS (
+              SELECT url, epoch_ms(warc_ts) AS ts_ms, hshard,
+                     octet_length(html) AS n,
+                     md5_number_lower(decode(html)) AS dig,
+                     strlen(url) AS ul,
+                     length(CAST(octet_length(html) AS VARCHAR)) AS dl
+              FROM read_parquet('{pages_pq}')),
+            r AS (
+              SELECT url, ts_ms, hshard,
+                     ({_WHC} + ul + dl + n)::BIGINT AS record_len, dig
+              FROM p)
+            SELECT url, ts_ms::BIGINT AS ts_ms, hshard,
+                   COALESCE(sum(record_len) OVER (
+                       PARTITION BY hshard ORDER BY ts_ms, url
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS "offset",
+                   record_len, dig AS digest_lower
+            FROM r""",
         # recrawl manifest lineage vs the replay's queue-evolution
         # reconstruction (same deterministic columns as crawl_metrics)
         "crawl_recrawl_metrics": f"""
