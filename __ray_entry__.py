@@ -1130,6 +1130,27 @@ def _q_crawl_warc_cdx(sf_dir: str):
     return cdx
 
 
+def _q_crawl_warc_revisit(sf_dir: str):
+    """Deduplicated WARC archive (ISO 28500 identical-payload revisit
+    profile — the Common Crawl / Heritrix storage dedup): within each
+    shard the first capture of a payload stores a full response record,
+    later identical captures store payload-less revisit records
+    pointing at the canonical url.  The corpus's DUST aliases are
+    same-host → same shard, so they collapse with zero extra exchange.
+    Every CDX column (type, canonical, offset, length) recomputed by
+    the oracle from the pages table alone
+    (`sources/warc.py::write_warc_dedup`)."""
+    from crawler_ai_ray.sources.warc import write_warc_dedup
+
+    corpus = _corpus(sf_dir)
+    out_dir = f"/tmp/crawler_ai_ray_q/warcdd-{os.path.basename(corpus)}"
+    return write_warc_dedup(
+        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
+        out_dir,
+        resume=True,
+    )
+
+
 def _q_crawl_recrawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage of the λ-scheduled recrawl —
     deterministic columns (urls_in / fetched / errors) vs the
@@ -4479,6 +4500,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lambda_observed": _q_crawl_lambda_observed,
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_warc_cdx": _q_crawl_warc_cdx,
+        "crawl_warc_revisit": _q_crawl_warc_revisit,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4670,7 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-checks, so the driver window always sees them first) ----------
         "crawl_loop_recrawl", "crawl_dust_urls", "doc_c4_rules",
         "crawl_politeness_audit", "crawl_lambda_observed",
-        "crawl_recrawl_metrics", "crawl_warc_cdx",
+        "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -4718,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
     hostcfg = os.path.join(corpus, "hostcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
     from crawler_ai_ray.sources.warc import WARC_HEADER_CONST as _WHC
+    from crawler_ai_ray.sources.warc import WARC_REVISIT_CONST as _WRC
     jobs_golden = os.path.join(corpus, "jobs_golden.parquet")
     jobs_norm_golden = os.path.join(corpus, "jobs_norm_golden.parquet")
     jobs_fuzzy_golden = os.path.join(corpus, "jobs_fuzzy_golden.parquet")
@@ -8526,6 +8549,43 @@ def oracle_sql() -> dict[str, str]:
                      ({_WHC} + ul + dl + n)::BIGINT AS record_len, dig
               FROM p)
             SELECT url, ts_ms::BIGINT AS ts_ms, hshard,
+                   COALESCE(sum(record_len) OVER (
+                       PARTITION BY hshard ORDER BY ts_ms, url
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS "offset",
+                   record_len, dig AS digest_lower
+            FROM r""",
+        # dedup WARC: canonical = shard-local first capture per FULL
+        # md5 (window first_value/row_number over (ts, url) order);
+        # revisit record_len = REVISIT_CONST + bytes(url) + bytes(canon)
+        "crawl_warc_revisit": f"""
+            WITH p AS (
+              SELECT url, epoch_ms(warc_ts) AS ts_ms, hshard,
+                     octet_length(html) AS n,
+                     md5_number_lower(decode(html)) AS dig,
+                     md5(decode(html)) AS dighex,
+                     strlen(url) AS ul,
+                     length(CAST(octet_length(html) AS VARCHAR)) AS dl
+              FROM read_parquet('{pages_pq}')),
+            w AS (
+              SELECT *,
+                     first_value(url) OVER (PARTITION BY hshard, dighex
+                         ORDER BY ts_ms, url) AS canon_url,
+                     row_number() OVER (PARTITION BY hshard, dighex
+                         ORDER BY ts_ms, url) AS rn
+              FROM p),
+            r AS (
+              SELECT url, ts_ms, hshard,
+                     CASE WHEN rn = 1 THEN 'response'
+                          ELSE 'revisit' END AS record_type,
+                     canon_url,
+                     (CASE WHEN rn = 1 THEN {_WHC} + ul + dl + n
+                           ELSE {_WRC} + ul + strlen(canon_url)
+                      END)::BIGINT AS record_len,
+                     dig
+              FROM w)
+            SELECT url, ts_ms::BIGINT AS ts_ms, hshard, record_type,
+                   canon_url,
                    COALESCE(sum(record_len) OVER (
                        PARTITION BY hshard ORDER BY ts_ms, url
                        ROWS BETWEEN UNBOUNDED PRECEDING

@@ -988,6 +988,7 @@ def run_recrawl(
     max_rounds: int = 200,
     local_round_rows: int = 64,
     store_pool=None,
+    resume: bool = False,
 ) -> dict:
     """Second-snapshot refresh crawl driven by the freshness signals
     (round-4 verdict Next #4): the per-host Poisson change rate λ
@@ -1002,7 +1003,12 @@ def run_recrawl(
 
     Conformance: `oracle/sim.py::simulate_recrawl` replays the same
     spec sequentially; per-host fetch sequences and round assignment
-    must match exactly (tests/test_crawl_conformance.py)."""
+    must match exactly (tests/test_crawl_conformance.py).
+
+    ``resume=True``: completed rounds (manifest present) are skipped
+    and the loop restarts from the first missing round — same
+    checkpoint-granularity contract as `run_crawl` (the recrawl keeps
+    no seen-set, so resume needs no replay beyond the manifests)."""
     import ray
 
     policy = policy or CrawlPolicy()
@@ -1013,31 +1019,74 @@ def run_recrawl(
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
-    for sub in os.listdir(out_dir):
-        if sub.startswith("round="):
-            shutil.rmtree(os.path.join(out_dir, sub))
+    start_round = 0
+    if resume:
+        done = sorted(
+            d
+            for d in os.listdir(out_dir)
+            if d.startswith("round=")
+            and "-" not in d
+            and os.path.exists(os.path.join(out_dir, d, "_MANIFEST.json"))
+        )
+        if done and os.path.exists(
+            os.path.join(_round_dir(out_dir, -1), "_MANIFEST.json")
+        ):
+            start_round = int(done[-1].split("=")[1]) + 1
+        elif not os.path.exists(
+            os.path.join(_round_dir(out_dir, -1), "_MANIFEST.json")
+        ):
+            resume = False  # no init checkpoint: full restart
+    if not resume:
+        for sub in os.listdir(out_dir):
+            if sub.startswith("round="):
+                shutil.rmtree(os.path.join(out_dir, sub))
     own_store = store_pool is None
     store = store_pool if store_pool is not None else PageStorePool(
         os.path.join(corpus, "pages.parquet"), store_shards
     )
     try:
-        init_task = ray.remote(num_cpus=1)(_recrawl_init_bucket)
-        init_counts = ray.get(
-            [
-                init_task.remote(b, crawl_out_dir, out_dir, buckets)
-                for b in range(buckets)
-            ]
-        )
-        d_init = _round_dir(out_dir, -1)
-        os.makedirs(d_init, exist_ok=True)
-        in_rows = sum(c["q"] + c["s"] for c in init_counts)
-        with open(os.path.join(d_init, "_MANIFEST.json"), "w") as f:
-            json.dump({"round": -1, "rows": in_rows}, f)
+        totals = {"fetched": 0, "errors": 0, "rounds": 0}
+        if not resume:
+            init_task = ray.remote(num_cpus=1)(_recrawl_init_bucket)
+            init_counts = ray.get(
+                [
+                    init_task.remote(b, crawl_out_dir, out_dir, buckets)
+                    for b in range(buckets)
+                ]
+            )
+            d_init = _round_dir(out_dir, -1)
+            os.makedirs(d_init, exist_ok=True)
+            in_rows = sum(c["q"] + c["s"] for c in init_counts)
+            with open(os.path.join(d_init, "_MANIFEST.json"), "w") as f:
+                json.dump({"round": -1, "rows": in_rows}, f)
+        else:
+            prev_m = os.path.join(
+                _round_dir(out_dir, start_round - 1), "_MANIFEST.json"
+            )
+            with open(prev_m) as f:
+                pm = json.load(f)
+            in_rows = (
+                pm["rows"]
+                if start_round == 0
+                else pm.get("q", 0) + pm.get("s", 0)
+            )
+            totals["rounds"] = start_round
+            if start_round > 0 and pm.get("q", 0) == 0:
+                # crawl already finished: recount tallies and return
+                all_o = pads.dataset(
+                    crawl_output_files(out_dir), format="parquet"
+                )
+                totals["fetched"] = all_o.count_rows(
+                    filter=(pc.field("kind") == "o") & pc.field("success")
+                )
+                totals["errors"] = all_o.count_rows(
+                    filter=(pc.field("kind") == "o") & ~pc.field("success")
+                )
+                return totals
 
         bucket_task = _get_bucket_task()
         pol_ref = ray.put(policy)
-        totals = {"fetched": 0, "errors": 0, "rounds": 0}
-        for rnd in range(max_rounds):
+        for rnd in range(start_round, max_rounds):
             t0 = time.time()
             prev = _round_dir(out_dir, rnd - 1)
             out = _round_dir(out_dir, rnd)

@@ -40,7 +40,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-__all__ = ["write_warc", "read_warc", "WARC_HEADER_CONST", "CDX_SCHEMA"]
+__all__ = [
+    "write_warc", "write_warc_dedup", "read_warc",
+    "WARC_HEADER_CONST", "WARC_REVISIT_CONST", "CDX_SCHEMA",
+    "CDX_DEDUP_SCHEMA",
+]
 
 _CRLF = b"\r\n"
 
@@ -84,6 +88,29 @@ def _record(url: str, ts_ms: int, html: bytes) -> bytes:
 # every byte of the record except the url (utf-8 BYTE length — DuckDB
 # ``strlen``), the payload, and the decimal digits of Content-Length
 WARC_HEADER_CONST = len(_record("", 0, b"")) - len(str(0))
+
+
+def _revisit_record(
+    url: str, ts_ms: int, canon_url: str, md5_hex: str
+) -> bytes:
+    """WARC/1.0 ``revisit`` record (ISO 28500 §6.7.2 identical-payload
+    profile): no payload, points at the canonical capture."""
+    return (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: revisit" + _CRLF
+        + b"WARC-Record-ID: <urn:md5:" + md5_hex.encode() + b">" + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + _iso(ts_ms).encode() + _CRLF
+        + b"WARC-Refers-To-Target-URI: " + canon_url.encode() + _CRLF
+        + b"WARC-Payload-Digest: md5:" + md5_hex.encode() + _CRLF
+        + b"Content-Length: 0" + _CRLF
+        + _CRLF
+        + _CRLF + _CRLF
+    )
+
+
+# fixed bytes of a revisit record: everything except the two urls
+WARC_REVISIT_CONST = len(_revisit_record("", 0, "", "0" * 32))
 
 
 def write_warc(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
@@ -161,6 +188,8 @@ def _parse_warc_file(path: str) -> pa.Table:
     urls: list[str] = []
     tss: list[int] = []
     htmls: list[bytes] = []
+    kinds: list[str] = []
+    refers: list[str | None] = []
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
@@ -176,6 +205,8 @@ def _parse_warc_file(path: str) -> pa.Table:
         body_start = hdr_end + 4
         htmls.append(data[body_start : body_start + clen])
         urls.append(fields["WARC-Target-URI"])
+        kinds.append(fields["WARC-Type"])
+        refers.append(fields.get("WARC-Refers-To-Target-URI"))
         import datetime as _dt
 
         d = _dt.datetime.strptime(
@@ -188,6 +219,8 @@ def _parse_warc_file(path: str) -> pa.Table:
             "url": pa.array(urls, pa.string()),
             "ts_ms": pa.array(tss, pa.int64()),
             "html": pa.array(htmls, pa.binary()),
+            "record_type": pa.array(kinds, pa.string()),
+            "refers_to": pa.array(refers, pa.string()),
         }
     )
 
@@ -211,6 +244,8 @@ def read_warc(out_dir: str):
                     "url": pa.array([], pa.string()),
                     "ts_ms": pa.array([], pa.int64()),
                     "html": pa.array([], pa.binary()),
+                    "record_type": pa.array([], pa.string()),
+                    "refers_to": pa.array([], pa.string()),
                 }
             )
         return pa.concat_tables(
@@ -220,3 +255,112 @@ def read_warc(out_dir: str):
     return ray.data.from_arrow(
         pa.table({"path": pa.array(paths, pa.string())})
     ).map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+CDX_DEDUP_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("ts_ms", pa.int64()),
+        ("hshard", pa.int32()),
+        ("record_type", pa.string()),
+        ("canon_url", pa.string()),
+        ("offset", pa.int64()),
+        ("record_len", pa.int64()),
+        ("digest_lower", pa.uint64()),
+    ]
+)
+
+
+def write_warc_dedup(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
+    """Deduplicated WARC archive: within each shard, the FIRST capture
+    of a payload (by ``(warc_ts, url)``) writes a full ``response``
+    record; every later identical-payload capture writes a payload-less
+    ``revisit`` record pointing at the canonical url (ISO 28500
+    identical-payload-digest profile — how Common Crawl / Heritrix
+    avoid re-storing unchanged content).
+
+    Dedup scope is the SHARD (hshard = crc32(host) % 256): url-alias
+    duplicates (the DUST family) are same-host, so they always land in
+    the same shard and collapse with NO extra exchange — the canonical
+    choice happens inside the shard task that already holds the rows.
+    Cross-host mirror payloads are detection's job
+    (`mirror_host_pairs`), not the archive's.  Layout stays fully
+    deterministic (sort + fixed templates), so the CDX — record type,
+    canonical url, offset, length — is recomputed by the DuckDB oracle
+    from the pages table alone."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "hshard" not in g.column_names:
+            return CDX_DEDUP_SCHEMA.empty_table()
+        shard = int(g["hshard"][0].as_py())
+        warc_path = os.path.join(out_dir, f"shard={shard:04d}.warc")
+        cdx_path = os.path.join(out_dir, f"shard={shard:04d}.cdx.parquet")
+        done = warc_path + ".done"
+        if resume and os.path.exists(done):
+            return pq.read_table(cdx_path)
+        ts_ms = pc.cast(g["warc_ts"], pa.timestamp("ms")).cast(pa.int64())
+        srt = pa.table(
+            {"url": g["url"], "ts_ms": ts_ms, "html": g["html"]}
+        ).sort_by([("ts_ms", "ascending"), ("url", "ascending")])
+        urls = srt["url"].to_pylist()
+        tss = srt["ts_ms"].to_pylist()
+        htmls = srt["html"].to_pylist()
+        canon_by_digest: dict[bytes, str] = {}
+        offsets = np.zeros(len(urls), np.int64)
+        lens = np.zeros(len(urls), np.int64)
+        digs = np.zeros(len(urls), np.uint64)
+        kinds: list[str] = []
+        canons: list[str] = []
+        off = 0
+        tmp = warc_path + ".tmp"
+        with open(tmp, "wb") as f:
+            for i, (u, t, h) in enumerate(zip(urls, tss, htmls)):
+                dig = hashlib.md5(h).digest()
+                canon = canon_by_digest.get(dig)
+                if canon is None:
+                    canon_by_digest[dig] = u
+                    rec = _record(u, t, h)
+                    kinds.append("response")
+                    canons.append(u)
+                else:
+                    rec = _revisit_record(u, t, canon, dig.hex())
+                    kinds.append("revisit")
+                    canons.append(canon)
+                f.write(rec)
+                offsets[i] = off
+                lens[i] = len(rec)
+                digs[i] = int.from_bytes(dig[8:], "little", signed=False)
+                off += len(rec)
+        os.replace(tmp, warc_path)
+        cdx = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts_ms": pa.array(tss, pa.int64()),
+                "hshard": pa.array([shard] * len(urls), pa.int32()),
+                "record_type": pa.array(kinds, pa.string()),
+                "canon_url": pa.array(canons, pa.string()),
+                "offset": pa.array(offsets, pa.int64()),
+                "record_len": pa.array(lens, pa.int64()),
+                "digest_lower": pa.array(digs, pa.uint64()),
+            }
+        )
+        pq.write_table(cdx, cdx_path)
+        with open(done, "w") as f:
+            f.write("ok\n")
+        return cdx
+
+    parts = [
+        t
+        for t in ray.get(
+            pages_ds.groupby("hshard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return CDX_DEDUP_SCHEMA.empty_table()
+    return pa.concat_tables(parts)

@@ -338,3 +338,44 @@ def test_host_recrawl_plan_edges():
     p0 = host_recrawl_plan(removed_only)
     assert p0["queue"] == [] and p0["n_changed"] == 0
     assert p0["lam_micro"] == 0 and p0["due_round"] == RECRAWL_MAX_DUE
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_resume_matches_uninterrupted(unit_corpus, tmp_path):
+    """Stop the λ-scheduled recrawl after a few rounds, resume, and the
+    final o-row log must equal an uninterrupted run's."""
+    from crawler_ai_ray.pipelines.crawl import (
+        read_crawl_output,
+        run_recrawl,
+    )
+
+    crawl_dir = str(tmp_path / "crawl")
+    _run_engine(unit_corpus, crawl_dir, CrawlPolicy())
+
+    def olog(d):
+        t = read_crawl_output(
+            d,
+            columns=["kind", "host", "url", "round", "host_seq",
+                     "priority", "status"],
+            filter=pc.field("kind") == "o",
+        )
+        return sorted(map(tuple, zip(*[t[c].to_pylist()
+                                       for c in t.column_names])))
+
+    full_dir = str(tmp_path / "rc_full")
+    run_recrawl(unit_corpus, crawl_dir, full_dir, store_shards=2)
+    full = olog(full_dir)
+
+    part_dir = str(tmp_path / "rc_part")
+    run_recrawl(
+        unit_corpus, crawl_dir, part_dir, store_shards=2, max_rounds=3
+    )
+    totals = run_recrawl(
+        unit_corpus, crawl_dir, part_dir, store_shards=2, resume=True
+    )
+    assert olog(part_dir) == full
+    # resuming a FINISHED run is a cheap no-op with correct tallies
+    again = run_recrawl(
+        unit_corpus, crawl_dir, part_dir, store_shards=2, resume=True
+    )
+    assert again["fetched"] == totals["fetched"]

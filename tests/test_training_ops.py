@@ -4228,3 +4228,64 @@ def test_warc_roundtrip_and_resume(ray_session, unit_corpus, tmp_path):
     )
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == m
+
+
+def test_warc_dedup_revisit_roundtrip(ray_session, unit_corpus, tmp_path):
+    """Dedup archive: revisit records exist (the DUST aliases make this
+    non-vacuous), the archive is strictly smaller than the plain one,
+    and resolving revisits through their canonical urls reconstructs
+    every payload byte-identically."""
+    import os
+
+    import pyarrow.parquet as pq_
+    import ray
+
+    from crawler_ai_ray.sources.pqread import read_parquet_rowgroups
+    from crawler_ai_ray.sources.warc import (
+        read_warc,
+        write_warc,
+        write_warc_dedup,
+    )
+
+    pages_path = os.path.join(unit_corpus, "pages.parquet")
+
+    def ds():
+        return read_parquet_rowgroups(
+            pages_path, columns=["url", "warc_ts", "html", "hshard"]
+        )
+
+    plain = str(tmp_path / "plain")
+    dd = str(tmp_path / "dd")
+    write_warc(ds(), plain)
+    cdx = write_warc_dedup(ds(), dd)
+    kinds = cdx["record_type"].to_pylist()
+    assert kinds.count("revisit") >= 10  # DUST aliases collapsed
+
+    def total(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".warc")
+        )
+
+    assert total(dd) < total(plain)
+
+    back = pa.concat_tables(
+        [t for t in ray.get(read_warc(dd).to_arrow_refs()) if t.num_rows]
+    )
+    payload = {}
+    for u, h, k in zip(
+        back["url"].to_pylist(), back["html"].to_pylist(),
+        back["record_type"].to_pylist(),
+    ):
+        if k == "response":
+            payload[u] = h
+    resolved = {}
+    for u, h, k, ref in zip(
+        back["url"].to_pylist(), back["html"].to_pylist(),
+        back["record_type"].to_pylist(), back["refers_to"].to_pylist(),
+    ):
+        resolved[u] = payload[ref] if k == "revisit" else h
+    src = pq_.read_table(pages_path, columns=["url", "html"])
+    want = dict(zip(src["url"].to_pylist(), src["html"].to_pylist()))
+    assert resolved == want
