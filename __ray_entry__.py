@@ -2859,6 +2859,20 @@ def _q_doc_top_terms(sf_dir: str):
     return top_terms(_table(sf_dir, "documents", columns=["text"]), k=100)
 
 
+def _q_doc_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-level paragraph dedup (keep-first): per doc,
+    surviving non-empty line count and the md5 fingerprint of the
+    REBUILT deduplicated text — verifying the reconstruction
+    bit-for-bit without shipping it
+    (stages/dedup.py::paragraph_dedup_stats; two skinny exchanges,
+    text moves once doc-partitioned)."""
+    from crawler_ai_ray.stages.dedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(
+        _table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_doc_c4_rules(sf_dir: str):
     """C4 cleaning rules (Raffel et al. 2020 §2.2): per-doc line-keep /
     sentence-count / lorem-brace flags and the final c4_keep verdict —
@@ -4525,6 +4539,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "doc_zipf_fit": _q_doc_zipf_fit,
         "doc_c4_rules": _q_doc_c4_rules,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
@@ -4603,6 +4618,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
         "events_running_total": _rel("events_running_total"),
+        "events_late_arrivals": _rel("events_late_arrivals"),
         "events_pivot": _rel("events_pivot"),
         "events_hourly_dense": _rel("events_hourly_dense"),
         "part_min_price_per_brand": _rel("part_min_price_per_brand"),
@@ -4693,6 +4709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_loop_recrawl", "crawl_dust_urls", "doc_c4_rules",
         "crawl_politeness_audit", "crawl_lambda_observed",
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
+        "doc_paragraph_dedup", "events_late_arrivals",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -7374,6 +7391,25 @@ def oracle_sql() -> dict[str, str]:
                      CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
               FROM events)
             GROUP BY ROLLUP(event_type, day)""",
+        # watermark audit: wm before event i = max ts over arrival
+        # order (event_id) minus 600 s; exact int64-microsecond math
+        "events_late_arrivals": """
+            WITH w AS (
+              SELECT event_id, ts,
+                     max(ts) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm_src
+              FROM events)
+            SELECT event_id,
+                   (wm_src IS NOT NULL
+                    AND date_diff('microsecond', ts, wm_src)
+                        - 600000000 > 0) AS late,
+                   CASE WHEN wm_src IS NULL THEN 0
+                        ELSE greatest(
+                            date_diff('microsecond', ts, wm_src)
+                            - 600000000, 0)
+                   END::BIGINT AS late_us
+            FROM w""",
         "events_running_total": """
             SELECT event_id, user_id, ts,
                    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
@@ -8163,6 +8199,40 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, count(*)::BIGINT AS n
                   FROM toks WHERE term <> '' GROUP BY 1)
             SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 100""",
+        # paragraph dedup: keeper = min (doc_id, line_idx) per
+        # md5_number_lower(line) — the engine's exact 64-bit hash
+        # convention, so even a collision behaves identically; fp
+        # verifies the rebuilt text via string_agg in line order
+        "doc_paragraph_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+            l0 AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS i
+              FROM d),
+            l AS (
+              SELECT doc_id, i, line, md5_number_lower(line) AS lh
+              FROM l0 WHERE line <> ''),
+            k AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lh ORDER BY doc_id, i) AS rn
+              FROM l),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                     sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_kept,
+                     md5_number_lower(COALESCE(string_agg(
+                         CASE WHEN rn = 1 THEN line END,
+                         chr(10) ORDER BY i), '')) AS fp_dedup
+              FROM k GROUP BY 1)
+            SELECT docs.doc_id,
+                   COALESCE(per.n_lines, 0)::BIGINT AS n_lines,
+                   COALESCE(per.n_kept, 0)::BIGINT AS n_kept,
+                   COALESCE(per.fp_dedup, md5_number_lower(''))
+                     AS fp_dedup
+            FROM (SELECT doc_id FROM documents) docs
+            LEFT JOIN per USING (doc_id)""",
         # C4 rules: line/sentence semantics mirror c4_rules_batch
         # exactly — "" splits to one empty line on both sides, word
         # count is the pinned ASCII-\S+ convention, n_sentences counts

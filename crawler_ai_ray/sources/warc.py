@@ -130,7 +130,12 @@ def write_warc(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
         cdx_path = os.path.join(out_dir, f"shard={shard:04d}.cdx.parquet")
         done = warc_path + ".done"
         if resume and os.path.exists(done):
-            return pq.read_table(cdx_path)
+            try:
+                return pq.read_table(cdx_path)
+            except Exception:
+                # a killed/retried task can leave a truncated part
+                # behind the marker — fall through and rewrite
+                os.remove(done)
         ts = pc.cast(g["warc_ts"], pa.timestamp("ms"))
         ts_ms = ts.cast(pa.int64())
         srt = pa.table(
@@ -165,7 +170,8 @@ def write_warc(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
                 "digest_lower": pa.array(digs, pa.uint64()),
             }
         )
-        pq.write_table(cdx, cdx_path)
+        pq.write_table(cdx, cdx_path + ".tmp")
+        os.replace(cdx_path + ".tmp", cdx_path)
         with open(done, "w") as f:
             f.write("ok\n")
         return cdx
@@ -300,7 +306,12 @@ def write_warc_dedup(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
         cdx_path = os.path.join(out_dir, f"shard={shard:04d}.cdx.parquet")
         done = warc_path + ".done"
         if resume and os.path.exists(done):
-            return pq.read_table(cdx_path)
+            try:
+                return pq.read_table(cdx_path)
+            except Exception:
+                # a killed/retried task can leave a truncated part
+                # behind the marker — fall through and rewrite
+                os.remove(done)
         ts_ms = pc.cast(g["warc_ts"], pa.timestamp("ms")).cast(pa.int64())
         srt = pa.table(
             {"url": g["url"], "ts_ms": ts_ms, "html": g["html"]}
@@ -347,7 +358,8 @@ def write_warc_dedup(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
                 "digest_lower": pa.array(digs, pa.uint64()),
             }
         )
-        pq.write_table(cdx, cdx_path)
+        pq.write_table(cdx, cdx_path + ".tmp")
+        os.replace(cdx_path + ".tmp", cdx_path)
         with open(done, "w") as f:
             f.write("ok\n")
         return cdx

@@ -4066,3 +4066,228 @@ def dust_url_pairs(
     if not parts:
         return _DUST_SCHEMA.empty_table()
     return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level paragraph (line) dedup — CCNet-style keep-first
+# ---------------------------------------------------------------------------
+
+_PARA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("fp_dedup", pa.uint64()),
+    ]
+)
+
+
+def paragraph_dedup_stats(
+    ds,
+    text_col: str = "text",
+    num_buckets: int = 256,
+    doc_buckets: int = 64,
+):
+    """Corpus-level paragraph dedup (Wenzek et al. 2020 "CCNet" §3
+    first-stage dedup, keep-first flavor): a NON-EMPTY line is kept
+    only in the document with the MINIMUM ``(doc_id, line_index)``
+    among all documents containing that exact line; every later
+    occurrence is dropped.  → ``(doc_id, n_lines, n_kept, fp_dedup)``
+    where ``fp_dedup`` is the md5 digest[8:] LE int64
+    (``md5_number_lower``) of the kept lines re-joined with ``\\n`` —
+    so the oracle verifies the REBUILT text bit-for-bit without the
+    query shipping it.
+
+    Scale shape — the curate-family two-exchange pattern:
+
+    1. one streaming pass emits skinny ``(line_h, doc_id, idx)`` rows
+       (8-byte line hashes travel, text does not);
+    2. ``line_h % num_buckets`` groupby picks each line's keeper
+       (min (doc_id, idx) — a line's rows meet in exactly one bucket)
+       and emits DROP rows only (the duplicated minority);
+    3. drops route back by ``doc_id % doc_buckets`` and the rebuild
+       pass re-splits each doc locally (text moves once, partitioned
+       by doc — the deboiler rebuild shape) to count + fingerprint the
+       surviving lines."""
+    import ray
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "lh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_i: list[int] = []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for i, line in enumerate((t or "").split("\n")):
+                if line:
+                    out_h.append(
+                        int.from_bytes(
+                            hashlib.md5(line.encode("utf-8")).digest()[8:],
+                            "little",
+                            signed=False,
+                        )
+                    )
+                    out_d.append(did)
+                    out_i.append(i)
+        lh = np.array(out_h, dtype=np.uint64)
+        return pa.table(
+            {
+                "lh": pa.array(lh, pa.uint64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "idx": pa.array(out_i, pa.int64()),
+                "bucket": pa.array(
+                    (lh % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def pick_drops(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "doc_bucket": pa.array([], pa.int32()),
+            }
+        )
+        if g.num_rows == 0 or "lh" not in g.column_names:
+            return empty
+        lh = g["lh"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        idx = g["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, did, lh))
+        lhs = lh[order]
+        first = np.empty(len(lhs), bool)
+        if len(lhs):
+            first[0] = True
+            first[1:] = lhs[1:] != lhs[:-1]
+        drop = order[~first]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[drop], pa.int64()),
+                "idx": pa.array(idx[drop], pa.int64()),
+                "doc_bucket": pa.array(
+                    (did[drop] % doc_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    drops = (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_drops, batch_format="pyarrow")
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "doc_bucket": pa.array([], pa.int32()),
+                }
+            )
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "idx": pa.array(
+                    np.full(len(did), -1, np.int64), pa.int64()
+                ),
+                "text": pc.cast(batch[text_col], pa.string()),
+                "doc_bucket": pa.array(
+                    (did % doc_buckets).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def add_null_text(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "doc_bucket": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "idx": batch["idx"],
+                "text": pa.array([None] * batch.num_rows, pa.string()),
+                "doc_bucket": batch["doc_bucket"],
+            }
+        )
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(add_null_text, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return _PARA_SCHEMA.empty_table()
+        drops_by_doc: dict[int, set[int]] = {}
+        docs: list[tuple[int, str]] = []
+        for did, ix, t in zip(
+            g["doc_id"].to_pylist(), g["idx"].to_pylist(),
+            g["text"].to_pylist(),
+        ):
+            if ix is not None and ix >= 0:
+                drops_by_doc.setdefault(did, set()).add(ix)
+            else:
+                docs.append((did, t))
+        out_d, out_n, out_k, out_f = [], [], [], []
+        for did, t in docs:
+            dropped = drops_by_doc.get(did, ())
+            kept: list[str] = []
+            n_lines = 0
+            for i, line in enumerate((t or "").split("\n")):
+                if not line:
+                    continue
+                n_lines += 1
+                if i not in dropped:
+                    kept.append(line)
+            out_d.append(did)
+            out_n.append(n_lines)
+            out_k.append(len(kept))
+            out_f.append(
+                int.from_bytes(
+                    hashlib.md5("\n".join(kept).encode("utf-8")).digest()[8:],
+                    "little",
+                    signed=False,
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_lines": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "fp_dedup": pa.array(
+                    np.array(out_f, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            both.groupby("doc_bucket")
+            .map_groups(rebuild, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return _PARA_SCHEMA.empty_table()
+    return pa.concat_tables(parts)

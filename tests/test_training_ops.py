@@ -4289,3 +4289,54 @@ def test_warc_dedup_revisit_roundtrip(ray_session, unit_corpus, tmp_path):
     src = pq_.read_table(pages_path, columns=["url", "html"])
     want = dict(zip(src["url"].to_pylist(), src["html"].to_pylist()))
     assert resolved == want
+
+
+def test_paragraph_dedup_planted_vs_oracle(ray_session):
+    """Planted grid: cross-doc duplicate lines (keep-first by (doc,
+    idx)), in-doc repeats, empty lines/docs, and full-text fingerprint
+    of the rebuilt docs — engine vs the inline DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    import __ray_entry__ as entrymod
+    from crawler_ai_ray.stages.dedup import paragraph_dedup_stats
+
+    texts = [
+        "shared line one\nunique to zero\nshared line two",
+        "shared line one\nunique to one",          # loses line 0
+        "",                                         # empty doc
+        "\n\n",                                     # only empty lines
+        "in-doc repeat\nin-doc repeat\nunique three",  # second dropped
+        "unique to four\nshared line two",          # loses line 1
+        "shared line one",                          # loses everything
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        paragraph_dedup_stats(
+            ray.data.from_arrow(tbl), num_buckets=4, doc_buckets=2
+        )
+        .sort_by([("doc_id", "ascending")])
+        .to_pydict()
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(
+            entrymod.oracle_sql()["doc_paragraph_dedup"]
+            + " ORDER BY docs.doc_id"
+        )
+        .fetch_arrow_table()
+        .to_pydict()
+    )
+    assert got == want
+    # semantic spot checks
+    assert got["n_kept"][1] == 1          # doc 1 keeps only its unique line
+    assert got["n_kept"][6] == 0          # doc 6 fully deduplicated
+    assert got["n_lines"][3] == 0 and got["n_kept"][3] == 0
+    assert got["n_kept"][4] == 2          # in-doc repeat dropped once
