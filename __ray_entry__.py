@@ -1179,6 +1179,123 @@ def _q_crawl_recrawl_metrics(sf_dir: str):
     )
 
 
+def _q_crawl_budget_plan(sf_dir: str):
+    """Next-epoch fetch-budget apportionment — the composition a
+    frontier scheduler actually runs: per crawled host (≥1 successful
+    fetch), weight = (1 + career_pages) × (λ_micro + 1) (yield ×
+    freshness), and 100 000 global fetch slots divided by Hamilton's
+    largest-remainder method (quota = B·w // W, leftovers to the
+    largest remainders, ties by host asc) — integer-exact, so the SQL
+    oracle reproduces every budget bit-for-bit with window functions.
+    Career counts are a combiner over engine o-rows; λ rides the
+    shared churn checkpoint; the apportionment itself is a host-sized
+    driver pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_crawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "host" not in batch.column_names:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_success": pa.array([], pa.int64()),
+                    "n_career": pa.array([], pa.int64()),
+                }
+            )
+        ok = pc.fill_null(batch["success"], False)
+        career = pc.and_(
+            ok,
+            pc.and_(
+                pc.fill_null(batch["is_career"], False),
+                pc.greater_equal(
+                    pc.fill_null(batch["career_score"], -1.0), 0.3
+                ),
+            ),
+        )
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_success": pc.cast(ok, pa.int64()),
+                "n_career": pc.cast(career, pa.int64()),
+            }
+        )
+        agg = t.group_by("host").aggregate(
+            [("n_success", "sum"), ("n_career", "sum")]
+        )
+        return agg.rename_columns(["host", "n_success", "n_career"])
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(crawl_output_files(out_dir))
+            .filter(expr="kind == 'o'")
+            .select_columns(["host", "success", "is_career", "career_score"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_career": pa.array([], pa.int64()),
+            "lam_micro": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.int64()),
+            "budget": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("host")
+        .aggregate([("n_success", "sum"), ("n_career", "sum")])
+    )
+    lam_tbl = _q_crawl_freshness_lambda(sf_dir)
+    lam = dict(
+        zip(lam_tbl["host"].to_pylist(), lam_tbl["lam_micro"].to_pylist())
+    )
+    rows = [
+        (h, int(c))
+        for h, s, c in zip(
+            agg["host"].to_pylist(),
+            agg["n_success_sum"].to_pylist(),
+            agg["n_career_sum"].to_pylist(),
+        )
+        if s > 0
+    ]
+    if not rows:
+        return empty
+    B = 100_000
+    hosts = [h for h, _ in rows]
+    career = [c for _, c in rows]
+    lams = [int(lam.get(h, 0)) for h in hosts]
+    weights = [(1 + c) * (l + 1) for c, l in zip(career, lams)]
+    W = sum(weights)
+    quotas = [B * w // W for w in weights]
+    rems = [B * w % W for w in weights]
+    leftover = B - sum(quotas)
+    order = sorted(range(len(hosts)), key=lambda i: (-rems[i], hosts[i]))
+    budgets = list(quotas)
+    for i in order[:leftover]:
+        budgets[i] += 1
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_career": pa.array(career, pa.int64()),
+            "lam_micro": pa.array(lams, pa.int64()),
+            "weight": pa.array(weights, pa.int64()),
+            "budget": pa.array(budgets, pa.int64()),
+        }
+    )
+
+
 def _q_crawl_dust_urls(sf_dir: str):
     """DUST alias pairs (Bar-Yossef et al. 2007): same-host urls whose
     canonical extracted text is byte-identical (tracking-param
@@ -4515,6 +4632,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_warc_cdx": _q_crawl_warc_cdx,
         "crawl_warc_revisit": _q_crawl_warc_revisit,
+        "crawl_budget_plan": _q_crawl_budget_plan,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4710,6 +4828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit", "crawl_lambda_observed",
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         "doc_paragraph_dedup", "events_late_arrivals",
+        "crawl_budget_plan",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -6769,6 +6888,61 @@ def oracle_sql() -> dict[str, str]:
                    (1000000000 // (lam_micro + 1))::BIGINT
                      AS revisit_milli
             FROM lam""",
+        # Hamilton largest-remainder apportionment of 100k fetch slots
+        # by (1+career)×(λ+1); same λ derivation as freshness_lambda
+        "crawl_budget_plan": f"""
+            WITH s AS (
+              SELECT url, text,
+                     ('0x' || substr(md5(url), 1, 8))::BIGINT % 4 AS sel
+              FROM read_parquet('{golden}')),
+            a AS (SELECT url, md5(text) AS fp FROM s WHERE sel != 3),
+            b AS (SELECT url,
+                         md5(CASE WHEN sel = 1 THEN text || ' updated'
+                                  ELSE text END) AS fp
+                  FROM s WHERE sel != 0),
+            j AS (
+              SELECT string_split(COALESCE(a.url, b.url), '/')[3] AS host,
+                     (a.url IS NOT NULL AND b.url IS NOT NULL)::BIGINT
+                       AS is_common,
+                     (a.url IS NOT NULL AND b.url IS NOT NULL
+                      AND a.fp != b.fp)::BIGINT AS is_changed
+              FROM a FULL OUTER JOIN b ON a.url = b.url),
+            lam AS (
+              SELECT host,
+                     CAST(FLOOR(-ln(1.0 - sum(is_changed)
+                                    / (sum(is_common) + 1)::DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS lam_micro
+              FROM j GROUP BY host),
+            f AS (
+              SELECT c.host, sum(c.success::BIGINT) AS n_success,
+                     sum((c.success AND g.is_career_listing
+                          AND g.career_score >= 0.3)::BIGINT) AS n_career
+              FROM read_parquet('{sim_crawl}') c
+              JOIN read_parquet('{golden}') g ON c.url = g.url
+              GROUP BY 1),
+            w AS (
+              SELECT f.host, f.n_career,
+                     COALESCE(l.lam_micro, 0) AS lam_micro,
+                     (1 + f.n_career) * (COALESCE(l.lam_micro, 0) + 1)
+                       AS weight
+              FROM f LEFT JOIN lam l ON f.host = l.host
+              WHERE f.n_success > 0),
+            tot AS (SELECT sum(weight) AS tw FROM w),
+            q AS (
+              SELECT host, n_career, lam_micro, weight,
+                     (100000 * weight) // tw AS quota,
+                     (100000 * weight) % tw AS rem
+              FROM w, tot),
+            r AS (
+              SELECT *, row_number() OVER (
+                         ORDER BY rem DESC, host ASC) AS rk,
+                     100000 - sum(quota) OVER () AS leftover
+              FROM q)
+            SELECT host, n_career::BIGINT AS n_career, lam_micro,
+                   weight::BIGINT AS weight,
+                   (quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                     ::BIGINT AS budget
+            FROM r""",
         "crawl_host_reputation": reputation_sql,
         "crawl_career_confidence": (
             "SELECT url, m11_confidence AS confidence, "

@@ -4340,3 +4340,22 @@ def test_paragraph_dedup_planted_vs_oracle(ray_session):
     assert got["n_kept"][6] == 0          # doc 6 fully deduplicated
     assert got["n_lines"][3] == 0 and got["n_kept"][3] == 0
     assert got["n_kept"][4] == 2          # in-doc repeat dropped once
+
+
+def test_budget_plan_apportionment_invariants(ray_session):
+    """Hamilton apportionment over the sf0.001 crawl: budgets are
+    non-negative ints summing EXACTLY to 100k, monotone in weight up
+    to the ±1 remainder step."""
+    import __ray_entry__ as entrymod
+
+    t = entrymod.queries()["crawl_budget_plan"]("/root/testdata/sf0.001")
+    budgets = t["budget"].to_pylist()
+    weights = t["weight"].to_pylist()
+    assert sum(budgets) == 100_000
+    assert min(budgets) >= 0
+    pairs = sorted(zip(weights, budgets))
+    for (w1, b1), (w2, b2) in zip(pairs, pairs[1:]):
+        if w1 == w2:
+            assert abs(b1 - b2) <= 1   # only the remainder step differs
+        else:
+            assert b1 <= b2 + 1
