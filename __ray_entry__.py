@@ -3852,6 +3852,24 @@ def _q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_emb_knn_sq8(sf_dir: str):
+    """SQ8 scalar-quantized ANN with exact rerank (the FAISS/Milvus
+    SQ8-flat tier next to IVF and PQ): integer per-dim codebook +
+    quantized-dot shortlist + exact cosine rerank, all
+    partition-invariant integer arithmetic — pinned by the sequential
+    same-math golden (stages/simsearch.py::knn_sq8)."""
+    from crawler_ai_ray.stages.simsearch import knn_sq8
+
+    q, qids = _anchor_matrix(sf_dir)
+    return knn_sq8(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q,
+        qids,
+        k=10,
+        shortlist=30,
+    )
+
+
 def _q_emb_pca_cov(sf_dir: str):
     """Exact sample covariance matrix of the embedding column (upper
     triangle, exploded (i, j, n, cov_pico)) — the PCA/whitening
@@ -4732,6 +4750,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_outliers": _q_emb_centroid_outliers,
         "emb_kcenter_coreset": _q_emb_kcenter,
         "emb_mmr_select": _q_emb_mmr,
+        "emb_knn_sq8": _q_emb_knn_sq8,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -4828,7 +4847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit", "crawl_lambda_observed",
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         "doc_paragraph_dedup", "events_late_arrivals",
-        "crawl_budget_plan",
+        "crawl_budget_plan", "emb_knn_sq8",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -8965,6 +8984,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_mmr_select": f"""
             SELECT rank, vec_id, rel_micros, score_pico
             FROM read_parquet('{os.path.join(gdir, "emb_mmr.parquet")}')""",
+        "emb_knn_sq8": f"""
+            SELECT query_id, vec_id, rank, sim_micros, sq_score
+            FROM read_parquet('{os.path.join(gdir, "emb_sq8.parquet")}')""",
         "doc_ngram_novelty": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\S+') t

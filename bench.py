@@ -308,6 +308,21 @@ def bench_queries(sf_dir: str) -> dict:
         "doc_ngram_novelty",
         "doc_clf_calibration",
         "crawl_freshness_lambda",
+        # round 5: λ-scheduled recrawl (first pick runs the full refresh
+        # crawl; the consumers after it ride the cached outputs), DUST,
+        # C4, paragraph dedup, WARC/CDX sink, watermark audit,
+        # budget apportionment
+        "crawl_loop_recrawl",
+        "crawl_lambda_observed",
+        "crawl_recrawl_metrics",
+        "crawl_budget_plan",
+        "crawl_politeness_audit",
+        "crawl_dust_urls",
+        "doc_c4_rules",
+        "doc_paragraph_dedup",
+        "crawl_warc_cdx",
+        "crawl_warc_revisit",
+        "events_late_arrivals",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g19"  # g17: half-away micros; g18: sim_recrawl; g19: + recrawl metrics
+GOLDEN_VERSION = "g20"  # g18 sim_recrawl; g19 recrawl metrics; g20 + SQ8 ANN golden
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -606,6 +606,52 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "emb_mmr.parquet"),
+    )
+
+    # --- emb_knn_sq8 golden (k=10, shortlist=30) -----------------------
+    # sequential same-math SQ8: per-dim (min, max) codebook over
+    # half-away micros (associative ⇒ partition-invariant), 0..255
+    # integer quantization, integer dot shortlist by (score desc, id
+    # asc), exact-cosine-micro rerank — identical tie conventions to
+    # `simsearch.knn_sq8`.
+    dmin = micro.min(axis=0).astype(np.int64)
+    dmax = micro.max(axis=0).astype(np.int64)
+    span = np.maximum(dmax - dmin, 1)
+    quant = (micro - dmin) * 255 // span
+    qmask2 = ids % 97 == 0
+    qorder2 = np.argsort(ids[qmask2], kind="stable")
+    sq_qids = ids[qmask2][qorder2]
+    sq_qq = quant[qmask2][qorder2]
+    sq_qn = matn[qmask2][qorder2]
+    sq_rows = []
+    for qi in range(len(sq_qids)):
+        scores = quant @ sq_qq[qi]
+        sims = _half_away_micros(matn @ sq_qn[qi] * 1_000_000.0)
+        short = np.lexsort((ids, -scores))[:30]
+        rr = np.lexsort((ids[short], -sims[short]))[:10]
+        sel = short[rr]
+        for r, i in enumerate(sel, 1):
+            sq_rows.append(
+                (
+                    int(sq_qids[qi]), int(ids[i]), r,
+                    int(sims[i]), int(scores[i]),
+                )
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in sq_rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in sq_rows], pa.int64()),
+                "rank": pa.array([r[2] for r in sq_rows], pa.int64()),
+                "sim_micros": pa.array(
+                    [r[3] for r in sq_rows], pa.int64()
+                ),
+                "sq_score": pa.array(
+                    [r[4] for r in sq_rows], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(gdir, "emb_sq8.parquet"),
     )
 
 

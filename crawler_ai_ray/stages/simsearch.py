@@ -1723,3 +1723,149 @@ def mmr_select(
             "score_pico": pa.array(scores_out, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar-quantized (int8) ANN with exact rerank
+# ---------------------------------------------------------------------------
+
+def sq8_minmax(ds, emb_col: str = "embedding"):
+    """Per-dimension (min, max) of the HALF-AWAY micro quantization of
+    the normalized embeddings — the SQ8 codebook.  Associative int64
+    min/max combiner per block + driver reduce, so the codebook is
+    bit-identical under any partitioning (which is what makes the
+    sequential same-math golden a valid oracle for `knn_sq8`)."""
+    import ray
+
+    from .dedup import list_col_to_matrix
+
+    @ray.remote(num_cpus=1)
+    def partial(block: pa.Table):
+        if block.num_rows == 0 or emb_col not in block.column_names:
+            return None
+        mat = _normalize(list_col_to_matrix(block[emb_col]))
+        micro = _half_away_micros(mat * 1_000_000.0)
+        return micro.min(axis=0), micro.max(axis=0)
+
+    parts = [
+        p
+        for p in ray.get(
+            [partial.remote(b) for b in ds.materialize().to_arrow_refs()]
+        )
+        if p is not None
+    ]
+    dmin = np.minimum.reduce([p[0] for p in parts])
+    dmax = np.maximum.reduce([p[1] for p in parts])
+    return dmin.astype(np.int64), dmax.astype(np.int64)
+
+
+def _sq8_quantize(micro: np.ndarray, dmin: np.ndarray, dmax: np.ndarray):
+    span = np.maximum(dmax - dmin, 1)
+    return ((micro - dmin) * 255 // span).astype(np.int64)
+
+
+def knn_sq8(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """SQ8 ANN — scalar (per-dimension int8) quantization with exact
+    rerank, the third quantized-search tier next to IVF and PQ (the
+    SQ8 flat index of FAISS / Milvus; 4× memory cut vs float32 with
+    near-exact recall): → ``(query_id, vec_id, rank, sim_micros,
+    sq_score)``.
+
+    Pipeline: one combiner pass learns the per-dim (min, max) codebook
+    (`sq8_minmax`, integer, partition-invariant); each block then
+    quantizes its rows to 0..255 ints and scores candidates with an
+    INTEGER dot product against the quantized queries — top
+    ``shortlist`` per (block, query) by (score desc, id asc), computed
+    tie-stably (pre-sorted ids + stable lexsort, the knn-graph rule);
+    a query-bucket merge re-cuts the global shortlist and reranks the
+    survivors by their EXACT cosine micros (carried from the block
+    pass — no second data touch).  Every step is integer arithmetic on
+    a partition-invariant codebook ⇒ bit-identical output under any
+    blocking, pinned by the sequential golden
+    (oracle/goldens.py::_build_emb_goldens)."""
+    import ray
+
+    from .dedup import list_col_to_matrix
+
+    dmin, dmax = sq8_minmax(ds, emb_col=emb_col)
+    qn = _normalize(queries.astype(np.float64))
+    q_micro = _half_away_micros(qn * 1_000_000.0)
+    q_quant = _sq8_quantize(q_micro, dmin, dmax)
+    ref = ray.put(
+        (dmin, dmax, q_quant, qn, query_ids.astype(np.int64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sq_score": pa.array([], pa.int64()),
+                "sim_micros": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or emb_col not in batch.column_names:
+            return empty
+        dmn, dmx, qq, qnorm, qids = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_col_to_matrix(batch[emb_col]))
+        # tie-stability: process rows in ascending-id order so the
+        # stable shortlist cut is partition-invariant
+        o = np.argsort(ids, kind="stable")
+        ids, mat = ids[o], mat[o]
+        micro = _half_away_micros(mat * 1_000_000.0)
+        quant = _sq8_quantize(micro, dmn, dmx)
+        scores = quant @ qq.T                      # (N, Q) int64
+        sims = _half_away_micros(mat @ qnorm.T * 1_000_000.0)
+        out_q, out_v, out_s, out_m = [], [], [], []
+        m = min(shortlist, len(ids))
+        for qi in range(qq.shape[0]):
+            sel = np.lexsort((ids, -scores[:, qi]))[:m]
+            out_q.append(np.full(m, qids[qi], np.int64))
+            out_v.append(ids[sel])
+            out_s.append(scores[sel, qi])
+            out_m.append(sims[sel, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sq_score": pa.array(np.concatenate(out_s), pa.int64()),
+                "sim_micros": pa.array(np.concatenate(out_m), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["sq_score"].to_numpy(zero_copy_only=False)
+        sm = group["sim_micros"].to_numpy(zero_copy_only=False)
+        short = np.lexsort((v, -s))[:shortlist]
+        rr = np.lexsort((v[short], -sm[short]))[:k]
+        sel = short[rr]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(len(sel), qid), pa.int64()
+                ),
+                "vec_id": pa.array(v[sel], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(sel) + 1), pa.int64()
+                ),
+                "sim_micros": pa.array(sm[sel], pa.int64()),
+                "sq_score": pa.array(s[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

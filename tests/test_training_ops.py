@@ -4359,3 +4359,55 @@ def test_budget_plan_apportionment_invariants(ray_session):
             assert abs(b1 - b2) <= 1   # only the remainder step differs
         else:
             assert b1 <= b2 + 1
+
+
+def test_knn_sq8_partition_invariant_and_degenerate_ties(ray_session):
+    """SQ8 must return identical rows under different blockings —
+    including a degenerate grid with duplicated vectors (the
+    tie-stability rule: argpartition-style cuts drop arbitrary tied
+    candidates; SQ8 quantization makes near-ties EXACT ties)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.simsearch import knn_sq8
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8))
+    # duplicate block: ids 100..119 all share one vector (exact ties)
+    dup = np.tile(rng.normal(size=(1, 8)), (20, 1))
+    mat = np.concatenate([base, dup])
+    ids = np.concatenate(
+        [np.arange(40), np.arange(100, 120)]
+    ).astype(np.int64)
+    emb = pa.array(list(mat), pa.list_(pa.float64()))
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb})
+    qids = ids[ids % 7 == 0]
+    qmat = mat[np.isin(ids, qids)]
+
+    def run(blocks):
+        parts = [
+            tbl.slice(i, blocks) for i in range(0, tbl.num_rows, blocks)
+        ]
+        ds = ray.data.from_arrow(parts)
+        out = knn_sq8(ds, qmat, qids, k=5, shortlist=12)
+        t = pa.concat_tables(
+            [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+        )
+        return sorted(
+            zip(*[t[c].to_pylist() for c in
+                  ("query_id", "vec_id", "rank", "sim_micros", "sq_score")])
+        )
+
+    a = run(60)   # single block
+    b = run(7)    # many ragged blocks
+    assert a == b and len(a) == len(qids) * 5
+    # ties resolved by ascending vec_id within equal scores
+    by_q: dict[int, list] = {}
+    for row in a:
+        by_q.setdefault(row[0], []).append(row)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r[2])
+        for r1, r2 in zip(rows, rows[1:]):
+            if r1[3] == r2[3]:  # equal exact sim → id ascending
+                assert r1[1] < r2[1]
