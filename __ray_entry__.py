@@ -3691,6 +3691,58 @@ def _q_doc_neardup_ngram(sf_dir: str):
     )
 
 
+def _q_doc_lsh_recall_eval(sf_dir: str):
+    """LSH quality evaluation — the measurement a dedup operator runs
+    before trusting MinHash-LSH at scale: exact n-gram-Jaccard pairs
+    (τ = 0.8) vs the banded MinHash candidate set, one row of
+    (n_exact, n_lsh, n_both, recall_ppm, precision_ppm) in exact
+    integer ppm.  Pair tables are delta-sized (DF-capped), so the set
+    intersection is a driver fold like the host-sized link-graph
+    state; the oracle recomputes BOTH pair sets independently (exact
+    SQL inverted index + signature-golden banding) and the same
+    ppm divisions."""
+    import pyarrow as pa
+    import ray
+
+    def pairs(r):
+        if isinstance(r, pa.Table):
+            t = r
+        else:
+            bl = [
+                b
+                for b in ray.get(r.to_arrow_refs())
+                if b.num_rows and "doc_a" in b.column_names
+            ]
+            t = (
+                pa.concat_tables([b.select(["doc_a", "doc_b"]) for b in bl])
+                if bl
+                else pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+
+    exact = pairs(_q_doc_neardup_ngram(sf_dir))
+    cand = pairs(_q_doc_neardup_minhash(sf_dir))
+    both = len(exact & cand)
+    return pa.table(
+        {
+            "n_exact": pa.array([len(exact)], pa.int64()),
+            "n_lsh": pa.array([len(cand)], pa.int64()),
+            "n_both": pa.array([both], pa.int64()),
+            "recall_ppm": pa.array(
+                [both * 1_000_000 // max(len(exact), 1)], pa.int64()
+            ),
+            "precision_ppm": pa.array(
+                [both * 1_000_000 // max(len(cand), 1)], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_doc_neardup_contain(sf_dir: str):
     """Asymmetric containment pairs: a short doc embedded in a longer
     one (quote / partial mirror) that symmetric Jaccard misses — same
@@ -4672,6 +4724,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": _q_doc_ngram_novelty,
         "doc_membership_bloom": _q_doc_membership_bloom,
         "doc_neardup_minhash": _q_doc_neardup_minhash,
+        "doc_lsh_recall_eval": _q_doc_lsh_recall_eval,
         "doc_top_terms": _q_doc_top_terms,
         "doc_zipf_fit": _q_doc_zipf_fit,
         "doc_c4_rules": _q_doc_c4_rules,
@@ -4847,7 +4900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_audit", "crawl_lambda_observed",
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         "doc_paragraph_dedup", "events_late_arrivals",
-        "crawl_budget_plan", "emb_knn_sq8",
+        "crawl_budget_plan", "emb_knn_sq8", "doc_lsh_recall_eval",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -8361,6 +8414,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_has_any(a.bandkeys, b.bandkeys)
               AND len(list_filter(range(1, 129),
                                   i -> a.sig[i] = b.sig[i])) / 128.0 >= 0.8""",
+        # LSH eval: both pair sets recomputed independently, ppm
+        # divisions identical (floor // with 1-guards)
+        "doc_lsh_recall_eval": f"""
+            WITH E AS (SELECT doc_a, doc_b FROM ({neardup_ngram}) ex),
+            C AS (
+              SELECT doc_a, doc_b FROM (
+                WITH s AS (SELECT doc_id, sig, bandkeys
+                           FROM read_parquet('{minhash_g}'))
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE list_has_any(a.bandkeys, b.bandkeys)
+                  AND len(list_filter(range(1, 129),
+                                      i -> a.sig[i] = b.sig[i])) / 128.0
+                      >= 0.8) cand),
+            bt AS (
+              SELECT count(*) AS n_both
+              FROM E JOIN C ON E.doc_a = C.doc_a AND E.doc_b = C.doc_b)
+            SELECT (SELECT count(*) FROM E)::BIGINT AS n_exact,
+                   (SELECT count(*) FROM C)::BIGINT AS n_lsh,
+                   (SELECT n_both FROM bt)::BIGINT AS n_both,
+                   ((SELECT n_both FROM bt) * 1000000
+                    // greatest((SELECT count(*) FROM E), 1))::BIGINT
+                     AS recall_ppm,
+                   ((SELECT n_both FROM bt) * 1000000
+                    // greatest((SELECT count(*) FROM C), 1))::BIGINT
+                     AS precision_ppm""",
         "doc_fingerprint_rolling": f"""
             SELECT doc_id, fingerprint FROM read_parquet('{rolling_g}')""",
         "doc_cooccurrence": """
