@@ -1179,6 +1179,91 @@ def _q_crawl_recrawl_metrics(sf_dir: str):
     )
 
 
+def _q_crawl_effort_curve(sf_dir: str):
+    """Discovery-efficiency curve: for each host, at which fetch
+    attempt (host_seq) its k-th career page was found → (host, k,
+    host_seq).  The marginal-value signal behind early-stop tuning: a
+    flattening curve says later fetches stop paying.  Filter combiner
+    over o-rows (career finds are bounded by career_stop per host, so
+    the rank pass is a tiny driver fold); oracle = row_number over the
+    simulator log joined with the golden page facts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from crawler_ai_ray.pipelines.crawl import crawl_output_files
+
+    out_dir = _ensure_crawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "host_seq": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "host" not in batch.column_names:
+            return empty
+        mask = pc.and_(
+            pc.fill_null(batch["success"], False),
+            pc.and_(
+                pc.fill_null(batch["is_career"], False),
+                pc.greater_equal(
+                    pc.fill_null(batch["career_score"], -1.0), 0.3
+                ),
+            ),
+        )
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "host": t["host"],
+                "host_seq": pc.cast(t["host_seq"], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(crawl_output_files(out_dir))
+            .filter(expr="kind == 'o'")
+            .select_columns(
+                ["host", "host_seq", "success", "is_career", "career_score"]
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+                "host_seq": pa.array([], pa.int64()),
+            }
+        )
+    cat = pa.concat_tables(parts).sort_by(
+        [("host", "ascending"), ("host_seq", "ascending")]
+    )
+    hosts = cat["host"].to_pylist()
+    seqs = cat["host_seq"].to_pylist()
+    ks = []
+    prev = None
+    k = 0
+    for h in hosts:
+        k = k + 1 if h == prev else 1
+        prev = h
+        ks.append(k)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+            "host_seq": pa.array(seqs, pa.int64()),
+        }
+    )
+
+
 def _q_crawl_budget_plan(sf_dir: str):
     """Next-epoch fetch-budget apportionment — the composition a
     frontier scheduler actually runs: per crawled host (≥1 successful
@@ -3922,6 +4007,52 @@ def _q_emb_knn_sq8(sf_dir: str):
     )
 
 
+def _q_emb_ivf_recall_eval(sf_dir: str):
+    """ANN quality evaluation: IVF (nlist=8, nprobe=3) top-10 vs exact
+    brute-force top-10, per query → (query_id, n_overlap, recall_ppm)
+    in exact integer ppm — the recall audit run before trusting an
+    approximate index.  Both sides are engine pipelines; the oracle
+    joins the two independent goldens (sequential IVF + SQL exact
+    kNN)."""
+    import pyarrow as pa
+    import ray
+
+    def pairs(r):
+        if isinstance(r, pa.Table):
+            t = r
+        else:
+            bl = [
+                b
+                for b in ray.get(r.to_arrow_refs())
+                if b.num_rows and "query_id" in b.column_names
+            ]
+            t = pa.concat_tables(
+                [b.select(["query_id", "vec_id"]) for b in bl]
+            )
+        out: dict[int, set[int]] = {}
+        for q, v in zip(
+            t["query_id"].to_pylist(), t["vec_id"].to_pylist()
+        ):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    brute = pairs(_all_queries()["emb_knn_bruteforce"](sf_dir))
+    ivf = pairs(_all_queries()["emb_knn_ivf"](sf_dir))
+    qids = sorted(brute)
+    overlap = [len(brute[q] & ivf.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_overlap": pa.array(overlap, pa.int64()),
+            "recall_ppm": pa.array(
+                [o * 1_000_000 // max(len(brute[q]), 1)
+                 for o, q in zip(overlap, qids)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_emb_pca_cov(sf_dir: str):
     """Exact sample covariance matrix of the embedding column (upper
     triangle, exploded (i, j, n, cov_pico)) — the PCA/whitening
@@ -4703,6 +4834,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_cdx": _q_crawl_warc_cdx,
         "crawl_warc_revisit": _q_crawl_warc_revisit,
         "crawl_budget_plan": _q_crawl_budget_plan,
+        "crawl_effort_curve": _q_crawl_effort_curve,
         "crawl_metrics": _q_crawl_metrics,
         "crawl_round_fairness": _q_crawl_round_fairness,
         "crawl_host_langmix": _q_crawl_host_langmix,
@@ -4804,6 +4936,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter_coreset": _q_emb_kcenter,
         "emb_mmr_select": _q_emb_mmr,
         "emb_knn_sq8": _q_emb_knn_sq8,
+        "emb_ivf_recall_eval": _q_emb_ivf_recall_eval,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -4901,6 +5034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         "doc_paragraph_dedup", "events_late_arrivals",
         "crawl_budget_plan", "emb_knn_sq8", "doc_lsh_recall_eval",
+        "emb_ivf_recall_eval", "crawl_effort_curve",
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -6960,6 +7094,19 @@ def oracle_sql() -> dict[str, str]:
                    (1000000000 // (lam_micro + 1))::BIGINT
                      AS revisit_milli
             FROM lam""",
+        # discovery-effort curve over the simulator log + golden flags
+        "crawl_effort_curve": f"""
+            WITH f AS (
+              SELECT c.host, c.host_seq
+              FROM read_parquet('{sim_crawl}') c
+              JOIN read_parquet('{golden}') g ON c.url = g.url
+              WHERE c.success AND g.is_career_listing
+                AND g.career_score >= 0.3)
+            SELECT host,
+                   row_number() OVER (
+                       PARTITION BY host ORDER BY host_seq) AS k,
+                   host_seq
+            FROM f""",
         # Hamilton largest-remainder apportionment of 100k fetch slots
         # by (1+career)×(λ+1); same λ derivation as freshness_lambda
         "crawl_budget_plan": f"""
@@ -9066,6 +9213,25 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_sq8": f"""
             SELECT query_id, vec_id, rank, sim_micros, sq_score
             FROM read_parquet('{os.path.join(gdir, "emb_sq8.parquet")}')""",
+        # recall audit: exact SQL kNN joined against the sequential
+        # IVF golden, identical ppm division
+        "emb_ivf_recall_eval": f"""
+            WITH B AS (SELECT query_id, vec_id FROM ({knn}) b0),
+            I AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{os.path.join(gdir, "emb_ivf.parquet")}')),
+            per AS (
+              SELECT B.query_id,
+                     count(*)::BIGINT AS n_total,
+                     sum(CASE WHEN I.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+              FROM B LEFT JOIN I
+                ON B.query_id = I.query_id AND B.vec_id = I.vec_id
+              GROUP BY 1)
+            SELECT query_id, n_overlap,
+                   (n_overlap * 1000000 // greatest(n_total, 1))::BIGINT
+                     AS recall_ppm
+            FROM per""",
         "doc_ngram_novelty": r"""
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\S+') t
