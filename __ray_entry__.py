@@ -4351,6 +4351,22 @@ def _q_mm_image(sf_dir: str):
     ).select_columns(["media_id", "width", "height", "mean_luma"])
 
 
+def _q_mm_audio_silence(sf_dir: str):
+    """Integer energy VAD: voiced/silence segmentation of the WAV
+    corpus (10 ms windows, mean-abs threshold, run-length merged) —
+    the speech-pipeline pre-filter; actor-pool decode, all-integer
+    output matched by the sequential-golden oracle
+    (stages/multimodal.py::AudioSilence)."""
+    from crawler_ai_ray.stages.multimodal import AudioSilence
+
+    return _media_ds(sf_dir, "audio").map_batches(
+        AudioSilence,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
 def _q_mm_audio(sf_dir: str):
     from crawler_ai_ray.stages.multimodal import AudioFeatures
 
@@ -4993,6 +5009,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_neardup": _q_mm_image_neardup,
         "mm_audio_fp": _q_mm_audio_fp,
         "mm_audio_neardup": _q_mm_audio_neardup,
+        "mm_audio_silence": _q_mm_audio_silence,
     }
 
 
@@ -5034,7 +5051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_metrics", "crawl_warc_cdx", "crawl_warc_revisit",
         "doc_paragraph_dedup", "events_late_arrivals",
         "crawl_budget_plan", "emb_knn_sq8", "doc_lsh_recall_eval",
-        "emb_ivf_recall_eval", "crawl_effort_curve",
+        "emb_ivf_recall_eval", "crawl_effort_curve", "mm_audio_silence",
+        # (window accounting: 33 round-4-late + 17 round-5 newcomers
+        # fill the 50 exactly; r01 re-checks + any later additions
+        # follow for mimic/judge coverage)
         # r01-only re-checks (oldest first; corpus 3 versions newer now)
         "crawl_text_jobdetail", "crawl_text_crawldata", "crawl_classify",
         "crawl_emails", "crawl_phones_vn", "crawl_out_links",
@@ -6306,6 +6326,7 @@ def oracle_sql() -> dict[str, str]:
     mm_key_g = os.path.join(gdir, "mm_keyframes.parquet")
     mm_phash_g = os.path.join(gdir, "mm_phash.parquet")
     mm_afp_g = os.path.join(gdir, "mm_afp.parquet")
+    mm_silence_g = os.path.join(gdir, "mm_silence.parquet")
 
     fetchcfg = os.path.join(corpus, "fetchcfg.parquet")
     pages_pq = os.path.join(corpus, "pages.parquet")
@@ -9153,6 +9174,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": f"""
             SELECT media_id, duration_s, rms, zero_crossings
             FROM read_parquet('{mm_audio_g}')""",
+        "mm_audio_silence": f"""
+            SELECT media_id, seg_idx, voiced, start_sample, n_samples,
+                   sum_abs
+            FROM read_parquet('{mm_silence_g}')""",
         "mm_audio_fp": f"""
             SELECT media_id, afp FROM read_parquet('{mm_afp_g}')""",
         "mm_audio_neardup": f"""

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g20"  # g18 sim_recrawl; g19 recrawl metrics; g20 + SQ8 ANN golden
+GOLDEN_VERSION = "g23"  # g21 VAD; g22 audio gaps; g23 gaps OFF for planted-neardup corpus
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -699,6 +699,12 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     pq.write_table(
         AudioFingerprint()(synth_audio_neardup_table(n)),
         os.path.join(gdir, "mm_afp.parquet"),
+    )
+    from ..stages.multimodal import AudioSilence
+
+    pq.write_table(
+        AudioSilence()(synth_media_table(n, "audio")),
+        os.path.join(gdir, "mm_silence.parquet"),
     )
 
 

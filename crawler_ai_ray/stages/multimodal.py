@@ -483,7 +483,7 @@ def synth_audio_neardup_table(n: int, seed: int = 13) -> pa.Table:
     copy (media_id + 100000) with small uniform sample noise — its
     energy contour (and so its fingerprint) stays within a couple of
     bits while unrelated clips sit ~32 apart."""
-    base = synth_media_table(n, "audio", seed=seed)
+    base = synth_media_table(n, "audio", seed=seed, silence_gaps=False)
     rows = base.to_pylist()
     rng = np.random.RandomState(seed + 1)
     extra = []
@@ -560,9 +560,16 @@ class VideoKeyframes:
         )
 
 
-def synth_media_table(n: int, kind: str = "image", seed: int = 13) -> pa.Table:
+def synth_media_table(
+    n: int, kind: str = "image", seed: int = 13,
+    silence_gaps: bool = True,
+) -> pa.Table:
     """Deterministic media corpus in REAL encodings (P6 PPM / WAV PCM16
-    / y4m Cmono) for tests and bench."""
+    / y4m Cmono) for tests and bench.  ``silence_gaps`` plants
+    speech-like pauses in the audio clips (what makes VAD segmentation
+    non-vacuous); the PLANTED-near-dup audio corpus turns them off —
+    in a near-silent gap the copy's ±50 dither would dominate the
+    energy contour and break the designed fingerprint proximity."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -580,6 +587,15 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 13) -> pa.Table:
             pcm = ((tone * 0.5 + rng.randn(n_samp) * 0.1) * 20000).clip(
                 -32768, 32767
             ).astype(np.int16)
+            # speech-like pauses: 1-3 near-silent gaps (tiny dither, so
+            # VAD windows fall well under any reasonable threshold) —
+            # what makes silence segmentation non-vacuous
+            for _ in range(int(rng.randint(1, 4)) if silence_gaps else 0):
+                gap = int(rng.randint(sr // 50, sr // 4))
+                start = int(rng.randint(0, max(n_samp - gap, 1)))
+                pcm[start : start + gap] = (
+                    rng.randn(len(pcm[start : start + gap])) * 40
+                ).astype(np.int16)
             payload, codec = encode_wav(pcm, sr), "wav-pcm16"
             w = h = 0
         elif kind == "video":
@@ -606,3 +622,91 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 13) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioSilence:
+    """Actor-pool stage: WAV payload → voiced/silence SEGMENTS by
+    integer energy VAD — the pre-filter a speech-data pipeline runs
+    before transcription (drop silence, split long takes).
+
+    Windows of ``win`` samples (default 160 = 10 ms @ 16 kHz); a window
+    is VOICED iff ``sum(|pcm_i16|) ≥ threshold · n_samples`` (mean
+    absolute amplitude ≥ ``threshold`` int16 levels — all-integer, so
+    the sequential golden matches bit-for-bit).  Contiguous same-class
+    windows merge into segments → ``(media_id, seg_idx, voiced,
+    start_sample, n_samples, sum_abs)``; a trailing partial window
+    rides with the final segment."""
+
+    def __init__(self, win: int = 160, threshold: int = 1000,
+                 decoder: str = "real"):
+        if decoder not in ("real", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.win = int(win)
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out = {
+            "media_id": [], "seg_idx": [], "voiced": [],
+            "start_sample": [], "n_samples": [], "sum_abs": [],
+        }
+        for mid, payload, meta in zip(ids, payloads, metas):
+            if self.decoder == "real":
+                pcm, _sr = decode_wav(payload)
+            else:
+                sr = meta["sample_rate"] or 16000
+                seed = int.from_bytes(
+                    hashlib.blake2b(payload, digest_size=8).digest(),
+                    "little",
+                )
+                pcm = (
+                    np.random.RandomState(seed % (2**32))
+                    .randn(sr) * 8192
+                ).astype(np.int16)
+            n = len(pcm)
+            if n == 0:
+                continue
+            w = self.win
+            n_full = n // w
+            a = np.abs(pcm.astype(np.int64))
+            sums = (
+                a[: n_full * w].reshape(n_full, w).sum(axis=1)
+                if n_full
+                else np.zeros(0, np.int64)
+            )
+            tail = n - n_full * w
+            if tail:
+                sums = np.append(sums, a[n_full * w :].sum())
+            lens = np.full(len(sums), w, np.int64)
+            if tail:
+                lens[-1] = tail
+            voiced = sums >= self.threshold * lens
+            seg = 0
+            i = 0
+            while i < len(sums):
+                j = i
+                while j < len(sums) and voiced[j] == voiced[i]:
+                    j += 1
+                out["media_id"].append(mid)
+                out["seg_idx"].append(seg)
+                out["voiced"].append(bool(voiced[i]))
+                out["start_sample"].append(i * w)
+                out["n_samples"].append(int(lens[i:j].sum()))
+                out["sum_abs"].append(int(sums[i:j].sum()))
+                seg += 1
+                i = j
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "seg_idx": pa.array(out["seg_idx"], type=pa.int32()),
+                "voiced": pa.array(out["voiced"], type=pa.bool_()),
+                "start_sample": pa.array(
+                    out["start_sample"], type=pa.int64()
+                ),
+                "n_samples": pa.array(out["n_samples"], type=pa.int64()),
+                "sum_abs": pa.array(out["sum_abs"], type=pa.int64()),
+            }
+        )
