@@ -3075,6 +3075,17 @@ def _q_doc_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_doc_heaps_fit(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit (V(n) = K·n^β) over the corpus
+    in doc_id order — the companion corpus-health diagnostic to
+    doc_zipf_fit (stages/textstats.py::heaps_fit; term-first-doc
+    bucket pass + prefix scan + exact-integer OLS, ln in the verified
+    libm≡DuckDB class)."""
+    from crawler_ai_ray.stages.textstats import heaps_fit
+
+    return heaps_fit(_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_doc_c4_rules(sf_dir: str):
     """C4 cleaning rules (Raffel et al. 2020 §2.2): per-doc line-keep /
     sentence-count / lorem-brace flags and the final c4_keep verdict —
@@ -4877,6 +4888,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_zipf_fit": _q_doc_zipf_fit,
         "doc_c4_rules": _q_doc_c4_rules,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_heaps_fit": _q_doc_heaps_fit,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
@@ -5052,6 +5064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup", "events_late_arrivals",
         "crawl_budget_plan", "emb_knn_sq8", "doc_lsh_recall_eval",
         "emb_ivf_recall_eval", "crawl_effort_curve", "mm_audio_silence",
+        "doc_heaps_fit",
         # (window accounting: 33 round-4-late + 17 round-5 newcomers
         # fill the 50 exactly; r01 re-checks + any later additions
         # follow for mimic/judge coverage)
@@ -8705,6 +8718,65 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(d.text), 'lorem ipsum')
                     AND NOT contains(d.text, '{')) AS c4_keep
             FROM k JOIN d USING (doc_id)""",
+        # Heaps fit: same ln-micro OLS discipline as zipf, cumulative
+        # series via window sums; k=0/den=0 edges mirror the Python
+        # rows (beta 0; lnk = mean-y half-away | 0)
+        "doc_heaps_fit": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z]+'))
+                       ::BIGINT AS n_toks
+              FROM documents),
+            terms AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents),
+            fd AS (
+              SELECT term, min(doc_id) AS first_doc
+              FROM terms WHERE term <> '' GROUP BY 1),
+            nv AS (
+              SELECT first_doc AS doc_id, count(*)::BIGINT AS n_new
+              FROM fd GROUP BY 1),
+            per AS (
+              SELECT d.doc_id, d.n_toks, COALESCE(nv.n_new, 0) AS n_new
+              FROM d LEFT JOIN nv USING (doc_id)),
+            c AS (
+              SELECT sum(n_toks) OVER (ORDER BY doc_id) AS cum_tok,
+                     sum(n_new) OVER (ORDER BY doc_id) AS cum_v
+              FROM per),
+            pts AS (
+              SELECT CAST(FLOOR(ln(cum_tok::DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS x,
+                     CAST(FLOOR(ln(cum_v::DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS y
+              FROM c WHERE cum_tok > 0 AND cum_v > 0),
+            s AS (
+              SELECT count(*)::HUGEINT AS k,
+                     COALESCE(sum(x), 0)::HUGEINT AS sx,
+                     COALESCE(sum(y), 0)::HUGEINT AS sy,
+                     COALESCE(sum(x*x), 0)::HUGEINT AS sxx,
+                     COALESCE(sum(x*y), 0)::HUGEINT AS sxy
+              FROM pts),
+            f AS (
+              SELECT k, k*sxy - sx*sy AS num, k*sxx - sx*sx AS den,
+                     sx, sy
+              FROM s)
+            SELECT CAST(k AS BIGINT) AS n_points,
+                   CAST(CASE WHEN den = 0 THEN 0
+                     WHEN num >= 0
+                     THEN (num*1000000 + den//2) // den
+                     ELSE -(((-num)*1000000 + den//2) // den)
+                   END AS BIGINT) AS beta_micro,
+                   CAST(CASE WHEN k = 0 THEN 0
+                     WHEN den = 0 THEN
+                       CASE WHEN sy >= 0 THEN (sy + k//2) // k
+                            ELSE -((-sy + k//2) // k) END
+                     WHEN (sy*den - num*sx) >= 0
+                     THEN ((sy*den - num*sx) + (k*den)//2) // (k*den)
+                     ELSE -((-(sy*den - num*sx) + (k*den)//2) // (k*den))
+                   END AS BIGINT) AS lnk_micro
+            FROM f""",
         "doc_zipf_fit": """
             WITH toks AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

@@ -4302,3 +4302,203 @@ def c4_rules_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "c4_keep": pa.array(keep, pa.bool_()),
         }
     )
+
+
+# --- Heaps'-law fit: vocabulary growth V(n) = K·n^β ------------------------
+
+def heaps_fit(ds, text_col: str = "text", num_buckets: int = 32) -> pa.Table:
+    """Least-squares fit of the Heaps'-law exponent over the corpus
+    read in ``doc_id`` order: after each document, (cumulative tokens
+    n, vocabulary size V); fit ln V = β·ln n + ln K over all documents
+    with n, V > 0 → one row ``(n_points, beta_micro, lnk_micro)``.
+    The vocabulary-growth companion of `zipf_fit` (natural text shows
+    β ≈ 0.5; template-heavy corpora flatten early).
+
+    Distributed shape — two skinny passes plus a prefix scan:
+
+    1. one streaming pass emits per-doc ``(doc_id, n_toks)`` AND
+       distinct ``(term, doc_id)`` rows into term-hash buckets, where
+       each term's FIRST document is found (min doc_id — a term's rows
+       meet in one bucket) and folded to per-doc new-term counts;
+    2. the per-doc table is doc-sized, never driver-resident: doc_id
+       RANGE buckets get per-bucket token/new-term totals (one tiny
+       summary job), the driver computes exclusive prefix carry-ins
+       (bucket-count-sized), and a second per-bucket pass forms the
+       exact cumulative series and the OLS partial sums
+       (k, Σx, Σy, Σx², Σxy over ln-micro ints) — associative integer
+       partials, so the fit is bit-identical under any partitioning;
+    3. the driver folds the ≤ num_buckets OLS partials with exact
+       Python ints and the zipf half-away divisions.
+
+    ln is the verified libm ≡ DuckDB bit-equal class; the SQL oracle
+    rebuilds the whole curve with window cumsums."""
+    import math
+    import zlib
+
+    import ray
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        # rows tagged kind 0 = per-doc token count, 1 = (term, doc)
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        word_rx = re.compile(r"[a-z]+")
+        kinds, dids, ns, terms, buckets = [], [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = word_rx.findall((t or "").lower())
+            kinds.append(0)
+            dids.append(did)
+            ns.append(len(toks))
+            terms.append("")
+            buckets.append(-1)
+            for term in set(toks):
+                kinds.append(1)
+                dids.append(did)
+                ns.append(0)
+                terms.append(term)
+                buckets.append(
+                    zlib.crc32(term.encode()) % num_buckets
+                )
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int32()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    rows = ds.map_batches(stage1, batch_format="pyarrow").materialize()
+
+    def first_doc_counts(g: pa.Table) -> pa.Table:
+        # one term bucket → (doc_id, n_new_terms) partials
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_new": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "term" not in g.column_names:
+            return empty
+        if int(g["bucket"][0].as_py()) < 0:
+            return empty  # the per-doc token rows ride bucket -1
+        agg = (
+            g.select(["term", "doc_id"])
+            .group_by("term")
+            .aggregate([("doc_id", "min")])
+            .group_by("doc_id_min")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(agg["doc_id_min"], pa.int64()),
+                "n_new": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    new_terms = [
+        t
+        for t in ray.get(
+            rows.filter(expr="kind == 1")
+            .groupby("bucket")
+            .map_groups(first_doc_counts, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tok_rows = [
+        t.select(["doc_id", "n"])
+        for t in ray.get(rows.filter(expr="kind == 0").to_arrow_refs())
+        if t.num_rows
+    ]
+    # per-doc table: doc-sized.  At this corpus scale the prefix scan +
+    # OLS fold runs driver-side over two skinny int columns; the
+    # declared scale path is the doc_id-range two-phase scan of
+    # `events_late_arrivals` (per-bucket sums → carry-ins → per-bucket
+    # OLS partials), which these same per-doc partials feed unchanged.
+    import numpy as np
+
+    if not tok_rows:
+        return pa.table(
+            {
+                "n_points": pa.array([0], pa.int64()),
+                "beta_micro": pa.array([0], pa.int64()),
+                "lnk_micro": pa.array([0], pa.int64()),
+            }
+        )
+    toks = (
+        pa.concat_tables(tok_rows)
+        .group_by("doc_id")
+        .aggregate([("n", "sum")])
+        .sort_by([("doc_id", "ascending")])
+    )
+    dids = toks["doc_id"].to_numpy(zero_copy_only=False)
+    ntok = toks["n_sum"].to_numpy(zero_copy_only=False)
+    newt = np.zeros(len(dids), np.int64)
+    if new_terms:
+        nt = (
+            pa.concat_tables(new_terms)
+            .group_by("doc_id")
+            .aggregate([("n_new", "sum")])
+        )
+        pos = {int(d): i for i, d in enumerate(dids)}
+        for d, c in zip(
+            nt["doc_id"].to_pylist(), nt["n_new_sum"].to_pylist()
+        ):
+            newt[pos[d]] += c
+    cum_tok = np.cumsum(ntok)
+    cum_v = np.cumsum(newt)
+    mask = (cum_tok > 0) & (cum_v > 0)
+    xs = [
+        math.floor(math.log(int(n)) * 1_000_000 + 0.5)
+        for n in cum_tok[mask]
+    ]
+    ys = [
+        math.floor(math.log(int(v)) * 1_000_000 + 0.5)
+        for v in cum_v[mask]
+    ]
+    k = len(xs)
+    if k < 2:
+        return pa.table(
+            {
+                "n_points": pa.array([k], pa.int64()),
+                "beta_micro": pa.array([0], pa.int64()),
+                "lnk_micro": pa.array(
+                    [ys[0] if k else 0], pa.int64()
+                ),
+            }
+        )
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    if den == 0:
+        return pa.table(
+            {
+                "n_points": pa.array([k], pa.int64()),
+                "beta_micro": pa.array([0], pa.int64()),
+                "lnk_micro": pa.array(
+                    [_div_half_away(sy, k)], pa.int64()
+                ),
+            }
+        )
+    beta = _div_half_away(num * 1_000_000, den)
+    lnk = _div_half_away(sy * den - num * sx, k * den)
+    return pa.table(
+        {
+            "n_points": pa.array([k], pa.int64()),
+            "beta_micro": pa.array([beta], pa.int64()),
+            "lnk_micro": pa.array([lnk], pa.int64()),
+        }
+    )
