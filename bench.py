@@ -323,6 +323,12 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_warc_cdx",
         "crawl_warc_revisit",
         "events_late_arrivals",
+        "emb_knn_sq8",
+        "doc_lsh_recall_eval",
+        "emb_ivf_recall_eval",
+        "crawl_effort_curve",
+        "mm_audio_silence",
+        "doc_heaps_fit",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
