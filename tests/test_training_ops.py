@@ -4411,3 +4411,103 @@ def test_knn_sq8_partition_invariant_and_degenerate_ties(ray_session):
         for r1, r2 in zip(rows, rows[1:]):
             if r1[3] == r2[3]:  # equal exact sim → id ascending
                 assert r1[1] < r2[1]
+
+
+def test_paragraph_dedup_fuzz_vs_duckdb(ray_session):
+    """Random corpora drawn from a small line pool (heavy cross-doc
+    duplication, empty lines, repeated docs) — engine vs the inline
+    SQL oracle on every column including the rebuilt-text md5."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    import __ray_entry__ as entrymod
+    from crawler_ai_ray.stages.dedup import paragraph_dedup_stats
+
+    sql = entrymod.oracle_sql()["doc_paragraph_dedup"]
+    pool = [
+        "alpha beta", "gamma", "", "alpha beta", "delta epsilon zeta",
+        "eta", "theta iota", "kappa", "gamma", "lambda mu nu xi",
+    ]
+    rng = random.Random(42)
+    for trial in range(4):
+        texts = [
+            "\n".join(rng.choice(pool) for _ in range(rng.randint(0, 12)))
+            for _ in range(rng.randint(5, 40))
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = (
+            paragraph_dedup_stats(
+                ray.data.from_arrow(tbl), num_buckets=8, doc_buckets=4
+            )
+            .sort_by([("doc_id", "ascending")])
+            .to_pydict()
+        )
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = (
+            con.execute(sql + " ORDER BY docs.doc_id")
+            .fetch_arrow_table()
+            .to_pydict()
+        )
+        assert got == want, f"trial {trial}"
+
+
+def test_late_arrivals_fuzz_vs_duckdb(ray_session):
+    """Shuffled event-time vs arrival order: the two-phase prefix-max
+    scan must equal the sequential window definition exactly,
+    including boundary lateness values."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(5)
+    n = 500
+    # event_ids with gaps; ts heavily out of order incl. exact-boundary
+    # values (multiples of the 600s lateness)
+    eids = np.sort(rng.choice(np.arange(1, 5000), size=n, replace=False))
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 50, size=n) * 600_000_000 \
+        + rng.integers(0, 3, size=n) * 300_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from crawler_ai_ray.pipelines.relational import events_late_arrivals
+
+    with tempfile.TemporaryDirectory() as td:
+        pq_.write_table(tbl, os.path.join(td, "events.parquet"),
+                        row_group_size=64)
+        out = events_late_arrivals(td, num_buckets=8)
+        import ray
+
+        t = pa.concat_tables(
+            [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+        ).sort_by([("event_id", "ascending")])
+        got = t.to_pydict()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    sql = entrymod.oracle_sql()["events_late_arrivals"]
+    want = (
+        con.execute(sql + " ORDER BY event_id")
+        .fetch_arrow_table()
+        .to_pydict()
+    )
+    assert got == want
+    assert any(got["late"])  # fuzz actually produced late events
