@@ -925,6 +925,50 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_crawl_dust_rules(sf_dir: str):
+    """DUST RULE extraction (Bar-Yossef et al. 2007 §4 — the point of
+    dust detection): from same-host identical-text url pairs, derive
+    parameter-strip normalization rules → (host, param, n_pairs) where
+    ``param`` is the query-parameter KEY whose removal maps one url of
+    the pair onto the other (paths equal, param SETS differ by exactly
+    that one entry — set semantics, order-insensitive).  A frontier
+    applies these rules to stop fetching aliases it has never seen.
+    Pair tables are delta-sized (DF-capped), so rule folding is a
+    driver pass; the oracle re-derives the rules with DuckDB list-set
+    kernels over the same pair derivation."""
+    import pyarrow as pa
+
+    pairs = _q_crawl_dust_urls(sf_dir)
+    counts: dict[tuple[str, str], int] = {}
+    for h, ua, ub in zip(
+        pairs["host"].to_pylist(),
+        pairs["url_a"].to_pylist(),
+        pairs["url_b"].to_pylist(),
+    ):
+        pa_, _, qa = ua.partition("?")
+        pb_, _, qb = ub.partition("?")
+        if pa_ != pb_:
+            continue
+        sa = set(p for p in qa.split("&") if p) if qa else set()
+        sb = set(p for p in qb.split("&") if p) if qb else set()
+        if len(sa) == len(sb) + 1 and sb <= sa:
+            extra = next(iter(sa - sb))
+        elif len(sb) == len(sa) + 1 and sa <= sb:
+            extra = next(iter(sb - sa))
+        else:
+            continue
+        key = extra.partition("=")[0]
+        counts[(h, key)] = counts.get((h, key), 0) + 1
+    items = sorted(counts.items())
+    return pa.table(
+        {
+            "host": pa.array([k[0] for k, _ in items], pa.string()),
+            "param": pa.array([k[1] for k, _ in items], pa.string()),
+            "n_pairs": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
 def _q_crawl_politeness_audit(sf_dir: str):
     """Politeness evidence (the north_rule token-bucket clause,
     audited): per host, the maximum fetch attempts the engine issued in
@@ -4856,6 +4900,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_loop_recrawl": _q_crawl_loop_recrawl,
         "crawl_dust_urls": _q_crawl_dust_urls,
         "crawl_politeness_audit": _q_crawl_politeness_audit,
+        "crawl_dust_rules": _q_crawl_dust_rules,
         "crawl_lambda_observed": _q_crawl_lambda_observed,
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_warc_cdx": _q_crawl_warc_cdx,
@@ -6892,6 +6937,59 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b
               ON a.host = b.host AND a.fp = b.fp AND a.url < b.url
             WHERE a.n_urls BETWEEN 2 AND 64""",
+        # DUST rules: param-strip keys via list-set kernels over the
+        # same pair derivation (first-'?' partition, '&' split with
+        # empties dropped, DISTINCT — the engine's exact conventions;
+        # corpus urls carry at most one '?' and one '=' per param)
+        "crawl_dust_rules": f"""
+            WITH t AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                     md5_number_lower(text) AS fp, url
+              FROM read_parquet('{golden}')),
+            g AS (
+              SELECT host, fp, url,
+                     count(*) OVER (PARTITION BY host, fp) AS n_urls
+              FROM t),
+            p AS (
+              SELECT a.host, a.url AS url_a, b.url AS url_b
+              FROM g a JOIN g b
+                ON a.host = b.host AND a.fp = b.fp AND a.url < b.url
+              WHERE a.n_urls BETWEEN 2 AND 64),
+            r AS (
+              SELECT host,
+                CASE WHEN strpos(url_a, '?') > 0
+                     THEN substr(url_a, 1, strpos(url_a, '?') - 1)
+                     ELSE url_a END AS pa,
+                CASE WHEN strpos(url_b, '?') > 0
+                     THEN substr(url_b, 1, strpos(url_b, '?') - 1)
+                     ELSE url_b END AS pb,
+                CASE WHEN strpos(url_a, '?') > 0
+                     THEN list_distinct(list_filter(
+                         string_split(
+                             substr(url_a, strpos(url_a, '?') + 1), '&'),
+                         x -> x <> ''))
+                     ELSE []::VARCHAR[] END AS sa,
+                CASE WHEN strpos(url_b, '?') > 0
+                     THEN list_distinct(list_filter(
+                         string_split(
+                             substr(url_b, strpos(url_b, '?') + 1), '&'),
+                         x -> x <> ''))
+                     ELSE []::VARCHAR[] END AS sb
+              FROM p),
+            rule AS (
+              SELECT host,
+                CASE WHEN len(sa) = len(sb) + 1 AND list_has_all(sa, sb)
+                     THEN list_filter(
+                         sa, x -> NOT list_contains(sb, x))[1]
+                     WHEN len(sb) = len(sa) + 1 AND list_has_all(sb, sa)
+                     THEN list_filter(
+                         sb, x -> NOT list_contains(sa, x))[1]
+                     ELSE NULL END AS extra
+              FROM r WHERE pa = pb)
+            SELECT host, string_split(extra, '=')[1] AS param,
+                   count(*)::BIGINT AS n_pairs
+            FROM rule WHERE extra IS NOT NULL
+            GROUP BY 1, 2""",
         "crawl_text_jobdetail": f"SELECT url, text FROM read_parquet('{golden}')",
         "crawl_text_crawldata": (
             f"SELECT url, text_crawldata FROM read_parquet('{golden}')"
