@@ -925,6 +925,17 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_crawl_host_katz(sf_dir: str):
+    """Truncated integer Katz centrality over the host link graph
+    (α-attenuated in-path counts — the damped-path cousin of PageRank
+    that weights ALL walks, not a stationary distribution); rides the
+    shared host-edges checkpoint; unrolled-SQL oracle bit-for-bit
+    (stages/linkgraph.py::katz_hosts)."""
+    from crawler_ai_ray.stages.linkgraph import katz_hosts
+
+    return katz_hosts(_host_edges(sf_dir))
+
+
 def _q_crawl_dust_rules(sf_dir: str):
     """DUST RULE extraction (Bar-Yossef et al. 2007 §4 — the point of
     dust detection): from same-host identical-text url pairs, derive
@@ -4901,6 +4912,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dust_urls": _q_crawl_dust_urls,
         "crawl_politeness_audit": _q_crawl_politeness_audit,
         "crawl_dust_rules": _q_crawl_dust_rules,
+        "crawl_host_katz": _q_crawl_host_katz,
         "crawl_lambda_observed": _q_crawl_lambda_observed,
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_warc_cdx": _q_crawl_warc_cdx,
@@ -5200,6 +5212,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN outdeg o ON o.src = e.src
             GROUP BY 1) s ON s.host = h.host)"""
     pagerank_sql += "\n        SELECT host, rank AS rank_micros FROM r5"
+
+    # truncated Katz: same edge derivation, unrolled integer recurrence
+    # katz_t = α_ppm · Σ_{u→v}(1e6 + katz_{t-1}(u)) // 1e6
+    katz_sql = f"""
+        WITH e0 AS (
+          SELECT lower(regexp_extract(url, '{_HOST_RX}', 1)) AS src,
+                 lower(regexp_extract(l, '{_HOST_RX}', 1)) AS dst
+          FROM (SELECT url, unnest(out_links) AS l
+                FROM read_parquet('{golden}'))),
+        edges AS (
+          SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> '' AND dst <> src),
+        hosts AS (SELECT src AS host FROM edges
+                  UNION SELECT dst FROM edges),
+        k0 AS (SELECT host, 0::BIGINT AS katz FROM hosts)"""
+    for _i in range(1, 5):
+        katz_sql += f""",
+        k{_i} AS (
+          SELECT h.host,
+                 ((200000 * COALESCE(s.inb, 0)) // 1000000)::BIGINT
+                   AS katz
+          FROM hosts h LEFT JOIN (
+            SELECT e.dst AS host,
+                   sum(1000000 + r.katz)::BIGINT AS inb
+            FROM edges e
+            JOIN k{_i - 1} r ON r.host = e.src
+            GROUP BY 1) s ON s.host = h.host)"""
+    katz_sql += "\n        SELECT host, katz AS katz_micros FROM k4"
 
     # personalized PageRank: same integer recurrence, teleport base
     # only on career-seed hosts (seeds ∩ graph), 0 elsewhere
@@ -7088,6 +7128,7 @@ def oracle_sql() -> dict[str, str]:
                      AS top_texts
             FROM pairs GROUP BY 1""",
         "crawl_host_pagerank": pagerank_sql,
+        "crawl_host_katz": katz_sql,
         "crawl_host_ppr": ppr_sql,
         "crawl_host_trustrank": trustrank_sql,
         "crawl_host_bfs": bfs_sql,

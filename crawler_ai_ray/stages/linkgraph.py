@@ -4999,3 +4999,139 @@ def _betweenness_broadcast(edges, sources, max_hops: int) -> pa.Table:
             "bc_micros": pa.array([int(bc[i]) for i in keep], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (truncated, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+def _katz_local(
+    et: pa.Table, iters: int, alpha_ppm: int, scale: int
+) -> pa.Table:
+    """Driver-local integer truncated Katz over one Arrow edge table —
+    bit-identical to the distributed loop (same vertex index, same
+    ``//`` truncations, order-free integer sums)."""
+    hh = np.concatenate(
+        [
+            et["src_h"].to_numpy(zero_copy_only=False),
+            et["dst_h"].to_numpy(zero_copy_only=False),
+        ]
+    ).astype(np.uint64, copy=False)
+    names = et["src"].to_pylist() + et["dst"].to_pylist()
+    keys, first = np.unique(hh, return_index=True)
+    hosts = [names[i] for i in first]
+    katz = np.zeros(len(keys), dtype=np.int64)
+    if et.num_rows:
+        src_idx = np.searchsorted(
+            keys, et["src_h"].to_numpy(zero_copy_only=False)
+        )
+        dst_idx = np.searchsorted(
+            keys, et["dst_h"].to_numpy(zero_copy_only=False)
+        )
+        d_ord = np.argsort(dst_idx, kind="stable")
+        d_sorted = dst_idx[d_ord]
+        d_starts = np.flatnonzero(np.diff(d_sorted, prepend=np.int64(-1)))
+        d_vert = d_sorted[d_starts]
+        for _ in range(iters):
+            raw = np.zeros(len(keys), dtype=np.int64)
+            raw[d_vert] = np.add.reduceat(
+                (scale + katz)[src_idx][d_ord], d_starts
+            )
+            katz = alpha_ppm * raw // 1_000_000
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "katz_micros": pa.array(katz, pa.int64()),
+        }
+    )
+
+
+def katz_hosts(
+    edges,
+    iters: int = 4,
+    alpha_ppm: int = 200_000,
+    scale: int = 1_000_000,
+    driver_max_edges: int = 5_000_000,
+):
+    """distinct host edges → (host, katz_micros): TRUNCATED Katz
+    centrality (Katz 1953; the α-attenuated path count
+    Σ_{k≤iters} α^k·|paths of length k into v|) as integer fixed-point:
+    ``katz₀ = 0``, ``katz_t(v) = α_ppm · Σ_{u→v}(scale + katz_{t-1}(u))
+    // 1e6`` — all-int, exact under any summation order, so the DuckDB
+    oracle unrolls the same iterations bit-for-bit.  α = 0.2 is far
+    under 1/λ_max for host graphs at these densities, and truncation
+    makes the value well-defined regardless.
+
+    Two adaptive tiers (PageRank doctrine, forced-path pinned):
+    ≤ ``driver_max_edges`` driver-local; above it the broadcast loop —
+    per-block Arrow hash-agg contributions over once-materialized edge
+    blocks, vertex-sized (keys, vec) broadcast per step (the module's
+    declared vertex-state boundary; `_pr_distributed_sharded` is the
+    10⁹-host routing extension if it ever binds)."""
+    import ray
+
+    edges = edges.materialize()
+    if edges.count() <= driver_max_edges:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "src_h": pa.array([], pa.uint64()),
+                    "dst_h": pa.array([], pa.uint64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return _katz_local(et, iters, alpha_ppm, scale)
+
+    hosts, keys = _collect_verts(edges)
+    katz = np.zeros(len(keys), dtype=np.int64)
+
+    @ray.remote(num_cpus=1)
+    def contrib(batch: pa.Table, k: np.ndarray, v: np.ndarray) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "dst_h": pa.array([], pa.uint64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        src = batch["src_h"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "dst_h": batch["dst_h"],
+                "part": pa.array(v[np.searchsorted(k, src)], pa.int64()),
+            }
+        )
+        agg = t.group_by("dst_h").aggregate([("part", "sum")])
+        return pa.table({"dst_h": agg["dst_h"], "part": agg["part_sum"]})
+
+    edge_block_refs = list(edges.to_arrow_refs())
+    k_ref = ray.put(keys)
+    for _ in range(iters):
+        v_ref = ray.put(scale + katz)
+        live = [
+            t
+            for t in ray.get(
+                [contrib.remote(b, k_ref, v_ref) for b in edge_block_refs]
+            )
+            if t.num_rows
+        ]
+        raw = np.zeros(len(keys), dtype=np.int64)
+        if live:
+            merged = _merge_parts(*live)
+            idx = np.searchsorted(
+                keys, merged["dst_h"].to_numpy(zero_copy_only=False)
+            )
+            raw[idx] = merged["part"].to_numpy(zero_copy_only=False)
+        katz = alpha_ppm * raw // 1_000_000
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "katz_micros": pa.array(katz, pa.int64()),
+        }
+    )

@@ -1539,3 +1539,34 @@ def test_hyperball_partition_invariant_on_corpus(ray_session):
     no_in = a[a.harmonic_micros == 0]
     if len(no_in):
         assert (no_in.ball_est <= 2).all()
+
+
+def test_katz_hand_computed_and_path_agreement(ray_session):
+    """Integer truncated Katz on the tiny graph (a→b, a→c, b→c, c→a;
+    α_ppm=200000, scale=1e6), iters=2 by hand:
+      k1: b ← a: 0.2·1e6 = 200000; c ← a,b: 0.2·2e6 = 400000;
+          a ← c: 200000.
+      k2: b ← a(1e6+200000)·0.2 = 240000;
+          c ← a+b = (1.2e6+1.2e6)·0.2 = 480000;
+          a ← c(1.4e6)·0.2 = 280000.
+    Both tiers must match the hand values exactly."""
+    import ray.data
+
+    from crawler_ai_ray.stages.linkgraph import host_edges, katz_hosts
+
+    for dmax in (5_000_000, 0):
+        got = (
+            katz_hosts(
+                host_edges(ray.data.from_arrow(_tiny_extracted())),
+                iters=2,
+                driver_max_edges=dmax,
+            )
+            .to_pandas()
+            .set_index("host")["katz_micros"]
+            .to_dict()
+        )
+        assert got == {
+            "a.com": 280_000,
+            "b.com": 240_000,
+            "c.com": 480_000,
+        }, dmax
