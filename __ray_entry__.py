@@ -1206,6 +1206,67 @@ def _q_crawl_warc_revisit(sf_dir: str):
     )
 
 
+def _q_crawl_warc_read(sf_dir: str):
+    """The WARC SOURCE path driver-checked end-to-end: parse the
+    archived shard files back (`sources/warc.py::read_warc`, one task
+    per shard, Content-Length framed) and emit per-record
+    (url, ts_ms, payload_len, digest) — the oracle recomputes the same
+    columns from the pages table, so a single corrupted byte in the
+    archive or a framing bug in the parser hash-mismatches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.sources.warc import read_warc, write_warc
+
+    corpus = _corpus(sf_dir)
+    out_dir = f"/tmp/crawler_ai_ray_q/warc-{os.path.basename(corpus)}"
+    write_warc(
+        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
+        out_dir,
+        resume=True,
+    )
+
+    def digestify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "ts_ms": pa.array([], pa.int64()),
+                    "payload_len": pa.array([], pa.int64()),
+                    "digest_lower": pa.array([], pa.uint64()),
+                }
+            )
+        import hashlib
+
+        import numpy as np
+
+        htmls = batch["html"].to_pylist()
+        digs = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(h).digest()[8:], "little", signed=False
+                )
+                for h in htmls
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "url": batch["url"],
+                "ts_ms": pc.cast(batch["ts_ms"], pa.int64()),
+                "payload_len": pa.array(
+                    [len(h) for h in htmls], pa.int64()
+                ),
+                "digest_lower": pa.array(digs, pa.uint64()),
+            }
+        )
+
+    return read_warc(out_dir).map_batches(
+        digestify, batch_format="pyarrow"
+    )
+
+
 def _q_crawl_recrawl_metrics(sf_dir: str):
     """Per-(round, bucket) lineage of the λ-scheduled recrawl —
     deterministic columns (urls_in / fetched / errors) vs the
@@ -4917,6 +4978,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_metrics": _q_crawl_recrawl_metrics,
         "crawl_warc_cdx": _q_crawl_warc_cdx,
         "crawl_warc_revisit": _q_crawl_warc_revisit,
+        "crawl_warc_read": _q_crawl_warc_read,
         "crawl_budget_plan": _q_crawl_budget_plan,
         "crawl_effort_curve": _q_crawl_effort_curve,
         "crawl_metrics": _q_crawl_metrics,
@@ -9276,6 +9338,11 @@ def oracle_sql() -> dict[str, str]:
                             AND 1 PRECEDING), 0)::BIGINT AS "offset",
                    record_len, dig AS digest_lower
             FROM r""",
+        "crawl_warc_read": f"""
+            SELECT url, epoch_ms(warc_ts)::BIGINT AS ts_ms,
+                   octet_length(html)::BIGINT AS payload_len,
+                   md5_number_lower(decode(html)) AS digest_lower
+            FROM read_parquet('{pages_pq}')""",
         # dedup WARC: canonical = shard-local first capture per FULL
         # md5 (window first_value/row_number over (ts, url) order);
         # revisit record_len = REVISIT_CONST + bytes(url) + bytes(canon)
