@@ -3258,6 +3258,125 @@ def _q_doc_bpe_tokenize(sf_dir: str):
     return bpe_apply(docs, merges)
 
 
+def _q_doc_tokenizer_fertility(sf_dir: str):
+    """Tokenizer FERTILITY by language — BPE tokens per whitespace
+    word, the standard multilingual-tokenizer bias metric (a lang
+    whose fertility is much higher pays more sequence length per word
+    and is under-served by the merge table): per lang, exact integer
+    sums of trained-BPE tokens (the doc_bpe_tokenize merges) and
+    ``\\S+`` words → ``fertility_ppm = bpe·1e6 // max(ws, 1)``.
+    ONE broadcast-merges streaming pass computes BOTH counts per batch
+    and folds them to per-(batch, lang) partials — no join, no per-doc
+    driver state; the final fold is lang-cardinality-sized.  Oracle
+    joins the sequential BPE golden with SQL word counts and the
+    identical division."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from crawler_ai_ray.stages.textstats import (
+        bpe_encode_word,
+        bpe_merges_from_counts,
+        corpus_word_counts,
+    )
+
+    merges = bpe_merges_from_counts(
+        corpus_word_counts(_table(sf_dir, "documents", columns=["text"])),
+        50,
+    )
+    rank = {p: i for i, p in enumerate(merges)}
+    ws_rx = _re.compile(r"\S+")
+    word_rx = _re.compile(r"[a-z]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty_p = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_ws": pa.array([], pa.int64()),
+                "n_bpe": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return empty_p
+        cache: dict[str, int] = {}
+        sums: dict[str, list[int]] = {}
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            t = t or ""
+            s = sums.setdefault(lang, [0, 0])
+            s[0] += len(ws_rx.findall(t))
+            for w in word_rx.findall(t.lower()):
+                c = cache.get(w)
+                if c is None:
+                    c = cache[w] = bpe_encode_word(w, rank)
+                s[1] += c
+        langs_p = sorted(sums)
+        return pa.table(
+            {
+                "lang": pa.array(langs_p, pa.string()),
+                "n_ws": pa.array([sums[l][0] for l in langs_p], pa.int64()),
+                "n_bpe": pa.array(
+                    [sums[l][1] for l in langs_p], pa.int64()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_ws_tokens": pa.array([], pa.int64()),
+            "n_bpe_tokens": pa.array([], pa.int64()),
+            "fertility_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("lang")
+        .aggregate([("n_ws", "sum"), ("n_bpe", "sum")])
+    )
+    sums = {
+        l: [int(a), int(b)]
+        for l, a, b in zip(
+            agg["lang"].to_pylist(),
+            agg["n_ws_sum"].to_pylist(),
+            agg["n_bpe_sum"].to_pylist(),
+        )
+    }
+    langs = sorted(sums)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_ws_tokens": pa.array(
+                [sums[l][0] for l in langs], pa.int64()
+            ),
+            "n_bpe_tokens": pa.array(
+                [sums[l][1] for l in langs], pa.int64()
+            ),
+            "fertility_ppm": pa.array(
+                [
+                    sums[l][1] * 1_000_000 // max(sums[l][0], 1)
+                    for l in langs
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_events_value_sketch(sf_dir: str):
     """DDSketch quantile estimates (p50/p90/p99 per event type) of the
     continuous value column — the deterministic mergeable-sketch path
@@ -5008,6 +5127,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_rules": _q_doc_c4_rules,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_heaps_fit": _q_doc_heaps_fit,
+        "doc_tokenizer_fertility": _q_doc_tokenizer_fertility,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "events_value_sketch": _q_events_value_sketch,
         "doc_bpe_train": _q_doc_bpe_train,
@@ -7943,6 +8063,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokenize": f"""
             SELECT doc_id, n_tokens_bpe_trained
             FROM read_parquet('{os.path.join(gdir, "bpe_tokens.parquet")}')""",
+        # fertility: per-lang exact sums of sequential-golden BPE
+        # counts / \S+ words, identical floor division
+        "doc_tokenizer_fertility": f"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws
+              FROM documents),
+            j AS (
+              SELECT d.lang, d.n_ws,
+                     COALESCE(b.n_tokens_bpe_trained, 0) AS n_bpe
+              FROM d LEFT JOIN read_parquet(
+                  '{os.path.join(gdir, "bpe_tokens.parquet")}') b
+                USING (doc_id)),
+            s AS (
+              SELECT lang, sum(n_ws)::BIGINT AS n_ws_tokens,
+                     sum(n_bpe)::BIGINT AS n_bpe_tokens
+              FROM j GROUP BY 1)
+            SELECT lang, n_ws_tokens, n_bpe_tokens,
+                   (n_bpe_tokens * 1000000
+                    // greatest(n_ws_tokens, 1))::BIGINT AS fertility_ppm
+            FROM s""",
         "tpch_q18_big_orders": """
             WITH big AS (
               SELECT l_orderkey AS o_orderkey,
