@@ -4253,6 +4253,19 @@ def _q_emb_knn_sq8(sf_dir: str):
     )
 
 
+def _q_emb_pq_distortion(sf_dir: str):
+    """PQ reconstruction-distortion profile per subspace — the error
+    budget you audit before trusting the 512×-compressed index
+    (stages/simsearch.py::pq_distortion; integer half-away-micro error
+    sums over partition-invariant codebooks, sequential same-math
+    golden)."""
+    from crawler_ai_ray.stages.simsearch import pq_distortion
+
+    return pq_distortion(
+        _table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _q_emb_ivf_recall_eval(sf_dir: str):
     """ANN quality evaluation: IVF (nlist=8, nprobe=3) top-10 vs exact
     brute-force top-10, per query → (query_id, n_overlap, recall_ppm)
@@ -5204,6 +5217,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmr_select": _q_emb_mmr,
         "emb_knn_sq8": _q_emb_knn_sq8,
         "emb_ivf_recall_eval": _q_emb_ivf_recall_eval,
+        "emb_pq_distortion": _q_emb_pq_distortion,
         # events: windowed / sessionized aggregates + temporal joins
         "events_hourly": _rel("events_hourly"),
         "events_rollup": _rel("events_rollup"),
@@ -9657,6 +9671,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_sq8": f"""
             SELECT query_id, vec_id, rank, sim_micros, sq_score
             FROM read_parquet('{os.path.join(gdir, "emb_sq8.parquet")}')""",
+        "emb_pq_distortion": f"""
+            SELECT subspace, n_vecs, sum_sqerr, mean_sqerr
+            FROM read_parquet(
+                '{os.path.join(gdir, "emb_pq_distortion.parquet")}')""",
         # recall audit: exact SQL kNN joined against the sequential
         # IVF golden, identical ppm division
         "emb_ivf_recall_eval": f"""

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g23"  # g21 VAD; g22 audio gaps; g23 gaps OFF for planted-neardup corpus
+GOLDEN_VERSION = "g24"  # g22 audio gaps; g23 gaps off for neardup; g24 + PQ distortion golden
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -652,6 +652,63 @@ def _build_emb_goldens(sf_dir: str, gdir: str) -> None:
             }
         ),
         os.path.join(gdir, "emb_sq8.parquet"),
+    )
+
+    # --- emb_pq_distortion golden (m=8, ksub=16, iters=5) --------------
+    # sequential same-math PQ train (integer micro-sum reduce ⇒
+    # partition-invariant codebooks) + half-away-micro error sums —
+    # identical float argmin assignment as `simsearch.pq_train`.
+    m_, ksub_ = 8, 16
+    dim_ = matn.shape[1]
+    dsub_ = dim_ // m_
+    seed_idx2 = np.argsort(ids, kind="stable")[:ksub_]
+    seeds2 = _normalize(raw[seed_idx2].astype(np.float64))
+    books = np.stack(
+        [seeds2[:, s * dsub_ : (s + 1) * dsub_] for s in range(m_)]
+    )
+    for _ in range(5):
+        sums2 = np.zeros((m_, ksub_, dsub_), np.int64)
+        counts2 = np.zeros((m_, ksub_), np.int64)
+        for s in range(m_):
+            x = matn[:, s * dsub_ : (s + 1) * dsub_]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ books[s].T)
+                + (books[s] * books[s]).sum(axis=1)[None, :]
+            )
+            code = np.argmin(d2, axis=1)
+            np.add.at(sums2[s], code, micro[:, s * dsub_ : (s + 1) * dsub_])
+            np.add.at(counts2[s], code, 1)
+        nz2 = counts2 > 0
+        upd = books.copy()
+        upd[nz2] = (sums2[nz2] / 1_000_000.0) / counts2[nz2, None]
+        books = upd
+    bkm = _half_away_micros(books * 1_000_000.0)
+    nrows, sqrows = [], []
+    for s in range(m_):
+        x = matn[:, s * dsub_ : (s + 1) * dsub_]
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ books[s].T)
+            + (books[s] * books[s]).sum(axis=1)[None, :]
+        )
+        code = np.argmin(d2, axis=1)
+        err = micro[:, s * dsub_ : (s + 1) * dsub_] - bkm[s][code]
+        nrows.append(len(code))
+        sqrows.append(int((err * err).sum()))
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(range(m_), pa.int64()),
+                "n_vecs": pa.array(nrows, pa.int64()),
+                "sum_sqerr": pa.array(sqrows, pa.int64()),
+                "mean_sqerr": pa.array(
+                    [sq // max(n, 1) for sq, n in zip(sqrows, nrows)],
+                    pa.int64(),
+                ),
+            }
+        ),
+        os.path.join(gdir, "emb_pq_distortion.parquet"),
     )
 
 

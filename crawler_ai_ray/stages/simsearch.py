@@ -1869,3 +1869,82 @@ def knn_sq8(
         .groupby("query_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def pq_distortion(
+    ds,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """PQ reconstruction-distortion profile → one row per subspace
+    ``(subspace, n_vecs, sum_sqerr, mean_sqerr)``: the quantization
+    error budget of the trained codebooks (Jégou et al. 2011 §3 — the
+    quantity you check before trusting the 512×-compressed index;
+    per-subspace imbalance says which subspaces need more centroids).
+
+    Exactness: codebooks from `pq_train` are bit-identical under any
+    partitioning (integer micro-sum reduce), code assignment is the
+    SAME float argmin both sides, and the error is measured in
+    half-away micros (int64) — ``sum_sqerr`` is an associative integer
+    sum, so the sequential same-math golden matches bit-for-bit.
+    One extra streaming pass over the blocks; per-subspace partials
+    only (m rows per block)."""
+    import ray
+
+    from .dedup import list_col_to_matrix
+
+    books = pq_train(
+        ds, m=m, ksub=ksub, iters=iters, emb_col=emb_col, id_col=id_col
+    )
+    dsub = books.shape[2]
+    book_micro = _half_away_micros(books * _PQ_MICRO)
+
+    @ray.remote(num_cpus=1)
+    def partial(block: pa.Table, bks: np.ndarray, bkm: np.ndarray):
+        n = np.zeros(m, np.int64)
+        sq = np.zeros(m, np.int64)
+        if block.num_rows == 0 or emb_col not in block.column_names:
+            return n, sq
+        mat = _normalize(list_col_to_matrix(block[emb_col]))
+        micro = _half_away_micros(mat * _PQ_MICRO)
+        for s in range(m):
+            x = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ bks[s].T)
+                + (bks[s] * bks[s]).sum(axis=1)[None, :]
+            )
+            code = np.argmin(d2, axis=1)
+            err = micro[:, s * dsub : (s + 1) * dsub] - bkm[s][code]
+            n[s] += len(code)
+            sq[s] += int((err * err).sum())
+        return n, sq
+
+    b_ref = ray.put(books)
+    bm_ref = ray.put(book_micro)
+    parts = ray.get(
+        [
+            partial.remote(b, b_ref, bm_ref)
+            for b in ds.materialize().to_arrow_refs()
+        ]
+    )
+    n_tot = [0] * m
+    sq_tot = [0] * m
+    for n, sq in parts:
+        for s in range(m):
+            n_tot[s] += int(n[s])
+            sq_tot[s] += int(sq[s])
+    return pa.table(
+        {
+            "subspace": pa.array(range(m), pa.int64()),
+            "n_vecs": pa.array(n_tot, pa.int64()),
+            "sum_sqerr": pa.array(sq_tot, pa.int64()),
+            "mean_sqerr": pa.array(
+                [sq // max(n, 1) for sq, n in zip(sq_tot, n_tot)],
+                pa.int64(),
+            ),
+        }
+    )
