@@ -4610,6 +4610,99 @@ def _q_mm_image(sf_dir: str):
     ).select_columns(["media_id", "width", "height", "mean_luma"])
 
 
+def _q_mm_video_scenes(sf_dir: str):
+    """Scene-length profile from the shot boundaries: per video, each
+    keyframe opens a scene that runs to the next keyframe (or the clip
+    end from meta.n_frames) → (media_id, scene_idx, start_frame,
+    n_frames).  Actor-pool decode + a per-video window derivation; the
+    oracle applies the same lead() window over the sequential keyframe
+    golden joined with the deterministic frame counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ai_ray.stages.multimodal import VideoKeyframes
+
+    ds = _media_ds(sf_dir, "video")
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "n_frames": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_frames": pa.array(
+                    [m["n_frames"] for m in batch["meta"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    nf_parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(meta_rows, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    nf = (
+        dict(
+            zip(
+                pa.concat_tables(nf_parts)["media_id"].to_pylist(),
+                pa.concat_tables(nf_parts)["n_frames"].to_pylist(),
+            )
+        )
+        if nf_parts
+        else {}
+    )
+    kf_parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                VideoKeyframes,
+                batch_format="pyarrow",
+                batch_size=64,
+                concurrency=2,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out = {
+        "media_id": [], "scene_idx": [], "start_frame": [], "n_frames": [],
+    }
+    if kf_parts:
+        kf = pa.concat_tables(kf_parts).sort_by(
+            [("media_id", "ascending"), ("frame_idx", "ascending")]
+        )
+        mids = kf["media_id"].to_pylist()
+        fidx = kf["frame_idx"].to_pylist()
+        i = 0
+        while i < len(mids):
+            j = i
+            while j < len(mids) and mids[j] == mids[i]:
+                j += 1
+            frames = fidx[i:j] + [nf[mids[i]]]
+            for s in range(len(frames) - 1):
+                out["media_id"].append(mids[i])
+                out["scene_idx"].append(s)
+                out["start_frame"].append(frames[s])
+                out["n_frames"].append(frames[s + 1] - frames[s])
+            i = j
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "scene_idx": pa.array(out["scene_idx"], pa.int32()),
+            "start_frame": pa.array(out["start_frame"], pa.int32()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+        }
+    )
+
+
 def _q_mm_audio_silence(sf_dir: str):
     """Integer energy VAD: voiced/silence segmentation of the WAV
     corpus (10 ms windows, mean-abs threshold, run-length merged) —
@@ -5275,6 +5368,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_fp": _q_mm_audio_fp,
         "mm_audio_neardup": _q_mm_audio_neardup,
         "mm_audio_silence": _q_mm_audio_silence,
+        "mm_video_scenes": _q_mm_video_scenes,
     }
 
 
@@ -9611,6 +9705,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, seg_idx, voiced, start_sample, n_samples,
                    sum_abs
             FROM read_parquet('{mm_silence_g}')""",
+        "mm_video_scenes": f"""
+            SELECT media_id, scene_idx, start_frame, n_frames
+            FROM read_parquet(
+                '{os.path.join(gdir, "mm_scenes.parquet")}')""",
         "mm_audio_fp": f"""
             SELECT media_id, afp FROM read_parquet('{mm_afp_g}')""",
         "mm_audio_neardup": f"""

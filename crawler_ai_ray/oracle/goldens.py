@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 __all__ = ["ensure_oracle_goldens"]
 
 # bump when golden set/semantics change (stale dirs rebuilt on demand)
-GOLDEN_VERSION = "g24"  # g22 audio gaps; g23 gaps off for neardup; g24 + PQ distortion golden
+GOLDEN_VERSION = "g25"  # g23 gaps off; g24 PQ distortion; g25 + video scene lengths
 
 
 def _build_sim_crawl(corpus: str, out_path: str) -> None:
@@ -762,6 +762,42 @@ def _build_media_goldens(sf_dir: str, gdir: str) -> None:
     pq.write_table(
         AudioSilence()(synth_media_table(n, "audio")),
         os.path.join(gdir, "mm_silence.parquet"),
+    )
+    # scene lengths: sequential derivation over the keyframe rows +
+    # the deterministic clip frame counts (same math as the query)
+    vids = synth_media_table(n, "video")
+    nf = {
+        r["media_id"]: r["meta"]["n_frames"] for r in vids.to_pylist()
+    }
+    kf = (
+        VideoKeyframes()(vids)
+        .sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    )
+    mids = kf["media_id"].to_pylist()
+    fidx = kf["frame_idx"].to_pylist()
+    sc = {"media_id": [], "scene_idx": [], "start_frame": [], "n_frames": []}
+    i = 0
+    while i < len(mids):
+        j = i
+        while j < len(mids) and mids[j] == mids[i]:
+            j += 1
+        frames = fidx[i:j] + [nf[mids[i]]]
+        for s in range(len(frames) - 1):
+            sc["media_id"].append(mids[i])
+            sc["scene_idx"].append(s)
+            sc["start_frame"].append(frames[s])
+            sc["n_frames"].append(frames[s + 1] - frames[s])
+        i = j
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(sc["media_id"], pa.int64()),
+                "scene_idx": pa.array(sc["scene_idx"], pa.int32()),
+                "start_frame": pa.array(sc["start_frame"], pa.int32()),
+                "n_frames": pa.array(sc["n_frames"], pa.int64()),
+            }
+        ),
+        os.path.join(gdir, "mm_scenes.parquet"),
     )
 
 
