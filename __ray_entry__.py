@@ -1206,6 +1206,137 @@ def _q_crawl_warc_revisit(sf_dir: str):
     )
 
 
+def _q_crawl_corpus_summary(sf_dir: str):
+    """One-row corpus dashboard: pages, hosts, total html bytes,
+    DISTINCT canonical-text fingerprints and the alias (dedup) ratio —
+    the first table a corpus owner reads.  Exact distinct count via the
+    fp-bucket pattern (per-batch skinny (fp, bucket) rows → per-bucket
+    distinct → sum; no url-scale driver state); host count rides the
+    host-sized combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    pages = _pages(sf_dir, columns=["url", "html"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.uint64()),
+                    "host": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        import hashlib
+
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        hosts = [u.split("/")[2] for u in urls]
+        fps = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(h).digest()[8:], "little", signed=False
+                )
+                for h in htmls
+            ],
+            dtype=np.uint64,
+        )
+        t = pa.table(
+            {
+                "kind": pa.array([1] * len(urls), pa.int32()),
+                "key": pa.array(fps, pa.uint64()),
+                "host": pa.array(hosts, pa.string()),
+                "n": pa.array(
+                    [len(h) for h in htmls], pa.int64()
+                ),
+            }
+        )
+        return t
+
+    rows = pages.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # per-bucket distinct fps (a fp lands in one bucket) + scalar sums
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table(
+                {
+                    "n_pages": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_pages": pa.array([g.num_rows], pa.int64()),
+                "n_distinct": pa.array(
+                    [len(set(g["key"].to_pylist()))], pa.int64()
+                ),
+                "n_bytes": pa.array(
+                    [int(pc.sum(g["n"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return pa.table({"bucket": pa.array([], pa.int32())})
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((k % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_distinct, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "n_pages" in t.column_names
+    ]
+    host_parts = [
+        t
+        for t in ray.get(
+            rows.map_batches(
+                lambda b: b.select(["host"]).group_by("host").aggregate([])
+                if b.num_rows and "host" in b.column_names
+                else pa.table({"host": pa.array([], pa.string())}),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_pages = sum(int(pc.sum(t["n_pages"]).as_py() or 0) for t in parts)
+    n_distinct = sum(
+        int(pc.sum(t["n_distinct"]).as_py() or 0) for t in parts
+    )
+    n_bytes = sum(int(pc.sum(t["n_bytes"]).as_py() or 0) for t in parts)
+    n_hosts = (
+        len(set(pa.concat_tables(host_parts)["host"].to_pylist()))
+        if host_parts
+        else 0
+    )
+    return pa.table(
+        {
+            "n_pages": pa.array([n_pages], pa.int64()),
+            "n_hosts": pa.array([n_hosts], pa.int64()),
+            "n_bytes": pa.array([n_bytes], pa.int64()),
+            "n_distinct_payloads": pa.array([n_distinct], pa.int64()),
+            "alias_ratio_ppm": pa.array(
+                [
+                    (n_pages - n_distinct) * 1_000_000 // max(n_pages, 1)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_crawl_warc_read(sf_dir: str):
     """The WARC SOURCE path driver-checked end-to-end: parse the
     archived shard files back (`sources/warc.py::read_warc`, one task
@@ -5204,6 +5335,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_cdx": _q_crawl_warc_cdx,
         "crawl_warc_revisit": _q_crawl_warc_revisit,
         "crawl_warc_read": _q_crawl_warc_read,
+        "crawl_corpus_summary": _q_crawl_corpus_summary,
         "crawl_budget_plan": _q_crawl_budget_plan,
         "crawl_effort_curve": _q_crawl_effort_curve,
         "crawl_metrics": _q_crawl_metrics,
@@ -9587,6 +9719,17 @@ def oracle_sql() -> dict[str, str]:
                             AND 1 PRECEDING), 0)::BIGINT AS "offset",
                    record_len, dig AS digest_lower
             FROM r""",
+        "crawl_corpus_summary": f"""
+            SELECT count(*)::BIGINT AS n_pages,
+                   count(DISTINCT string_split(url, '/')[3])::BIGINT
+                     AS n_hosts,
+                   sum(octet_length(html))::BIGINT AS n_bytes,
+                   count(DISTINCT md5_number_lower(decode(html)))::BIGINT
+                     AS n_distinct_payloads,
+                   ((count(*) - count(DISTINCT
+                       md5_number_lower(decode(html)))) * 1000000
+                    // greatest(count(*), 1))::BIGINT AS alias_ratio_ppm
+            FROM read_parquet('{pages_pq}')""",
         "crawl_warc_read": f"""
             SELECT url, epoch_ms(warc_ts)::BIGINT AS ts_ms,
                    octet_length(html)::BIGINT AS payload_len,
