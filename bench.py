@@ -329,6 +329,13 @@ def bench_queries(sf_dir: str) -> dict:
         "crawl_effort_curve",
         "mm_audio_silence",
         "doc_heaps_fit",
+        "crawl_dust_rules",
+        "crawl_host_katz",
+        "crawl_warc_read",
+        "doc_tokenizer_fertility",
+        "emb_pq_distortion",
+        "mm_video_scenes",
+        "crawl_corpus_summary",
     ]
     qs = entrymod.queries()
     # warm the worker pool before timing (first query otherwise absorbs
