@@ -282,3 +282,33 @@ def test_export_parquet_partitioned_resume(ray_session, tmp_path):
         columns=["url", "lang"], resume=True,
     )
     assert m3["partitions"] == 0 and m3["skipped"] == 8
+
+
+def test_bench_picks_exist_in_queries():
+    """Every bench.py operator-suite pick must be a real queries()
+    entry — a renamed query would otherwise KeyError the driver's
+    BENCH run instead of failing here."""
+    import ast
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_bench_test", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = set(mod.queries())
+
+    tree = ast.parse(open("/root/repo/bench.py").read())
+    picks = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id == "picks":
+                    picks = [
+                        c.value
+                        for c in node.value.elts
+                        if isinstance(c, ast.Constant)
+                    ]
+    assert picks, "picks list not found in bench.py"
+    missing = [p for p in picks if p not in names]
+    assert not missing, f"bench picks missing from queries(): {missing}"
