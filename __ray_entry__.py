@@ -1206,6 +1206,44 @@ def _q_crawl_warc_revisit(sf_dir: str):
     )
 
 
+def _q_crawl_warc_savings(sf_dir: str):
+    """Storage-dedup savings report: plain vs revisit-deduplicated
+    archive, one row of (n_records, n_revisit, plain_bytes,
+    dedup_bytes, saved_ppm) — exact integer sums over the two CDX
+    tables (both archives ride their resume caches).  The oracle
+    recomputes both record-length sums from the pages table with the
+    same header constants."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    plain = _q_crawl_warc_cdx(sf_dir)
+    dd = _q_crawl_warc_revisit(sf_dir)
+    plain_bytes = int(pc.sum(plain["record_len"]).as_py() or 0)
+    dd_bytes = int(pc.sum(dd["record_len"]).as_py() or 0)
+    n_rec = plain.num_rows
+    n_rev = int(
+        pc.sum(
+            pc.cast(pc.equal(dd["record_type"], "revisit"), pa.int64())
+        ).as_py()
+        or 0
+    )
+    return pa.table(
+        {
+            "n_records": pa.array([n_rec], pa.int64()),
+            "n_revisit": pa.array([n_rev], pa.int64()),
+            "plain_bytes": pa.array([plain_bytes], pa.int64()),
+            "dedup_bytes": pa.array([dd_bytes], pa.int64()),
+            "saved_ppm": pa.array(
+                [
+                    (plain_bytes - dd_bytes) * 1_000_000
+                    // max(plain_bytes, 1)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_crawl_corpus_summary(sf_dir: str):
     """One-row corpus dashboard: pages, hosts, total html bytes,
     DISTINCT canonical-text fingerprints and the alias (dedup) ratio —
@@ -5336,6 +5374,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_revisit": _q_crawl_warc_revisit,
         "crawl_warc_read": _q_crawl_warc_read,
         "crawl_corpus_summary": _q_crawl_corpus_summary,
+        "crawl_warc_savings": _q_crawl_warc_savings,
         "crawl_budget_plan": _q_crawl_budget_plan,
         "crawl_effort_curve": _q_crawl_effort_curve,
         "crawl_metrics": _q_crawl_metrics,
@@ -9719,6 +9758,34 @@ def oracle_sql() -> dict[str, str]:
                             AND 1 PRECEDING), 0)::BIGINT AS "offset",
                    record_len, dig AS digest_lower
             FROM r""",
+        "crawl_warc_savings": f"""
+            WITH p AS (
+              SELECT url, epoch_ms(warc_ts) AS ts_ms, hshard,
+                     octet_length(html) AS n,
+                     md5(decode(html)) AS dighex,
+                     strlen(url) AS ul,
+                     length(CAST(octet_length(html) AS VARCHAR)) AS dl
+              FROM read_parquet('{pages_pq}')),
+            w AS (
+              SELECT *,
+                     first_value(url) OVER (PARTITION BY hshard, dighex
+                         ORDER BY ts_ms, url) AS canon_url,
+                     row_number() OVER (PARTITION BY hshard, dighex
+                         ORDER BY ts_ms, url) AS rn
+              FROM p),
+            s AS (
+              SELECT count(*)::BIGINT AS n_records,
+                     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_revisit,
+                     sum({_WHC} + ul + dl + n)::BIGINT AS plain_bytes,
+                     sum(CASE WHEN rn = 1 THEN {_WHC} + ul + dl + n
+                          ELSE {_WRC} + ul + strlen(canon_url)
+                         END)::BIGINT AS dedup_bytes
+              FROM w)
+            SELECT n_records, n_revisit, plain_bytes, dedup_bytes,
+                   ((plain_bytes - dedup_bytes) * 1000000
+                    // greatest(plain_bytes, 1))::BIGINT AS saved_ppm
+            FROM s""",
         "crawl_corpus_summary": f"""
             SELECT count(*)::BIGINT AS n_pages,
                    count(DISTINCT string_split(url, '/')[3])::BIGINT
