@@ -946,10 +946,11 @@ def _q_crawl_dust_rules(sf_dir: str):
     applies these rules to stop fetching aliases it has never seen.
     Pair tables are delta-sized (DF-capped), so rule folding is a
     driver pass; the oracle re-derives the rules with DuckDB list-set
-    kernels over the same pair derivation."""
+    kernels over the same pair derivation (pair table shared with
+    crawl_dust_urls via `_shared`)."""
     import pyarrow as pa
 
-    pairs = _q_crawl_dust_urls(sf_dir)
+    pairs = _dust_pairs_shared(sf_dir)
     counts: dict[tuple[str, str], int] = {}
     for h, ua, ub in zip(
         pairs["host"].to_pylist(),
@@ -1171,18 +1172,31 @@ def _q_crawl_warc_cdx(sf_dir: str):
     Round-trip byte identity (read_warc ≡ pages) is pinned in tests;
     per-shard .done markers make the archive write resumable
     (`sources/warc.py`)."""
-    import pyarrow.compute as pc
+    return _warc_shared(sf_dir)[1]
 
-    from crawler_ai_ray.sources.warc import write_warc
 
-    corpus = _corpus(sf_dir)
-    out_dir = f"/tmp/crawler_ai_ray_q/warc-{os.path.basename(corpus)}"
-    cdx = write_warc(
-        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
-        out_dir,
-        resume=True,
-    )
-    return cdx
+def _warc_shared(sf_dir: str):
+    """Per-process WARC checkpoint (the `_churn_shared` pattern): the
+    plain archive + its CDX and the revisit-dedup archive + its CDX are
+    each written ONCE per corpus; the four consumer queries (cdx,
+    revisit, savings, read-back) re-use the cached tables instead of
+    re-running the html-carrying groupby(hshard) exchange per query.
+    Returns ``(plain_dir, plain_cdx, dedup_cdx)``."""
+
+    def build():
+        from crawler_ai_ray.sources.warc import write_warc, write_warc_dedup
+
+        corpus = _corpus(sf_dir)
+        out_dir = f"/tmp/crawler_ai_ray_q/warc-{os.path.basename(corpus)}"
+        dd_dir = f"/tmp/crawler_ai_ray_q/warcdd-{os.path.basename(corpus)}"
+        pages = _pages(
+            sf_dir, columns=["url", "warc_ts", "html", "hshard"]
+        ).materialize()
+        plain_cdx = write_warc(pages, out_dir, resume=True)
+        dd_cdx = write_warc_dedup(pages, dd_dir, resume=True)
+        return out_dir, plain_cdx, dd_cdx
+
+    return _shared("warc", _corpus(sf_dir), build=build)
 
 
 def _q_crawl_warc_revisit(sf_dir: str):
@@ -1194,16 +1208,9 @@ def _q_crawl_warc_revisit(sf_dir: str):
     same-host → same shard, so they collapse with zero extra exchange.
     Every CDX column (type, canonical, offset, length) recomputed by
     the oracle from the pages table alone
-    (`sources/warc.py::write_warc_dedup`)."""
-    from crawler_ai_ray.sources.warc import write_warc_dedup
-
-    corpus = _corpus(sf_dir)
-    out_dir = f"/tmp/crawler_ai_ray_q/warcdd-{os.path.basename(corpus)}"
-    return write_warc_dedup(
-        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
-        out_dir,
-        resume=True,
-    )
+    (`sources/warc.py::write_warc_dedup`; rides the `_warc_shared`
+    checkpoint)."""
+    return _warc_shared(sf_dir)[2]
 
 
 def _q_crawl_warc_savings(sf_dir: str):
@@ -1216,8 +1223,7 @@ def _q_crawl_warc_savings(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    plain = _q_crawl_warc_cdx(sf_dir)
-    dd = _q_crawl_warc_revisit(sf_dir)
+    _, plain, dd = _warc_shared(sf_dir)
     plain_bytes = int(pc.sum(plain["record_len"]).as_py() or 0)
     dd_bytes = int(pc.sum(dd["record_len"]).as_py() or 0)
     n_rec = plain.num_rows
@@ -1227,6 +1233,11 @@ def _q_crawl_warc_savings(sf_dir: str):
         ).as_py()
         or 0
     )
+    # clamp at zero BEFORE the division: tiny duplicated payloads can
+    # make a revisit record larger than its response record, and a
+    # negative numerator would floor (Python) vs truncate (DuckDB //)
+    # differently — the round-4-late abs-first division rule
+    saved = max(plain_bytes - dd_bytes, 0)
     return pa.table(
         {
             "n_records": pa.array([n_rec], pa.int64()),
@@ -1234,10 +1245,7 @@ def _q_crawl_warc_savings(sf_dir: str):
             "plain_bytes": pa.array([plain_bytes], pa.int64()),
             "dedup_bytes": pa.array([dd_bytes], pa.int64()),
             "saved_ppm": pa.array(
-                [
-                    (plain_bytes - dd_bytes) * 1_000_000
-                    // max(plain_bytes, 1)
-                ],
+                [saved * 1_000_000 // max(plain_bytes, 1)],
                 pa.int64(),
             ),
         }
@@ -1268,19 +1276,13 @@ def _q_crawl_corpus_summary(sf_dir: str):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        import hashlib
+        from crawler_ai_ray.stages.dedup import md5_lower64
 
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         hosts = [u.split("/")[2] for u in urls]
         fps = np.array(
-            [
-                int.from_bytes(
-                    hashlib.md5(h).digest()[8:], "little", signed=False
-                )
-                for h in htmls
-            ],
-            dtype=np.uint64,
+            [md5_lower64(h) for h in htmls], dtype=np.uint64
         )
         t = pa.table(
             {
@@ -1386,15 +1388,9 @@ def _q_crawl_warc_read(sf_dir: str):
     import pyarrow.compute as pc
     import ray
 
-    from crawler_ai_ray.sources.warc import read_warc, write_warc
+    from crawler_ai_ray.sources.warc import read_warc
 
-    corpus = _corpus(sf_dir)
-    out_dir = f"/tmp/crawler_ai_ray_q/warc-{os.path.basename(corpus)}"
-    write_warc(
-        _pages(sf_dir, columns=["url", "warc_ts", "html", "hshard"]),
-        out_dir,
-        resume=True,
-    )
+    out_dir = _warc_shared(sf_dir)[0]
 
     def digestify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "url" not in batch.column_names:
@@ -1406,19 +1402,13 @@ def _q_crawl_warc_read(sf_dir: str):
                     "digest_lower": pa.array([], pa.uint64()),
                 }
             )
-        import hashlib
-
         import numpy as np
+
+        from crawler_ai_ray.stages.dedup import md5_lower64
 
         htmls = batch["html"].to_pylist()
         digs = np.array(
-            [
-                int.from_bytes(
-                    hashlib.md5(h).digest()[8:], "little", signed=False
-                )
-                for h in htmls
-            ],
-            dtype=np.uint64,
+            [md5_lower64(h) for h in htmls], dtype=np.uint64
         )
         return pa.table(
             {
@@ -1673,11 +1663,22 @@ def _q_crawl_dust_urls(sf_dir: str):
     uses to stop fetching aliases.  Rides the shared text-base
     checkpoint; fp-bucketed pair sweep with a DF cap mirrored by the
     oracle (`stages/dedup.py::dust_url_pairs`)."""
-    from crawler_ai_ray.stages.dedup import dust_url_pairs
+    return _dust_pairs_shared(sf_dir)
 
-    return dust_url_pairs(
-        _text_base(sf_dir).select_columns(["url", "host", "text"])
-    )
+
+def _dust_pairs_shared(sf_dir: str):
+    """Delta-sized DUST pair table, computed once per corpus (shared by
+    crawl_dust_urls and crawl_dust_rules — the fingerprint pass + pair
+    sweep over the text base otherwise ran once per consumer)."""
+
+    def build():
+        from crawler_ai_ray.stages.dedup import dust_url_pairs
+
+        return dust_url_pairs(
+            _text_base(sf_dir).select_columns(["url", "host", "text"])
+        )
+
+    return _shared("dust_pairs", _corpus(sf_dir), build=build)
 
 
 def _q_crawl_frontier_depth(sf_dir: str):
@@ -9783,7 +9784,7 @@ def oracle_sql() -> dict[str, str]:
                          END)::BIGINT AS dedup_bytes
               FROM w)
             SELECT n_records, n_revisit, plain_bytes, dedup_bytes,
-                   ((plain_bytes - dedup_bytes) * 1000000
+                   (greatest(plain_bytes - dedup_bytes, 0) * 1000000
                     // greatest(plain_bytes, 1))::BIGINT AS saved_ppm
             FROM s""",
         "crawl_corpus_summary": f"""

@@ -35,6 +35,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+from ..stages.dedup import md5_lower64
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -155,9 +157,7 @@ def write_warc(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
                 f.write(rec)
                 offsets[i] = off
                 lens[i] = len(rec)
-                digs[i] = int.from_bytes(
-                    hashlib.md5(h).digest()[8:], "little", signed=False
-                )
+                digs[i] = md5_lower64(h)
                 off += len(rec)
         os.replace(tmp, warc_path)
         cdx = pa.table(
@@ -343,7 +343,9 @@ def write_warc_dedup(pages_ds, out_dir: str, resume: bool = False) -> pa.Table:
                 f.write(rec)
                 offsets[i] = off
                 lens[i] = len(rec)
-                digs[i] = int.from_bytes(dig[8:], "little", signed=False)
+                digs[i] = int.from_bytes(
+                    dig[8:], "little", signed=False
+                )  # = md5_lower64; full digest kept above for canon key
                 off += len(rec)
         os.replace(tmp, warc_path)
         cdx = pa.table(

@@ -368,6 +368,18 @@ def bloom_membership(
 # n-gram Jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
 
+def md5_lower64(data: bytes) -> int:
+    """md5 digest[8:16] little-endian unsigned int64 — EXACTLY DuckDB's
+    ``md5_number_lower``.  The single pinned spelling of the SQL-parity
+    hash convention; every operator whose oracle groups/compares by
+    ``md5_number_lower(x)`` must hash through this helper (a divergent
+    inline copy would only be caught downstream by a driver hash
+    mismatch)."""
+    return int.from_bytes(
+        hashlib.md5(data).digest()[8:], "little", signed=False
+    )
+
+
 def _doc_ngrams(text: str, n: int) -> set[str]:
     # TOKENIZATION CONVENTION (shared with every SQL oracle that uses
     # RE2 ``\S+``): Python ``str.split()`` splits on Unicode whitespace
@@ -4010,11 +4022,7 @@ def dust_url_pairs(
             )
         fps = np.array(
             [
-                int.from_bytes(
-                    hashlib.md5((t or "").encode("utf-8")).digest()[8:],
-                    "little",
-                    signed=False,
-                )
+                md5_lower64((t or "").encode("utf-8"))
                 for t in batch[text_col].to_pylist()
             ],
             dtype=np.uint64,
@@ -4130,11 +4138,7 @@ def paragraph_dedup_stats(
             for i, line in enumerate((t or "").split("\n")):
                 if line:
                     out_h.append(
-                        int.from_bytes(
-                            hashlib.md5(line.encode("utf-8")).digest()[8:],
-                            "little",
-                            signed=False,
-                        )
+                        md5_lower64(line.encode("utf-8"))
                     )
                     out_d.append(did)
                     out_i.append(i)
@@ -4262,11 +4266,7 @@ def paragraph_dedup_stats(
             out_n.append(n_lines)
             out_k.append(len(kept))
             out_f.append(
-                int.from_bytes(
-                    hashlib.md5("\n".join(kept).encode("utf-8")).digest()[8:],
-                    "little",
-                    signed=False,
-                )
+                md5_lower64("\n".join(kept).encode("utf-8"))
             )
         return pa.table(
             {

@@ -1754,6 +1754,8 @@ def sq8_minmax(ds, emb_col: str = "embedding"):
         )
         if p is not None
     ]
+    if not parts:  # empty / all-empty-block dataset: no codebook
+        return None, None
     dmin = np.minimum.reduce([p[0] for p in parts])
     dmax = np.maximum.reduce([p[1] for p in parts])
     return dmin.astype(np.int64), dmax.astype(np.int64)
@@ -1796,6 +1798,16 @@ def knn_sq8(
     from .dedup import list_col_to_matrix
 
     dmin, dmax = sq8_minmax(ds, emb_col=emb_col)
+    if dmin is None:  # typed-empty result for an empty corpus
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "sim_micros": pa.array([], pa.int64()),
+                "sq_score": pa.array([], pa.int64()),
+            }
+        )
     qn = _normalize(queries.astype(np.float64))
     q_micro = _half_away_micros(qn * 1_000_000.0)
     q_quant = _sq8_quantize(q_micro, dmin, dmax)

@@ -56,3 +56,22 @@ def test_no_divergent_whitespace_synth(unit_corpus):
     schema = pq.read_schema(pages)
     str_cols = [f.name for f in schema if pa.types.is_string(f.type)]
     assert _scan_strings(pages, str_cols) == 0
+
+
+def test_warc_ts_whole_seconds():
+    """The WARC writer serializes WARC-Date at second resolution
+    (constant-length ISO) and read_warc reconstructs ts_ms as
+    seconds·1000, so the archive round-trip preserves warc_ts exactly
+    only while every corpus timestamp is a whole second.  Pin it like
+    the whitespace convention: a synth change to sub-second warc_ts
+    must bump CORPUS_VERSION and extend the WARC-Date format."""
+    import pyarrow.compute as pc
+
+    from crawler_ai_ray.sources.synth import ensure_corpus
+
+    pages = os.path.join(ensure_corpus("unit"), "pages.parquet")
+    ts = pq.read_table(pages, columns=["warc_ts"])["warc_ts"]
+    import numpy as np
+
+    ms = pc.cast(pc.cast(ts, "timestamp[ms]"), "int64").to_numpy()
+    assert int(np.max(ms % 1000)) == 0
